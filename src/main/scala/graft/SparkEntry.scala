@@ -1,13 +1,453 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{GeoFunctions, TextFunctions, VectorFunctions}
+import graft.operators._
+import graft.sources.Tables
+
+/**
+ * Driver contract (see SURVEY.md §7 + builder prompt): every implemented
+ * operator from SURVEY.md §2 surfaces as a named query over the driver's
+ * parquet fixtures, each with an equivalent DuckDB oracle SQL where the
+ * semantics are ANSI-SQL-expressible.
+ *
+ * Numeric parity convention (shared with [[operators.AggCore]]): double
+ * measures are summed as DECIMAL(18,4) (exact for the 2-decimal inputs) and
+ * cast back to DOUBLE, making results independent of partition/add order —
+ * the only way a distributed sum can hash-match a single-threaded oracle.
+ * Every query ends in a deterministic ORDER BY (ties broken by id columns).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val Dec = DecimalType(18, 4)
+  private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  // epoch-ms anchors inside the events table's span (2024-01-01 .. 2024-01-30 UTC)
+  private val Jan05 = 1704412800000L
+  private val Jan12 = 1705017600000L
+  private val Jan30 = 1706572800000L
+  private val Jan10_0745 = 1704872700000L
+
+  /** Shared DuckDB view of `events` as readings (must mirror
+    * [[Tables.readings]] exactly). */
+  private val ReadingsCte =
+    "WITH r AS (SELECT ts, event_type || '_' || lpad(CAST(user_id % 100 AS VARCHAR), 2, '0') AS key, value FROM events)"
+
+  /** Documents ∪ deterministic 75%-token-prefix copies (ids +100000) — the
+    * near-dup fixture the dedup demos run on (the raw synthetic docs share
+    * no near-dups, so operators would trivially return 0 rows). */
+  private def docsWithNearDups(docs: DataFrame): DataFrame = {
+    val t = split(trim(lower(col("text"))), "\\s+")
+    val truncated = docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(floor(size(t) * 3 / 4).cast("int"), lit(1))))
+        .as("text"))
+    docs.select(col("doc_id"), col("text")).union(truncated)
+  }
+
+  /** Embeddings ∪ exact copies (ids +1000000): near-dup fixture for the
+    * vector-dedup demo. */
+  private def embsWithDups(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), col("embedding"))
+      .union(embs.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Q-H1: hourly avg
+    * over all key prefixes, one week. */
+  def entry(spark: SparkSession): DataFrame = {
+    val view = AggCore.hourlyView(Tables.readings(spark, "/root/testdata/sf0.001"))
+    QueryBuilders.history(view, "avg",
+      Seq("click", "error", "purchase", "signup", "view"), Jan05, Jan12)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ reference query surface
+    "h1_history_avg" -> ((s, dir) => {
+      val view = AggCore.hourlyView(Tables.readings(s, dir))
+      QueryBuilders.history(view, "avg", Seq("cl", "vi"), Jan05, Jan12)
+    }),
+    "h2_history_count_interval" -> ((s, dir) => {
+      val view = AggCore.hourlyView(Tables.readings(s, dir))
+      QueryBuilders.historyInterval(view, "count", Seq("purchase", "signup"), Jan30, "1week")
+    }),
+    "h3_history_sum" -> ((s, dir) => {
+      val view = AggCore.hourlyView(Tables.readings(s, dir))
+      QueryBuilders.history(view, "sum", Seq("error"), Jan05, Jan30)
+    }),
+    "s1_snapshot_sum" -> ((s, dir) => {
+      val view = AggCore.hourlyView(Tables.readings(s, dir))
+      QueryBuilders.snapshotByPrefixes(view, "sum",
+        Seq("click_1", "purchase_0", "view"), Jan10_0745)
+    }),
+    "hview_cells" -> ((s, dir) => {
+      AggCore.hourlyView(Tables.readings(s, dir))
+        .select(col("key"), col("window_start"), col("count"), col("sum"), col("avg"))
+        .orderBy(col("key"), col("window_start"))
+    }),
+    "reagg_daily" -> ((s, dir) => {
+      // two-level partial/final re-agg (A2): hourly view → daily — must equal
+      // the oracle's single-level daily aggregation
+      val view = AggCore.hourlyView(Tables.readings(s, dir))
+      AggCore.reAgg(view, Seq(date_trunc("day", col("window_start")).as("day")))
+        .select(col("day"), col("count"), col("sum"), col("avg"))
+        .orderBy(col("day"))
+    }),
+
+    // ------------------------------------------------ batch-relational (§2.13)
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(Dec) * (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+            .cast("double").as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "filter_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "join_broadcast_segment" -> ((s, dir) => {
+      // small dim (customer) broadcast into the fact scan — no shuffle join
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "join3_nation_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(Dec) * (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    }),
+    "semi_join_big_customers" -> ((s, dir) => {
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0)
+      Tables.customer(s, dir)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "anti_join_no_big_order" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "topk_orders_per_priority" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+    "distinct_orders_per_flag" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("distinct_orders"), count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "rollup_flag_status" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "window_daily_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("running_n", sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy(col("event_type"), col("day"))
+    }),
+    "prefix_range_source" -> ((s, dir) => {
+      // sargable prefix predicate (F1 / GH3): src1 → [src1, src2)
+      Tables.documents(s, dir)
+        .filter(GeoFunctions.prefixPredicate(col("source"), Seq("src1")))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // ------------------------------------------------ text analysis (M6)
+    "text_metrics" -> ((s, dir) => {
+      TextAnalysis.docMetrics(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+          col("punct_ratio"), col("stopword_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    "lang_confusion" -> ((s, dir) => {
+      TextAnalysis.langConfusion(Tables.documents(s, dir))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+    "vocab_top50" -> ((s, dir) => {
+      TextAnalysis.vocabulary(Tables.documents(s, dir))
+        .orderBy(col("freq").desc, col("token").asc).limit(50)
+    }),
+    "fingerprints_md5" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    "exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(docsWithNearDups(Tables.documents(s, dir)))
+        .orderBy(col("fp"))
+    }),
+
+    // ------------------------------------------------ vectors / similarity (M6)
+    "embed_norms" -> ((s, dir) => {
+      Similarity.norms(Tables.embeddings(s, dir)).orderBy(col("vec_id"))
+    }),
+    "ann_brute_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // ---------------------------------- non-SQL-expressible (rows-only checks)
+    "minhash_lsh_dedup" -> ((s, dir) => {
+      Dedup.minHashLsh(docsWithNearDups(Tables.documents(s, dir)), threshold = 0.6)
+        .orderBy(col("a"), col("b"))
+    }),
+    "simhash_dedup" -> ((s, dir) => {
+      Dedup.simHashDedup(docsWithNearDups(Tables.documents(s, dir)), maxHamming = 8)
+        .orderBy(col("a"), col("b"))
+    }),
+    "ngram_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docsWithNearDups(Tables.documents(s, dir)), threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+    "embedding_near_dup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(embsWithDups(Tables.embeddings(s, dir)), dim = 64, threshold = 0.95)
+        .orderBy(col("a"), col("b"))
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, dim = 64)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+    "multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .toDF().orderBy(col("media_id"))
+    }),
+    "geo_history_avg" -> ((s, dir) => {
+      // geohash-keyed slice of the reference pipeline: synth coordinates from
+      // user_id, encode at precision 6, bbox → cover prefixes → history
+      // user_id % 10 spreads points identically at every scale factor
+      val r = Tables.events(s, dir).select(
+        col("ts"),
+        GeoFunctions.geohash_encode(
+          lit(-40.0) + (col("user_id") % 10).cast("double") * 8.0,
+          lit(-60.0) + (col("user_id") % 10).cast("double") * 12.0,
+          lit(6)).as("key"),
+        col("value"))
+      val view = AggCore.hourlyView(r)
+      val prefixes = GeoFunctions.coverBoundingBox(30.0, -55.0, -35.0, 40.0)
+      QueryBuilders.history(view, "avg", prefixes, Jan05, Jan30)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "h1_history_avg" ->
+      s"""$ReadingsCte
+         |SELECT date_trunc('hour', ts) AS window_start,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS "avg"
+         |FROM r
+         |WHERE ((key >= 'cl' AND key < 'cm') OR (key >= 'vi' AND key < 'vj'))
+         |  AND date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "h2_history_count_interval" ->
+      s"""$ReadingsCte
+         |SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS "count"
+         |FROM r
+         |WHERE ((key >= 'purchase' AND key < 'purchasf') OR (key >= 'signup' AND key < 'signuq'))
+         |  AND date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-23 00:00:00' AND TIMESTAMP '2024-01-30 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "h3_history_sum" ->
+      s"""$ReadingsCte
+         |SELECT date_trunc('hour', ts) AS window_start,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS "sum"
+         |FROM r
+         |WHERE key >= 'error' AND key < 'erros'
+         |  AND date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-30 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s1_snapshot_sum" ->
+      s"""$ReadingsCte
+         |SELECT key, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS "sum"
+         |FROM r
+         |WHERE date_trunc('hour', ts) = TIMESTAMP '2024-01-10 07:00:00'
+         |  AND ((key >= 'click_1' AND key < 'click_2') OR (key >= 'purchase_0' AND key < 'purchase_1') OR (key >= 'view' AND key < 'viex'))
+         |GROUP BY key ORDER BY key""".stripMargin,
+    "hview_cells" ->
+      s"""$ReadingsCte
+         |SELECT key, date_trunc('hour', ts) AS window_start, COUNT(*) AS "count",
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS "sum",
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS "avg"
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "reagg_daily" ->
+      s"""$ReadingsCte
+         |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "day", COUNT(*) AS "count",
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS "sum",
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS "avg"
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_broadcast_segment" ->
+      """SELECT c_mktsegment,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        |       COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join3_nation_revenue" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "semi_join_big_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "anti_join_no_big_order" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "topk_orders_per_priority" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+    "distinct_orders_per_flag" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS distinct_orders, COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rollup_flag_status" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "window_daily_running" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS "day", COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, "day", n,
+        |       LAG(n, 1) OVER (PARTITION BY event_type ORDER BY "day") AS prev_n,
+        |       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY "day" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+        |FROM daily ORDER BY event_type, "day"""".stripMargin,
+    "prefix_range_source" ->
+      """SELECT source, COUNT(*) AS n_docs FROM documents
+        |WHERE source >= 'src1' AND source < 'src2'
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "text_metrics" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'), t -> len(t))) AS DOUBLE)
+        |        / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6) AS mean_token_len,
+        |  round(CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE)
+        |        / greatest(len(text), 1), 6) AS punct_ratio,
+        |  round(CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+        |        ['the','a','an','and','or','of','to','in','is','it','that','with','for','on','as','at','by','this','be'])) AS DOUBLE)
+        |        / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), 1), 6) AS stopword_ratio,
+        |  round(
+        |    least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |    + (1.0 - least(round(CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 6) * 5.0, 1.0)) * 0.3
+        |    + least(round(CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+        |        ['the','a','an','and','or','of','to','in','is','it','that','with','for','on','as','at','by','this','be'])) AS DOUBLE)
+        |        / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), 1), 6) * 4.0, 1.0) * 0.3, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_confusion" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')), ['der','die','das','und','nicht','ist','ich','ein','mit','für'])) AS s_de,
+        |    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')), ['the','and','not','is','a','of','to','in','that','with'])) AS s_en,
+        |    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')), ['el','la','los','las','y','no','es','un','una','con'])) AS s_es,
+        |    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')), ['le','la','les','et','ne','pas','est','un','une','avec'])) AS s_fr,
+        |    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')), ['的','是','不','了','在','人','有','我','他','这'])) AS s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
+        |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS lang_pred
+        |  FROM s)
+        |SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "vocab_top50" ->
+      """SELECT token, COUNT(*) AS freq FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
+    "fingerprints_md5" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "exact_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1,
+        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+        |  FROM documents)
+        |SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "embed_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "ann_brute_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),
+        |s AS (
+        |  SELECT qid, v.vec_id AS cid,
+        |    round(
+        |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i]))
+        |      / (sqrt(list_sum(list_transform(qe, x -> x * x))) * sqrt(list_sum(list_transform(e, x -> x * x)))), 6) AS cos
+        |  FROM q, v WHERE v.vec_id <> qid),
+        |r AS (SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk FROM s)
+        |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  )
 }

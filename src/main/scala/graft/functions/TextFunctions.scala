@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column functions for the training-data-pipeline extensions
+ * (SURVEY.md §7.2 M6). Everything here is built from codegen'd
+ * `org.apache.spark.sql.functions` (split/transform/aggregate/xxhash64/...);
+ * no Scala closures in the hot path except where noted — at 100 TB these run
+ * per-document inside whole-stage codegen or as vectorized higher-order
+ * expressions, never on the driver.
+ */
+object TextFunctions {
+
+  /** Whitespace tokenization (lowercased). `split` on \s+ after trim. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(tokens(text))
+
+  /**
+   * BPE-ish subword count approximation: word-piece regex — runs of letters,
+   * runs of digits, or single non-space symbols — ≈ pre-tokenizer output
+   * length. Deterministic, language-agnostic.
+   */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "(?<=[^a-z0-9])|(?=[^a-z0-9])"),
+      t => t =!= "" && t =!= " "))
+
+  /** Word n-gram shingles: array of `n`-token windows joined by single
+    * spaces. Built with sequence+transform+slice (all higher-order
+    * expressions, no UDF). Empty array when fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /** Character n-grams of the (lowercased, space-collapsed) text. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val s = regexp_replace(trim(lower(text)), "\\s+", " ")
+    when(length(s) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), length(s) - (n - 1)),
+          i => s.substr(i, lit(n))))
+  }
+
+  /**
+   * MinHash signature over a set of string shingles: `numHashes` independent
+   * min-hash values. Hash family: xxhash64(shingle, seed=i) — one pass per
+   * hash function over the shingle array, entirely in Catalyst higher-order
+   * expressions (array_min ∘ transform ∘ xxhash64).
+   *
+   * At scale this is a narrow map — no shuffle; the signature feeds LSH
+   * banding ([[graft.operators.Dedup.minHashLsh]]).
+   */
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /**
+   * 64-bit SimHash over tokens: per bit position, sum +1/−1 of each token's
+   * xxhash64 bit; sign → bit. Expressed with higher-order expressions:
+   * for each of 64 bits, count tokens with the bit set vs total.
+   * One xxhash64 per token (computed once), then 64 bit-tests.
+   */
+  def simHash64(tokensArr: Column): Column = {
+    val hashes = transform(tokensArr, t => xxhash64(t))
+    val n = size(hashes)
+    // bit b of result = 1 iff (# tokens with bit b set) * 2 > n
+    val bits: Seq[Column] = (0 until 64).map { b =>
+      val ones = size(filter(hashes, h => h.bitwiseAND(lit(1L << b)) =!= 0L))
+      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, c: Column) => a.bitwiseOR(c))
+  }
+
+  /** Hamming distance between two 64-bit simhashes: bit_count(a XOR b). */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Document fingerprint: hex MD5 of the whitespace-normalized, lowercased
+   * text — stable under run-of-whitespace differences; directly reproducible
+   * in any SQL engine (DuckDB: `md5(...)`) for oracle parity.
+   */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Rolling 64-bit content fingerprints: xxhash64 of each `n`-shingle —
+    * the winnowing-style local fingerprint set (kept as the full set; callers
+    * may sample, e.g. `array_min` per doc). */
+  def rollingFingerprints(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  // ---------------------------------------------------------------- quality
+
+  /** Punctuation character ratio (over total chars, 6-dec rounded). */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")) /
+      greatest(length(text), lit(1)).cast("double"), 6)
+
+  /** Mean token length in chars. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      greatest(size(t), lit(1)).cast("double"), 6)
+  }
+
+  /** Stopword hit ratio against a fixed stopword list (deduped hit count /
+    * distinct token count) — one ingredient of a quality score. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = array_distinct(tokens(text))
+    round(size(array_intersect(t, array(stopwords.map(lit): _*))).cast("double") /
+      greatest(size(t), lit(1)).cast("double"), 6)
+  }
+
+  /**
+   * Composite quality score in [0,1]: favors moderate length, low
+   * punctuation density, some stopwords (prose-likeness). Deterministic,
+   * SQL-expressible (oracle-checkable).
+   */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    round((lenScore * 0.4 + (lit(1.0) - punctPenalty) * 0.3 + stopScore * 0.3), 6)
+  }
+
+  // ------------------------------------------------------------ language id
+
+  /**
+   * Tiny n-gram/stopword language classifier: per-language score = # of
+   * distinct tokens hitting that language's marker list; argmax with
+   * deterministic tie-break on language code order. 'und' when nothing hits.
+   * Marker lists are small public function-word sets.
+   */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ich", "ein", "mit", "für"),
+    "en" -> Seq("the", "and", "not", "is", "a", "of", "to", "in", "that", "with"),
+    "es" -> Seq("el", "la", "los", "las", "y", "no", "es", "un", "una", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "ne", "pas", "est", "un", "une", "avec"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val t = array_distinct(tokens(text))
+    langMarkers.map { case (lang, ms) =>
+      lang -> size(array_intersect(t, array(ms.map(lit): _*)))
+    }
+  }
+
+  /** Predicted language code (argmax of [[langScores]], ties → first in code
+    * order, all-zero → 'und'). */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+    // argmax by (score, then REVERSE lang order) so array_max's lexicographic
+    // struct compare picks the highest score, first-lang-wins on ties
+    val packed = scores.zipWithIndex.map { case ((lang, s), i) =>
+      struct(s.as("s"), lit(-i).as("negidx"), lit(lang).as("l"))
+    }
+    val top = array_max(array(packed: _*))
+    when(top.getField("s") === 0, lit("und")).otherwise(top.getField("l"))
+  }
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/**
+ * Deduplication operators for training-data curation (driver brief / SURVEY.md
+ * §7.2 M6). All are pure DataFrame pipelines — shuffle-based, no driver-side
+ * state, no collect — so they scale with executor count:
+ *
+ *  - exact:      hash-groupBy on a normalized fingerprint (1 shuffle)
+ *  - MinHash:    shingle → signature (narrow) → LSH band explode →
+ *                bucket-join (1 shuffle on band key) → verified pairs
+ *  - SimHash:    64-bit signature → band buckets → Hamming-verified pairs
+ *  - n-gram Jaccard: exact verification used by the candidate generators
+ *  - embedding:  SRP-LSH buckets → cosine-verified near-dup pairs
+ *
+ * Pair outputs use `(a, b)` with a < b (ids) so each pair appears once.
+ * At 100 TB: candidate generation must never be O(n²) — every candidate set
+ * here comes from an equi-join on a bucket key (band hash / simhash band /
+ * SRP bucket), which Catalyst executes as a shuffled hash join keyed on the
+ * bucket. Skewed buckets (boilerplate docs) are bounded by `maxBucketSize`.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: keep the first row (min of `idCol`) per normalized-text
+   * fingerprint. One partial/final hash aggregate; the canonical-id choice is
+   * deterministic.
+   */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Rows surviving exact dedup (the kept representatives). */
+  def exactDedupKept(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(TextFunctions.fingerprint(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /**
+   * MinHash + LSH near-duplicate pairs.
+   *
+   * numHashes = bands × rowsPerBand. Pipeline:
+   *   1. narrow: shingle(n) → minhash signature (numHashes values)
+   *   2. explode to `bands` rows: (bandId, xxhash64(band slice)) — each doc
+   *      contributes `bands` bucket keys
+   *   3. self-join on (bandId, bandHash) → candidate pairs (shuffle on the
+   *      band key; this is the ONLY shuffle that grows with corpus size)
+   *   4. verify: exact shingle-set Jaccard ≥ threshold
+   *
+   * Returns (a, b, jaccard) with a < b, distinct.
+   */
+  def minHashLsh(docs: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                 threshold: Double = 0.7,
+                 maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigd = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", TextFunctions.minHashSignature(col("sh"), numHashes))
+
+    val banded = sigd.select(
+      col("id"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.bh"))
+
+    // Skew bound: drop pathological buckets (boilerplate floods) — documented
+    // coverage cap, logged by callers; keeps the join fan-out O(bucket²) small.
+    val wb = Window.partitionBy(col("band"), col("bh"))
+    val bounded = banded
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+
+    val l = bounded.select(col("band"), col("bh"), col("id").as("a"), col("sh").as("sha"))
+    val r = bounded.select(col("band"), col("bh"), col("id").as("b"), col("sh").as("shb"))
+    val cand = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sha"), col("shb")).distinct()
+
+    cand
+      .withColumn("jaccard", jaccardShingles(col("sha"), col("shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact Jaccard over two shingle arrays (set semantics). */
+  private def jaccardShingles(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd)).cast("double")
+    val union = (size(ad) + size(bd) - size(array_intersect(ad, bd))).cast("double")
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /**
+   * n-gram Jaccard near-dup pairs WITHOUT LSH (exact, for small candidate
+   * scopes or oracle checks): blocks by a cheap key first (doc length bucket)
+   * to avoid full O(n²) — still quadratic within a block; use [[minHashLsh]]
+   * at scale.
+   */
+  def ngramJaccardPairs(docs: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val d = docs.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = d.select(col("id"), explode(col("sh")).as("g"))
+    // inverted index join: pairs sharing ≥1 shingle, with shared-count ≥
+    // ceil(threshold/(1+threshold) * (|A|+|B|)) implied by the final filter
+    val sizes = d.select(col("id"), size(col("sh")).as("n"))
+    val pairs = ex.as("x").join(ex.as("y"), col("x.g") === col("y.g"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
+   * SimHash near-dup pairs: 64-bit signature, banded into `bands` chunks of
+   * 64/bands bits (a pair within Hamming distance d collides on ≥1 band when
+   * d < bands); verify candidates by exact Hamming ≤ `maxHamming`.
+   */
+  def simHashDedup(docs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val bits = 64 / bands
+    val d = docs.select(col(idCol).as("id"),
+      TextFunctions.simHash64(TextFunctions.tokens(col(textCol))).as("sh"))
+    val banded = d.select(col("id"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          col("sh").bitwiseAND(lit(((1L << bits) - 1) << (b * bits))).as("chunk"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.chunk"))
+    val l = banded.select(col("band"), col("chunk"), col("id").as("a"), col("sh").as("ha"))
+    val r = banded.select(col("band"), col("chunk"), col("id").as("b"), col("sh").as("hb"))
+    l.join(r, Seq("band", "chunk")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), TextFunctions.hamming64(col("ha"), col("hb")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs: SRP-LSH bucket join (no O(n²)) then
+   * exact cosine ≥ threshold. `dim` is the embedding dimensionality.
+   */
+  def embeddingNearDup(embs: DataFrame,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       dim: Int, nBits: Int = 12, threshold: Double = 0.95): DataFrame = {
+    val d = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", VectorFunctions.srpBucket(col("v"), nBits, dim))
+    val l = d.select(col("bucket"), col("id").as("a"), col("v").as("va"))
+    val r = d.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/**
+ * Similarity search over an embedding column (driver brief / SURVEY.md §7.2
+ * M6): brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+ * approximate variant as the 100 TB scale path.
+ *
+ * Scale notes:
+ *  - Brute force is a broadcast (queries are few) × scan (corpus is huge)
+ *    nested-loop — embarrassingly parallel, no shuffle until the final
+ *    per-query top-k (tiny). Correct but O(|Q|·|C|).
+ *  - The SRP-LSH variant turns candidate generation into an equi-join on
+ *    bucket keys — per-query cost ∝ bucket size, not corpus size. Recall is
+ *    tunable via `nBits`/`probes` (fewer bits → bigger buckets → higher
+ *    recall, more compute).
+ */
+object Similarity {
+
+  /**
+   * Exact cosine top-k: for each query vector (id ∈ `queryFilter` rows of the
+   * same table, or a separate small DataFrame) return the `k` most similar
+   * corpus vectors (excluding self-matches). The query side is broadcast.
+   *
+   * Ranking is on cosine rounded to 6 decimals with id tie-break, so the
+   * result set is fully deterministic (fp-noise-proof) across engines/plans.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+  }
+
+  /**
+   * Approximate top-k via signed-random-projection buckets: candidates =
+   * corpus vectors sharing the query's SRP bucket under any of `probes`
+   * independent hash tables; exact cosine re-rank within candidates.
+   * Misses are possible (approximate); at 100 TB the bucket join replaces the
+   * full scan.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nBits: Int = 8, probes: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v))
+        .withColumn("tb", explode(array((0 until probes).map { t =>
+          struct(lit(t).as("table"),
+            // per-table independent hyperplane family, selected by seed
+            VectorFunctions.srpBucket(col(v), nBits, dim, seed = t).as("bucket"))
+        }: _*)))
+        .select(col(id), col(v), col("tb.table"), col("tb.bucket"))
+
+    val c = withBuckets(corpus, "cid", "cv")
+    val q = withBuckets(queries, "qid", "qv")
+    val cand = c.join(q, Seq("table", "bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("cid"), col("cv")).distinct()
+    cand
+      .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+  }
+
+  /** Per-vector L2 norm table (useful for normalize-once-then-dot at scale). */
+  def norms(embs: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embs.select(col(idCol), round(VectorFunctions.norm2(col(vecCol)), 6).as("norm"))
+}
