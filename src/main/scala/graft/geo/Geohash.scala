@@ -121,29 +121,32 @@ object Geohash {
     0
   }
 
-  /** All hashes of exactly `length` that intersect the bbox (N,W,S,E).
-    * Grid-walk from the south-west corner in cell-size steps; corners added
-    * explicitly to close floating-point gaps on the borders. */
+  /** All hashes of exactly `length` whose cells intersect the bbox (N,W,S,E).
+    * Iterates the GRID CELL INDICES covering the box (not bbox-anchored
+    * steps, which skip cells when the box straddles a cell boundary by less
+    * than one cell size) and encodes each cell's center. */
   def hashesToCover(north: Double, west: Double, south: Double, east: Double,
                     length: Int): Set[String] = {
     require(north >= south, s"north $north < south $south")
     require(east >= west, "bbox crossing the antimeridian not supported")
     val w = widthDegrees(length)
     val h = heightDegrees(length)
+    val latLo = math.floor((south + 90.0) / h).toLong
+    val latHi = math.floor((north + 90.0) / h).toLong
+    val lonLo = math.floor((west + 180.0) / w).toLong
+    val lonHi = math.floor((east + 180.0) / w).toLong
     val out = scala.collection.mutable.Set.empty[String]
-    var lat = south
-    while (lat <= north) {
-      var lon = west
-      while (lon <= east) {
+    var li = latLo
+    while (li <= latHi) {
+      val lat = math.min((li + 0.5) * h - 90.0, 89.999999)
+      var lo = lonLo
+      while (lo <= lonHi) {
+        val lon = math.min((lo + 0.5) * w - 180.0, 179.999999)
         out += encode(lat, lon, length)
-        lon += w
+        lo += 1
       }
-      lat += h
+      li += 1
     }
-    out += encode(north, west, length)
-    out += encode(north, east, length)
-    out += encode(south, west, length)
-    out += encode(south, east, length)
     out.toSet
   }
 

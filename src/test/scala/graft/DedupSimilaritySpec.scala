@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // near-dup of 1
+    (3L, "completely different content about spark distributed query engines"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (5L, "yet another unrelated document mentioning embeddings and vectors"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup groups exact duplicates, keeps min id") {
+    val d = Dedup.exactDedup(docs).collect()
+    assert(d.length == 4) // 1&4 collapse
+    val dup = d.find(_.getLong(2) == 2).get
+    assert(dup.getLong(1) == 1L) // keep_id = min(1,4)
+  }
+
+  test("minHashLsh finds planted near-dup and exact-dup pairs") {
+    val pairs = Dedup.minHashLsh(docs, shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 4 && j == 1.0 })
+    assert(pairs.exists { case (a, b, _) => a == 1 && b == 2 })
+    assert(!pairs.exists { case (a, b, _) => b == 3 || a == 3 })
+  }
+
+  test("simHashDedup: identical docs at hamming 0; near-dups small hamming") {
+    val pairs = Dedup.simHashDedup(docs, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val exact = pairs.find { case (a, b, _) => a == 1 && b == 4 }
+    assert(exact.exists(_._3 == 0))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, shingleN = 2, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(1L -> 4L) == 1.0)
+    // doc1 has 12 2-shingles (13 tokens), doc2 has 11 (12 tokens), all shared
+    val j12 = pairs(1L -> 2L)
+    assert(math.abs(j12 - 11.0 / 12.0) < 1e-6, s"j12=$j12")
+  }
+
+  test("embeddingNearDup finds identical vectors via SRP buckets") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, -0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, -0.2f)),   // dup of 1
+      (3L, Array(-1.0f, 0.3f, -0.5f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(embs, dim = 4, nBits = 4, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("bruteForceTopK: nearest neighbor is the most-aligned vector") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(embs, embs.filter($"vec_id" === 0), k = 2)
+      .orderBy($"rnk").collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(1L, 2L)) // cos order: 0.993, 0, -1
+  }
+
+  test("cosine/dot/norm column math matches hand computation") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot($"a", $"b").as("d"),
+      VectorFunctions.norm2($"a").as("na"),
+      VectorFunctions.cosine($"a", $"b").as("c")).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+  }
+
+  test("lshTopK returns a subset of brute-force ranking with exact scores") {
+    val embs = embTable
+    val brute = Similarity.bruteForceTopK(embs, embs.filter($"vec_id" < 3), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(embs, embs.filter($"vec_id" < 3), k = 5, dim = 64)
+      .collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit's cosine must equal the brute-force cosine for that pair
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      brute.get(key).foreach(c => assert(c == r.getDouble(3)))
+    }
+  }
+
+  private lazy val embTable = graft.sources.Tables.embeddings(spark, Sf)
+
+  test("minhash signature has numHashes entries and respects similarity") {
+    val sig = docs.select(TextFunctions.minHashSignature(
+      TextFunctions.shingles($"text", 3), 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.forall(_.length == 16))
+    // identical docs (1,4) → identical signatures
+    assert(sig(0) == sig(3))
+  }
+}

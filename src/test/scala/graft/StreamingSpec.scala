@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingPipeline
+
+/**
+ * Streaming semantics (SURVEY.md §5.2): drive the full pipeline with a
+ * MemoryStream of JSON readings, assert window contents, late-arrival
+ * update-in-place (W3), and idempotent serving-table upserts (§7.4.1).
+ */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def json(tsMs: Long, gh: String, v: Double): String =
+    s"""{"timestamp":$tsMs,"sensorId":"s1","geohash":"$gh","tempVal":$v,"tempUnit":"c"}"""
+
+  private val H0 = 1704067200000L // 2024-01-01 00:00:00 UTC
+
+  test("pipeline aggregates into hourly cells and applies late updates in place") {
+    val dir = Files.createTempDirectory("serve").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingPipeline.start(mem.toDF().withColumnRenamed("value", "json"),
+      dir, ckpt, precision = 6, trigger = Trigger.AvailableNow())
+
+    // batch 1: two readings in hour 0 of one cell, one in hour 1
+    mem.addData(
+      json(H0 + 60000, "u155mz82dv33", 10.0),
+      json(H0 + 120000, "u155mz82aaaa", 30.0),
+      json(H0 + 3660000, "u155mz82dv33", 50.0))
+    q.processAllAvailable()
+
+    val t1 = StreamingPipeline.servingView(spark, dir)
+      .orderBy($"key", $"window_start").collect()
+    assert(t1.length == 2)
+    assert(t1(0).getAs[String]("key") == "u155mz")
+    assert(t1(0).getAs[Long]("count") == 2 && t1(0).getAs[Double]("sum") == 40.0)
+    assert(t1(1).getAs[Long]("count") == 1 && t1(1).getAs[Double]("avg") == 50.0)
+    q.stop()
+
+    // batch 2 (new run, same checkpoint): LATE reading for hour 0 revises the
+    // existing cell (update-in-place, reference W3), plus a new key
+    val q2 = StreamingPipeline.start(mem.toDF().withColumnRenamed("value", "json"),
+      dir, ckpt, precision = 6, trigger = Trigger.AvailableNow())
+    mem.addData(
+      json(H0 + 180000, "u155mz82zzzz", 20.0), // late into hour 0
+      json(H0 + 240000, "u14fzp11abcd", 7.0))  // different prefix
+    q2.processAllAvailable()
+    q2.stop()
+
+    val t2 = StreamingPipeline.servingView(spark, dir)
+      .orderBy($"key", $"window_start").collect()
+    assert(t2.length == 3)
+    val revised = t2.find(r => r.getAs[String]("key") == "u155mz"
+      && r.getAs[Long]("count") == 3).get
+    assert(revised.getAs[Double]("sum") == 60.0 && revised.getAs[Double]("avg") == 20.0)
+    assert(t2.exists(r => r.getAs[String]("key") == "u14fzp" && r.getAs[Long]("count") == 1))
+  }
+
+  test("invalid readings (negative/null ts) are split out, not poison pills") {
+    val raw = Seq(
+      json(H0, "u155mz82dv33", 1.0),
+      """{"timestamp":-5,"sensorId":"x","geohash":"u155mz82dv33","tempVal":2.0,"tempUnit":"c"}""",
+      """{"sensorId":"y","geohash":"u155mz82dv33","tempVal":3.0,"tempUnit":"c"}""",
+      "not json at all").toDF("json")
+    val parsed = StreamingPipeline.parseReadings(raw)
+    val (valid, invalid) = StreamingPipeline.validate(parsed)
+    assert(valid.count() == 1)
+    // negative ts + missing ts + malformed JSON (permissive parse → all-null
+    // row → null timestamp) all land in the error sink, none halt the stream
+    assert(invalid.count() == 3)
+  }
+
+  test("unknown JSON fields are ignored (Jackson ignore-unknown parity)") {
+    val raw = Seq(
+      s"""{"timestamp":$H0,"sensorId":"s","geohash":"u155mz82dv33","tempVal":9.0,"tempUnit":"c","extra":"zzz","n":5}""")
+      .toDF("json")
+    val parsed = StreamingPipeline.parseReadings(raw).collect()
+    assert(parsed.length == 1 && parsed(0).getAs[Double]("tempVal") == 9.0)
+  }
+
+  test("upsertBatch is idempotent: replaying the same batch leaves table unchanged") {
+    val dir = Files.createTempDirectory("serve2").toString
+    val batch = Seq(("u155mz", "2024-01-01 00:00:00", "2024-01-01 01:00:00", 2L, 40.0, 20.0))
+      .toDF("key", "ws", "we", "count", "sum", "avg")
+      .select($"key", to_timestamp($"ws").as("window_start"),
+        to_timestamp($"we").as("window_end"), $"count", $"sum", $"avg",
+        to_date(to_timestamp($"ws")).as("window_day"))
+    StreamingPipeline.upsertBatch(batch, dir)
+    StreamingPipeline.upsertBatch(batch, dir) // replay
+    val t = StreamingPipeline.servingView(spark, dir).collect()
+    assert(t.length == 1)
+    assert(t(0).getAs[Long]("count") == 2L)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens, counts and shingles") {
+    val df = Seq("The  quick   Brown fox").toDF("text")
+    val r = df.select(
+      TextFunctions.tokens($"text").as("t"),
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.shingles($"text", 2).as("sh")).head()
+    assert(r.getSeq[String](0) == Seq("the", "quick", "brown", "fox"))
+    assert(r.getInt(1) == 4)
+    assert(r.getSeq[String](2) == Seq("the quick", "quick brown", "brown fox"))
+  }
+
+  test("shingles shorter than n give empty array") {
+    val df = Seq("one two").toDF("text")
+    assert(df.select(TextFunctions.shingles($"text", 3)).head().getSeq[String](0).isEmpty)
+  }
+
+  test("char ngrams") {
+    val df = Seq("ab  cd").toDF("text")
+    val r = df.select(TextFunctions.charNgrams($"text", 3)).head().getSeq[String](0)
+    assert(r == Seq("ab ", "b c", " cd"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive, md5-stable") {
+    val df = Seq(("A  b\tC", "a b c"), ("x", "y")).toDF("t1", "t2")
+    val r = df.select(
+      (TextFunctions.fingerprint($"t1") === TextFunctions.fingerprint($"t2")).as("eq"))
+      .collect()
+    assert(r(0).getBoolean(0))
+    assert(!r(1).getBoolean(0))
+  }
+
+  test("langId picks the language with most marker hits; und when none") {
+    val df = Seq(
+      "the cat is on a mat and not in the box",   // en
+      "der hund ist nicht ein tier mit fell",     // de
+      "el gato no es un animal con plumas",       // es
+      "le chat est un animal avec une queue",     // fr
+      "zzz qqq xxx")                              // none
+      .toDF("text")
+    val got = df.select(TextFunctions.langId($"text")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "de", "es", "fr", "und"))
+  }
+
+  test("quality components bounded and deterministic") {
+    val df = Seq("a plain sentence with the usual words in it and a bit of punctuation.")
+      .toDF("text")
+    val r = TextAnalysis.docMetrics(df.withColumn("doc_id", lit(1L))).head()
+    val q = r.getAs[Double]("quality")
+    assert(q >= 0.0 && q <= 1.0)
+    assert(r.getAs[Double]("punct_ratio") > 0.0)
+    assert(r.getAs[Double]("stopword_ratio") > 0.0)
+  }
+
+  test("simhash: equal token sets → equal hash; disjoint → different") {
+    val df = Seq(("a b c d e f", "a b c d e f", "q w r t y u")).toDF("x", "y", "z")
+    val r = df.select(
+      TextFunctions.simHash64(TextFunctions.tokens($"x")).as("hx"),
+      TextFunctions.simHash64(TextFunctions.tokens($"y")).as("hy"),
+      TextFunctions.simHash64(TextFunctions.tokens($"z")).as("hz")).head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+  }
+
+  test("rolling fingerprints: one 64-bit hash per shingle") {
+    val df = Seq("a b c d e").toDF("text")
+    val r = df.select(TextFunctions.rollingFingerprints($"text", 3)).head().getSeq[Long](0)
+    assert(r.length == 3)
+    assert(r.distinct.length == 3)
+  }
+}
