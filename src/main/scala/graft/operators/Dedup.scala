@@ -64,32 +64,38 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sigd = docs
       .select(col(idCol).as("id"),
-        TextFunctions.shingles(col(textCol), shingleN).as("sh"))
+        array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", TextFunctions.minHashSignature(col("sh"), numHashes))
 
-    val banded = sigd.select(
-      col("id"), col("sh"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bh"))
+    // Slim band rows: (id, band, bandHash) ONLY — the shingle arrays stay out
+    // of the explode/shuffle/distinct path (carrying them through banding was
+    // ~10× the whole operator's cost; they rejoin below just for candidates).
+    val banded = sigd
+      .withColumn("sig", TextFunctions.minHashSignature(col("sh"), numHashes))
+      .select(
+        col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
 
     // Skew bound: drop pathological buckets (boilerplate floods) — documented
-    // coverage cap, logged by callers; keeps the join fan-out O(bucket²) small.
+    // coverage cap; keeps the join fan-out O(bucket²) small.
     val wb = Window.partitionBy(col("band"), col("bh"))
     val bounded = banded
       .withColumn("bsz", count(lit(1)).over(wb))
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
 
-    val l = bounded.select(col("band"), col("bh"), col("id").as("a"), col("sh").as("sha"))
-    val r = bounded.select(col("band"), col("bh"), col("id").as("b"), col("sh").as("shb"))
-    val cand = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sha"), col("shb")).distinct()
+    val cand = bounded.select(col("band"), col("bh"), col("id").as("a"))
+      .join(bounded.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
 
     cand
+      .join(sigd.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(sigd.select(col("id").as("b"), col("sh").as("shb")), "b")
       .withColumn("jaccard", jaccardShingles(col("sha"), col("shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
