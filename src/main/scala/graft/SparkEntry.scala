@@ -230,6 +230,66 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    "json_props_sum" -> ((s, dir) => {
+      // JSON scalar extraction (props = {"k": int}) — SURVEY §2.12 class
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+    "percentile_qty" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("q50"),
+          round(percentile(col("l_quantity"), lit(0.95)), 6).as("q95"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "except_users" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_type") === "purchase" && col("value") > 100)
+        .select(col("user_id")).distinct()
+        .except(e.filter(col("event_type") === "click" && col("value") > 200)
+          .select(col("user_id")).distinct())
+        .orderBy(col("user_id"))
+    }),
+    "cube_flag_status" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "stats_per_flag" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "sessionize_users" -> ((s, dir) => {
+      Sessions.sessionStats(Tables.events(s, dir), gapMinutes = 120)
+        .orderBy(col("user_id"))
+    }),
+    "date_parts_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("y"), col("m"))
+    }),
+    "string_funcs_customer" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string")).as("tag"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---------------------------------- non-SQL-expressible (rows-only checks)
     "minhash_lsh_dedup" -> ((s, dir) => {
       Dedup.minHashLsh(docsWithNearDups(Tables.documents(s, dir)), threshold = 0.6)
@@ -254,6 +314,11 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, dim = 64)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5)
         .orderBy(col("qid"), col("rnk"))
     }),
     "multimodal_features" -> ((s, dir) => {
@@ -452,6 +517,46 @@ object SparkEntry {
         |      / (sqrt(list_sum(list_transform(qe, x -> x * x))) * sqrt(list_sum(list_transform(e, x -> x * x)))), 6) AS cos
         |  FROM q, v WHERE v.vec_id <> qid),
         |r AS (SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk FROM s)
-        |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+        |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "json_props_sum" ->
+      """SELECT event_type, SUM(CAST(props->>'k' AS BIGINT)) AS sum_k, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "percentile_qty" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+        |       round(quantile_cont(l_quantity, 0.95), 6) AS q95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "except_users" ->
+      """SELECT user_id FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 100
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 200)
+        |ORDER BY user_id""".stripMargin,
+    "cube_flag_status" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "stats_per_flag" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sessionize_users" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 120 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "date_parts_orders" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "string_funcs_customer" ->
+      """SELECT c_custkey, upper(c_name) AS uname, CAST(len(c_name) AS BIGINT) AS name_len,
+        |       substring(c_name, 1, 8) AS name_prefix,
+        |       c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS tag
+        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin
   )
 }

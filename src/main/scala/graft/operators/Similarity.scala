@@ -79,4 +79,60 @@ object Similarity {
   /** Per-vector L2 norm table (useful for normalize-once-then-dot at scale). */
   def norms(embs: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     embs.select(col(idCol), round(VectorFunctions.norm2(col(vecCol)), 6).as("norm"))
+
+  /**
+   * IVF-style approximate top-k: an inverted-file index with `nlist` coarse
+   * centroids. Centroids are a deterministic sample of the corpus (the
+   * `nlist` vectors with smallest xxhash64(id) — stable across runs); each
+   * corpus vector is assigned to its nearest centroid (cosine); a query
+   * probes its `nprobe` nearest centroids and re-ranks those lists exactly.
+   *
+   * Only the nlist×dim centroid table touches the driver (tiny, the
+   * IVF coarse quantizer is driver/broadcast state by construction);
+   * assignment and search are narrow maps + an equi-join on `list_id` —
+   * per-query cost ∝ corpus/nlist·nprobe, not corpus.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents: Array[(Int, Array[Float])] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nlist)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else d / den
+    }
+    val assignUdf = udf { v: Array[Float] =>
+      cents.maxBy { case (_, c) => cosLocal(v, c) }._1
+    }
+    val probeUdf = udf { v: Array[Float] =>
+      cents.map { case (i, c) => (i, cosLocal(v, c)) }
+        .sortBy(-_._2).take(nprobe).map(_._1)
+    }
+
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("list_id", assignUdf(col("cv")))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("list_id", explode(probeUdf(col("qv"))))
+    c.join(q, Seq("list_id"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+  }
 }

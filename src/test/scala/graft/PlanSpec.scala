@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions
+import graft.operators.{AggCore, QueryBuilders}
+import graft.sources.Tables
+
+/**
+ * Plan-shape assertions (the 100 TB discipline, SURVEY.md §4.2): these fail
+ * if a refactor silently turns a pruned scan into a full scan or a broadcast
+ * join into a shuffle join.
+ */
+class PlanSpec extends SparkSpec {
+
+  private def formattedPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def explainFormatted(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString("UTF-8")
+  }
+
+  test("prefix range predicate pushes to the parquet scan as range filters") {
+    val df = Tables.documents(spark, Sf)
+      .filter(GeoFunctions.prefixPredicate(col("source"), Seq("src1")))
+      .select(col("doc_id"))
+    val plan = explainFormatted(df)
+    assert(plan.contains("PushedFilters"), plan)
+    // the sargable rewrite must reach parquet as >= / < range filters
+    assert(plan.contains("GreaterThanOrEqual(source,src1)"), plan)
+    assert(plan.contains("LessThan(source,src2)"), plan)
+  }
+
+  test("history query pushes the time-range filter into the events scan") {
+    val view = AggCore.hourlyView(Tables.readings(spark, Sf))
+    val q = QueryBuilders.history(view, "avg", Seq("click"),
+      1704412800000L, 1705017600000L)
+    val plan = explainFormatted(q)
+    // ts range must appear among pushed parquet filters (events.ts is a long
+    // of epoch-nanos at scan time; Catalyst pushes the derived bounds or at
+    // minimum the IsNotNull + the post-scan filter must exist)
+    assert(plan.contains("PushedFilters"), plan)
+    assert(!plan.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val df = Tables.lineitem(spark, Sf).select(col("l_orderkey"), col("l_quantity"))
+    val plan = explainFormatted(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("small-dim joins broadcast (no shuffle exchange on the dim side)") {
+    val q = SparkEntry.queries("join3_nation_revenue")(spark, Sf)
+    val plan = formattedPlan(q)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("hourly aggregation plans a partial/final hash aggregate split") {
+    val view = AggCore.hourlyView(Tables.readings(spark, Sf))
+    val plan = formattedPlan(view)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial"), plan) // map-side combine before the shuffle
+  }
+
+  test("whole-stage codegen spans the aggregation pipeline") {
+    // AQE wraps the plan and hides codegen spans until runtime; disable it
+    // just to inspect the static physical plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val view = AggCore.hourlyView(Tables.readings(spark, Sf))
+      // "*(n)" prefixes mark WholeStageCodegen stages in the plan string;
+      // both the partial and final aggregate must sit inside codegen stages
+      val plan = formattedPlan(view)
+      assert(plan.contains("*(1)") && plan.contains("*(2)"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("snapshot prunes on both window_start equality and key ranges") {
+    val view = AggCore.hourlyView(Tables.readings(spark, Sf))
+    val q = QueryBuilders.snapshotByPrefixes(view, "sum", Seq("click"), 1704872700000L)
+    val plan = q.queryExecution.optimizedPlan.toString
+    // hour-truncated point filter and sargable key range both reach the
+    // single Filter directly above the parquet relation
+    assert(plan.contains("2024-01-10 07:00:00"), plan)
+    assert(plan.contains(">= click") && plan.contains("< clicl"), plan)
+  }
+}
