@@ -329,6 +329,7 @@ object SparkEntry {
       // geohash-keyed slice of the reference pipeline: synth coordinates from
       // user_id, encode at precision 6, bbox → cover prefixes → history
       // user_id % 10 spreads points identically at every scale factor
+      graft.plans.GraftFunctions.register(s)
       val r = Tables.events(s, dir).select(
         col("ts"),
         GeoFunctions.geohash_encode(

@@ -31,7 +31,15 @@ object GeoFunctions {
   /** geohash → true iff point is inside cell. */
   val geohashContainsUdf = udf((h: String, lat: Double, lon: Double) => Geohash.contains(h, lat, lon))
 
+  /** Per-row encode via the native codegen'd Catalyst expression
+    * ([[graft.plans.GeohashEncode]]); requires
+    * `GraftFunctions.register(spark)` (or the GraftExtensions session
+    * extension) — the ingest hot path must not cross a UDF boundary. */
   def geohash_encode(lat: Column, lon: Column, length: Column): Column =
+    call_function("geohash_encode", lat, lon, length)
+
+  /** UDF fallback for sessions without the function registry entry. */
+  def geohash_encode_udf(lat: Column, lon: Column, length: Column): Column =
     geohashEncodeUdf(lat, lon, length)
 
   /**
