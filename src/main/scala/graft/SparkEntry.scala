@@ -290,6 +290,25 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "hopping_click_counts" -> ((s, dir) => {
+      // 1h windows sliding every 15min — each event lands in 4 windows
+      Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"))
+    }),
+    "session_window_users" -> ((s, dir) => {
+      // Spark's native session_window ≡ the lag-cumsum sessionization oracle
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "120 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---------------------------------- non-SQL-expressible (rows-only checks)
     "minhash_lsh_dedup" -> ((s, dir) => {
       Dedup.minHashLsh(docsWithNearDups(Tables.documents(s, dir)), threshold = 0.6)
@@ -558,6 +577,23 @@ object SparkEntry {
       """SELECT c_custkey, upper(c_name) AS uname, CAST(len(c_name) AS BIGINT) AS name_len,
         |       substring(c_name, 1, 8) AS name_prefix,
         |       c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS tag
-        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin
+        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
+    "hopping_click_counts" ->
+      """WITH h AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start, value
+        |  FROM events, generate_series(0, 3) t(k)
+        |  WHERE event_type = 'click')
+        |SELECT window_start, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "session_window_users" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 120 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
