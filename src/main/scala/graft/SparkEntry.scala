@@ -309,6 +309,32 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "pivot_status_by_flag" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("l_returnflag"))
+    }),
+    "minmax_dates_per_priority" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "moving_avg_daily" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily.withColumn("ma7", round(avg(col("n")).over(w), 6))
+        .orderBy(col("day"))
+    }),
+
     // ---------------------------------- non-SQL-expressible (rows-only checks)
     "minhash_lsh_dedup" -> ((s, dir) => {
       Dedup.minHashLsh(docsWithNearDups(Tables.documents(s, dir)), threshold = 0.6)
@@ -594,6 +620,22 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events)
         |SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
-        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "pivot_status_by_flag" ->
+      """SELECT l_returnflag,
+        |       COUNT(*) FILTER (l_linestatus = 'F') AS F,
+        |       COUNT(*) FILTER (l_linestatus = 'O') AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "minmax_dates_per_priority" ->
+      """SELECT o_orderpriority, min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "moving_avg_daily" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "day", COUNT(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT "day", n,
+        |       round(AVG(n) OVER (ORDER BY "day" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+        |FROM d ORDER BY "day"""".stripMargin
   )
 }
