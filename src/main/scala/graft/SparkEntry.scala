@@ -366,6 +366,12 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5)
         .orderBy(col("qid"), col("rnk"))
     }),
+    "curation_funnel" -> ((s, dir) => {
+      // end-to-end curation: exact dedup -> minhash near-dedup -> quality/lang
+      Curation.funnel(docsWithNearDups(Tables.documents(s, dir)),
+        Curation.Config(nearDupThreshold = 0.6, minQuality = 0.1))
+        .orderBy(col("stage"))
+    }),
     "multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(Multimodal.syntheticMedia(Tables.documents(s, dir)))
         .toDF().orderBy(col("media_id"))
