@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Stream-stream windowed equi-join (absent in the reference — SURVEY.md
+ * §2.12; standard Structured Streaming surface provided for completeness):
+ * enrich a reading stream with a second sensor stream on the same key,
+ * accepting pairs whose event times differ by at most `toleranceMinutes`.
+ *
+ * Both sides carry watermarks, so the join state store evicts rows once the
+ * watermark passes `ts ± tolerance` — state is bounded by (key cardinality ×
+ * tolerance window), independent of stream length.
+ */
+object StreamJoins {
+
+  /**
+   * `left(ts, key, value)` ⋈ `right(ts2, key, value2)` on key with
+   * `|ts − ts2| ≤ tolerance`. Inner join; both inputs must be streaming
+   * DataFrames (or both batch — same plan shape works for backfills).
+   */
+  def enrichWithin(left: DataFrame, right: DataFrame,
+                   toleranceMinutes: Int,
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right
+      .withColumnRenamed("ts", "ts2")
+      .withColumnRenamed("value", "value2")
+      .withWatermark("ts2", watermark)
+    val tolUs = toleranceMinutes.toLong * 60L * 1000000L
+    l.join(r,
+      l("key") === r("key") &&
+        unix_micros(col("ts2")) >= unix_micros(col("ts")) - tolUs &&
+        unix_micros(col("ts2")) <= unix_micros(col("ts")) + tolUs,
+      "inner")
+      .select(l("key"), col("ts"), col("value"), col("ts2"), col("value2"))
+  }
+}
