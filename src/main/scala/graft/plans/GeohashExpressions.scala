@@ -76,11 +76,13 @@ object GraftFunctions {
  * ship engine extensions to a cluster (no code changes at call sites).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.plans.GeohashEncode", name),
         builder))
     }
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }

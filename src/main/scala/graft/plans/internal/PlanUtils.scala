@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** private[sql] bridge: build a DataFrame from a custom LogicalPlan
+  * (`Dataset.ofRows` is private[sql]; extension libraries conventionally
+  * shim it from inside the org.apache.spark.sql package). */
+object GraftPlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column → catalyst Expression (Column wraps a ColumnNode in Spark 4). */
+  def expr(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+}

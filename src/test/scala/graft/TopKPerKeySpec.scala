@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopK
+import graft.sources.Tables
+
+class TopKPerKeySpec extends SparkSpec {
+
+  test("heap-based top-k equals the row_number formulation exactly") {
+    val orders = Tables.orders(spark, Sf)
+    val viaTopK = TopK.perKey(orders, k = 3,
+      partitionCols = Seq(col("o_orderpriority")),
+      orderCols = Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = orders
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    assert(viaTopK == viaWindow)
+  }
+
+  test("physical plan uses TopKPerKeyExec with a single exchange and NO sort") {
+    val df = TopK.perKey(Tables.orders(spark, Sf), k = 2,
+      Seq(col("o_orderpriority")), Seq(col("o_totalprice").desc))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Sort "), plan) // the whole point: no per-partition sort
+  }
+
+  test("works with k larger than group size and with multiple keys") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "v")
+    val got = TopK.perKey(df, k = 10, Seq(col("g")), Seq(col("v").desc))
+      .orderBy(col("g"), col("rnk"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq // (g, v, rnk)
+    assert(got == Seq(("a", 2, 1), ("a", 1, 2), ("b", 5, 1)))
+  }
+}
