@@ -309,6 +309,15 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "topk_custom_operator" -> ((s, dir) => {
+      // same semantics as topk_orders_per_priority, executed by the custom
+      // heap-based TopKPerKey physical operator (no per-partition sort)
+      graft.plans.TopK.perKey(Tables.orders(s, dir), k = 3,
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
     "pivot_status_by_flag" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
@@ -627,6 +636,12 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "topk_custom_operator" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
     "pivot_status_by_flag" ->
       """SELECT l_returnflag,
         |       COUNT(*) FILTER (l_linestatus = 'F') AS F,

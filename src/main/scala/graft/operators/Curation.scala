@@ -62,15 +62,24 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val n0 = docs.count()
-    val exact = Dedup.exactDedupKept(docs, idCol, textCol)
+    // each stage is counted AND feeds the next — cache the two reused
+    // frontiers so the funnel costs one pipeline pass, not three
+    val exact = Dedup.exactDedupKept(docs, idCol, textCol).persist()
     val n1 = exact.count()
     val dupB = Dedup.minHashLsh(exact, idCol, textCol,
       cfg.shingleN, cfg.minhashBands, cfg.minhashRowsPerBand, cfg.nearDupThreshold)
       .select(col("b").as(idCol)).distinct()
-    val deduped = exact.join(dupB, Seq(idCol), "left_anti")
+    val deduped = exact.join(dupB, Seq(idCol), "left_anti").persist()
     val n2 = deduped.count()
-    val kept = curate(docs, cfg, idCol, textCol)
-    val n3 = kept.count()
+    val n3 = deduped
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol), cfg.stopwords))
+      .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
+      .filter(col("quality") >= cfg.minQuality)
+      .filter(if (cfg.keepLangs.isEmpty) lit(true)
+              else col("lang_pred").isin(cfg.keepLangs: _*))
+      .count()
+    exact.unpersist()
+    deduped.unpersist()
     Seq(
       ("0_input", n0),
       ("1_exact_dedup", n1),
