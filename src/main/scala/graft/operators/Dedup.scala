@@ -62,10 +62,13 @@ object Dedup {
                  threshold: Double = 0.7,
                  maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // sigd feeds banding AND both verify joins — persist so the shingling
+    // pass runs once, not three times (evicted by LRU; small: id + shingles)
     val sigd = docs
       .select(col(idCol).as("id"),
         array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Slim band rows: (id, band, bandHash) ONLY — the shingle arrays stay out
     // of the explode/shuffle/distinct path (carrying them through banding was
