@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Benchmark main (BASELINE.md protocol): warm SparkSession, run every
- * SparkEntry query `SPARK_GRAFT_BENCH_RUNS` times (default 3) on
- * `SPARK_GRAFT_SF_DIR`, report per-query MEDIAN wall-clock seconds and the
- * median total as ONE JSON line on stdout.
+ * SparkEntry query `SPARK_GRAFT_BENCH_RUNS` times (default 5, per the N≥5
+ * protocol) on `SPARK_GRAFT_SF_DIR`, report per-query MEDIAN wall-clock
+ * seconds and the median total as ONE JSON line on stdout. The SQL cache is
+ * cleared between queries so each is measured in isolation.
  *
  * Timing includes plan + execution (count() forces the full pipeline;
  * results are already small aggregates so count ≈ materialize).
@@ -15,7 +16,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,6 +40,11 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate queries from each other's cache residue: clear the SQL cache
+      // and nudge the ContextCleaner (localCheckpoint blocks are freed on GC)
+      // so each query is measured on its own plan, not a prior query's leak
+      spark.catalog.clearCache()
+      System.gc()
       val ts = (1 to runs).map { _ =>
         try time(fn(spark, sfDir).count())
         catch { case _: Throwable => -1.0 }

@@ -382,8 +382,18 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
     "multimodal_features" -> ((s, dir) => {
-      Multimodal.extractFeatures(Multimodal.syntheticMedia(Tables.documents(s, dir)))
-        .toDF().orderBy(col("media_id"))
+      // feature vector reduced to deterministic scalars (digest + stats):
+      // the driver's pandas-side sort/hash cannot key on a raw array<float>
+      val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .toDF()
+      feats.select(
+        col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        size(col("feature")).cast("long").as("feature_dim"),
+        xxhash64(concat_ws(",", transform(col("feature"),
+          f => format_number(f.cast("double"), 6)))).as("feature_digest"),
+        round(sqrt(aggregate(col("feature"), lit(0.0d),
+          (acc, f) => acc + f.cast("double") * f.cast("double"))), 6).as("feature_l2"))
+        .orderBy(col("media_id"))
     }),
     "geo_history_avg" -> ((s, dir) => {
       // geohash-keyed slice of the reference pipeline: synth coordinates from
@@ -400,6 +410,63 @@ object SparkEntry {
       val view = AggCore.hourlyView(r)
       val prefixes = GeoFunctions.coverBoundingBox(30.0, -55.0, -35.0, 40.0)
       QueryBuilders.history(view, "avg", prefixes, Jan05, Jan30)
+    }),
+
+    // -------------------------------------------- curation sampling (oracle)
+    "token_budget_sample" -> ((s, dir) => {
+      // distributed two-pass prefix sum (no single-partition window) — the
+      // oracle replays the same hash-order cumsum as one DuckDB window
+      Curation.sampleToTokenBudget(Tables.documents(s, dir), tokenBudget = 15000L)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------- approximate-vs-exact recall gates (M6)
+    "ann_lsh_recall" -> ((s, dir) => {
+      // gate: MEAN recall@5 of SRP-LSH vs the exact brute-force baseline —
+      // a recall collapse (broken bucketing/re-rank) flips recall_ok and
+      // fails the hash check. The fixture's embeddings are random (near-
+      // orthogonal, the hardest case for angle-LSH), so the gated variant
+      // widens candidate generation (3-bit buckets × 8 tables); threshold
+      // 0.5 sits well below measured recall but far above a collapse.
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5).select(col("qid"), col("cid"))
+      val lsh = Similarity.lshTopK(e, q, k = 5, dim = 64, nBits = 3, probes = 8)
+        .select(col("qid").as("q2"), col("cid").as("c2"))
+      brute.join(lsh, col("qid") === col("q2") && col("cid") === col("c2"), "left")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          (count(col("c2")).cast("double") / count(lit(1))).as("recall"))
+        .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
+    }),
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5).select(col("qid"), col("cid"))
+      val ivf = Similarity.ivfTopK(e, q, k = 5, nlist = 16, nprobe = 8)
+        .select(col("qid").as("q2"), col("cid").as("c2"))
+      brute.join(ivf, col("qid") === col("q2") && col("cid") === col("c2"), "left")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          (count(col("c2")).cast("double") / count(lit(1))).as("recall"))
+        .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
+    }),
+    "embedding_near_dup_recall" -> ((s, dir) => {
+      // SRP-LSH near-dup pairs vs EXACT all-pairs cosine ≥ 0.95 on a bounded
+      // slice (≤500 vectors at any sf) — n_exact is a true DuckDB oracle
+      // value; n_missed = 0 asserts the LSH path finds every exact pair
+      val base = Tables.embeddings(s, dir).filter(col("vec_id") < 250)
+      val fixture = embsWithDups(base)
+      val v = fixture.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val exact = v.select(col("id").as("a"), col("v").as("va"))
+        .crossJoin(v.select(col("id").as("b"), col("v").as("vb")))
+        .filter(col("a") < col("b"))
+        .filter(VectorFunctions.cosine(col("va"), col("vb")) >= 0.95)
+        .select(col("a"), col("b"))
+      val found = Dedup.embeddingNearDup(fixture, dim = 64, threshold = 0.95)
+        .select(col("a").as("fa"), col("b").as("fb"), lit(1).as("hit"))
+      exact.join(found, col("a") === col("fa") && col("b") === col("fb"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(when(col("hit").isNull, 1)).as("n_missed"))
     })
   )
 
@@ -580,7 +647,7 @@ object SparkEntry {
         |r AS (SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk FROM s)
         |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "json_props_sum" ->
-      """SELECT event_type, SUM(CAST(props->>'k' AS BIGINT)) AS sum_k, COUNT(*) AS n
+      """SELECT event_type, CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "percentile_qty" ->
       """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS q50,
@@ -627,11 +694,16 @@ object SparkEntry {
         |SELECT window_start, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    // NOTE boundary semantics: Spark's session_window is [start, start+gap),
+    // so an event EXACTLY gap after its predecessor opens a NEW session — the
+    // oracle's lag rule uses >= to match (unlike sessionize_users, whose
+    // lag-cumsum operator uses strict > and keeps boundary-equal gaps in the
+    // same session; both conventions are valid, each oracle mirrors its own).
     "session_window_users" ->
       """WITH e AS (
         |  SELECT user_id, ts,
         |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 120 MINUTE
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 120 MINUTE
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events)
         |SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
@@ -657,6 +729,55 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |SELECT "day", n,
         |       round(AVG(n) OVER (ORDER BY "day" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
-        |FROM d ORDER BY "day"""".stripMargin
+        |FROM d ORDER BY "day"""".stripMargin,
+    "token_budget_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY h, doc_id) AS cum FROM t)
+        |SELECT doc_id, n_tokens FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
+    "ngram_jaccard_pairs" ->
+      """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |d0 AS (
+        |  SELECT doc_id, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1,
+        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+        |  FROM src),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+        |           i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM d0
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+    "ann_lsh_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "ann_ivf_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "embedding_near_dup_recall" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250),
+        |v AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM base),
+        |p AS (
+        |  SELECT a.id AS ida, b.id AS idb,
+        |    list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+        |      / (sqrt(list_sum(list_transform(a.e, x -> x * x))) * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
+        |  FROM v a, v b WHERE a.id < b.id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_missed
+        |FROM p WHERE cos >= 0.95""".stripMargin
   )
 }

@@ -138,10 +138,13 @@ object Geohash {
     val out = scala.collection.mutable.Set.empty[String]
     var li = latLo
     while (li <= latHi) {
-      val lat = math.min((li + 0.5) * h - 90.0, 89.999999)
+      // clamp relative to the CELL GRID (half a cell inside the pole), not a
+      // fixed epsilon — at length ≥ 8 the cell height is < 1e-6°, so a fixed
+      // 89.999999 would fall into a lower cell and miss covers touching ±90
+      val lat = math.min((li + 0.5) * h - 90.0, 90.0 - h / 2)
       var lo = lonLo
       while (lo <= lonHi) {
-        val lon = math.min((lo + 0.5) * w - 180.0, 179.999999)
+        val lon = math.min((lo + 0.5) * w - 180.0, 180.0 - w / 2)
         out += encode(lat, lon, length)
         lo += 1
       }

@@ -56,52 +56,81 @@ object Curation {
               else col("lang_pred").isin(cfg.keepLangs: _*))
   }
 
-  /** Per-stage survivor counts — the audit table a curation run reports. */
+  /** Per-stage survivor counts — the audit table a curation run reports.
+    * Cost: one count-star over the input, the MinHash-LSH pass, and ONE
+    * conditional-aggregation pass over the cached exact-dedup frontier (the
+    * later stages are counted as filters within that single aggregate, not
+    * as separate actions). */
   def funnel(docs: DataFrame, cfg: Config = Config(),
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val n0 = docs.count()
-    // each stage is counted AND feeds the next — cache the two reused
-    // frontiers so the funnel costs one pipeline pass, not three
     val exact = Dedup.exactDedupKept(docs, idCol, textCol).persist()
-    val n1 = exact.count()
+    // minHashLsh materializes eagerly (reading `exact` from cache) and
+    // releases its own internal state before returning
     val dupB = Dedup.minHashLsh(exact, idCol, textCol,
       cfg.shingleN, cfg.minhashBands, cfg.minhashRowsPerBand, cfg.nearDupThreshold)
       .select(col("b").as(idCol)).distinct()
-    val deduped = exact.join(dupB, Seq(idCol), "left_anti").persist()
-    val n2 = deduped.count()
-    val n3 = deduped
+    val langOk =
+      if (cfg.keepLangs.isEmpty) lit(true) else col("lang_pred").isin(cfg.keepLangs: _*)
+    val counts = exact
+      .join(dupB.withColumn("_dup", lit(1)), Seq(idCol), "left")
       .withColumn("quality", TextFunctions.qualityScore(col(textCol), cfg.stopwords))
       .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
-      .filter(col("quality") >= cfg.minQuality)
-      .filter(if (cfg.keepLangs.isEmpty) lit(true)
-              else col("lang_pred").isin(cfg.keepLangs: _*))
-      .count()
+      .agg(
+        count(lit(1)).as("n1"),
+        count(when(col("_dup").isNull, 1)).as("n2"),
+        count(when(col("_dup").isNull && col("quality") >= cfg.minQuality && langOk, 1))
+          .as("n3"))
+      .collect()(0)
     exact.unpersist()
-    deduped.unpersist()
     Seq(
       ("0_input", n0),
-      ("1_exact_dedup", n1),
-      ("2_near_dedup", n2),
-      ("3_quality_lang", n3))
+      ("1_exact_dedup", counts.getLong(0)),
+      ("2_near_dedup", counts.getLong(1)),
+      ("3_quality_lang", counts.getLong(2)))
       .toDF("stage", "n_docs")
   }
 
   /**
-   * Deterministic token-budget sample: keep documents in xxhash64 order until
+   * Deterministic token-budget sample: keep documents in md5(id) order until
    * the cumulative whitespace-token count reaches `tokenBudget`. Stable
-   * across runs/partitionings (hash order, not input order); one window pass.
+   * across runs/partitionings (hash order, not input order).
+   *
+   * Scale: a naive `SUM() OVER (ORDER BY hash)` funnels the whole corpus
+   * through ONE task. Instead, a distributed two-pass prefix sum:
+   *   pass 1 — per-bucket token subtotals (bucket = first 2 hex chars of the
+   *            hash, 256 ordered buckets), collected to the driver (bounded:
+   *            ≤256 rows) and turned into exclusive prefix offsets;
+   *   pass 2 — window partitioned BY BUCKET (parallel across buckets)
+   *            computes the local cumsum; adding the bucket's offset yields
+   *            the exact global running sum in hash order.
+   * Both passes are narrow scans + one hash shuffle on the bucket key; no
+   * single-partition stage anywhere, so the operator parallelizes to any
+   * executor count (bucket granularity can be widened to 3–4 hex chars for
+   * clusters larger than 256-way).
    */
   def sampleToTokenBudget(docs: DataFrame, tokenBudget: Long,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(xxhash64(col(idCol)), col(idCol))
-    docs
+    val base = docs
+      .withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("_bucket", substring(col("_h"), 1, 2))
       .withColumn("_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
-      .withColumn("_cum", sum(col("_tokens")).over(w))
+    val subtotals = base.groupBy(col("_bucket"))
+      .agg(sum(col("_tokens")).as("_bsum"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = subtotals.map { case (b, s) => val o = (b, acc); acc += s; o }
+    val offsetMap = map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }.toSeq: _*)
+    val w = Window.partitionBy(col("_bucket")).orderBy(col("_h"), col(idCol))
+    base
+      .withColumn("_cum", sum(col("_tokens")).over(w) + element_at(offsetMap, col("_bucket")))
       .filter(col("_cum") <= tokenBudget)
-      .drop("_cum")
+      .drop("_h", "_bucket", "_cum")
       .withColumnRenamed("_tokens", "n_tokens")
   }
 }

@@ -63,7 +63,10 @@ object Dedup {
                  maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // sigd feeds banding AND both verify joins — persist so the shingling
-    // pass runs once, not three times (evicted by LRU; small: id + shingles)
+    // pass runs once, not three times. Lifecycle is bounded: the result is
+    // eagerly materialized (localCheckpoint, lineage cut) at the end of this
+    // method and sigd is unpersisted before returning, so repeated calls
+    // never accumulate cached shingle arrays.
     val sigd = docs
       .select(col(idCol).as("id"),
         array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
@@ -96,12 +99,21 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
 
-    cand
+    val verified = cand
       .join(sigd.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sigd.select(col("id").as("b"), col("sh").as("shb")), "b")
       .withColumn("jaccard", jaccardShingles(col("sha"), col("shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+
+    // Materialize the (small: one row per verified near-dup pair) result and
+    // cut its lineage so sigd can be released NOW rather than leaking until
+    // session end. localCheckpoint blocks are freed by the ContextCleaner
+    // when the frame is GC'd; on a multi-executor cluster with dynamic
+    // allocation, swap for reliable checkpoint or caller-owned lifecycle.
+    val out = verified.localCheckpoint()
+    sigd.unpersist()
+    out
   }
 
   /** Exact Jaccard over two shingle arrays (set semantics). */

@@ -28,11 +28,16 @@ object StreamJoins {
       .withColumnRenamed("ts", "ts2")
       .withColumnRenamed("value", "value2")
       .withWatermark("ts2", watermark)
-    val tolUs = toleranceMinutes.toLong * 60L * 1000000L
+    // The tolerance MUST be expressed as interval arithmetic directly on the
+    // watermarked timestamp columns: Spark's StreamingJoinHelper derives the
+    // state-eviction watermark from `ts2 >= ts - INTERVAL …` style
+    // constraints, but cannot see through unix_micros()/casts — with those,
+    // results stay correct while join state grows without bound.
+    val tol = expr(s"INTERVAL $toleranceMinutes MINUTES")
     l.join(r,
       l("key") === r("key") &&
-        unix_micros(col("ts2")) >= unix_micros(col("ts")) - tolUs &&
-        unix_micros(col("ts2")) <= unix_micros(col("ts")) + tolUs,
+        col("ts2") >= col("ts") - tol &&
+        col("ts2") <= col("ts") + tol,
       "inner")
       .select(l("key"), col("ts"), col("value"), col("ts2"), col("value2"))
   }
