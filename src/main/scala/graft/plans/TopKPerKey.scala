@@ -69,17 +69,65 @@ case class TopKPerKeyExec(
     val kLocal = k
     val partLocal = partitionExprs
     val orderLocal = orderExprs
+    // Memory bound: the heap map is ∝ distinct-keys-per-task × k. Past this
+    // threshold the task SPILLS the map to a sorted-by-key local segment
+    // file and keeps going; segments are k-way-merged by key at the end
+    // (one key in memory at a time). Eviction stays safe across segments: a
+    // row evicted from a heap lost to k retained rows of the SAME segment,
+    // all of which reach the merge, so no global top-k row is ever dropped.
+    val maxKeys = conf.getConfString("spark.graft.topk.maxKeysInMemory", "1048576").toInt
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(partLocal, childOutput)
       val ordering = GenerateOrdering.generate(orderLocal, childOutput)
+      val numKeyFields = partLocal.length
+      val numRowFields = childOutput.length
       // per key: max-heap under `ordering` — head is the WORST retained row,
       // evicted when a better one arrives and the heap is full
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      val spills = mutable.ArrayBuffer.empty[java.io.File]
+
+      def byteCompare(a: Array[Byte], b: Array[Byte]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = (a(i) & 0xff) - (b(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
+
+      def spill(): Unit = {
+        val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
+        f.deleteOnExit()
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16))
+        try {
+          val entries = heaps.toArray.map { case (key, heap) =>
+            (key.getBytes, heap.dequeueAll.toArray) // ascending not required here
+          }
+          java.util.Arrays.sort(entries,
+            (x: (Array[Byte], Array[InternalRow]), y: (Array[Byte], Array[InternalRow])) =>
+              byteCompare(x._1, y._1))
+          entries.foreach { case (kb, rows) =>
+            out.writeInt(kb.length); out.write(kb)
+            out.writeInt(rows.length)
+            rows.foreach { r =>
+              val rb = r.asInstanceOf[UnsafeRow].getBytes
+              out.writeInt(rb.length); out.write(rb)
+            }
+          }
+        } finally out.close()
+        spills += f
+        heaps.clear()
+      }
+
       it.foreach { row =>
         val key = keyProj(row)
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
+            if (heaps.size >= maxKeys) spill()
             val h = mutable.PriorityQueue.empty[InternalRow](ordering)
             heaps.put(key.copy(), h)
             h
@@ -90,14 +138,65 @@ case class TopKPerKeyExec(
           heap.enqueue(row.copy())
         }
       }
+
       val joined = new JoinedRow
       // downstream operators require UnsafeRow — bind output to itself
       val outProj = UnsafeProjection.create(outputLocal, outputLocal)
-      heaps.iterator.flatMap { case (_, heap) =>
-        val sorted = heap.dequeueAll.reverse // ascending under `ordering`
+
+      def emit(rows: Seq[InternalRow]): Iterator[InternalRow] = {
+        val sorted = rows.sorted(ordering)
         sorted.iterator.zipWithIndex.map { case (row, i) =>
           outProj(joined(row, InternalRow(i + 1)))
         }
+      }
+
+      if (spills.isEmpty) {
+        heaps.iterator.flatMap { case (_, heap) =>
+          emit(heap.dequeueAll.toSeq)
+        }
+      } else {
+        spill() // flush the in-memory remainder as the final segment
+        // streaming merge: all segments are key-sorted; advance them in
+        // lock-step, re-heaping one key's ≤ segments×k candidate rows at a
+        // time — memory is O(segments × k), independent of key count
+        final class SegReader(f: java.io.File) {
+          private val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 16))
+          var key: Array[Byte] = _
+          var rows: Array[InternalRow] = _
+          advance()
+          def advance(): Unit = {
+            val kl = try in.readInt() catch { case _: java.io.EOFException => -1 }
+            if (kl < 0) { key = null; rows = null; in.close(); f.delete() }
+            else {
+              key = new Array[Byte](kl); in.readFully(key)
+              rows = Array.fill(in.readInt()) {
+                val rl = in.readInt()
+                val rb = new Array[Byte](rl); in.readFully(rb)
+                val r = new UnsafeRow(numRowFields)
+                r.pointTo(rb, rl)
+                r: InternalRow
+              }
+            }
+          }
+        }
+        val readers = spills.map(new SegReader(_)).filter(_.key != null)
+        new Iterator[Iterator[InternalRow]] {
+          def hasNext: Boolean = readers.exists(_.key != null)
+          def next(): Iterator[InternalRow] = {
+            val live = readers.filter(_.key != null)
+            val minKey = live.map(_.key).minBy(identity)(Ordering.fromLessThan(
+              (a: Array[Byte], b: Array[Byte]) => byteCompare(a, b) < 0))
+            val matching = live.filter(r => byteCompare(r.key, minKey) == 0)
+            val heap = mutable.PriorityQueue.empty[InternalRow](ordering)
+            matching.foreach(_.rows.foreach { r =>
+              if (heap.size < kLocal) heap.enqueue(r)
+              else if (ordering.compare(r, heap.head) < 0) { heap.dequeue(); heap.enqueue(r) }
+            })
+            matching.foreach(_.advance())
+            emit(heap.dequeueAll.toSeq)
+          }
+        }.flatten
       }
     }
   }

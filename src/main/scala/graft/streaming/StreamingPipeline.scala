@@ -118,27 +118,57 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Staging dir for an in-flight merge — the underscore prefix makes it
+    * invisible to parquet partition discovery, so readers never see it. */
+  private def stagingPath(tableDir: String) = new org.apache.hadoop.fs.Path(tableDir, "_staging")
+
+  /** Swap-intent marker: its EXISTENCE is the commit point. Before it
+    * appears, the live table is untouched; once it exists, the swap is
+    * replayable from staging ([[recover]]). */
+  private def intentPath(tableDir: String) = new org.apache.hadoop.fs.Path(tableDir, "_upsert_intent")
+
+  private def fileSystem(spark: SparkSession, tableDir: String) =
+    new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /**
-   * Merge a micro-batch of changed cells into the serving table:
-   * keep every existing cell whose (key, window_start) is NOT in the batch,
-   * union the batch, rewrite only the touched day partitions (dynamic
-   * partition overwrite — untouched days are never rewritten, so the cost
-   * per trigger is O(changed days), not O(table)).
+   * Merge a micro-batch of changed cells into the serving table — keep every
+   * existing cell whose (key, window_start) is NOT in the batch, union the
+   * batch, replace only the touched day partitions. Cost per trigger is
+   * O(changed days), not O(table).
+   *
+   * Crash-atomic commit protocol (replaces the read-your-writes overwrite,
+   * which could recompute against already-deleted files if a cached block
+   * was evicted mid-write; a table format with MERGE — Delta/Iceberg —
+   * subsumes this at prod scale):
+   *   1. write the merged day partitions to `_staging` (real files on disk —
+   *      the live table is never read again after this point);
+   *   2. atomically create the `_upsert_intent` marker (the commit point);
+   *   3. per touched day: delete the live `window_day=D` dir, RENAME the
+   *      staged one into place (rename is atomic on HDFS/local);
+   *   4. clear marker + staging.
+   * A crash before (2) leaves the live table untouched (orphan staging is
+   * dropped on the next call); a crash after (2) is completed by [[recover]]
+   * — day renames are idempotent, so any replay converges.
    */
   def upsertBatch(batch: DataFrame, tableDir: String): Unit = {
     val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val cols = Seq("key", "window_start", "window_end", "count", "sum", "avg", "window_day")
       .map(col)
     val changed = batch.select(cols: _*).cache()
     try {
-      val days = changed.select(col("window_day")).distinct().collect().map(_.get(0))
+      val days = changed.select(col("window_day")).distinct().collect()
+        .map(_.getDate(0)).sortBy(_.toString)
       if (days.nonEmpty) {
+        val hfs = fileSystem(spark, tableDir)
+        recover(spark, tableDir) // finish any interrupted swap first
+        val staging = stagingPath(tableDir)
+        if (hfs.exists(staging)) hfs.delete(staging, true)
         val existing =
           try {
             val t = spark.read.parquet(tableDir)
             // anti-join on the upsert key: survivors in the touched partitions
-            t.filter(col("window_day").isin(days: _*))
+            t.filter(col("window_day").isin(days.toIndexedSeq: _*))
               .join(changed.select(col("key").as("k2"), col("window_start").as("w2")),
                 col("key") === col("k2") && col("window_start") === col("w2"),
                 "left_anti")
@@ -147,15 +177,63 @@ object StreamingPipeline {
             case _: org.apache.spark.sql.AnalysisException => // first batch: no table yet
               changed.limit(0)
           }
-        // materialize the merge BEFORE overwriting the partitions it reads
-        // from (read-your-writes hazard with plain parquet; Delta MERGE would
-        // subsume this at prod scale)
-        val merged = existing.union(changed).cache()
-        merged.count()
-        try merged.write.mode("overwrite").partitionBy("window_day").parquet(tableDir)
-        finally merged.unpersist()
+        existing.union(changed)
+          .write.mode("overwrite").partitionBy("window_day").parquet(staging.toString)
+        writeIntent(hfs, tableDir, days.map(_.toString).toIndexedSeq)
+        swapDays(hfs, tableDir, days.map(_.toString).toIndexedSeq)
+        hfs.delete(intentPath(tableDir), false)
+        hfs.delete(staging, true)
       }
     } finally changed.unpersist()
+  }
+
+  /**
+   * Complete an interrupted stage→swap commit. If the intent marker exists,
+   * re-apply every pending day rename from staging (idempotent — already-
+   * swapped days have no staged dir left and are skipped), then clear the
+   * marker. Without a marker, any orphan staging dir predates the commit
+   * point and is simply dropped. Safe to call at any time; [[upsertBatch]]
+   * calls it before each merge.
+   */
+  def recover(spark: SparkSession, tableDir: String): Unit = {
+    val hfs = fileSystem(spark, tableDir)
+    val ip = intentPath(tableDir)
+    if (hfs.exists(ip)) {
+      val in = hfs.open(ip)
+      val days =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      swapDays(hfs, tableDir, days)
+      hfs.delete(ip, false)
+      hfs.delete(stagingPath(tableDir), true)
+    } else if (hfs.exists(stagingPath(tableDir))) {
+      hfs.delete(stagingPath(tableDir), true)
+    }
+  }
+
+  private def swapDays(hfs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+                       days: Seq[String]): Unit =
+    days.foreach { d =>
+      val src = new org.apache.hadoop.fs.Path(stagingPath(tableDir), s"window_day=$d")
+      val dst = new org.apache.hadoop.fs.Path(tableDir, s"window_day=$d")
+      if (hfs.exists(src)) {
+        if (hfs.exists(dst)) hfs.delete(dst, true)
+        if (!hfs.rename(src, dst))
+          throw new java.io.IOException(s"rename $src -> $dst failed")
+      } // src absent → day already swapped by a previous attempt
+    }
+
+  /** Atomically publish the intent marker (tmp file + rename). */
+  private def writeIntent(hfs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+                          days: Seq[String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(tableDir, "_upsert_intent.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write((days.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val ip = intentPath(tableDir)
+    if (hfs.exists(ip)) hfs.delete(ip, false)
+    if (!hfs.rename(tmp, ip))
+      throw new java.io.IOException(s"publishing $ip failed")
   }
 
   /** Load the serving table for querying (the batch view the reference's

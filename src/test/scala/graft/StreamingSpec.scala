@@ -26,14 +26,15 @@ class StreamingSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("ckpt").toString
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
-    val q = StreamingPipeline.start(mem.toDF().withColumnRenamed("value", "json"),
-      dir, ckpt, precision = 6, trigger = Trigger.AvailableNow())
-
-    // batch 1: two readings in hour 0 of one cell, one in hour 1
+    // batch 1: two readings in hour 0 of one cell, one in hour 1.
+    // Data BEFORE start(): AvailableNow snapshots the available offsets when
+    // the query starts, so later addData would not be seen this run.
     mem.addData(
       json(H0 + 60000, "u155mz82dv33", 10.0),
       json(H0 + 120000, "u155mz82aaaa", 30.0),
       json(H0 + 3660000, "u155mz82dv33", 50.0))
+    val q = StreamingPipeline.start(mem.toDF().withColumnRenamed("value", "json"),
+      dir, ckpt, precision = 6, trigger = Trigger.AvailableNow())
     q.processAllAvailable()
 
     val t1 = StreamingPipeline.servingView(spark, dir)
@@ -46,11 +47,11 @@ class StreamingSpec extends SparkSpec {
 
     // batch 2 (new run, same checkpoint): LATE reading for hour 0 revises the
     // existing cell (update-in-place, reference W3), plus a new key
-    val q2 = StreamingPipeline.start(mem.toDF().withColumnRenamed("value", "json"),
-      dir, ckpt, precision = 6, trigger = Trigger.AvailableNow())
     mem.addData(
       json(H0 + 180000, "u155mz82zzzz", 20.0), // late into hour 0
       json(H0 + 240000, "u14fzp11abcd", 7.0))  // different prefix
+    val q2 = StreamingPipeline.start(mem.toDF().withColumnRenamed("value", "json"),
+      dir, ckpt, precision = 6, trigger = Trigger.AvailableNow())
     q2.processAllAvailable()
     q2.stop()
 
@@ -97,5 +98,77 @@ class StreamingSpec extends SparkSpec {
     val t = StreamingPipeline.servingView(spark, dir).collect()
     assert(t.length == 1)
     assert(t(0).getAs[Long]("count") == 2L)
+  }
+
+  private def cell(key: String, ws: String, cnt: Long, sum: Double) = {
+    val we = ws // window_end value is irrelevant to these assertions
+    Seq((key, ws, we, cnt, sum, sum / cnt))
+      .toDF("key", "ws", "we", "count", "sum", "avg")
+      .select($"key", to_timestamp($"ws").as("window_start"),
+        to_timestamp($"we").as("window_end"), $"count", $"sum", $"avg",
+        to_date(to_timestamp($"ws")).as("window_day"))
+  }
+
+  test("crash-atomic upsert: a writer killed at ANY point of the commit " +
+    "protocol leaves (or recovers to) a consistent table") {
+    val dir = Files.createTempDirectory("serve3").toString
+    val fs = new java.io.File(dir)
+    StreamingPipeline.upsertBatch(cell("u155mz", "2024-01-01 00:00:00", 2L, 40.0), dir)
+
+    // --- crash BEFORE the intent marker: staged files exist, live table
+    // untouched; the orphan staging dir is dropped by the next upsert ---
+    val staged = cell("u155mz", "2024-01-01 00:00:00", 99L, 999.0)
+    staged.write.mode("overwrite").partitionBy("window_day")
+      .parquet(s"$dir/_staging")
+    val pre = StreamingPipeline.servingView(spark, dir).collect()
+    assert(pre.length == 1 && pre(0).getAs[Long]("count") == 2L) // old value visible
+    StreamingPipeline.upsertBatch(cell("u14fzp", "2024-01-02 00:00:00", 1L, 7.0), dir)
+    assert(!new java.io.File(fs, "_staging").exists())
+    val t1 = StreamingPipeline.servingView(spark, dir)
+      .orderBy($"key").collect()
+    assert(t1.length == 2)
+    assert(t1(0).getAs[Long]("count") == 1L)  // u14fzp applied
+    assert(t1(1).getAs[Long]("count") == 2L)  // u155mz NOT clobbered by orphan
+
+    // --- crash AFTER the intent marker, before any swap: recover() must
+    // complete the staged commit (updated u155mz day + new u15xyz day) ---
+    val merged = cell("u155mz", "2024-01-01 00:00:00", 3L, 60.0)
+      .union(cell("u15xyz", "2024-01-03 00:00:00", 5L, 50.0))
+    merged.write.mode("overwrite").partitionBy("window_day")
+      .parquet(s"$dir/_staging")
+    val intent = new java.io.File(fs, "_upsert_intent")
+    java.nio.file.Files.write(intent.toPath,
+      "2024-01-01\n2024-01-03\n".getBytes("UTF-8"))
+    StreamingPipeline.recover(spark, dir)
+    assert(!intent.exists() && !new java.io.File(fs, "_staging").exists())
+    val t2 = StreamingPipeline.servingView(spark, dir)
+      .orderBy($"key").collect()
+    assert(t2.length == 3)
+    assert(t2(1).getAs[Long]("count") == 3L && t2(1).getAs[Double]("sum") == 60.0)
+    assert(t2(2).getAs[String]("key") == "u15xyz")
+
+    // --- crash MID-swap: one staged day already renamed in, the other still
+    // in staging; replaying recover() must converge (idempotent renames) ---
+    val merged2 = cell("u155mz", "2024-01-01 00:00:00", 4L, 80.0)
+      .union(cell("u15xyz", "2024-01-03 00:00:00", 6L, 60.0))
+    merged2.write.mode("overwrite").partitionBy("window_day")
+      .parquet(s"$dir/_staging")
+    java.nio.file.Files.write(intent.toPath,
+      "2024-01-01\n2024-01-03\n".getBytes("UTF-8"))
+    // simulate the first day's swap having completed before the crash
+    val d1live = new java.io.File(fs, "window_day=2024-01-01")
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr); f.delete()
+    }
+    rmr(d1live)
+    assert(new java.io.File(fs, "_staging/window_day=2024-01-01")
+      .renameTo(d1live))
+    StreamingPipeline.recover(spark, dir)
+    StreamingPipeline.recover(spark, dir) // second replay: no-op, no failure
+    val t3 = StreamingPipeline.servingView(spark, dir)
+      .orderBy($"key").collect()
+    assert(t3.length == 3)
+    assert(t3(1).getAs[Long]("count") == 4L)
+    assert(t3(2).getAs[Long]("count") == 6L)
   }
 }

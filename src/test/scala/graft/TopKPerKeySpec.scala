@@ -38,6 +38,31 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.contains("Sort "), plan) // the whole point: no per-partition sort
   }
 
+  test("spills past maxKeysInMemory and still matches row_number exactly") {
+    import spark.implicits._
+    // high-cardinality partition key (one per customer) with a spill
+    // threshold far below the key count → every task spills repeatedly
+    spark.conf.set("spark.graft.topk.maxKeysInMemory", "7")
+    try {
+      val orders = Tables.orders(spark, Sf)
+      val key = expr("o_custkey % 500").as("grp")
+      val df = orders.select(key, col("o_orderkey"), col("o_totalprice"))
+      val viaTopK = TopK.perKey(df, k = 2,
+        Seq(col("grp")), Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select(col("grp"), col("rnk"), col("o_orderkey"))
+        .orderBy(col("grp"), col("rnk"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val viaWindow = df.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("grp"), col("rnk"), col("o_orderkey"))
+        .orderBy(col("grp"), col("rnk"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(viaTopK.nonEmpty && viaTopK == viaWindow)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysInMemory")
+  }
+
   test("works with k larger than group size and with multiple keys") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "v")
