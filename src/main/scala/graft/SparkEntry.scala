@@ -450,6 +450,41 @@ object SparkEntry {
           (count(col("c2")).cast("double") / count(lit(1))).as("recall"))
         .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
     }),
+    // ---------------------------------------- temporal joins (M7, oracle)
+    "asof_last_purchase" -> ((s, dir) => {
+      // as-of join: each click joined to the user's latest purchase at or
+      // before it — single shuffle union+window plan (Temporal.asofJoin),
+      // checked against DuckDB's native ASOF LEFT JOIN
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pvalue"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "ts", "ts",
+        Seq("pvalue"), asofOut = "pts")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("click_ms"),
+          unix_millis(col("pts")).as("purchase_ms"),
+          round(col("pvalue"), 6).as("pvalue"))
+        .orderBy(col("user_id"), col("click_ms"), col("event_id"))
+    }),
+    "range_join_incidents" -> ((s, dir) => {
+      // point-in-interval range join: clicks inside 4 h incident windows
+      // opened by error events — bucketized equi-join, no cartesian
+      val e = Tables.events(s, dir)
+      val points = e.filter(col("event_type") === "click" && col("event_id") % 7 === 0)
+        .select(col("event_id"), col("ts"))
+      val intervals = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          date_trunc("second", col("ts")).as("start"))
+        .withColumn("end", col("start") + expr("INTERVAL 4 HOURS"))
+      Temporal.pointInIntervalJoin(points, intervals, "ts", "start", "end",
+        bucketSeconds = 4 * 3600L)
+        .select(col("event_id"), col("incident_id"))
+        .orderBy(col("event_id"), col("incident_id"))
+    }),
+
     "embedding_near_dup_recall" -> ((s, dir) => {
       // SRP-LSH near-dup pairs vs EXACT all-pairs cosine ≥ 0.95 on a bounded
       // slice (≤500 vectors at any sf) — n_exact is a true DuckDB oracle
@@ -760,6 +795,23 @@ object SparkEntry {
         |SELECT a, b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
         |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
         |ORDER BY a, b""".stripMargin,
+    "asof_last_purchase" ->
+      """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, MAX(value) AS pvalue
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, epoch_ms(c.ts) AS click_ms,
+        |       epoch_ms(p.ts) AS purchase_ms, round(p.pvalue, 6) AS pvalue
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, click_ms, c.event_id""".stripMargin,
+    "range_join_incidents" ->
+      """WITH pt AS (SELECT event_id, ts FROM events
+        |            WHERE event_type = 'click' AND event_id % 7 = 0),
+        |i AS (SELECT event_id AS incident_id, date_trunc('second', ts) AS s,
+        |             date_trunc('second', ts) + INTERVAL 4 HOUR AS e
+        |      FROM events WHERE event_type = 'error')
+        |SELECT pt.event_id, i.incident_id
+        |FROM pt JOIN i ON pt.ts >= i.s AND pt.ts < i.e
+        |ORDER BY 1, 2""".stripMargin,
     "ann_lsh_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
