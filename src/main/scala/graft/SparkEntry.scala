@@ -485,6 +485,48 @@ object SparkEntry {
         .orderBy(col("event_id"), col("incident_id"))
     }),
 
+    // ------------------------------------------- sketch aggregates (oracle)
+    "heavy_hitters" -> ((s, dir) => {
+      // SpaceSaving TypedImperativeAggregate candidates + one exact pass over
+      // candidate keys only; result = exactly the keys with share > 3%
+      // (retention guarantee makes this deterministic), exact counts, and a
+      // gated assertion that the sketch bounds bracket the true count
+      val keyed = Tables.events(s, dir).select(
+        when(col("event_id") % 10 < 3, concat(lit("hot_"), col("event_id") % 7))
+          .otherwise(concat(lit("cold_"), col("event_id") % 2000)).as("k"))
+      Sketches.verifiedHeavyHitters(keyed, col("k"), capacity = 64, threshold = 0.03)
+        .orderBy(col("item"))
+    }),
+    "hll_daily_users" -> ((s, dir) => {
+      // mergeable per-day HLL sketch table; est_ok gates the estimate against
+      // the exact per-day distinct (computed exactly Spark-side)
+      val e = Tables.events(s, dir)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      val table = Sketches.distinctSketchTable(e, Seq(col("day")),
+        col("user_id").cast("string"))
+      val exact = e.groupBy(col("day")).agg(countDistinct(col("user_id")).as("n_exact"))
+      table.join(exact, "day")
+        .select(col("day"), col("n_exact"),
+          (abs(col("estimate") - col("n_exact")) <=
+            col("n_exact").cast("double") * 0.05).as("est_ok"))
+        .orderBy(col("day"))
+    }),
+    "hll_union_total" -> ((s, dir) => {
+      // re-aggregation path: union the stored per-day sketches into a total
+      // distinct estimate — no second pass over raw rows
+      val e = Tables.events(s, dir)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      val table = Sketches.distinctSketchTable(e, Seq(col("day")),
+        col("user_id").cast("string"))
+      val merged = table.agg(
+        Sketches.hllMergedEstimate(col("sketch")).as("est"))
+      val exact = e.agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.crossJoin(exact)
+        .select(col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            col("n_exact").cast("double") * 0.05).as("est_ok"))
+    }),
+
     "embedding_near_dup_recall" -> ((s, dir) => {
       // SRP-LSH near-dup pairs vs EXACT all-pairs cosine ≥ 0.95 on a bounded
       // slice (≤500 vectors at any sf) — n_exact is a true DuckDB oracle
@@ -812,6 +854,23 @@ object SparkEntry {
         |SELECT pt.event_id, i.incident_id
         |FROM pt JOIN i ON pt.ts >= i.s AND pt.ts < i.e
         |ORDER BY 1, 2""".stripMargin,
+    "heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN event_id % 10 < 3 THEN 'hot_' || (event_id % 7)
+        |              ELSE 'cold_' || (event_id % 2000) END AS k
+        |  FROM events),
+        |c AS (SELECT k, COUNT(*) AS cnt FROM k GROUP BY k),
+        |t AS (SELECT CAST(SUM(cnt) * 0.03 AS BIGINT) AS floor_cnt FROM c)
+        |SELECT k AS item, cnt, true AS bounds_ok
+        |FROM c, t WHERE cnt > floor_cnt ORDER BY item""".stripMargin,
+    "hll_daily_users" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "day",
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       true AS est_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hll_union_total" ->
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, true AS est_ok
+        |FROM events""".stripMargin,
     "ann_lsh_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,

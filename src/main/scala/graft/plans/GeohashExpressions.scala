@@ -60,7 +60,8 @@ object GeohashEncode {
 /** Session-level registration of the engine's SQL functions. */
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "geohash_encode" -> (exprs => GeohashEncode(exprs(0), exprs(1), exprs(2))))
+    "geohash_encode" -> (exprs => GeohashEncode(exprs(0), exprs(1), exprs(2))),
+    "space_saving_topk" -> (exprs => SpaceSavingTopK(exprs(0), exprs(1))))
 
   /** Imperative registration for an existing session (tests, Verify). */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,187 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * SpaceSaving heavy-hitters sketch (Metwally, Agrawal, El Abbadi, "Efficient
+ * Computation of Frequent and Top-k Elements in Data Streams", ICDT 2005) as
+ * a native Catalyst [[TypedImperativeAggregate]] — the partial/merge/final
+ * contract means Spark runs it map-side per partition and merges fixed-size
+ * sketches at the exchange, so finding heavy keys over 100 TB shuffles
+ * O(partitions × capacity) bytes instead of one row per distinct key
+ * (contrast `groupBy(key).count()`, whose shuffle is ∝ distinct keys).
+ *
+ * Guarantees (single stream and after merges, "Mergeable Summaries",
+ * Agarwal et al., PODS 2012): for every item,
+ * `count_min <= true_count <= count_max`, and any item with
+ * `true_count > N / capacity` is retained in the sketch.
+ *
+ * Output: `array<struct<item, count_min, count_max>>` sorted by count_max
+ * descending, item ascending (deterministic for equal bounds).
+ *
+ * SQL: `space_saving_topk(expr, capacity)` via [[GraftFunctions.register]] /
+ * [[GraftExtensions]].
+ */
+case class SpaceSavingTopK(
+    child: Expression,
+    capacityExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingSketch] {
+
+  private lazy val capacity: Int = capacityExpr.eval(InternalRow.empty) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"space_saving_topk capacity must be a constant int, got $other")
+  }
+
+  override def children: Seq[Expression] = Seq(child, capacityExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType),
+    StructField("count_min", LongType),
+    StructField("count_max", LongType))))
+  override def prettyName: String = "space_saving_topk"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != StringType)
+      TypeCheckFailure(s"space_saving_topk expects a string item, got ${child.dataType}")
+    else if (!capacityExpr.foldable || capacityExpr.dataType != IntegerType)
+      TypeCheckFailure("space_saving_topk capacity must be a constant int")
+    else TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): SpaceSavingSketch =
+    new SpaceSavingSketch(capacity)
+
+  override def update(buf: SpaceSavingSketch, input: InternalRow): SpaceSavingSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString, 1L)
+    buf
+  }
+
+  override def merge(buf: SpaceSavingSketch, other: SpaceSavingSketch): SpaceSavingSketch = {
+    buf.mergeWith(other)
+    buf
+  }
+
+  override def eval(buf: SpaceSavingSketch): Any = {
+    val rows = buf.entries
+      .map { case (item, c, e) => (item, c - e, c) } // (item, min, max)
+      .sortBy { case (item, _, mx) => (-mx, item) }
+      .map { case (item, mn, mx) =>
+        InternalRow(UTF8String.fromString(item), mn, mx) }
+    new GenericArrayData(rows.toArray[Any]): ArrayData
+  }
+
+  override def serialize(buf: SpaceSavingSketch): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val es = buf.entries
+    out.writeInt(buf.capacity)
+    out.writeInt(es.length)
+    es.foreach { case (item, c, e) =>
+      out.writeUTF(item); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val sk = new SpaceSavingSketch(in.readInt())
+    var n = in.readInt()
+    while (n > 0) {
+      sk.restore(in.readUTF(), in.readLong(), in.readLong())
+      n -= 1
+    }
+    sk
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), capacityExpr = newChildren(1))
+}
+
+/**
+ * Stream-summary state: item → (count upper bound, error). `byCount` mirrors
+ * the map ordered by (count, item) so eviction of the minimum is O(log k);
+ * per-row cost is O(log k) worst case, O(1) amortized on hits.
+ */
+final class SpaceSavingSketch(val capacity: Int) {
+  private val counts = mutable.HashMap.empty[String, (Long, Long)]
+  private val byCount = mutable.TreeSet.empty[(Long, String)]
+
+  def entries: Seq[(String, Long, Long)] =
+    counts.iterator.map { case (i, (c, e)) => (i, c, e) }.toSeq
+
+  private def minCount: Long = if (byCount.isEmpty) 0L else byCount.head._1
+
+  /** Raw re-insertion during deserialize (no eviction logic). */
+  def restore(item: String, c: Long, e: Long): Unit = {
+    counts.put(item, (c, e))
+    byCount.add((c, item))
+  }
+
+  def add(item: String, inc: Long): Unit = counts.get(item) match {
+    case Some((c, e)) =>
+      byCount.remove((c, item))
+      counts.put(item, (c + inc, e))
+      byCount.add((c + inc, item))
+    case None =>
+      if (counts.size < capacity) {
+        counts.put(item, (inc, 0L))
+        byCount.add((inc, item))
+      } else {
+        // classic replacement: the new item inherits the evicted minimum as
+        // its error (true count of the newcomer is at most min + inc)
+        val (mc, mi) = byCount.head
+        byCount.remove((mc, mi))
+        counts.remove(mi)
+        counts.put(item, (mc + inc, mc))
+        byCount.add((mc + inc, item))
+      }
+  }
+
+  /**
+   * Mergeable-summaries combine: an item absent from one side gets that
+   * side's minimum count as both count and error contribution (its true
+   * count there is at most that minimum); then trim back to capacity by
+   * evicting the smallest counts. Bounds and the N/capacity retention
+   * guarantee survive the merge.
+   */
+  def mergeWith(other: SpaceSavingSketch): Unit = {
+    val thisFullMin = if (counts.size >= capacity) minCount else 0L
+    val otherFullMin = if (other.counts.size >= other.capacity) other.minCount else 0L
+    val merged = mutable.HashMap.empty[String, (Long, Long)]
+    counts.foreach { case (i, (c, e)) =>
+      other.counts.get(i) match {
+        case Some((oc, oe)) => merged.put(i, (c + oc, e + oe))
+        case None => merged.put(i, (c + otherFullMin, e + otherFullMin))
+      }
+    }
+    other.counts.foreach { case (i, (oc, oe)) =>
+      if (!counts.contains(i)) merged.put(i, (oc + thisFullMin, oe + thisFullMin))
+    }
+    counts.clear(); byCount.clear()
+    merged.toSeq
+      .sortBy { case (i, (c, _)) => (-c, i) }
+      .take(capacity)
+      .foreach { case (i, (c, e)) => counts.put(i, (c, e)); byCount.add((c, i)) }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+import graft.sources.Tables
+
+/**
+ * Sketch aggregates: HLL distinct (built-in DataSketches) and the custom
+ * SpaceSaving TypedImperativeAggregate — bounds, retention guarantee, and
+ * mergeability across repartitionings (merge-order independence of the
+ * guarantees, not of the raw internal state).
+ */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed key stream: 30% of rows over 7 hot keys, 70% over ~2000 cold keys
+  private def skewed = Tables.events(spark, Sf).select(
+    when(col("event_id") % 10 < 3, concat(lit("hot_"), col("event_id") % 7))
+      .otherwise(concat(lit("cold_"), col("event_id") % 2000)).as("k"))
+
+  test("space_saving_topk: bounds hold and hot keys are always retained") {
+    val exact = skewed.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+
+    for (parts <- Seq(1, 7, 32)) {
+      val cands = Sketches.heavyHitterCandidates(
+        skewed.repartition(parts), col("k"), capacity = 64)
+        .collect()
+      val byItem = cands.map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // every retained item's true count sits inside [count_min, count_max]
+      byItem.foreach { case (item, (mn, mx)) =>
+        val t = exact.getOrElse(item, 0L)
+        assert(mn <= t && t <= mx, s"$item: [$mn,$mx] vs true $t (parts=$parts)")
+      }
+      // retention guarantee: true count > N/capacity => in the sketch
+      exact.filter(_._2 > n / 64).keys.foreach { hot =>
+        assert(byItem.contains(hot), s"$hot missing (parts=$parts)")
+      }
+      assert(cands.length <= 64)
+    }
+  }
+
+  test("verifiedHeavyHitters returns exactly the over-threshold keys with exact counts") {
+    val out = Sketches.verifiedHeavyHitters(skewed, col("k"), capacity = 64,
+      threshold = 0.03).orderBy(col("item")).collect()
+    val exact = skewed.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val n = exact.agg(sum(col("cnt"))).head().getLong(0)
+    val expected = exact.filter(col("cnt") > (n * 0.03).toLong)
+      .orderBy(col("k")).collect()
+    assert(out.length == expected.length && out.length == 7) // the 7 hot keys
+    out.zip(expected).foreach { case (o, e) =>
+      assert(o.getString(0) == e.getString(0) && o.getLong(1) == e.getLong(1))
+      assert(o.getBoolean(2)) // bounds_ok
+    }
+  }
+
+  test("HLL sketch table: per-day estimates within 5% and union re-aggregates") {
+    val e = Tables.events(spark, Sf)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val table = Sketches.distinctSketchTable(e, Seq(col("day")),
+      col("user_id").cast("string"))
+    val exactDaily = e.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val joined = table.join(exactDaily, "day").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val est = r.getAs[Long]("estimate").toDouble
+      val ex = r.getAs[Long]("exact").toDouble
+      assert(math.abs(est - ex) / ex <= 0.05, s"day ${r.get(0)}: $est vs $ex")
+    }
+    // merge the per-day sketches: estimate of total distinct users
+    val merged = table.agg(Sketches.hllMergedEstimate(col("sketch"))).head().getLong(0).toDouble
+    val exactTotal = e.agg(countDistinct(col("user_id"))).head().getLong(0).toDouble
+    assert(math.abs(merged - exactTotal) / exactTotal <= 0.05)
+  }
+}
