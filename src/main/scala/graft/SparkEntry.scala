@@ -527,6 +527,54 @@ object SparkEntry {
             col("n_exact").cast("double") * 0.05).as("est_ok"))
     }),
 
+    // --------------------------------- training-data curation ops (oracle)
+    "stratified_sample" -> ((s, dir) => {
+      // exact-fraction per-source sample in deterministic md5 order;
+      // binary-exact fractions (0.5/0.25/0.125) so ceil() agrees bit-for-bit
+      // with the DuckDB oracle
+      Curation.stratifiedSampleExact(Tables.documents(s, dir), "source",
+        Map("src0" -> 0.5, "src1" -> 0.25), defaultFraction = 0.125)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    "mix_sources" -> ((s, dir) => {
+      // training-mixture construction: largest corpus matching the target
+      // weights that availability supports (binding source sets the total)
+      Curation.mixToWeights(Tables.documents(s, dir), "source",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+    "pii_redact" -> ((s, dir) => {
+      // deterministic synthetic PII injected per doc, then scrubbed by the
+      // RE2-compatible regexp_replace chain (no UDF in the scan)
+      val d = Tables.documents(s, dir)
+      val polluted = concat(
+        lit("contact user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com via 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"), lit(" or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" "),
+        substring(col("text"), 1, 40))
+      d.select(col("doc_id"), TextFunctions.redactPii(polluted).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+    "contamination_check" -> ((s, dir) => {
+      // eval-leakage scan: distinct 5-gram overlap of each training doc with
+      // the benchmark slice (doc_id % 97 == 0) via inverted-index join
+      val d = Tables.documents(s, dir)
+      TextAnalysis.contamination(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        shingleN = 5)
+        .orderBy(col("train_id"))
+    }),
+    "repetition_metrics" -> ((s, dir) => {
+      // Gopher-style intra-doc repetition signals
+      TextAnalysis.repetitionMetrics(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     "embedding_near_dup_recall" -> ((s, dir) => {
       // SRP-LSH near-dup pairs vs EXACT all-pairs cosine ≥ 0.95 on a bounded
       // slice (≤500 vectors at any sf) — n_exact is a true DuckDB oracle
@@ -854,6 +902,90 @@ object SparkEntry {
         |SELECT pt.event_id, i.incident_id
         |FROM pt JOIN i ON pt.ts >= i.s AND pt.ts < i.e
         |ORDER BY 1, 2""".stripMargin,
+    "stratified_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source FROM t
+        |WHERE rn <= ceil(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+        |                 ELSE 0.125 END * n)
+        |ORDER BY doc_id""".stripMargin,
+    "mix_sources" ->
+      """WITH a AS (
+        |  SELECT source, COUNT(*) AS n FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+        |w AS (SELECT source, n,
+        |        CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+        |                    WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+        |                    ELSE CAST(0.25 AS DOUBLE) END AS wt
+        |      FROM a),
+        |t AS (SELECT MIN(CAST(n AS DOUBLE) / wt) AS target FROM w),
+        |lim AS (SELECT source, CAST(floor(wt * target) AS BIGINT) AS take FROM w, t),
+        |r AS (SELECT doc_id, source,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+        |SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM r JOIN lim ON r.source = lim.source
+        |WHERE r.rn <= lim.take GROUP BY r.source ORDER BY r.source""".stripMargin,
+    "pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '.com via 10.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |    CAST(doc_id % 100 AS VARCHAR) || ' or 555-' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ||
+        |    substr(text, 1, 40) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+        |    '(\d{1,3}\.){3}\d{1,3}', '[IP]', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "contamination_check" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 3),
+        |           i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM tok WHERE len(w) >= 5),
+        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |t AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT t.doc_id AS train_id, CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_shared
+        |FROM t JOIN b ON t.g = b.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "repetition_metrics" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS g
+        |  FROM documents),
+        |wc AS (SELECT doc_id, g, COUNT(*) AS c FROM w WHERE g <> '' GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS tp,
+        |              COUNT(*) AS d FROM wc GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |           i -> array_to_string(w[i:i+1], ' '))) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 2),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS tp
+        |       FROM bc GROUP BY 1)
+        |SELECT ws.doc_id,
+        |       ws.n AS n_words,
+        |       round(CAST(ws.d AS DOUBLE) / ws.n, 6) AS distinct_word_ratio,
+        |       round(CAST(ws.tp AS DOUBLE) / ws.n, 6) AS top_word_frac,
+        |       round(CAST(coalesce(bs.tp, 0) AS DOUBLE) /
+        |             greatest(coalesce(bs.n, 0), 1), 6) AS top_bigram_frac
+        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        |ORDER BY ws.doc_id""".stripMargin,
     "heavy_hitters" ->
       """WITH k AS (
         |  SELECT CASE WHEN event_id % 10 < 3 THEN 'hot_' || (event_id % 7)

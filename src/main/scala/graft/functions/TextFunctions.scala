@@ -133,6 +133,24 @@ object TextFunctions {
   def rollingFingerprints(text: Column, n: Int): Column =
     transform(shingles(text, n), s => xxhash64(s))
 
+  // -------------------------------------------------------- PII redaction
+
+  /** (pattern, replacement) pairs applied in order by [[redactPii]].
+    * Deliberately RE2-compatible (no backrefs/lookaround/\b) so the same
+    * patterns run identically in Spark (java.util.regex) and DuckDB (RE2)
+    * — and in any RE2-based scrubber at the ingest edge. Emails must go
+    * first (their local part can contain digits that the phone/IP patterns
+    * would otherwise mangle). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\d{3}-\\d{3}-\\d{4}" -> "[PHONE]",
+    "(\\d{1,3}\\.){3}\\d{1,3}" -> "[IP]")
+
+  /** Scrub emails / NANP-style phone numbers / IPv4 addresses. Pure
+    * codegen'd `regexp_replace` chain — no UDF in the scan path. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   // ---------------------------------------------------------------- quality
 
   /** Punctuation character ratio (over total chars, 6-dec rounded). */

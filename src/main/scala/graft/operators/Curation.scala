@@ -133,4 +133,82 @@ object Curation {
       .drop("_h", "_bucket", "_cum")
       .withColumnRenamed("_tokens", "n_tokens")
   }
+
+  /**
+   * Exact-fraction stratified sample: per stratum, keep the first
+   * `ceil(fraction × stratum size)` documents in deterministic md5-of-id
+   * order. Reproducible across runs/partitionings (no `rand()`), and the
+   * per-stratum fraction is hit exactly.
+   *
+   * Scale: one shuffle on the stratum key; each stratum is ranked inside its
+   * own task, so parallelism = number of strata. Right for the common case
+   * (strata = sources/languages, tens to thousands). For millions of rows in
+   * ONE stratum with a tight driver-side latency budget, use
+   * [[stratifiedSampleHash]] — stateless, no ranking, fraction approximate.
+   */
+  def stratifiedSampleExact(docs: DataFrame, strataCol: String,
+                            fractions: Map[String, Double], defaultFraction: Double,
+                            idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fracExpr = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+    val wOrdered = w.orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs
+      .withColumn("_rn", row_number().over(wOrdered))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_rn") <= ceil(fracExpr * col("_n")))
+      .drop("_rn", "_n")
+  }
+
+  /**
+   * Stateless hash-threshold stratified sample: keep a document iff the
+   * first 32 bits of `md5(id)` fall under `fraction × 2^32`. No shuffle, no
+   * state, embarrassingly parallel — the 100 TB path. Fraction is hit in
+   * expectation (Chernoff-tight for large strata), not exactly.
+   */
+  def stratifiedSampleHash(docs: DataFrame, strataCol: String,
+                           fractions: Map[String, Double], defaultFraction: Double,
+                           idCol: String = "doc_id"): DataFrame = {
+    val fracExpr = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    val h32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    docs.filter(h32 < (fracExpr * lit(4294967296L)).cast("long"))
+  }
+
+  /**
+   * Mix sources to target weights: the largest corpus with per-source counts
+   * ∝ `weights` that the available data supports. The binding source sets
+   * the total (`target = min_i(avail_i / w_i)`); each source then contributes
+   * its first `floor(w_i × target)` docs in deterministic hash order.
+   * Standard training-mixture construction (down-samples over-represented
+   * sources; never up-samples). Sources absent from `weights` are dropped.
+   *
+   * Per-source counts are a tiny driver-side aggregate (one row per source);
+   * the data pass is the same rank-and-keep shape as
+   * [[stratifiedSampleExact]].
+   */
+  def mixToWeights(docs: DataFrame, sourceCol: String,
+                   weights: Map[String, Double],
+                   idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.nonEmpty && weights.values.forall(_ > 0))
+    val avail = docs.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = weights.collect {
+      case (s, w) if avail.contains(s) => avail(s) / w
+    }.foldLeft(Double.MaxValue)(math.min)
+    val takeExpr = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(math.floor(w * target).toLong)).otherwise(acc)
+    }
+    val wOrdered = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .withColumn("_rn", row_number().over(wOrdered))
+      .filter(col("_rn") <= takeExpr)
+      .drop("_rn")
+  }
 }

@@ -62,4 +62,62 @@ object TextAnalysis {
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+
+  /**
+   * Benchmark-contamination check: for each training document, the number of
+   * DISTINCT word `n`-grams it shares with ANY benchmark document. The
+   * standard eval-leakage scan (n=13 in the literature; lower n for short
+   * docs), shaped as a distributed inverted-index join:
+   * explode both sides to (shingle, doc) pairs, equi-join on the shingle
+   * hash, count distinct shingles per training doc. Shuffle is keyed on the
+   * shingle — high cardinality, uniform, no driver state; the benchmark side
+   * is typically small enough that Spark broadcasts it.
+   */
+  def contamination(train: DataFrame, benchmark: DataFrame, shingleN: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def shingled(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN)))
+          .as(s"${as}_sh"))
+    val b = shingled(benchmark, "bench_id")
+      .select(col("bench_id_sh").as("sh")).distinct()
+    shingled(train, "train_id")
+      .join(b, col("train_id_sh") === col("sh"))
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("sh")).as("n_shared"))
+  }
+
+  /**
+   * Intra-document repetition metrics (Gopher-style quality signals,
+   * Rae et al. 2021 §A1.1): token count, distinct-token ratio, and the mass
+   * fraction of the most frequent word / bigram. High top-fraction or low
+   * distinct ratio flags boilerplate and degenerate repetition.
+   * One explode + two-level aggregate per n-gram order; both shuffles are
+   * keyed by (doc, gram) then doc — no skew beyond document length.
+   */
+  def repetitionMetrics(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    def topFrac(grams: DataFrame, as: String): DataFrame = grams
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as(s"_n_$as"),
+        max(col("c")).as(s"_top_$as"),
+        count(lit(1)).as(s"_distinct_$as"))
+    val words = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("g"))
+      .filter(col("g") =!= "")
+    val bigrams = docs.select(col(idCol),
+      explode(TextFunctions.shingles(col(textCol), 2)).as("g"))
+    topFrac(words, "w")
+      .join(topFrac(bigrams, "b"), Seq(idCol), "left")
+      .select(col(idCol),
+        col("_n_w").as("n_words"),
+        round(col("_distinct_w").cast("double") / col("_n_w"), 6)
+          .as("distinct_word_ratio"),
+        round(col("_top_w").cast("double") / col("_n_w"), 6)
+          .as("top_word_frac"),
+        round(coalesce(col("_top_b"), lit(0L)).cast("double") /
+          greatest(coalesce(col("_n_b"), lit(0L)), lit(1L)), 6)
+          .as("top_bigram_frac"))
+  }
 }

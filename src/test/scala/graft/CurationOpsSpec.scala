@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Curation, TextAnalysis}
+import graft.sources.Tables
+
+/** Curation sampling / mixing / scrubbing ops not fully covered by the
+  * oracle gate (the gate checks the exact-rank paths; these specs cover the
+  * stateless hash path, mixture proportions, and redaction edge cases). */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedSampleHash: deterministic, partition-independent, ~fraction") {
+    val docs = Tables.documents(spark, Sf)
+    val s1 = Curation.stratifiedSampleHash(docs, "source",
+      Map("src0" -> 1.0), defaultFraction = 0.3)
+    val s2 = Curation.stratifiedSampleHash(docs.repartition(13), "source",
+      Map("src0" -> 1.0), defaultFraction = 0.3)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = s2.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2)) // hash-threshold: layout-independent
+    // fraction 1.0 stratum fully kept
+    val src0All = docs.filter(col("source") === "src0").count()
+    assert(s1.filter(col("source") === "src0").count() == src0All)
+    // default stratum close to 30% (binomial tolerance on ~475 docs)
+    val rest = docs.filter(col("source") =!= "src0").count().toDouble
+    val kept = s1.filter(col("source") =!= "src0").count().toDouble
+    assert(math.abs(kept / rest - 0.3) < 0.08, s"$kept / $rest")
+  }
+
+  test("mixToWeights: counts proportional to weights, binding source fully used") {
+    val docs = Tables.documents(spark, Sf)
+    val out = Curation.mixToWeights(docs, "source",
+      Map("src0" -> 0.6, "src1" -> 0.2, "src2" -> 0.2))
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = docs.filter(col("source").isin("src0", "src1", "src2"))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src0 demands 0.6 of the mix from the same 25-doc pool → it binds
+    val target = avail("src0") / 0.6
+    Seq("src0" -> 0.6, "src1" -> 0.2, "src2" -> 0.2).foreach { case (src, w) =>
+      assert(counts(src) == math.floor(w * target).toLong, s"$src: ${counts(src)}")
+      assert(counts(src) <= avail(src))
+    }
+    // only weighted sources present
+    assert(out.select("source").distinct().count() == 3)
+  }
+
+  test("redactPii scrubs all three kinds, repeated hits, leaves clean text alone") {
+    val out = Seq(
+      "a@b.co and c.d+e@f-g.org wrote",
+      "call 555-123-4567 or 555-987-6543",
+      "hosts 10.0.0.1 192.168.255.254",
+      "no pii here 12-34 a@b a.b.c 1234-5678").toDF("t")
+      .select(TextFunctions.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "[EMAIL] and [EMAIL] wrote")
+    assert(out(1) == "call [PHONE] or [PHONE]")
+    assert(out(2) == "hosts [IP] [IP]")
+    assert(out(3) == "no pii here 12-34 a@b a.b.c 1234-5678")
+  }
+
+  test("repetitionMetrics flags degenerate repetition") {
+    val out = TextAnalysis.repetitionMetrics(Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all words here are distinct tokens")).toDF("doc_id", "text"))
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getAs[Long]("n_words") == 4)
+    assert(out(0).getAs[Double]("top_word_frac") == 1.0)
+    assert(out(0).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(out(1).getAs[Double]("distinct_word_ratio") == 1.0)
+    assert(out(1).getAs[Double]("top_word_frac") < 0.2)
+  }
+
+  test("contamination finds planted overlap and nothing else") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "xx alpha beta gamma delta epsilon yy"),   // shares 1 distinct 5-gram
+      (2L, "totally unrelated words without overlap at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(train, bench, shingleN = 5).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("train_id") == 1L && out(0).getAs[Long]("n_shared") == 1L)
+  }
+}
