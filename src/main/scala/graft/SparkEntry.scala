@@ -575,6 +575,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "approx_quantile_rank" -> ((s, dir) => {
+      // percentile_approx (KLL-style mergeable quantile sketch) gated by RANK
+      // error: the fraction of rows at or below the approximate p50 must sit
+      // within ±5% of 0.5 per group (plus discrete-value mass at the cut,
+      // hence the asymmetric upper bound)
+      val li = Tables.lineitem(s, dir)
+      val appr = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50"))
+      li.join(appr, "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(avg(when(col("l_quantity") <= col("p50"), 1.0).otherwise(0.0)).as("frac"))
+        .select(col("l_returnflag"),
+          (col("frac") >= 0.45 && col("frac") <= 0.60).as("rank_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "embedding_near_dup_recall" -> ((s, dir) => {
       // SRP-LSH near-dup pairs vs EXACT all-pairs cosine ≥ 0.95 on a bounded
       // slice (≤500 vectors at any sf) — n_exact is a true DuckDB oracle
@@ -986,6 +1002,9 @@ object SparkEntry {
         |             greatest(coalesce(bs.n, 0), 1), 6) AS top_bigram_frac
         |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
         |ORDER BY ws.doc_id""".stripMargin,
+    "approx_quantile_rank" ->
+      """SELECT l_returnflag, true AS rank_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "heavy_hitters" ->
       """WITH k AS (
         |  SELECT CASE WHEN event_id % 10 < 3 THEN 'hot_' || (event_id % 7)

@@ -56,19 +56,33 @@ object VectorFunctions {
     s
   }
 
-  /** Σ aᵢ·bᵢ, accumulated sequentially (ascending i) in double. */
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  import org.apache.spark.sql.graftshim.GraftPlanBridge.{column => toCol, expr => toExpr}
 
-  /** Σ aᵢ² (sequential). */
-  def norm2Sq(a: Column): Column = norm2SqUdf(a)
+  /** Σ aᵢ·bᵢ, accumulated sequentially (ascending i) in double.
+    * Native codegen'd Catalyst expression ([[graft.plans.VecDot]]) reading
+    * ArrayData in place — no UDF conversion/allocation per row. Identical
+    * arithmetic to [[dotUdf]] (kept for A/B benching). */
+  def dot(a: Column, b: Column): Column =
+    toCol(graft.plans.VecDot(toExpr(a), toExpr(b)))
+
+  /** UDF variant of [[dot]] (conversion-boundary baseline). */
+  def dot_udf(a: Column, b: Column): Column = dotUdf(a, b)
+
+  /** Σ aᵢ² (sequential), native expression. */
+  def norm2Sq(a: Column): Column = toCol(graft.plans.VecNorm2Sq(toExpr(a)))
 
   /** ‖a‖₂. */
-  def norm2(a: Column): Column = sqrt(norm2SqUdf(a))
+  def norm2(a: Column): Column = sqrt(norm2Sq(a))
 
   /** Cosine similarity = dot/(‖a‖·‖b‖); 0 when either vector is all-zero.
     * Same expression shape as the DuckDB oracle
-    * (`list_sum(products)/ (sqrt(list_sum(a²))·sqrt(list_sum(b²)))`). */
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+    * (`list_sum(products)/ (sqrt(list_sum(a²))·sqrt(list_sum(b²)))`).
+    * Native codegen'd expression ([[graft.plans.VecCosine]]). */
+  def cosine(a: Column, b: Column): Column =
+    toCol(graft.plans.VecCosine(toExpr(a), toExpr(b)))
+
+  /** UDF variant of [[cosine]] (conversion-boundary baseline). */
+  def cosine_udf(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Squared L2 distance Σ (aᵢ−bᵢ)². */
   def l2Sq(a: Column, b: Column): Column = l2SqUdf(a, b)

@@ -61,7 +61,10 @@ object GeohashEncode {
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "geohash_encode" -> (exprs => GeohashEncode(exprs(0), exprs(1), exprs(2))),
-    "space_saving_topk" -> (exprs => SpaceSavingTopK(exprs(0), exprs(1))))
+    "space_saving_topk" -> (exprs => SpaceSavingTopK(exprs(0), exprs(1))),
+    "vec_dot" -> (exprs => VecDot(exprs(0), exprs(1))),
+    "vec_norm2sq" -> (exprs => VecNorm2Sq(exprs(0))),
+    "vec_cosine" -> (exprs => VecCosine(exprs(0), exprs(1))))
 
   /** Imperative registration for an existing session (tests, Verify). */
   def register(spark: SparkSession): Unit =

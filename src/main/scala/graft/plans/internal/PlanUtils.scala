@@ -14,4 +14,8 @@ object GraftPlanBridge {
   /** Column → catalyst Expression (Column wraps a ColumnNode in Spark 4). */
   def expr(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** catalyst Expression → Column (inverse of [[expr]]). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
 }
