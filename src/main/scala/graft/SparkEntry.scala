@@ -575,6 +575,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "pack_sequences" -> ((s, dir) => {
+      // concat-then-chunk training-sequence packing over the distributed
+      // hash-order prefix sum (2048-token sequences)
+      Curation.packSequences(Tables.documents(s, dir), seqTokens = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("seq_first"), col("seq_last"))
+        .orderBy(col("doc_id"))
+    }),
+
     "approx_quantile_rank" -> ((s, dir) => {
       // percentile_approx (KLL-style mergeable quantile sketch) gated by RANK
       // error: the fraction of rows at or below the approximate p50 must sit
@@ -1002,6 +1010,18 @@ object SparkEntry {
         |             greatest(coalesce(bs.n, 0), 1), 6) AS top_bigram_frac
         |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
         |ORDER BY ws.doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY h, doc_id) AS cum FROM t)
+        |SELECT doc_id, n_tokens,
+        |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
+        |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
+        |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
     "approx_quantile_rank" ->
       """SELECT l_returnflag, true AS rank_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -112,7 +112,16 @@ object Curation {
    * clusters larger than 256-way).
    */
   def sampleToTokenBudget(docs: DataFrame, tokenBudget: Long,
-                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hashOrderCumsum(docs, idCol, textCol)
+      .filter(col("_cum") <= tokenBudget)
+      .drop("_h", "_bucket", "_cum")
+      .withColumnRenamed("_tokens", "n_tokens")
+
+  /** Inclusive running token count in global md5(id) order (helper columns
+    * `_h`, `_bucket`, `_tokens`, `_cum`) — the distributed prefix sum
+    * documented on [[sampleToTokenBudget]]. */
+  private def hashOrderCumsum(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs
       .withColumn("_h", md5(col(idCol).cast("string")))
@@ -127,12 +136,32 @@ object Curation {
     val offsets = subtotals.map { case (b, s) => val o = (b, acc); acc += s; o }
     val offsetMap = map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }.toSeq: _*)
     val w = Window.partitionBy(col("_bucket")).orderBy(col("_h"), col(idCol))
-    base
-      .withColumn("_cum", sum(col("_tokens")).over(w) + element_at(offsetMap, col("_bucket")))
-      .filter(col("_cum") <= tokenBudget)
+    base.withColumn("_cum",
+      sum(col("_tokens")).over(w) + element_at(offsetMap, col("_bucket")))
+  }
+
+  /**
+   * Greedy contiguous sequence packing: concatenate documents in
+   * deterministic md5(id) order and chunk the token stream into training
+   * sequences of `seqTokens`; each document reports the first and last
+   * sequence it lands in (a document longer than the remainder of its
+   * sequence straddles into the next — standard concat-then-chunk packing).
+   *
+   * `seq_first = (cumsum_exclusive) div seqTokens`,
+   * `seq_last = (cumsum_inclusive − 1) div seqTokens` — pure arithmetic on
+   * the same distributed prefix sum as [[sampleToTokenBudget]], so packing
+   * 100 TB is one bucket shuffle + a 256-row driver aggregate, with no
+   * global-order bottleneck.
+   */
+  def packSequences(docs: DataFrame, seqTokens: Long,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hashOrderCumsum(docs, idCol, textCol)
+      .filter(col("_tokens") > 0)
+      // integer `div`, not double floor — exact past 2^53 tokens
+      .withColumn("seq_first", expr(s"(_cum - _tokens) div $seqTokens"))
+      .withColumn("seq_last", expr(s"(_cum - 1) div $seqTokens"))
       .drop("_h", "_bucket", "_cum")
       .withColumnRenamed("_tokens", "n_tokens")
-  }
 
   /**
    * Exact-fraction stratified sample: per stratum, keep the first

@@ -77,4 +77,48 @@ class RestServerSpec extends SparkSpec {
       assert(body.contains("[1704067200000,40.0]") && body.contains("[1704070800000,40.0]"))
     } finally srv.stop()
   }
+
+  test("full loop: stream -> upsert -> REST, late data revises the served cell") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingPipeline
+
+    def json(tsMs: Long, gh: String, v: Double): String =
+      s"""{"timestamp":$tsMs,"sensorId":"s1","geohash":"$gh","tempVal":$v,"tempUnit":"c"}"""
+    val H0 = 1704067200000L
+    val dir = java.nio.file.Files.createTempDirectory("serve_live").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_live").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+
+    mem.addData(json(H0 + 60000, "u155mz82dv33", 10.0),
+      json(H0 + 120000, "u155mz82aaaa", 30.0))
+    val q = StreamingPipeline.start(mem.toDF().withColumnRenamed("value", "json"),
+      dir, ckpt, precision = 6, trigger = Trigger.AvailableNow())
+    q.processAllAvailable(); q.stop()
+
+    // serve the freshly written table over HTTP (the reference's REST layer
+    // reading the materialized view the stream maintains)
+    val srv1 = new RestServer(StreamingPipeline.servingView(spark, dir), port = 0)
+    val p1 = srv1.start()
+    try {
+      val (code, body) = get(s"http://localhost:$p1/api/temperature/aggregate/avg/history" +
+        s"?geohashes=u155&from=$H0&to=${H0 + 86400000}")
+      assert(code == 200 && body.contains(s"[[$H0,20.0]]"))
+    } finally srv1.stop()
+
+    // late reading revises hour 0; restart stream from the same checkpoint
+    mem.addData(json(H0 + 180000, "u155mz82zzzz", 50.0))
+    val q2 = StreamingPipeline.start(mem.toDF().withColumnRenamed("value", "json"),
+      dir, ckpt, precision = 6, trigger = Trigger.AvailableNow())
+    q2.processAllAvailable(); q2.stop()
+
+    val srv2 = new RestServer(StreamingPipeline.servingView(spark, dir), port = 0)
+    val p2 = srv2.start()
+    try {
+      val (code, body) = get(s"http://localhost:$p2/api/temperature/aggregate/avg/history" +
+        s"?geohashes=u155&from=$H0&to=${H0 + 86400000}")
+      assert(code == 200 && body.contains(s"[[$H0,30.0]]"), body) // (10+30+50)/3
+    } finally srv2.stop()
+  }
 }
