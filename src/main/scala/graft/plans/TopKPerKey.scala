@@ -85,6 +85,9 @@ case class TopKPerKeyExec(
       // evicted when a better one arrives and the heap is full
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       val spills = mutable.ArrayBuffer.empty[java.io.File]
+      // spill files die with the task, success or failure (not JVM exit)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete())))
 
       def byteCompare(a: Array[Byte], b: Array[Byte]): Int = {
         val n = math.min(a.length, b.length)
