@@ -57,6 +57,53 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("space_saving_topk composes: per-group aggregation keeps per-group hitters") {
+    graft.plans.GraftFunctions.register(spark)
+    // group = event_type; per-group key stream = user bucket with skew
+    val keyed = Tables.events(spark, Sf).select(col("event_type"),
+      when(col("user_id") % 10 < 5, concat(lit("h"), col("user_id") % 3))
+        .otherwise(concat(lit("c"), col("user_id") % 997)).as("k"))
+    val out = keyed.groupBy(col("event_type"))
+      .agg(call_function("space_saving_topk", col("k"), lit(16)).as("sk"))
+      .select(col("event_type"), explode(col("sk")).as("e"))
+      .select(col("event_type"), col("e.item"), col("e.count_min"), col("e.count_max"))
+    val groups = out.select("event_type").distinct().count()
+    assert(groups == 5) // one sketch per event type
+    // per-group exact top key must be among that group's candidates
+    val exactTop = keyed.groupBy(col("event_type"), col("k")).count()
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+          .orderBy(col("count").desc, col("k"))))
+      .filter(col("rn") === 1).select(col("event_type"), col("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val cands = out.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    exactTop.foreach { case (g, topK) =>
+      assert(cands(g).contains(topK), s"$g top key $topK missing")
+    }
+  }
+
+  test("space_saving_topk runs in a streaming aggregation (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.plans.GraftFunctions.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(Seq.fill(50)("hot") ++ (1 to 30).map(i => s"cold_$i"): _*)
+    val q = mem.toDF().toDF("k")
+      .agg(call_function("space_saving_topk", col("k"), lit(8)).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.count_max"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ss_stream").start()
+    mem.addData(Seq.fill(20)("hot"): _*)
+    q.processAllAvailable()
+    val rows = spark.table("ss_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(rows.contains("hot") && rows("hot") >= 70L) // both batches merged
+    assert(rows.size <= 8)
+  }
+
   test("HLL sketch table: per-day estimates within 5% and union re-aggregates") {
     val e = Tables.events(spark, Sf)
       .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
