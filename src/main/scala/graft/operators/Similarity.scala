@@ -94,7 +94,24 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfQuery(buildIvfIndex(corpus, nlist, idCol, vecCol), queries, k, nprobe,
+      idCol, vecCol)
+
+  /**
+   * A built IVF index: the tiny coarse quantizer (`centroids`, broadcast
+   * state by construction) plus the assignment table `assigned(cid, cv,
+   * list_id)`. The assignment pass — one scan of the corpus — is the
+   * expensive part at 100 TB; building it ONCE and persisting via
+   * [[saveIvfIndex]] (partitioned by `list_id`, so probes prune to
+   * nprobe/nlist of the files) amortizes it across every later query batch.
+   */
+  final case class IvfIndex(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
+
+  /** Deterministic centroid pick (smallest xxhash64(id) — stable across
+    * runs/layouts) + nearest-centroid assignment of every corpus vector. */
+  def buildIvfIndex(corpus: DataFrame, nlist: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     val cents: Array[(Int, Array[Float])] = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
@@ -102,7 +119,53 @@ object Similarity {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    val assignUdf = udf { v: Array[Float] =>
+      cents.maxBy { case (_, c) => IvfMath.cosLocal(v, c) }._1
+    }
+    IvfIndex(cents,
+      corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+        .withColumn("list_id", assignUdf(col("cv"))))
+  }
 
+  /** Persist the index: assignment table partitioned by `list_id` (probe
+    * joins prune partitions) + the centroid table alongside. */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    index.assigned.write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$path/assigned")
+    import spark.implicits._
+    index.centroids.toSeq.toDF("list_id", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("list_id")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    IvfIndex(cents, spark.read.parquet(s"$path/assigned"))
+  }
+
+  /** Probe the query's `nprobe` nearest centroids and exactly re-rank those
+    * inverted lists. Per-query cost ∝ corpus × nprobe / nlist. */
+  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = index.centroids
+    val probeUdf = udf { v: Array[Float] =>
+      cents.map { case (i, c) => (i, IvfMath.cosLocal(v, c)) }
+        .sortBy(-_._2).take(nprobe).map(_._1)
+    }
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("list_id", explode(probeUdf(col("qv"))))
+    index.assigned.join(q, Seq("list_id"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+  }
+
+  private[operators] object IvfMath {
     def cosLocal(a: Array[Float], b: Array[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       val n = math.min(a.length, b.length)
@@ -115,24 +178,5 @@ object Similarity {
       val den = math.sqrt(na) * math.sqrt(nb)
       if (den == 0.0) 0.0 else d / den
     }
-    val assignUdf = udf { v: Array[Float] =>
-      cents.maxBy { case (_, c) => cosLocal(v, c) }._1
-    }
-    val probeUdf = udf { v: Array[Float] =>
-      cents.map { case (i, c) => (i, cosLocal(v, c)) }
-        .sortBy(-_._2).take(nprobe).map(_._1)
-    }
-
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .withColumn("list_id", assignUdf(col("cv")))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("list_id", explode(probeUdf(col("qv"))))
-    c.join(q, Seq("list_id"))
-      .filter(col("cid") =!= col("qid"))
-      .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
-      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("cid").asc)))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
   }
 }

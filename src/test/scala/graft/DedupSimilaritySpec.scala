@@ -105,4 +105,28 @@ class DedupSimilaritySpec extends SparkSpec {
     // identical docs (1,4) → identical signatures
     assert(sig(0) == sig(3))
   }
+
+  test("IVF index lifecycle: build -> save -> load -> query == direct ivfTopK") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, Sf)
+    val q = e.filter(col("vec_id") < 5)
+
+    val direct = graft.operators.Similarity.ivfTopK(e, q, k = 3, nlist = 8, nprobe = 4)
+      .orderBy(col("qid"), col("rnk")).collect().map(_.toSeq).toSeq
+
+    val idx = graft.operators.Similarity.buildIvfIndex(e, nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+    graft.operators.Similarity.saveIvfIndex(idx, path)
+    val loaded = graft.operators.Similarity.loadIvfIndex(spark, path)
+
+    // persisted artifact: assignment table partitioned by list_id on disk
+    assert(new java.io.File(s"$path/assigned").listFiles()
+      .exists(_.getName.startsWith("list_id=")))
+    assert(loaded.centroids.map(_._1).toSeq == idx.centroids.map(_._1).toSeq)
+
+    val viaLoaded = graft.operators.Similarity.ivfQuery(loaded, q, k = 3, nprobe = 4)
+      .orderBy(col("qid"), col("rnk")).collect().map(_.toSeq).toSeq
+    assert(viaLoaded == direct && direct.nonEmpty)
+  }
 }
