@@ -88,5 +88,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => TopKRewrite)
   }
 }

@@ -63,6 +63,54 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxKeysInMemory")
   }
 
+  test("optimizer rule rewrites row_number()<=k into TopKPerKeyExec automatically") {
+    graft.plans.TopKRewriteInstaller.install(spark)
+    val orders = Tables.orders(spark, Sf)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    // plain row_number idiom — user code, no TopK API in sight
+    val df = orders
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan) // physical nodes print w/o Exec
+    assert(!plan.contains("Window"), plan)    // also rejects WindowGroupLimit
+    assert(!plan.contains("Sort "), plan)
+
+    // results identical to stock execution (rule removed)
+    val rewritten = df.orderBy(col("o_orderpriority"), col("rnk")).collect().map(_.toSeq).toSeq
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.TopKRewrite)
+    val stock = orders
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("rnk")).collect().map(_.toSeq).toSeq
+    assert(rewritten == stock && stock.nonEmpty)
+  }
+
+  test("optimizer rule leaves non-rewritable window shapes alone") {
+    graft.plans.TopKRewriteInstaller.install(spark)
+    try {
+      val orders = Tables.orders(spark, Sf)
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
+      // rank() has tie semantics TopKPerKey does not implement
+      val viaRank = orders.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+      assert(viaRank.queryExecution.executedPlan.toString.contains("Window"))
+      // residual conjuncts survive as a Filter above the rewrite
+      val mixed = orders.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3 && col("o_orderstatus") === "F")
+      val p = mixed.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKey") && p.contains("o_orderstatus"), p)
+      assert(mixed.collect().forall(_.getAs[String]("o_orderstatus") == "F"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.TopKRewrite)
+    }
+  }
+
   test("works with k larger than group size and with multiple keys") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "v")
