@@ -118,6 +118,28 @@ object StreamingPipeline {
       .start()
   }
 
+  /**
+   * Batch backfill: run the SAME transform stack over historical raw JSON
+   * (parquet dumps, archived topics) and merge into the serving table with
+   * the same crash-atomic upsert the stream uses. One code path for bootstrap
+   * and replay — `withWatermark` is a no-op in batch, so [[hourlyAgg]] is
+   * shared verbatim.
+   *
+   * Handoff semantics (kappa): the upsert REPLACES a (key, hour) cell, so a
+   * live stream taking over must replay the same log from the start (its
+   * state then covers every reading of any cell it emits, and its first
+   * writes reproduce the backfilled values idempotently). A stream starting
+   * mid-log would emit partial aggregates and clobber backfilled cells —
+   * replace-not-add is what keeps micro-batch replays idempotent.
+   *
+   * Scale: the aggregate shuffles (key, hour) partial aggregates only, and
+   * the upsert rewrites only the day partitions the backfill touches.
+   */
+  def backfill(rawJson: DataFrame, tableDir: String, precision: Int = 6): Unit = {
+    val (valid, _) = validate(parseReadings(rawJson))
+    upsertBatch(hourlyAgg(keyed(valid, precision)), tableDir)
+  }
+
   /** Staging dir for an in-flight merge — the underscore prefix makes it
     * invisible to parquet partition discovery, so readers never see it. */
   private def stagingPath(tableDir: String) = new org.apache.hadoop.fs.Path(tableDir, "_staging")

@@ -100,6 +100,47 @@ class StreamingSpec extends SparkSpec {
     assert(t(0).getAs[Long]("count") == 2L)
   }
 
+  test("batch backfill bootstraps the table; the stream then revises it in place") {
+    val dir = Files.createTempDirectory("serve_bf").toString
+    val ckpt = Files.createTempDirectory("ckpt_bf").toString
+
+    // historical dump → batch backfill through the same transform stack
+    val history = Seq(
+      json(H0 + 60000, "u155mz82dv33", 10.0),
+      json(H0 + 120000, "u155mz82aaaa", 30.0),
+      json(H0 + 3660000, "u155mz82dv33", 50.0),
+      """{"timestamp":-1,"sensorId":"x","geohash":"u155mz82dv33","tempVal":9.9,"tempUnit":"c"}""")
+      .toDF("json")
+    StreamingPipeline.backfill(history, dir)
+
+    val t0 = StreamingPipeline.servingView(spark, dir)
+      .orderBy($"key", $"window_start").collect()
+    assert(t0.length == 2) // poison row filtered, two hourly cells
+    assert(t0(0).getAs[Long]("count") == 2 && t0(0).getAs[Double]("sum") == 40.0)
+
+    // kappa handoff: the live stream REPLAYS the same log plus new data
+    // (its aggregation state must see every reading of a cell it touches —
+    // upsert is replace-not-add, so a partial-state stream would clobber);
+    // backfill's value serves reads until the stream catches up, then the
+    // stream's identical-then-revised cells overwrite idempotently
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(
+      json(H0 + 60000, "u155mz82dv33", 10.0),
+      json(H0 + 120000, "u155mz82aaaa", 30.0),
+      json(H0 + 3660000, "u155mz82dv33", 50.0),
+      json(H0 + 180000, "u155mz82zzzz", 20.0)) // the new reading
+    val q = StreamingPipeline.start(mem.toDF().withColumnRenamed("value", "json"),
+      dir, ckpt, precision = 6, trigger = Trigger.AvailableNow())
+    q.processAllAvailable(); q.stop()
+
+    val t1 = StreamingPipeline.servingView(spark, dir)
+      .orderBy($"key", $"window_start").collect()
+    assert(t1.length == 2)
+    assert(t1(0).getAs[Long]("count") == 3 && t1(0).getAs[Double]("sum") == 60.0)
+    assert(t1(1).getAs[Long]("count") == 1) // recomputed to the same value
+  }
+
   private def cell(key: String, ws: String, cnt: Long, sum: Double) = {
     val we = ws // window_end value is irrelevant to these assertions
     Seq((key, ws, we, cnt, sum, sum / cnt))
