@@ -87,6 +87,19 @@ object TextAnalysis {
       .agg(countDistinct(col("sh")).as("n_shared"))
   }
 
+  /** Drop every training document sharing at least `minShared` distinct
+    * word `n`-grams with the benchmark set — [[contamination]] turned into
+    * the filter a pre-training pipeline actually applies (anti-join on the
+    * flagged ids; the expensive part is the shingle join, unchanged). */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, shingleN: Int,
+                    minShared: Long = 1,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val flagged = contamination(train, benchmark, shingleN, idCol, textCol)
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_id"))
+    train.join(flagged, train(idCol) === col("train_id"), "left_anti")
+  }
+
   /**
    * Intra-document repetition metrics (Gopher-style quality signals,
    * Rae et al. 2021 §A1.1): token count, distinct-token ratio, and the mass

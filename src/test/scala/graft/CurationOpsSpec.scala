@@ -84,5 +84,9 @@ class CurationOpsSpec extends SparkSpec {
     val out = TextAnalysis.contamination(train, bench, shingleN = 5).collect()
     assert(out.length == 1)
     assert(out(0).getAs[Long]("train_id") == 1L && out(0).getAs[Long]("n_shared") == 1L)
+
+    val clean = TextAnalysis.decontaminate(train, bench, shingleN = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L)) // the contaminated doc is gone, the clean one kept
   }
 }
