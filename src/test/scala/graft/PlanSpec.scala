@@ -89,4 +89,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("2024-01-10 07:00:00"), plan)
     assert(plan.contains(">= click") && plan.contains("< clicl"), plan)
   }
+
+  test("contamination broadcasts the benchmark shingle side") {
+    val d = Tables.documents(spark, Sf)
+    val plan = formattedPlan(graft.operators.TextAnalysis.contamination(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+      shingleN = 5))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("heavy-hitter sketch plans a partial/final aggregate split (map-side merge)") {
+    val keyed = Tables.events(spark, Sf).select(col("event_type").as("k"))
+    val plan = formattedPlan(
+      graft.operators.Sketches.heavyHitterCandidates(keyed, col("k"), capacity = 8))
+    // TypedImperativeAggregate → ObjectHashAggregate with partial_ prefix on
+    // the map side: fixed-size sketches merge at the exchange
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_space_saving_topk"), plan)
+  }
+
+  test("stratified exact sample plans exactly one shuffle (on the stratum key)") {
+    val plan = formattedPlan(graft.operators.Curation.stratifiedSampleExact(
+      Tables.documents(spark, Sf), "source", Map("src0" -> 0.5), 0.125))
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1, plan)
+  }
 }
