@@ -583,6 +583,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "decontaminate_count" -> ((s, dir) => {
+      // corpus remaining per source after dropping docs sharing any 5-gram
+      // with the benchmark slice — the filter a pre-training run applies
+      val d = Tables.documents(s, dir)
+      TextAnalysis.decontaminate(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        shingleN = 5)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+    "asof_within_tolerance" -> ((s, dir) => {
+      // as-of with a 6 h staleness bound: matches older than the tolerance
+      // come back null (served-value freshness semantics)
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pvalue"))
+      Temporal.asofJoinWithin(clicks, purchases, "user_id", "ts", "ts",
+        Seq("pvalue"), tolerance = expr("INTERVAL 6 HOURS"), asofOut = "pts")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("click_ms"),
+          unix_millis(col("pts")).as("purchase_ms"),
+          round(col("pvalue"), 6).as("pvalue"))
+        .orderBy(col("user_id"), col("click_ms"), col("event_id"))
+    }),
+
     "approx_quantile_rank" -> ((s, dir) => {
       // percentile_approx (KLL-style mergeable quantile sketch) gated by RANK
       // error: the fraction of rows at or below the approximate p50 must sit
@@ -1022,6 +1050,33 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
         |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "decontaminate_count" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |           i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM tok WHERE len(w) >= 5),
+        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh, unnest(sh.s) AS u(g)
+        |  WHERE sh.doc_id % 97 <> 0 AND u.g IN (SELECT g FROM b))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "asof_within_tolerance" ->
+      """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, MAX(value) AS pvalue
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT c.user_id, c.event_id, c.ts AS cts, p.ts AS pts, p.pvalue
+        |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts)
+        |SELECT user_id, event_id, epoch_ms(cts) AS click_ms,
+        |       CASE WHEN pts >= cts - INTERVAL 6 HOUR THEN epoch_ms(pts) END AS purchase_ms,
+        |       CASE WHEN pts >= cts - INTERVAL 6 HOUR THEN round(pvalue, 6) END AS pvalue
+        |FROM j ORDER BY user_id, click_ms, event_id""".stripMargin,
     "approx_quantile_rank" ->
       """SELECT l_returnflag, true AS rank_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
