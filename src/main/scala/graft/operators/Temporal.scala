@@ -48,25 +48,41 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                rightPayload: Seq[String],
+               asofOut: String): DataFrame =
+    asofJoin(left, right, Seq(key), leftTs, rightTs, rightPayload, asofOut)
+
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightPayload: Seq[String]): DataFrame =
+    asofJoin(left, right, Seq(key), leftTs, rightTs, rightPayload, "asof_ts")
+
+  /** Composite-key variant: `keys` must exist under the same names on both
+    * sides (alias before calling otherwise). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightPayload: Seq[String],
                asofOut: String = "asof_ts"): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
     val leftCols = left.columns.toSeq
-    // right side: key, ts, payload struct; left side: payload nulled
+    val keyCols = keys.zipWithIndex.map { case (k, i) => col(k).as(s"__k$i") }
+    val keyRefs = keys.indices.map(i => col(s"__k$i"))
+    // right side: keys, ts, payload struct; left side: payload nulled
     val payloadStruct = struct(
       (col(rightTs) +: rightPayload.map(col)).map(c => c): _*)
     val rTagged = right.select(
-      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__tag"),
-      payloadStruct.as("__rp"),
-      // left columns, nulled — resolved types via typedLit is impossible
-      // here, so cast null through the left schema below at union time
-      lit(null).as("__lrow"))
+      keyCols ++ Seq(col(rightTs).as("__ts"), lit(0).as("__tag"),
+        payloadStruct.as("__rp"),
+        // left columns, nulled — resolved types via typedLit is impossible
+        // here, so cast null through the left schema below at union time
+        lit(null).as("__lrow")): _*)
     val lTagged = left.select(
-      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__tag"),
-      lit(null).cast(rTagged.schema("__rp").dataType).as("__rp"),
-      struct(leftCols.map(col): _*).as("__lrow"))
+      keyCols ++ Seq(col(leftTs).as("__ts"), lit(1).as("__tag"),
+        lit(null).cast(rTagged.schema("__rp").dataType).as("__rp"),
+        struct(leftCols.map(col): _*).as("__lrow")): _*)
     val unioned = lTagged.unionByName(
-      rTagged.select(col("__k"), col("__ts"), col("__tag"),
-        col("__rp"), lit(null).cast(lTagged.schema("__lrow").dataType).as("__lrow")))
-    val w = Window.partitionBy(col("__k"))
+      rTagged.select(keyRefs ++ Seq(col("__ts"), col("__tag"),
+        col("__rp"), lit(null).cast(lTagged.schema("__lrow").dataType).as("__lrow")): _*))
+    val w = Window.partitionBy(keyRefs: _*)
       .orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned

@@ -63,6 +63,21 @@ class TemporalSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getAs[Double]("v") == 7.0)
   }
 
+  test("asofJoin with a composite key matches per-key independent joins") {
+    import spark.implicits._
+    val l = Seq((1L, "x", "2024-01-01 10:00:00"), (1L, "y", "2024-01-01 10:00:00"))
+      .toDF("u", "d", "ts").select($"u", $"d", to_timestamp($"ts").as("ts"))
+    val r = Seq((1L, "x", "2024-01-01 09:00:00", 1.0),
+      (1L, "y", "2024-01-01 09:30:00", 2.0))
+      .toDF("u", "d", "ts", "v")
+      .select($"u", $"d", to_timestamp($"ts").as("ts"), $"v")
+    val out = Temporal.asofJoin(l, r, Seq("u", "d"), "ts", "ts", Seq("v"))
+      .orderBy($"d").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("v") == 1.0) // (1,x) matched its own stream
+    assert(out(1).getAs[Double]("v") == 2.0) // (1,y) likewise
+  }
+
   test("asofJoinWithin nulls matches older than the tolerance") {
     val l = Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:00:00"))
       .toDF("k", "ts").select(col("k"), to_timestamp(col("ts")).as("ts"))
