@@ -116,6 +116,72 @@ object Dedup {
     out
   }
 
+  /**
+   * Storable LSH band index over a corpus: the slim `(id, band, bh)` rows
+   * [[minHashLsh]] shuffles internally, materialized as a table. Write it
+   * partitioned however the serving layout likes; its size is
+   * |corpus| × bands × ~20 bytes regardless of document length.
+   *
+   * The point is INCREMENTAL dedup: banding a new batch and equi-joining it
+   * against this index finds near-dups of a 100 TB corpus without touching
+   * corpus text again — the daily-ingest shape
+   * ([[nearDupsAgainstIndex]]).
+   */
+  def buildBandIndex(docs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    bandRows(docs, idCol, textCol, shingleN, bands, rowsPerBand)
+
+  /**
+   * Near-dup pairs (new_id, corpus_id, jaccard) between a NEW batch and an
+   * already-indexed corpus. Candidates come from the band equi-join
+   * (new-batch bands × stored index); only candidate ids re-shingle their
+   * text (the batch side fully, the corpus side via a semi-joined slice of
+   * `corpusDocs`) for exact Jaccard verification — corpus-wide shingling
+   * never reruns.
+   */
+  def nearDupsAgainstIndex(newDocs: DataFrame, bandIndex: DataFrame,
+                           corpusDocs: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                           threshold: Double = 0.7): DataFrame = {
+    val newBands = bandRows(newDocs, idCol, textCol, shingleN, bands, rowsPerBand)
+      .withColumnRenamed("id", "new_id")
+    val cand = newBands
+      .join(bandIndex.withColumnRenamed("id", "corpus_id"), Seq("band", "bh"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    def shingled(df: DataFrame, as: String, sh: String) = df
+      .select(col(idCol).as(as),
+        array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as(sh))
+    val corpusSlice = shingled(
+      corpusDocs.join(cand.select(col("corpus_id").as(idCol)).distinct(), idCol),
+      "corpus_id", "shc")
+    cand
+      .join(shingled(newDocs, "nid", "shn"), col("new_id") === col("nid"))
+      .join(corpusSlice, "corpus_id")
+      .withColumn("jaccard", jaccardShingles(col("shn"), col("shc")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Shared banding: docs → slim (id, band, bh) rows. */
+  private def bandRows(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    docs
+      .select(col(idCol).as("id"),
+        array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", TextFunctions.minHashSignature(col("sh"), numHashes))
+      .select(
+        col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+  }
+
   /** Exact Jaccard over two shingle arrays (set semantics). */
   private def jaccardShingles(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
     val ad = array_distinct(a)

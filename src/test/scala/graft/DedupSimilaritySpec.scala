@@ -106,6 +106,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sig(0) == sig(3))
   }
 
+  test("incremental near-dup: new batch vs stored band index, corpus text untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark shuffles and joins"),
+      (3L, "yet another unrelated document describing window functions"))
+      .toDF("doc_id", "text")
+    // build once, roundtrip through parquet (the storable artifact)
+    val dir = java.nio.file.Files.createTempDirectory("bandidx").toString
+    graft.operators.Dedup.buildBandIndex(corpus).write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+
+    val newBatch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+      (11L, "entirely fresh text with no relatives in the corpus at all"))
+      .toDF("doc_id", "text")
+    val hits = graft.operators.Dedup.nearDupsAgainstIndex(
+      newBatch, index, corpus, threshold = 0.5).collect()
+    assert(hits.length == 1)
+    assert(hits(0).getAs[Long]("new_id") == 10L && hits(0).getAs[Long]("corpus_id") == 1L)
+    assert(hits(0).getAs[Double]("jaccard") >= 0.5)
+
+    // batch-internal result parity: indexing a batch against itself finds
+    // the same pairs the one-shot operator does
+    val oneShot = graft.operators.Dedup.minHashLsh(corpus.union(newBatch), threshold = 0.5)
+      .filter(col("a") === 1L && col("b") === 10L).count()
+    assert(oneShot == 1L)
+  }
+
   test("IVF index lifecycle: build -> save -> load -> query == direct ivfTopK") {
     import graft.sources.Tables
     import org.apache.spark.sql.functions.col
