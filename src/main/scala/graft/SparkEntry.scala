@@ -583,6 +583,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "incremental_dedup_recall" -> ((s, dir) => {
+      // new batch = exact copies of every 37th doc (shifted ids); the stored
+      // band index must find EVERY exact cross-pair with jaccard >= 0.95
+      // (identical signatures collide in all bands) — n_exact is the true
+      // DuckDB-checked value, n_missed = 0 gates the index path's recall
+      val corpus = Tables.documents(s, dir)
+      val newBatch = corpus.filter(col("doc_id") % 37 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val idx = Dedup.buildBandIndex(corpus)
+      val found = Dedup.nearDupsAgainstIndex(newBatch, idx, corpus, threshold = 0.95)
+        .select(col("new_id"), col("corpus_id"), lit(1).as("hit"))
+      val sh = (d: DataFrame, id: String, shc: String) => d.select(
+        col("doc_id").as(id),
+        array_distinct(TextFunctions.shingles(col("text"), 3)).as(shc))
+      val exact = sh(newBatch, "na", "sa").crossJoin(sh(corpus, "nb", "sb"))
+        .filter(size(col("sa")) > 0 && size(col("sb")) > 0)
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+        .withColumn("jac", col("inter") /
+          (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
+        .filter(col("jac") >= 0.95)
+        .select(col("na"), col("nb"))
+      exact.join(found,
+        col("na") === col("new_id") && col("nb") === col("corpus_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(when(col("hit").isNull, 1)).as("n_missed"))
+    }),
+
     "decontaminate_count" -> ((s, dir) => {
       // corpus remaining per source after dropping docs sharing any 5-gram
       // with the benchmark slice — the filter a pre-training run applies
@@ -1050,6 +1077,22 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
         |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "incremental_dedup_recall" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> array_to_string(w[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |newb AS (SELECT doc_id + 1000000 AS doc_id, s FROM sh WHERE doc_id % 37 = 0),
+        |p AS (
+        |  SELECT a.doc_id AS na, b.doc_id AS nb,
+        |         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+        |  FROM newb a, sh b)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_missed
+        |FROM p
+        |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.95""".stripMargin,
     "decontaminate_count" ->
       """WITH tok AS (
         |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS w
