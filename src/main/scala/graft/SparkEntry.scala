@@ -38,6 +38,33 @@ object SparkEntry {
   private val ReadingsCte =
     "WITH r AS (SELECT ts, event_type || '_' || lpad(CAST(user_id % 100 AS VARCHAR), 2, '0') AS key, value FROM events)"
 
+  /** Oracle for `geo_history_avg`, built at call time: the query synthesizes
+    * only 10 distinct points (`user_id % 10`), so their precision-6 geohashes
+    * and the bbox cover's prefix ranges are deterministic CONSTANTS — inlined
+    * here as a CASE map + OR-of-ranges. The geohash kernel itself is verified
+    * independently by GeohashSpec golden vectors; this gate checks the
+    * scan/filter/agg semantics end-to-end in DuckDB. */
+  private def geoHistoryAvgOracle: String = {
+    val caseArms = (0 until 10).map { m =>
+      val h = graft.geo.Geohash.encode(-40.0 + m * 8.0, -60.0 + m * 12.0, 6)
+      s"WHEN $m THEN '$h'"
+    }.mkString(" ")
+    val pred = GeoFunctions.coverBoundingBox(30.0, -55.0, -35.0, 40.0).map { p =>
+      GeoFunctions.stringSuccessor(p) match {
+        case Some(su) => s"(key >= '$p' AND key < '$su')"
+        case None     => s"(key >= '$p')"
+      }
+    }.mkString(" OR ")
+    s"""WITH g AS (SELECT ts,
+       |  CASE CAST(user_id % 10 AS INT) $caseArms END AS key, value FROM events)
+       |SELECT date_trunc('hour', ts) AS window_start,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS "avg"
+       |FROM g
+       |WHERE ($pred)
+       |  AND date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-30 00:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Documents ∪ deterministic 75%-token-prefix copies (ids +100000) — the
     * near-dup fixture the dedup demos run on (the raw synthetic docs share
     * no near-dups, so operators would trivially return 0 rows). */
@@ -671,6 +698,67 @@ object SparkEntry {
       exact.join(found, col("a") === col("fa") && col("b") === col("fb"), "left")
         .agg(count(lit(1)).as("n_exact"),
           count(when(col("hit").isNull, 1)).as("n_missed"))
+    }),
+
+    "minhash_lsh_recall" -> ((s, dir) => {
+      // identical normalized text ⇒ identical shingle set ⇒ identical MinHash
+      // signature ⇒ collision in EVERY band ⇒ the pair MUST be found (jaccard
+      // = 1). Expected set = identical-fingerprint pairs with ≥ 3 tokens
+      // (shorter docs have no 3-shingles and are filtered from the LSH input);
+      // n_exact is the DuckDB-checked value, n_missed = 0 gates recall.
+      val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val fixture = corpus.union(
+        corpus.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      val found = Dedup.minHashLsh(fixture, threshold = 0.999)
+        .select(col("a").as("fa"), col("b").as("fb"), lit(1).as("hit"))
+      val fp = fixture
+        .filter(size(TextFunctions.tokens(col("text"))) >= 3)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      val exact = fp.select(col("fp"), col("doc_id").as("a"))
+        .join(fp.select(col("fp"), col("doc_id").as("b")), "fp")
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+      exact.join(found, col("a") === col("fa") && col("b") === col("fb"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(when(col("hit").isNull, 1)).as("n_missed"))
+    }),
+
+    "simhash_recall" -> ((s, dir) => {
+      // identical normalized text ⇒ identical token multiset ⇒ identical
+      // 64-bit simhash ⇒ hamming 0 ⇒ collision in every band; all identical-
+      // fingerprint pairs must surface. No token-count filter: simhash is
+      // defined for every doc.
+      val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val fixture = corpus.union(
+        corpus.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      val found = Dedup.simHashDedup(fixture, maxHamming = 3)
+        .select(col("a").as("fa"), col("b").as("fb"), lit(1).as("hit"))
+      val fp = fixture.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      val exact = fp.select(col("fp"), col("doc_id").as("a"))
+        .join(fp.select(col("fp"), col("doc_id").as("b")), "fp")
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+      exact.join(found, col("a") === col("fa") && col("b") === col("fb"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(when(col("hit").isNull, 1)).as("n_missed"))
+    }),
+
+    "curation_funnel_check" -> ((s, dir) => {
+      // gates the funnel's exactly-oracle-able stages (input count, exact-
+      // dedup survivor count — both plain SQL over the same fixture) plus
+      // monotonicity/nonemptiness of the LSH-dependent later stages (those
+      // counts depend on MinHash banding, so they gate as booleans)
+      val f = Curation.funnel(docsWithNearDups(Tables.documents(s, dir)),
+        Curation.Config(nearDupThreshold = 0.6, minQuality = 0.1))
+      val st = (name: String) => max(when(col("stage") === name, col("n_docs")))
+      f.agg(
+        st("0_input").as("n_input"),
+        st("1_exact_dedup").as("n_exact_kept"),
+        (st("2_near_dedup") <= st("1_exact_dedup")).as("neardup_monotone"),
+        (st("3_quality_lang") <= st("2_near_dedup")).as("quality_monotone"),
+        (st("3_quality_lang") > lit(0L)).as("nonempty"))
     })
   )
 
@@ -717,6 +805,7 @@ object SparkEntry {
          |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS "sum",
          |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS "avg"
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "geo_history_avg" -> geoHistoryAvgOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -1077,6 +1166,38 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
         |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "curation_funnel_check" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1,
+        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+        |  FROM documents)
+        |SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_input,
+        |       CAST((SELECT COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) FROM d) AS BIGINT) AS n_exact_kept,
+        |       true AS neardup_monotone, true AS quality_monotone, true AS nonempty""".stripMargin,
+    "minhash_lsh_recall" ->
+      """WITH f AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 23 = 0),
+        |fp AS (
+        |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM f
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_missed
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+    "simhash_recall" ->
+      """WITH f AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 23 = 0),
+        |fp AS (
+        |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM f)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_missed
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
     "incremental_dedup_recall" ->
       """WITH sh AS (
         |  SELECT doc_id,
