@@ -39,7 +39,14 @@ object Bench {
       s(s.length / 2)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset for focused iteration: comma-separated query names
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate queries from each other's cache residue: clear the SQL cache
       // and nudge the ContextCleaner (localCheckpoint blocks are freed on GC)
       // so each query is measured on its own plan, not a prior query's leak

@@ -624,8 +624,21 @@ object SparkEntry {
       val sh = (d: DataFrame, id: String, shc: String) => d.select(
         col("doc_id").as(id),
         array_distinct(TextFunctions.shingles(col("text"), 3)).as(shc))
-      val exact = sh(newBatch, "na", "sa").crossJoin(sh(corpus, "nb", "sb"))
-        .filter(size(col("sa")) > 0 && size(col("sb")) > 0)
+        .filter(size(col(shc)) > 0)
+      // ground truth WITHOUT a batch×corpus cross join: jaccard ≥ 0.95 > 0
+      // implies ≥ 1 shared shingle, so an inverted-index equi-join generates
+      // every qualifying pair; a size-ratio cull (min/max bounds jaccard)
+      // runs before the exact intersect. Same result set, linear in shared-
+      // shingle collisions instead of quadratic in corpus size.
+      val shn = sh(newBatch, "na", "sa")
+      val shc2 = sh(corpus, "nb", "sb")
+      val candPairs = shn.select(col("na"), explode(col("sa")).as("g"))
+        .join(shc2.select(col("nb"), explode(col("sb")).as("g")), "g")
+        .select(col("na"), col("nb")).distinct()
+      val exact = candPairs
+        .join(shn, "na").join(shc2, "nb")
+        .filter(least(size(col("sa")), size(col("sb"))).cast("double") /
+          greatest(size(col("sa")), size(col("sb"))).cast("double") >= 0.95)
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
         .withColumn("jac", col("inter") /
           (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
