@@ -133,6 +133,20 @@ object Dedup {
     bandRows(docs, idCol, textCol, shingleN, bands, rowsPerBand)
 
   /**
+   * Persist a band index partitioned by `band`: an incremental-dedup probe
+   * joins on `(band, bh)`, so partition pruning cuts the scan to the bands
+   * being probed, and within a band the parquet min/max stats on `bh` skip
+   * row groups. Written sorted by `bh` within each band for that reason.
+   */
+  def saveBandIndex(index: DataFrame, path: String): Unit =
+    index.repartition(col("band")).sortWithinPartitions(col("bh"))
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Read a stored band index back; schema (id, bh, band). */
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /**
    * Near-dup pairs (new_id, corpus_id, jaccard) between a NEW batch and an
    * already-indexed corpus. Candidates come from the band equi-join
    * (new-batch bands × stored index); only candidate ids re-shingle their

@@ -116,8 +116,11 @@ class DedupSimilaritySpec extends SparkSpec {
       .toDF("doc_id", "text")
     // build once, roundtrip through parquet (the storable artifact)
     val dir = java.nio.file.Files.createTempDirectory("bandidx").toString
-    graft.operators.Dedup.buildBandIndex(corpus).write.mode("overwrite").parquet(dir)
-    val index = spark.read.parquet(dir)
+    graft.operators.Dedup.saveBandIndex(graft.operators.Dedup.buildBandIndex(corpus), dir)
+    // stored layout is hive-partitioned by band → probe joins prune partitions
+    val bandDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("band="))
+    assert(bandDirs.length == 8, s"expected 8 band partitions, got ${bandDirs.length}")
+    val index = graft.operators.Dedup.loadBandIndex(spark, dir)
 
     val newBatch = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
