@@ -30,7 +30,15 @@ import graft.operators.QueryBuilders.QueryError
  * Built on the JDK's HttpServer — zero extra dependencies; the serving layer
  * only ever touches already-aggregated, already-small query results.
  */
-class RestServer(view: DataFrame, port: Int = 7070) {
+class RestServer(viewProvider: () => DataFrame, port: Int) {
+
+  /** Static view (batch results, tests): every request sees the same frame. */
+  def this(view: DataFrame, port: Int) = this(() => view, port)
+  def this(view: DataFrame) = this(view, 7070)
+
+  /** Resolved per request — a live provider re-lists the serving table, so
+    * responses track the streaming upsert with no server restart. */
+  private def view: DataFrame = viewProvider()
 
   private var server: HttpServer = _
 
@@ -126,4 +134,17 @@ class RestServer(view: DataFrame, port: Int = 7070) {
     os.write(bytes)
     os.close()
   }
+}
+
+object RestServer {
+  /** Serve the STREAMING pipeline's table live: each request re-reads the
+    * parquet serving table (fresh file listing), so micro-batch upserts are
+    * visible immediately — the Kafka-Streams interactive-query analogue
+    * (reference serves its RocksDB store the same way,
+    * `querying/QueryingService.java:39`). Listing cost per request is
+    * footer/metadata only; fine for an aggregate table, swap in a metastore
+    * table or Delta log at prod scale. */
+  def live(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+           port: Int = 7070): RestServer =
+    new RestServer(() => graft.streaming.StreamingPipeline.servingView(spark, tableDir), port)
 }

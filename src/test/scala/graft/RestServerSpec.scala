@@ -97,28 +97,26 @@ class RestServerSpec extends SparkSpec {
       dir, ckpt, precision = 6, trigger = Trigger.AvailableNow())
     q.processAllAvailable(); q.stop()
 
-    // serve the freshly written table over HTTP (the reference's REST layer
-    // reading the materialized view the stream maintains)
-    val srv1 = new RestServer(StreamingPipeline.servingView(spark, dir), port = 0)
-    val p1 = srv1.start()
+    // ONE live server across the whole test: every request re-reads the
+    // serving table, so the stream's upserts are visible with no restart
+    // (Kafka-Streams interactive-query behavior)
+    val srv = RestServer.live(spark, dir, port = 0)
+    val port = srv.start()
     try {
-      val (code, body) = get(s"http://localhost:$p1/api/temperature/aggregate/avg/history" +
-        s"?geohashes=u155&from=$H0&to=${H0 + 86400000}")
+      val url = s"http://localhost:$port/api/temperature/aggregate/avg/history" +
+        s"?geohashes=u155&from=$H0&to=${H0 + 86400000}"
+      val (code, body) = get(url)
       assert(code == 200 && body.contains(s"[[$H0,20.0]]"))
-    } finally srv1.stop()
 
-    // late reading revises hour 0; restart stream from the same checkpoint
-    mem.addData(json(H0 + 180000, "u155mz82zzzz", 50.0))
-    val q2 = StreamingPipeline.start(mem.toDF().withColumnRenamed("value", "json"),
-      dir, ckpt, precision = 6, trigger = Trigger.AvailableNow())
-    q2.processAllAvailable(); q2.stop()
+      // late reading revises hour 0; restart stream from the same checkpoint
+      mem.addData(json(H0 + 180000, "u155mz82zzzz", 50.0))
+      val q2 = StreamingPipeline.start(mem.toDF().withColumnRenamed("value", "json"),
+        dir, ckpt, precision = 6, trigger = Trigger.AvailableNow())
+      q2.processAllAvailable(); q2.stop()
 
-    val srv2 = new RestServer(StreamingPipeline.servingView(spark, dir), port = 0)
-    val p2 = srv2.start()
-    try {
-      val (code, body) = get(s"http://localhost:$p2/api/temperature/aggregate/avg/history" +
-        s"?geohashes=u155&from=$H0&to=${H0 + 86400000}")
-      assert(code == 200 && body.contains(s"[[$H0,30.0]]"), body) // (10+30+50)/3
-    } finally srv2.stop()
+      // SAME server instance now serves the revised cell
+      val (code2, body2) = get(url)
+      assert(code2 == 200 && body2.contains(s"[[$H0,30.0]]"), body2) // (10+30+50)/3
+    } finally srv.stop()
   }
 }
