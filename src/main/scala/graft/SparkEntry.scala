@@ -758,6 +758,31 @@ object SparkEntry {
           count(when(col("hit").isNull, 1)).as("n_missed"))
     }),
 
+    "chunk_documents" -> ((s, dir) => {
+      // sliding token-window chunking (64-token chunks, 16 overlap): chunk
+      // boundaries AND per-chunk content digests hash-checked against DuckDB
+      Curation.chunkDocuments(Tables.documents(s, dir), chunkTokens = 64, overlapTokens = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "quantize_embeddings" -> ((s, dir) => {
+      // SQ8 per-vector affine quantization: min/scale exactly oracle-checked
+      // (float→double casts are exact); recon_ok bounds every dimension's
+      // reconstruction error by half a quantization step
+      val e = Tables.embeddings(s, dir)
+      val q = Quantization.quantizeSQ8(e)
+      e.join(q, "vec_id")
+        .select(
+          col("vec_id"),
+          col("q_min"),
+          col("q_scale"),
+          size(col("codes")).cast("long").as("n_dims"),
+          (Quantization.reconstructionError(
+            col("embedding"), col("codes"), col("q_min"), col("q_scale")) <=
+            col("q_scale") / 2 + lit(1e-9)).as("recon_ok"))
+        .orderBy(col("vec_id"))
+    }),
+
     "curation_funnel_check" -> ((s, dir) => {
       // gates the funnel's exactly-oracle-able stages (input count, exact-
       // dedup survivor count — both plain SQL over the same fixture) plus
@@ -1179,6 +1204,29 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
         |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |k AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |         greatest((len(w) - 16 + 47) // 48, 1) AS nk
+        |  FROM t),
+        |c AS (SELECT doc_id, w, n, unnest(range(0, nk)) AS chunk_id FROM k)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(chunk_id * 48 AS BIGINT) AS tok_start,
+        |       CAST(least(64, n - chunk_id * 48) AS BIGINT) AS chunk_tokens,
+        |       md5(array_to_string(list_slice(w, CAST(chunk_id * 48 + 1 AS INT),
+        |         CAST(chunk_id * 48 + least(64, n - chunk_id * 48) AS INT)), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "quantize_embeddings" ->
+      """SELECT vec_id,
+        |       CAST(list_min(embedding) AS DOUBLE) AS q_min,
+        |       CASE WHEN list_max(embedding) > list_min(embedding)
+        |            THEN (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+        |            ELSE 0.0 END AS q_scale,
+        |       CAST(len(embedding) AS BIGINT) AS n_dims,
+        |       true AS recon_ok
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "curation_funnel_check" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents

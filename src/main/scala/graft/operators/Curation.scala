@@ -164,6 +164,38 @@ object Curation {
       .withColumnRenamed("_tokens", "n_tokens")
 
   /**
+   * Sliding token-window chunking: split each document into chunks of
+   * `chunkTokens` whitespace tokens, consecutive chunks overlapping by
+   * `overlapTokens` (stride = chunk − overlap). Chunk starts are
+   * `i × stride` for `i < ceil((n − overlap) / stride)` — every chunk
+   * contributes ≥ 1 new token, the last chunk may be short, and any
+   * non-empty document yields at least one chunk.
+   *
+   * Pure per-row arithmetic + one explode: narrow, no shuffle, trivially
+   * parallel at any scale — and exactly reproducible in ANSI SQL, so the
+   * gate (`chunk_documents`) hash-checks chunk boundaries AND content
+   * digests against DuckDB.
+   */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      s"need chunkTokens > overlapTokens >= 0, got $chunkTokens/$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .withColumn("_toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("_n", size(col("_toks")))
+      .withColumn("_k", greatest(
+        expr(s"(_n - $overlapTokens + $stride - 1) div $stride"), lit(1)).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("_k") - 1)))
+      .withColumn("tok_start", col("chunk_id") * stride)
+      .withColumn("chunk_tokens", least(lit(chunkTokens.toLong), col("_n") - col("tok_start")))
+      .withColumn("chunk_md5", md5(concat_ws(" ",
+        slice(col("_toks"), (col("tok_start") + 1).cast("int"), col("chunk_tokens").cast("int")))))
+      .select(col(idCol), col("chunk_id"), col("tok_start"),
+        col("chunk_tokens"), col("chunk_md5"))
+  }
+
+  /**
    * Exact-fraction stratified sample: per stratum, keep the first
    * `ceil(fraction × stratum size)` documents in deterministic md5-of-id
    * order. Reproducible across runs/partitionings (no `rand()`), and the

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scalar (SQ8) embedding quantization: per-vector min/max affine map to
+ * 8-bit codes. At 100 TB of embeddings this is the difference between an
+ * ANN corpus that fits executor memory and one that doesn't — 4× smaller
+ * than float32 with a per-dimension reconstruction error bounded by half a
+ * quantization step (`(max−min)/2·255`), which preserves cosine top-k
+ * ordering for all but adversarially-close neighbors (re-rank survivors
+ * against the float column when exactness matters).
+ *
+ * All column math uses built-in higher-order functions (codegen'd, no UDF);
+ * this is a one-shot transformation pass, not a hot inner loop. Codes are
+ * stored as `array<smallint>` (parquet has no unsigned byte; 0..255 fits).
+ *
+ * The gate (`quantize_embeddings`) emits the exactly-SQL-checkable per-vector
+ * min/max plus a `recon_ok` boolean asserting every dimension reconstructs
+ * within half a step — a broken scale or rounding flips the hash.
+ */
+object Quantization {
+
+  /** (vec_id, codes: array<smallint>, q_min: double, q_scale: double). */
+  def quantizeSQ8(embs: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val mn = array_min(v).cast("double")
+    val mx = array_max(v).cast("double")
+    // degenerate constant vector → scale 0; codes all 0, dequant returns mn
+    val scale = when(mx > mn, (mx - mn) / lit(255.0)).otherwise(lit(0.0))
+    embs.select(
+      col(idCol),
+      col(vecCol),
+      mn.as("q_min"),
+      scale.as("q_scale"))
+      .withColumn("codes", transform(col(vecCol), x =>
+        when(col("q_scale") === 0.0, lit(0))
+          .otherwise(round((x.cast("double") - col("q_min")) / col("q_scale")))
+          .cast("smallint")))
+      .select(col(idCol), col("codes"), col("q_min"), col("q_scale"))
+  }
+
+  /** Reconstruct doubles from codes: `q_min + code × q_scale`. */
+  def dequantize(codes: Column, qMin: Column, qScale: Column): Column =
+    transform(codes, c => qMin + c.cast("double") * qScale)
+
+  /** Max per-dimension |original − reconstructed| for a quantized row joined
+    * back to its float vector — the audit column the gate bounds. */
+  def reconstructionError(vec: Column, codes: Column, qMin: Column, qScale: Column): Column =
+    aggregate(
+      zip_with(vec, dequantize(codes, qMin, qScale),
+        (x, d) => abs(x.cast("double") - d)),
+      lit(0.0), (acc, e) => greatest(acc, e))
+}

@@ -75,6 +75,51 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("top_word_frac") < 0.2)
   }
 
+  test("chunkDocuments: boundaries, overlap, short docs, digests") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "solo"),                           // 1 token < overlap
+      (3L, "a b c d"))                        // exactly one chunk
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, chunkTokens = 4, overlapTokens = 1)
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+    // doc 1: stride 3, nk = ceil((10-1)/3) = 3 → starts 0,3,6
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)))
+    // every chunk contributes >= 1 new token; last chunk reaches the end
+    // docs 2, 3: exactly one chunk each, full short length
+    assert(out.filter(_.getLong(0) == 2L).map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 1L)))
+    assert(out.filter(_.getLong(0) == 3L).map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 4L)))
+    // digest is the md5 of the joined token slice
+    val c0 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 1L).get
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("t3 t4 t5 t6".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(c0.getString(4) == expect)
+  }
+
+  test("quantizeSQ8 roundtrip error bounded by half a step; constant vectors exact") {
+    import graft.operators.Quantization
+    val embs = Seq(
+      (1L, Array(0.1f, 0.9f, -0.5f, 0.3f)),
+      (2L, Array(2.0f, 2.0f, 2.0f, 2.0f))) // constant → scale 0
+      .toDF("vec_id", "embedding")
+    val q = Quantization.quantizeSQ8(embs)
+    val joined = embs.join(q, "vec_id").select(
+      col("vec_id"), col("q_scale"),
+      Quantization.reconstructionError(
+        col("embedding"), col("codes"), col("q_min"), col("q_scale")).as("err"))
+      .orderBy(col("vec_id")).collect()
+    assert(joined(0).getDouble(2) <= joined(0).getDouble(1) / 2 + 1e-9)
+    assert(joined(1).getDouble(1) == 0.0 && joined(1).getDouble(2) == 0.0)
+    // codes stay in the unsigned-byte range
+    val codes = q.select(explode(col("codes"))).collect().map(_.getShort(0))
+    assert(codes.forall(c => c >= 0 && c <= 255))
+  }
+
   test("contamination finds planted overlap and nothing else") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val train = Seq(
