@@ -758,6 +758,19 @@ object SparkEntry {
           count(when(col("hit").isNull, 1)).as("n_missed"))
     }),
 
+    "dup_clusters" -> ((s, dir) => {
+      // connected components over the DETERMINISTIC exact-Jaccard pair set
+      // (same edges as ngram_jaccard_pairs, oracle-matched), checked against
+      // a DuckDB recursive-CTE transitive closure: every doc labeled with
+      // the min id reachable through near-dup edges
+      val pairs = Dedup.ngramJaccardPairs(
+        docsWithNearDups(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)),
+        threshold = 0.5)
+      Dedup.dupClusters(pairs)
+        .select(col("id"), col("cluster_rep"))
+        .orderBy(col("id"))
+    }),
+
     "chunk_documents" -> ((s, dir) => {
       // sliding token-window chunking (64-token chunks, 16 overlap): chunk
       // boundaries AND per-chunk content digests hash-checked against DuckDB
@@ -1204,6 +1217,33 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
         |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "dup_clusters" ->
+      """WITH RECURSIVE src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |d0 AS (
+        |  SELECT doc_id, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1,
+        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+        |  FROM src),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+        |           i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM d0
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b)
+        |SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "chunk_documents" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

@@ -196,6 +196,48 @@ object Dedup {
       .select(col("id"), col("bb.band"), col("bb.bh"))
   }
 
+  /**
+   * Connected components over near-dup pairs: iterative min-label
+   * propagation ("hash-to-min"). Single-pass drop-the-b-side (what
+   * [[graft.operators.Curation.curate]] uses) over-keeps when duplicates
+   * chain (a~b, b~c, a≁c keeps a AND drops b,c only if both pairs
+   * surface); clustering assigns every document of a transitive dup group
+   * to the group's min id, so exactly one representative per group
+   * survives.
+   *
+   * Each iteration is one hash-join + min-aggregate (both shuffle on id) and
+   * converges in O(component diameter) rounds — near-dup clusters are
+   * shallow (boilerplate stars, version chains), so typically < 10. Lineage
+   * is cut per round (`localCheckpoint`; swap for reliable checkpoint on a
+   * cluster) — without the cut, iteration i replays all i−1 predecessors.
+   *
+   * Returns (id, cluster_rep = min id reachable). Singletons (ids not in any
+   * pair) are absent — callers treat missing as self-cluster.
+   */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_rep")
+  }
+
   /** Exact Jaccard over two shingle arrays (set semantics). */
   private def jaccardShingles(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
     val ad = array_distinct(a)

@@ -139,6 +139,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(oneShot == 1L)
   }
 
+  test("dupClusters: transitive chains collapse to the min id") {
+    import org.apache.spark.sql.functions.col
+    // chain 1-2-3-4 (diameter 3), pair 10-11, star 20-{21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("a", "b")
+    val out = graft.operators.Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("IVF index lifecycle: build -> save -> load -> query == direct ivfTopK") {
     import graft.sources.Tables
     import org.apache.spark.sql.functions.col
