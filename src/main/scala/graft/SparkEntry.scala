@@ -758,6 +758,21 @@ object SparkEntry {
           count(when(col("hit").isNull, 1)).as("n_missed"))
     }),
 
+    "ann_sq8_recall" -> ((s, dir) => {
+      // recall@5 of the SQ8-quantized brute-force path vs the float baseline:
+      // reconstruction error ≤ half a step per dim keeps top-k near-exact on
+      // random embeddings; 0.8 sits far below measured, far above a collapse
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5).select(col("qid"), col("cid"))
+      val sq8 = Similarity.quantizedTopK(Quantization.quantizeSQ8(e), q, k = 5)
+        .select(col("qid").as("q2"), col("cid").as("c2"))
+      brute.join(sq8, col("qid") === col("q2") && col("cid") === col("c2"), "left")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          (count(col("c2")).cast("double") / count(lit(1))).as("recall"))
+        .select(col("n_queries"), (col("recall") >= 0.8).as("recall_ok"))
+    }),
+
     "dup_clusters" -> ((s, dir) => {
       // connected components over the DETERMINISTIC exact-Jaccard pair set
       // (same edges as ngram_jaccard_pairs, oracle-matched), checked against
@@ -1217,6 +1232,9 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
         |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "ann_sq8_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "dup_clusters" ->
       """WITH RECURSIVE src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
         |d0 AS (

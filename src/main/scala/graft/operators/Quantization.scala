@@ -46,6 +46,12 @@ object Quantization {
   def dequantize(codes: Column, qMin: Column, qScale: Column): Column =
     transform(codes, c => qMin + c.cast("double") * qScale)
 
+  /** Reconstruct as `array<float>` — the element type the native
+    * `vec_dot`/`vec_cosine` Catalyst expressions read in place, so a
+    * quantized corpus scores through the same codegen'd path as floats. */
+  def dequantizeF(codes: Column, qMin: Column, qScale: Column): Column =
+    transform(codes, c => (qMin + c.cast("double") * qScale).cast("float"))
+
   /** Max per-dimension |original − reconstructed| for a quantized row joined
     * back to its float vector — the audit column the gate bounds. */
   def reconstructionError(vec: Column, codes: Column, qMin: Column, qScale: Column): Column =

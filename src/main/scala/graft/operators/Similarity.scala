@@ -45,6 +45,30 @@ object Similarity {
   }
 
   /**
+   * Exact-shape top-k over an SQ8-QUANTIZED corpus ([[Quantization]]): the
+   * scan carries int8 codes (4× fewer bytes than float32 — at 100 TB of
+   * embeddings this is what keeps the corpus executor-resident), scoring
+   * cosine over the per-vector affine reconstruction through the same
+   * codegen'd vector expressions as the float path. Ranking error is
+   * bounded by the reconstruction error (≤ half a quantization step per
+   * dimension); gate `ann_sq8_recall` holds recall@5 vs the float baseline.
+   */
+  def quantizedTopK(corpusQ: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpusQ.select(col(idCol).as("cid"),
+      Quantization.dequantizeF(col("codes"), col("q_min"), col("q_scale")).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+  }
+
+  /**
    * Approximate top-k via signed-random-projection buckets: candidates =
    * corpus vectors sharing the query's SRP bucket under any of `probes`
    * independent hash tables; exact cosine re-rank within candidates.
