@@ -758,6 +758,18 @@ object SparkEntry {
           count(when(col("hit").isNull, 1)).as("n_missed"))
     }),
 
+    "multimodal_frame_sample" -> ((s, dir) => {
+      // frame-index sampling is pure metadata arithmetic → exactly
+      // oracle-able even though frame DECODE sits behind the labeled stub
+      val m = Multimodal.syntheticMedia(Tables.documents(s, dir))
+      Multimodal.sampleFrames(m, stride = 4)
+        .select(col("media_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          size(col("frame_idx")).cast("long").as("n_sampled"),
+          concat_ws(",", col("frame_idx")).as("frames"))
+        .orderBy(col("media_id"))
+    }),
+
     "ann_sq8_recall" -> ((s, dir) => {
       // recall@5 of the SQ8-quantized brute-force path vs the float baseline:
       // reconstruction error ≤ half a step per dim keeps top-k near-exact on
@@ -1232,6 +1244,12 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
         |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(n_chars % 100 AS BIGINT) AS n_frames,
+        |       CAST(coalesce(len(range(0, n_chars % 100, 4)), 0) AS BIGINT) AS n_sampled,
+        |       coalesce(array_to_string(range(0, n_chars % 100, 4), ','), '') AS frames
+        |FROM documents ORDER BY media_id""".stripMargin,
     "ann_sq8_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,

@@ -97,6 +97,31 @@ object Multimodal {
         sequence(lit(0), col("n_frames") - 1, lit(stride)))
         .otherwise(array().cast("array<int>")).as("frame_idx"))
 
+  /**
+   * "Resize" for image-kind records: deterministic payload decimation
+   * (every `factor`-th byte) with scaled dimensions — the real resample
+   * kernel sits behind the decode stub like [[FakeDecoder.decode]]; the
+   * plumbing (binary in/binary out, metadata update, streaming
+   * per-partition batching) is the production shape. Non-image records pass
+   * through untouched.
+   */
+  def resize(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.kind != "image" || factor == 1) r
+        else {
+          val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+          r.copy(payload = out, width = r.width / factor, height = r.height / factor)
+        }
+      }
+    }
+  }
+
   /** Partition-friendly write shape: media tables should be written
     * partitioned by kind and bucketed by id at scale. */
   def repartitionForWrite(media: Dataset[MediaRecord], n: Int): DataFrame =

@@ -21,6 +21,23 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.checksum).sorted.toSeq == again.map(_.checksum).sorted.toSeq)
   }
 
+  test("resize decimates image payloads and scales dims; other kinds pass through") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, Sf))
+    val before = media.collect().map(r => r.media_id -> r).toMap
+    val after = Multimodal.resize(media, factor = 4).collect()
+    after.foreach { r =>
+      val b = before(r.media_id)
+      if (b.kind == "image") {
+        assert(r.payload.length == (b.payload.length + 3) / 4)
+        assert(r.width == b.width / 4 && r.height == b.height / 4)
+        // decimation keeps every 4th byte, starting at 0
+        assert(r.payload.indices.forall(i => r.payload(i) == b.payload(i * 4)))
+      } else {
+        assert(r.payload.sameElements(b.payload) && r.width == b.width)
+      }
+    }
+  }
+
   test("frame sampling yields stride-spaced indices within n_frames") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, Sf))
     val rows = Multimodal.sampleFrames(media, stride = 7).collect()
