@@ -758,6 +758,25 @@ object SparkEntry {
           count(when(col("hit").isNull, 1)).as("n_missed"))
     }),
 
+    "decontaminate_bloom" -> ((s, dir) => {
+      // Bloom decontamination is shuffle-free (broadcast filter in the scan);
+      // its guarantee is NO false negatives: every doc the exact inverted-
+      // index path flags must be dropped by the Bloom path too. FPs only
+      // over-drop clean docs (≤ fpp), which this gate tolerates by design.
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val keptBloom = TextAnalysis.decontaminateBloom(train, bench, shingleN = 5)
+        .select(col("doc_id").as("bk"))
+      val keptExact = TextAnalysis.decontaminate(train, bench, shingleN = 5)
+        .select(col("doc_id").as("ek"))
+      val contaminated = train.select(col("doc_id"))
+        .join(keptExact, col("doc_id") === col("ek"), "left_anti")
+      contaminated.join(keptBloom, col("doc_id") === col("bk"), "left")
+        .agg(count(lit(1)).as("n_contaminated"),
+          count(col("bk")).as("n_contaminated_kept"))
+    }),
+
     "multimodal_frame_sample" -> ((s, dir) => {
       // frame-index sampling is pure metadata arithmetic → exactly
       // oracle-able even though frame DECODE sits behind the labeled stub
@@ -1244,6 +1263,20 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
         |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "decontaminate_bloom" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |           i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM tok WHERE len(w) >= 5),
+        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh, unnest(sh.s) AS u(g)
+        |  WHERE sh.doc_id % 97 <> 0 AND u.g IN (SELECT g FROM b))
+        |SELECT CAST((SELECT COUNT(*) FROM flagged) AS BIGINT) AS n_contaminated,
+        |       CAST(0 AS BIGINT) AS n_contaminated_kept""".stripMargin,
     "multimodal_frame_sample" ->
       """SELECT doc_id AS media_id,
         |       CAST(n_chars % 100 AS BIGINT) AS n_frames,

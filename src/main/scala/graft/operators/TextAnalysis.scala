@@ -101,6 +101,38 @@ object TextAnalysis {
   }
 
   /**
+   * Shuffle-FREE decontamination via a broadcast Bloom filter: build one
+   * Bloom filter over the benchmark's distinct `n`-grams (driver-side —
+   * real benchmark suites are KB–MB of n-grams, bounded by construction),
+   * broadcast it, and drop any training document whose shingles hit it.
+   *
+   * vs [[decontaminate]]'s exact inverted-index join: the training corpus
+   * never shuffles at all — the membership test runs inside the scan, so
+   * 100 TB decontaminates at full scan speed. Bloom semantics are exactly
+   * the safe direction for this job: NO false negatives (every truly
+   * contaminated doc IS dropped — gated), false positives over-drop clean
+   * docs at ≤ `fpp` (the cheap error: lose a sliver of clean data, never
+   * keep leaked eval data).
+   *
+   * The membership probe is a UDF by necessity — no built-in expression
+   * tests a `util.sketch.BloomFilter` — with early-exit on first hit.
+   */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame, shingleN: Int,
+                         fpp: Double = 0.01,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = benchmark
+      .select(explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN))).as("g"))
+      .distinct()
+    val n = grams.count()
+    val bf = grams.stat.bloomFilter("g", math.max(n, 1L), fpp)
+    val bfB = train.sparkSession.sparkContext.broadcast(bf)
+    val anyHit = udf { shs: Seq[String] =>
+      shs != null && shs.exists(s => bfB.value.mightContainString(s))
+    }
+    train.filter(!anyHit(array_distinct(TextFunctions.shingles(col(textCol), shingleN))))
+  }
+
+  /**
    * Intra-document repetition metrics (Gopher-style quality signals,
    * Rae et al. 2021 §A1.1): token count, distinct-token ratio, and the mass
    * fraction of the most frequent word / bigram. High top-fraction or low

@@ -133,5 +133,11 @@ class CurationOpsSpec extends SparkSpec {
     val clean = TextAnalysis.decontaminate(train, bench, shingleN = 5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(clean == Set(2L)) // the contaminated doc is gone, the clean one kept
+
+    // Bloom path: same drop guarantee (no false negatives), shuffle-free
+    val bloomKept = TextAnalysis.decontaminateBloom(train, bench, shingleN = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!bloomKept.contains(1L))       // contaminated MUST go
+    assert(bloomKept.subsetOf(clean))     // FPs only shrink the kept set
   }
 }
