@@ -113,4 +113,28 @@ class PlanSpec extends SparkSpec {
       Tables.documents(spark, Sf), "source", Map("src0" -> 0.5), 0.125))
     assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1, plan)
   }
+
+  test("document chunking is shuffle-free (narrow map + explode)") {
+    val plan = formattedPlan(graft.operators.Curation.chunkDocuments(
+      Tables.documents(spark, Sf), chunkTokens = 64, overlapTokens = 16))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("SQ8 quantization is shuffle-free and UDF-free (codegen'd HOFs)") {
+    val plan = formattedPlan(graft.operators.Quantization.quantizeSQ8(
+      Tables.embeddings(spark, Sf)))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("Bloom decontamination never shuffles the training corpus") {
+    val docs = Tables.documents(spark, Sf)
+    val plan = formattedPlan(graft.operators.TextAnalysis.decontaminateBloom(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0),
+      shingleN = 5))
+    // the filter applies inside the scan stage: no Exchange anywhere in the
+    // kept-side plan (the benchmark grams were collapsed into the broadcast
+    // Bloom filter before this plan exists)
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
