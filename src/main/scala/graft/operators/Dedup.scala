@@ -219,6 +219,10 @@ object Dedup {
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    // convergence witness: labels only ever DECREASE, so the label sum
+    // strictly drops until fixpoint — one scalar agg per round replaces a
+    // join-and-diff check
+    var labelSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -229,10 +233,10 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint()
-      val changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
       labels = next
-      converged = changed == 0
+      converged = nextSum == labelSum
+      labelSum = nextSum
       i += 1
     }
     labels.withColumnRenamed("label", "cluster_rep")
