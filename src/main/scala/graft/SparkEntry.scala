@@ -758,6 +758,35 @@ object SparkEntry {
           count(when(col("hit").isNull, 1)).as("n_missed"))
     }),
 
+    "streaming_heavy_hitters" -> ((s, dir) => {
+      // the STREAMING sketch path gated against plain SQL: 40 distinct keys
+      // under capacity 64 keep SpaceSaving exact (no evictions, merges
+      // included), so the windowed top-k emitted after two real micro-batches
+      // must hash-match DuckDB's exact per-window counts
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = Tables.events(s, dir)
+        .filter(col("event_id") % 50 === 0)
+        .select(col("ts"), concat(lit("k_"), col("event_id") % 40).as("k"))
+        .as[(java.sql.Timestamp, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String)]
+      val out = graft.streaming.StreamingHeavyHitters.windowedTopK(
+        mem.toDF().toDF("ts", "k"), col("k"), "1 hour", capacity = 64)
+      val name = "shh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .select(col("window_start"), explode(col("topk")).as("e"))
+        .select(col("window_start"), col("e.item").as("item"),
+          col("e.count_min").as("cnt"))
+        .orderBy(col("window_start"), col("item"))
+    }),
+
     "decontaminate_bloom" -> ((s, dir) => {
       // Bloom decontamination is shuffle-free (broadcast filter in the scan);
       // its guarantee is NO false negatives: every doc the exact inverted-
@@ -1263,6 +1292,12 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
         |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "streaming_heavy_hitters" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS ws, 'k_' || (event_id % 40) AS item
+        |  FROM events WHERE event_id % 50 = 0)
+        |SELECT ws AS window_start, item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "decontaminate_bloom" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
