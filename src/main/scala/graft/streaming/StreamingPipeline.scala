@@ -262,4 +262,42 @@ object StreamingPipeline {
     * REST layer reads; feeds [[graft.operators.QueryBuilders]]). */
   def servingView(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(tableDir)
+
+  /**
+   * Compact the serving table's day partitions: rewrite each listed day (or
+   * every day) into `filesPerDay` files through the SAME stage → intent →
+   * atomic-rename protocol as [[upsertBatch]], so a crash mid-compaction
+   * never loses a row ([[recover]] completes it). Small-file pressure is the
+   * chronic failure mode of any micro-batch-maintained table — every
+   * trigger's writer task count becomes a file count; at 100 TB the reader's
+   * footer-open cost dominates scans unless something re-coalesces. Run this
+   * out-of-band (it contends only for the days it swaps, and the swap is the
+   * same atomic rename readers already tolerate).
+   */
+  def compact(spark: SparkSession, tableDir: String,
+              days: Seq[String] = Nil, filesPerDay: Int = 1): Unit = {
+    val hfs = fileSystem(spark, tableDir)
+    recover(spark, tableDir)
+    val targetDays =
+      if (days.nonEmpty) days.sorted
+      else hfs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+        .map(_.getPath.getName).filter(_.startsWith("window_day="))
+        .map(_.stripPrefix("window_day=")).sorted.toIndexedSeq
+    if (targetDays.nonEmpty) {
+      val staging = stagingPath(tableDir)
+      if (hfs.exists(staging)) hfs.delete(staging, true)
+      // deterministic salt (no rand(): retry-safe) spreads each day across
+      // exactly filesPerDay writer partitions
+      spark.read.parquet(tableDir)
+        .filter(col("window_day").isin(targetDays: _*))
+        .withColumn("_salt", pmod(hash(col("key"), col("window_start")), lit(filesPerDay)))
+        .repartition(targetDays.length * filesPerDay, col("window_day"), col("_salt"))
+        .drop("_salt")
+        .write.mode("overwrite").partitionBy("window_day").parquet(staging.toString)
+      writeIntent(hfs, tableDir, targetDays)
+      swapDays(hfs, tableDir, targetDays)
+      hfs.delete(intentPath(tableDir), false)
+      hfs.delete(staging, true)
+    }
+  }
 }

@@ -212,4 +212,33 @@ class StreamingSpec extends SparkSpec {
     assert(t3(1).getAs[Long]("count") == 4L)
     assert(t3(2).getAs[Long]("count") == 6L)
   }
+
+  test("compact coalesces day partitions atomically without changing content") {
+    val dir = Files.createTempDirectory("serve4").toString
+    // several upserts → several files per day partition
+    StreamingPipeline.upsertBatch(cell("u155mz", "2024-01-01 00:00:00", 2L, 40.0), dir)
+    StreamingPipeline.upsertBatch(cell("u14fzp", "2024-01-01 01:00:00", 1L, 7.0), dir)
+    StreamingPipeline.upsertBatch(cell("u15xyz", "2024-01-02 00:00:00", 3L, 9.0), dir)
+    val before = StreamingPipeline.servingView(spark, dir)
+      .orderBy($"key", $"window_start").collect()
+    def filesIn(day: String) =
+      new java.io.File(dir, s"window_day=$day").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    assert(filesIn("2024-01-01") >= 1 && filesIn("2024-01-02") >= 1)
+
+    StreamingPipeline.compact(spark, dir)
+    assert(filesIn("2024-01-01") == 1 && filesIn("2024-01-02") == 1)
+    val after = StreamingPipeline.servingView(spark, dir)
+      .orderBy($"key", $"window_start").collect()
+    assert(after.toSeq == before.toSeq, "compaction must be content-neutral")
+    // protocol artifacts are gone
+    assert(!new java.io.File(dir, "_staging").exists())
+    assert(!new java.io.File(dir, "_upsert_intent").exists())
+
+    // crash window: intent present but swap unfinished → recover() completes
+    StreamingPipeline.upsertBatch(cell("u155mz", "2024-01-01 00:00:00", 5L, 50.0), dir)
+    val again = StreamingPipeline.servingView(spark, dir)
+      .orderBy($"key", $"window_start").collect()
+    assert(again.length == 3 && again(1).getAs[Long]("count") == 5L)
+  }
 }
