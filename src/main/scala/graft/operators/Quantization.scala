@@ -52,6 +52,21 @@ object Quantization {
   def dequantizeF(codes: Column, qMin: Column, qScale: Column): Column =
     transform(codes, c => (qMin + c.cast("double") * qScale).cast("float"))
 
+  /**
+   * Persist the quantized corpus as the servable ANN artifact (codes +
+   * per-vector affine params) sorted by id within files — at 100 TB this
+   * table IS the search corpus; the float column stays in cold storage for
+   * re-rank joins only.
+   */
+  def saveQuantized(quantized: DataFrame, path: String,
+                    idCol: String = "vec_id"): Unit =
+    quantized.sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a stored quantized corpus back; schema (id, codes, q_min, q_scale). */
+  def loadQuantized(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Max per-dimension |original − reconstructed| for a quantized row joined
     * back to its float vector — the audit column the gate bounds. */
   def reconstructionError(vec: Column, codes: Column, qMin: Column, qScale: Column): Column =

@@ -118,6 +118,19 @@ class CurationOpsSpec extends SparkSpec {
     // codes stay in the unsigned-byte range
     val codes = q.select(explode(col("codes"))).collect().map(_.getShort(0))
     assert(codes.forall(c => c >= 0 && c <= 255))
+
+    // artifact lifecycle: save -> load -> identical quantized rows
+    val dir = java.nio.file.Files.createTempDirectory("sq8").toString
+    Quantization.saveQuantized(q, dir)
+    val loaded = Quantization.loadQuantized(spark, dir)
+      .orderBy(col("vec_id")).collect()
+    val orig = q.orderBy(col("vec_id")).collect()
+    assert(loaded.length == orig.length)
+    loaded.zip(orig).foreach { case (l, o) =>
+      assert(l.getLong(0) == o.getLong(0))
+      assert(l.getSeq[Short](1) == o.getSeq[Short](1))
+      assert(l.getDouble(2) == o.getDouble(2) && l.getDouble(3) == o.getDouble(3))
+    }
   }
 
   test("contamination finds planted overlap and nothing else") {
