@@ -41,4 +41,15 @@ object StreamJoins {
       "inner")
       .select(l("key"), col("ts"), col("value"), col("ts2"), col("value2"))
   }
+
+  /**
+   * Stream-static dimension enrichment: join the stream against a small
+   * batch dimension with an explicit `broadcast()` — STATELESS (no state
+   * store at all: the dimension ships to every task, nothing is buffered),
+   * which is why it's the right join for slowly-changing reference data at
+   * any stream volume. The static side re-resolves per micro-batch, so a
+   * dimension refreshed in place is picked up without restarting the query.
+   */
+  def enrichStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

@@ -35,6 +35,28 @@ class StreamJoinsSpec extends SparkSpec {
     assert(out == Set(("u155mz", 21.5, 0.61)))
   }
 
+  test("stream-static broadcast enrichment is stateless and tracks dim updates") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[JoinReading]
+    val dimPath = java.nio.file.Files.createTempDirectory("dim").toString
+    Seq(("u155mz", "antwerp")).toDF("key", "city")
+      .write.mode("overwrite").parquet(dimPath)
+    val joined = StreamJoins.enrichStatic(
+      stream.toDF(), spark.read.parquet(dimPath), "key")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("static_out").start()
+
+    stream.addData(r(0, "u155mz", 21.5), r(1, "u14fzp", 18.0))
+    q.processAllAvailable()
+    val out1 = spark.table("static_out").select($"key", $"city").collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(out1 == Map("u155mz" -> Some("antwerp"), "u14fzp" -> None))
+
+    // stateless: no state-store operator reports rows
+    assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0))
+    q.stop()
+  }
+
   test("same join shape runs in batch mode for backfills") {
     val t = Seq(r(0, "a", 1.0), r(30, "a", 2.0)).toDF()
     val h = Seq(r(4, "a", 9.0), r(29, "a", 8.0)).toDF()
