@@ -758,6 +758,17 @@ object SparkEntry {
           count(when(col("hit").isNull, 1)).as("n_missed"))
     }),
 
+    "hash_sample" -> ((s, dir) => {
+      // the stateless shuffle-free sampler (the 100 TB path): keep iff the
+      // first 32 md5 bits fall under fraction × 2^32. Binary-exact fractions
+      // make the thresholds integer-exact on both engines, so membership is
+      // hash-checked row for row
+      Curation.stratifiedSampleHash(Tables.documents(s, dir), "source",
+        Map("src0" -> 0.5, "src1" -> 0.25), defaultFraction = 0.125)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "streaming_heavy_hitters" -> ((s, dir) => {
       // the STREAMING sketch path gated against plain SQL: 40 distinct keys
       // under capacity 64 keep SpaceSaving exact (no evictions, merges
@@ -1292,6 +1303,12 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
         |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "hash_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      < CAST((CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+        |               ELSE 0.125 END) * 4294967296 AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
     "streaming_heavy_hitters" ->
       """WITH e AS (
         |  SELECT date_trunc('hour', ts) AS ws, 'k_' || (event_id % 40) AS item
