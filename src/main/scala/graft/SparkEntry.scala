@@ -758,6 +758,20 @@ object SparkEntry {
           count(when(col("hit").isNull, 1)).as("n_missed"))
     }),
 
+    "salted_join_agg" -> ((s, dir) => {
+      // the skew-mitigation path must be value-identical to the plain join:
+      // deterministic fact salting × dim replication, then the same
+      // aggregate — hash-checked against DuckDB's direct join
+      val fact = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_totalprice"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(fact, dim, "custkey", salt = 8, factUniqueCols = Seq("o_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "hash_sample" -> ((s, dir) => {
       // the stateless shuffle-free sampler (the 100 TB path): keep iff the
       // first 32 md5 bits fall under fraction × 2^32. Binary-exact fractions
@@ -1303,6 +1317,12 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
         |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "salted_join_agg" ->
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "hash_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
