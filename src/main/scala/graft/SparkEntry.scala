@@ -758,6 +758,23 @@ object SparkEntry {
           count(when(col("hit").isNull, 1)).as("n_missed"))
     }),
 
+    "interval_overlap_pairs" -> ((s, dir) => {
+      // bucketized interval-overlap join (first-shared-bucket arithmetic
+      // dedup, no distinct) must equal DuckDB's theta join on the same
+      // intervals (error 4h-windows x click 1h-windows)
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("a_id"), date_trunc("second", col("ts")).as("a_s"))
+        .withColumn("a_e", col("a_s") + expr("INTERVAL 4 HOURS"))
+      val b = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("b_id"), date_trunc("second", col("ts")).as("b_s"))
+        .withColumn("b_e", col("b_s") + expr("INTERVAL 1 HOUR"))
+      Temporal.intervalOverlapJoin(a, b, "a_s", "a_e", "b_s", "b_e",
+        bucketSeconds = 2 * 3600L)
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "salted_join_agg" -> ((s, dir) => {
       // the skew-mitigation path must be value-identical to the plain join:
       // deterministic fact salting × dim replication, then the same
@@ -1317,6 +1334,17 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
         |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "interval_overlap_pairs" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id, date_trunc('second', ts) AS s,
+        |         date_trunc('second', ts) + INTERVAL 4 HOUR AS e
+        |  FROM events WHERE event_type = 'error'),
+        |b AS (
+        |  SELECT event_id AS b_id, date_trunc('second', ts) AS s,
+        |         date_trunc('second', ts) + INTERVAL 1 HOUR AS e
+        |  FROM events WHERE event_type = 'click')
+        |SELECT a_id, b_id FROM a JOIN b ON a.s < b.e AND b.s < a.e
+        |ORDER BY 1, 2""".stripMargin,
     "salted_join_agg" ->
       """SELECT c_mktsegment,
         |       COUNT(*) AS n,
