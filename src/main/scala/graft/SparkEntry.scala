@@ -758,6 +758,15 @@ object SparkEntry {
           count(when(col("hit").isNull, 1)).as("n_missed"))
     }),
 
+    "mix_upsample" -> ((s, dir) => {
+      // exact-count mixing WITH up-sampling (epoch replication): src0 is
+      // repeated whole epochs to 1500 rows, src1 truncated to 100 — replica
+      // set hash-checked row for row (copy index included)
+      Curation.mixToTargetCounts(Tables.documents(s, dir), "source",
+        Map("src0" -> 1500L, "src1" -> 100L))
+        .orderBy(col("doc_id"), col("source"), col("copy"))
+    }),
+
     "interval_overlap_pairs" -> ((s, dir) => {
       // bucketized interval-overlap join (first-shared-bucket arithmetic
       // dedup, no distinct) must equal DuckDB's theta join on the same
@@ -1334,6 +1343,19 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
         |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "mix_upsample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |t AS (SELECT *, CASE source WHEN 'src0' THEN 1500 ELSE 100 END AS need FROM d),
+        |r AS (SELECT *, unnest(range(0, CAST(ceil(CAST(need AS DOUBLE) / n) AS BIGINT))) AS copy
+        |      FROM t)
+        |SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
+        |FROM r WHERE copy * n + rn <= need
+        |ORDER BY doc_id, source, copy""".stripMargin,
     "interval_overlap_pairs" ->
       """WITH a AS (
         |  SELECT event_id AS a_id, date_trunc('second', ts) AS s,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -162,6 +162,47 @@ object Curation {
       .withColumn("seq_last", expr(s"(_cum - 1) div $seqTokens"))
       .drop("_h", "_bucket", "_cum")
       .withColumnRenamed("_tokens", "n_tokens")
+
+  /**
+   * Mix to EXACT per-source target counts, up-sampling allowed: each source
+   * contributes its docs in deterministic md5-of-id order, replicated whole
+   * epochs (`copy` = 0, 1, …) until the target is met — the standard
+   * "repeat high-quality sources N epochs" training mixture, where
+   * [[mixToWeights]] only down-samples. A document's replica index is
+   * `copy × |source| + rank`; keeping indices ≤ target yields exactly
+   * `target` rows per source with the fairest possible truncation (last
+   * partial epoch cut in hash order).
+   *
+   * Per-source totals are a tiny driver aggregate (|sources| rows); the data
+   * pass is one rank window + an explode bounded by ⌈target/avail⌉ copies.
+   */
+  def mixToTargetCounts(docs: DataFrame, sourceCol: String,
+                        targets: Map[String, Long],
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targets.nonEmpty && targets.values.forall(_ > 0))
+    val inScope = docs.filter(col(sourceCol).isin(targets.keys.toSeq: _*))
+    val avail = inScope.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def bySource(f: (String, Long) => Long): Column =
+      targets.foldLeft(lit(0L)) { case (acc, (s, t)) =>
+        when(col(sourceCol) === s, lit(f(s, t))).otherwise(acc)
+      }
+    val needExpr = bySource((_, t) => t)
+    val availExpr = bySource((s, _) => avail.getOrElse(s, 0L))
+    val repsExpr = bySource { (s, t) =>
+      val a = avail.getOrElse(s, 0L)
+      if (a == 0) 0L else (t + a - 1) / a
+    }
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    inScope
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("copy", explode(when(repsExpr > 0,
+        sequence(lit(0L), repsExpr - 1)).otherwise(array().cast("array<bigint>"))))
+      .filter(col("copy") * availExpr + col("_rn") <= needExpr)
+      .select(col(idCol), col(sourceCol), col("copy"))
+  }
 
   /**
    * Sliding token-window chunking: split each document into chunks of
