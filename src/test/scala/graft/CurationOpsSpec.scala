@@ -133,6 +133,25 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixToTargetCounts: exact targets, whole-epoch replication, deterministic") {
+    import graft.operators.Curation
+    val docs = (1L to 10L).map(i => (i, if (i <= 6) "a" else "b")).toDF("doc_id", "source")
+    // a: 6 docs -> 15 (2 full epochs + 3), b: 4 docs -> 2 (truncation)
+    val out = Curation.mixToTargetCounts(docs, "source", Map("a" -> 15L, "b" -> 2L))
+    val bySrc = out.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 15L, "b" -> 2L))
+    // every full epoch contains each doc exactly once
+    val copies = out.filter(col("source") === "a")
+      .groupBy(col("copy")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(copies == Map(0L -> 6L, 1L -> 6L, 2L -> 3L))
+    // deterministic across runs
+    val again = Curation.mixToTargetCounts(docs, "source", Map("a" -> 15L, "b" -> 2L))
+      .orderBy(col("doc_id"), col("copy")).collect().toSeq
+    assert(out.orderBy(col("doc_id"), col("copy")).collect().toSeq == again)
+  }
+
   test("contamination finds planted overlap and nothing else") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val train = Seq(
