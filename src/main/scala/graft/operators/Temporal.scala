@@ -126,11 +126,13 @@ object Temporal {
                           pointCol: String, startCol: String, endCol: String,
                           bucketSeconds: Long): DataFrame = {
     val b = lit(bucketSeconds)
-    val iB = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(unix_timestamp(col(startCol)) / b).cast("long"),
-        // end is exclusive, but a partial last bucket still holds interval time
-        floor((unix_timestamp(col(endCol)) - 1) / b).cast("long"))))
+    val startB = floor(unix_timestamp(col(startCol)) / b).cast("long")
+    // end is exclusive, but a partial last bucket still holds interval time;
+    // clamp below startB (corrupt rows with end <= start) — otherwise
+    // `sequence` defaults to step -1 and explodes a descending bucket run.
+    // The residual range filter still drops such rows from the output.
+    val endB = greatest(startB, floor((unix_timestamp(col(endCol)) - 1) / b).cast("long"))
+    val iB = intervals.withColumn("__bucket", explode(sequence(startB, endB)))
     val pB = points.withColumn("__bucket",
       floor(unix_timestamp(col(pointCol)) / b).cast("long"))
     pB.join(iB, Seq("__bucket"))
@@ -153,8 +155,11 @@ object Temporal {
     def bucketed(df: DataFrame, s: String, e: String, tag: String) =
       df.withColumn(s"__fb_$tag", floor(unix_timestamp(col(s)) / w).cast("long"))
         .withColumn(s"__bucket",
+          // clamp as in pointInIntervalJoin: corrupt rows (end <= start)
+          // must not trigger sequence's descending step -1 explosion
           explode(sequence(col(s"__fb_$tag"),
-            floor((unix_timestamp(col(e)) - 1) / w).cast("long"))))
+            greatest(col(s"__fb_$tag"),
+              floor((unix_timestamp(col(e)) - 1) / w).cast("long")))))
     bucketed(a, aStart, aEnd, "a")
       .join(bucketed(b, bStart, bEnd, "b"), Seq("__bucket"))
       .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))

@@ -92,7 +92,12 @@ case class SpaceSavingTopK(
     out.writeInt(buf.capacity)
     out.writeInt(es.length)
     es.foreach { case (item, c, e) =>
-      out.writeUTF(item); out.writeLong(c); out.writeLong(e)
+      // length-prefixed UTF-8, not writeUTF: writeUTF throws
+      // UTFDataFormatException past 65535 encoded bytes, and a single long
+      // item would fail the whole aggregation at partial-serialize time
+      val bytes = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length); out.write(bytes)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush()
     bos.toByteArray
@@ -103,7 +108,11 @@ case class SpaceSavingTopK(
     val sk = new SpaceSavingSketch(in.readInt())
     var n = in.readInt()
     while (n > 0) {
-      sk.restore(in.readUTF(), in.readLong(), in.readLong())
+      val len = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      val item = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      sk.restore(item, in.readLong(), in.readLong())
       n -= 1
     }
     sk

@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, MapType, StructType}
 
 /**
  * Optimizer rule: rewrite the standard per-key top-k idiom
@@ -47,12 +47,25 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** Float/double (incl. nested) partition keys are skipped: the stock Window
+    * path normalizes -0.0/0.0 and NaN bit patterns (NormalizeFloatingNumbers)
+    * before hashing, and TopKPerKeyExec's raw UnsafeRow grouping would treat
+    * them as distinct keys, emitting up to 2k rows for one logical key. */
+  private def containsFloating(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case s: StructType => s.fields.exists(f => containsFloating(f.dataType))
+    case a: ArrayType => containsFloating(a.elementType)
+    case m: MapType => containsFloating(m.keyType) || containsFloating(m.valueType)
+    case _ => false
+  }
+
   private def rowNumberWindow(w: Window): Option[(Alias, Seq[Expression], Seq[SortOrder])] =
     w.windowExpressions match {
       case Seq(a @ Alias(WindowExpression(RowNumber(),
           WindowSpecDefinition(part, order,
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _))
-        if part.nonEmpty && order.nonEmpty => Some((a, part, order))
+        if part.nonEmpty && order.nonEmpty &&
+          !part.exists(e => containsFloating(e.dataType)) => Some((a, part, order))
       case _ => None
     }
 
@@ -62,7 +75,12 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val conjuncts = splitConjunctivePredicates(cond)
       val limits = conjuncts.flatMap(c => rankLimit(c, rnk))
       if (limits.isEmpty) None
-      else {
+      else if (limits.min <= 0) {
+        // `rnk <= 0` is legal and empty under stock Spark; TopKPerKeyExec
+        // would crash on heap.head with k <= 0 (Spark's own
+        // InferWindowGroupLimit guards limit > 0 for the same reason).
+        Some(LocalRelation(w.output))
+      } else {
         val residual = conjuncts.filter(c => rankLimit(c, rnk).isEmpty)
         val rankAttr = AttributeReference(alias.name, IntegerType,
           nullable = false)(exprId = alias.exprId)

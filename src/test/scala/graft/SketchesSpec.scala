@@ -123,4 +123,21 @@ class SketchesSpec extends SparkSpec {
     val exactTotal = e.agg(countDistinct(col("user_id"))).head().getLong(0).toDouble
     assert(math.abs(merged - exactTotal) / exactTotal <= 0.05)
   }
+
+  test("items past writeUTF's 64 KiB limit survive partial serialization") {
+    graft.plans.GraftFunctions.register(spark)
+    // 70k chars > 65535 UTF-8 bytes: DataOutputStream.writeUTF would throw
+    // UTFDataFormatException when the partial sketch ships to the exchange
+    val big = "x" * 70000
+    val df = (Seq.fill(5)(big) ++ Seq.tabulate(9)(i => s"small_$i"))
+      .toDF("k").repartition(4) // several partials → serialize + merge + final
+    val rows = df
+      .agg(call_function("space_saving_topk", col("k"), lit(4)).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.count_min"), col("e.count_max"))
+      .collect()
+    val bigRow = rows.find(_.getString(0) == big)
+    assert(bigRow.isDefined, "oversized item lost from the sketch")
+    assert(bigRow.get.getLong(1) <= 5 && 5 <= bigRow.get.getLong(2))
+  }
 }

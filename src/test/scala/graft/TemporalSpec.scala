@@ -140,4 +140,35 @@ class TemporalSpec extends SparkSpec {
     assert(fast.count() == naive.count()) // no dup emission across buckets
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
+
+  test("corrupt intervals (end <= start) do not explode the bucketized joins") {
+    // end ~124 years BEFORE start: an unclamped sequence(startB, endB) with
+    // bucketSeconds=1 would default to step -1 and demand ~3.9e9 elements
+    // (over Spark's sequence length cap → the query would throw); clamped,
+    // the corrupt row costs one bucket and the residual filter drops it
+    val points = Seq((1L, "2024-03-01 12:00:00")).toDF("event_id", "p")
+      .withColumn("p", to_timestamp(col("p")))
+    val intervals = Seq(
+      (10L, "2024-03-01 11:00:00", "2024-03-01 13:00:00"), // valid, matches
+      (11L, "2024-03-01 11:00:00", "1900-01-01 00:00:00")  // corrupt
+    ).toDF("incident_id", "start", "end")
+      .withColumn("start", to_timestamp(col("start")))
+      .withColumn("end", to_timestamp(col("end")))
+
+    val got = Temporal.pointInIntervalJoin(points, intervals,
+      "p", "start", "end", bucketSeconds = 1L)
+      .select(col("incident_id")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L))
+
+    val a = intervals.select(col("incident_id").as("ia"),
+      col("start").as("sa"), col("end").as("ea"))
+    val b = Seq((20L, "2024-03-01 12:30:00", "2024-03-01 14:00:00"))
+      .toDF("ib", "sb", "eb")
+      .withColumn("sb", to_timestamp(col("sb")))
+      .withColumn("eb", to_timestamp(col("eb")))
+    val pairs = Temporal.intervalOverlapJoin(a, b, "sa", "ea", "sb", "eb",
+      bucketSeconds = 1L)
+      .select(col("ia"), col("ib")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((10L, 20L)))
+  }
 }

@@ -111,6 +111,40 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("non-positive rank bounds rewrite to empty, not a heap crash") {
+    graft.plans.TopKRewriteInstaller.install(spark)
+    try {
+      val orders = Tables.orders(spark, Sf)
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
+      // legal-but-empty under stock Spark; must not reach TopKPerKeyExec
+      // where heap.head on an empty queue would throw NoSuchElementException
+      val le0 = orders.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 0)
+      assert(le0.collect().isEmpty)
+      val lt1 = orders.withColumn("rnk", row_number().over(w)).filter(col("rnk") < 1)
+      assert(lt1.collect().isEmpty)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.TopKRewrite)
+    }
+  }
+
+  test("float/double partition keys stay on stock Window (-0.0/NaN normalization)") {
+    graft.plans.TopKRewriteInstaller.install(spark)
+    try {
+      import spark.implicits._
+      val df = Seq((0.0, 1), (-0.0, 2), (Double.NaN, 3), (Double.NaN, 4)).toDF("g", "v")
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+      val q = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 1)
+      // rewrite must be skipped: TopKPerKeyExec's raw UnsafeRow grouping would
+      // split 0.0/-0.0 (and NaN payloads) into distinct keys
+      assert(!q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(q.count() == 2) // {0.0,-0.0} one key, {NaN,NaN} one key
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.TopKRewrite)
+    }
+  }
+
   test("works with k larger than group size and with multiple keys") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "v")
