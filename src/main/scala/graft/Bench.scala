@@ -61,7 +61,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total_median_sec","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":"$cpus","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total_median_sec","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":"$cpus","sf":"$sfDir"}"""
+    println(line)
+    // stdout gets truncated by some harnesses — also persist the full
+    // per-query map as a file artifact (SPARK_GRAFT_BENCH_OUT overrides)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

@@ -84,6 +84,14 @@ object VectorFunctions {
   /** UDF variant of [[cosine]] (conversion-boundary baseline). */
   def cosine_udf(a: Column, b: Column): Column = cosineUdf(a, b)
 
+  /** Indices of the `k` centroids nearest to `v` by cosine (desc, ties →
+    * lower index). `cents` must be a literal array<array<float>> column
+    * (e.g. `typedLit(centroids: Seq[Seq[Float]])`) — the IVF coarse
+    * quantizer. Native codegen'd expression
+    * ([[graft.plans.VecTopCentroids]]); no UDF boundary in the corpus scan. */
+  def topCentroids(v: Column, cents: Column, k: Int): Column =
+    toCol(graft.plans.VecTopCentroids(toExpr(v), toExpr(cents), toExpr(lit(k))))
+
   /** Squared L2 distance Σ (aᵢ−bᵢ)². */
   def l2Sq(a: Column, b: Column): Column = l2SqUdf(a, b)
 

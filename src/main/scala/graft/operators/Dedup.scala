@@ -205,10 +205,13 @@ object Dedup {
    * to the group's min id, so exactly one representative per group
    * survives.
    *
-   * Each iteration is one hash-join + min-aggregate (both shuffle on id) and
-   * converges in O(component diameter) rounds — near-dup clusters are
-   * shallow (boilerplate stars, version chains), so typically < 10. Lineage
-   * is cut per round (`localCheckpoint`; swap for reliable checkpoint on a
+   * Each iteration propagates the neighborhood min (one hash-join +
+   * min-aggregate) and then SHORTCUTS pointers (label ← label-of-label, one
+   * more self-join) — the pointer-doubling step turns O(diameter) rounds
+   * into O(log diameter). Near-dup clusters are shallow (boilerplate stars,
+   * version chains), so typically ≤ 3 rounds. Round 0 is free: labels are
+   * seeded with min(id, min neighbor) straight off the edge list. Lineage is
+   * cut per round (`localCheckpoint`; swap for reliable checkpoint on a
    * cluster) — without the cut, iteration i replays all i−1 predecessors.
    *
    * Returns (id, cluster_rep = min id reachable). Singletons (ids not in any
@@ -217,8 +220,12 @@ object Dedup {
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .localCheckpoint()
+    // round 0 fused into init: label = min(id, min neighbor) in one agg
+    var labels = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("_nb"))
+      .select(col("a").as("id"), least(col("a"), col("_nb")).as("label"))
+      .localCheckpoint()
     // convergence witness: labels only ever DECREASE, so the label sum
     // strictly drops until fixpoint — one scalar agg per round replaces a
     // join-and-diff check
@@ -229,9 +236,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val cand = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // pointer doubling: label ← min(label, label[label]). Every label IS an
+      // id in the table (labels start as ids and only copy other labels), so
+      // the lookup side is cand itself.
+      val next = cand.as("x")
+        .join(cand.select(col("id").as("lid"), col("label").as("ll")).as("y"),
+          col("x.label") === col("lid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
         .localCheckpoint()
       val nextSum = next.agg(sum(col("label"))).head().getLong(0)
       labels = next
@@ -253,9 +268,13 @@ object Dedup {
 
   /**
    * n-gram Jaccard near-dup pairs WITHOUT LSH (exact, for small candidate
-   * scopes or oracle checks): blocks by a cheap key first (doc length bucket)
-   * to avoid full O(n²) — still quadratic within a block; use [[minHashLsh]]
-   * at scale.
+   * scopes or oracle checks). Candidate generation is a shared-shingle
+   * inverted-index equi-join (a pair with jaccard ≥ threshold > 0 shares at
+   * least one shingle, so no qualifying pair is missed) — linear in
+   * shingle-collision pairs, quadratic only WITHIN a shingle's posting list.
+   * A size-ratio cull (`min(|A|,|B|)/max(|A|,|B|) ≥ threshold`, implied by
+   * `jaccard ≤ min/max`) drops hopeless pairs before the division. Use
+   * [[minHashLsh]] at scale.
    */
   def ngramJaccardPairs(docs: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text",
@@ -264,8 +283,6 @@ object Dedup {
       array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
     val ex = d.select(col("id"), explode(col("sh")).as("g"))
-    // inverted index join: pairs sharing ≥1 shingle, with shared-count ≥
-    // ceil(threshold/(1+threshold) * (|A|+|B|)) implied by the final filter
     val sizes = d.select(col("id"), size(col("sh")).as("n"))
     val pairs = ex.as("x").join(ex.as("y"), col("x.g") === col("y.g"))
       .filter(col("x.id") < col("y.id"))
@@ -274,6 +291,9 @@ object Dedup {
     pairs
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+      // size-ratio cull: jaccard ≤ min/max, so these pairs cannot qualify
+      .filter(least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")).cast("double") >= threshold)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

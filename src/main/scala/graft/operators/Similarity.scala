@@ -133,7 +133,10 @@ object Similarity {
   final case class IvfIndex(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
 
   /** Deterministic centroid pick (smallest xxhash64(id) — stable across
-    * runs/layouts) + nearest-centroid assignment of every corpus vector. */
+    * runs/layouts) + nearest-centroid assignment of every corpus vector.
+    * Assignment is the CORPUS-WIDE scan (the expensive pass at 100 TB), so
+    * it runs through the codegen'd [[graft.plans.VecTopCentroids]]
+    * expression over a literal centroid table — no UDF conversion per row. */
   def buildIvfIndex(corpus: DataFrame, nlist: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     val cents: Array[(Int, Array[Float])] = corpus
@@ -143,13 +146,17 @@ object Similarity {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
-    val assignUdf = udf { v: Array[Float] =>
-      cents.maxBy { case (_, c) => IvfMath.cosLocal(v, c) }._1
-    }
+    val centsLit = centroidsLiteral(cents)
     IvfIndex(cents,
       corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-        .withColumn("list_id", assignUdf(col("cv"))))
+        .withColumn("list_id",
+          element_at(VectorFunctions.topCentroids(col("cv"), centsLit, 1), 1)))
   }
+
+  /** The coarse quantizer as a literal array<array<float>> column (indices
+    * implicit by position — `cents` is already 0..nlist-1 ordered). */
+  private def centroidsLiteral(cents: Array[(Int, Array[Float])]): org.apache.spark.sql.Column =
+    typedLit(cents.sortBy(_._1).map(_._2.toSeq).toSeq)
 
   /** Persist the index: assignment table partitioned by `list_id` (probe
     * joins prune partitions) + the centroid table alongside. */
@@ -173,13 +180,10 @@ object Similarity {
     * inverted lists. Per-query cost ∝ corpus × nprobe / nlist. */
   def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = index.centroids
-    val probeUdf = udf { v: Array[Float] =>
-      cents.map { case (i, c) => (i, IvfMath.cosLocal(v, c)) }
-        .sortBy(-_._2).take(nprobe).map(_._1)
-    }
+    val centsLit = centroidsLiteral(index.centroids)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("list_id", explode(probeUdf(col("qv"))))
+      .withColumn("list_id",
+        explode(VectorFunctions.topCentroids(col("qv"), centsLit, nprobe)))
     index.assigned.join(q, Seq("list_id"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))

@@ -64,7 +64,8 @@ object GraftFunctions {
     "space_saving_topk" -> (exprs => SpaceSavingTopK(exprs(0), exprs(1))),
     "vec_dot" -> (exprs => VecDot(exprs(0), exprs(1))),
     "vec_norm2sq" -> (exprs => VecNorm2Sq(exprs(0))),
-    "vec_cosine" -> (exprs => VecCosine(exprs(0), exprs(1))))
+    "vec_cosine" -> (exprs => VecCosine(exprs(0), exprs(1))),
+    "vec_top_centroids" -> (exprs => VecTopCentroids(exprs(0), exprs(1), exprs(2))))
 
   /** Imperative registration for an existing session (tests, Verify). */
   def register(spark: SparkSession): Unit =

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
 
@@ -59,7 +59,18 @@ case class TopKPerKeyExec(
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
-  override def outputPartitioning: Partitioning = child.outputPartitioning
+  // Pass through the child's partitioning ONLY when every attribute it
+  // references survives into this node's output — the output is extended
+  // with the generated `rnk`, and a claim mentioning attributes outside it
+  // would be a lie downstream operators could plan against. (Today
+  // child.output ⊆ output so the guard is vacuous; it exists so a future
+  // column-pruning change degrades the claim to Unknown instead of
+  // corrupting a downstream exchange-elision decision.)
+  override def outputPartitioning: Partitioning = child.outputPartitioning match {
+    case p: Partitioning with Expression if !p.references.subsetOf(AttributeSet(output)) =>
+      UnknownPartitioning(p.numPartitions)
+    case p => p
+  }
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(partitionExprs) :: Nil
 

@@ -45,6 +45,37 @@ object VecKernels {
     val denom = math.sqrt(norm2Sq(a)) * math.sqrt(norm2Sq(b))
     if (denom == 0.0) 0.0 else d / denom
   }
+
+  /**
+   * Indices of the `k` nearest centroids by cosine (descending; ties break
+   * toward the LOWER index — matching both `maxBy` first-max-wins and a
+   * stable sort on the ascending-index input). `cents` is an
+   * array<array<float>>; selection is O(k·nlist), fine for the broadcast-
+   * small IVF coarse quantizer.
+   */
+  def topCentroids(v: ArrayData, cents: ArrayData, k: Int): ArrayData = {
+    val n = cents.numElements()
+    val scores = new Array[Double](n)
+    var i = 0
+    while (i < n) { scores(i) = cosine(v, cents.getArray(i)); i += 1 }
+    val kk = math.max(math.min(k, n), 0)
+    val out = new Array[Int](kk)
+    val used = new Array[Boolean](n)
+    var j = 0
+    while (j < kk) {
+      var best = -1
+      var bs = Double.NegativeInfinity
+      var c = 0
+      while (c < n) {
+        if (!used(c) && (best < 0 || scores(c) > bs)) { best = c; bs = scores(c) }
+        c += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 private[plans] trait FloatArrayInputs { self: Expression =>
@@ -82,6 +113,42 @@ case class VecNorm2Sq(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.plans.VecKernels.norm2Sq($a)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * `vec_top_centroids(v, centroids, k)` → array<int>: indices of the `k`
+ * centroids nearest to `v` by cosine (desc, ties → lower index). The IVF
+ * coarse-quantizer kernel — `centroids` is a LITERAL array<array<float>>
+ * (nlist × dim, driver/broadcast-small by construction), so assignment
+ * (`k=1` + `element_at(.., 1)`) and query probing (`k=nprobe` + `explode`)
+ * stay inside whole-stage codegen with zero UDF conversion per row.
+ */
+case class VecTopCentroids(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "vec_top_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _), IntegerType) => true
+      case _ => false
+    }
+    if (ok) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"$prettyName expects (array<float>, array<array<float>>, int), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+
+  override def nullSafeEval(v: Any, cents: Any, k: Any): Any =
+    VecKernels.topCentroids(
+      v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c, k) => s"graft.plans.VecKernels.topCentroids($v, $c, $k)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 /** dot/(‖a‖·‖b‖); 0 for an all-zero vector. */

@@ -150,6 +150,17 @@ class DedupSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("dupClusters: pointer doubling converges on a 64-node chain within maxIter") {
+    import org.apache.spark.sql.functions.col
+    // diameter 63 — plain min-label propagation needs 63 rounds and would
+    // blow the default maxIter = 20; shortcutting converges in O(log n)
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = graft.operators.Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 64)
+    assert(out.values.forall(_ == 1L), out.toString)
+  }
+
   test("IVF index lifecycle: build -> save -> load -> query == direct ivfTopK") {
     import graft.sources.Tables
     import org.apache.spark.sql.functions.col

@@ -127,6 +127,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("source mixing ranks inside hash buckets — no bare-source window anywhere") {
+    // the 100 TB discipline for the mixing operators: a Window partitioned by
+    // the source column alone funnels a 40%-weight source through ONE task;
+    // the bucketed two-pass rank must partition by (source, bucket)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def windows(df: DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    val mixed = graft.operators.Curation.mixToWeights(
+      Tables.documents(spark, Sf), "source", Map("src0" -> 0.5, "src1" -> 0.5))
+    val w1 = windows(mixed)
+    assert(w1.nonEmpty, "expected the bucketed rank window")
+    w1.foreach(w => assert(w.partitionSpec.size >= 2,
+      s"single-column window partition: ${w.partitionSpec}"))
+    val mixed2 = graft.operators.Curation.mixToTargetCounts(
+      Tables.documents(spark, Sf), "source", Map("src0" -> 50L, "src1" -> 30L))
+    val w2 = windows(mixed2)
+    assert(w2.nonEmpty)
+    w2.foreach(w => assert(w.partitionSpec.size >= 2,
+      s"single-column window partition: ${w.partitionSpec}"))
+  }
+
   test("Bloom decontamination never shuffles the training corpus") {
     val docs = Tables.documents(spark, Sf)
     val plan = formattedPlan(graft.operators.TextAnalysis.decontaminateBloom(

@@ -38,6 +38,27 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.contains("Sort "), plan) // the whole point: no per-partition sort
   }
 
+  test("outputPartitioning claims only attributes that exist in the output") {
+    // AQE wraps the plan; inspect the static physical plan directly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = TopK.perKey(Tables.orders(spark, Sf), k = 2,
+        Seq(col("o_orderpriority")), Seq(col("o_totalprice").desc))
+      val execs = df.queryExecution.executedPlan.collect {
+        case t: graft.plans.TopKPerKeyExec => t
+      }
+      assert(execs.nonEmpty)
+      execs.foreach { t =>
+        t.outputPartitioning match {
+          case p: org.apache.spark.sql.catalyst.expressions.Expression =>
+            assert(p.references.subsetOf(t.outputSet), p.toString)
+            assert(!p.references.contains(t.rankAttr), p.toString)
+          case _ => // non-expression partitionings (Unknown etc.) claim nothing
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("spills past maxKeysInMemory and still matches row_number exactly") {
     import spark.implicits._
     // high-cardinality partition key (one per customer) with a spill

@@ -44,4 +44,28 @@ class VectorExprSpec extends SparkSpec {
       .collect()
     assert(viaSql.length == 5 && viaSql.forall(r => !r.isNullAt(0)))
   }
+
+  test("vec_top_centroids: cosine order, ties to lower index, k clamps to nlist") {
+    import spark.implicits._
+    // c0 and c2 identical (tie), c1 orthogonal
+    val cents = typedLit(Seq(Seq(1f, 0f), Seq(0f, 1f), Seq(1f, 0f)))
+    val df = Seq((1L, Seq(2f, 0f)), (2L, Seq(0f, 3f))).toDF("id", "v")
+    val out = df.select(col("id"),
+      VectorFunctions.topCentroids(col("v"), cents, 2).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(out(1L) == List(0, 2)) // cos 1.0 with c0 AND c2 — tie breaks low
+    assert(out(2L) == List(1, 0)) // c1 wins; c0/c2 tie at 0 breaks to c0
+    val all = df.select(VectorFunctions.topCentroids(col("v"), cents, 99).as("t"))
+      .head().getSeq[Int](0)
+    assert(all.length == 3) // k clamps to the centroid count
+  }
+
+  test("IVF assignment and probing are native expressions — no UDF in the plan") {
+    val e = Tables.embeddings(spark, Sf)
+    val q = e.filter(col("vec_id") < 3)
+    val df = graft.operators.Similarity.ivfTopK(e, q, k = 3, nlist = 8, nprobe = 4)
+    assert(!df.queryExecution.executedPlan.toString.contains("UDF"),
+      df.queryExecution.executedPlan.toString)
+    assert(df.count() > 0)
+  }
 }
