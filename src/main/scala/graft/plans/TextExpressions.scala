@@ -1,0 +1,230 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the dedup hot path: word shingling,
+ * MinHash signatures and SimHash — the per-document inner loops of
+ * [[graft.operators.Dedup]] / [[graft.operators.TextAnalysis]]. At 100 TB
+ * these run once per document over the whole corpus; the previous
+ * implementations paid either a Scala-UDF conversion boundary (shingles,
+ * simhash vote) or `numHashes` interpreted higher-order array traversals
+ * per row (minhash signature: 32 × transform+array_min). These kernels do
+ * ONE pass over the UTF8String bytes / shingle array inside whole-stage
+ * codegen, with zero String allocation for tokenization.
+ *
+ * Semantics are BIT-IDENTICAL to the previous implementations (and so to
+ * the DuckDB oracles): tokenization is `text.trim.toLowerCase.split("\\s+")`
+ * (Java semantics, including the empty-string → [""] edge), string hashing
+ * is Spark's `xxhash64` (XXH64, seed 42), and the xor-permutation family
+ * uses the same splitmix64 constants. TextExprSpec pins equality against
+ * the legacy UDF/HOF paths row-for-row.
+ *
+ * SQL names: `word_shingles`, `minhash_signature`, `simhash64`
+ * ([[GraftFunctions]]).
+ */
+object TextKernels {
+
+  /** Spark's xxhash64 default seed (XxHash64 expression). */
+  private final val Seed = 42L
+
+  private def xxh64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytesBlock(
+      s.getMemoryBlock, Seed)
+
+  /** splitmix64 — identical to TextFunctions.mixConstant (oracle parity). */
+  def mixConstant(i: Int): Long = {
+    var z = i.toLong * 0x9E3779B97F4A7C15L + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Java `\s` bytes — the only token separators after trim. (Java trim
+    * strips ALL chars ≤ 0x20 at the ends; interior control chars that are
+    * not `\s` stay inside tokens, exactly like `split("\\s+")`.) */
+  private def isSep(b: Byte): Boolean = {
+    val c = b & 0xff
+    c == 0x20 || (c >= 0x09 && c <= 0x0d)
+  }
+
+  /**
+   * `trim.toLowerCase.split("\\s+")` + n-token windows joined by single
+   * spaces, in one byte pass. UTF-8 continuation bytes are ≥ 0x80, so the
+   * ASCII separator scan never splits a multibyte char. Fewer than n tokens
+   * → empty array (the Java `"".split` → [""] edge collapses there for
+   * n ≥ 2, and yields [""] for n = 1, matching the legacy UDF exactly).
+   */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    if (text == null || n <= 0) return new GenericArrayData(Array.empty[Any])
+    val lower = text.toLowerCase
+    val bytes = lower.getBytes
+    // Java String.trim: strip chars <= U+0020 from both ends
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && (bytes(lo) & 0xff) <= 0x20) lo += 1
+    while (hi > lo && (bytes(hi - 1) & 0xff) <= 0x20) hi -= 1
+    // token boundaries
+    var m = 0
+    val starts = new Array[Int](math.max((hi - lo) / 2 + 1, 1))
+    val ends = new Array[Int](starts.length)
+    var i = lo
+    while (i < hi) {
+      if (!isSep(bytes(i))) {
+        starts(m) = i
+        while (i < hi && !isSep(bytes(i))) i += 1
+        ends(m) = i
+        m += 1
+      } else i += 1
+    }
+    if (m == 0) {
+      // trimmed-empty: Java "".split("\s+") is [""] — one empty token
+      if (n == 1) return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+      return new GenericArrayData(Array.empty[Any])
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var w = 0
+    while (w < out.length) {
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += ends(w + j) - starts(w + j); j += 1 }
+      val buf = new Array[Byte](len)
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(pos) = ' '; pos += 1 }
+        val tl = ends(w + j) - starts(w + j)
+        System.arraycopy(bytes, starts(w + j), buf, pos, tl)
+        pos += tl
+        j += 1
+      }
+      out(w) = UTF8String.fromBytes(buf)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /**
+   * MinHash signature in one pass: each shingle is xxhash64'd ONCE; the
+   * `numHashes` family members are xor-permutations by splitmix64 constants.
+   * Empty input → all-null signature (matching `array_min(empty) = null` in
+   * the legacy HOF formulation; callers filter `size(sh) > 0` anyway).
+   */
+  def minhashSignature(sh: ArrayData, numHashes: Int): ArrayData = {
+    val m = sh.numElements()
+    if (m == 0) return new GenericArrayData(new Array[Any](math.max(numHashes, 0)))
+    val consts = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) { consts(j) = mixConstant(j); j += 1 }
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = xxh64(sh.getUTF8String(i))
+      j = 0
+      while (j < numHashes) {
+        val v = h ^ consts(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    j = 0
+    while (j < numHashes) { out(j) = mins(j); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash: hash each token once (xxhash64), majority-vote each bit
+    * (strict majority, `2·count > n`). Empty input → 0L. */
+  def simHash64(tokens: ArrayData): Long = {
+    val m = tokens.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = xxh64(tokens.getUTF8String(i))
+      var b = 0
+      while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 > m) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** `word_shingles(text, n)` → array<string> (see [[TextKernels.shingles]]).
+  * Standard null propagation (null text → null); the public wrapper
+  * [[graft.functions.TextFunctions.shingles]] coalesces to an empty array to
+  * preserve the legacy UDF contract (`size(sh) > 0` filters). */
+case class WordShingles(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(
+        s"$prettyName expects (string, int), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    TextKernels.shingles(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.plans.TextKernels.shingles($t, $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `minhash_signature(shingles, numHashes)` → array<bigint>. */
+case class MinHashSignature(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) => TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(
+        s"$prettyName expects (array<string>, int), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(sh: Any, num: Any): Any =
+    TextKernels.minhashSignature(sh.asInstanceOf[ArrayData], num.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (sh, n) => s"graft.plans.TextKernels.minhashSignature($sh, $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `simhash64(tokens)` → bigint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckSuccess
+    case t => TypeCheckFailure(s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    TextKernels.simHash64(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.TextKernels.simHash64($t)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
