@@ -35,8 +35,7 @@ object TextKernels {
   private final val Seed = 42L
 
   private def xxh64(s: UTF8String): Long =
-    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytesBlock(
-      s.getMemoryBlock, Seed)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, Seed)
 
   /** splitmix64 — identical to TextFunctions.mixConstant (oracle parity). */
   def mixConstant(i: Int): Long = {
