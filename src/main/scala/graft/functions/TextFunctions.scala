@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
+  import org.apache.spark.sql.graftshim.GraftPlanBridge.{column => toCol, expr => toExpr}
+
   /** Whitespace tokenization (lowercased). `split` on \s+ after trim. */
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
@@ -51,10 +53,22 @@ object TextFunctions {
   }
 
   /** Word n-gram shingles: array of `n`-token windows joined by single
-    * spaces; empty array when fewer than n tokens. A Scala UDF — the
-    * equivalent sequence+transform+slice+concat_ws higher-order expression
-    * stack measured ~1 ms/doc (~10 s for 10k docs), ~100× the UDF. */
-  def shingles(text: Column, n: Int): Column = shinglesUdf(text, lit(n))
+    * spaces; empty array when fewer than n tokens (null text too — matching
+    * the legacy UDF contract, hence the coalesce). Native codegen'd
+    * expression ([[graft.plans.WordShingles]]): one byte pass over the
+    * UTF8String, zero String allocation, no UDF conversion boundary — this
+    * is the per-document inner loop of every dedup scan. TextExprSpec pins
+    * row-for-row equality with [[shingles_udf]]. */
+  def shingles(text: Column, n: Int): Column =
+    coalesce(
+      toCol(graft.plans.WordShingles(toExpr(text), toExpr(lit(n)))),
+      array().cast("array<string>"))
+
+  /** Legacy Scala-UDF variant of [[shingles]] (parity baseline / A-B bench).
+    * The equivalent sequence+transform+slice+concat_ws higher-order stack
+    * measured ~1 ms/doc — ~100× this UDF; the native expression above beats
+    * both. */
+  def shingles_udf(text: Column, n: Int): Column = shinglesUdf(text, lit(n))
 
   /** Character n-grams of the (lowercased, space-collapsed) text. */
   def charNgrams(text: Column, n: Int): Column = {
@@ -84,8 +98,22 @@ object TextFunctions {
    *
    * At scale this is a narrow map — no shuffle; the signature feeds LSH
    * banding ([[graft.operators.Dedup.minHashLsh]]).
+   *
+   * Native codegen'd expression ([[graft.plans.MinHashSignature]]): ONE pass
+   * over the shingle array instead of `numHashes` interpreted higher-order
+   * traversals (the legacy [[minHashSignature_hof]] did 32 × transform +
+   * array_min). Null/empty input → all-null signature, matching
+   * `array_min(empty) = null` in the HOF formulation (the coalesce pins the
+   * null-input edge; callers filter `size(sh) > 0` anyway).
    */
-  def minHashSignature(shingleArr: Column, numHashes: Int): Column = {
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
+    coalesce(
+      toCol(graft.plans.MinHashSignature(toExpr(shingleArr), toExpr(lit(numHashes)))),
+      array((0 until numHashes).map(_ => lit(null).cast("long")): _*))
+
+  /** Legacy higher-order-function variant of [[minHashSignature]] (parity
+    * baseline / A-B bench). */
+  def minHashSignature_hof(shingleArr: Column, numHashes: Int): Column = {
     val base = transform(shingleArr, s => xxhash64(s))
     array((0 until numHashes).map { i =>
       array_min(transform(base, h => h.bitwiseXOR(lit(mixConstant(i)))))
@@ -108,11 +136,19 @@ object TextFunctions {
 
   /**
    * 64-bit SimHash over tokens: per bit position, majority vote of the
-   * tokens' xxhash64 bits. Tokens are hashed once by the codegen'd xxhash64
-   * expression; the 64-way bit vote runs in a small Scala UDF (a 64-term
-   * Catalyst expression tree blew up codegen size and ran ~50× slower).
+   * tokens' xxhash64 bits. Native codegen'd expression
+   * ([[graft.plans.SimHash64]]): hashes + votes in one pass over the token
+   * array — no per-row UDF boundary and no intermediate hash array (the
+   * legacy [[simHash64_udf]] paid both). Empty array → 0L (identical);
+   * null array → null (the legacy path NPE'd — strictly better).
    */
   def simHash64(tokensArr: Column): Column =
+    toCol(graft.plans.SimHash64(toExpr(tokensArr)))
+
+  /** Legacy transform+vote-UDF variant of [[simHash64]] (parity baseline /
+    * A-B bench; a 64-term Catalyst expression tree was also tried — blew up
+    * codegen size and ran ~50× slower than the UDF). */
+  def simHash64_udf(tokensArr: Column): Column =
     simHashVoteUdf(transform(tokensArr, t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit simhashes: bit_count(a XOR b). */

@@ -126,7 +126,9 @@ object TextKernels {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
     while (i < m) {
-      val h = xxh64(sh.getUTF8String(i))
+      val s = sh.getUTF8String(i)
+      // null element → seed, matching Spark's xxhash64(NULL) = seed semantics
+      val h = if (s == null) Seed else xxh64(s)
       j = 0
       while (j < numHashes) {
         val v = h ^ consts(j)
@@ -148,7 +150,8 @@ object TextKernels {
     val counts = new Array[Int](64)
     var i = 0
     while (i < m) {
-      val h = xxh64(tokens.getUTF8String(i))
+      val s = tokens.getUTF8String(i)
+      val h = if (s == null) Seed else xxh64(s)
       var b = 0
       while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
       i += 1

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Native text kernels ([[graft.plans.TextKernels]]): row-for-row parity
+  * with the legacy UDF/HOF paths they replace, plus no-ScalaUDF plan
+  * assertions for the dedup pipelines that now run on them. */
+class TextExprSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Edge-case corpus: nulls, empties, whitespace runs/kinds, unicode case
+    * mapping, multibyte scripts, control chars, surrogate pairs. */
+  private val edgeTexts: Seq[String] = Seq(
+    null,
+    "",
+    "   ",
+    "\t\n\f\r",
+    "a",
+    "a b",
+    "a  b\tc",
+    "  lead and trail  ",
+    "one two three four five six",
+    "İstanbul ŞİŞLİ constantinople",
+    "STRASSE ẞ groß",
+    "中文 文本 测试 去重",
+    "ab c",      // interior control char is NOT a \s separator
+    "abc def",    // leading control char ≤ 0x20 IS trimmed
+    "x y z",       // NBSP is not Java \s — stays inside the token
+    "😀 emoji 😀😀 pair",
+    "word " * 50)
+
+  private def edgeDf = edgeTexts.toDF("text")
+
+  test("word_shingles ≡ legacy UDF row-for-row (edge corpus × n)") {
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = edgeDf.select(
+        TextFunctions.shingles(col("text"), n).as("native"),
+        TextFunctions.shingles_udf(col("text"), n).as("legacy")).collect()
+      rows.zip(edgeTexts).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n text=${Option(t).map(_.take(40))}")
+      }
+    }
+  }
+
+  test("word_shingles ≡ legacy UDF on the documents table") {
+    val rows = Tables.documents(spark, Sf).select(
+      TextFunctions.shingles(col("text"), 3).as("native"),
+      TextFunctions.shingles_udf(col("text"), 3).as("legacy")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("minhash_signature ≡ legacy HOF (documents, empty array, null)") {
+    val sh = Tables.documents(spark, Sf)
+      .select(array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
+    val rows = sh.select(
+      TextFunctions.minHashSignature(col("sh"), 32).as("native"),
+      TextFunctions.minHashSignature_hof(col("sh"), 32).as("legacy")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[java.lang.Long](0) == r.getSeq[java.lang.Long](1)))
+
+    // empty + null inputs: all-null signature both ways (array_min(empty)=null)
+    val edge = Seq(Seq.empty[String], null).toDF("sh").select(
+      TextFunctions.minHashSignature(col("sh"), 4).as("native"),
+      TextFunctions.minHashSignature_hof(col("sh"), 4).as("legacy")).collect()
+    edge.foreach { r =>
+      assert(r.getSeq[java.lang.Long](0) == Seq(null, null, null, null))
+      assert(r.getSeq[java.lang.Long](0) == r.getSeq[java.lang.Long](1))
+    }
+  }
+
+  test("simhash64 ≡ legacy vote UDF (documents + empty array)") {
+    val rows = Tables.documents(spark, Sf)
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .select(
+        TextFunctions.simHash64(col("t")).as("native"),
+        TextFunctions.simHash64_udf(col("t")).as("legacy")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+
+    val empty = Seq(Seq.empty[String]).toDF("t")
+      .select(TextFunctions.simHash64(col("t")).as("h")).head()
+    assert(empty.getLong(0) == 0L)
+  }
+
+  test("null-element parity: kernel hashes null like xxhash64(NULL) = seed") {
+    val df = Seq(Seq("a", null, "b")).toDF("sh")
+    val r = df.select(
+      TextFunctions.minHashSignature(col("sh"), 8).as("native"),
+      TextFunctions.minHashSignature_hof(col("sh"), 8).as("legacy")).head()
+    assert(r.getSeq[java.lang.Long](0) == r.getSeq[java.lang.Long](1))
+  }
+
+  test("n=1 empty-string edge: [\"\"] with a non-null element (nullability audit)") {
+    val r = Seq("", "   ").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 1).as("sh")).collect()
+    r.foreach { row =>
+      val sh = row.getSeq[String](0)
+      assert(sh == Seq(""))
+      assert(sh.head != null)
+    }
+  }
+
+  test("dedup band/signature pipelines have no ScalaUDF in the plan") {
+    val docs = Tables.documents(spark, Sf)
+    val bandPlan = Dedup.buildBandIndex(docs)
+      .queryExecution.executedPlan.toString
+    assert(!bandPlan.contains("UDF"), bandPlan)
+    val simPlan = Dedup.simHashDedup(docs)
+      .queryExecution.executedPlan.toString
+    assert(!simPlan.contains("UDF"), simPlan)
+  }
+
+  test("SQL names registered: word_shingles / minhash_signature / simhash64") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT word_shingles('a b c d', 2) AS sh,
+        |       minhash_signature(word_shingles('a b c d', 2), 4) AS sig,
+        |       simhash64(array('a','b','c')) AS h""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(r.getSeq[java.lang.Long](1).length == 4)
+    assert(!r.isNullAt(2))
+  }
+}
