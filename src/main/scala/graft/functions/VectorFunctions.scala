@@ -103,17 +103,34 @@ object VectorFunctions {
     z ^ (z >>> 31)
   }
 
+  /** The splitmix64-derived ±1 hyperplane table shared by [[srpBucket]] and
+    * [[srpBucket_udf]] — built once at plan time, shipped as a literal. */
+  private def srpSigns(nBits: Int, dim: Int, seed: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (b, i) =>
+      if ((splitmix64(seed.toLong * 1000003L + b.toLong * 10007L + i) & 1L) == 0L) 1.0 else -1.0
+    }
+
   /**
    * Sign bits of `nBits` pseudo-random ±1 hyperplane projections → one LONG
    * bucket key (signed random projection LSH for cosine). The ±1 sign table
    * is derived from splitmix64(seed, bit, dim-index) at plan build time —
    * no stored model, identical across runs. Near-parallel vectors collide
    * with high probability; `seed` selects an independent hash table.
+   *
+   * Native codegen'd expression ([[graft.plans.VecSrpBucket]]) with the sign
+   * table as a literal — the bucket assigner runs once per corpus vector, so
+   * no UDF conversion boundary in the scan. VectorExprSpec pins bit-equality
+   * with [[srpBucket_udf]].
    */
   def srpBucket(v: Column, nBits: Int, dim: Int, seed: Int = 0): Column = {
-    val signs: Array[Array[Double]] = Array.tabulate(nBits, dim) { (b, i) =>
-      if ((splitmix64(seed.toLong * 1000003L + b.toLong * 10007L + i) & 1L) == 0L) 1.0 else -1.0
-    }
+    val signs = srpSigns(nBits, dim, seed)
+    toCol(graft.plans.VecSrpBucket(
+      toExpr(v), toExpr(typedLit(signs.map(_.toSeq).toSeq))))
+  }
+
+  /** Legacy Scala-UDF variant of [[srpBucket]] (parity baseline). */
+  def srpBucket_udf(v: Column, nBits: Int, dim: Int, seed: Int = 0): Column = {
+    val signs = srpSigns(nBits, dim, seed)
     val f = udf { v: Array[Float] =>
       var out = 0L
       var b = 0

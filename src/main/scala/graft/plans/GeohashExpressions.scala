@@ -66,6 +66,7 @@ object GraftFunctions {
     "vec_norm2sq" -> (exprs => VecNorm2Sq(exprs(0))),
     "vec_cosine" -> (exprs => VecCosine(exprs(0), exprs(1))),
     "vec_top_centroids" -> (exprs => VecTopCentroids(exprs(0), exprs(1), exprs(2))),
+    "vec_srp_bucket" -> (exprs => VecSrpBucket(exprs(0), exprs(1))),
     "word_shingles" -> (exprs => WordShingles(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs(0), exprs(1))),
     "simhash64" -> (exprs => SimHash64(exprs(0))))

@@ -76,6 +76,29 @@ object VecKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /**
+   * Signed-random-projection bucket: bit b of the result = 1 iff
+   * `v · signs(b) ≥ 0`. `signs` is the nBits × dim ±1 hyperplane table
+   * (a literal — splitmix64-derived at plan build, broadcast-small).
+   * Arithmetic matches the legacy UDF exactly: double promotion,
+   * ascending-index accumulation, bound `min(|v|, |signs(b)|)`.
+   */
+  def srpBucket(v: ArrayData, signs: ArrayData): Long = {
+    val nBits = signs.numElements()
+    var out = 0L
+    var b = 0
+    while (b < nBits) {
+      val row = signs.getArray(b)
+      val n = math.min(v.numElements(), row.numElements())
+      var proj = 0.0
+      var i = 0
+      while (i < n) { proj += v.getFloat(i).toDouble * row.getDouble(i); i += 1 }
+      if (proj >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 }
 
 private[plans] trait FloatArrayInputs { self: Expression =>
@@ -149,6 +172,36 @@ case class VecTopCentroids(first: Expression, second: Expression, third: Express
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
+}
+
+/**
+ * `vec_srp_bucket(v, signs)` → bigint: SRP-LSH bucket key of `v` against a
+ * LITERAL nBits × dim ±1 sign table (see [[VecKernels.srpBucket]]). The
+ * bucket assigner of [[graft.operators.Dedup.embeddingNearDup]] /
+ * [[graft.operators.Similarity]] LSH — it runs once per corpus vector, so it
+ * must stay inside whole-stage codegen with no UDF conversion per row.
+ */
+case class VecSrpBucket(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_srp_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _)) => TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(
+        s"$prettyName expects (array<float>, array<array<double>>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(v: Any, signs: Any): Any =
+    VecKernels.srpBucket(v.asInstanceOf[ArrayData], signs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s) => s"graft.plans.VecKernels.srpBucket($v, $s)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** dot/(‖a‖·‖b‖); 0 for an all-zero vector. */

@@ -158,4 +158,16 @@ class PlanSpec extends SparkSpec {
     // Bloom filter before this plan exists)
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("every ann_/embedding_ query plans with zero ScalaUDF nodes") {
+    // locks in the native vector/SRP kernels: a regression that reintroduces
+    // a per-row UDF into any ANN or embedding-dedup scan fails structurally
+    val targets = SparkEntry.queries.keys
+      .filter(n => n.startsWith("ann_") || n.startsWith("embedding_")).toSeq.sorted
+    assert(targets.nonEmpty)
+    targets.foreach { name =>
+      val plan = formattedPlan(SparkEntry.queries(name)(spark, Sf))
+      assert(!plan.contains("ScalaUDF"), s"$name plans a ScalaUDF:\n$plan")
+    }
+  }
 }

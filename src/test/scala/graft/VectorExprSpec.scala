@@ -60,6 +60,28 @@ class VectorExprSpec extends SparkSpec {
     assert(all.length == 3) // k clamps to the centroid count
   }
 
+  test("vec_srp_bucket ≡ legacy UDF bit-for-bit; no UDF in the bucket plan") {
+    val e = Tables.embeddings(spark, Sf)
+    for (seed <- Seq(0, 1, 7)) {
+      val rows = e.select(
+        VectorFunctions.srpBucket(col("embedding"), 12, 16, seed).as("native"),
+        VectorFunctions.srpBucket_udf(col("embedding"), 12, 16, seed).as("legacy"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"seed=$seed"))
+    }
+    val plan = e.select(VectorFunctions.srpBucket(col("embedding"), 12, 16).as("b"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val viaSql = Seq(Seq(1f, -2f)).toDF("v")
+      .selectExpr("vec_srp_bucket(v, array(array(1.0d, 1.0d), array(1.0d, -1.0d))) as b")
+      .head().getLong(0)
+    assert(viaSql == 2L) // plane0: 1-2<0 → bit0=0; plane1: 1+2≥0 → bit1=1
+  }
+
   test("IVF assignment and probing are native expressions — no UDF in the plan") {
     val e = Tables.embeddings(spark, Sf)
     val q = e.filter(col("vec_id") < 3)
