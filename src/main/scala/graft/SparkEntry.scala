@@ -83,21 +83,16 @@ object SparkEntry {
     embs.select(col("vec_id"), col("embedding"))
       .union(embs.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
 
-  /** Stage counts of the curation funnel per sf dir — computed by whichever
-    * of `curation_funnel` / `curation_funnel_check` runs first and REUSED by
-    * the other (the check is a derivation of the funnel's own stage counts,
-    * not a second funnel run; the funnel gate always recomputes and
-    * refreshes, so its bench timing stays honest). Deterministic per dir. */
-  private val funnelStages =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Long)]]
-
-  private def computeFunnelStages(s: SparkSession, dir: String): Seq[(String, Long)] = {
-    val stages = Curation.funnel(docsWithNearDups(Tables.documents(s, dir)),
+  /** Stage counts of the curation funnel — recomputed by EVERY caller.
+    * `curation_funnel` and `curation_funnel_check` each run the full
+    * dedup→LSH→quality pipeline: the check is an independent re-derivation
+    * (two runs must agree, so banding nondeterminism would surface as a gate
+    * disagreement), and each query's bench timing measures real pipeline
+    * work in isolation (a shared memo made the second timing fake). */
+  private def computeFunnelStages(s: SparkSession, dir: String): Seq[(String, Long)] =
+    Curation.funnel(docsWithNearDups(Tables.documents(s, dir)),
       Curation.Config(nearDupThreshold = 0.6, minQuality = 0.1))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    funnelStages(dir) = stages
-    stages
-  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Q-H1: hourly avg
     * over all key prefixes, one week. */
@@ -420,7 +415,6 @@ object SparkEntry {
     }),
     "curation_funnel" -> ((s, dir) => {
       // end-to-end curation: exact dedup -> minhash near-dedup -> quality/lang
-      // (always recomputes; refreshes the memo the check gate derives from)
       import s.implicits._
       computeFunnelStages(s, dir).toDF("stage", "n_docs").orderBy(col("stage"))
     }),
@@ -1007,10 +1001,10 @@ object SparkEntry {
       // dedup survivor count — both plain SQL over the same fixture) plus
       // monotonicity/nonemptiness of the LSH-dependent later stages (those
       // counts depend on MinHash banding, so they gate as booleans).
-      // Derives from the sibling gate's stage counts instead of running the
-      // whole dedup→LSH→quality pipeline a second time.
+      // Runs the whole dedup→LSH→quality pipeline itself: an independent
+      // second derivation of the sibling gate's counts, honestly timed.
       import s.implicits._
-      val m = funnelStages.getOrElse(dir, computeFunnelStages(s, dir)).toMap
+      val m = computeFunnelStages(s, dir).toMap
       Seq((m("0_input"), m("1_exact_dedup"),
         m("2_near_dedup") <= m("1_exact_dedup"),
         m("3_quality_lang") <= m("2_near_dedup"),
