@@ -61,7 +61,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total_median_sec","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":"$cpus","sf":"$sfDir"}"""
+    // the commit SHA makes the artifact self-identifying: a stale
+    // bench_latest.json from a previous (e.g. failed) round is detectable
+    val line = s"""{"metric":"total_median_sec","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":"$cpus","sf":"$sfDir","commit":"${BuildId.gitSha()}"}"""
     println(line)
     // stdout gets truncated by some harnesses — also persist the full
     // per-query map as a file artifact (SPARK_GRAFT_BENCH_OUT overrides)

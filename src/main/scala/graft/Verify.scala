@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    System.err.println(s"[verify] commit ${BuildId.gitSha()}")
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
