@@ -716,16 +716,22 @@ object SparkEntry {
       val base = Tables.embeddings(s, dir).filter(col("vec_id") < 250)
       val fixture = embsWithDups(base)
       val v = fixture.select(col("vec_id").as("id"), col("embedding").as("v"))
-      val exact = v.select(col("id").as("a"), col("v").as("va"))
+      // n_boundary guards the float-threshold comparison: Spark and DuckDB
+      // may accumulate the cosine sums in different orders, so a pair within
+      // 1e-9 of the 0.95 cut could flake n_exact between engines — assert
+      // (on BOTH sides) that the fixture has no such pair
+      val pairsCos = v.select(col("id").as("a"), col("v").as("va"))
         .crossJoin(v.select(col("id").as("b"), col("v").as("vb")))
         .filter(col("a") < col("b"))
-        .filter(VectorFunctions.cosine(col("va"), col("vb")) >= 0.95)
-        .select(col("a"), col("b"))
+        .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      val exact = pairsCos.filter(col("cos") >= 0.95).select(col("a"), col("b"))
       val found = Dedup.embeddingNearDup(fixture, dim = 64, threshold = 0.95)
         .select(col("a").as("fa"), col("b").as("fb"), lit(1).as("hit"))
       exact.join(found, col("a") === col("fa") && col("b") === col("fb"), "left")
         .agg(count(lit(1)).as("n_exact"),
           count(when(col("hit").isNull, 1)).as("n_missed"))
+        .crossJoin(pairsCos.agg(
+          count(when(abs(col("cos") - 0.95) < 1e-9, 1)).as("n_boundary")))
     }),
 
     "minhash_lsh_recall" -> ((s, dir) => {
@@ -801,14 +807,25 @@ object SparkEntry {
       val reported = Dedup.simHashDedup(fixture, maxHamming = 8)
       val sigs = fixture.select(col("doc_id"),
         TextFunctions.simHash64(TextFunctions.tokens(col("text"))).as("sig"))
+      // n_dup_pairs pins a REAL DuckDB value: identical normalized text ⇒
+      // identical tokens ⇒ identical simhash ⇒ hamming 0 ⇒ the pair MUST be
+      // reported, so the reported-pair subset with equal fingerprints equals
+      // the fixture's exact-duplicate pair count, which DuckDB computes
+      // independently from md5 — a simhash bug dropping such a pair FAILs
+      // the hash compare instead of passing a literal-only oracle.
+      val fps = fixture.select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
       reported
         .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
         .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+        .join(fps.select(col("doc_id").as("a"), col("fp").as("fpa")), "a")
+        .join(fps.select(col("doc_id").as("b"), col("fp").as("fpb")), "b")
         .withColumn("h2", bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("int"))
         .agg(
           (count(lit(1)) > 0).as("nonempty"),
           count(when(col("h2") =!= col("hamming") || col("h2") > 8, 1))
-            .as("n_violations"))
+            .as("n_violations"),
+          count(when(col("fpa") === col("fpb"), 1)).as("n_dup_pairs"))
     }),
 
     "embedding_near_dup_precision" -> ((s, dir) => {
@@ -818,11 +835,13 @@ object SparkEntry {
       val base = Tables.embeddings(s, dir).filter(col("vec_id") < 250)
       val fixture = embsWithDups(base)
       val v = fixture.select(col("vec_id").as("id"), col("embedding").as("v"))
-      val exact = v.select(col("id").as("ea"), col("v").as("va"))
+      // n_boundary: see embedding_near_dup_recall — no pair may sit within
+      // 1e-9 of the threshold, or cross-engine fp accumulation could flake
+      val pairsCos = v.select(col("id").as("ea"), col("v").as("va"))
         .crossJoin(v.select(col("id").as("eb"), col("v").as("vb")))
         .filter(col("ea") < col("eb"))
-        .filter(VectorFunctions.cosine(col("va"), col("vb")) >= 0.95)
-        .select(col("ea"), col("eb"))
+        .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      val exact = pairsCos.filter(col("cos") >= 0.95).select(col("ea"), col("eb"))
       val reported = Dedup.embeddingNearDup(fixture, dim = 64, threshold = 0.95)
         .select(col("a"), col("b"))
       exact.agg(count(lit(1)).as("n_exact"))
@@ -830,6 +849,8 @@ object SparkEntry {
           reported.join(exact,
             col("a") === col("ea") && col("b") === col("eb"), "left_anti")
             .agg(count(lit(1)).as("n_violations")))
+        .crossJoin(pairsCos.agg(
+          count(when(abs(col("cos") - 0.95) < 1e-9, 1)).as("n_boundary")))
     }),
 
     "mix_upsample" -> ((s, dir) => {
@@ -1654,7 +1675,17 @@ object SparkEntry {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_violations
         |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6""".stripMargin,
     "simhash_precision" ->
-      """SELECT true AS nonempty, CAST(0 AS BIGINT) AS n_violations""",
+      """WITH src AS (SELECT doc_id, text FROM documents),
+        |d0 AS (
+        |  SELECT doc_id, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1,
+        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+        |  FROM src),
+        |f AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FROM d0)
+        |SELECT true AS nonempty, CAST(0 AS BIGINT) AS n_violations,
+        |       CAST((SELECT COUNT(*) FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id) AS BIGINT) AS n_dup_pairs""".stripMargin,
     "embedding_near_dup_precision" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250),
         |v AS (
@@ -1666,7 +1697,8 @@ object SparkEntry {
         |    list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
         |      / (sqrt(list_sum(list_transform(a.e, x -> x * x))) * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
         |  FROM v a, v b WHERE a.id < b.id)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_violations
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_violations,
+        |       CAST((SELECT COUNT(*) FROM p WHERE abs(cos - 0.95) < 1e-9) AS BIGINT) AS n_boundary
         |FROM p WHERE cos >= 0.95""".stripMargin,
     "multimodal_features" ->
       """WITH m AS (
@@ -1704,7 +1736,8 @@ object SparkEntry {
         |    list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
         |      / (sqrt(list_sum(list_transform(a.e, x -> x * x))) * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
         |  FROM v a, v b WHERE a.id < b.id)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_missed
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_missed,
+        |       CAST((SELECT COUNT(*) FROM p WHERE abs(cos - 0.95) < 1e-9) AS BIGINT) AS n_boundary
         |FROM p WHERE cos >= 0.95""".stripMargin
   )
 }
