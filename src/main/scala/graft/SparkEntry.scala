@@ -617,6 +617,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "line_dedup" -> ((s, dir) => {
+      // corpus-level boilerplate-line removal: rebuild each doc as a shared
+      // header + 8-token body lines + shared footer; dedupLines must strip
+      // exactly the lines repeated across >= 2 docs (header/footer + any
+      // naturally colliding body lines) and keep the rest in order. The
+      // rebuilt text is md5'd so the oracle hash-checks content, not size.
+      val t = TextFunctions.tokens(col("text"))
+      val body = transform(
+        sequence(lit(0), ((size(t) - 1) / 8).cast("int")),
+        i => concat_ws(" ", slice(t, i * 8 + 1, lit(8))))
+      val fixture = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n", concat(
+          array(lit("=== shared boilerplate header ===")), body,
+          array(lit("--- shared footer: all rights reserved ---")))).as("text"))
+      TextAnalysis.dedupLines(fixture, minDocs = 2)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_lines_kept"), col("n_lines_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
     "pack_sequences" -> ((s, dir) => {
       // concat-then-chunk training-sequence packing over the distributed
       // hash-order prefix sum (2048-token sequences)
@@ -1426,6 +1446,31 @@ object SparkEntry {
         |             greatest(coalesce(bs.n, 0), 1), 6) AS top_bigram_frac
         |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
         |ORDER BY ws.doc_id""".stripMargin,
+    "line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |fx AS (
+        |  SELECT doc_id,
+        |         list_prepend('=== shared boilerplate header ===',
+        |           list_append(
+        |             list_transform(range(0, (len(t) - 1) // 8 + 1),
+        |               i -> array_to_string(list_slice(t, CAST(i*8+1 AS INT), CAST(i*8+8 AS INT)), ' ')),
+        |             '--- shared footer: all rights reserved ---')) AS ls
+        |  FROM toks),
+        |l AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos FROM fx),
+        |ll AS (SELECT doc_id, CAST(pos AS INT) AS pos, ls[CAST(pos AS INT)] AS line FROM l),
+        |rep AS (SELECT trim(line) AS k FROM ll GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT doc_id, pos, line FROM ll WHERE trim(line) NOT IN (SELECT k FROM rep)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2,
+        |               CAST(COUNT(*) AS BIGINT) AS n_kept
+        |        FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines FROM fx)
+        |SELECT n.doc_id,
+        |       md5(coalesce(agg.text2, '')) AS text_md5,
+        |       coalesce(agg.n_kept, 0) AS n_lines_kept,
+        |       n.n_lines - coalesce(agg.n_kept, 0) AS n_lines_dropped
+        |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

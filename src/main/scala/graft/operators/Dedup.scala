@@ -304,10 +304,18 @@ object Dedup {
    * SimHash near-dup pairs: 64-bit signature, banded into `bands` chunks of
    * 64/bands bits (a pair within Hamming distance d collides on ≥1 band when
    * d < bands); verify candidates by exact Hamming ≤ `maxHamming`.
+   *
+   * `maxBucketSize` is the same documented coverage cap as [[minHashLsh]]'s:
+   * a (band, chunk) bucket's self-join fan-out is O(bucket²), and at 10⁹+
+   * docs even RANDOM 16-bit chunk collisions put ~|corpus|/2¹⁶ docs in every
+   * bucket — a boilerplate flood makes it far worse. Buckets above the cap
+   * are dropped (pairs in them may still collide on another band); raise
+   * `bands`' bit width or the cap for recall-critical small corpora.
    */
   def simHashDedup(docs: DataFrame,
                    idCol: String = "doc_id", textCol: String = "text",
-                   bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+                   bands: Int = 4, maxHamming: Int = 3,
+                   maxBucketSize: Int = 100000): DataFrame = {
     val bits = 64 / bands
     val d = docs.select(col(idCol).as("id"),
       TextFunctions.simHash64(TextFunctions.tokens(col(textCol))).as("sh"))
@@ -317,8 +325,13 @@ object Dedup {
           col("sh").bitwiseAND(lit(((1L << bits) - 1) << (b * bits))).as("chunk"))
       }: _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band"), col("bb.chunk"))
-    val l = banded.select(col("band"), col("chunk"), col("id").as("a"), col("sh").as("ha"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("b"), col("sh").as("hb"))
+    val wb = Window.partitionBy(col("band"), col("chunk"))
+    val bounded = banded
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    val l = bounded.select(col("band"), col("chunk"), col("id").as("a"), col("sh").as("ha"))
+    val r = bounded.select(col("band"), col("chunk"), col("id").as("b"), col("sh").as("hb"))
     l.join(r, Seq("band", "chunk")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), TextFunctions.hamming64(col("ha"), col("hb")).as("hamming"))
       .distinct()

@@ -133,6 +133,50 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-level line deduplication (the C4 / RefinedWeb boilerplate rule):
+   * drop every line whose space-trimmed form appears in at least `minDocs`
+   * DISTINCT documents, then reassemble each document's surviving lines in
+   * original order. Headers, footers, nav text and cookie banners dominate
+   * web corpora and are invisible to whole-document dedup — this is the
+   * standard complement.
+   *
+   * Output: (idCol, textCol = rebuilt text, n_lines_kept, n_lines_dropped)
+   * — one row per input document (a document whose every line is boilerplate
+   * survives with empty text, so row counts reconcile downstream).
+   *
+   * Scale shape: one explode (narrow), one distinct-count aggregate keyed on
+   * the line (high-cardinality, uniform — the only corpus-sized shuffle),
+   * an equi-join against the repeated-line set (small by construction —
+   * only lines occurring ≥ minDocs survive the HAVING; AQE broadcasts it
+   * when it fits), and one groupBy(id) to reassemble. No driver state, no
+   * window over the whole corpus.
+   */
+  def dedupLines(docs: DataFrame, minDocs: Int = 2,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("_id"), split(col(textCol), "\n").as("_ls"))
+    val lines = base.select(col("_id"), posexplode(col("_ls")).as(Seq("_pos", "_line")))
+    val repeated = lines
+      .groupBy(trim(col("_line")).as("_k"))
+      .agg(countDistinct(col("_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_k"))
+    val kept = lines.join(repeated, trim(col("_line")) === col("_k"), "left_anti")
+    val rebuilt = kept.groupBy(col("_id"))
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            s => s.getField("_line"))).as("_text2"),
+        count(lit(1)).as("_n_kept"))
+    base.select(col("_id"), size(col("_ls")).cast("long").as("_n_lines"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        coalesce(col("_text2"), lit("")).as(textCol),
+        coalesce(col("_n_kept"), lit(0L)).as("n_lines_kept"),
+        (col("_n_lines") - coalesce(col("_n_kept"), lit(0L))).as("n_lines_dropped"))
+  }
+
+  /**
    * Intra-document repetition metrics (Gopher-style quality signals,
    * Rae et al. 2021 §A1.1): token count, distinct-token ratio, and the mass
    * fraction of the most frequent word / bigram. High top-fraction or low

@@ -63,6 +63,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(3) == "no pii here 12-34 a@b a.b.c 1234-5678")
   }
 
+  test("dedupLines strips corpus-repeated lines, keeps order, preserves rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "HEADER\nunique line one\nmiddle shared\nunique line two\nFOOTER"),
+      (2L, "HEADER\nother content here\nmiddle shared\nFOOTER"),
+      (3L, "HEADER\nFOOTER"), // all lines boilerplate -> empty text survives
+      (4L, "standalone document with no newlines at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("unique line one\nunique line two", 2L, 3L)))
+    assert(out(2L) == (("other content here", 1L, 3L)))
+    assert(out(3L) == (("", 0L, 2L)))
+    assert(out(4L) == (("standalone document with no newlines at all", 1L, 0L)))
+    // trimmed-key matching: "  HEADER  " would also be dropped
+    val trimmed = TextAnalysis.dedupLines(
+      Seq((1L, "  HEADER\nbody a"), (2L, "HEADER  \nbody b")).toDF("doc_id", "text"),
+      minDocs = 2).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(trimmed(1L) == "body a" && trimmed(2L) == "body b")
+  }
+
   test("repetitionMetrics flags degenerate repetition") {
     val out = TextAnalysis.repetitionMetrics(Seq(
       (1L, "spam spam spam spam"),

@@ -38,6 +38,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.exists(_._3 == 0))
   }
 
+  test("simHashDedup maxBucketSize drops flooded buckets, keeps normal ones") {
+    // 20 identical docs: every (band, chunk) bucket holds all 20, so a cap
+    // of 10 kills every candidate; the default cap reports all 190 pairs
+    val flood = (1L to 20L).map(i => (i, "same boilerplate text repeated"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simHashDedup(flood, maxHamming = 0).count() == 190)
+    assert(Dedup.simHashDedup(flood, maxHamming = 0, maxBucketSize = 10).count() == 0)
+  }
+
   test("ngramJaccardPairs computes exact jaccard") {
     val pairs = Dedup.ngramJaccardPairs(docs, shingleN = 2, threshold = 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
