@@ -637,6 +637,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "span_dedup" -> ((s, dir) => {
+      // cross-document repeated-span removal (exact-substring rule): every
+      // doc gets a shared 13-token license header and 14-token warranty
+      // footer; every 8-token window interior to either block repeats across
+      // all docs, so removeRepeatedSpans must cut both blocks (plus any
+      // naturally repeated 8-token runs in the bodies — the oracle recomputes
+      // the whole rule, nothing is hand-predicted). Rebuilt text is md5'd so
+      // content, order and case preservation are all hash-checked.
+      val header = "permission is hereby granted free of charge to any person obtaining a copy"
+      val footer = "the software is provided as is without warranty of any kind express or implied"
+      val fixture = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws(" ", lit(header), col("text"), lit(footer)).as("text"))
+      TextAnalysis.removeRepeatedSpans(fixture, windowTokens = 8, minDocs = 2)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_tokens_kept"), col("n_tokens_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "gopher_rules" -> ((s, dir) => {
+      // explicit Gopher rule filter; thresholds tuned so the sf corpus
+      // exercises both keep outcomes (short docs fail min_words)
+      TextAnalysis.gopherRules(Tables.documents(s, dir), minWords = 30)
+        .orderBy(col("doc_id"))
+    }),
+
     "pack_sequences" -> ((s, dir) => {
       // concat-then-chunk training-sequence packing over the distributed
       // hash-order prefix sum (2048-token sequences)
@@ -1471,6 +1496,75 @@ object SparkEntry {
         |       n.n_lines - coalesce(agg.n_kept, 0) AS n_lines_dropped
         |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+    "span_dedup" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |         'permission is hereby granted free of charge to any person obtaining a copy'
+        |           || ' ' || text || ' ' ||
+        |         'the software is provided as is without warranty of any kind express or implied' AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts
+        |  FROM fx),
+        |lt AS (SELECT doc_id, ts, list_transform(ts, t -> lower(t)) AS lts FROM toks),
+        |w0s AS (SELECT doc_id, lts,
+        |               unnest(range(0, greatest(len(lts) - 7, 0))) AS i
+        |        FROM lt),
+        |wins AS (SELECT doc_id, CAST(i AS INT) AS w0,
+        |                md5(array_to_string(
+        |                  list_slice(lts, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')) AS wh
+        |         FROM w0s),
+        |rep AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+        |mk0 AS (SELECT doc_id, w0, unnest(range(0, 8)) AS j
+        |        FROM wins WHERE wh IN (SELECT wh FROM rep)),
+        |marked AS (SELECT DISTINCT doc_id, w0 + CAST(j AS INT) AS pos FROM mk0),
+        |tp0 AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p FROM toks),
+        |tp AS (SELECT doc_id, CAST(p AS INT) AS pos, ts[CAST(p + 1 AS INT)] AS tok FROM tp0),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tp t
+        |         WHERE NOT EXISTS (SELECT 1 FROM marked m
+        |                           WHERE m.doc_id = t.doc_id AND m.pos = t.pos)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS t2,
+        |               CAST(COUNT(*) AS BIGINT) AS n_kept
+        |        FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM toks)
+        |SELECT n.doc_id, md5(coalesce(agg.t2, '')) AS text_md5,
+        |       coalesce(agg.n_kept, 0) AS n_tokens_kept,
+        |       n.n - coalesce(agg.n_kept, 0) AS n_tokens_dropped
+        |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    "gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '') AS ws,
+        |         string_split(coalesce(text, ''), chr(10)) AS ls
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    round(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+        |          / greatest(len(ws), 1), 6) AS mean_word_len,
+        |    round(CAST((len(text) - len(replace(text, '#', '')))
+        |            + (len(text) - len(replace(text, '...', ''))) // 3 AS DOUBLE)
+        |          / greatest(len(ws), 1), 6) AS symbol_word_ratio,
+        |    round(CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+        |          / greatest(len(ls), 1), 6) AS bullet_line_frac,
+        |    round(CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+        |          / greatest(len(ls), 1), 6) AS ellipsis_line_frac,
+        |    round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |          / greatest(len(ws), 1), 6) AS alpha_word_frac,
+        |    CAST(len(list_intersect(list_distinct(list_transform(ws, w -> lower(w))),
+        |         ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS stopword_hits
+        |  FROM base)
+        |SELECT *,
+        |       (n_words BETWEEN 30 AND 100000
+        |        AND mean_word_len BETWEEN 3.0 AND 10.0
+        |        AND symbol_word_ratio <= 0.1
+        |        AND bullet_line_frac <= 0.9
+        |        AND ellipsis_line_frac <= 0.3
+        |        AND alpha_word_frac >= 0.8
+        |        AND stopword_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

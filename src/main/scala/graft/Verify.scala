@@ -16,7 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     System.err.println(s"[verify] commit ${BuildId.gitSha()}")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated filter for local iteration (same convention
+    // as Bench's SPARK_GRAFT_BENCH_ONLY); driver runs unfiltered
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

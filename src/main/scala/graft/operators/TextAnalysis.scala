@@ -177,6 +177,74 @@ object TextAnalysis {
   }
 
   /**
+   * Cross-document repeated-span removal — the span-level member of the
+   * dedup family (doc-level: [[graft.operators.Dedup]], line-level:
+   * [[dedupLines]]). The exact-substring rule of Lee et al. 2022
+   * ("Deduplicating Training Data Makes Language Models Better"): any run of
+   * `windowTokens` consecutive tokens that appears verbatim in at least
+   * `minDocs` DISTINCT documents is boilerplate (licenses, templated
+   * paragraphs, quoted chains) and is cut from EVERY document containing it.
+   * Token positions covered by at least one repeated window are dropped; the
+   * survivors are reassembled in order, one row out per input document.
+   *
+   * Matching is whitespace-token-based and case-INSENSITIVE (the same
+   * normalization as the MinHash/SimHash shingle paths — window keys come
+   * from the native one-pass [[TextFunctions.shingles]] kernel); the rebuilt
+   * text preserves the original token case, single-space joined. Window keys
+   * are 128-bit (`unhex(md5)`) so hash collisions cannot merge distinct
+   * spans even at 100 TB window cardinality (a 64-bit key would see birthday
+   * collisions past ~4B windows and silently over-delete).
+   *
+   * Output: (idCol, textCol = rebuilt text, n_tokens_kept, n_tokens_dropped).
+   *
+   * Scale shape: window explode is narrow (one slim (id, pos, 16-byte key)
+   * row per token); the repeated-window set is found by ONE aggregate keyed
+   * on the window hash (high-cardinality, uniform — the corpus-sized
+   * shuffle); the covered-position set explodes ONLY matched windows (small
+   * for realistic dup rates; AQE broadcasts it when it fits), and one
+   * groupBy(id) reassembles. No corpus-wide window function, no driver
+   * state. The suffix-array machinery of the paper is replaced by the
+   * fixed-width rolling window — the standard distributed approximation
+   * (windows stepped by 1 ⇒ any shared run of ≥ `windowTokens` tokens is
+   * caught; shorter shared runs are deliberately below the noise floor).
+   */
+  def removeRepeatedSpans(docs: DataFrame, windowTokens: Int = 50, minDocs: Int = 2,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val w = windowTokens
+    // case-preserving token positions; filter-after-split keeps indices
+    // aligned with the shingle kernel's trim-then-split tokenization
+    val tsExpr = filter(split(coalesce(col(textCol), lit("")), "\\s+"), t => t =!= "")
+    val wins = docs.select(col(idCol).as("_id"),
+        posexplode(TextFunctions.shingles(col(textCol), w)).as(Seq("_w0", "_wstr")))
+      .select(col("_id"), col("_w0"), unhex(md5(col("_wstr"))).as("_wh"))
+    val repeated = wins.groupBy(col("_wh"))
+      .agg(countDistinct(col("_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_wh"))
+    val marked = wins.join(repeated, Seq("_wh"))
+      .select(col("_id"),
+        explode(sequence(col("_w0"), col("_w0") + lit(w - 1))).as("_pos"))
+      .distinct()
+    val toksPos = docs.select(col(idCol).as("_id"),
+      posexplode(tsExpr).as(Seq("_pos", "_tok")))
+    val rebuilt = toksPos.join(marked, Seq("_id", "_pos"), "left_anti")
+      .groupBy(col("_id")).agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+            s => s.getField("_tok"))).as("_t2"),
+        count(lit(1)).as("_kept"))
+    docs.select(col(idCol).as("_id"), size(tsExpr).cast("long").as("_n"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        coalesce(col("_t2"), lit("")).as(textCol),
+        coalesce(col("_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("_n") - coalesce(col("_kept"), lit(0L))).as("n_tokens_dropped"))
+  }
+
+  /**
    * Intra-document repetition metrics (Gopher-style quality signals,
    * Rae et al. 2021 §A1.1): token count, distinct-token ratio, and the mass
    * fraction of the most frequent word / bigram. High top-fraction or low
@@ -184,6 +252,79 @@ object TextAnalysis {
    * One explode + two-level aggregate per n-gram order; both shuffles are
    * keyed by (doc, gram) then doc — no skew beyond document length.
    */
+  /** The Gopher "required words" rule list (Rae et al. 2021 §A1.1): a
+    * document must contain at least `minStopwordHits` distinct words from
+    * this set to count as English prose. */
+  val RequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Explicit Gopher-style rule filter (Rae et al. 2021 §A1.1) — the
+   * rule-per-column complement of the composite [[TextFunctions.qualityScore]]:
+   * every signal is reported alongside its boolean verdict so a pipeline can
+   * audit WHY a document was dropped, re-threshold without recomputing, and
+   * aggregate per-rule drop rates. All signals are single-pass expressions
+   * over the row (split / HOF / regexp — whole-stage codegen, no shuffle,
+   * no UDF): the scan shape that holds at 100 TB.
+   *
+   * Rules (keep = AND of all):
+   *  - `minWords <= n_words <= maxWords`
+   *  - `minMeanWordLen <= mean_word_len <= maxMeanWordLen`
+   *  - `symbol_word_ratio <= maxSymbolWordRatio` ('#' chars + '...' runs
+   *    per word)
+   *  - `bullet_line_frac <= maxBulletLineFrac` (lines starting `-`/`*`/`•`)
+   *  - `ellipsis_line_frac <= maxEllipsisLineFrac` (lines ending `...`/`…`)
+   *  - `alpha_word_frac >= minAlphaWordFrac` (words containing a letter)
+   *  - `stopword_hits >= minStopwordHits` distinct [[RequiredWords]]
+   */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolWordRatio: Double = 0.1,
+                  maxBulletLineFrac: Double = 0.9,
+                  maxEllipsisLineFrac: Double = 0.3,
+                  minAlphaWordFrac: Double = 0.8,
+                  minStopwordHits: Int = 2,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val ws = filter(split(text, "\\s+"), t => t =!= "")
+    val nWords = size(ws).cast("long")
+    val nWordsSafe = greatest(nWords, lit(1L)).cast("double")
+    val meanWordLen = round(
+      aggregate(ws, lit(0L), (acc, x) => acc + length(x)).cast("double") / nWordsSafe, 6)
+    val hashCount = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipsisCount = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = round((hashCount + ellipsisCount).cast("double") / nWordsSafe, 6)
+    val lines = split(text, "\n")
+    val nLinesSafe = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = round(
+      size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).cast("double") / nLinesSafe, 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLinesSafe, 6)
+    val alphaFrac = round(
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nWordsSafe, 6)
+    val stopHits = size(array_intersect(
+      array_distinct(transform(ws, w => lower(w))),
+      array(RequiredWords.map(lit): _*))).cast("long")
+    docs.select(
+        col(idCol),
+        nWords.as("n_words"),
+        meanWordLen.as("mean_word_len"),
+        symbolRatio.as("symbol_word_ratio"),
+        bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"),
+        alphaFrac.as("alpha_word_frac"),
+        stopHits.as("stopword_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("symbol_word_ratio") <= maxSymbolWordRatio &&
+        col("bullet_line_frac") <= maxBulletLineFrac &&
+        col("ellipsis_line_frac") <= maxEllipsisLineFrac &&
+        col("alpha_word_frac") >= minAlphaWordFrac &&
+        col("stopword_hits") >= minStopwordHits)
+  }
+
   def repetitionMetrics(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     def topFrac(grams: DataFrame, as: String): DataFrame = grams

@@ -85,6 +85,59 @@ class CurationOpsSpec extends SparkSpec {
     assert(trimmed(1L) == "body a" && trimmed(2L) == "body b")
   }
 
+  test("removeRepeatedSpans cuts cross-doc spans, preserves case and order") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta SHARED ONE TWO THREE FOUR FIVE tail1 tail2"),
+      (2L, "x1 x2 shared one two three four five y1 y2 y3"), // case-insensitive match
+      (3L, "nothing here repeats at all ever"),
+      (4L, "dup1 dup2 dup3 dup4 dup5"), // whole doc duplicated with 5
+      (5L, "dup1 dup2 dup3 dup4 dup5"),
+      (6L, "")) // empty doc: row survives with zero counts
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeRepeatedSpans(docs, windowTokens = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha beta gamma delta tail1 tail2", 6L, 6L)))
+    assert(out(2L) == (("x1 x2 y1 y2 y3", 5L, 6L)))
+    assert(out(3L) == (("nothing here repeats at all ever", 6L, 0L)))
+    assert(out(4L) == (("", 0L, 5L)))
+    assert(out(5L) == (("", 0L, 5L)))
+    assert(out(6L) == (("", 0L, 0L)))
+  }
+
+  test("removeRepeatedSpans leaves runs shorter than the window alone") {
+    // shared run of 3 tokens < windowTokens=4 -> below the noise floor, kept
+    val docs = Seq(
+      (1L, "p q r common run here s t"),
+      (2L, "u v common run here w x y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeRepeatedSpans(docs, windowTokens = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) == 0L && out(2L) == 0L)
+  }
+
+  test("gopherRules: per-rule signals and keep verdicts") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and that dog have seen it with glee"),
+      (2L, "- one\n- two\n- three\n- four"),          // bullets + short words
+      (3L, "#### #### #### #### ####"),               // symbols, no letters
+      (4L, "to be continued...\nmore coming soon...\nthe end")) // ellipsis lines
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, minWords = 5)
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getAs[Long]("n_words") == 17L)
+    assert(out(0).getAs[Double]("mean_word_len") == math.round(63.0 / 17 * 1e6) / 1e6)
+    assert(out(0).getAs[Long]("stopword_hits") == 5L) // the and that have with
+    assert(out(0).getAs[Boolean]("keep"))
+    assert(out(1).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(!out(1).getAs[Boolean]("keep"))
+    assert(out(2).getAs[Double]("alpha_word_frac") == 0.0)
+    assert(out(2).getAs[Double]("symbol_word_ratio") > 0.1)
+    assert(!out(2).getAs[Boolean]("keep"))
+    assert(out(3).getAs[Double]("ellipsis_line_frac") == math.round(2.0 / 3 * 1e6) / 1e6)
+    assert(!out(3).getAs[Boolean]("keep"))
+  }
+
   test("repetitionMetrics flags degenerate repetition") {
     val out = TextAnalysis.repetitionMetrics(Seq(
       (1L, "spam spam spam spam"),
