@@ -1037,6 +1037,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "dedup_representatives" -> ((s, dir) => {
+      // the dedup END-PRODUCT: longest-text-wins canonical doc per cluster
+      // (truncated +100000 copies must lose to their sources) + singletons;
+      // oracle recomputes closure + argmax in DuckDB
+      val base = docsWithNearDups(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
+      val pairs = Dedup.ngramJaccardPairs(base, threshold = 0.5)
+      Dedup.keepRepresentatives(base, pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     "chunk_documents" -> ((s, dir) => {
       // sliding token-window chunking (64-token chunks, 16 overlap): chunk
       // boundaries AND per-chunk content digests hash-checked against DuckDB
@@ -1669,6 +1680,46 @@ object SparkEntry {
         |  UNION
         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b)
         |SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "dedup_representatives" ->
+      """WITH RECURSIVE src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |d0 AS (
+        |  SELECT doc_id, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1,
+        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+        |  FROM src),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+        |           i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM d0
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |labels AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id),
+        |member AS (SELECT d.doc_id, len(d.text) AS l, lab.cl
+        |           FROM d0 d JOIN labels lab ON lab.id = d.doc_id),
+        |w AS (SELECT doc_id, cl,
+        |             ROW_NUMBER() OVER (PARTITION BY cl ORDER BY l DESC, doc_id ASC) AS rn,
+        |             COUNT(*) OVER (PARTITION BY cl) AS n_cluster
+        |      FROM member),
+        |kept AS (
+        |  SELECT doc_id, cl AS cluster_rep, CAST(n_cluster AS BIGINT) AS n_cluster
+        |  FROM w WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, doc_id AS cluster_rep, CAST(1 AS BIGINT) AS n_cluster
+        |  FROM d0 WHERE doc_id NOT IN (SELECT id FROM labels))
+        |SELECT doc_id, cluster_rep, n_cluster FROM kept ORDER BY doc_id""".stripMargin,
     "chunk_documents" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

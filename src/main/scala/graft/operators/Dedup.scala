@@ -257,6 +257,42 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_rep")
   }
 
+  /**
+   * The end-product of the dedup family: one canonical document per near-dup
+   * cluster plus every singleton — what a training pipeline actually writes
+   * out after candidate generation ([[minHashLsh]] / [[simHashDedup]] /
+   * [[ngramJaccardPairs]]) and [[dupClusters]]. Keep rule: the LONGEST text
+   * in the cluster wins (truncations/excerpts lose to their source), ties
+   * break to the smallest id — deterministic, so re-runs keep the same docs.
+   *
+   * Output: (idCol of kept doc, cluster_rep, n_cluster). Singletons keep
+   * themselves with `cluster_rep = id, n_cluster = 1`.
+   *
+   * Scale shape: the argmax groupBy runs over CLUSTER MEMBERS only (docs
+   * that appear in some near-dup pair — dup-rate-proportional, not
+   * corpus-proportional); singletons pass through via one anti-join against
+   * the (equally small) label table, never shuffling on a group key.
+   */
+  def keepRepresentatives(docs: DataFrame, pairs: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val clusters = dupClusters(pairs) // (id, cluster_rep) — members only
+    val member = docs.join(clusters, docs(idCol) === clusters("id"))
+      .select(col("cluster_rep").as("_cl"), clusters("id").as("_id"),
+        length(docs(textCol)).cast("long").as("_len"))
+    // argmax by (len, -id): lexicographic struct max = longest text,
+    // then smallest id
+    val winners = member.groupBy(col("_cl"))
+      .agg(
+        max(struct(col("_len"), (lit(0L) - col("_id")).as("_neg"))).as("_w"),
+        count(lit(1)).as("n_cluster"))
+      .select((lit(0L) - col("_w").getField("_neg")).as(idCol),
+        col("_cl").as("cluster_rep"), col("n_cluster"))
+    val singletons = docs
+      .join(clusters, docs(idCol) === clusters("id"), "left_anti")
+      .select(col(idCol), col(idCol).as("cluster_rep"), lit(1L).as("n_cluster"))
+    winners.unionByName(singletons)
+  }
+
   /** Exact Jaccard over two shingle arrays (set semantics). */
   private def jaccardShingles(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
     val ad = array_distinct(a)

@@ -159,6 +159,22 @@ class DedupSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("keepRepresentatives: longest wins, ties to min id, singletons pass") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "short"), (2L, "the longest text in this cluster"), (3L, "mid text"),
+      (10L, "same length"), (11L, "Same length"), // tie -> min id wins
+      (30L, "a singleton document"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = graft.operators.Dedup.keepRepresentatives(d, pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      2L -> ((1L, 3L)),   // longest of cluster {1,2,3}, rep label = min id 1
+      10L -> ((10L, 2L)), // length tie with 11 -> min id
+      30L -> ((30L, 1L)))) // singleton keeps itself
+  }
+
   test("dupClusters: pointer doubling converges on a 64-node chain within maxIter") {
     import org.apache.spark.sql.functions.col
     // diameter 63 — plain min-label propagation needs 63 rounds and would

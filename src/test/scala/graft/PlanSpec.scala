@@ -163,7 +163,8 @@ class PlanSpec extends SparkSpec {
     // locks in the native vector/SRP kernels: a regression that reintroduces
     // a per-row UDF into any ANN or embedding-dedup scan fails structurally
     val targets = SparkEntry.queries.keys
-      .filter(n => n.startsWith("ann_") || n.startsWith("embedding_")).toSeq.sorted
+      .filter(n => n.startsWith("ann_") || n.startsWith("embedding_")).toSeq.sorted ++
+      Seq("span_dedup", "gopher_rules") // span/quality scans: pure expressions too
     assert(targets.nonEmpty)
     targets.foreach { name =>
       val plan = formattedPlan(SparkEntry.queries(name)(spark, Sf))
