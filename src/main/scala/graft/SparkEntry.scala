@@ -1024,6 +1024,38 @@ object SparkEntry {
         .select(col("n_queries"), (col("recall") >= 0.8).as("recall_ok"))
     }),
 
+    "ann_pq_recall" -> ((s, dir) => {
+      // PQ (m=8, ksub=64, 32x compression) vs the float baseline. Measured
+      // on this corpus: ADC-only recall@5 ~0.22 (vs ~0.01 random floor —
+      // near-random gaussian embeddings are the WORST case for PQ), re-rank
+      // (shortlist 50) ~0.78; gates at 0.1 / 0.5 sit far below measured,
+      // far above collapse. n_dup_exact is exact: planted duplicate queries
+      // (identical vectors) MUST recover their source at cos 1.0 through
+      // the ADC shortlist -> re-rank path — a sharp, deterministic property,
+      // not a statistical one.
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5).select(col("qid"), col("cid"))
+      def recallOf(df: DataFrame) = {
+        val hits = df.select(col("qid").as("q2"), col("cid").as("c2"))
+        brute.join(hits, col("qid") === col("q2") && col("cid") === col("c2"), "left")
+          .agg((count(col("c2")).cast("double") / count(lit(1))).as("r"))
+          .head().getDouble(0)
+      }
+      val adc = recallOf(Similarity.pqTopK(e, q, k = 5, m = 8, ksub = 64))
+      val rr = recallOf(Similarity.pqTopK(e, q, k = 5, m = 8, ksub = 64, shortlist = 50))
+      val dupQ = e.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding")).union(dupQ)
+      val nDup = Similarity.pqTopK(corpus, dupQ, k = 1, m = 8, ksub = 64, shortlist = 20)
+        .filter(col("rnk") === 1 && col("cid") === col("qid") - 1000000L &&
+          col("cos") === 1.0)
+        .count()
+      import s.implicits._
+      Seq((8L, adc >= 0.1, rr >= 0.5, nDup))
+        .toDF("n_queries", "adc_ok", "rerank_ok", "n_dup_exact")
+    }),
+
     "dup_clusters" -> ((s, dir) => {
       // connected components over the DETERMINISTIC exact-Jaccard pair set
       // (same edges as ngram_jaccard_pairs, oracle-matched), checked against
@@ -1652,6 +1684,10 @@ object SparkEntry {
         |FROM documents ORDER BY media_id""".stripMargin,
     "ann_sq8_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "ann_pq_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS adc_ok, true AS rerank_ok,
+        |       CAST(COUNT(*) AS BIGINT) AS n_dup_exact
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "dup_clusters" ->
       """WITH RECURSIVE src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

@@ -95,6 +95,18 @@ object VectorFunctions {
   /** Squared L2 distance Σ (aᵢ−bᵢ)². */
   def l2Sq(a: Column, b: Column): Column = l2SqUdf(a, b)
 
+  /** Per-subspace PQ codes of `v` against a literal M × ksub × subDim
+    * codebook tensor (`typedLit(books: Seq[Seq[Seq[Float]]])`). Native
+    * codegen'd expression ([[graft.plans.VecPqEncode]]). */
+  def pqEncode(v: Column, books: Column): Column =
+    toCol(graft.plans.VecPqEncode(toExpr(v), toExpr(books)))
+
+  /** Asymmetric (full-precision query × PQ-reconstructed corpus) cosine —
+    * ADC scoring. Native codegen'd expression
+    * ([[graft.plans.VecPqCosine]]). */
+  def pqCosine(q: Column, codes: Column, books: Column): Column =
+    toCol(graft.plans.VecPqCosine(toExpr(q), toExpr(codes), toExpr(books)))
+
   /** splitmix64 — deterministic sign-table source for [[srpBucket]]. */
   private def splitmix64(x0: Long): Long = {
     var z = x0 + 0x9E3779B97F4A7C15L

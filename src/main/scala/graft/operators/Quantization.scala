@@ -74,4 +74,51 @@ object Quantization {
       zip_with(vec, dequantize(codes, qMin, qScale),
         (x, d) => abs(x.cast("double") - d)),
       lit(0.0), (acc, e) => greatest(acc, e))
+
+  // ------------------------------------------------------------ product (PQ)
+
+  /** PQ codebook tensor: `m` subspaces × `ksub` centroids × `subDim` floats
+    * — driver/broadcast-small by construction (m·ksub·subDim = one codebook
+    * per corpus, KBs). */
+  final case class PqCodebooks(m: Int, subDim: Int, books: Seq[Seq[Seq[Float]]])
+
+  /**
+   * Deterministic PQ codebooks: the `ksub` hash-order-sampled corpus vectors
+   * (same stable pick as the IVF coarse quantizer — smallest `xxhash64(id)`,
+   * reproducible across runs/layouts) sliced into `m` contiguous subspaces.
+   * Sampled codebooks trade a few recall points vs Lloyd iterations for
+   * zero extra corpus passes and bit-reproducibility — the right default
+   * when the codebook must be rebuildable from the corpus alone; swap in
+   * k-means centroids per subspace if recall headroom is needed.
+   */
+  def buildPqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): PqCodebooks = {
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "PQ codebook sample is empty")
+    val dim = sample(0).length
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    PqCodebooks(m, sub,
+      (0 until m).map(mi => sample.toSeq.map(v => v.slice(mi * sub, (mi + 1) * sub).toSeq)))
+  }
+
+  /** The codebook tensor as a literal column for the codegen'd
+    * `vec_pq_encode` / `vec_pq_cosine` kernels. */
+  def pqBooksLiteral(b: PqCodebooks): Column = typedLit(b.books)
+
+  /**
+   * PQ-encode a corpus: (idCol, pq_codes array<int>). With m=8, ksub≤256
+   * this is 8 bytes per vector — 32× smaller than a 64-dim float32 row; at
+   * 100 TB of embeddings the codes table is what a scan actually reads.
+   * One codegen'd expression per row, no UDF boundary.
+   */
+  def encodePq(embs: DataFrame, books: PqCodebooks,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embs.select(col(idCol),
+      graft.functions.VectorFunctions.pqEncode(col(vecCol), pqBooksLiteral(books))
+        .as("pq_codes"))
 }

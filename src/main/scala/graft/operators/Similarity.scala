@@ -69,6 +69,49 @@ object Similarity {
   }
 
   /**
+   * Approximate top-k over a PQ-ENCODED corpus ([[Quantization.encodePq]]):
+   * the scan reads `m` small-int codes per vector (with m=8 that is 32×
+   * fewer bytes than 64-dim float32 — at 100 TB the difference between a
+   * memory-resident code table and an IO-bound float scan), scored by the
+   * codegen'd asymmetric cosine (`vec_pq_cosine`: full-precision query ×
+   * reconstructed corpus, no UDF, no reconstruction materialized).
+   *
+   * `shortlist > 0` adds the standard second stage: keep the top
+   * `shortlist` ADC candidates per query, join ONLY those back to the float
+   * corpus (shortlist·|Q| rows — tiny vs the corpus), and re-rank exactly.
+   * ADC error then only costs recall when a true top-k neighbor falls
+   * outside the shortlist entirely; `ann_pq_recall` gates both stages.
+   *
+   * Ranking rounds to 6 decimals with id tie-break on both stages —
+   * deterministic across engines/plans, like every other ANN path here.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 32, shortlist: Int = 0,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = Quantization.buildPqCodebooks(corpus, m, ksub, idCol, vecCol)
+    val bl = Quantization.pqBooksLiteral(books)
+    val enc = Quantization.encodePq(corpus, books, idCol, vecCol)
+      .select(col(idCol).as("cid"), col("pq_codes"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    val adc = enc.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", round(VectorFunctions.pqCosine(col("qv"), col("pq_codes"), bl), 6))
+      .withColumn("rnk", row_number().over(w))
+    if (shortlist <= 0)
+      adc.filter(col("rnk") <= k).select(col("qid"), col("rnk"), col("cid"), col("cos"))
+    else {
+      val cand = adc.filter(col("rnk") <= math.max(shortlist, k))
+        .select(col("qid"), col("qv"), col("cid"))
+      cand.join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), Seq("cid"))
+        .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+    }
+  }
+
+  /**
    * Approximate top-k via signed-random-projection buckets: candidates =
    * corpus vectors sharing the query's SRP bucket under any of `probes`
    * independent hash tables; exact cosine re-rank within candidates.

@@ -67,6 +67,8 @@ object GraftFunctions {
     "vec_cosine" -> (exprs => VecCosine(exprs(0), exprs(1))),
     "vec_top_centroids" -> (exprs => VecTopCentroids(exprs(0), exprs(1), exprs(2))),
     "vec_srp_bucket" -> (exprs => VecSrpBucket(exprs(0), exprs(1))),
+    "vec_pq_encode" -> (exprs => VecPqEncode(exprs(0), exprs(1))),
+    "vec_pq_cosine" -> (exprs => VecPqCosine(exprs(0), exprs(1), exprs(2))),
     "word_shingles" -> (exprs => WordShingles(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs(0), exprs(1))),
     "simhash64" -> (exprs => SimHash64(exprs(0))))

@@ -78,6 +78,79 @@ object VecKernels {
   }
 
   /**
+   * Product-quantization encode: `codes(mi)` = index of the centroid in
+   * `books(mi)` nearest (L2 — the metric PQ reconstruction minimizes; ties →
+   * lower code) to the `mi`-th contiguous subvector of `v`. `books` is the
+   * M × ksub × subDim codebook tensor (a literal, driver-built,
+   * broadcast-small); subspace widths come from the centroids themselves so
+   * ragged tails are legal. A vector shorter than the codebook span
+   * zero-pads (never reads out of bounds).
+   */
+  def pqEncode(v: ArrayData, books: ArrayData): ArrayData = {
+    val m = books.numElements()
+    val out = new Array[Int](m)
+    val vn = v.numElements()
+    var off = 0
+    var mi = 0
+    while (mi < m) {
+      val book = books.getArray(mi)
+      val ksub = book.numElements()
+      var sub = 0
+      var best = 0
+      var bd = Double.MaxValue
+      var k = 0
+      while (k < ksub) {
+        val c = book.getArray(k)
+        sub = c.numElements()
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val qv = if (off + i < vn) v.getFloat(off + i).toDouble else 0.0
+          val diff = qv - c.getFloat(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < bd) { bd = d; best = k }
+        k += 1
+      }
+      out(mi) = best
+      off += sub
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /**
+   * Asymmetric-distance (ADC) cosine: cos(q, x̂) where
+   * x̂ = concat(books(mi)(codes(mi))) is the PQ reconstruction. One pass over
+   * the selected centroids; the query stays full-precision (the A in ADC).
+   */
+  def pqCosine(q: ArrayData, codes: ArrayData, books: ArrayData): Double = {
+    val m = math.min(codes.numElements(), books.numElements())
+    val qn = q.numElements()
+    var dot = 0.0
+    var nx = 0.0
+    var off = 0
+    var mi = 0
+    while (mi < m) {
+      val c = books.getArray(mi).getArray(codes.getInt(mi))
+      val sub = c.numElements()
+      var i = 0
+      while (i < sub) {
+        val cv = c.getFloat(i).toDouble
+        val qv = if (off + i < qn) q.getFloat(off + i).toDouble else 0.0
+        dot += qv * cv
+        nx += cv * cv
+        i += 1
+      }
+      off += sub
+      mi += 1
+    }
+    val denom = math.sqrt(norm2Sq(q)) * math.sqrt(nx)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /**
    * Signed-random-projection bucket: bit b of the result = 1 iff
    * `v · signs(b) ≥ 0`. `signs` is the nBits × dim ±1 hyperplane table
    * (a literal — splitmix64-derived at plan build, broadcast-small).
@@ -202,6 +275,71 @@ case class VecSrpBucket(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/**
+ * `vec_pq_encode(v, books)` → array<int>: per-subspace nearest-centroid
+ * codes against a LITERAL M × ksub × subDim codebook tensor (see
+ * [[VecKernels.pqEncode]]). The PQ encoder runs once per corpus vector —
+ * the 100 TB compression pass — so it must stay inside whole-stage codegen.
+ */
+case class VecPqEncode(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "vec_pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(ArrayType(FloatType, _), _), _)) =>
+        TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(
+        s"$prettyName expects (array<float>, array<array<array<float>>>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(v: Any, books: Any): Any =
+    VecKernels.pqEncode(v.asInstanceOf[ArrayData], books.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, b) => s"graft.plans.VecKernels.pqEncode($v, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/**
+ * `vec_pq_cosine(q, codes, books)` → double: asymmetric (full-precision
+ * query × PQ-reconstructed corpus) cosine — the ADC scoring kernel of
+ * [[graft.operators.Similarity]]'s PQ path. Runs once per (query, corpus
+ * code row), the ANN hot loop, so it must stay inside whole-stage codegen.
+ */
+case class VecPqCosine(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_pq_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _),
+            ArrayType(ArrayType(ArrayType(FloatType, _), _), _)) => true
+      case _ => false
+    }
+    if (ok) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"$prettyName expects (array<float>, array<int>, array<array<array<float>>>), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+
+  override def nullSafeEval(q: Any, codes: Any, books: Any): Any =
+    VecKernels.pqCosine(q.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData], books.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, c, b) => s"graft.plans.VecKernels.pqCosine($q, $c, $b)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 /** dot/(‖a‖·‖b‖); 0 for an all-zero vector. */

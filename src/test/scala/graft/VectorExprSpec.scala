@@ -82,6 +82,65 @@ class VectorExprSpec extends SparkSpec {
     assert(viaSql == 2L) // plane0: 1-2<0 → bit0=0; plane1: 1+2≥0 → bit1=1
   }
 
+  test("vec_pq_encode / vec_pq_cosine: hand-checked codes and ADC cosine") {
+    import spark.implicits._
+    // 2 subspaces × 2 centroids × dim 2; v = (1,0, 0,2) → codes (0, 1)
+    val books = typedLit(Seq(
+      Seq(Seq(1f, 0f), Seq(0f, 1f)),   // subspace 0
+      Seq(Seq(5f, 5f), Seq(0f, 2f)))) // subspace 1
+    val df = Seq((1L, Seq(1f, 0f, 0f, 2f))).toDF("id", "v")
+    val codes = df.select(VectorFunctions.pqEncode(col("v"), books).as("c"))
+      .head().getSeq[Int](0)
+    assert(codes == Seq(0, 1))
+    // reconstruction = (1,0,0,2) = v exactly → ADC cosine with v is 1.0
+    val cos = df.select(
+      VectorFunctions.pqCosine(col("v"),
+        VectorFunctions.pqEncode(col("v"), books), books).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    // ADC against an orthogonal query: recon (1,0,0,2) · (0,3,0,0) = 0
+    val cos2 = Seq((1L, Seq(0f, 3f, 0f, 0f), Seq(1f, 0f, 0f, 2f)))
+      .toDF("id", "q", "v")
+      .select(VectorFunctions.pqCosine(col("q"),
+        VectorFunctions.pqEncode(col("v"), books), books).as("c"))
+      .head().getDouble(0)
+    assert(cos2 == 0.0)
+  }
+
+  test("pq encode ties break to the lower code; L2 (not cosine) metric") {
+    import spark.implicits._
+    // both centroids equidistant in L2 from (0,0) → code 0
+    val tie = typedLit(Seq(Seq(Seq(1f, 0f), Seq(0f, 1f))))
+    val t = Seq((1L, Seq(0f, 0f))).toDF("id", "v")
+      .select(VectorFunctions.pqEncode(col("v"), tie).as("c")).head().getSeq[Int](0)
+    assert(t == Seq(0))
+    // L2 picks the NEAR centroid (0.9, 0) over the far-but-collinear (9, 0)
+    val l2 = typedLit(Seq(Seq(Seq(9f, 0f), Seq(0.9f, 0f))))
+    val l = Seq((1L, Seq(1f, 0f))).toDF("id", "v")
+      .select(VectorFunctions.pqEncode(col("v"), l2).as("c")).head().getSeq[Int](0)
+    assert(l == Seq(1))
+  }
+
+  test("pqTopK: planted exact duplicates recover their source at cos 1.0") {
+    val e = Tables.embeddings(spark, Sf)
+    val dupQ = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding")).union(dupQ)
+    val top1 = graft.operators.Similarity
+      .pqTopK(corpus, dupQ, k = 1, m = 8, ksub = 32, shortlist = 20)
+      .filter(col("rnk") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(top1.length == 5)
+    top1.foreach { case (qid, cid, cos) =>
+      assert(cid == qid - 1000000L && cos == 1.0, s"$qid -> $cid @ $cos")
+    }
+    // and the whole PQ plan is UDF-free
+    val plan = graft.operators.Similarity
+      .pqTopK(corpus, dupQ, k = 1, m = 8, ksub = 32, shortlist = 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
+
   test("IVF assignment and probing are native expressions — no UDF in the plan") {
     val e = Tables.embeddings(spark, Sf)
     val q = e.filter(col("vec_id") < 3)
