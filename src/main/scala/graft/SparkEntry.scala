@@ -1056,6 +1056,34 @@ object SparkEntry {
         .toDF("n_queries", "adc_ok", "rerank_ok", "n_dup_exact")
     }),
 
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      // the full production composition: IVF probe pruning × PQ codes × ADC
+      // × exact re-rank. Measured recall@5 ~0.58 (nlist=16, nprobe=8, m=8,
+      // ksub=64, shortlist=50) on the near-random corpus — the compounded
+      // IVF+PQ loss; gate at 0.25 (vs 0.01 random floor). Planted identical
+      // queries must come back exactly (same list, shortlisted, cos 1.0).
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5).select(col("qid"), col("cid"))
+      val ipq = Similarity.ivfPqTopK(e, q, k = 5, nlist = 16, nprobe = 8,
+        m = 8, ksub = 64, shortlist = 50)
+        .select(col("qid").as("q2"), col("cid").as("c2"))
+      val recall = brute
+        .join(ipq, col("qid") === col("q2") && col("cid") === col("c2"), "left")
+        .agg((count(col("c2")).cast("double") / count(lit(1))).as("r"))
+        .head().getDouble(0)
+      val dupQ = e.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding")).union(dupQ)
+      val nDup = Similarity.ivfPqTopK(corpus, dupQ, k = 1, nlist = 16, nprobe = 4,
+        m = 8, ksub = 64, shortlist = 20)
+        .filter(col("rnk") === 1 && col("cid") === col("qid") - 1000000L &&
+          col("cos") === 1.0)
+        .count()
+      import s.implicits._
+      Seq((8L, recall >= 0.25, nDup)).toDF("n_queries", "recall_ok", "n_dup_exact")
+    }),
+
     "dup_clusters" -> ((s, dir) => {
       // connected components over the DETERMINISTIC exact-Jaccard pair set
       // (same edges as ngram_jaccard_pairs, oracle-matched), checked against
@@ -1687,6 +1715,10 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "ann_pq_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS adc_ok, true AS rerank_ok,
+        |       CAST(COUNT(*) AS BIGINT) AS n_dup_exact
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "ann_ivfpq_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok,
         |       CAST(COUNT(*) AS BIGINT) AS n_dup_exact
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "dup_clusters" ->

@@ -112,6 +112,48 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ: the production 100 TB ANN shape — IVF's coarse quantizer prunes
+   * the scan to `nprobe/nlist` of the corpus (partition pruning on the
+   * stored `list_id` layout), PQ codes shrink what that scan reads by ~32×,
+   * ADC scores it inside codegen, and the float corpus is touched only by
+   * the final shortlist re-rank join. Both quantizers are deterministic
+   * hash-order samples, so the whole index is bit-reproducible from the
+   * corpus alone.
+   *
+   * Cost per query batch: |corpus|·nprobe/nlist code rows scanned +
+   * shortlist·|Q| float rows joined. Recall loses (a) neighbors outside the
+   * probed lists (IVF term, gated by `ann_ivf_recall`'s probe-sweep) and
+   * (b) neighbors ADC ranks below the shortlist (PQ term, gated by
+   * `ann_pq_recall`); `ann_ivfpq_recall` gates the composition.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 32, shortlist: Int = 20,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val index = buildIvfIndex(corpus, nlist, idCol, vecCol)
+    val centsLit = centroidsLiteral(index.centroids)
+    val books = Quantization.buildPqCodebooks(corpus, m, ksub, idCol, vecCol)
+    val bl = Quantization.pqBooksLiteral(books)
+    val enc = index.assigned.select(col("cid"), col("list_id"),
+      VectorFunctions.pqEncode(col("cv"), bl).as("pq_codes"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("list_id",
+        explode(VectorFunctions.topCentroids(col("qv"), centsLit, nprobe)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    val cand = enc.join(q, Seq("list_id"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", round(VectorFunctions.pqCosine(col("qv"), col("pq_codes"), bl), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= math.max(shortlist, k))
+      .select(col("qid"), col("qv"), col("cid"))
+    cand.join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), Seq("cid"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+  }
+
+  /**
    * Approximate top-k via signed-random-projection buckets: candidates =
    * corpus vectors sharing the query's SRP bucket under any of `probes`
    * independent hash tables; exact cosine re-rank within candidates.

@@ -108,6 +108,48 @@ class TextExprSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: kernel ≡ legacy parity on 300 generated adversarial strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // character mix tuned to hurt: every \s kind, ≤0x20 controls that are
+    // NOT \s, NBSP/line-separator (not Java \s), case-mapping traps
+    // (İ → i̇ grows a char; ß/ẞ), CJK, astral emoji (surrogate pairs)
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B'),
+      1 -> Gen.oneOf('\u0000', '\u0001', '\u001F', '\u00A0', '\u2028'),
+      2 -> Gen.oneOf('中', '文', 'ş', 'İ', 'ẞ', 'ß', 'É'),
+      1 -> Gen.const("😀").map(_.charAt(0)),
+      1 -> Gen.const("😀").map(_.charAt(1)))
+    val strGen = Gen.chooseNum(0, 80)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val texts = (0 until 300).map(i =>
+      strGen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    val df = texts.toDF("text")
+    for (n <- Seq(1, 2, 3)) {
+      val rows = df.select(
+        TextFunctions.shingles(col("text"), n).as("native"),
+        TextFunctions.shingles_udf(col("text"), n).as("legacy"),
+        col("text")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n text=${r.getString(2).getBytes("UTF-8").map("%02x".format(_)).mkString}")
+      }
+    }
+    val sigRows = df
+      .select(array_distinct(TextFunctions.shingles(col("text"), 2)).as("sh"),
+        TextFunctions.tokens(col("text")).as("t"))
+      .select(
+        TextFunctions.minHashSignature(col("sh"), 16).as("sig_n"),
+        TextFunctions.minHashSignature_hof(col("sh"), 16).as("sig_l"),
+        TextFunctions.simHash64(col("t")).as("sim_n"),
+        TextFunctions.simHash64_udf(col("t")).as("sim_l")).collect()
+    sigRows.foreach { r =>
+      assert(r.getSeq[java.lang.Long](0) == r.getSeq[java.lang.Long](1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
   test("dedup band/signature pipelines have no ScalaUDF in the plan") {
     val docs = Tables.documents(spark, Sf)
     val bandPlan = Dedup.buildBandIndex(docs)

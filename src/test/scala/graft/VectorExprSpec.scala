@@ -149,4 +149,17 @@ class VectorExprSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
     assert(df.count() > 0)
   }
+
+  test("IVF-PQ composition: UDF-free plan, k rows per query, self excluded") {
+    val e = Tables.embeddings(spark, Sf)
+    val q = e.filter(col("vec_id") < 3)
+    val df = graft.operators.Similarity.ivfPqTopK(e, q, k = 3,
+      nlist = 8, nprobe = 4, m = 8, ksub = 16, shortlist = 10)
+    assert(!df.queryExecution.executedPlan.toString.contains("UDF"),
+      df.queryExecution.executedPlan.toString)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == 3)
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(2)))
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 3))
+  }
 }
