@@ -121,4 +121,33 @@ object Quantization {
     embs.select(col(idCol),
       graft.functions.VectorFunctions.pqEncode(col(vecCol), pqBooksLiteral(books))
         .as("pq_codes"))
+
+  /** Persist a PQ index: the code table (id-sorted within files) plus the
+    * codebook tensor alongside — same artifact convention as
+    * [[graft.operators.Similarity.saveIvfIndex]] / [[saveQuantized]]. At
+    * serving time the code table IS the ANN scan; the codebooks reload into
+    * a literal. */
+  def savePq(encoded: DataFrame, books: PqCodebooks, path: String,
+             idCol: String = "vec_id"): Unit = {
+    val spark = encoded.sparkSession
+    encoded.sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    import spark.implicits._
+    books.books.zipWithIndex
+      .flatMap { case (book, mi) => book.zipWithIndex.map { case (c, ki) => (mi, ki, c) } }
+      .toDF("m_idx", "k_idx", "centroid")
+      .write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** Read a stored PQ index back: (code table, codebooks). */
+  def loadPq(spark: org.apache.spark.sql.SparkSession,
+             path: String): (DataFrame, PqCodebooks) = {
+    val rows = spark.read.parquet(s"$path/books")
+      .orderBy(col("m_idx"), col("k_idx")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, g) => g.sortBy(_._2).map(_._3).toSeq }
+    val sub = books.head.head.length
+    (spark.read.parquet(s"$path/codes"), PqCodebooks(books.length, sub, books))
+  }
 }

@@ -141,6 +141,36 @@ class VectorExprSpec extends SparkSpec {
     assert(!plan.contains("UDF"), plan)
   }
 
+  test("PQ index save/load roundtrip: codes, books and ADC scores identical") {
+    import graft.operators.Quantization
+    val e = Tables.embeddings(spark, Sf)
+    val books = Quantization.buildPqCodebooks(e, m = 8, ksub = 16)
+    val enc = Quantization.encodePq(e, books)
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    try {
+      Quantization.savePq(enc, books, dir)
+      val (enc2, books2) = Quantization.loadPq(spark, dir)
+      assert(books2 == books)
+      val a = enc.orderBy(col("vec_id")).collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+      val b = enc2.orderBy(col("vec_id")).collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+      assert(a.sameElements(b))
+      // ADC scores through the RELOADED codebooks match the direct path
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val direct = enc.crossJoin(q).select(
+        VectorFunctions.pqCosine(col("qv"), col("pq_codes"),
+          Quantization.pqBooksLiteral(books)).as("c"))
+        .collect().map(_.getDouble(0)).sorted
+      val stored = enc2.crossJoin(q).select(
+        VectorFunctions.pqCosine(col("qv"), col("pq_codes"),
+          Quantization.pqBooksLiteral(books2)).as("c"))
+        .collect().map(_.getDouble(0)).sorted
+      assert(direct.sameElements(stored))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("IVF assignment and probing are native expressions — no UDF in the plan") {
     val e = Tables.embeddings(spark, Sf)
     val q = e.filter(col("vec_id") < 3)
