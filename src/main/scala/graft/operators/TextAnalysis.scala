@@ -207,6 +207,14 @@ object TextAnalysis {
    * fixed-width rolling window — the standard distributed approximation
    * (windows stepped by 1 ⇒ any shared run of ≥ `windowTokens` tokens is
    * caught; shorter shared runs are deliberately below the noise floor).
+   *
+   * Deliberate recompute-over-materialize: the window projection is built
+   * twice (once under the repeated-set aggregate, once for the candidate
+   * join) and the token positions once more — three pruned `(id, text)`
+   * scans total. At corpus scale, re-reading compressed columnar text beats
+   * both caching it uncompressed (MEMORY_AND_DISK spill ≥ corpus size) and
+   * shuffling the per-token window rows to a sort-based single pass; the
+   * same trade [[dedupLines]] makes.
    */
   def removeRepeatedSpans(docs: DataFrame, windowTokens: Int = 50, minDocs: Int = 2,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
