@@ -949,6 +949,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "weighted_sample" -> ((s, dir) => {
+      // A-Res weighted sampling, weight = n_chars + 1 (longer docs more
+      // likely; 10 of each source's 25): hash-derived uniforms make the WHOLE
+      // sample deterministic,
+      // so the oracle reproduces it row for row, not statistically
+      Curation.weightedSampleHash(Tables.documents(s, dir), "source",
+        col("n_chars").cast("double") + 1.0, k = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "streaming_heavy_hitters" -> ((s, dir) => {
       // the STREAMING sketch path gated against plain SQL: 40 distinct keys
       // under capacity 64 keep SpaceSaving exact (no evictions, merges
@@ -1684,6 +1695,19 @@ object SparkEntry {
         |      < CAST((CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
         |               ELSE 0.125 END) * 4294967296 AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    "weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |         round(pow(
+        |           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+        |             / 4503599627370496.0,
+        |           1.0 / (n_chars + 1.0)), 12) AS k
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |             ROW_NUMBER() OVER (PARTITION BY source
+        |               ORDER BY k DESC, doc_id) AS rn
+        |      FROM d)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "streaming_heavy_hitters" ->
       """WITH e AS (
         |  SELECT date_trunc('hour', ts) AS ws, 'k_' || (event_id % 40) AS item

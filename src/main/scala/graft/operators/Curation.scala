@@ -328,6 +328,38 @@ object Curation {
   }
 
   /**
+   * Deterministic weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+   * A-Res): each row draws a stable uniform u ∈ (0,1] from the first 52 bits
+   * of `md5(id)` and ranks by `key = u^(1/w)` descending; the top `k` rows
+   * per group win. Inclusion is weight-proportional in the
+   * without-replacement sense — the standard quality-weighted corpus
+   * subsample — and u is a pure function of the id, so the sample is
+   * identical across runs, partitionings and engines. Weights must be > 0.
+   *
+   * The rank key is ROUNDED to 12 decimals with id tie-break: ranking is
+   * unaffected (adjacent order-statistic gaps are ~1/n², far above 1e-12)
+   * while cross-engine `pow` differences (~1 ulp, below 1e-12 relative)
+   * vanish — so a DuckDB oracle reproduces the sample row for row.
+   *
+   * Scale shape: a narrow per-row key plus the same row_number-per-group
+   * filter every top-k here uses — [[graft.plans.TopKRewrite]] turns it
+   * into the heap-based sort-free operator when the extensions are loaded.
+   */
+  def weightedSampleHash(docs: DataFrame, groupCol: String, weight: Column,
+                         k: Int, idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    // 13 hex chars = 52 bits (exact in a double); +1 shifts to (0, 2^52]
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("double") + 1.0) / 4503599627370496.0
+    val key = round(pow(u, lit(1.0) / weight), 12)
+    val w = Window.partitionBy(col(groupCol)).orderBy(key.desc, col(idCol))
+    docs.withColumn("_wrn", row_number().over(w))
+      .filter(col("_wrn") <= k)
+      .drop("_wrn")
+  }
+
+  /**
    * Mix sources to target weights: the largest corpus with per-source counts
    * ∝ `weights` that the available data supports. The binding source sets
    * the total (`target = min_i(avail_i / w_i)`); each source then contributes

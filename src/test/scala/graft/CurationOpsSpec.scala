@@ -85,6 +85,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(trimmed(1L) == "body a" && trimmed(2L) == "body b")
   }
 
+  test("weightedSampleHash: weight bias, determinism, per-group k") {
+    import spark.implicits._
+    // one dominant-weight doc per group + 29 tiny-weight docs
+    val docs = (0 until 60).map { i =>
+      val g = s"g${i % 2}"
+      val w = if (i < 2) 1e9 else 1e-3
+      (i.toLong, g, w)
+    }.toDF("doc_id", "grp", "w")
+    val out = Curation.weightedSampleHash(docs, "grp", col("w"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.size == 10) // 5 per group
+    // u^(1/1e9) ≈ 1 beats u^(1000) for every realistic u: dominants always in
+    assert(out.contains((0L, "g0")) && out.contains((1L, "g1")))
+    // stable across partitionings
+    val out2 = Curation.weightedSampleHash(docs.repartition(7), "grp", col("w"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == out2)
+  }
+
   test("removeRepeatedSpans cuts cross-doc spans, preserves case and order") {
     val docs = Seq(
       (1L, "alpha beta gamma delta SHARED ONE TWO THREE FOUR FIVE tail1 tail2"),
