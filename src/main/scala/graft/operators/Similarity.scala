@@ -89,9 +89,22 @@ object Similarity {
              m: Int = 8, ksub: Int = 32, shortlist: Int = 0,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val books = Quantization.buildPqCodebooks(corpus, m, ksub, idCol, vecCol)
+    pqQuery(Quantization.encodePq(corpus, books, idCol, vecCol), books,
+      corpus, queries, k, shortlist, idCol, vecCol)
+  }
+
+  /**
+   * Query a PRE-ENCODED (possibly [[Quantization.loadPq]]-restored) PQ
+   * index: the serving-time path — encode once, persist, answer every later
+   * query batch from the code table. `corpus` (float vectors) is only read
+   * by the re-rank join and may be the cold-storage table; pass
+   * `shortlist = 0` to skip re-rank entirely (no float access at all).
+   */
+  def pqQuery(encoded: DataFrame, books: Quantization.PqCodebooks,
+              corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int = 0,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bl = Quantization.pqBooksLiteral(books)
-    val enc = Quantization.encodePq(corpus, books, idCol, vecCol)
-      .select(col(idCol).as("cid"), col("pq_codes"))
+    val enc = encoded.select(col(idCol).as("cid"), col("pq_codes"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     val adc = enc.crossJoin(broadcast(q))

@@ -165,6 +165,15 @@ class VectorExprSpec extends SparkSpec {
           Quantization.pqBooksLiteral(books2)).as("c"))
         .collect().map(_.getDouble(0)).sorted
       assert(direct.sameElements(stored))
+      // full query path through the RESTORED index == building from scratch
+      val qs = e.filter(col("vec_id") < 3)
+      val fromStored = graft.operators.Similarity
+        .pqQuery(enc2, books2, e, qs, k = 3, shortlist = 10)
+        .orderBy(col("qid"), col("rnk")).collect().map(_.toSeq)
+      val fromScratch = graft.operators.Similarity
+        .pqTopK(e, qs, k = 3, m = 8, ksub = 16, shortlist = 10)
+        .orderBy(col("qid"), col("rnk")).collect().map(_.toSeq)
+      assert(fromStored.sameElements(fromScratch))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
