@@ -44,6 +44,32 @@ class StreamingDedupSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stateless text-quality ops compose into a stream unchanged") {
+    // gopherRules / docMetrics are pure per-row expressions — the SAME code
+    // drops into a streaming scan with zero state, the kappa-architecture
+    // property the curation pipeline relies on at ingest time
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mem = MemoryStream[DocEvent]
+    val filtered = graft.operators.TextAnalysis
+      .gopherRules(mem.toDF(), minWords = 4, minStopwordHits = 1)
+      .filter(col("keep"))
+    assert(filtered.isStreaming)
+    val q = filtered.writeStream.outputMode("append")
+      .format("memory").queryName("gopher_stream").start()
+    mem.addData(
+      d(0, 1, "the quick brown fox jumps over the lazy dog and that other dog"),
+      d(1, 2, "x y"),                      // too short -> dropped
+      d(2, 3, "#### #### #### #### ####")) // symbols  -> dropped
+    q.processAllAvailable()
+    val kept = spark.table("gopher_stream").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    // stateless: no state store operators at all
+    assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0))
+    q.stop()
+  }
+
   test("dedup state is evicted once the watermark passes (bounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[DocEvent]
