@@ -144,16 +144,73 @@ object Similarity {
                 m: Int = 8, ksub: Int = 32, shortlist: Int = 20,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val index = buildIvfIndex(corpus, nlist, idCol, vecCol)
-    val centsLit = centroidsLiteral(index.centroids)
     val books = Quantization.buildPqCodebooks(corpus, m, ksub, idCol, vecCol)
-    val bl = Quantization.pqBooksLiteral(books)
     val enc = index.assigned.select(col("cid"), col("list_id"),
-      VectorFunctions.pqEncode(col("cv"), bl).as("pq_codes"))
+      VectorFunctions.pqEncode(col("cv"), Quantization.pqBooksLiteral(books)).as("pq_codes"))
+    ivfPqQuery(enc, index.centroids, books, corpus, queries, k, nprobe, shortlist,
+      idCol, vecCol)
+  }
+
+  /** A persisted IVF-PQ index: PQ codes partitioned by IVF list (probe joins
+    * prune partitions), both quantizer tables alongside. */
+  final case class IvfPqIndex(centroids: Array[(Int, Array[Float])],
+                              books: Quantization.PqCodebooks,
+                              encoded: DataFrame)
+
+  /** Build and persist the full IVF-PQ serving artifact in one corpus pass:
+    * `(cid, list_id, pq_codes)` written `partitionBy(list_id)` so a probe
+    * reads nprobe/nlist of the files, plus the coarse centroids and PQ
+    * codebooks. Both quantizers are deterministic hash-order samples — the
+    * artifact is bit-reproducible from the corpus alone. */
+  def saveIvfPq(corpus: DataFrame, path: String,
+                nlist: Int = 16, m: Int = 8, ksub: Int = 32,
+                idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val index = buildIvfIndex(corpus, nlist, idCol, vecCol)
+    val books = Quantization.buildPqCodebooks(corpus, m, ksub, idCol, vecCol)
+    index.assigned.select(col("cid"), col("list_id"),
+        VectorFunctions.pqEncode(col("cv"), Quantization.pqBooksLiteral(books)).as("pq_codes"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/encoded")
+    import spark.implicits._
+    index.centroids.toSeq.toDF("list_id", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    books.books.zipWithIndex
+      .flatMap { case (book, mi) => book.zipWithIndex.map { case (c, ki) => (mi, ki, c) } }
+      .toDF("m_idx", "k_idx", "centroid")
+      .write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** Read a stored IVF-PQ index back. */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("list_id")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val rows = spark.read.parquet(s"$path/books")
+      .orderBy(col("m_idx"), col("k_idx")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, g) => g.sortBy(_._2).map(_._3).toSeq }
+    IvfPqIndex(cents,
+      Quantization.PqCodebooks(books.length, books.head.head.length, books),
+      spark.read.parquet(s"$path/encoded"))
+  }
+
+  /** Query a PRE-ENCODED (possibly [[loadIvfPq]]-restored) IVF-PQ index —
+    * the serving path: probe `nprobe` lists (partition-pruned on the stored
+    * layout), ADC-score their codes, exact-re-rank the shortlist against
+    * the float corpus (cold storage; only shortlist·|Q| rows read). */
+  def ivfPqQuery(encoded: DataFrame, centroids: Array[(Int, Array[Float])],
+                 books: Quantization.PqCodebooks,
+                 corpus: DataFrame, queries: DataFrame, k: Int,
+                 nprobe: Int = 4, shortlist: Int = 20,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centsLit = centroidsLiteral(centroids)
+    val bl = Quantization.pqBooksLiteral(books)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("list_id",
         explode(VectorFunctions.topCentroids(col("qv"), centsLit, nprobe)))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    val cand = enc.join(q, Seq("list_id"))
+    val cand = encoded.join(q, Seq("list_id"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("cos", round(VectorFunctions.pqCosine(col("qv"), col("pq_codes"), bl), 6))
       .withColumn("rnk", row_number().over(w))

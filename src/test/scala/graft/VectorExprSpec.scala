@@ -189,6 +189,32 @@ class VectorExprSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("IVF-PQ index save/load roundtrip == building from scratch") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, Sf)
+    val q = e.filter(col("vec_id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    try {
+      Similarity.saveIvfPq(e, dir, nlist = 8, m = 8, ksub = 16)
+      val idx = Similarity.loadIvfPq(spark, dir)
+      val stored = Similarity
+        .ivfPqQuery(idx.encoded, idx.centroids, idx.books, e, q, k = 3,
+          nprobe = 4, shortlist = 10)
+        .orderBy(col("qid"), col("rnk")).collect().map(_.toSeq)
+      val scratch = Similarity
+        .ivfPqTopK(e, q, k = 3, nlist = 8, nprobe = 4, m = 8, ksub = 16,
+          shortlist = 10)
+        .orderBy(col("qid"), col("rnk")).collect().map(_.toSeq)
+      assert(stored.nonEmpty && stored.sameElements(scratch))
+      // the stored layout is list-partitioned (probe joins prune partitions)
+      assert(new java.io.File(s"$dir/encoded").listFiles()
+        .exists(_.getName.startsWith("list_id=")))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("IVF-PQ composition: UDF-free plan, k rows per query, self excluded") {
     val e = Tables.embeddings(spark, Sf)
     val q = e.filter(col("vec_id") < 3)
