@@ -1586,8 +1586,12 @@ object SparkEntry {
         |         'the software is provided as is without warranty of any kind express or implied' AS text
         |  FROM documents),
         |toks AS (
+        |  -- Java-trim edge strip first (all chars <= 0x20), mirroring the
+        |  -- engine's kernel-aligned tokenization exactly
         |  SELECT doc_id,
-        |         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts
+        |         list_filter(string_split_regex(
+        |           regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |           '\s+'), t -> t <> '') AS ts
         |  FROM fx),
         |lt AS (SELECT doc_id, ts, list_transform(ts, t -> lower(t)) AS lts FROM toks),
         |w0s AS (SELECT doc_id, lts,

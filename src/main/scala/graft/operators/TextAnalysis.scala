@@ -221,9 +221,15 @@ object TextAnalysis {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     require(minDocs >= 2, "minDocs must be >= 2")
     val w = windowTokens
-    // case-preserving token positions; filter-after-split keeps indices
-    // aligned with the shingle kernel's trim-then-split tokenization
-    val tsExpr = filter(split(coalesce(col(textCol), lit("")), "\\s+"), t => t =!= "")
+    // case-preserving token positions, normalized EXACTLY like the shingle
+    // kernel: Java-trim first (strip ALL chars <= U+0020 at the string edges
+    // — including non-\s controls like \u0001 that split("\\s+") would keep
+    // as a spurious leading token, shifting every position), then split on
+    // \s+. Without the edge strip, a doc starting with a control char gets
+    // one extra token and every marked position cuts the wrong token.
+    val javaTrimmed = regexp_replace(coalesce(col(textCol), lit("")),
+      "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+    val tsExpr = filter(split(javaTrimmed, "\\s+"), t => t =!= "")
     val wins = docs.select(col(idCol).as("_id"),
         posexplode(TextFunctions.shingles(col(textCol), w)).as(Seq("_w0", "_wstr")))
       .select(col("_id"), col("_w0"), unhex(md5(col("_wstr"))).as("_wh"))

@@ -124,6 +124,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(6L) == (("", 0L, 0L)))
   }
 
+  test("removeRepeatedSpans: leading control char does not shift positions") {
+    // "\\u0001 " prefix: Java-trim (the shingle kernel's normalization)
+    // strips it, but a bare split("\\s+") would keep the control char as
+    // token 0 and shift every position by one, cutting the wrong tokens. The
+    // prefixed corpus must rebuild the SAME texts as the clean corpus.
+    def run(doc1: String) = {
+      val docs = Seq(
+        (1L, doc1),
+        (2L, "zz shared one two three four qq"))
+        .toDF("doc_id", "text")
+      TextAnalysis.removeRepeatedSpans(docs, windowTokens = 4, minDocs = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    val prefixed = run("\u0001 pre SHARED ONE TWO THREE FOUR post1 post2")
+    assert(prefixed(1L) == (("pre post1 post2", 3L, 5L)))
+    assert(prefixed(2L) == (("zz qq", 2L, 5L)))
+    // control-char prefix is invisible: identical to the clean corpus
+    assert(prefixed == run("pre SHARED ONE TWO THREE FOUR post1 post2"))
+  }
+
   test("removeRepeatedSpans leaves runs shorter than the window alone") {
     // shared run of 3 tokens < windowTokens=4 -> below the noise floor, kept
     val docs = Seq(
