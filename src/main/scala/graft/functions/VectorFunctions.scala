@@ -48,14 +48,6 @@ object VectorFunctions {
     if (denom == 0.0) 0.0 else d / denom
   }
 
-  private val l2SqUdf = udf { (a: Array[Float], b: Array[Float]) =>
-    val n = math.min(a.length, b.length)
-    var s = 0.0
-    var i = 0
-    while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-    s
-  }
-
   import org.apache.spark.sql.graftshim.GraftPlanBridge.{column => toCol, expr => toExpr}
 
   /** Σ aᵢ·bᵢ, accumulated sequentially (ascending i) in double.
@@ -91,9 +83,6 @@ object VectorFunctions {
     * ([[graft.plans.VecTopCentroids]]); no UDF boundary in the corpus scan. */
   def topCentroids(v: Column, cents: Column, k: Int): Column =
     toCol(graft.plans.VecTopCentroids(toExpr(v), toExpr(cents), toExpr(lit(k))))
-
-  /** Squared L2 distance Σ (aᵢ−bᵢ)². */
-  def l2Sq(a: Column, b: Column): Column = l2SqUdf(a, b)
 
   /** Per-subspace PQ codes of `v` against a literal M × ksub × subDim
     * codebook tensor (`typedLit(books: Seq[Seq[Seq[Float]]])`). Native

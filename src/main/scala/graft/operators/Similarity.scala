@@ -348,18 +348,4 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("cos"))
   }
 
-  private[operators] object IvfMath {
-    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
-        d += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble
-        i += 1
-      }
-      val den = math.sqrt(na) * math.sqrt(nb)
-      if (den == 0.0) 0.0 else d / den
-    }
-  }
 }

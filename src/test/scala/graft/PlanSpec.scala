@@ -164,7 +164,12 @@ class PlanSpec extends SparkSpec {
     // a per-row UDF into any ANN or embedding-dedup scan fails structurally
     val targets = SparkEntry.queries.keys
       .filter(n => n.startsWith("ann_") || n.startsWith("embedding_")).toSeq.sorted ++
-      Seq("span_dedup", "gopher_rules") // span/quality scans: pure expressions too
+      // the whole dedup family + span/quality scans: pure expressions too.
+      // (decontaminate_bloom is deliberately absent: its broadcast-Bloom
+      // membership probe is a documented UDF-by-necessity.)
+      Seq("exact_dedup", "minhash_lsh_dedup", "simhash_dedup", "dup_clusters",
+        "dedup_representatives", "line_dedup", "ngram_jaccard_pairs",
+        "span_dedup", "gopher_rules")
     assert(targets.nonEmpty)
     targets.foreach { name =>
       val plan = formattedPlan(SparkEntry.queries(name)(spark, Sf))
