@@ -485,7 +485,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 8)
       val brute = Similarity.bruteForceTopK(e, q, k = 5).select(col("qid"), col("cid"))
-      val ivf = Similarity.ivfTopK(e, q, k = 5, nlist = 16, nprobe = 8)
+      val ivf = Similarity.ivfTopK(e, q, k = 5, nlist = 16, nprobe = 8, kmeansIters = 2)
         .select(col("qid").as("q2"), col("cid").as("c2"))
       brute.join(ivf, col("qid") === col("q2") && col("cid") === col("c2"), "left")
         .agg(countDistinct(col("qid")).as("n_queries"),
@@ -1036,11 +1036,13 @@ object SparkEntry {
     }),
 
     "ann_pq_recall" -> ((s, dir) => {
-      // PQ (m=8, ksub=64, 32x compression) vs the float baseline. Measured
-      // on this corpus: ADC-only recall@5 ~0.22 (vs ~0.01 random floor —
-      // near-random gaussian embeddings are the WORST case for PQ), re-rank
-      // (shortlist 50) ~0.78; gates at 0.1 / 0.5 sit far below measured,
-      // far above collapse. n_dup_exact is exact: planted duplicate queries
+      // PQ (m=8, ksub=64, 32x compression, 2 bounded Lloyd iterations) vs
+      // the float baseline. Measured on this corpus with refined codebooks:
+      // ADC-only recall@5 ~0.3 (vs ~0.01 random floor — near-random gaussian
+      // embeddings are the WORST case for PQ), re-rank (shortlist 50) ~0.85;
+      // gates at 0.1 / 0.5 sit far below measured, far above collapse.
+      // VectorExprSpec pins refined >= sampled recall on the same fixture.
+      // n_dup_exact is exact: planted duplicate queries
       // (identical vectors) MUST recover their source at cos 1.0 through
       // the ADC shortlist -> re-rank path — a sharp, deterministic property,
       // not a statistical one.
@@ -1053,12 +1055,14 @@ object SparkEntry {
           .agg((count(col("c2")).cast("double") / count(lit(1))).as("r"))
           .head().getDouble(0)
       }
-      val adc = recallOf(Similarity.pqTopK(e, q, k = 5, m = 8, ksub = 64))
-      val rr = recallOf(Similarity.pqTopK(e, q, k = 5, m = 8, ksub = 64, shortlist = 50))
+      val adc = recallOf(Similarity.pqTopK(e, q, k = 5, m = 8, ksub = 64, kmeansIters = 2))
+      val rr = recallOf(Similarity.pqTopK(e, q, k = 5, m = 8, ksub = 64, shortlist = 50,
+        kmeansIters = 2))
       val dupQ = e.filter(col("vec_id") < 8)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val corpus = e.select(col("vec_id"), col("embedding")).union(dupQ)
-      val nDup = Similarity.pqTopK(corpus, dupQ, k = 1, m = 8, ksub = 64, shortlist = 20)
+      val nDup = Similarity.pqTopK(corpus, dupQ, k = 1, m = 8, ksub = 64, shortlist = 20,
+        kmeansIters = 2)
         .filter(col("rnk") === 1 && col("cid") === col("qid") - 1000000L &&
           col("cos") === 1.0)
         .count()
@@ -1069,15 +1073,17 @@ object SparkEntry {
 
     "ann_ivfpq_recall" -> ((s, dir) => {
       // the full production composition: IVF probe pruning × PQ codes × ADC
-      // × exact re-rank. Measured recall@5 ~0.58 (nlist=16, nprobe=8, m=8,
-      // ksub=64, shortlist=50) on the near-random corpus — the compounded
-      // IVF+PQ loss; gate at 0.25 (vs 0.01 random floor). Planted identical
-      // queries must come back exactly (same list, shortlisted, cos 1.0).
+      // × exact re-rank, both quantizers k-means-refined (2 bounded Lloyd
+      // iterations). Measured recall@5 ~0.78 refined vs ~0.63 sampled
+      // (nlist=16, nprobe=8, m=8, ksub=64, shortlist=50) on the near-random
+      // corpus — the compounded IVF+PQ loss; gate at 0.25 (vs 0.01 random
+      // floor). Planted identical queries must come back exactly (same
+      // list, shortlisted, cos 1.0).
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 8)
       val brute = Similarity.bruteForceTopK(e, q, k = 5).select(col("qid"), col("cid"))
       val ipq = Similarity.ivfPqTopK(e, q, k = 5, nlist = 16, nprobe = 8,
-        m = 8, ksub = 64, shortlist = 50)
+        m = 8, ksub = 64, shortlist = 50, kmeansIters = 2)
         .select(col("qid").as("q2"), col("cid").as("c2"))
       val recall = brute
         .join(ipq, col("qid") === col("q2") && col("cid") === col("c2"), "left")
@@ -1087,7 +1093,7 @@ object SparkEntry {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val corpus = e.select(col("vec_id"), col("embedding")).union(dupQ)
       val nDup = Similarity.ivfPqTopK(corpus, dupQ, k = 1, nlist = 16, nprobe = 4,
-        m = 8, ksub = 64, shortlist = 20)
+        m = 8, ksub = 64, shortlist = 20, kmeansIters = 2)
         .filter(col("rnk") === 1 && col("cid") === col("qid") - 1000000L &&
           col("cos") === 1.0)
         .count()

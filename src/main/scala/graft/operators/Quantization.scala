@@ -85,14 +85,23 @@ object Quantization {
   /**
    * Deterministic PQ codebooks: the `ksub` hash-order-sampled corpus vectors
    * (same stable pick as the IVF coarse quantizer — smallest `xxhash64(id)`,
-   * reproducible across runs/layouts) sliced into `m` contiguous subspaces.
-   * Sampled codebooks trade a few recall points vs Lloyd iterations for
-   * zero extra corpus passes and bit-reproducibility — the right default
-   * when the codebook must be rebuildable from the corpus alone; swap in
-   * k-means centroids per subspace if recall headroom is needed.
+   * reproducible across runs/layouts) sliced into `m` contiguous subspaces,
+   * optionally refined by `kmeansIters` bounded Lloyd iterations.
+   *
+   * `kmeansIters = 0` (default) returns the raw sample — bit-identical to
+   * the historical behavior, zero extra corpus passes. Each iteration runs
+   * ONE narrow assignment pass through the codegen'd `vec_pq_encode` kernel
+   * plus one tiny aggregate keyed on (subspace, code, dim) — m·ksub·subDim
+   * keys, map-side-combined to KBs regardless of corpus size — and updates
+   * each centroid to the exact-decimal mean of its assigned subvectors
+   * (empty cells keep their previous centroid, the standard Lloyd
+   * convention). Sums are DECIMAL-exact, so the refinement is deterministic
+   * across partitionings — the same property every oracle-checked aggregate
+   * here relies on.
    */
   def buildPqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): PqCodebooks = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       kmeansIters: Int = 0): PqCodebooks = {
     val sample = corpus.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(ksub)
@@ -102,8 +111,39 @@ object Quantization {
     val dim = sample(0).length
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    PqCodebooks(m, sub,
+    val seed = PqCodebooks(m, sub,
       (0 until m).map(mi => sample.toSeq.map(v => v.slice(mi * sub, (mi + 1) * sub).toSeq)))
+    (0 until kmeansIters).foldLeft(seed)((b, _) => lloydStepPq(corpus, b, vecCol))
+  }
+
+  /** One Lloyd iteration over PQ codebooks: assign (codegen'd kernel, narrow)
+    * → per-(subspace, code, dim) decimal-exact mean → new centroids. The only
+    * driver collect is the m·ksub·subDim cell table (bounded by the codebook
+    * shape, never by the corpus). */
+  private def lloydStepPq(corpus: DataFrame, books: PqCodebooks, vecCol: String): PqCodebooks = {
+    val sub = books.subDim
+    val cells = corpus
+      .select(col(vecCol).as("_v"),
+        posexplode(graft.functions.VectorFunctions.pqEncode(col(vecCol), pqBooksLiteral(books)))
+          .as(Seq("_mi", "_code")))
+      .select(col("_mi"), col("_code"),
+        posexplode(slice(col("_v"), col("_mi") * sub + 1, lit(sub))).as(Seq("_d", "_x")))
+      .groupBy(col("_mi"), col("_code"), col("_d"))
+      .agg(sum(col("_x").cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("_s"),
+        count(lit(1)).as("_n"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        (r.getDecimal(3), r.getLong(4)))).toMap
+    PqCodebooks(books.m, sub,
+      books.books.zipWithIndex.map { case (book, mi) =>
+        book.zipWithIndex.map { case (cent, ki) =>
+          cent.zipWithIndex.map { case (prev, d) =>
+            cells.get((mi, ki, d))
+              .map { case (s, n) => (s.doubleValue() / n).toFloat }
+              .getOrElse(prev)
+          }
+        }
+      })
   }
 
   /** The codebook tensor as a literal column for the codegen'd
@@ -145,9 +185,12 @@ object Quantization {
     val rows = spark.read.parquet(s"$path/books")
       .orderBy(col("m_idx"), col("k_idx")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    require(rows.nonEmpty, s"no PQ codebooks at $path/books — empty or corrupt index artifact")
     val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, g) => g.sortBy(_._2).map(_._3).toSeq }
-    val sub = books.head.head.length
-    (spark.read.parquet(s"$path/codes"), PqCodebooks(books.length, sub, books))
+    val subDims = books.flatMap(_.map(_.length)).distinct
+    require(subDims.size == 1,
+      s"PQ codebooks at $path/books are ragged: centroid dims ${subDims.mkString(",")}")
+    (spark.read.parquet(s"$path/codes"), PqCodebooks(books.length, subDims.head, books))
   }
 }

@@ -87,8 +87,9 @@ object Similarity {
    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, ksub: Int = 32, shortlist: Int = 0,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val books = Quantization.buildPqCodebooks(corpus, m, ksub, idCol, vecCol)
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             kmeansIters: Int = 0): DataFrame = {
+    val books = Quantization.buildPqCodebooks(corpus, m, ksub, idCol, vecCol, kmeansIters)
     pqQuery(Quantization.encodePq(corpus, books, idCol, vecCol), books,
       corpus, queries, k, shortlist, idCol, vecCol)
   }
@@ -142,9 +143,10 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, ksub: Int = 32, shortlist: Int = 20,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val index = buildIvfIndex(corpus, nlist, idCol, vecCol)
-    val books = Quantization.buildPqCodebooks(corpus, m, ksub, idCol, vecCol)
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                kmeansIters: Int = 0): DataFrame = {
+    val index = buildIvfIndex(corpus, nlist, idCol, vecCol, kmeansIters)
+    val books = Quantization.buildPqCodebooks(corpus, m, ksub, idCol, vecCol, kmeansIters)
     val enc = index.assigned.select(col("cid"), col("list_id"),
       VectorFunctions.pqEncode(col("cv"), Quantization.pqBooksLiteral(books)).as("pq_codes"))
     ivfPqQuery(enc, index.centroids, books, corpus, queries, k, nprobe, shortlist,
@@ -164,10 +166,11 @@ object Similarity {
     * artifact is bit-reproducible from the corpus alone. */
   def saveIvfPq(corpus: DataFrame, path: String,
                 nlist: Int = 16, m: Int = 8, ksub: Int = 32,
-                idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                kmeansIters: Int = 0): Unit = {
     val spark = corpus.sparkSession
-    val index = buildIvfIndex(corpus, nlist, idCol, vecCol)
-    val books = Quantization.buildPqCodebooks(corpus, m, ksub, idCol, vecCol)
+    val index = buildIvfIndex(corpus, nlist, idCol, vecCol, kmeansIters)
+    val books = Quantization.buildPqCodebooks(corpus, m, ksub, idCol, vecCol, kmeansIters)
     index.assigned.select(col("cid"), col("list_id"),
         VectorFunctions.pqEncode(col("cv"), Quantization.pqBooksLiteral(books)).as("pq_codes"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/encoded")
@@ -273,8 +276,9 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    ivfQuery(buildIvfIndex(corpus, nlist, idCol, vecCol), queries, k, nprobe,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              kmeansIters: Int = 0): DataFrame =
+    ivfQuery(buildIvfIndex(corpus, nlist, idCol, vecCol, kmeansIters), queries, k, nprobe,
       idCol, vecCol)
 
   /**
@@ -288,24 +292,62 @@ object Similarity {
   final case class IvfIndex(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
 
   /** Deterministic centroid pick (smallest xxhash64(id) — stable across
-    * runs/layouts) + nearest-centroid assignment of every corpus vector.
+    * runs/layouts), optionally refined by `kmeansIters` bounded Lloyd
+    * iterations, + nearest-centroid assignment of every corpus vector.
     * Assignment is the CORPUS-WIDE scan (the expensive pass at 100 TB), so
     * it runs through the codegen'd [[graft.plans.VecTopCentroids]]
-    * expression over a literal centroid table — no UDF conversion per row. */
+    * expression over a literal centroid table — no UDF conversion per row.
+    *
+    * `kmeansIters = 0` (default) keeps the raw hash-order sample —
+    * bit-identical to the historical behavior. Each iteration is one narrow
+    * assign pass (same codegen'd kernel as the final assignment) plus one
+    * tiny (nlist·dim)-key decimal-exact mean aggregate; empty lists keep
+    * their previous centroid. Deterministic across partitionings (decimal
+    * sums), one corpus scan per iteration. */
   def buildIvfIndex(corpus: DataFrame, nlist: Int,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
-    val cents: Array[(Int, Array[Float])] = corpus
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    kmeansIters: Int = 0): IvfIndex = {
+    val seed: Array[(Int, Array[Float])] = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nlist)
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    val cents = (0 until kmeansIters)
+      .foldLeft(seed)((c, _) => lloydStepIvf(corpus, c, vecCol))
     val centsLit = centroidsLiteral(cents)
     IvfIndex(cents,
       corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
         .withColumn("list_id",
           element_at(VectorFunctions.topCentroids(col("cv"), centsLit, 1), 1)))
+  }
+
+  /** One Lloyd iteration over the coarse quantizer: assign each vector to its
+    * nearest centroid (cosine — the same metric the probe uses), then move
+    * every centroid to the exact-decimal mean of its list. Rescaling a
+    * centroid never changes cosine ranking, so the un-normalized mean is the
+    * correct spherical-k-means update here. Driver collect is the nlist·dim
+    * cell table — bounded by the quantizer shape, never by the corpus. */
+  private def lloydStepIvf(corpus: DataFrame, cents: Array[(Int, Array[Float])],
+                           vecCol: String): Array[(Int, Array[Float])] = {
+    val centsLit = centroidsLiteral(cents)
+    val cells = corpus.select(col(vecCol).as("_v"))
+      .select(
+        element_at(VectorFunctions.topCentroids(col("_v"), centsLit, 1), 1).as("_list"),
+        posexplode(col("_v")).as(Seq("_d", "_x")))
+      .groupBy(col("_list"), col("_d"))
+      .agg(sum(col("_x").cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("_s"),
+        count(lit(1)).as("_n"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getDecimal(2), r.getLong(3)))).toMap
+    cents.map { case (li, prev) =>
+      (li, prev.zipWithIndex.map { case (old, d) =>
+        cells.get((li, d))
+          .map { case (s, n) => (s.doubleValue() / n).toFloat }
+          .getOrElse(old)
+      })
+    }
   }
 
   /** The coarse quantizer as a literal array<array<float>> column (indices

@@ -215,6 +215,55 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("bounded-Lloyd refinement: deterministic, partition-independent, recall non-inferior") {
+    import graft.operators.{Quantization, Similarity}
+    val e = Tables.embeddings(spark, Sf)
+    val q = e.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(e, q, k = 5).select(col("qid"), col("cid"))
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val hits = df.select(col("qid").as("q2"), col("cid").as("c2"))
+      brute.join(hits, col("qid") === col("q2") && col("cid") === col("c2"), "left")
+        .agg((count(col("c2")).cast("double") / count(lit(1))).as("r"))
+        .head().getDouble(0)
+    }
+
+    // iters=0 is bit-identical to the historical sampled codebooks
+    val sampled = Quantization.buildPqCodebooks(e, m = 8, ksub = 16)
+    val zeroIters = Quantization.buildPqCodebooks(e, m = 8, ksub = 16, kmeansIters = 0)
+    assert(sampled == zeroIters)
+
+    // refinement is deterministic AND partition-independent (decimal-exact
+    // sums): the same books from a 1-partition and a 13-partition corpus
+    val refined = Quantization.buildPqCodebooks(e, m = 8, ksub = 16, kmeansIters = 2)
+    val refinedRepart =
+      Quantization.buildPqCodebooks(e.repartition(13), m = 8, ksub = 16, kmeansIters = 2)
+    assert(refined == refinedRepart)
+    assert(refined != sampled) // the iterations actually moved the centroids
+    val cents0 = Similarity.buildIvfIndex(e, nlist = 16, kmeansIters = 2).centroids
+    val cents1 = Similarity.buildIvfIndex(e.repartition(13), nlist = 16,
+      kmeansIters = 2).centroids
+    assert(cents0.map(_._2.toSeq).toSeq == cents1.map(_._2.toSeq).toSeq)
+
+    // recall@5 with refined quantizers is non-inferior to the sampled ones
+    // on the fixture (deterministic — these are fixed values, not a flaky
+    // statistical bound; measured at iters=2: pq 0.675->0.85, ivf 0.7->0.8,
+    // ivfpq 0.625->0.775)
+    val pq0 = recallOf(Similarity.pqTopK(e, q, k = 5, m = 8, ksub = 64, shortlist = 50))
+    val pq2 = recallOf(Similarity.pqTopK(e, q, k = 5, m = 8, ksub = 64, shortlist = 50,
+      kmeansIters = 2))
+    val ivf0 = recallOf(Similarity.ivfTopK(e, q, k = 5, nlist = 16, nprobe = 8))
+    val ivf2 = recallOf(Similarity.ivfTopK(e, q, k = 5, nlist = 16, nprobe = 8,
+      kmeansIters = 2))
+    val ipq0 = recallOf(Similarity.ivfPqTopK(e, q, k = 5, nlist = 16, nprobe = 8,
+      m = 8, ksub = 64, shortlist = 50))
+    val ipq2 = recallOf(Similarity.ivfPqTopK(e, q, k = 5, nlist = 16, nprobe = 8,
+      m = 8, ksub = 64, shortlist = 50, kmeansIters = 2))
+    assert(pq2 >= pq0, s"pq refined $pq2 < sampled $pq0")
+    assert(ivf2 >= ivf0, s"ivf refined $ivf2 < sampled $ivf0")
+    assert(ipq2 >= ipq0, s"ivfpq refined $ipq2 < sampled $ipq0")
+    assert(pq2 + ivf2 + ipq2 > pq0 + ivf0 + ipq0, "refinement should improve recall somewhere")
+  }
+
   test("IVF-PQ composition: UDF-free plan, k rows per query, self excluded") {
     val e = Tables.embeddings(spark, Sf)
     val q = e.filter(col("vec_id") < 3)
