@@ -65,6 +65,91 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** DuckDB cosine of two double-list columns — the exact expression shape
+    * of the engine's sequential-double kernel (shared by every ANN oracle). */
+  private def duckCos(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))" +
+      s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
+      s" * sqrt(list_sum(list_transform($b, x -> x * x))))"
+
+  /** Oracle for `ann_ivf_topk`: a FULL independent IVF replay in DuckDB.
+    * The coarse-centroid pick is `ORDER BY md5(cast(id as varchar)), id` —
+    * the same deterministic, engine-replayable order
+    * [[Similarity.buildIvfIndex]] uses — so DuckDB re-derives the
+    * centroids, every list assignment, the query probes and the final
+    * re-rank from the parquet table alone (no engine-fed constants, valid
+    * at every scale factor). Assignment/probe rank on raw cosine with
+    * ties to the lower list id, exactly like the `vec_top_centroids`
+    * kernel; the final cosine is rounded to 6 with id tie-break like
+    * every ANN path. */
+  private def annIvfTopkOracle: String = {
+    val (nlist, nprobe, k) = (16, 4, 5)
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |ck AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+       |       ORDER BY h, vec_id LIMIT $nlist),
+       |cents AS (
+       |  SELECT (ROW_NUMBER() OVER (ORDER BY ck.h, ck.vec_id)) - 1 AS list_id, v.e AS ce
+       |  FROM ck JOIN v ON v.vec_id = ck.vec_id),
+       |ccos AS (
+       |  SELECT v.vec_id, c.list_id, ${duckCos("v.e", "c.ce")} AS cos
+       |  FROM v, cents c),
+       |assign AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS rn
+       |    FROM ccos) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS qid, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS rn
+       |    FROM ccos WHERE vec_id < 8) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cid
+       |  FROM probe p JOIN assign a ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.qid),
+       |s AS (
+       |  SELECT cand.qid, cand.cid, round(${duckCos("q.e", "c.e")}, 6) AS cos
+       |  FROM cand JOIN v q ON q.vec_id = cand.qid JOIN v c ON c.vec_id = cand.cid),
+       |r AS (SELECT qid, cid, cos,
+       |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+       |      FROM s)
+       |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Oracle for `ann_lsh_topk`: a full independent SRP-LSH replay. The ±1
+    * hyperplane tables are pure functions of (seed, bit, dim) via splitmix64
+    * — recomputed HERE at oracle-build time (not fed from the engine's
+    * run) and inlined as literal lists, so DuckDB re-derives every bucket,
+    * the candidate union over all hash tables, and the exact cosine
+    * re-rank from the parquet table + the published sign function alone. */
+  private def annLshTopkOracle: String = {
+    val (dim, nBits, probes, k) = (64, 8, 4, 5)
+    def bucketExpr(seed: Int): String = {
+      val signs = VectorFunctions.srpSigns(nBits, dim, seed)
+      (0 until nBits).map { b =>
+        val s = signs(b).map(x => if (x > 0) "1" else "-1").mkString(",")
+        s"(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * ([$s])[i])) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("\n    + ")
+    }
+    val tables = (0 until probes).map(t =>
+      s"  SELECT vec_id, e, $t AS tbl,\n    ${bucketExpr(t)} AS bucket FROM v")
+      .mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |b AS (
+       |$tables),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+       |  FROM b q JOIN b c ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+       |s AS (
+       |  SELECT cand.qid, cand.cid, round(${duckCos("q.e", "c.e")}, 6) AS cos
+       |  FROM cand JOIN v q ON q.vec_id = cand.qid JOIN v c ON c.vec_id = cand.cid),
+       |r AS (SELECT qid, cid, cos,
+       |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+       |      FROM s)
+       |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Documents ∪ deterministic 75%-token-prefix copies (ids +100000) — the
     * near-dup fixture the dedup demos run on (the raw synthetic docs share
     * no near-dups, so operators would trivially return 0 rows). */
@@ -404,11 +489,18 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
     "ann_lsh_topk" -> ((s, dir) => {
+      // row contents oracle-checked: the DuckDB side re-derives the SRP
+      // buckets from the published splitmix64 sign function (inlined as
+      // literals at oracle-build time) and replays candidates + re-rank
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, dim = 64)
         .orderBy(col("qid"), col("rnk"))
     }),
     "ann_ivf_topk" -> ((s, dir) => {
+      // row contents oracle-checked: the md5-order centroid pick is
+      // engine-replayable, so DuckDB re-derives centroids, assignment,
+      // probes and re-rank from the parquet table alone (kmeansIters=0
+      // here by design — the replay must not depend on engine state)
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5)
         .orderBy(col("qid"), col("rnk"))
@@ -1344,6 +1436,8 @@ object SparkEntry {
         |  FROM q, v WHERE v.vec_id <> qid),
         |r AS (SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk FROM s)
         |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "ann_ivf_topk" -> annIvfTopkOracle,
+    "ann_lsh_topk" -> annLshTopkOracle,
     "json_props_sum" ->
       """SELECT event_type, CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

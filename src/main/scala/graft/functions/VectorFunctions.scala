@@ -105,8 +105,10 @@ object VectorFunctions {
   }
 
   /** The splitmix64-derived ±1 hyperplane table shared by [[srpBucket]] and
-    * [[srpBucket_udf]] — built once at plan time, shipped as a literal. */
-  private def srpSigns(nBits: Int, dim: Int, seed: Int): Array[Array[Double]] =
+    * [[srpBucket_udf]] — built once at plan time, shipped as a literal.
+    * `private[graft]` so the ann_lsh_topk oracle builder can inline the
+    * exact same table into its DuckDB replay. */
+  private[graft] def srpSigns(nBits: Int, dim: Int, seed: Int): Array[Array[Double]] =
     Array.tabulate(nBits, dim) { (b, i) =>
       if ((splitmix64(seed.toLong * 1000003L + b.toLong * 10007L + i) & 1L) == 0L) 1.0 else -1.0
     }

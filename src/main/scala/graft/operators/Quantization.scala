@@ -84,9 +84,10 @@ object Quantization {
 
   /**
    * Deterministic PQ codebooks: the `ksub` hash-order-sampled corpus vectors
-   * (same stable pick as the IVF coarse quantizer — smallest `xxhash64(id)`,
-   * reproducible across runs/layouts) sliced into `m` contiguous subspaces,
-   * optionally refined by `kmeansIters` bounded Lloyd iterations.
+   * (same stable pick as the IVF coarse quantizer — smallest
+   * `md5(cast(id as string))`, reproducible across runs/layouts and
+   * replayable in any engine with md5) sliced into `m` contiguous
+   * subspaces, optionally refined by `kmeansIters` bounded Lloyd iterations.
    *
    * `kmeansIters = 0` (default) returns the raw sample — bit-identical to
    * the historical behavior, zero extra corpus passes. Each iteration runs
@@ -103,7 +104,7 @@ object Quantization {
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        kmeansIters: Int = 0): PqCodebooks = {
     val sample = corpus.select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(ksub)
       .collect()
       .map(_.getSeq[Float](1).toArray)

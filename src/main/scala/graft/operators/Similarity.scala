@@ -265,7 +265,7 @@ object Similarity {
   /**
    * IVF-style approximate top-k: an inverted-file index with `nlist` coarse
    * centroids. Centroids are a deterministic sample of the corpus (the
-   * `nlist` vectors with smallest xxhash64(id) — stable across runs); each
+   * `nlist` vectors with smallest md5(id) — stable across runs); each
    * corpus vector is assigned to its nearest centroid (cosine); a query
    * probes its `nprobe` nearest centroids and re-ranks those lists exactly.
    *
@@ -291,9 +291,12 @@ object Similarity {
    */
   final case class IvfIndex(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
 
-  /** Deterministic centroid pick (smallest xxhash64(id) — stable across
-    * runs/layouts), optionally refined by `kmeansIters` bounded Lloyd
-    * iterations, + nearest-centroid assignment of every corpus vector.
+  /** Deterministic centroid pick (smallest `md5(cast(id as string))` —
+    * stable across runs/layouts, and REPLAYABLE in any engine with md5:
+    * the ann_ivf_topk DuckDB oracle recomputes the same pick, assignment
+    * and probe from the parquet table alone), optionally refined by
+    * `kmeansIters` bounded Lloyd iterations, + nearest-centroid assignment
+    * of every corpus vector.
     * Assignment is the CORPUS-WIDE scan (the expensive pass at 100 TB), so
     * it runs through the codegen'd [[graft.plans.VecTopCentroids]]
     * expression over a literal centroid table — no UDF conversion per row.
@@ -309,7 +312,7 @@ object Similarity {
                     kmeansIters: Int = 0): IvfIndex = {
     val seed: Array[(Int, Array[Float])] = corpus
       .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(nlist)
       .collect()
       .zipWithIndex
