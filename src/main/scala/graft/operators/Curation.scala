@@ -133,7 +133,7 @@ object Curation {
    * web-crawl source is 256 tasks, not one reducer. Bucket granularity can
    * widen to 3–4 hex chars for clusters beyond 256-way parallelism.
    */
-  private def groupedHashRank(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+  private[graft] def groupedHashRank(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // explicit string cast: the offset-map keys are strings, so a non-string
     // group column (int source ids, dates) must stringify identically in the
@@ -341,6 +341,14 @@ object Curation {
    * while cross-engine `pow` differences (~1 ulp, below 1e-12 relative)
    * vanish — so a DuckDB oracle reproduces the sample row for row.
    *
+   * Nonpositive / null weights are REJECTED at run time (raise_error):
+   * `pow(u, 1/w)` would otherwise turn them into NaN/Inf keys that
+   * silently distort the sample. Note the rounding also means weights so
+   * large that `u^(1/w)` rounds to exactly 1.0 (w ≳ 1e11 for typical u)
+   * collapse to a tie — selection among such rows degenerates to
+   * ascending-id order rather than the A-Res distribution; rescale
+   * weights into a sane range if that matters.
+   *
    * Scale shape: a narrow per-row key plus the same row_number-per-group
    * filter every top-k here uses — [[graft.plans.TopKRewrite]] turns it
    * into the heap-based sort-free operator when the extensions are loaded.
@@ -352,7 +360,10 @@ object Curation {
     // 13 hex chars = 52 bits (exact in a double); +1 shifts to (0, 2^52]
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
       .cast("double") + 1.0) / 4503599627370496.0
-    val key = round(pow(u, lit(1.0) / weight), 12)
+    val wChecked = when(weight.isNull || weight <= 0.0,
+      raise_error(concat(lit("weightedSampleHash: weight must be > 0, got "),
+        coalesce(weight.cast("string"), lit("null"))))).otherwise(weight)
+    val key = round(pow(u, lit(1.0) / wChecked), 12)
     val w = Window.partitionBy(col(groupCol)).orderBy(key.desc, col(idCol))
     docs.withColumn("_wrn", row_number().over(w))
       .filter(col("_wrn") <= k)

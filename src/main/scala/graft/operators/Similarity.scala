@@ -188,13 +188,20 @@ object Similarity {
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy(col("list_id")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty,
+      s"no IVF centroids at $path/centroids — empty or corrupt index artifact")
     val rows = spark.read.parquet(s"$path/books")
       .orderBy(col("m_idx"), col("k_idx")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    require(rows.nonEmpty,
+      s"no PQ codebooks at $path/books — empty or corrupt index artifact")
     val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, g) => g.sortBy(_._2).map(_._3).toSeq }
+    val subDims = books.flatMap(_.map(_.length)).distinct
+    require(subDims.size == 1,
+      s"PQ codebooks at $path/books are ragged: centroid dims ${subDims.mkString(",")}")
     IvfPqIndex(cents,
-      Quantization.PqCodebooks(books.length, books.head.head.length, books),
+      Quantization.PqCodebooks(books.length, subDims.head, books),
       spark.read.parquet(s"$path/encoded"))
   }
 

@@ -82,9 +82,11 @@ object VecKernels {
    * `books(mi)` nearest (L2 — the metric PQ reconstruction minimizes; ties →
    * lower code) to the `mi`-th contiguous subvector of `v`. `books` is the
    * M × ksub × subDim codebook tensor (a literal, driver-built,
-   * broadcast-small); subspace widths come from the centroids themselves so
-   * ragged tails are legal. A vector shorter than the codebook span
-   * zero-pads (never reads out of bounds).
+   * broadcast-small); each book must be non-empty with one shared centroid
+   * dim (checked — an empty or ragged book would silently shift every
+   * later subspace's offset and emit codes that `pqCosine` dereferences
+   * out of bounds). A vector shorter than the codebook span zero-pads
+   * (never reads out of bounds).
    */
   def pqEncode(v: ArrayData, books: ArrayData): ArrayData = {
     val m = books.numElements()
@@ -95,13 +97,19 @@ object VecKernels {
     while (mi < m) {
       val book = books.getArray(mi)
       val ksub = book.numElements()
-      var sub = 0
+      if (ksub == 0)
+        throw new IllegalArgumentException(s"vec_pq_encode: codebook $mi is empty")
+      // one shared width per subspace, derived once — a ragged book would
+      // otherwise corrupt the offset of every subsequent subspace
+      val sub = book.getArray(0).numElements()
       var best = 0
       var bd = Double.MaxValue
       var k = 0
       while (k < ksub) {
         val c = book.getArray(k)
-        sub = c.numElements()
+        if (c.numElements() != sub)
+          throw new IllegalArgumentException(
+            s"vec_pq_encode: codebook $mi is ragged (centroid $k dim ${c.numElements()} != $sub)")
         var d = 0.0
         var i = 0
         while (i < sub) {

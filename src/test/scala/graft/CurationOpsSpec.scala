@@ -49,6 +49,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.select("source").distinct().count() == 3)
   }
 
+  test("groupedHashRank: int-typed group column ranks correctly (cast regression)") {
+    // the offset-map keys are strings, so a non-string group column must
+    // stringify identically in the counts pass and the rank pass — an int
+    // source id is the regression case for the explicit cast at the top of
+    // groupedHashRank
+    val docs = (0L until 300L).map(i => (i, (i % 3).toInt)).toDF("doc_id", "grp")
+    val out = Curation.groupedHashRank(docs, "grp", "doc_id")
+      .select(col("grp"), col("doc_id"), col("_rn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // per group: _rn is a permutation of 1..n, ordered by md5(id) hash order
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+      val md5Order = rows.sortBy { case (_, id, _) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.map(_._2)
+      val rnOrder = rows.sortBy(_._3).map(_._2)
+      assert(md5Order.sameElements(rnOrder))
+    }
+    // partition-layout independence
+    val out2 = Curation.groupedHashRank(docs.repartition(7), "grp", "doc_id")
+      .select(col("grp"), col("doc_id"), col("_rn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.toSet == out2)
+  }
+
+  test("weightedSampleHash rejects nonpositive weights loudly") {
+    val docs = Seq((1L, "g", 1.0), (2L, "g", 0.0)).toDF("doc_id", "grp", "w")
+    val ex = intercept[Exception] {
+      Curation.weightedSampleHash(docs, "grp", col("w"), k = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("weight must be > 0")))
+  }
+
   test("redactPii scrubs all three kinds, repeated hits, leaves clean text alone") {
     val out = Seq(
       "a@b.co and c.d+e@f-g.org wrote",
