@@ -361,8 +361,10 @@ object Similarity {
   }
 
   /** The coarse quantizer as a literal array<array<float>> column (indices
-    * implicit by position — `cents` is already 0..nlist-1 ordered). */
-  private def centroidsLiteral(cents: Array[(Int, Array[Float])]): org.apache.spark.sql.Column =
+    * implicit by position — `cents` is already 0..nlist-1 ordered).
+    * `private[graft]` so the streaming serving path shares the exact same
+    * literal construction. */
+  private[graft] def centroidsLiteral(cents: Array[(Int, Array[Float])]): org.apache.spark.sql.Column =
     typedLit(cents.sortBy(_._1).map(_._2.toSeq).toSeq)
 
   /** Persist the index: assignment table partitioned by `list_id` (probe

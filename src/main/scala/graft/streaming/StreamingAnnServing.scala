@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.VectorFunctions
+import graft.operators.{Quantization, Similarity}
+
+/**
+ * Streaming ANN serving from a persisted IVF-PQ index
+ * ([[Similarity.saveIvfPq]] / [[Similarity.loadIvfPq]]): the index artifact
+ * is the STATIC side of a stream-static composition (same shape as
+ * [[StreamJoins.enrichStatic]]), the query vectors are the stream.
+ *
+ * Two tiers:
+ *  - [[scoreCandidates]] — the fully STATELESS part as a pure append
+ *    stream: probe the query's `nprobe` nearest coarse centroids (codegen'd
+ *    literal-table expression, no state), stream-static equi-join on
+ *    `list_id` against the encoded code table (partition-pruned on the
+ *    stored `partitionBy(list_id)` layout), ADC-score inside codegen. No
+ *    state store, no watermark, no shuffle of the static side beyond the
+ *    pruned scan — the per-event cost is the same `corpus·nprobe/nlist`
+ *    code rows as the batch path.
+ *  - [[serveIvfPq]] — the full answer (exact re-rank + per-query top-k)
+ *    per micro-batch via `foreachBatch`, reusing the EXACT batch
+ *    [[Similarity.ivfPqQuery]] — so streaming answers are row-identical to
+ *    batch answers for the same query set by construction (gated in
+ *    StreamingAnnSpec, not assumed). Per-query top-k needs a rank over the
+ *    candidate set, which append-mode streaming cannot express without
+ *    state; answering each micro-batch with the batch operator is the
+ *    standard serving shape and keeps ONE implementation of the ranking
+ *    semantics instead of a drifting streaming twin.
+ */
+object StreamingAnnServing {
+
+  /**
+   * Stateless stream-static candidate generation + ADC scoring over a query
+   *-vector stream: (qid, list_id, cid, cos_adc) per candidate. Works
+   * identically on a batch `queries` frame (same plan shape — useful for
+   * backfills and for the row-identity gate).
+   */
+  def scoreCandidates(queries: DataFrame, index: Similarity.IvfPqIndex,
+                      nprobe: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centsLit = Similarity.centroidsLiteral(index.centroids)
+    val bl = Quantization.pqBooksLiteral(index.books)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("list_id",
+        explode(VectorFunctions.topCentroids(col("qv"), centsLit, nprobe)))
+    q.join(index.encoded, Seq("list_id"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("list_id"), col("cid"),
+        round(VectorFunctions.pqCosine(col("qv"), col("pq_codes"), bl), 6).as("cos_adc"))
+  }
+
+  /**
+   * Serve exact top-k answers for a stream of query vectors from the loaded
+   * index: every micro-batch runs the batch [[Similarity.ivfPqQuery]]
+   * (probe → ADC shortlist → exact re-rank against the float `corpus`) and
+   * hands the answer frame to `sink`. The static sides (encoded codes,
+   * centroids, codebooks, float corpus) re-resolve per micro-batch, so an
+   * index refreshed in place is picked up without restarting the query.
+   */
+  def serveIvfPq(queryStream: DataFrame, index: Similarity.IvfPqIndex,
+                 corpus: DataFrame, k: Int, nprobe: Int = 4, shortlist: Int = 20,
+                 idCol: String = "vec_id", vecCol: String = "embedding")
+                (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        sink(Similarity.ivfPqQuery(index.encoded, index.centroids, index.books,
+          corpus, batch.toDF(), k, nprobe, shortlist, idCol, vecCol), epochId)
+      }
+      .start()
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import graft.streaming.StreamingAnnServing
+
+case class QueryVec(vec_id: Long, embedding: Seq[Float])
+
+/** Streaming ANN serving from the persisted IVF-PQ artifact: the serving
+  * answers must be ROW-IDENTICAL to the batch ivfPqQuery on the same
+  * queries, and the stateless candidate tier must run as a pure append
+  * stream with zero state-store rows. */
+class StreamingAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withIndex(f: (Similarity.IvfPqIndex, DataFrame) => Unit): Unit = {
+    val e = Tables.embeddings(spark, Sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_serve").toString
+    try {
+      Similarity.saveIvfPq(e, dir, nlist = 8, m = 8, ksub = 16, kmeansIters = 1)
+      f(Similarity.loadIvfPq(spark, dir), e)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  private def queryVecs(e: DataFrame, n: Int): Seq[QueryVec] =
+    e.filter(col("vec_id") < n).collect()
+      .map(r => QueryVec(r.getLong(0), r.getSeq[Float](1)))
+
+  test("streamed IVF-PQ answers are row-identical to the batch query") {
+    withIndex { (idx, e) =>
+      implicit val sqlCtx = spark.sqlContext
+      val qs = queryVecs(e, 8)
+      val expected = Similarity
+        .ivfPqQuery(idx.encoded, idx.centroids, idx.books, e,
+          e.filter(col("vec_id") < 8), k = 3, nprobe = 4, shortlist = 10)
+        .collect().map(_.toSeq).toSet
+
+      val stream = MemoryStream[QueryVec]
+      val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      val q = StreamingAnnServing.serveIvfPq(stream.toDF(), idx, e,
+        k = 3, nprobe = 4, shortlist = 10) { (answers, _) =>
+        got ++= answers.collect().map(_.toSeq)
+      }
+      // two micro-batches: per-query answers must compose to the batch set
+      stream.addData(qs.take(4): _*)
+      q.processAllAvailable()
+      stream.addData(qs.drop(4): _*)
+      q.processAllAvailable()
+      q.stop()
+
+      assert(got.nonEmpty && got.toSet == expected)
+    }
+  }
+
+  test("stateless candidate tier: pure append stream, no state store, batch-identical") {
+    withIndex { (idx, e) =>
+      implicit val sqlCtx = spark.sqlContext
+      val qs = queryVecs(e, 4)
+      val expected = StreamingAnnServing
+        .scoreCandidates(e.filter(col("vec_id") < 4), idx, nprobe = 4)
+        .collect().map(_.toSeq).toSet
+
+      val stream = MemoryStream[QueryVec]
+      val scored = StreamingAnnServing.scoreCandidates(stream.toDF(), idx, nprobe = 4)
+      assert(scored.isStreaming)
+      val q = scored.writeStream.outputMode("append")
+        .format("memory").queryName("ann_cand_out").start()
+      stream.addData(qs: _*)
+      q.processAllAvailable()
+      val got = spark.table("ann_cand_out").collect().map(_.toSeq).toSet
+      // stateless: the static index side is joined without any state store
+      assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0))
+      q.stop()
+      assert(got.nonEmpty && got == expected)
+    }
+  }
+}
