@@ -1,0 +1,176 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{GeoFunctions, TextFunctions, VectorFunctions}
+import graft.operators._
+import graft.sources.Tables
+
+/**
+ * Shared fixture builders, numeric-parity helpers and engine-replayable
+ * oracle fragments used by [[Queries]], [[Gates]] and [[Oracles]] — split
+ * out of the driver-contract object so each query family lives in one
+ * focused file while [[SparkEntry]] keeps the unchanged public surface.
+ */
+private[graft] object Fixtures {
+
+
+  val Dec = DecimalType(18, 4)
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  // epoch-ms anchors inside the events table's span (2024-01-01 .. 2024-01-30 UTC)
+  val Jan05 = 1704412800000L
+  val Jan12 = 1705017600000L
+  val Jan30 = 1706572800000L
+  val Jan10_0745 = 1704872700000L
+
+  /** Shared DuckDB view of `events` as readings (must mirror
+    * [[Tables.readings]] exactly). */
+  val ReadingsCte =
+    "WITH r AS (SELECT ts, event_type || '_' || lpad(CAST(user_id % 100 AS VARCHAR), 2, '0') AS key, value FROM events)"
+
+  /** Oracle for `geo_history_avg`, built at call time: the query synthesizes
+    * only 10 distinct points (`user_id % 10`), so their precision-6 geohashes
+    * and the bbox cover's prefix ranges are deterministic CONSTANTS — inlined
+    * here as a CASE map + OR-of-ranges. The geohash kernel itself is verified
+    * independently by GeohashSpec golden vectors; this gate checks the
+    * scan/filter/agg semantics end-to-end in DuckDB. */
+  def geoHistoryAvgOracle: String = {
+    val caseArms = (0 until 10).map { m =>
+      val h = graft.geo.Geohash.encode(-40.0 + m * 8.0, -60.0 + m * 12.0, 6)
+      s"WHEN $m THEN '$h'"
+    }.mkString(" ")
+    val pred = GeoFunctions.coverBoundingBox(30.0, -55.0, -35.0, 40.0).map { p =>
+      GeoFunctions.stringSuccessor(p) match {
+        case Some(su) => s"(key >= '$p' AND key < '$su')"
+        case None     => s"(key >= '$p')"
+      }
+    }.mkString(" OR ")
+    s"""WITH g AS (SELECT ts,
+       |  CASE CAST(user_id % 10 AS INT) $caseArms END AS key, value FROM events)
+       |SELECT date_trunc('hour', ts) AS window_start,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS "avg"
+       |FROM g
+       |WHERE ($pred)
+       |  AND date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-30 00:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB cosine of two double-list columns — the exact expression shape
+    * of the engine's sequential-double kernel (shared by every ANN oracle). */
+  def duckCos(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))" +
+      s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
+      s" * sqrt(list_sum(list_transform($b, x -> x * x))))"
+
+  /** Oracle for `ann_ivf_topk`: a FULL independent IVF replay in DuckDB.
+    * The coarse-centroid pick is `ORDER BY md5(cast(id as varchar)), id` —
+    * the same deterministic, engine-replayable order
+    * [[Similarity.buildIvfIndex]] uses — so DuckDB re-derives the
+    * centroids, every list assignment, the query probes and the final
+    * re-rank from the parquet table alone (no engine-fed constants, valid
+    * at every scale factor). Assignment/probe rank on raw cosine with
+    * ties to the lower list id, exactly like the `vec_top_centroids`
+    * kernel; the final cosine is rounded to 6 with id tie-break like
+    * every ANN path. */
+  def annIvfTopkOracle: String = {
+    val (nlist, nprobe, k) = (16, 4, 5)
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |ck AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+       |       ORDER BY h, vec_id LIMIT $nlist),
+       |cents AS (
+       |  SELECT (ROW_NUMBER() OVER (ORDER BY ck.h, ck.vec_id)) - 1 AS list_id, v.e AS ce
+       |  FROM ck JOIN v ON v.vec_id = ck.vec_id),
+       |ccos AS (
+       |  SELECT v.vec_id, c.list_id, ${duckCos("v.e", "c.ce")} AS cos
+       |  FROM v, cents c),
+       |assign AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS rn
+       |    FROM ccos) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS qid, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS rn
+       |    FROM ccos WHERE vec_id < 8) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cid
+       |  FROM probe p JOIN assign a ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.qid),
+       |s AS (
+       |  SELECT cand.qid, cand.cid, round(${duckCos("q.e", "c.e")}, 6) AS cos
+       |  FROM cand JOIN v q ON q.vec_id = cand.qid JOIN v c ON c.vec_id = cand.cid),
+       |r AS (SELECT qid, cid, cos,
+       |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+       |      FROM s)
+       |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Oracle for `ann_lsh_topk`: a full independent SRP-LSH replay. The ±1
+    * hyperplane tables are pure functions of (seed, bit, dim) via splitmix64
+    * — recomputed HERE at oracle-build time (not fed from the engine's
+    * run) and inlined as literal lists, so DuckDB re-derives every bucket,
+    * the candidate union over all hash tables, and the exact cosine
+    * re-rank from the parquet table + the published sign function alone. */
+  def annLshTopkOracle: String = {
+    val (dim, nBits, probes, k) = (64, 8, 4, 5)
+    def bucketExpr(seed: Int): String = {
+      val signs = VectorFunctions.srpSigns(nBits, dim, seed)
+      (0 until nBits).map { b =>
+        val s = signs(b).map(x => if (x > 0) "1" else "-1").mkString(",")
+        s"(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * ([$s])[i])) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("\n    + ")
+    }
+    val tables = (0 until probes).map(t =>
+      s"  SELECT vec_id, e, $t AS tbl,\n    ${bucketExpr(t)} AS bucket FROM v")
+      .mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |b AS (
+       |$tables),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+       |  FROM b q JOIN b c ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+       |s AS (
+       |  SELECT cand.qid, cand.cid, round(${duckCos("q.e", "c.e")}, 6) AS cos
+       |  FROM cand JOIN v q ON q.vec_id = cand.qid JOIN v c ON c.vec_id = cand.cid),
+       |r AS (SELECT qid, cid, cos,
+       |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+       |      FROM s)
+       |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Documents ∪ deterministic 75%-token-prefix copies (ids +100000) — the
+    * near-dup fixture the dedup demos run on (the raw synthetic docs share
+    * no near-dups, so operators would trivially return 0 rows). */
+  def docsWithNearDups(docs: DataFrame): DataFrame = {
+    val t = split(trim(lower(col("text"))), "\\s+")
+    val truncated = docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(floor(size(t) * 3 / 4).cast("int"), lit(1))))
+        .as("text"))
+    docs.select(col("doc_id"), col("text")).union(truncated)
+  }
+
+  /** Embeddings ∪ exact copies (ids +1000000): near-dup fixture for the
+    * vector-dedup demo. */
+  def embsWithDups(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), col("embedding"))
+      .union(embs.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+
+  /** Stage counts of the curation funnel — recomputed by EVERY caller.
+    * `curation_funnel` and `curation_funnel_check` each run the full
+    * dedup→LSH→quality pipeline: the check is an independent re-derivation
+    * (two runs must agree, so banding nondeterminism would surface as a gate
+    * disagreement), and each query's bench timing measures real pipeline
+    * work in isolation (a shared memo made the second timing fake). */
+  def computeFunnelStages(s: SparkSession, dir: String): Seq[(String, Long)] =
+    Curation.funnel(docsWithNearDups(Tables.documents(s, dir)),
+      Curation.Config(nearDupThreshold = 0.6, minQuality = 0.1))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+}

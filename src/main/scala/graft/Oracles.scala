@@ -1,0 +1,805 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{GeoFunctions, TextFunctions, VectorFunctions}
+import graft.operators._
+import graft.sources.Tables
+
+/**
+ * DuckDB oracle SQL for every query in [[Queries]] — the independent
+ * single-node semantics each Spark result must hash-match (columns sorted
+ * by name, rows ordered deterministically, decimal-exact sums; see
+ * [[SparkEntry]]). Gate oracles live in [[Gates]].
+ */
+private[graft] object Oracles {
+  import Fixtures._
+
+  def all: Map[String, String] = Map(
+    "h1_history_avg" ->
+      s"""$ReadingsCte
+         |SELECT date_trunc('hour', ts) AS window_start,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS "avg"
+         |FROM r
+         |WHERE ((key >= 'cl' AND key < 'cm') OR (key >= 'vi' AND key < 'vj'))
+         |  AND date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "h2_history_count_interval" ->
+      s"""$ReadingsCte
+         |SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS "count"
+         |FROM r
+         |WHERE ((key >= 'purchase' AND key < 'purchasf') OR (key >= 'signup' AND key < 'signuq'))
+         |  AND date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-23 00:00:00' AND TIMESTAMP '2024-01-30 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "h3_history_sum" ->
+      s"""$ReadingsCte
+         |SELECT date_trunc('hour', ts) AS window_start,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS "sum"
+         |FROM r
+         |WHERE key >= 'error' AND key < 'erros'
+         |  AND date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-30 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s1_snapshot_sum" ->
+      s"""$ReadingsCte
+         |SELECT key, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS "sum"
+         |FROM r
+         |WHERE date_trunc('hour', ts) = TIMESTAMP '2024-01-10 07:00:00'
+         |  AND ((key >= 'click_1' AND key < 'click_2') OR (key >= 'purchase_0' AND key < 'purchase_1') OR (key >= 'view' AND key < 'viex'))
+         |GROUP BY key ORDER BY key""".stripMargin,
+
+    "hview_cells" ->
+      s"""$ReadingsCte
+         |SELECT key, date_trunc('hour', ts) AS window_start, COUNT(*) AS "count",
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS "sum",
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS "avg"
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "reagg_daily" ->
+      s"""$ReadingsCte
+         |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "day", COUNT(*) AS "count",
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS "sum",
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS "avg"
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "geo_history_avg" -> geoHistoryAvgOracle,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "join_broadcast_segment" ->
+      """SELECT c_mktsegment,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        |       COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join3_nation_revenue" ->
+      """SELECT n_name,
+        |       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "semi_join_big_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "anti_join_no_big_order" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "topk_orders_per_priority" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "distinct_orders_per_flag" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS distinct_orders, COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "rollup_flag_status" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "window_daily_running" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS "day", COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, "day", n,
+        |       LAG(n, 1) OVER (PARTITION BY event_type ORDER BY "day") AS prev_n,
+        |       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY "day" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+        |FROM daily ORDER BY event_type, "day"""".stripMargin,
+
+    "prefix_range_source" ->
+      """SELECT source, COUNT(*) AS n_docs FROM documents
+        |WHERE source >= 'src1' AND source < 'src2'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_metrics" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'), t -> len(t))) AS DOUBLE)
+        |        / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6) AS mean_token_len,
+        |  round(CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE)
+        |        / greatest(len(text), 1), 6) AS punct_ratio,
+        |  round(CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+        |        ['the','a','an','and','or','of','to','in','is','it','that','with','for','on','as','at','by','this','be'])) AS DOUBLE)
+        |        / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), 1), 6) AS stopword_ratio,
+        |  round(
+        |    least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |    + (1.0 - least(round(CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 6) * 5.0, 1.0)) * 0.3
+        |    + least(round(CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+        |        ['the','a','an','and','or','of','to','in','is','it','that','with','for','on','as','at','by','this','be'])) AS DOUBLE)
+        |        / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), 1), 6) * 4.0, 1.0) * 0.3, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_confusion" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')), ['der','die','das','und','nicht','ist','ich','ein','mit','für'])) AS s_de,
+        |    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')), ['the','and','not','is','a','of','to','in','that','with'])) AS s_en,
+        |    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')), ['el','la','los','las','y','no','es','un','una','con'])) AS s_es,
+        |    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')), ['le','la','les','et','ne','pas','est','un','une','avec'])) AS s_fr,
+        |    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')), ['的','是','不','了','在','人','有','我','他','这'])) AS s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
+        |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS lang_pred
+        |  FROM s)
+        |SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "vocab_top50" ->
+      """SELECT token, COUNT(*) AS freq FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
+
+    "fingerprints_md5" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "exact_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1,
+        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+        |  FROM documents)
+        |SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "embed_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "ann_brute_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),
+        |s AS (
+        |  SELECT qid, v.vec_id AS cid,
+        |    round(
+        |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i]))
+        |      / (sqrt(list_sum(list_transform(qe, x -> x * x))) * sqrt(list_sum(list_transform(e, x -> x * x)))), 6) AS cos
+        |  FROM q, v WHERE v.vec_id <> qid),
+        |r AS (SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk FROM s)
+        |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "ann_ivf_topk" -> annIvfTopkOracle,
+
+    "ann_lsh_topk" -> annLshTopkOracle,
+
+    "json_props_sum" ->
+      """SELECT event_type, CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "percentile_qty" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+        |       round(quantile_cont(l_quantity, 0.95), 6) AS q95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "except_users" ->
+      """SELECT user_id FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 100
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 200)
+        |ORDER BY user_id""".stripMargin,
+
+    "cube_flag_status" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "stats_per_flag" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sessionize_users" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 120 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "date_parts_orders" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "string_funcs_customer" ->
+      """SELECT c_custkey, upper(c_name) AS uname, CAST(len(c_name) AS BIGINT) AS name_len,
+        |       substring(c_name, 1, 8) AS name_prefix,
+        |       c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS tag
+        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
+
+    "hopping_click_counts" ->
+      """WITH h AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start, value
+        |  FROM events, generate_series(0, 3) t(k)
+        |  WHERE event_type = 'click')
+        |SELECT window_start, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // NOTE boundary semantics: Spark's session_window is [start, start+gap),
+    // so an event EXACTLY gap after its predecessor opens a NEW session — the
+    // oracle's lag rule uses >= to match (unlike sessionize_users, whose
+    // lag-cumsum operator uses strict > and keeps boundary-equal gaps in the
+    // same session; both conventions are valid, each oracle mirrors its own).
+    "session_window_users" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 120 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "topk_custom_operator" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "pivot_status_by_flag" ->
+      """SELECT l_returnflag,
+        |       COUNT(*) FILTER (l_linestatus = 'F') AS F,
+        |       COUNT(*) FILTER (l_linestatus = 'O') AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "minmax_dates_per_priority" ->
+      """SELECT o_orderpriority, min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "moving_avg_daily" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "day", COUNT(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT "day", n,
+        |       round(AVG(n) OVER (ORDER BY "day" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+        |FROM d ORDER BY "day"""".stripMargin,
+
+    "token_budget_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY h, doc_id) AS cum FROM t)
+        |SELECT doc_id, n_tokens FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
+
+    "ngram_jaccard_pairs" ->
+      """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |d0 AS (
+        |  SELECT doc_id, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1,
+        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+        |  FROM src),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+        |           i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM d0
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    "asof_last_purchase" ->
+      """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, MAX(value) AS pvalue
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, epoch_ms(c.ts) AS click_ms,
+        |       epoch_ms(p.ts) AS purchase_ms, round(p.pvalue, 6) AS pvalue
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, click_ms, c.event_id""".stripMargin,
+
+    "range_join_incidents" ->
+      """WITH pt AS (SELECT event_id, ts FROM events
+        |            WHERE event_type = 'click' AND event_id % 7 = 0),
+        |i AS (SELECT event_id AS incident_id, date_trunc('second', ts) AS s,
+        |             date_trunc('second', ts) + INTERVAL 4 HOUR AS e
+        |      FROM events WHERE event_type = 'error')
+        |SELECT pt.event_id, i.incident_id
+        |FROM pt JOIN i ON pt.ts >= i.s AND pt.ts < i.e
+        |ORDER BY 1, 2""".stripMargin,
+
+    "stratified_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source FROM t
+        |WHERE rn <= ceil(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+        |                 ELSE 0.125 END * n)
+        |ORDER BY doc_id""".stripMargin,
+
+    "mix_sources" ->
+      """WITH a AS (
+        |  SELECT source, COUNT(*) AS n FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+        |w AS (SELECT source, n,
+        |        CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+        |                    WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+        |                    ELSE CAST(0.25 AS DOUBLE) END AS wt
+        |      FROM a),
+        |t AS (SELECT MIN(CAST(n AS DOUBLE) / wt) AS target FROM w),
+        |lim AS (SELECT source, CAST(floor(wt * target) AS BIGINT) AS take FROM w, t),
+        |r AS (SELECT doc_id, source,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+        |SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM r JOIN lim ON r.source = lim.source
+        |WHERE r.rn <= lim.take GROUP BY r.source ORDER BY r.source""".stripMargin,
+
+    "pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '.com via 10.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |    CAST(doc_id % 100 AS VARCHAR) || ' or 555-' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ||
+        |    substr(text, 1, 40) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+        |    '(\d{1,3}\.){3}\d{1,3}', '[IP]', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "repetition_metrics" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS g
+        |  FROM documents),
+        |wc AS (SELECT doc_id, g, COUNT(*) AS c FROM w WHERE g <> '' GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS tp,
+        |              COUNT(*) AS d FROM wc GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |           i -> array_to_string(w[i:i+1], ' '))) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 2),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS tp
+        |       FROM bc GROUP BY 1)
+        |SELECT ws.doc_id,
+        |       ws.n AS n_words,
+        |       round(CAST(ws.d AS DOUBLE) / ws.n, 6) AS distinct_word_ratio,
+        |       round(CAST(ws.tp AS DOUBLE) / ws.n, 6) AS top_word_frac,
+        |       round(CAST(coalesce(bs.tp, 0) AS DOUBLE) /
+        |             greatest(coalesce(bs.n, 0), 1), 6) AS top_bigram_frac
+        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        |ORDER BY ws.doc_id""".stripMargin,
+
+    "line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |fx AS (
+        |  SELECT doc_id,
+        |         list_prepend('=== shared boilerplate header ===',
+        |           list_append(
+        |             list_transform(range(0, (len(t) - 1) // 8 + 1),
+        |               i -> array_to_string(list_slice(t, CAST(i*8+1 AS INT), CAST(i*8+8 AS INT)), ' ')),
+        |             '--- shared footer: all rights reserved ---')) AS ls
+        |  FROM toks),
+        |l AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos FROM fx),
+        |ll AS (SELECT doc_id, CAST(pos AS INT) AS pos, ls[CAST(pos AS INT)] AS line FROM l),
+        |rep AS (SELECT trim(line) AS k FROM ll GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT doc_id, pos, line FROM ll WHERE trim(line) NOT IN (SELECT k FROM rep)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2,
+        |               CAST(COUNT(*) AS BIGINT) AS n_kept
+        |        FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines FROM fx)
+        |SELECT n.doc_id,
+        |       md5(coalesce(agg.text2, '')) AS text_md5,
+        |       coalesce(agg.n_kept, 0) AS n_lines_kept,
+        |       n.n_lines - coalesce(agg.n_kept, 0) AS n_lines_dropped
+        |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
+    "span_dedup" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |         'permission is hereby granted free of charge to any person obtaining a copy'
+        |           || ' ' || text || ' ' ||
+        |         'the software is provided as is without warranty of any kind express or implied' AS text
+        |  FROM documents),
+        |toks AS (
+        |  -- Java-trim edge strip first (all chars <= 0x20), mirroring the
+        |  -- engine's kernel-aligned tokenization exactly
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(
+        |           regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'),
+        |           '\s+'), t -> t <> '') AS ts
+        |  FROM fx),
+        |lt AS (SELECT doc_id, ts, list_transform(ts, t -> lower(t)) AS lts FROM toks),
+        |w0s AS (SELECT doc_id, lts,
+        |               unnest(range(0, greatest(len(lts) - 7, 0))) AS i
+        |        FROM lt),
+        |wins AS (SELECT doc_id, CAST(i AS INT) AS w0,
+        |                md5(array_to_string(
+        |                  list_slice(lts, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')) AS wh
+        |         FROM w0s),
+        |rep AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+        |mk0 AS (SELECT doc_id, w0, unnest(range(0, 8)) AS j
+        |        FROM wins WHERE wh IN (SELECT wh FROM rep)),
+        |marked AS (SELECT DISTINCT doc_id, w0 + CAST(j AS INT) AS pos FROM mk0),
+        |tp0 AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p FROM toks),
+        |tp AS (SELECT doc_id, CAST(p AS INT) AS pos, ts[CAST(p + 1 AS INT)] AS tok FROM tp0),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tp t
+        |         WHERE NOT EXISTS (SELECT 1 FROM marked m
+        |                           WHERE m.doc_id = t.doc_id AND m.pos = t.pos)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS t2,
+        |               CAST(COUNT(*) AS BIGINT) AS n_kept
+        |        FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM toks)
+        |SELECT n.doc_id, md5(coalesce(agg.t2, '')) AS text_md5,
+        |       coalesce(agg.n_kept, 0) AS n_tokens_kept,
+        |       n.n - coalesce(agg.n_kept, 0) AS n_tokens_dropped
+        |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
+    "gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '') AS ws,
+        |         string_split(coalesce(text, ''), chr(10)) AS ls
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    round(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+        |          / greatest(len(ws), 1), 6) AS mean_word_len,
+        |    round(CAST((len(text) - len(replace(text, '#', '')))
+        |            + (len(text) - len(replace(text, '...', ''))) // 3 AS DOUBLE)
+        |          / greatest(len(ws), 1), 6) AS symbol_word_ratio,
+        |    round(CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+        |          / greatest(len(ls), 1), 6) AS bullet_line_frac,
+        |    round(CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+        |          / greatest(len(ls), 1), 6) AS ellipsis_line_frac,
+        |    round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |          / greatest(len(ws), 1), 6) AS alpha_word_frac,
+        |    CAST(len(list_intersect(list_distinct(list_transform(ws, w -> lower(w))),
+        |         ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS stopword_hits
+        |  FROM base)
+        |SELECT *,
+        |       (n_words BETWEEN 30 AND 100000
+        |        AND mean_word_len BETWEEN 3.0 AND 10.0
+        |        AND symbol_word_ratio <= 0.1
+        |        AND bullet_line_frac <= 0.9
+        |        AND ellipsis_line_frac <= 0.3
+        |        AND alpha_word_frac >= 0.8
+        |        AND stopword_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY h, doc_id) AS cum FROM t)
+        |SELECT doc_id, n_tokens,
+        |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
+        |       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last
+        |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+
+    "mix_upsample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |t AS (SELECT *, CASE source WHEN 'src0' THEN 1500 ELSE 100 END AS need FROM d),
+        |r AS (SELECT *, unnest(range(0, CAST(ceil(CAST(need AS DOUBLE) / n) AS BIGINT))) AS copy
+        |      FROM t)
+        |SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
+        |FROM r WHERE copy * n + rn <= need
+        |ORDER BY doc_id, source, copy""".stripMargin,
+
+    "interval_overlap_pairs" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id, date_trunc('second', ts) AS s,
+        |         date_trunc('second', ts) + INTERVAL 4 HOUR AS e
+        |  FROM events WHERE event_type = 'error'),
+        |b AS (
+        |  SELECT event_id AS b_id, date_trunc('second', ts) AS s,
+        |         date_trunc('second', ts) + INTERVAL 1 HOUR AS e
+        |  FROM events WHERE event_type = 'click')
+        |SELECT a_id, b_id FROM a JOIN b ON a.s < b.e AND b.s < a.e
+        |ORDER BY 1, 2""".stripMargin,
+
+    "salted_join_agg" ->
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "hash_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      < CAST((CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+        |               ELSE 0.125 END) * 4294967296 AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    "weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |         round(pow(
+        |           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+        |             / 4503599627370496.0,
+        |           1.0 / (n_chars + 1.0)), 12) AS k
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |             ROW_NUMBER() OVER (PARTITION BY source
+        |               ORDER BY k DESC, doc_id) AS rn
+        |      FROM d)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "streaming_heavy_hitters" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS ws, 'k_' || (event_id % 40) AS item
+        |  FROM events WHERE event_id % 50 = 0)
+        |SELECT ws AS window_start, item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "multimodal_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(n_chars % 100 AS BIGINT) AS n_frames,
+        |       CAST(coalesce(len(range(0, n_chars % 100, 4)), 0) AS BIGINT) AS n_sampled,
+        |       coalesce(array_to_string(range(0, n_chars % 100, 4), ','), '') AS frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "dup_clusters" ->
+      """WITH RECURSIVE src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |d0 AS (
+        |  SELECT doc_id, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1,
+        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+        |  FROM src),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+        |           i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM d0
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b)
+        |SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "dedup_representatives" ->
+      """WITH RECURSIVE src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |d0 AS (
+        |  SELECT doc_id, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1,
+        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+        |  FROM src),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+        |           i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM d0
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |labels AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id),
+        |member AS (SELECT d.doc_id, len(d.text) AS l, lab.cl
+        |           FROM d0 d JOIN labels lab ON lab.id = d.doc_id),
+        |w AS (SELECT doc_id, cl,
+        |             ROW_NUMBER() OVER (PARTITION BY cl ORDER BY l DESC, doc_id ASC) AS rn,
+        |             COUNT(*) OVER (PARTITION BY cl) AS n_cluster
+        |      FROM member),
+        |kept AS (
+        |  SELECT doc_id, cl AS cluster_rep, CAST(n_cluster AS BIGINT) AS n_cluster
+        |  FROM w WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, doc_id AS cluster_rep, CAST(1 AS BIGINT) AS n_cluster
+        |  FROM d0 WHERE doc_id NOT IN (SELECT id FROM labels))
+        |SELECT doc_id, cluster_rep, n_cluster FROM kept ORDER BY doc_id""".stripMargin,
+
+    "chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |k AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |         greatest((len(w) - 16 + 47) // 48, 1) AS nk
+        |  FROM t),
+        |c AS (SELECT doc_id, w, n, unnest(range(0, nk)) AS chunk_id FROM k)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(chunk_id * 48 AS BIGINT) AS tok_start,
+        |       CAST(least(64, n - chunk_id * 48) AS BIGINT) AS chunk_tokens,
+        |       md5(array_to_string(list_slice(w, CAST(chunk_id * 48 + 1 AS INT),
+        |         CAST(chunk_id * 48 + least(64, n - chunk_id * 48) AS INT)), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "quantize_embeddings" ->
+      """SELECT vec_id,
+        |       CAST(list_min(embedding) AS DOUBLE) AS q_min,
+        |       CASE WHEN list_max(embedding) > list_min(embedding)
+        |            THEN (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+        |            ELSE 0.0 END AS q_scale,
+        |       CAST(len(embedding) AS BIGINT) AS n_dims,
+        |       true AS recon_ok
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "decontaminate_count" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |           i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM tok WHERE len(w) >= 5),
+        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh, unnest(sh.s) AS u(g)
+        |  WHERE sh.doc_id % 97 <> 0 AND u.g IN (SELECT g FROM b))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "asof_within_tolerance" ->
+      """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, MAX(value) AS pvalue
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT c.user_id, c.event_id, c.ts AS cts, p.ts AS pts, p.pvalue
+        |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts)
+        |SELECT user_id, event_id, epoch_ms(cts) AS click_ms,
+        |       CASE WHEN pts >= cts - INTERVAL 6 HOUR THEN epoch_ms(pts) END AS purchase_ms,
+        |       CASE WHEN pts >= cts - INTERVAL 6 HOUR THEN round(pvalue, 6) END AS pvalue
+        |FROM j ORDER BY user_id, click_ms, event_id""".stripMargin,
+
+    "approx_quantile_rank" ->
+      """SELECT l_returnflag, true AS rank_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN event_id % 10 < 3 THEN 'hot_' || (event_id % 7)
+        |              ELSE 'cold_' || (event_id % 2000) END AS k
+        |  FROM events),
+        |c AS (SELECT k, COUNT(*) AS cnt FROM k GROUP BY k),
+        |t AS (SELECT CAST(SUM(cnt) * 0.03 AS BIGINT) AS floor_cnt FROM c)
+        |SELECT k AS item, cnt, true AS bounds_ok
+        |FROM c, t WHERE cnt > floor_cnt ORDER BY item""".stripMargin,
+
+    "hll_daily_users" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "day",
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       true AS est_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "hll_union_total" ->
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, true AS est_ok
+        |FROM events""".stripMargin,
+
+    "multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         hex(encode(text)) AS hx,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |b AS (
+        |  SELECT media_id, kind, n_bytes,
+        |         coalesce(list_transform(range(0, CAST(n_bytes AS INT)), i ->
+        |           CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT)), []) AS bytes
+        |  FROM m),
+        |c AS (
+        |  SELECT media_id, kind, n_bytes, bytes,
+        |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |             list_transform(bytes, x -> CAST(x AS HUGEINT))),
+        |           (acc, x) -> (31*acc + x) % CAST('18446744073709551616' AS HUGEINT)) AS cs
+        |  FROM b)
+        |SELECT media_id, kind, n_bytes,
+        |       CAST(CASE WHEN cs >= CAST('9223372036854775808' AS HUGEINT)
+        |                 THEN cs - CAST('18446744073709551616' AS HUGEINT) ELSE cs END AS BIGINT) AS checksum,
+        |       CAST(16 AS BIGINT) AS feature_dim,
+        |       array_to_string(list_transform(range(0, 16), j ->
+        |         len(list_filter(bytes, x -> x % 16 = j))), ',') AS hist
+        |FROM c ORDER BY media_id""".stripMargin)
+}

@@ -1,0 +1,828 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{GeoFunctions, TextFunctions, VectorFunctions}
+import graft.operators._
+import graft.sources.Tables
+
+/**
+ * The core operator query surface of the driver contract — one named query
+ * per implemented operator (SURVEY.md §2 + the LLM-data-pipeline
+ * extensions), each oracle-checked via the matching entry in [[Oracles]].
+ * Recall/precision/consistency gates live in [[Gates]];
+ * [[SparkEntry.queries]] is the concatenation.
+ */
+private[graft] object Queries {
+  import Fixtures._
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ reference query surface
+    "h1_history_avg" -> ((s, dir) => {
+      val view = AggCore.hourlyView(Tables.readings(s, dir))
+      QueryBuilders.history(view, "avg", Seq("cl", "vi"), Jan05, Jan12)
+    }),
+
+    "h2_history_count_interval" -> ((s, dir) => {
+      val view = AggCore.hourlyView(Tables.readings(s, dir))
+      QueryBuilders.historyInterval(view, "count", Seq("purchase", "signup"), Jan30, "1week")
+    }),
+
+    "h3_history_sum" -> ((s, dir) => {
+      val view = AggCore.hourlyView(Tables.readings(s, dir))
+      QueryBuilders.history(view, "sum", Seq("error"), Jan05, Jan30)
+    }),
+
+    "s1_snapshot_sum" -> ((s, dir) => {
+      val view = AggCore.hourlyView(Tables.readings(s, dir))
+      QueryBuilders.snapshotByPrefixes(view, "sum",
+        Seq("click_1", "purchase_0", "view"), Jan10_0745)
+    }),
+
+    "hview_cells" -> ((s, dir) => {
+      AggCore.hourlyView(Tables.readings(s, dir))
+        .select(col("key"), col("window_start"), col("count"), col("sum"), col("avg"))
+        .orderBy(col("key"), col("window_start"))
+    }),
+
+    "reagg_daily" -> ((s, dir) => {
+      // two-level partial/final re-agg (A2): hourly view → daily — must equal
+      // the oracle's single-level daily aggregation
+      val view = AggCore.hourlyView(Tables.readings(s, dir))
+      AggCore.reAgg(view, Seq(date_trunc("day", col("window_start")).as("day")))
+        .select(col("day"), col("count"), col("sum"), col("avg"))
+        .orderBy(col("day"))
+    }),
+
+
+    // ------------------------------------------------ batch-relational (§2.13)
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          round(sum(col("l_extendedprice").cast(Dec) * (lit(1).cast(Dec) - col("l_discount").cast(Dec))), 4)
+            .cast("double").as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "filter_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "join_broadcast_segment" -> ((s, dir) => {
+      // small dim (customer) broadcast into the fact scan — no shuffle join
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "join3_nation_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice").cast(Dec) * (lit(1).cast(Dec) - col("l_discount").cast(Dec))), 4)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    }),
+
+    "semi_join_big_customers" -> ((s, dir) => {
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0)
+      Tables.customer(s, dir)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "anti_join_no_big_order" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "topk_orders_per_priority" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
+    "distinct_orders_per_flag" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("distinct_orders"), count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "rollup_flag_status" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "window_daily_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("running_n", sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "prefix_range_source" -> ((s, dir) => {
+      // sargable prefix predicate (F1 / GH3): src1 → [src1, src2)
+      Tables.documents(s, dir)
+        .filter(GeoFunctions.prefixPredicate(col("source"), Seq("src1")))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
+
+    // ------------------------------------------------ text analysis (M6)
+    "text_metrics" -> ((s, dir) => {
+      TextAnalysis.docMetrics(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+          col("punct_ratio"), col("stopword_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "lang_confusion" -> ((s, dir) => {
+      TextAnalysis.langConfusion(Tables.documents(s, dir))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
+    "vocab_top50" -> ((s, dir) => {
+      TextAnalysis.vocabulary(Tables.documents(s, dir))
+        .orderBy(col("freq").desc, col("token").asc).limit(50)
+    }),
+
+    "fingerprints_md5" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(docsWithNearDups(Tables.documents(s, dir)))
+        .orderBy(col("fp"))
+    }),
+
+
+    // ------------------------------------------------ vectors / similarity (M6)
+    "embed_norms" -> ((s, dir) => {
+      Similarity.norms(Tables.embeddings(s, dir)).orderBy(col("vec_id"))
+    }),
+
+    "ann_brute_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+
+    "json_props_sum" -> ((s, dir) => {
+      // JSON scalar extraction (props = {"k": int}) — SURVEY §2.12 class
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    "percentile_qty" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("q50"),
+          round(percentile(col("l_quantity"), lit(0.95)), 6).as("q95"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "except_users" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_type") === "purchase" && col("value") > 100)
+        .select(col("user_id")).distinct()
+        .except(e.filter(col("event_type") === "click" && col("value") > 200)
+          .select(col("user_id")).distinct())
+        .orderBy(col("user_id"))
+    }),
+
+    "cube_flag_status" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "stats_per_flag" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "sessionize_users" -> ((s, dir) => {
+      Sessions.sessionStats(Tables.events(s, dir), gapMinutes = 120)
+        .orderBy(col("user_id"))
+    }),
+
+    "date_parts_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("y"), col("m"))
+    }),
+
+    "string_funcs_customer" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string")).as("tag"))
+        .orderBy(col("c_custkey"))
+    }),
+
+
+    "hopping_click_counts" -> ((s, dir) => {
+      // 1h windows sliding every 15min — each event lands in 4 windows
+      Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"))
+    }),
+
+    "session_window_users" -> ((s, dir) => {
+      // Spark's native session_window ≡ the lag-cumsum sessionization oracle
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "120 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
+
+    "topk_custom_operator" -> ((s, dir) => {
+      // same semantics as topk_orders_per_priority, executed by the custom
+      // heap-based TopKPerKey physical operator (no per-partition sort)
+      graft.plans.TopK.perKey(Tables.orders(s, dir), k = 3,
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
+    "pivot_status_by_flag" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "minmax_dates_per_priority" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "moving_avg_daily" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily.withColumn("ma7", round(avg(col("n")).over(w), 6))
+        .orderBy(col("day"))
+    }),
+
+
+    // ---------------------------------- non-SQL-expressible (rows-only checks)
+    "minhash_lsh_dedup" -> ((s, dir) => {
+      Dedup.minHashLsh(docsWithNearDups(Tables.documents(s, dir)), threshold = 0.6)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "simhash_dedup" -> ((s, dir) => {
+      Dedup.simHashDedup(docsWithNearDups(Tables.documents(s, dir)), maxHamming = 8)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "ngram_jaccard_pairs" -> ((s, dir) => {
+      // exact pairwise Jaccard is inherently quadratic in shingle collisions:
+      // bounded scope here (every 5th doc); minhash_lsh_dedup is the scale path
+      Dedup.ngramJaccardPairs(
+        docsWithNearDups(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)),
+        threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "embedding_near_dup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(embsWithDups(Tables.embeddings(s, dir)), dim = 64, threshold = 0.95)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      // row contents oracle-checked: the DuckDB side re-derives the SRP
+      // buckets from the published splitmix64 sign function (inlined as
+      // literals at oracle-build time) and replays candidates + re-rank
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, dim = 64)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    "ann_ivf_topk" -> ((s, dir) => {
+      // row contents oracle-checked: the md5-order centroid pick is
+      // engine-replayable, so DuckDB re-derives centroids, assignment,
+      // probes and re-rank from the parquet table alone (kmeansIters=0
+      // here by design — the replay must not depend on engine state)
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    "curation_funnel" -> ((s, dir) => {
+      // end-to-end curation: exact dedup -> minhash near-dedup -> quality/lang
+      import s.implicits._
+      computeFunnelStages(s, dir).toDF("stage", "n_docs").orderBy(col("stage"))
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      // every output column is a DETERMINISTIC function of the payload bytes
+      // (= UTF-8 text), so the whole row — polynomial checksum included — is
+      // DuckDB-oracle-checked. The normalized folded-histogram feature is
+      // inverted back to integer byte counts (counts_j = f_j · n_bytes / Σf,
+      // exact because Σcounts = n_bytes and fp error ≪ 0.5), gating the
+      // decode→histogram→L2-normalize path end-to-end.
+      val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .toDF()
+      val fsum = aggregate(col("feature"), lit(0.0d), (acc, f) => acc + f.cast("double"))
+      feats.select(
+        col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        size(col("feature")).cast("long").as("feature_dim"),
+        when(fsum > 0, concat_ws(",", transform(col("feature"),
+          f => round(f.cast("double") * col("n_bytes") / fsum).cast("long"))))
+          .otherwise(concat_ws(",",
+            transform(col("feature"), _ => lit(0L)))).as("hist"))
+        .orderBy(col("media_id"))
+    }),
+
+    "geo_history_avg" -> ((s, dir) => {
+      // geohash-keyed slice of the reference pipeline: synth coordinates from
+      // user_id, encode at precision 6, bbox → cover prefixes → history
+      // user_id % 10 spreads points identically at every scale factor
+      graft.plans.GraftFunctions.register(s)
+      val r = Tables.events(s, dir).select(
+        col("ts"),
+        GeoFunctions.geohash_encode(
+          lit(-40.0) + (col("user_id") % 10).cast("double") * 8.0,
+          lit(-60.0) + (col("user_id") % 10).cast("double") * 12.0,
+          lit(6)).as("key"),
+        col("value"))
+      val view = AggCore.hourlyView(r)
+      val prefixes = GeoFunctions.coverBoundingBox(30.0, -55.0, -35.0, 40.0)
+      QueryBuilders.history(view, "avg", prefixes, Jan05, Jan30)
+    }),
+
+
+    // -------------------------------------------- curation sampling (oracle)
+    "token_budget_sample" -> ((s, dir) => {
+      // distributed two-pass prefix sum (no single-partition window) — the
+      // oracle replays the same hash-order cumsum as one DuckDB window
+      Curation.sampleToTokenBudget(Tables.documents(s, dir), tokenBudget = 15000L)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------- temporal joins (M7, oracle)
+    "asof_last_purchase" -> ((s, dir) => {
+      // as-of join: each click joined to the user's latest purchase at or
+      // before it — single shuffle union+window plan (Temporal.asofJoin),
+      // checked against DuckDB's native ASOF LEFT JOIN
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pvalue"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "ts", "ts",
+        Seq("pvalue"), asofOut = "pts")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("click_ms"),
+          unix_millis(col("pts")).as("purchase_ms"),
+          round(col("pvalue"), 6).as("pvalue"))
+        .orderBy(col("user_id"), col("click_ms"), col("event_id"))
+    }),
+
+    "range_join_incidents" -> ((s, dir) => {
+      // point-in-interval range join: clicks inside 4 h incident windows
+      // opened by error events — bucketized equi-join, no cartesian
+      val e = Tables.events(s, dir)
+      val points = e.filter(col("event_type") === "click" && col("event_id") % 7 === 0)
+        .select(col("event_id"), col("ts"))
+      val intervals = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          date_trunc("second", col("ts")).as("start"))
+        .withColumn("end", col("start") + expr("INTERVAL 4 HOURS"))
+      Temporal.pointInIntervalJoin(points, intervals, "ts", "start", "end",
+        bucketSeconds = 4 * 3600L)
+        .select(col("event_id"), col("incident_id"))
+        .orderBy(col("event_id"), col("incident_id"))
+    }),
+
+
+    // ------------------------------------------- sketch aggregates (oracle)
+    "heavy_hitters" -> ((s, dir) => {
+      // SpaceSaving TypedImperativeAggregate candidates + one exact pass over
+      // candidate keys only; result = exactly the keys with share > 3%
+      // (retention guarantee makes this deterministic), exact counts, and a
+      // gated assertion that the sketch bounds bracket the true count
+      val keyed = Tables.events(s, dir).select(
+        when(col("event_id") % 10 < 3, concat(lit("hot_"), col("event_id") % 7))
+          .otherwise(concat(lit("cold_"), col("event_id") % 2000)).as("k"))
+      Sketches.verifiedHeavyHitters(keyed, col("k"), capacity = 64, threshold = 0.03)
+        .orderBy(col("item"))
+    }),
+
+    "hll_daily_users" -> ((s, dir) => {
+      // mergeable per-day HLL sketch table; est_ok gates the estimate against
+      // the exact per-day distinct (computed exactly Spark-side)
+      val e = Tables.events(s, dir)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      val table = Sketches.distinctSketchTable(e, Seq(col("day")),
+        col("user_id").cast("string"))
+      val exact = e.groupBy(col("day")).agg(countDistinct(col("user_id")).as("n_exact"))
+      table.join(exact, "day")
+        .select(col("day"), col("n_exact"),
+          (abs(col("estimate") - col("n_exact")) <=
+            col("n_exact").cast("double") * 0.05).as("est_ok"))
+        .orderBy(col("day"))
+    }),
+
+    "hll_union_total" -> ((s, dir) => {
+      // re-aggregation path: union the stored per-day sketches into a total
+      // distinct estimate — no second pass over raw rows
+      val e = Tables.events(s, dir)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      val table = Sketches.distinctSketchTable(e, Seq(col("day")),
+        col("user_id").cast("string"))
+      val merged = table.agg(
+        Sketches.hllMergedEstimate(col("sketch")).as("est"))
+      val exact = e.agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.crossJoin(exact)
+        .select(col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            col("n_exact").cast("double") * 0.05).as("est_ok"))
+    }),
+
+
+    // --------------------------------- training-data curation ops (oracle)
+    "stratified_sample" -> ((s, dir) => {
+      // exact-fraction per-source sample in deterministic md5 order;
+      // binary-exact fractions (0.5/0.25/0.125) so ceil() agrees bit-for-bit
+      // with the DuckDB oracle
+      Curation.stratifiedSampleExact(Tables.documents(s, dir), "source",
+        Map("src0" -> 0.5, "src1" -> 0.25), defaultFraction = 0.125)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "mix_sources" -> ((s, dir) => {
+      // training-mixture construction: largest corpus matching the target
+      // weights that availability supports (binding source sets the total)
+      Curation.mixToWeights(Tables.documents(s, dir), "source",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
+    "pii_redact" -> ((s, dir) => {
+      // deterministic synthetic PII injected per doc, then scrubbed by the
+      // RE2-compatible regexp_replace chain (no UDF in the scan)
+      val d = Tables.documents(s, dir)
+      val polluted = concat(
+        lit("contact user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com via 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"), lit(" or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" "),
+        substring(col("text"), 1, 40))
+      d.select(col("doc_id"), TextFunctions.redactPii(polluted).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "repetition_metrics" -> ((s, dir) => {
+      // Gopher-style intra-doc repetition signals
+      TextAnalysis.repetitionMetrics(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "line_dedup" -> ((s, dir) => {
+      // corpus-level boilerplate-line removal: rebuild each doc as a shared
+      // header + 8-token body lines + shared footer; dedupLines must strip
+      // exactly the lines repeated across >= 2 docs (header/footer + any
+      // naturally colliding body lines) and keep the rest in order. The
+      // rebuilt text is md5'd so the oracle hash-checks content, not size.
+      val t = TextFunctions.tokens(col("text"))
+      val body = transform(
+        sequence(lit(0), ((size(t) - 1) / 8).cast("int")),
+        i => concat_ws(" ", slice(t, i * 8 + 1, lit(8))))
+      val fixture = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n", concat(
+          array(lit("=== shared boilerplate header ===")), body,
+          array(lit("--- shared footer: all rights reserved ---")))).as("text"))
+      TextAnalysis.dedupLines(fixture, minDocs = 2)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_lines_kept"), col("n_lines_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "span_dedup" -> ((s, dir) => {
+      // cross-document repeated-span removal (exact-substring rule): every
+      // doc gets a shared 13-token license header and 14-token warranty
+      // footer; every 8-token window interior to either block repeats across
+      // all docs, so removeRepeatedSpans must cut both blocks (plus any
+      // naturally repeated 8-token runs in the bodies — the oracle recomputes
+      // the whole rule, nothing is hand-predicted). Rebuilt text is md5'd so
+      // content, order and case preservation are all hash-checked.
+      val header = "permission is hereby granted free of charge to any person obtaining a copy"
+      val footer = "the software is provided as is without warranty of any kind express or implied"
+      val fixture = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws(" ", lit(header), col("text"), lit(footer)).as("text"))
+      TextAnalysis.removeRepeatedSpans(fixture, windowTokens = 8, minDocs = 2)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_tokens_kept"), col("n_tokens_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "gopher_rules" -> ((s, dir) => {
+      // explicit Gopher rule filter; thresholds tuned so the sf corpus
+      // exercises both keep outcomes (short docs fail min_words)
+      TextAnalysis.gopherRules(Tables.documents(s, dir), minWords = 30)
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "pack_sequences" -> ((s, dir) => {
+      // concat-then-chunk training-sequence packing over the distributed
+      // hash-order prefix sum (2048-token sequences)
+      Curation.packSequences(Tables.documents(s, dir), seqTokens = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("seq_first"), col("seq_last"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "decontaminate_count" -> ((s, dir) => {
+      // corpus remaining per source after dropping docs sharing any 5-gram
+      // with the benchmark slice — the filter a pre-training run applies
+      val d = Tables.documents(s, dir)
+      TextAnalysis.decontaminate(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        shingleN = 5)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
+    "asof_within_tolerance" -> ((s, dir) => {
+      // as-of with a 6 h staleness bound: matches older than the tolerance
+      // come back null (served-value freshness semantics)
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pvalue"))
+      Temporal.asofJoinWithin(clicks, purchases, "user_id", "ts", "ts",
+        Seq("pvalue"), tolerance = expr("INTERVAL 6 HOURS"), asofOut = "pts")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("click_ms"),
+          unix_millis(col("pts")).as("purchase_ms"),
+          round(col("pvalue"), 6).as("pvalue"))
+        .orderBy(col("user_id"), col("click_ms"), col("event_id"))
+    }),
+
+
+    "approx_quantile_rank" -> ((s, dir) => {
+      // percentile_approx (KLL-style mergeable quantile sketch) gated by RANK
+      // error: the fraction of rows at or below the approximate p50 must sit
+      // within ±5% of 0.5 per group (plus discrete-value mass at the cut,
+      // hence the asymmetric upper bound)
+      val li = Tables.lineitem(s, dir)
+      val appr = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50"))
+      li.join(appr, "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(avg(when(col("l_quantity") <= col("p50"), 1.0).otherwise(0.0)).as("frac"))
+        .select(col("l_returnflag"),
+          (col("frac") >= 0.45 && col("frac") <= 0.60).as("rank_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+
+    "mix_upsample" -> ((s, dir) => {
+      // exact-count mixing WITH up-sampling (epoch replication): src0 is
+      // repeated whole epochs to 1500 rows, src1 truncated to 100 — replica
+      // set hash-checked row for row (copy index included)
+      Curation.mixToTargetCounts(Tables.documents(s, dir), "source",
+        Map("src0" -> 1500L, "src1" -> 100L))
+        .orderBy(col("doc_id"), col("source"), col("copy"))
+    }),
+
+
+    "interval_overlap_pairs" -> ((s, dir) => {
+      // bucketized interval-overlap join (first-shared-bucket arithmetic
+      // dedup, no distinct) must equal DuckDB's theta join on the same
+      // intervals (error 4h-windows x click 1h-windows)
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("a_id"), date_trunc("second", col("ts")).as("a_s"))
+        .withColumn("a_e", col("a_s") + expr("INTERVAL 4 HOURS"))
+      val b = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("b_id"), date_trunc("second", col("ts")).as("b_s"))
+        .withColumn("b_e", col("b_s") + expr("INTERVAL 1 HOUR"))
+      Temporal.intervalOverlapJoin(a, b, "a_s", "a_e", "b_s", "b_e",
+        bucketSeconds = 2 * 3600L)
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+
+    "salted_join_agg" -> ((s, dir) => {
+      // the skew-mitigation path must be value-identical to the plain join:
+      // deterministic fact salting × dim replication, then the same
+      // aggregate — hash-checked against DuckDB's direct join
+      val fact = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_totalprice"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(fact, dim, "custkey", salt = 8, factUniqueCols = Seq("o_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+
+    "hash_sample" -> ((s, dir) => {
+      // the stateless shuffle-free sampler (the 100 TB path): keep iff the
+      // first 32 md5 bits fall under fraction × 2^32. Binary-exact fractions
+      // make the thresholds integer-exact on both engines, so membership is
+      // hash-checked row for row
+      Curation.stratifiedSampleHash(Tables.documents(s, dir), "source",
+        Map("src0" -> 0.5, "src1" -> 0.25), defaultFraction = 0.125)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "weighted_sample" -> ((s, dir) => {
+      // A-Res weighted sampling, weight = n_chars + 1 (longer docs more
+      // likely; 10 of each source's 25): hash-derived uniforms make the WHOLE
+      // sample deterministic,
+      // so the oracle reproduces it row for row, not statistically
+      Curation.weightedSampleHash(Tables.documents(s, dir), "source",
+        col("n_chars").cast("double") + 1.0, k = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "streaming_heavy_hitters" -> ((s, dir) => {
+      // the STREAMING sketch path gated against plain SQL: 40 distinct keys
+      // under capacity 64 keep SpaceSaving exact (no evictions, merges
+      // included), so the windowed top-k emitted after two real micro-batches
+      // must hash-match DuckDB's exact per-window counts
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = Tables.events(s, dir)
+        .filter(col("event_id") % 50 === 0)
+        .select(col("ts"), concat(lit("k_"), col("event_id") % 40).as("k"))
+        .as[(java.sql.Timestamp, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String)]
+      val out = graft.streaming.StreamingHeavyHitters.windowedTopK(
+        mem.toDF().toDF("ts", "k"), col("k"), "1 hour", capacity = 64)
+      val name = "shh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .select(col("window_start"), explode(col("topk")).as("e"))
+        .select(col("window_start"), col("e.item").as("item"),
+          col("e.count_min").as("cnt"))
+        .orderBy(col("window_start"), col("item"))
+    }),
+
+
+    "multimodal_frame_sample" -> ((s, dir) => {
+      // frame-index sampling is pure metadata arithmetic → exactly
+      // oracle-able even though frame DECODE sits behind the labeled stub
+      val m = Multimodal.syntheticMedia(Tables.documents(s, dir))
+      Multimodal.sampleFrames(m, stride = 4)
+        .select(col("media_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          size(col("frame_idx")).cast("long").as("n_sampled"),
+          concat_ws(",", col("frame_idx")).as("frames"))
+        .orderBy(col("media_id"))
+    }),
+
+
+    "dup_clusters" -> ((s, dir) => {
+      // connected components over the DETERMINISTIC exact-Jaccard pair set
+      // (same edges as ngram_jaccard_pairs, oracle-matched), checked against
+      // a DuckDB recursive-CTE transitive closure: every doc labeled with
+      // the min id reachable through near-dup edges
+      val pairs = Dedup.ngramJaccardPairs(
+        docsWithNearDups(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)),
+        threshold = 0.5)
+      Dedup.dupClusters(pairs)
+        .select(col("id"), col("cluster_rep"))
+        .orderBy(col("id"))
+    }),
+
+
+    "dedup_representatives" -> ((s, dir) => {
+      // the dedup END-PRODUCT: longest-text-wins canonical doc per cluster
+      // (truncated +100000 copies must lose to their sources) + singletons;
+      // oracle recomputes closure + argmax in DuckDB
+      val base = docsWithNearDups(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
+      val pairs = Dedup.ngramJaccardPairs(base, threshold = 0.5)
+      Dedup.keepRepresentatives(base, pairs)
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "chunk_documents" -> ((s, dir) => {
+      // sliding token-window chunking (64-token chunks, 16 overlap): chunk
+      // boundaries AND per-chunk content digests hash-checked against DuckDB
+      Curation.chunkDocuments(Tables.documents(s, dir), chunkTokens = 64, overlapTokens = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+
+    "quantize_embeddings" -> ((s, dir) => {
+      // SQ8 per-vector affine quantization: min/scale exactly oracle-checked
+      // (float→double casts are exact); recon_ok bounds every dimension's
+      // reconstruction error by half a quantization step
+      val e = Tables.embeddings(s, dir)
+      val q = Quantization.quantizeSQ8(e)
+      e.join(q, "vec_id")
+        .select(
+          col("vec_id"),
+          col("q_min"),
+          col("q_scale"),
+          size(col("codes")).cast("long").as("n_dims"),
+          (Quantization.reconstructionError(
+            col("embedding"), col("codes"), col("q_min"), col("q_scale")) <=
+            col("q_scale") / 2 + lit(1e-9)).as("recon_ok"))
+        .orderBy(col("vec_id"))
+    }))
+}
