@@ -117,17 +117,22 @@ private[graft] object Fixtures {
     * run) and inlined as literal lists, so DuckDB re-derives every bucket,
     * the candidate union over all hash tables, and the exact cosine
     * re-rank from the parquet table + the published sign function alone. */
+  /** The SRP bucket of double-list column `e` as DuckDB SQL: the ±1 sign
+    * table is recomputed from the published splitmix64 function at
+    * oracle-build time and inlined as literals — shared by the
+    * `ann_lsh_topk` and `embedding_near_dup` replays. */
+  def srpBucketSql(nBits: Int, dim: Int, seed: Int): String = {
+    val signs = VectorFunctions.srpSigns(nBits, dim, seed)
+    (0 until nBits).map { b =>
+      val s = signs(b).map(x => if (x > 0) "1" else "-1").mkString(",")
+      s"(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * ([$s])[i])) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n    + ")
+  }
+
   def annLshTopkOracle: String = {
     val (dim, nBits, probes, k) = (64, 8, 4, 5)
-    def bucketExpr(seed: Int): String = {
-      val signs = VectorFunctions.srpSigns(nBits, dim, seed)
-      (0 until nBits).map { b =>
-        val s = signs(b).map(x => if (x > 0) "1" else "-1").mkString(",")
-        s"(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * ([$s])[i])) >= 0 THEN ${1L << b} ELSE 0 END)"
-      }.mkString("\n    + ")
-    }
     val tables = (0 until probes).map(t =>
-      s"  SELECT vec_id, e, $t AS tbl,\n    ${bucketExpr(t)} AS bucket FROM v")
+      s"  SELECT vec_id, e, $t AS tbl,\n    ${srpBucketSql(nBits, dim, t)} AS bucket FROM v")
       .mkString("\nUNION ALL\n")
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
        |b AS (
@@ -143,6 +148,31 @@ private[graft] object Fixtures {
        |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
        |      FROM s)
        |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Oracle for `embedding_near_dup`: full SRP-LSH near-dup replay over the
+    * dup fixture (embeddings ∪ exact copies) — one inlined sign table
+    * (seed 0, nBits 12), bucket self-join, exact cosine ≥ threshold. The
+    * threshold compare uses RAW cosine like the engine; the fixture is
+    * boundary-safe by construction (pairs are either exact duplicates at
+    * cos ~1.0 or near-orthogonal random vectors ≪ 0.95 — the precision
+    * gate's n_boundary column pins that emptiness in DuckDB). */
+  def embeddingNearDupOracle: String = {
+    val (dim, nBits, threshold) = (64, 12, 0.95)
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM base),
+       |b AS (
+       |  SELECT vec_id, e,
+       |    ${srpBucketSql(nBits, dim, 0)} AS bucket FROM v),
+       |s AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+       |         round(${duckCos("l.e", "r.e")}, 6) AS cos
+       |  FROM b l JOIN b r ON l.bucket = r.bucket
+       |  WHERE l.vec_id < r.vec_id AND ${duckCos("l.e", "r.e")} >= $threshold)
+       |SELECT a, b, cos FROM s ORDER BY a, b""".stripMargin
   }
 
   /** Documents ∪ deterministic 75%-token-prefix copies (ids +100000) — the

@@ -355,6 +355,8 @@ private[graft] object Oracles {
         |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
         |ORDER BY a, b""".stripMargin,
 
+    "embedding_near_dup" -> embeddingNearDupOracle,
+
     "asof_last_purchase" ->
       """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts, MAX(value) AS pvalue

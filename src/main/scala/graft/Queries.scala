@@ -359,6 +359,9 @@ private[graft] object Queries {
     }),
 
     "embedding_near_dup" -> ((s, dir) => {
+      // row contents oracle-checked: DuckDB replays the SRP bucket table
+      // (inlined splitmix64 signs), the bucket self-join and the exact
+      // cosine threshold on the same dup fixture
       Dedup.embeddingNearDup(embsWithDups(Tables.embeddings(s, dir)), dim = 64, threshold = 0.95)
         .orderBy(col("a"), col("b"))
     }),
