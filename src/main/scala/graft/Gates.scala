@@ -304,21 +304,30 @@ private[graft] object Gates {
       // not a statistical one.
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 8)
-      val brute = Similarity.bruteForceTopK(e, q, k = 5).select(col("qid"), col("cid"))
+      // the brute baseline is 8×5 pairs — computed ONCE, compared locally
+      // (recomputing it per comparison was pure repeated work)
+      val brutePairs = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("qid"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
       def recallOf(df: DataFrame) = {
-        val hits = df.select(col("qid").as("q2"), col("cid").as("c2"))
-        brute.join(hits, col("qid") === col("q2") && col("cid") === col("c2"), "left")
-          .agg((count(col("c2")).cast("double") / count(lit(1))).as("r"))
-          .head().getDouble(0)
+        val hits = df.select(col("qid"), col("cid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        brutePairs.count(hits.contains).toDouble / brutePairs.size
       }
-      val adc = recallOf(Similarity.pqTopK(e, q, k = 5, m = 8, ksub = 64, kmeansIters = 2))
-      val rr = recallOf(Similarity.pqTopK(e, q, k = 5, m = 8, ksub = 64, shortlist = 50,
-        kmeansIters = 2))
+      // ONE refined codebook build, reused by all three paths through the
+      // pqQuery serving API (the dup path encodes the grown corpus against
+      // the same books — the incremental-indexing pattern): the timed cost
+      // is one honest train+encode plus the queries, not three identical
+      // trainings
+      val books = Quantization.buildPqCodebooks(e, m = 8, ksub = 64, kmeansIters = 2)
+      val enc = Quantization.encodePq(e, books)
+      val adc = recallOf(Similarity.pqQuery(enc, books, e, q, k = 5))
+      val rr = recallOf(Similarity.pqQuery(enc, books, e, q, k = 5, shortlist = 50))
       val dupQ = e.filter(col("vec_id") < 8)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val corpus = e.select(col("vec_id"), col("embedding")).union(dupQ)
-      val nDup = Similarity.pqTopK(corpus, dupQ, k = 1, m = 8, ksub = 64, shortlist = 20,
-        kmeansIters = 2)
+      val nDup = Similarity.pqQuery(Quantization.encodePq(corpus, books), books,
+        corpus, dupQ, k = 1, shortlist = 20)
         .filter(col("rnk") === 1 && col("cid") === col("qid") - 1000000L &&
           col("cos") === 1.0)
         .count()
@@ -338,19 +347,26 @@ private[graft] object Gates {
       // list, shortlisted, cos 1.0).
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 8)
-      val brute = Similarity.bruteForceTopK(e, q, k = 5).select(col("qid"), col("cid"))
-      val ipq = Similarity.ivfPqTopK(e, q, k = 5, nlist = 16, nprobe = 8,
-        m = 8, ksub = 64, shortlist = 50, kmeansIters = 2)
-        .select(col("qid").as("q2"), col("cid").as("c2"))
-      val recall = brute
-        .join(ipq, col("qid") === col("q2") && col("cid") === col("c2"), "left")
-        .agg((count(col("c2")).cast("double") / count(lit(1))).as("r"))
-        .head().getDouble(0)
+      val brutePairs = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("qid"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // ONE refined build of each quantizer, reused by both paths (the dup
+      // path encodes the grown corpus against the same artifact via
+      // ivfPqEncode — the incremental-indexing pattern)
+      val index = Similarity.buildIvfIndex(e, nlist = 16, kmeansIters = 2)
+      val books = Quantization.buildPqCodebooks(e, m = 8, ksub = 64, kmeansIters = 2)
+      val enc = Similarity.ivfPqEncode(e, index.centroids, books)
+      val hits = Similarity.ivfPqQuery(enc, index.centroids, books, e, q,
+        k = 5, nprobe = 8, shortlist = 50)
+        .select(col("qid"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = brutePairs.count(hits.contains).toDouble / brutePairs.size
       val dupQ = e.filter(col("vec_id") < 8)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val corpus = e.select(col("vec_id"), col("embedding")).union(dupQ)
-      val nDup = Similarity.ivfPqTopK(corpus, dupQ, k = 1, nlist = 16, nprobe = 4,
-        m = 8, ksub = 64, shortlist = 20, kmeansIters = 2)
+      val nDup = Similarity.ivfPqQuery(
+        Similarity.ivfPqEncode(corpus, index.centroids, books),
+        index.centroids, books, corpus, dupQ, k = 1, nprobe = 4, shortlist = 20)
         .filter(col("rnk") === 1 && col("cid") === col("qid") - 1000000L &&
           col("cos") === 1.0)
         .count()

@@ -129,8 +129,11 @@ object Quantization {
           .as(Seq("_mi", "_code")))
       .select(col("_mi"), col("_code"),
         posexplode(slice(col("_v"), col("_mi") * sub + 1, lit(sub))).as(Seq("_d", "_x")))
+      // Decimal(18,12) stays Long-backed (fast compact arithmetic): 6 int
+      // digits cover any sane embedding magnitude, and Spark widens the SUM
+      // accumulator to Decimal(28,12) — exact to ~10^15 rows per cell
       .groupBy(col("_mi"), col("_code"), col("_d"))
-      .agg(sum(col("_x").cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("_s"),
+      .agg(sum(col("_x").cast(org.apache.spark.sql.types.DecimalType(18, 12))).as("_s"),
         count(lit(1)).as("_n"))
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),

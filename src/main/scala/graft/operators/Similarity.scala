@@ -153,6 +153,25 @@ object Similarity {
       idCol, vecCol)
   }
 
+  /**
+   * Encode a corpus against EXISTING quantizers — the incremental-indexing
+   * path: coarse assignment through the codegen'd centroid kernel plus PQ
+   * codes, one narrow pass, NO quantizer rebuild. This is how new vectors
+   * join a stored IVF-PQ artifact as the corpus grows (append the rows to
+   * the `partitionBy(list_id)` layout), and how a gate can honestly reuse
+   * one trained index across its query paths instead of re-training
+   * identical quantizers per path.
+   */
+  def ivfPqEncode(corpus: DataFrame, centroids: Array[(Int, Array[Float])],
+                  books: Quantization.PqCodebooks,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centsLit = centroidsLiteral(centroids)
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .select(col("cid"),
+        element_at(VectorFunctions.topCentroids(col("cv"), centsLit, 1), 1).as("list_id"),
+        VectorFunctions.pqEncode(col("cv"), Quantization.pqBooksLiteral(books)).as("pq_codes"))
+  }
+
   /** A persisted IVF-PQ index: PQ codes partitioned by IVF list (probe joins
     * prune partitions), both quantizer tables alongside. */
   final case class IvfPqIndex(centroids: Array[(Int, Array[Float])],
@@ -346,8 +365,9 @@ object Similarity {
       .select(
         element_at(VectorFunctions.topCentroids(col("_v"), centsLit, 1), 1).as("_list"),
         posexplode(col("_v")).as(Seq("_d", "_x")))
+      // Decimal(18,12): Long-backed compact arithmetic (see lloydStepPq)
       .groupBy(col("_list"), col("_d"))
-      .agg(sum(col("_x").cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("_s"),
+      .agg(sum(col("_x").cast(org.apache.spark.sql.types.DecimalType(18, 12))).as("_s"),
         count(lit(1)).as("_n"))
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1)), (r.getDecimal(2), r.getLong(3)))).toMap
