@@ -175,6 +175,43 @@ private[graft] object Fixtures {
        |SELECT a, b, cos FROM s ORDER BY a, b""".stripMargin
   }
 
+  /** Oracle for `semantic_dedup`: DuckDB re-derives the SemDeDup cluster
+    * assignment (md5-order centroid pick + argmax cosine, exactly like the
+    * `ann_ivf_topk` replay) over the dup fixture, then verifies pairwise
+    * cosine within each cluster — the full algorithm, no engine-fed
+    * constants. */
+  def semanticDedupOracle: String = {
+    val (nlist, threshold) = (16, 0.95)
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM base),
+       |ck AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM base
+       |       ORDER BY h, vec_id LIMIT $nlist),
+       |cents AS (
+       |  SELECT CAST((ROW_NUMBER() OVER (ORDER BY ck.h, ck.vec_id)) - 1 AS INT) AS cluster_id,
+       |         v.e AS ce
+       |  FROM ck JOIN v ON v.vec_id = ck.vec_id),
+       |ccos AS (
+       |  SELECT v.vec_id, c.cluster_id, ${duckCos("v.e", "c.ce")} AS cos
+       |  FROM v, cents c),
+       |assign AS (
+       |  SELECT vec_id, cluster_id FROM (
+       |    SELECT vec_id, cluster_id,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster_id ASC) AS rn
+       |    FROM ccos) WHERE rn = 1),
+       |s AS (
+       |  SELECT la.vec_id AS a, lb.vec_id AS b,
+       |         round(${duckCos("va.e", "vb.e")}, 6) AS cos, la.cluster_id
+       |  FROM assign la JOIN assign lb ON la.cluster_id = lb.cluster_id
+       |                                AND la.vec_id < lb.vec_id
+       |       JOIN v va ON va.vec_id = la.vec_id
+       |       JOIN v vb ON vb.vec_id = lb.vec_id
+       |  WHERE ${duckCos("va.e", "vb.e")} >= $threshold)
+       |SELECT a, b, cos, cluster_id FROM s ORDER BY a, b""".stripMargin
+  }
+
   /** Documents ∪ deterministic 75%-token-prefix copies (ids +100000) — the
     * near-dup fixture the dedup demos run on (the raw synthetic docs share
     * no near-dups, so operators would trivially return 0 rows). */

@@ -355,6 +355,8 @@ private[graft] object Oracles {
         |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
         |ORDER BY a, b""".stripMargin,
 
+    "semantic_dedup" -> semanticDedupOracle,
+
     "embedding_near_dup" -> embeddingNearDupOracle,
 
     "asof_last_purchase" ->

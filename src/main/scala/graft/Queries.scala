@@ -358,6 +358,16 @@ private[graft] object Queries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "semantic_dedup" -> ((s, dir) => {
+      // SemDeDup (cluster-then-verify): md5-order coarse centroids are
+      // engine-replayable, so DuckDB re-derives cluster assignment AND the
+      // within-cluster cosine verification — the planted exact copies must
+      // land in their source's cluster and surface at cos 1.0
+      Dedup.semanticDedup(embsWithDups(Tables.embeddings(s, dir)),
+        nlist = 16, threshold = 0.95)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "embedding_near_dup" -> ((s, dir) => {
       // row contents oracle-checked: DuckDB replays the SRP bucket table
       // (inlined splitmix64 signs), the bucket self-join and the exact

@@ -375,6 +375,49 @@ object Dedup {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): cluster embeddings with the
+   * coarse k-means quantizer, then verify pairwise cosine ≥ `threshold`
+   * WITHIN each cluster only — the cluster prunes the O(n²) to
+   * O(Σ |cluster|²). The complement of [[embeddingNearDup]]'s hyperplane
+   * buckets: clustering follows the data's density (one semantic
+   * neighborhood = one cluster) where SRP cuts blind hyperplanes, so
+   * near-dups straddling a hyperplane that land in one cluster are found
+   * here and vice versa.
+   *
+   * The quantizer is [[Similarity.buildIvfIndex]]'s (deterministic
+   * md5-order seed — engine-replayable, so the gate's DuckDB oracle
+   * re-derives cluster assignment from the parquet table alone — plus
+   * optional bounded-Lloyd refinement via `kmeansIters`).
+   *
+   * Scale shape: assignment is one narrow codegen'd pass; the pair join is
+   * an equi-join on `cluster_id`. Cluster sizes must be bounded for the
+   * within-cluster self-join — size `nlist` ∝ corpus (SemDeDup uses ~10⁴
+   * clusters at web scale) and/or cap with `maxClusterSize` (clusters above
+   * the cap are dropped from pair generation, same documented trade as
+   * [[minHashLsh]]'s `maxBucketSize`).
+   *
+   * Output: (a, b, cos, cluster_id) with a < b, cos rounded to 6.
+   */
+  def semanticDedup(embs: DataFrame, nlist: Int, threshold: Double,
+                    kmeansIters: Int = 0, maxClusterSize: Int = 100000,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = Similarity.buildIvfIndex(embs, nlist, idCol, vecCol, kmeansIters)
+      .assigned.withColumnRenamed("list_id", "cluster_id")
+    val wb = Window.partitionBy(col("cluster_id"))
+    val bounded = assigned
+      .withColumn("csz", count(lit(1)).over(wb))
+      .filter(col("csz") <= maxClusterSize)
+      .drop("csz")
+    val l = bounded.select(col("cluster_id"), col("cid").as("a"), col("cv").as("va"))
+    val r = bounded.select(col("cluster_id"), col("cid").as("b"), col("cv").as("vb"))
+    l.join(r, Seq("cluster_id")).filter(col("a") < col("b"))
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"), col("cluster_id"))
+  }
+
+  /**
    * Embedding-cosine near-dup pairs: SRP-LSH bucket join (no O(n²)) then
    * exact cosine ≥ threshold. `dim` is the embedding dimensionality.
    */

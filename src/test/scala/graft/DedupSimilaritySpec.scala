@@ -186,6 +186,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.values.forall(_ == 1L), out.toString)
   }
 
+  test("semanticDedup: planted dups found in-cluster; cap drops oversized clusters") {
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, Sf).filter(col("vec_id") < 100)
+    val fixture = e.select(col("vec_id"), col("embedding"))
+      .union(e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val pairs = Dedup.semanticDedup(fixture, nlist = 8, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // every planted copy shares its source's cluster (identical vector ->
+    // identical argmax) and must surface at cos 1.0
+    assert(pairs.count { case (a, b, c) => b == a + 1000000L && c == 1.0 } == 100)
+    // near-orthogonal random vectors produce no spurious pairs at 0.95
+    assert(pairs.length == 100)
+    // refinement keeps the planted pairs (identical vectors stay co-assigned
+    // under any centroids)
+    val refined = Dedup.semanticDedup(fixture, nlist = 8, threshold = 0.95,
+      kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(refined.count { case (a, b, c) => b == a + 1000000L && c == 1.0 } == 100)
+    // a cap below every cluster's size empties the pair set (documented trade)
+    assert(Dedup.semanticDedup(fixture, nlist = 1, threshold = 0.95,
+      maxClusterSize = 10).count() == 0)
+  }
+
   test("IVF index lifecycle: build -> save -> load -> query == direct ivfTopK") {
     import graft.sources.Tables
     import org.apache.spark.sql.functions.col
