@@ -159,6 +159,45 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("incremental IVF-PQ encode is one narrow pass: no shuffle, no UDF") {
+    import graft.operators.{Quantization, Similarity}
+    val e = Tables.embeddings(spark, Sf)
+    val index = Similarity.buildIvfIndex(e, nlist = 8)
+    val books = Quantization.buildPqCodebooks(e, m = 8, ksub = 16)
+    val plan = formattedPlan(Similarity.ivfPqEncode(e, index.centroids, books))
+    assert(!plan.contains("Exchange"), plan) // assignment+encode never shuffles
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("Lloyd refinement cell aggregate plans a partial/final split (map-side combine)") {
+    // the per-iteration aggregate must combine map-side: its reduced size is
+    // the codebook shape (nlist·dim cells), never corpus-proportional
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, Sf)
+    val index = Similarity.buildIvfIndex(e, nlist = 8)
+    val cents = typedLit(index.centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+    val agg = e.select(col("embedding").as("_v"))
+      .select(
+        element_at(VectorFunctions.topCentroids(col("_v"), cents, 1), 1).as("_list"),
+        posexplode(col("_v")).as(Seq("_d", "_x")))
+      .groupBy(col("_list"), col("_d"))
+      .agg(sum(col("_x").cast("decimal(18,12)")).as("_s"), count(lit(1)).as("_n"))
+    val plan = formattedPlan(agg)
+    assert(plan.contains("HashAggregate"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan) // partial + final
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("semantic dedup pair generation joins on the cluster key (no cartesian)") {
+    import graft.operators.Dedup
+    val plan = formattedPlan(Dedup.semanticDedup(
+      Tables.embeddings(spark, Sf), nlist = 8, threshold = 0.95))
+    assert(!plan.contains("Cartesian"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("every ann_/embedding_ query plans with zero ScalaUDF nodes") {
     // locks in the native vector/SRP kernels: a regression that reintroduces
     // a per-row UDF into any ANN or embedding-dedup scan fails structurally
@@ -167,7 +206,8 @@ class PlanSpec extends SparkSpec {
       // the whole dedup family + span/quality scans: pure expressions too.
       // (decontaminate_bloom is deliberately absent: its broadcast-Bloom
       // membership probe is a documented UDF-by-necessity.)
-      Seq("exact_dedup", "minhash_lsh_dedup", "simhash_dedup", "dup_clusters",
+      Seq("exact_dedup", "minhash_lsh_dedup", "simhash_dedup", "semantic_dedup",
+        "dup_clusters",
         "dedup_representatives", "line_dedup", "ngram_jaccard_pairs",
         "span_dedup", "gopher_rules")
     assert(targets.nonEmpty)
