@@ -212,6 +212,51 @@ private[graft] object Fixtures {
        |SELECT a, b, cos, cluster_id FROM s ORDER BY a, b""".stripMargin
   }
 
+  /** Oracle for `semantic_dedup_keep`: the [[semanticDedupOracle]] pair
+    * replay extended with the transitive closure (same recursive CTE as the
+    * `dup_clusters` oracle) — survivors are every fixture id that is not a
+    * non-minimal member of a near-dup cluster. */
+  def semanticDedupKeepOracle: String = {
+    val (nlist, threshold) = (16, 0.95)
+    s"""WITH RECURSIVE base AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM base),
+       |ck AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM base
+       |       ORDER BY h, vec_id LIMIT $nlist),
+       |cents AS (
+       |  SELECT CAST((ROW_NUMBER() OVER (ORDER BY ck.h, ck.vec_id)) - 1 AS INT) AS cluster_id,
+       |         v.e AS ce
+       |  FROM ck JOIN v ON v.vec_id = ck.vec_id),
+       |ccos AS (
+       |  SELECT v.vec_id, c.cluster_id, ${duckCos("v.e", "c.ce")} AS cos
+       |  FROM v, cents c),
+       |assign AS (
+       |  SELECT vec_id, cluster_id FROM (
+       |    SELECT vec_id, cluster_id,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster_id ASC) AS rn
+       |    FROM ccos) WHERE rn = 1),
+       |p AS (
+       |  SELECT la.vec_id AS a, lb.vec_id AS b
+       |  FROM assign la JOIN assign lb ON la.cluster_id = lb.cluster_id
+       |                                AND la.vec_id < lb.vec_id
+       |       JOIN v va ON va.vec_id = la.vec_id
+       |       JOIN v vb ON vb.vec_id = lb.vec_id
+       |  WHERE ${duckCos("va.e", "vb.e")} >= $threshold),
+       |eg AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+       |reach(id, r) AS (
+       |  SELECT a AS id, a AS r FROM eg
+       |  UNION
+       |  SELECT eg.a AS id, reach.r FROM eg JOIN reach ON reach.id = eg.b),
+       |losers AS (
+       |  SELECT id FROM (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+       |  WHERE id <> rep)
+       |SELECT vec_id FROM base
+       |WHERE vec_id NOT IN (SELECT id FROM losers)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Documents ∪ deterministic 75%-token-prefix copies (ids +100000) — the
     * near-dup fixture the dedup demos run on (the raw synthetic docs share
     * no near-dups, so operators would trivially return 0 rows). */

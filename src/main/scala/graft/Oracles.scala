@@ -357,6 +357,8 @@ private[graft] object Oracles {
 
     "semantic_dedup" -> semanticDedupOracle,
 
+    "semantic_dedup_keep" -> semanticDedupKeepOracle,
+
     "embedding_near_dup" -> embeddingNearDupOracle,
 
     "asof_last_purchase" ->

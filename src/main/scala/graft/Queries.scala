@@ -368,6 +368,18 @@ private[graft] object Queries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "semantic_dedup_keep" -> ((s, dir) => {
+      // the SemDeDup END-PRODUCT: survivors after dropping every
+      // non-minimal member of a semantic near-dup cluster — each planted
+      // copy must lose to its source; oracle recomputes pairs + transitive
+      // closure + anti-join entirely in DuckDB
+      val fixture = embsWithDups(Tables.embeddings(s, dir))
+      val pairs = Dedup.semanticDedup(fixture, nlist = 16, threshold = 0.95)
+      Dedup.keepMinIdRepresentatives(fixture, pairs)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     "embedding_near_dup" -> ((s, dir) => {
       // row contents oracle-checked: DuckDB replays the SRP bucket table
       // (inlined splitmix64 signs), the bucket self-join and the exact

@@ -293,6 +293,22 @@ object Dedup {
     winners.unionByName(singletons)
   }
 
+  /**
+   * Id-keyed variant of [[keepRepresentatives]] for modalities without a
+   * text column (embeddings, media): the MIN id in each near-dup cluster
+   * wins, every singleton keeps itself. Composes [[semanticDedup]] /
+   * [[embeddingNearDup]] pairs into the dedup end-product (the surviving
+   * row set). Same scale shape: closure and anti-join touch only pair
+   * members (dup-rate-proportional), the corpus passes through narrow.
+   */
+  def keepMinIdRepresentatives(all: DataFrame, pairs: DataFrame,
+                               idCol: String = "vec_id"): DataFrame = {
+    val losers = dupClusters(pairs) // (id, cluster_rep = min reachable id)
+      .filter(col("id") =!= col("cluster_rep"))
+      .select(col("id"))
+    all.join(losers, all(idCol) === losers("id"), "left_anti")
+  }
+
   /** Exact Jaccard over two shingle arrays (set semantics). */
   private def jaccardShingles(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
     val ad = array_distinct(a)
