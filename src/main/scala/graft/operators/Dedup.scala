@@ -420,11 +420,15 @@ object Dedup {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = Similarity.buildIvfIndex(embs, nlist, idCol, vecCol, kmeansIters)
       .assigned.withColumnRenamed("list_id", "cluster_id")
-    val wb = Window.partitionBy(col("cluster_id"))
-    val bounded = assigned
-      .withColumn("csz", count(lit(1)).over(wb))
-      .filter(col("csz") <= maxClusterSize)
-      .drop("csz")
+    // size cap via a tiny nlist-row aggregate + broadcast semi-join — NOT a
+    // corpus-wide window (which would shuffle AND sort the whole corpus on
+    // cluster_id just to count; the cluster-count table is nlist rows by
+    // construction, broadcastable at any corpus size)
+    val okClusters = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("_csz"))
+      .filter(col("_csz") <= maxClusterSize)
+      .select(col("cluster_id"))
+    val bounded = assigned.join(broadcast(okClusters), Seq("cluster_id"))
     val l = bounded.select(col("cluster_id"), col("cid").as("a"), col("cv").as("va"))
     val r = bounded.select(col("cluster_id"), col("cid").as("b"), col("cv").as("vb"))
     l.join(r, Seq("cluster_id")).filter(col("a") < col("b"))

@@ -58,9 +58,12 @@ object StreamingAnnServing {
    * Serve exact top-k answers for a stream of query vectors from the loaded
    * index: every micro-batch runs the batch [[Similarity.ivfPqQuery]]
    * (probe → ADC shortlist → exact re-rank against the float `corpus`) and
-   * hands the answer frame to `sink`. The static sides (encoded codes,
-   * centroids, codebooks, float corpus) re-resolve per micro-batch, so an
-   * index refreshed in place is picked up without restarting the query.
+   * hands the answer frame to `sink`. The DataFrame sides (encoded code
+   * table, float corpus) re-resolve per micro-batch, so code rows appended
+   * in place — e.g. via [[Similarity.ivfPqEncode]] — are picked up without
+   * restarting the query; the centroids and codebooks are driver-held
+   * literals baked into the plan, so a RETRAINED quantizer requires
+   * reloading the index and restarting the stream.
    */
   def serveIvfPq(queryStream: DataFrame, index: Similarity.IvfPqIndex,
                  corpus: DataFrame, k: Int, nprobe: Int = 4, shortlist: Int = 20,
