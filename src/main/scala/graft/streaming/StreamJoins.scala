@@ -47,8 +47,11 @@ object StreamJoins {
    * batch dimension with an explicit `broadcast()` — STATELESS (no state
    * store at all: the dimension ships to every task, nothing is buffered),
    * which is why it's the right join for slowly-changing reference data at
-   * any stream volume. The static side re-resolves per micro-batch, so a
-   * dimension refreshed in place is picked up without restarting the query.
+   * any stream volume. Note a path-backed `dim` keeps the file listing it
+   * was read with; to pick up a refreshed dimension without restarting,
+   * re-read it by path inside `foreachBatch` (the pattern
+   * [[StreamingAnnServing.serveIvfPqFromPath]] uses for its growing code
+   * table).
    */
   def enrichStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")

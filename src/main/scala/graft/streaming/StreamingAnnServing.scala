@@ -58,12 +58,15 @@ object StreamingAnnServing {
    * Serve exact top-k answers for a stream of query vectors from the loaded
    * index: every micro-batch runs the batch [[Similarity.ivfPqQuery]]
    * (probe → ADC shortlist → exact re-rank against the float `corpus`) and
-   * hands the answer frame to `sink`. The DataFrame sides (encoded code
-   * table, float corpus) re-resolve per micro-batch, so code rows appended
-   * in place — e.g. via [[Similarity.ivfPqEncode]] — are picked up without
-   * restarting the query; the centroids and codebooks are driver-held
-   * literals baked into the plan, so a RETRAINED quantizer requires
-   * reloading the index and restarting the stream.
+   * hands the answer frame to `sink`.
+   *
+   * The captured `index.encoded`/`corpus` DataFrames keep the FILE LISTING
+   * they were created with (Spark snapshots a path-backed relation's leaf
+   * files at read time), so rows appended to the artifact after this call
+   * are NOT visible here — use [[serveIvfPqFromPath]] for a growing index.
+   * The centroids and codebooks are driver-held literals baked into the
+   * plan either way; a RETRAINED quantizer always requires a reload +
+   * restart.
    */
   def serveIvfPq(queryStream: DataFrame, index: Similarity.IvfPqIndex,
                  corpus: DataFrame, k: Int, nprobe: Int = 4, shortlist: Int = 20,
@@ -76,4 +79,28 @@ object StreamingAnnServing {
           corpus, batch.toDF(), k, nprobe, shortlist, idCol, vecCol), epochId)
       }
       .start()
+
+  /**
+   * [[serveIvfPq]] for a GROWING index: the code table is re-read from
+   * `indexPath/encoded` inside every micro-batch, so its file listing is
+   * fresh and rows appended via [[Similarity.ivfPqEncode]] +
+   * `write.mode("append").partitionBy("list_id")` become searchable
+   * without restarting the stream (gated in StreamingAnnSpec with a
+   * planted duplicate of an appended vector). Quantizers still load once —
+   * they are immutable plan literals by design.
+   */
+  def serveIvfPqFromPath(queryStream: DataFrame, indexPath: String,
+                         corpus: DataFrame, k: Int, nprobe: Int = 4, shortlist: Int = 20,
+                         idCol: String = "vec_id", vecCol: String = "embedding")
+                        (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val idx = Similarity.loadIvfPq(queryStream.sparkSession, indexPath)
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        val enc = batch.sparkSession.read.parquet(s"$indexPath/encoded")
+        sink(Similarity.ivfPqQuery(enc, idx.centroids, idx.books,
+          corpus, batch.toDF(), k, nprobe, shortlist, idCol, vecCol), epochId)
+      }
+      .start()
+  }
 }

@@ -81,4 +81,54 @@ class StreamingAnnSpec extends SparkSpec {
       assert(got.nonEmpty && got == expected)
     }
   }
+
+  test("code rows appended to the stored index are served without a restart") {
+    // serveIvfPqFromPath re-reads the code table per micro-batch (fresh
+    // file listing), so ivfPqEncode-appended vectors become searchable
+    // mid-stream. The probe is a planted duplicate of vector 300: before
+    // the append its codes are absent (answer != 300); after, it MUST come
+    // back rank-1 at cos 1.0 — deterministic, not rank luck.
+    val e = Tables.embeddings(spark, Sf)
+    val dir = java.nio.file.Files.createTempDirectory("ann_grow").toString
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // index artifact trained on the full corpus; code table starts at half
+      Similarity.saveIvfPq(e, dir, nlist = 8, m = 8, ksub = 16)
+      val idx = Similarity.loadIvfPq(spark, dir)
+      new java.io.File(s"$dir/encoded").listFiles().foreach { f =>
+        import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively()
+      }
+      Similarity.ivfPqEncode(e.filter(col("vec_id") < 250), idx.centroids, idx.books)
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/encoded")
+
+      val dupOf300 = e.filter(col("vec_id") === 300)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .collect().map(r => QueryVec(r.getLong(0), r.getSeq[Float](1)))
+      val answers = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      val stream = MemoryStream[QueryVec]
+      val q = StreamingAnnServing.serveIvfPqFromPath(stream.toDF(), dir, e,
+        k = 1, nprobe = 8, shortlist = 10) { (ans, epoch) =>
+        answers ++= ans.collect().map(r =>
+          (epoch, r.getLong(0), r.getLong(2), r.getDouble(3)))
+      }
+      stream.addData(dupOf300: _*)
+      q.processAllAvailable()
+      val before = answers.toList
+      // append the second half mid-stream — no restart, same probe again
+      Similarity.ivfPqEncode(e.filter(col("vec_id") >= 250), idx.centroids, idx.books)
+        .write.mode("append").partitionBy("list_id").parquet(s"$dir/encoded")
+      stream.addData(dupOf300: _*)
+      q.processAllAvailable()
+      q.stop()
+      val after = answers.toList.drop(before.length)
+
+      assert(before.nonEmpty && before.forall { case (_, _, cid, _) => cid != 300L })
+      assert(after.exists { case (_, _, cid, cos) => cid == 300L && cos == 1.0 },
+        s"appended vector not served: $after")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
