@@ -103,7 +103,10 @@ object Quantization {
   def buildPqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        kmeansIters: Int = 0): PqCodebooks = {
-    val sample = corpus.select(col(idCol), col(vecCol))
+    // null vectors cannot seed or train a codebook (a null in the sample
+    // would NPE the collect; posexplode of null contributes nothing anyway)
+    val clean = corpus.filter(col(vecCol).isNotNull)
+    val sample = clean.select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(ksub)
       .collect()
@@ -114,7 +117,7 @@ object Quantization {
     val sub = dim / m
     val seed = PqCodebooks(m, sub,
       (0 until m).map(mi => sample.toSeq.map(v => v.slice(mi * sub, (mi + 1) * sub).toSeq)))
-    (0 until kmeansIters).foldLeft(seed)((b, _) => lloydStepPq(corpus, b, vecCol))
+    (0 until kmeansIters).foldLeft(seed)((b, _) => lloydStepPq(clean, b, vecCol))
   }
 
   /** One Lloyd iteration over PQ codebooks: assign (codegen'd kernel, narrow)
@@ -162,9 +165,10 @@ object Quantization {
    */
   def encodePq(embs: DataFrame, books: PqCodebooks,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    embs.select(col(idCol),
-      graft.functions.VectorFunctions.pqEncode(col(vecCol), pqBooksLiteral(books))
-        .as("pq_codes"))
+    embs.filter(col(vecCol).isNotNull) // a null vector has no codes
+      .select(col(idCol),
+        graft.functions.VectorFunctions.pqEncode(col(vecCol), pqBooksLiteral(books))
+          .as("pq_codes"))
 
   /** Persist a PQ index: the code table (id-sorted within files) plus the
     * codebook tensor alongside — same artifact convention as

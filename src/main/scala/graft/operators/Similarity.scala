@@ -166,7 +166,8 @@ object Similarity {
                   books: Quantization.PqCodebooks,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centsLit = centroidsLiteral(centroids)
-    corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .select(col("cid"),
         element_at(VectorFunctions.topCentroids(col("cv"), centsLit, 1), 1).as("list_id"),
         VectorFunctions.pqEncode(col("cv"), Quantization.pqBooksLiteral(books)).as("pq_codes"))
@@ -336,7 +337,11 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, nlist: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     kmeansIters: Int = 0): IvfIndex = {
-    val seed: Array[(Int, Array[Float])] = corpus
+    // null vectors cannot be indexed: excluded from the seed pick (a null
+    // in the first nlist hash-order rows would otherwise NPE the collect),
+    // the Lloyd passes and the assignment table
+    val clean = corpus.filter(col(vecCol).isNotNull)
+    val seed: Array[(Int, Array[Float])] = clean
       .select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(nlist)
@@ -344,10 +349,10 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
     val cents = (0 until kmeansIters)
-      .foldLeft(seed)((c, _) => lloydStepIvf(corpus, c, vecCol))
+      .foldLeft(seed)((c, _) => lloydStepIvf(clean, c, vecCol))
     val centsLit = centroidsLiteral(cents)
     IvfIndex(cents,
-      corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      clean.select(col(idCol).as("cid"), col(vecCol).as("cv"))
         .withColumn("list_id",
           element_at(VectorFunctions.topCentroids(col("cv"), centsLit, 1), 1)))
   }

@@ -209,6 +209,29 @@ class DedupSimilaritySpec extends SparkSpec {
       maxClusterSize = 10).count() == 0)
   }
 
+  test("null embeddings: index paths skip them, bucket paths never emit them") {
+    import graft.sources.Tables
+    import graft.operators.Quantization
+    val e = Tables.embeddings(spark, Sf).filter(col("vec_id") < 50)
+    val withNulls = e.select(col("vec_id"), col("embedding"))
+      .union(Seq((9999L, null.asInstanceOf[Seq[Float]]),
+        (9998L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    // builders must not NPE even when null rows sort into the seed pick,
+    // and null ids must never reach an index or a result
+    val idx = Similarity.buildIvfIndex(withNulls, nlist = 8, kmeansIters = 1)
+    assert(idx.assigned.filter(col("cid") >= 9000L).count() == 0)
+    val books = Quantization.buildPqCodebooks(withNulls, m = 8, ksub = 8, kmeansIters = 1)
+    assert(Quantization.encodePq(withNulls, books)
+      .filter(col("vec_id") >= 9000L).count() == 0)
+    assert(Similarity.ivfPqEncode(withNulls, idx.centroids, books)
+      .filter(col("cid") >= 9000L).count() == 0)
+    // bucket-join dedup drops null rows naturally (null keys never match)
+    val pairs = Dedup.embeddingNearDup(withNulls, dim = 64, threshold = 0.95).collect()
+    assert(pairs.forall(r => r.getLong(0) < 9000L && r.getLong(1) < 9000L))
+    val sem = Dedup.semanticDedup(withNulls, nlist = 8, threshold = 0.95).collect()
+    assert(sem.forall(r => r.getLong(0) < 9000L && r.getLong(1) < 9000L))
+  }
+
   test("IVF index lifecycle: build -> save -> load -> query == direct ivfTopK") {
     import graft.sources.Tables
     import org.apache.spark.sql.functions.col
