@@ -111,12 +111,6 @@ private[graft] object Fixtures {
        |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
-  /** Oracle for `ann_lsh_topk`: a full independent SRP-LSH replay. The ±1
-    * hyperplane tables are pure functions of (seed, bit, dim) via splitmix64
-    * — recomputed HERE at oracle-build time (not fed from the engine's
-    * run) and inlined as literal lists, so DuckDB re-derives every bucket,
-    * the candidate union over all hash tables, and the exact cosine
-    * re-rank from the parquet table + the published sign function alone. */
   /** The SRP bucket of double-list column `e` as DuckDB SQL: the ±1 sign
     * table is recomputed from the published splitmix64 function at
     * oracle-build time and inlined as literals — shared by the
@@ -129,6 +123,10 @@ private[graft] object Fixtures {
     }.mkString("\n    + ")
   }
 
+  /** Oracle for `ann_lsh_topk`: a full independent SRP-LSH replay — DuckDB
+    * re-derives every bucket ([[srpBucketSql]] sign tables, one per hash
+    * table), the candidate union across tables, and the exact cosine
+    * re-rank from the parquet table + the published sign function alone. */
   def annLshTopkOracle: String = {
     val (dim, nBits, probes, k) = (64, 8, 4, 5)
     val tables = (0 until probes).map(t =>

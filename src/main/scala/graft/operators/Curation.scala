@@ -360,7 +360,10 @@ object Curation {
     // 13 hex chars = 52 bits (exact in a double); +1 shifts to (0, 2^52]
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
       .cast("double") + 1.0) / 4503599627370496.0
-    val wChecked = when(weight.isNull || weight <= 0.0,
+    // NaN must be caught explicitly: NaN <= 0.0 is false, and a NaN rank key
+    // sorts ABOVE every valid key in Spark's descending order — NaN-weighted
+    // rows would otherwise silently always win the sample
+    val wChecked = when(weight.isNull || isnan(weight) || weight <= 0.0,
       raise_error(concat(lit("weightedSampleHash: weight must be > 0, got "),
         coalesce(weight.cast("string"), lit("null"))))).otherwise(weight)
     val key = round(pow(u, lit(1.0) / wChecked), 12)

@@ -228,8 +228,12 @@ object Dedup {
       .localCheckpoint()
     // convergence witness: labels only ever DECREASE, so the label sum
     // strictly drops until fixpoint — one scalar agg per round replaces a
-    // join-and-diff check
-    var labelSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // join-and-diff check. coalesce(…, 0): an EMPTY pair set (nothing to
+    // dedup — the common production case) sums to NULL, which must read as
+    // "already converged", not NPE.
+    def sumOf(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var labelSum = sumOf(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -248,7 +252,7 @@ object Dedup {
         .select(col("x.id").as("id"),
           least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      val nextSum = sumOf(next)
       labels = next
       converged = nextSum == labelSum
       labelSum = nextSum

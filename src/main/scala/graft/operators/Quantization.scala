@@ -134,13 +134,22 @@ object Quantization {
         posexplode(slice(col("_v"), col("_mi") * sub + 1, lit(sub))).as(Seq("_d", "_x")))
       // Decimal(18,12) stays Long-backed (fast compact arithmetic): 6 int
       // digits cover any sane embedding magnitude, and Spark widens the SUM
-      // accumulator to Decimal(28,12) — exact to ~10^15 rows per cell
+      // accumulator to Decimal(28,12) — exact to ~10^15 rows per cell.
+      // A value with |x| >= 10^6 casts to NULL, which sum() would silently
+      // skip — counted and rejected loudly instead (same job, no extra pass).
       .groupBy(col("_mi"), col("_code"), col("_d"))
       .agg(sum(col("_x").cast(org.apache.spark.sql.types.DecimalType(18, 12))).as("_s"),
-        count(lit(1)).as("_n"))
+        count(lit(1)).as("_n"),
+        count(when(col("_x").cast(org.apache.spark.sql.types.DecimalType(18, 12)).isNull, 1))
+          .as("_bad"))
       .collect()
-      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
-        (r.getDecimal(3), r.getLong(4)))).toMap
+      .map { r =>
+        require(r.getLong(5) == 0L,
+          s"PQ Lloyd refinement: ${r.getLong(5)} embedding value(s) in subspace " +
+            s"${r.getInt(0)} exceed the compact-decimal range (|x| < 1e6) — " +
+            "normalize embeddings before k-means refinement")
+        ((r.getInt(0), r.getInt(1), r.getInt(2)), (r.getDecimal(3), r.getLong(4)))
+      }.toMap
     PqCodebooks(books.m, sub,
       books.books.zipWithIndex.map { case (book, mi) =>
         book.zipWithIndex.map { case (cent, ki) =>
@@ -187,9 +196,11 @@ object Quantization {
       .write.mode("overwrite").parquet(s"$path/books")
   }
 
-  /** Read a stored PQ index back: (code table, codebooks). */
-  def loadPq(spark: org.apache.spark.sql.SparkSession,
-             path: String): (DataFrame, PqCodebooks) = {
+  /** Read + validate the codebook table of a persisted PQ / IVF-PQ index —
+    * the one shared loader (a format or validation change lands here once,
+    * not in per-index copies). */
+  private[graft] def readPqBooks(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): PqCodebooks = {
     val rows = spark.read.parquet(s"$path/books")
       .orderBy(col("m_idx"), col("k_idx")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
@@ -199,6 +210,11 @@ object Quantization {
     val subDims = books.flatMap(_.map(_.length)).distinct
     require(subDims.size == 1,
       s"PQ codebooks at $path/books are ragged: centroid dims ${subDims.mkString(",")}")
-    (spark.read.parquet(s"$path/codes"), PqCodebooks(books.length, subDims.head, books))
+    PqCodebooks(books.length, subDims.head, books)
   }
+
+  /** Read a stored PQ index back: (code table, codebooks). */
+  def loadPq(spark: org.apache.spark.sql.SparkSession,
+             path: String): (DataFrame, PqCodebooks) =
+    (spark.read.parquet(s"$path/codes"), readPqBooks(spark, path))
 }

@@ -203,37 +203,41 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/books")
   }
 
-  /** Read a stored IVF-PQ index back. */
-  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+  /** Read + validate the coarse-centroid table of a persisted IVF / IVF-PQ
+    * index (shared by [[loadIvfPq]] and the streaming serving path, which
+    * needs the quantizers WITHOUT touching the code table). */
+  private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Array[(Int, Array[Float])] = {
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy(col("list_id")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
     require(cents.nonEmpty,
       s"no IVF centroids at $path/centroids — empty or corrupt index artifact")
-    val rows = spark.read.parquet(s"$path/books")
-      .orderBy(col("m_idx"), col("k_idx")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
-    require(rows.nonEmpty,
-      s"no PQ codebooks at $path/books — empty or corrupt index artifact")
-    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, g) => g.sortBy(_._2).map(_._3).toSeq }
-    val subDims = books.flatMap(_.map(_.length)).distinct
-    require(subDims.size == 1,
-      s"PQ codebooks at $path/books are ragged: centroid dims ${subDims.mkString(",")}")
-    IvfPqIndex(cents,
-      Quantization.PqCodebooks(books.length, subDims.head, books),
-      spark.read.parquet(s"$path/encoded"))
+    cents
   }
+
+  /** Read a stored IVF-PQ index back. */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex =
+    IvfPqIndex(readCentroids(spark, path),
+      Quantization.readPqBooks(spark, path),
+      spark.read.parquet(s"$path/encoded"))
 
   /** Query a PRE-ENCODED (possibly [[loadIvfPq]]-restored) IVF-PQ index —
     * the serving path: probe `nprobe` lists (partition-pruned on the stored
     * layout), ADC-score their codes, exact-re-rank the shortlist against
-    * the float corpus (cold storage; only shortlist·|Q| rows read). */
+    * the float corpus (cold storage; only shortlist·|Q| rows read).
+    *
+    * `excludeSelf` (default true) drops the corpus row whose id equals the
+    * query id — correct when queries are drawn FROM the corpus (every gate
+    * here). Pass false when query ids live in a separate id space (external
+    * clients): with the default, a client query whose id happens to collide
+    * with a corpus id would silently never be answered with that row. */
   def ivfPqQuery(encoded: DataFrame, centroids: Array[(Int, Array[Float])],
                  books: Quantization.PqCodebooks,
                  corpus: DataFrame, queries: DataFrame, k: Int,
                  nprobe: Int = 4, shortlist: Int = 20,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 excludeSelf: Boolean = true): DataFrame = {
     val centsLit = centroidsLiteral(centroids)
     val bl = Quantization.pqBooksLiteral(books)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
@@ -241,7 +245,7 @@ object Similarity {
         explode(VectorFunctions.topCentroids(col("qv"), centsLit, nprobe)))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     val cand = encoded.join(q, Seq("list_id"))
-      .filter(col("cid") =!= col("qid"))
+      .filter(if (excludeSelf) col("cid") =!= col("qid") else lit(true))
       .withColumn("cos", round(VectorFunctions.pqCosine(col("qv"), col("pq_codes"), bl), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= math.max(shortlist, k))
@@ -370,12 +374,21 @@ object Similarity {
       .select(
         element_at(VectorFunctions.topCentroids(col("_v"), centsLit, 1), 1).as("_list"),
         posexplode(col("_v")).as(Seq("_d", "_x")))
-      // Decimal(18,12): Long-backed compact arithmetic (see lloydStepPq)
+      // Decimal(18,12): Long-backed compact arithmetic; out-of-range values
+      // (|x| >= 1e6) cast to NULL and are rejected loudly (see lloydStepPq)
       .groupBy(col("_list"), col("_d"))
       .agg(sum(col("_x").cast(org.apache.spark.sql.types.DecimalType(18, 12))).as("_s"),
-        count(lit(1)).as("_n"))
+        count(lit(1)).as("_n"),
+        count(when(col("_x").cast(org.apache.spark.sql.types.DecimalType(18, 12)).isNull, 1))
+          .as("_bad"))
       .collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), (r.getDecimal(2), r.getLong(3)))).toMap
+      .map { r =>
+        require(r.getLong(4) == 0L,
+          s"IVF Lloyd refinement: ${r.getLong(4)} embedding value(s) in list " +
+            s"${r.getInt(0)} exceed the compact-decimal range (|x| < 1e6) — " +
+            "normalize embeddings before k-means refinement")
+        ((r.getInt(0), r.getInt(1)), (r.getDecimal(2), r.getLong(3)))
+      }.toMap
     cents.map { case (li, prev) =>
       (li, prev.zipWithIndex.map { case (old, d) =>
         cells.get((li, d))

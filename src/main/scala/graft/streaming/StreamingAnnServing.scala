@@ -39,17 +39,24 @@ object StreamingAnnServing {
    *-vector stream: (qid, list_id, cid, cos_adc) per candidate. Works
    * identically on a batch `queries` frame (same plan shape — useful for
    * backfills and for the row-identity gate).
+   *
+   * ID-SPACE convention: with `excludeSelf = true` (default) a candidate
+   * whose corpus id equals the query id is dropped — right when queries are
+   * corpus rows. Stream query ids are usually CLIENT-chosen: if they can
+   * collide with corpus ids, pass `excludeSelf = false`, or that corpus row
+   * is silently never returned for the colliding query.
    */
   def scoreCandidates(queries: DataFrame, index: Similarity.IvfPqIndex,
                       nprobe: Int = 4,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      excludeSelf: Boolean = true): DataFrame = {
     val centsLit = Similarity.centroidsLiteral(index.centroids)
     val bl = Quantization.pqBooksLiteral(index.books)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("list_id",
         explode(VectorFunctions.topCentroids(col("qv"), centsLit, nprobe)))
     q.join(index.encoded, Seq("list_id"))
-      .filter(col("cid") =!= col("qid"))
+      .filter(if (excludeSelf) col("cid") =!= col("qid") else lit(true))
       .select(col("qid"), col("list_id"), col("cid"),
         round(VectorFunctions.pqCosine(col("qv"), col("pq_codes"), bl), 6).as("cos_adc"))
   }
@@ -70,13 +77,14 @@ object StreamingAnnServing {
    */
   def serveIvfPq(queryStream: DataFrame, index: Similarity.IvfPqIndex,
                  corpus: DataFrame, k: Int, nprobe: Int = 4, shortlist: Int = 20,
-                 idCol: String = "vec_id", vecCol: String = "embedding")
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 excludeSelf: Boolean = true)
                 (sink: (DataFrame, Long) => Unit): StreamingQuery =
     queryStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
         sink(Similarity.ivfPqQuery(index.encoded, index.centroids, index.books,
-          corpus, batch.toDF(), k, nprobe, shortlist, idCol, vecCol), epochId)
+          corpus, batch.toDF(), k, nprobe, shortlist, idCol, vecCol, excludeSelf), epochId)
       }
       .start()
 
@@ -91,15 +99,20 @@ object StreamingAnnServing {
    */
   def serveIvfPqFromPath(queryStream: DataFrame, indexPath: String,
                          corpus: DataFrame, k: Int, nprobe: Int = 4, shortlist: Int = 20,
-                         idCol: String = "vec_id", vecCol: String = "embedding")
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         excludeSelf: Boolean = true)
                         (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val idx = Similarity.loadIvfPq(queryStream.sparkSession, indexPath)
+    // quantizers only — loading the whole index would list and footer-read
+    // the (large) code table once for a DataFrame this path never uses
+    val spark0 = queryStream.sparkSession
+    val cents = Similarity.readCentroids(spark0, indexPath)
+    val books = Quantization.readPqBooks(spark0, indexPath)
     queryStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
         val enc = batch.sparkSession.read.parquet(s"$indexPath/encoded")
-        sink(Similarity.ivfPqQuery(enc, idx.centroids, idx.books,
-          corpus, batch.toDF(), k, nprobe, shortlist, idCol, vecCol), epochId)
+        sink(Similarity.ivfPqQuery(enc, cents, books,
+          corpus, batch.toDF(), k, nprobe, shortlist, idCol, vecCol, excludeSelf), epochId)
       }
       .start()
   }

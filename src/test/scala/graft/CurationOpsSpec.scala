@@ -76,14 +76,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.toSet == out2)
   }
 
-  test("weightedSampleHash rejects nonpositive weights loudly") {
-    val docs = Seq((1L, "g", 1.0), (2L, "g", 0.0)).toDF("doc_id", "grp", "w")
-    val ex = intercept[Exception] {
-      Curation.weightedSampleHash(docs, "grp", col("w"), k = 1).collect()
-    }
+  test("weightedSampleHash rejects nonpositive and NaN weights loudly") {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
-    assert(msgs(ex).exists(m => m != null && m.contains("weight must be > 0")))
+    def assertRejected(bad: Double): Unit = {
+      val docs = Seq((1L, "g", 1.0), (2L, "g", bad)).toDF("doc_id", "grp", "w")
+      val ex = intercept[Exception] {
+        Curation.weightedSampleHash(docs, "grp", col("w"), k = 1).collect()
+      }
+      assert(msgs(ex).exists(m => m != null && m.contains("weight must be > 0")), s"bad=$bad")
+    }
+    assertRejected(0.0)
+    assertRejected(-1.5)
+    // NaN <= 0.0 is false AND a NaN rank key sorts above every valid key —
+    // it must be rejected, not silently win the sample
+    assertRejected(Double.NaN)
   }
 
   test("redactPii scrubs all three kinds, repeated hits, leaves clean text alone") {

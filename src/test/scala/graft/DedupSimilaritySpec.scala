@@ -209,6 +209,38 @@ class DedupSimilaritySpec extends SparkSpec {
       maxClusterSize = 10).count() == 0)
   }
 
+  test("keepMinIdRepresentatives: empty pair set keeps everything (no dups found)") {
+    val all = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("vec_id", "t")
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val kept = Dedup.keepMinIdRepresentatives(all, noPairs)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Seq(1L, 2L, 3L)))
+    // and with pairs: min id per cluster survives, singleton untouched
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val kept2 = Dedup.keepMinIdRepresentatives(all, pairs)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept2.sameElements(Seq(1L, 3L)))
+  }
+
+  test("ivfPqQuery excludeSelf=false serves corpus rows whose id collides with the query id") {
+    import graft.sources.Tables
+    import graft.operators.Quantization
+    val e = Tables.embeddings(spark, Sf).filter(col("vec_id") < 100)
+    val idx = Similarity.buildIvfIndex(e, nlist = 8)
+    val books = Quantization.buildPqCodebooks(e, m = 8, ksub = 16)
+    val enc = Similarity.ivfPqEncode(e, idx.centroids, books)
+    // the query IS corpus vector 7, arriving under the SAME id (client
+    // collision): with excludeSelf=false its true top-1 (itself, cos 1.0)
+    // must be served; the default silently hides it
+    val q = e.filter(col("vec_id") === 7)
+    val served = Similarity.ivfPqQuery(enc, idx.centroids, books, e, q,
+      k = 1, nprobe = 8, shortlist = 10, excludeSelf = false).collect()
+    assert(served.length == 1 && served(0).getLong(2) == 7L && served(0).getDouble(3) == 1.0)
+    val hidden = Similarity.ivfPqQuery(enc, idx.centroids, books, e, q,
+      k = 1, nprobe = 8, shortlist = 10).collect()
+    assert(hidden.forall(_.getLong(2) != 7L))
+  }
+
   test("null embeddings: index paths skip them, bucket paths never emit them") {
     import graft.sources.Tables
     import graft.operators.Quantization
