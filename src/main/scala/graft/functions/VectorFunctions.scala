@@ -63,6 +63,16 @@ object VectorFunctions {
   /** Σ aᵢ² (sequential), native expression. */
   def norm2Sq(a: Column): Column = toCol(graft.plans.VecNorm2Sq(toExpr(a)))
 
+  /** True iff the vector is non-null with every element finite. Spark
+    * orders NaN ABOVE every value, so one NaN/Inf vector in a corpus would
+    * rank top-1 for every ANN query (its cosine is NaN) and satisfy every
+    * `cos >= threshold` dedup predicate — index builders and dedup
+    * candidate paths filter on this (a codegen'd HOF inside the scan they
+    * already make; negligible vs the hash/encode work). */
+  def isFiniteVec(v: Column): Column =
+    v.isNotNull && !exists(v, x =>
+      isnan(x) || x === Float.PositiveInfinity || x === Float.NegativeInfinity)
+
   /** ‖a‖₂. */
   def norm2(a: Column): Column = sqrt(norm2Sq(a))
 

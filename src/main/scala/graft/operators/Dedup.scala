@@ -448,7 +448,11 @@ object Dedup {
   def embeddingNearDup(embs: DataFrame,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        dim: Int, nBits: Int = 12, threshold: Double = 0.95): DataFrame = {
-    val d = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // NaN cosine satisfies `>= threshold` (Spark orders NaN above all), so
+    // a corrupted vector would report a spurious pair with every bucket
+    // peer — non-finite vectors are excluded like every index path does
+    val d = embs.filter(VectorFunctions.isFiniteVec(col(vecCol)))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", VectorFunctions.srpBucket(col("v"), nBits, dim))
     val l = d.select(col("bucket"), col("id").as("a"), col("v").as("va"))
     val r = d.select(col("bucket"), col("id").as("b"), col("v").as("vb"))

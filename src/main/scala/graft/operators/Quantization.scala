@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /**
  * Scalar (SQ8) embedding quantization: per-vector min/max affine map to
  * 8-bit codes. At 100 TB of embeddings this is the difference between an
@@ -103,9 +105,9 @@ object Quantization {
   def buildPqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        kmeansIters: Int = 0): PqCodebooks = {
-    // null vectors cannot seed or train a codebook (a null in the sample
-    // would NPE the collect; posexplode of null contributes nothing anyway)
-    val clean = corpus.filter(col(vecCol).isNotNull)
+    // null/NaN/Inf vectors cannot seed or train a codebook (a null in the
+    // sample would NPE the collect; a NaN would poison every centroid mean)
+    val clean = corpus.filter(VectorFunctions.isFiniteVec(col(vecCol)))
     val sample = clean.select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(ksub)
@@ -174,7 +176,7 @@ object Quantization {
    */
   def encodePq(embs: DataFrame, books: PqCodebooks,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    embs.filter(col(vecCol).isNotNull) // a null vector has no codes
+    embs.filter(graft.functions.VectorFunctions.isFiniteVec(col(vecCol))) // null/NaN/Inf vectors have no codes
       .select(col(idCol),
         graft.functions.VectorFunctions.pqEncode(col(vecCol), pqBooksLiteral(books))
           .as("pq_codes"))

@@ -166,7 +166,7 @@ object Similarity {
                   books: Quantization.PqCodebooks,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centsLit = centroidsLiteral(centroids)
-    corpus.filter(col(vecCol).isNotNull)
+    corpus.filter(VectorFunctions.isFiniteVec(col(vecCol)))
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .select(col("cid"),
         element_at(VectorFunctions.topCentroids(col("cv"), centsLit, 1), 1).as("list_id"),
@@ -341,10 +341,11 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, nlist: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     kmeansIters: Int = 0): IvfIndex = {
-    // null vectors cannot be indexed: excluded from the seed pick (a null
-    // in the first nlist hash-order rows would otherwise NPE the collect),
-    // the Lloyd passes and the assignment table
-    val clean = corpus.filter(col(vecCol).isNotNull)
+    // null/NaN/Inf vectors cannot be indexed: excluded from the seed pick
+    // (a null in the first nlist hash-order rows would otherwise NPE the
+    // collect; NaN cosine sorts above every value and would hijack
+    // assignment), the Lloyd passes and the assignment table
+    val clean = corpus.filter(VectorFunctions.isFiniteVec(col(vecCol)))
     val seed: Array[(Int, Array[Float])] = clean
       .select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))

@@ -241,13 +241,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hidden.forall(_.getLong(2) != 7L))
   }
 
-  test("null embeddings: index paths skip them, bucket paths never emit them") {
+  test("null/NaN/Inf embeddings: index paths skip them, bucket paths never emit them") {
     import graft.sources.Tables
     import graft.operators.Quantization
     val e = Tables.embeddings(spark, Sf).filter(col("vec_id") < 50)
+    // NaN is the nastier case: Spark orders NaN above every value, so an
+    // unfiltered NaN vector ranks top-1 for every query and passes every
+    // `cos >= threshold` predicate
+    val nanVec = Seq.fill(64)(Float.NaN)
+    val infVec = Float.PositiveInfinity +: Seq.fill(63)(1.0f)
     val withNulls = e.select(col("vec_id"), col("embedding"))
       .union(Seq((9999L, null.asInstanceOf[Seq[Float]]),
-        (9998L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+        (9998L, nanVec), (9997L, infVec)).toDF("vec_id", "embedding"))
     // builders must not NPE even when null rows sort into the seed pick,
     // and null ids must never reach an index or a result
     val idx = Similarity.buildIvfIndex(withNulls, nlist = 8, kmeansIters = 1)
