@@ -234,7 +234,9 @@ object Dedup {
     def sumOf(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var labelSum = sumOf(labels)
-    var converged = false
+    // an empty pair set is already converged — skip the (empty) propagation
+    // round its joins/checkpoint would otherwise still run
+    var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges

@@ -176,9 +176,9 @@ object Quantization {
    */
   def encodePq(embs: DataFrame, books: PqCodebooks,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    embs.filter(graft.functions.VectorFunctions.isFiniteVec(col(vecCol))) // null/NaN/Inf vectors have no codes
+    embs.filter(VectorFunctions.isFiniteVec(col(vecCol))) // null/NaN/Inf vectors have no codes
       .select(col(idCol),
-        graft.functions.VectorFunctions.pqEncode(col(vecCol), pqBooksLiteral(books))
+        VectorFunctions.pqEncode(col(vecCol), pqBooksLiteral(books))
           .as("pq_codes"))
 
   /** Persist a PQ index: the code table (id-sorted within files) plus the

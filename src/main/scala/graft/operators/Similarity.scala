@@ -231,7 +231,12 @@ object Similarity {
     * query id — correct when queries are drawn FROM the corpus (every gate
     * here). Pass false when query ids live in a separate id space (external
     * clients): with the default, a client query whose id happens to collide
-    * with a corpus id would silently never be answered with that row. */
+    * with a corpus id would silently never be answered with that row.
+    *
+    * Non-finite query vectors (null/NaN/Inf) produce NO answer rows rather
+    * than garbage: a NaN query scores NaN against every candidate, and NaN
+    * sorts above all values, so k arbitrary rows would otherwise come back
+    * looking legitimate. Callers detect the drop by the absent qid. */
   def ivfPqQuery(encoded: DataFrame, centroids: Array[(Int, Array[Float])],
                  books: Quantization.PqCodebooks,
                  corpus: DataFrame, queries: DataFrame, k: Int,
@@ -240,7 +245,8 @@ object Similarity {
                  excludeSelf: Boolean = true): DataFrame = {
     val centsLit = centroidsLiteral(centroids)
     val bl = Quantization.pqBooksLiteral(books)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val q = queries.filter(VectorFunctions.isFiniteVec(col(vecCol)))
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("list_id",
         explode(VectorFunctions.topCentroids(col("qv"), centsLit, nprobe)))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)

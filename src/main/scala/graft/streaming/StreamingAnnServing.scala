@@ -40,19 +40,21 @@ object StreamingAnnServing {
    * identically on a batch `queries` frame (same plan shape — useful for
    * backfills and for the row-identity gate).
    *
-   * ID-SPACE convention: with `excludeSelf = true` (default) a candidate
-   * whose corpus id equals the query id is dropped — right when queries are
-   * corpus rows. Stream query ids are usually CLIENT-chosen: if they can
-   * collide with corpus ids, pass `excludeSelf = false`, or that corpus row
-   * is silently never returned for the colliding query.
+   * ID-SPACE convention: stream query ids are usually CLIENT-chosen, so the
+   * default here is `excludeSelf = false` — a corpus row whose id happens to
+   * collide with a query id is still served. Pass true only when the query
+   * stream replays corpus rows under their own ids (backfills, gates) and
+   * self-matches must be suppressed. Non-finite query vectors produce no
+   * candidate rows (same rule as [[Similarity.ivfPqQuery]]).
    */
   def scoreCandidates(queries: DataFrame, index: Similarity.IvfPqIndex,
                       nprobe: Int = 4,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      excludeSelf: Boolean = true): DataFrame = {
+                      excludeSelf: Boolean = false): DataFrame = {
     val centsLit = Similarity.centroidsLiteral(index.centroids)
     val bl = Quantization.pqBooksLiteral(index.books)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val q = queries.filter(VectorFunctions.isFiniteVec(col(vecCol)))
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("list_id",
         explode(VectorFunctions.topCentroids(col("qv"), centsLit, nprobe)))
     q.join(index.encoded, Seq("list_id"))
@@ -78,7 +80,7 @@ object StreamingAnnServing {
   def serveIvfPq(queryStream: DataFrame, index: Similarity.IvfPqIndex,
                  corpus: DataFrame, k: Int, nprobe: Int = 4, shortlist: Int = 20,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 excludeSelf: Boolean = true)
+                 excludeSelf: Boolean = false)
                 (sink: (DataFrame, Long) => Unit): StreamingQuery =
     queryStream.writeStream
       .outputMode("append")
@@ -100,13 +102,17 @@ object StreamingAnnServing {
   def serveIvfPqFromPath(queryStream: DataFrame, indexPath: String,
                          corpus: DataFrame, k: Int, nprobe: Int = 4, shortlist: Int = 20,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         excludeSelf: Boolean = true)
+                         excludeSelf: Boolean = false)
                         (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     // quantizers only — loading the whole index would list and footer-read
-    // the (large) code table once for a DataFrame this path never uses
+    // the (large) code table once for a DataFrame this path never uses.
+    // The schema probe below still fails FAST at stream construction on a
+    // missing/corrupt code table (one footer read) instead of letting the
+    // deployment look healthy until epoch 0 dies inside foreachBatch.
     val spark0 = queryStream.sparkSession
     val cents = Similarity.readCentroids(spark0, indexPath)
     val books = Quantization.readPqBooks(spark0, indexPath)
+    spark0.read.parquet(s"$indexPath/encoded").schema
     queryStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>

@@ -44,8 +44,11 @@ class StreamingAnnSpec extends SparkSpec {
 
       val stream = MemoryStream[QueryVec]
       val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      // queries here ARE corpus rows under their own ids, so self-matches
+      // must be suppressed to mirror the batch gate (excludeSelf = true;
+      // the streaming default is false for client-chosen id spaces)
       val q = StreamingAnnServing.serveIvfPq(stream.toDF(), idx, e,
-        k = 3, nprobe = 4, shortlist = 10) { (answers, _) =>
+        k = 3, nprobe = 4, shortlist = 10, excludeSelf = true) { (answers, _) =>
         got ++= answers.collect().map(_.toSeq)
       }
       // two micro-batches: per-query answers must compose to the batch set
