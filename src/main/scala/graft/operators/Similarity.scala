@@ -33,7 +33,8 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val q = queries.filter(VectorFunctions.isFiniteVec(col(vecCol))) // non-finite query -> no rows
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
       .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
@@ -57,7 +58,8 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpusQ.select(col(idCol).as("cid"),
       Quantization.dequantizeF(col("codes"), col("q_min"), col("q_scale")).as("cv"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val q = queries.filter(VectorFunctions.isFiniteVec(col(vecCol))) // non-finite query -> no rows
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
       .withColumn("cos", round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
@@ -106,7 +108,8 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bl = Quantization.pqBooksLiteral(books)
     val enc = encoded.select(col(idCol).as("cid"), col("pq_codes"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val q = queries.filter(VectorFunctions.isFiniteVec(col(vecCol))) // non-finite query -> no rows
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     val adc = enc.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
@@ -274,7 +277,8 @@ object Similarity {
               nBits: Int = 8, probes: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(v))
+      df.filter(VectorFunctions.isFiniteVec(col(vecCol))) // NaN cos would rank first
+        .select(col(idCol).as(id), col(vecCol).as(v))
         .withColumn("tb", explode(array((0 until probes).map { t =>
           struct(lit(t).as("table"),
             // per-table independent hyperplane family, selected by seed
@@ -435,7 +439,8 @@ object Similarity {
   def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centsLit = centroidsLiteral(index.centroids)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val q = queries.filter(VectorFunctions.isFiniteVec(col(vecCol))) // non-finite query -> no rows
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("list_id",
         explode(VectorFunctions.topCentroids(col("qv"), centsLit, nprobe)))
     index.assigned.join(q, Seq("list_id"))
