@@ -355,6 +355,17 @@ private[graft] object Oracles {
         |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
         |ORDER BY a, b""".stripMargin,
 
+    "normalize_text" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |         'cafe' || chr(769) || ' ' || chr(8491) || ' ' || chr(64257) || 'le ' || text AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       md5(nfc_normalize(text)) AS nfc_md5,
+        |       (nfc_normalize(text) <> text) AS changed,
+        |       CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc
+        |FROM fx ORDER BY doc_id""".stripMargin,
+
     "semantic_dedup" -> semanticDedupOracle,
 
     "semantic_dedup_keep" -> semanticDedupKeepOracle,

@@ -358,6 +358,24 @@ private[graft] object Queries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "normalize_text" -> ((s, dir) => {
+      // Unicode NFC normalization (codegen'd text_normalize): each doc is
+      // prefixed with denormalized text — combining acute (e+U+0301) and
+      // the Angstrom sign U+212B both NFC-compose, the U+FB01 ligature is
+      // NFC-invariant and must survive. DuckDB's nfc_normalize implements
+      // the same Unicode standard, so content, changed-flag and codepoint
+      // count are all hash-checked.
+      val fixture = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("cafe\u0301 \u212B \uFB01le "), col("text")).as("text"))
+      val norm = TextFunctions.normalizeUnicode(col("text"), "NFC")
+      fixture.select(
+        col("doc_id"),
+        md5(norm).as("nfc_md5"),
+        (norm =!= col("text")).as("changed"),
+        length(norm).cast("long").as("n_chars_nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
     "semantic_dedup" -> ((s, dir) => {
       // SemDeDup (cluster-then-verify): md5-order coarse centroids are
       // engine-replayable, so DuckDB re-derives cluster assignment AND the

@@ -70,6 +70,14 @@ object TextFunctions {
     * both. */
   def shingles_udf(text: Column, n: Int): Column = shinglesUdf(text, lit(n))
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) via the codegen'd
+    * [[graft.plans.TextNormalize]] expression — the canonicalization pass a
+    * crawled corpus runs before tokenization/dedup (decomposed accents and
+    * compatibility forms otherwise defeat exact and shingle dedup). Null
+    * propagates; the already-normalized fast path avoids reallocation. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    toCol(graft.plans.TextNormalize(toExpr(text), form))
+
   /** Character n-grams of the (lowercased, space-collapsed) text. */
   def charNgrams(text: Column, n: Int): Column = {
     val s = regexp_replace(trim(lower(text)), "\\s+", " ")

@@ -71,7 +71,10 @@ object GraftFunctions {
     "vec_pq_cosine" -> (exprs => VecPqCosine(exprs(0), exprs(1), exprs(2))),
     "word_shingles" -> (exprs => WordShingles(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs(0), exprs(1))),
-    "simhash64" -> (exprs => SimHash64(exprs(0))))
+    "simhash64" -> (exprs => SimHash64(exprs(0))),
+    // form must be a foldable string literal — it is a plan-time constant
+    "text_normalize" -> (exprs => TextNormalize(exprs(0),
+      exprs(1).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
 
   /** Imperative registration for an existing session (tests, Verify). */
   def register(spark: SparkSession): Unit =

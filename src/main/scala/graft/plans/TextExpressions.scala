@@ -161,6 +161,17 @@ object TextKernels {
     while (b < 64) { if (counts(b) * 2 > m) out |= (1L << b); b += 1 }
     out
   }
+
+  /** Unicode normalization via the JDK's standard-conformant Normalizer.
+    * `Normalizer.isNormalized` is a cheap scan that short-circuits the
+    * common already-normalized case (most crawled text) without the
+    * allocate-and-rebuild of `normalize` — the fast path at corpus scale. */
+  def normalize(s: UTF8String, form: String): UTF8String = {
+    val f = java.text.Normalizer.Form.valueOf(form)
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
 }
 
 /** `word_shingles(text, n)` → array<string> (see [[TextKernels.shingles]]).
@@ -213,6 +224,35 @@ case class MinHashSignature(left: Expression, right: Expression)
 }
 
 /** `simhash64(tokens)` → bigint. */
+/**
+ * `text_normalize(text, form)` → string: Unicode normalization via the
+ * JDK's standard-conformant `java.text.Normalizer` (NFC/NFD/NFKC/NFKD),
+ * inside whole-stage codegen — the canonicalization pass a crawled corpus
+ * runs before tokenization/dedup (decomposed accents, compatibility forms
+ * and lookalike codepoints otherwise defeat exact and shingle dedup).
+ * `form` is a plan-time constant; the NFC path is DuckDB-oracle-checked
+ * (`nfc_normalize` implements the same Unicode standard).
+ */
+case class TextNormalize(child: Expression, form: String) extends UnaryExpression {
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"text_normalize: unknown form $form")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "text_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckSuccess
+    case t => TypeCheckFailure(s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.normalize(s.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"""graft.plans.TextKernels.normalize($s, "$form")""")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"

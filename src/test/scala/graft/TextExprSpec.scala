@@ -160,6 +160,35 @@ class TextExprSpec extends SparkSpec {
     assert(!simPlan.contains("UDF"), simPlan)
   }
 
+  test("text_normalize ≡ java.text.Normalizer on adversarial strings, all forms") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      "cafe\u0301",          // combining acute -> composed under NFC
+      "\u212B",               // Angstrom sign -> U+00C5 under NFC
+      "\uFB01le",             // fi ligature: NFC-invariant, NFKC-decomposed
+      "A\u030A\u0327",        // base + ring + cedilla (reorder/compose case)
+      "already plain ascii",
+      "\uD83D\uDE00 emoji e\u0301", // surrogate pair + decomposed
+      "")
+    val df = cases.toDF("t")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = df.select(TextFunctions.normalizeUnicode(col("t"), form).as("n"))
+        .collect().map(_.getString(0))
+      val ref = cases.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.valueOf(form)))
+      assert(got.sameElements(ref), s"form=$form")
+    }
+    // null propagates; no UDF in the plan
+    val withNull = Seq(Some("a"), None).toDF("t")
+      .select(TextFunctions.normalizeUnicode(col("t")).as("n"))
+    assert(withNull.collect().map(r => Option(r.getString(0))).toSeq == Seq(Some("a"), None))
+    assert(!withNull.queryExecution.executedPlan.toString.contains("UDF"))
+    // SQL registration with a literal form
+    graft.plans.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT text_normalize('cafe\u0301', 'NFC') AS n")
+      .head().getString(0) == "caf\u00E9")
+  }
+
   test("SQL names registered: word_shingles / minhash_signature / simhash64") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(
