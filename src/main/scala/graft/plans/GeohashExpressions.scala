@@ -73,8 +73,12 @@ object GraftFunctions {
     "minhash_signature" -> (exprs => MinHashSignature(exprs(0), exprs(1))),
     "simhash64" -> (exprs => SimHash64(exprs(0))),
     // form must be a foldable string literal — it is a plan-time constant
-    "text_normalize" -> (exprs => TextNormalize(exprs(0),
-      exprs(1).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
+    "text_normalize" -> (exprs => {
+      require(exprs.length == 2 && exprs(1).foldable && exprs(1).eval(null) != null,
+        "text_normalize: form must be a non-null string literal (NFC/NFD/NFKC/NFKD)")
+      TextNormalize(exprs(0),
+        exprs(1).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    }))
 
   /** Imperative registration for an existing session (tests, Verify). */
   def register(spark: SparkSession): Unit =

@@ -223,7 +223,6 @@ case class MinHashSignature(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** `simhash64(tokens)` → bigint. */
 /**
  * `text_normalize(text, form)` → string: Unicode normalization via the
  * JDK's standard-conformant `java.text.Normalizer` (NFC/NFD/NFKC/NFKD),
@@ -253,6 +252,7 @@ case class TextNormalize(child: Expression, form: String) extends UnaryExpressio
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `simhash64(tokens)` → bigint. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"

@@ -91,32 +91,41 @@ object StreamingAnnServing {
       .start()
 
   /**
-   * [[serveIvfPq]] for a GROWING index: the code table is re-read from
-   * `indexPath/encoded` inside every micro-batch, so its file listing is
-   * fresh and rows appended via [[Similarity.ivfPqEncode]] +
-   * `write.mode("append").partitionBy("list_id")` become searchable
-   * without restarting the stream (gated in StreamingAnnSpec with a
-   * planted duplicate of an appended vector). Quantizers still load once —
-   * they are immutable plan literals by design.
+   * [[serveIvfPq]] for a GROWING index: BOTH the code table
+   * (`indexPath/encoded`) and the float corpus (`corpusPath`) are re-read
+   * inside every micro-batch, so their file listings are fresh and a vector
+   * appended via [[Similarity.ivfPqEncode]] +
+   * `write.mode("append").partitionBy("list_id")` (codes) plus a matching
+   * corpus append becomes searchable without restarting the stream (gated
+   * in StreamingAnnSpec with a planted duplicate of an appended vector).
+   * The corpus re-read matters as much as the code-table re-read: the exact
+   * re-rank inside [[Similarity.ivfPqQuery]] inner-joins the ADC shortlist
+   * against the corpus, so a snapshotted corpus would silently DROP every
+   * appended vector from the answers even though its codes were shortlisted.
+   * Quantizers still load once — they are immutable plan literals by
+   * design; a RETRAINED quantizer requires a reload + restart.
    */
   def serveIvfPqFromPath(queryStream: DataFrame, indexPath: String,
-                         corpus: DataFrame, k: Int, nprobe: Int = 4, shortlist: Int = 20,
+                         corpusPath: String, k: Int, nprobe: Int = 4, shortlist: Int = 20,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          excludeSelf: Boolean = false)
                         (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     // quantizers only — loading the whole index would list and footer-read
     // the (large) code table once for a DataFrame this path never uses.
-    // The schema probe below still fails FAST at stream construction on a
-    // missing/corrupt code table (one footer read) instead of letting the
-    // deployment look healthy until epoch 0 dies inside foreachBatch.
+    // The schema probes below still fail FAST at stream construction on a
+    // missing/corrupt code table or corpus (one footer read each) instead
+    // of letting the deployment look healthy until epoch 0 dies inside
+    // foreachBatch.
     val spark0 = queryStream.sparkSession
     val cents = Similarity.readCentroids(spark0, indexPath)
     val books = Quantization.readPqBooks(spark0, indexPath)
     spark0.read.parquet(s"$indexPath/encoded").schema
+    spark0.read.parquet(corpusPath).schema
     queryStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
         val enc = batch.sparkSession.read.parquet(s"$indexPath/encoded")
+        val corpus = batch.sparkSession.read.parquet(corpusPath)
         sink(Similarity.ivfPqQuery(enc, cents, books,
           corpus, batch.toDF(), k, nprobe, shortlist, idCol, vecCol, excludeSelf), epochId)
       }

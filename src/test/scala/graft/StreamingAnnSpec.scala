@@ -85,17 +85,22 @@ class StreamingAnnSpec extends SparkSpec {
     }
   }
 
-  test("code rows appended to the stored index are served without a restart") {
-    // serveIvfPqFromPath re-reads the code table per micro-batch (fresh
-    // file listing), so ivfPqEncode-appended vectors become searchable
-    // mid-stream. The probe is a planted duplicate of vector 300: before
-    // the append its codes are absent (answer != 300); after, it MUST come
-    // back rank-1 at cos 1.0 — deterministic, not rank luck.
+  test("code+corpus rows appended to the stored index are served without a restart") {
+    // serveIvfPqFromPath re-reads BOTH the code table and the float corpus
+    // per micro-batch (fresh file listings), so ivfPqEncode-appended codes
+    // plus a matching corpus append become searchable mid-stream. The
+    // corpus grows too — an appended vector whose codes are shortlisted but
+    // whose float row is missing would be silently dropped by the exact
+    // re-rank join (the round-6 advisory bug). The probe is a planted
+    // duplicate of vector 300: before the append its codes AND floats are
+    // absent (answer != 300); after, it MUST come back rank-1 at cos 1.0 —
+    // deterministic, not rank luck.
     val e = Tables.embeddings(spark, Sf)
     val dir = java.nio.file.Files.createTempDirectory("ann_grow").toString
     try {
       implicit val sqlCtx = spark.sqlContext
-      // index artifact trained on the full corpus; code table starts at half
+      // index artifact trained on the full corpus; code table AND the
+      // served corpus both start at the first half
       Similarity.saveIvfPq(e, dir, nlist = 8, m = 8, ksub = 16)
       val idx = Similarity.loadIvfPq(spark, dir)
       new java.io.File(s"$dir/encoded").listFiles().foreach { f =>
@@ -104,13 +109,15 @@ class StreamingAnnSpec extends SparkSpec {
       }
       Similarity.ivfPqEncode(e.filter(col("vec_id") < 250), idx.centroids, idx.books)
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/encoded")
+      val corpusPath = s"$dir/corpus"
+      e.filter(col("vec_id") < 250).write.mode("overwrite").parquet(corpusPath)
 
       val dupOf300 = e.filter(col("vec_id") === 300)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
         .collect().map(r => QueryVec(r.getLong(0), r.getSeq[Float](1)))
       val answers = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
       val stream = MemoryStream[QueryVec]
-      val q = StreamingAnnServing.serveIvfPqFromPath(stream.toDF(), dir, e,
+      val q = StreamingAnnServing.serveIvfPqFromPath(stream.toDF(), dir, corpusPath,
         k = 1, nprobe = 8, shortlist = 10) { (ans, epoch) =>
         answers ++= ans.collect().map(r =>
           (epoch, r.getLong(0), r.getLong(2), r.getDouble(3)))
@@ -118,9 +125,10 @@ class StreamingAnnSpec extends SparkSpec {
       stream.addData(dupOf300: _*)
       q.processAllAvailable()
       val before = answers.toList
-      // append the second half mid-stream — no restart, same probe again
+      // append the second half mid-stream — codes and corpus, no restart
       Similarity.ivfPqEncode(e.filter(col("vec_id") >= 250), idx.centroids, idx.books)
         .write.mode("append").partitionBy("list_id").parquet(s"$dir/encoded")
+      e.filter(col("vec_id") >= 250).write.mode("append").parquet(corpusPath)
       stream.addData(dupOf300: _*)
       q.processAllAvailable()
       q.stop()

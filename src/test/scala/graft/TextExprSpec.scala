@@ -187,6 +187,16 @@ class TextExprSpec extends SparkSpec {
     graft.plans.GraftFunctions.register(spark)
     assert(spark.sql("SELECT text_normalize('cafe\u0301', 'NFC') AS n")
       .head().getString(0) == "caf\u00E9")
+    // non-literal / NULL form must fail with a clear plan-time error, not
+    // an opaque eval NPE (round-6 advisory)
+    for (bad <- Seq("SELECT text_normalize(t, t) FROM VALUES ('a') v(t)",
+                    "SELECT text_normalize('a', CAST(NULL AS STRING))")) {
+      val err = intercept[Exception](spark.sql(bad).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(err).exists(_.contains("form must be a non-null string literal")),
+        s"query [$bad] failed with the wrong error: $err")
+    }
   }
 
   test("SQL names registered: word_shingles / minhash_signature / simhash64") {
