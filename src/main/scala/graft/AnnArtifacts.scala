@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Quantization, Similarity}
+import graft.sources.Tables
+
+/**
+ * Per-JVM cache of TRAINED ANN quantizers and their persisted serving
+ * artifacts, keyed by sf dir — the build-vs-serve separation the bench
+ * needs (round-6 verdict #1): quantizer training (the Lloyd passes +
+ * deterministic seed collects) happens at most ONCE per JVM per dataset
+ * here, and every serving-side query (`ann_*_serve`, the recall gates)
+ * consumes the cached result, so its timed window measures index load +
+ * query serving, not training. The `ann_*_build` bench entries deliberately
+ * do NOT use this cache — they retrain on every call, which is exactly the
+ * number they exist to report.
+ *
+ * This mirrors the production shape: an index is trained once, persisted
+ * ([[Similarity.saveIvfIndex]] / [[Quantization.savePq]] /
+ * [[Similarity.saveIvfPqWith]]), and then serves many query batches from
+ * the artifact. The quantizers are deterministic functions of the corpus
+ * (md5-order seed + decimal-exact Lloyd), so a cached copy is bit-identical
+ * to a freshly trained one — correctness gates see the exact same values
+ * they saw when they trained inline.
+ *
+ * Everything driver-side here is bounded by the quantizer shape (nlist·dim
+ * centroids, m·ksub·subDim codebook cells), never by the corpus.
+ */
+private[graft] object AnnArtifacts {
+  /** Canonical quantizer family shared by the refined-ANN gates and serve
+    * entries (must match what `ann_*_build` trains). */
+  val Nlist = 16
+  val M = 8
+  val Ksub = 64
+  val Iters = 2
+
+  // per-JVM scratch root; artifacts are rewritten lazily per dataset
+  private lazy val root: String =
+    Files.createTempDirectory("graft_ann_artifacts").toString
+
+  private val centsMemo =
+    scala.collection.mutable.Map[String, Array[(Int, Array[Float])]]()
+  private val booksMemo =
+    scala.collection.mutable.Map[String, Quantization.PqCodebooks]()
+  private val pathMemo = scala.collection.mutable.Map[String, String]()
+
+  /** The trained coarse quantizer (nlist=16, 2 Lloyd iterations) for the
+    * embeddings table under `dir` — trains on first touch, cached after. */
+  def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Float])] =
+    synchronized {
+      centsMemo.getOrElseUpdate(dir,
+        Similarity.buildIvfIndex(Tables.embeddings(s, dir), Nlist,
+          kmeansIters = Iters).centroids)
+    }
+
+  /** The trained PQ codebooks (m=8, ksub=64, 2 Lloyd iterations). */
+  def pqBooks(s: SparkSession, dir: String): Quantization.PqCodebooks =
+    synchronized {
+      booksMemo.getOrElseUpdate(dir,
+        Quantization.buildPqCodebooks(Tables.embeddings(s, dir), M, Ksub,
+          kmeansIters = Iters))
+    }
+
+  /**
+   * Root of the persisted serving artifacts for `dir` — written once per
+   * JVM from the cached quantizers: `<root>/ivf` ([[Similarity.saveIvfIndex]]
+   * layout), `<root>/pq` ([[Quantization.savePq]] layout), `<root>/ivfpq`
+   * ([[Similarity.saveIvfPqWith]] layout, code table partitioned by
+   * `list_id`). Serve queries read THESE paths through the public load
+   * APIs — the same artifact round-trip a deployment makes.
+   */
+  def artifactRoot(s: SparkSession, dir: String): String = synchronized {
+    pathMemo.getOrElseUpdate(dir, {
+      val e = Tables.embeddings(s, dir)
+      val cents = ivfCentroids(s, dir)
+      val books = pqBooks(s, dir)
+      val p = s"$root/${Integer.toHexString(dir.hashCode)}"
+      val index = Similarity.IvfIndex(cents, Similarity.assignIvf(e, cents))
+      Similarity.saveIvfIndex(index, s"$p/ivf")
+      Quantization.savePq(Quantization.encodePq(e, books), books, s"$p/pq")
+      Similarity.saveIvfPqWith(index, books, s"$p/ivfpq")
+      p
+    })
+  }
+}

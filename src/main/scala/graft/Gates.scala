@@ -20,6 +20,17 @@ import graft.sources.Tables
 private[graft] object Gates {
   import Fixtures._
 
+  /** Remove a throwaway build artifact (bounded: the bench-build index
+    * trees, a few files each). */
+  private def deleteTree(path: String): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    val p = Path.of(path)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ------------------------------- approximate-vs-exact recall gates (M6)
@@ -45,7 +56,12 @@ private[graft] object Gates {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 8)
       val brute = Similarity.bruteForceTopK(e, q, k = 5).select(col("qid"), col("cid"))
-      val ivf = Similarity.ivfTopK(e, q, k = 5, nlist = 16, nprobe = 8, kmeansIters = 2)
+      // refined quantizer (kmeansIters=2) from the per-JVM artifact cache:
+      // the timed window here measures index load + probe + re-rank + the
+      // recall join, NOT training — ann_ivf_build reports the training cost
+      val ivf = Similarity.ivfQuery(
+        Similarity.loadIvfIndex(s, s"${AnnArtifacts.artifactRoot(s, dir)}/ivf"),
+        q, k = 5, nprobe = 8)
         .select(col("qid").as("q2"), col("cid").as("c2"))
       brute.join(ivf, col("qid") === col("q2") && col("cid") === col("c2"), "left")
         .agg(countDistinct(col("qid")).as("n_queries"),
@@ -314,13 +330,12 @@ private[graft] object Gates {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         brutePairs.count(hits.contains).toDouble / brutePairs.size
       }
-      // ONE refined codebook build, reused by all three paths through the
-      // pqQuery serving API (the dup path encodes the grown corpus against
-      // the same books — the incremental-indexing pattern): the timed cost
-      // is one honest train+encode plus the queries, not three identical
-      // trainings
-      val books = Quantization.buildPqCodebooks(e, m = 8, ksub = 64, kmeansIters = 2)
-      val enc = Quantization.encodePq(e, books)
+      // refined codebooks + code table from the per-JVM artifact cache,
+      // reused by all three paths through the pqQuery serving API (the dup
+      // path encodes the grown corpus against the same books — the
+      // incremental-indexing pattern): the timed window measures serving +
+      // the recall math, NOT training — ann_pq_build reports that cost
+      val (enc, books) = Quantization.loadPq(s, s"${AnnArtifacts.artifactRoot(s, dir)}/pq")
       val adc = recallOf(Similarity.pqQuery(enc, books, e, q, k = 5))
       val rr = recallOf(Similarity.pqQuery(enc, books, e, q, k = 5, shortlist = 50))
       val dupQ = e.filter(col("vec_id") < 8)
@@ -350,12 +365,14 @@ private[graft] object Gates {
       val brutePairs = Similarity.bruteForceTopK(e, q, k = 5)
         .select(col("qid"), col("cid")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      // ONE refined build of each quantizer, reused by both paths (the dup
-      // path encodes the grown corpus against the same artifact via
-      // ivfPqEncode — the incremental-indexing pattern)
-      val index = Similarity.buildIvfIndex(e, nlist = 16, kmeansIters = 2)
-      val books = Quantization.buildPqCodebooks(e, m = 8, ksub = 64, kmeansIters = 2)
-      val enc = Similarity.ivfPqEncode(e, index.centroids, books)
+      // both refined quantizers + the encoded code table from the per-JVM
+      // artifact cache, reused by both paths (the dup path encodes the grown
+      // corpus against the same artifact via ivfPqEncode — the incremental-
+      // indexing pattern): the timed window measures serving + the recall
+      // math, NOT training — ann_ivfpq_build reports that cost
+      val index = Similarity.loadIvfPq(s, s"${AnnArtifacts.artifactRoot(s, dir)}/ivfpq")
+      val books = index.books
+      val enc = index.encoded
       val hits = Similarity.ivfPqQuery(enc, index.centroids, books, e, q,
         k = 5, nprobe = 8, shortlist = 50)
         .select(col("qid"), col("cid")).collect()
@@ -372,6 +389,94 @@ private[graft] object Gates {
         .count()
       import s.implicits._
       Seq((8L, recall >= 0.25, nDup)).toDF("n_queries", "recall_ok", "n_dup_exact")
+    }),
+
+    // ---------------- ANN build-vs-serve split (round-6 verdict #1): the
+    // `*_build` entries retrain + persist on EVERY call (the honest index-
+    // build cost, deliberately NOT cached); the `*_serve` entries answer a
+    // query batch from the per-JVM persisted artifact through the public
+    // load APIs (the honest serving cost). Serve correctness gate: query ids
+    // are shifted out of the corpus id space (external-client convention)
+    // and every query is a planted duplicate of a corpus row, so its source
+    // row MUST come back at rank 1 / cos 1.0 — the same deterministic
+    // property the recall gates pin — and each query must return exactly k
+    // answers.
+    "ann_ivf_build" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_build").toString
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(e, nlist = AnnArtifacts.Nlist,
+          kmeansIters = AnnArtifacts.Iters), tmp)
+      // counts collected eagerly from the artifact (build includes the
+      // write), then the throwaway copy is removed
+      val n = s.read.parquet(s"$tmp/assigned").count()
+      val nc = s.read.parquet(s"$tmp/centroids").count()
+      deleteTree(tmp)
+      Seq((n, nc)).toDF("n_assigned", "n_centroids")
+    }),
+
+    "ann_pq_build" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pq_build").toString
+      val books = Quantization.buildPqCodebooks(e, m = AnnArtifacts.M,
+        ksub = AnnArtifacts.Ksub, kmeansIters = AnnArtifacts.Iters)
+      Quantization.savePq(Quantization.encodePq(e, books), books, tmp)
+      val n = s.read.parquet(s"$tmp/codes").count()
+      val nb = s.read.parquet(s"$tmp/books").count()
+      deleteTree(tmp)
+      Seq((n, nb)).toDF("n_codes", "n_book_rows")
+    }),
+
+    "ann_ivfpq_build" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_build").toString
+      Similarity.saveIvfPq(e, tmp, nlist = AnnArtifacts.Nlist, m = AnnArtifacts.M,
+        ksub = AnnArtifacts.Ksub, kmeansIters = AnnArtifacts.Iters)
+      val n = s.read.parquet(s"$tmp/encoded").count()
+      val nc = s.read.parquet(s"$tmp/centroids").count()
+      val nb = s.read.parquet(s"$tmp/books").count()
+      deleteTree(tmp)
+      Seq((n, nc, nb)).toDF("n_codes", "n_centroids", "n_book_rows")
+    }),
+
+    "ann_ivf_serve" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val idx = Similarity.loadIvfIndex(s, s"${AnnArtifacts.artifactRoot(s, dir)}/ivf")
+      Similarity.ivfQuery(idx, q, k = 5, nprobe = 8).agg(
+        countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_answers"),
+        count(when(col("rnk") === 1 && col("cid") === col("qid") - 1000000L &&
+          col("cos") === 1.0, 1)).as("n_self_top1"))
+    }),
+
+    "ann_pq_serve" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val (enc, books) = Quantization.loadPq(s, s"${AnnArtifacts.artifactRoot(s, dir)}/pq")
+      Similarity.pqQuery(enc, books, e, q, k = 5, shortlist = 50).agg(
+        countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_answers"),
+        count(when(col("rnk") === 1 && col("cid") === col("qid") - 1000000L &&
+          col("cos") === 1.0, 1)).as("n_self_top1"))
+    }),
+
+    "ann_ivfpq_serve" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val idx = Similarity.loadIvfPq(s, s"${AnnArtifacts.artifactRoot(s, dir)}/ivfpq")
+      Similarity.ivfPqQuery(idx.encoded, idx.centroids, idx.books, e, q,
+        k = 5, nprobe = 8, shortlist = 50).agg(
+        countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_answers"),
+        count(when(col("rnk") === 1 && col("cid") === col("qid") - 1000000L &&
+          col("cos") === 1.0, 1)).as("n_self_top1"))
     }),
 
 
@@ -434,6 +539,45 @@ private[graft] object Gates {
     "ann_ivfpq_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok,
         |       CAST(COUNT(*) AS BIGINT) AS n_dup_exact
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    // build gates: artifact row counts — the code/assignment table must
+    // carry every (finite — the fixture is all-finite, so COUNT(*)) corpus
+    // vector; quantizer tables are shape-pinned (nlist=16, m·ksub=512)
+    "ann_ivf_build" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_assigned,
+        |       CAST(16 AS BIGINT) AS n_centroids
+        |FROM embeddings""".stripMargin,
+
+    "ann_pq_build" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_codes,
+        |       CAST(512 AS BIGINT) AS n_book_rows
+        |FROM embeddings""".stripMargin,
+
+    "ann_ivfpq_build" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_codes,
+        |       CAST(16 AS BIGINT) AS n_centroids,
+        |       CAST(512 AS BIGINT) AS n_book_rows
+        |FROM embeddings""".stripMargin,
+
+    // serve gates: every query (a planted duplicate under a shifted id) must
+    // return exactly k=5 answers with its source row at rank 1 / cos 1.0
+    "ann_ivf_serve" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       CAST(5 * COUNT(*) AS BIGINT) AS n_answers,
+        |       CAST(COUNT(*) AS BIGINT) AS n_self_top1
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    "ann_pq_serve" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       CAST(5 * COUNT(*) AS BIGINT) AS n_answers,
+        |       CAST(COUNT(*) AS BIGINT) AS n_self_top1
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    "ann_ivfpq_serve" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       CAST(5 * COUNT(*) AS BIGINT) AS n_answers,
+        |       CAST(COUNT(*) AS BIGINT) AS n_self_top1
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
 
     "curation_funnel_check" ->

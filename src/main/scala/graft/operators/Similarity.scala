@@ -191,9 +191,18 @@ object Similarity {
                 nlist: Int = 16, m: Int = 8, ksub: Int = 32,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 kmeansIters: Int = 0): Unit = {
-    val spark = corpus.sparkSession
     val index = buildIvfIndex(corpus, nlist, idCol, vecCol, kmeansIters)
     val books = Quantization.buildPqCodebooks(corpus, m, ksub, idCol, vecCol, kmeansIters)
+    saveIvfPqWith(index, books, path)
+  }
+
+  /** [[saveIvfPq]] from ALREADY-TRAINED quantizers — the persist half without
+    * the training half, so a caller that holds a trained index/codebook pair
+    * (a serve bench, a re-layout, a copy to a second cluster) can write the
+    * artifact without re-running the Lloyd passes. */
+  def saveIvfPqWith(index: IvfIndex, books: Quantization.PqCodebooks,
+                    path: String): Unit = {
+    val spark = index.assigned.sparkSession
     index.assigned.select(col("cid"), col("list_id"),
         VectorFunctions.pqEncode(col("cv"), Quantization.pqBooksLiteral(books)).as("pq_codes"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/encoded")
@@ -365,11 +374,21 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
     val cents = (0 until kmeansIters)
       .foldLeft(seed)((c, _) => lloydStepIvf(clean, c, vecCol))
-    val centsLit = centroidsLiteral(cents)
-    IvfIndex(cents,
-      clean.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-        .withColumn("list_id",
-          element_at(VectorFunctions.topCentroids(col("cv"), centsLit, 1), 1)))
+    IvfIndex(cents, assignIvf(corpus, cents, idCol, vecCol))
+  }
+
+  /** Nearest-centroid assignment table `(cid, cv, list_id)` for EXISTING
+    * centroids — the narrow corpus pass of [[buildIvfIndex]] without the
+    * training half (one codegen'd kernel scan, no driver state beyond the
+    * centroid literal). This is how a cached/loaded coarse quantizer gets a
+    * fresh assignment frame in a new session. */
+  def assignIvf(corpus: DataFrame, centroids: Array[(Int, Array[Float])],
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centsLit = centroidsLiteral(centroids)
+    corpus.filter(VectorFunctions.isFiniteVec(col(vecCol)))
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("list_id",
+        element_at(VectorFunctions.topCentroids(col("cv"), centsLit, 1), 1))
   }
 
   /** One Lloyd iteration over the coarse quantizer: assign each vector to its
