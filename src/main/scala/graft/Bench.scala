@@ -1,6 +1,15 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.StreamingAnnServing
+
+/** Query-vector row for the streaming serving micro-bench (top-level so the
+  * case-class Encoder derives). */
+case class BenchQueryVec(vec_id: Long, embedding: Seq[Float])
 
 /**
  * Benchmark main (BASELINE.md protocol): warm SparkSession, run every
@@ -11,6 +20,22 @@ import org.apache.spark.sql.SparkSession
  *
  * Timing includes plan + execution (count() forces the full pipeline;
  * results are already small aggregates so count ≈ materialize).
+ *
+ * Beyond the per-query median the line carries (round-6 verdict #2 — the
+ * variance that separates environmental drift from a real regression):
+ *  - `spread`: per-query min/max across the runs, plus `warm` — a SECOND
+ *    count() on one Dataset instance, which reuses the analyzed plan and
+ *    cached codegen and so isolates execution cost from per-call planning
+ *    overhead (~0.3–1.3 s at sf0.1). For the eager gate queries
+ *    (`ann_*_build`, the recall gates) the work happens inside the query
+ *    function itself, so `warm` reads near-zero there by design — their
+ *    cost IS the construction, and min/max still carry their variance.
+ *  - `streaming`: per-epoch wall seconds of 3 micro-batches served by
+ *    [[StreamingAnnServing.serveIvfPqFromPath]] from the persisted IVF-PQ
+ *    artifact — quantizer load + stream construction are OUTSIDE the
+ *    epochs (StreamingAnnSpec pins that quantizers are not re-read per
+ *    epoch), so each epoch is pure micro-batch serving; epoch 0 still
+ *    carries the first-execution plan/codegen cost of the serving pipeline.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,6 +56,13 @@ object Bench {
 
     // JVM/codegen/IO warmup outside the timed region
     SparkEntry.queries.get("q1_agg").foreach(fn => fn(spark, sfDir).count())
+    // pre-build the per-JVM ANN artifact cache outside any timed region:
+    // serve/recall entries measure artifact CONSUMPTION by design, and the
+    // ann_*_build entries measure (re)training explicitly — without this,
+    // whichever cached entry runs first would absorb the one-time lazy
+    // build into its first-run max
+    try AnnArtifacts.artifactRoot(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] ann warmup failed: $e") }
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -41,6 +73,7 @@ object Bench {
       val s = xs.sorted
       s(s.length / 2)
     }
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
 
     // optional subset for focused iteration: comma-separated query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -59,14 +92,61 @@ object Bench {
         try time(fn(spark, sfDir).count())
         catch { case _: Throwable => -1.0 }
       }
-      name -> (if (ts.contains(-1.0)) -1.0 else median(ts))
+      // warm-plan second execution: one Dataset, counted twice; the second
+      // count isolates execution from analysis/optimization/codegen
+      val warm =
+        try { val df = fn(spark, sfDir); df.count(); time(df.count()) }
+        catch { case _: Throwable => -1.0 }
+      val bad = ts.contains(-1.0)
+      (name,
+        if (bad) -1.0 else median(ts),
+        if (bad) -1.0 else r4(ts.min),
+        if (bad) -1.0 else r4(ts.max),
+        r4(warm))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // streaming ANN serving latency: 3 micro-batches of the 8 fixture
+    // queries (shifted ids — client id space) against the per-JVM persisted
+    // IVF-PQ artifact; the growing-index path re-lists code table + corpus
+    // per epoch, which is part of the honest per-epoch cost
+    val streamEpochs: Seq[Double] =
+      if (only.isDefined) Seq.empty
+      else try {
+        implicit val sqlCtx = spark.sqlContext
+        import spark.implicits._
+        val indexPath = s"${AnnArtifacts.artifactRoot(spark, sfDir)}/ivfpq"
+        val corpusPath = s"$sfDir/embeddings.parquet"
+        val qs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 8)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+          .collect().map(r => BenchQueryVec(r.getLong(0), r.getSeq[Float](1)))
+        val stream = MemoryStream[BenchQueryVec]
+        var served = 0L
+        val q = StreamingAnnServing.serveIvfPqFromPath(stream.toDF(), indexPath,
+          corpusPath, k = 5, nprobe = 8, shortlist = 50) { (ans, _) =>
+          served += ans.count()
+        }
+        val epochs = (1 to 3).map { _ =>
+          stream.addData(qs.toIndexedSeq: _*)
+          r4(time(q.processAllAvailable()))
+        }
+        q.stop()
+        require(served == 3L * qs.length * 5, s"streaming bench served $served rows")
+        epochs
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming section failed: $e"); Seq.empty
+      }
+
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, mn, mx, warm) =>
+      "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + ",\"warm\":" + warm + "}"
+    }.mkString("{", ",", "}")
+    val streaming =
+      "{\"ann_serve_epoch_sec\":" + streamEpochs.mkString("[", ",", "]") + "}"
     val total = results.map(_._2).filter(_ >= 0).sum
     // the commit SHA makes the artifact self-identifying: a stale
     // bench_latest.json from a previous (e.g. failed) round is detectable
-    val line = s"""{"metric":"total_median_sec","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"cpus":"$cpus","sf":"$sfDir","commit":"${BuildId.gitSha()}"}"""
+    val line = s"""{"metric":"total_median_sec","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"streaming":$streaming,"runs":$runs,"cpus":"$cpus","sf":"$sfDir","commit":"${BuildId.gitSha()}"}"""
     println(line)
     // stdout gets truncated by some harnesses — also persist the full
     // per-query map as a file artifact (SPARK_GRAFT_BENCH_OUT overrides)

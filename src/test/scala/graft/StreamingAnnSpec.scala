@@ -85,6 +85,43 @@ class StreamingAnnSpec extends SparkSpec {
     }
   }
 
+  test("serving epochs never re-read the quantizers (loaded once at construction)") {
+    // The bench's per-epoch latency claims to exclude quantizer/index
+    // loading. Pin the mechanism: centroids + codebooks become plan
+    // literals at stream CONSTRUCTION; the per-epoch re-read covers only
+    // the code table and the float corpus. Destroying the quantizer tables
+    // on disk right after construction makes any per-epoch quantizer
+    // reload fail loudly — every epoch must still answer.
+    val e = Tables.embeddings(spark, Sf)
+    val dir = java.nio.file.Files.createTempDirectory("ann_loadonce").toString
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      Similarity.saveIvfPq(e, dir, nlist = 8, m = 8, ksub = 16)
+      val corpusPath = s"$dir/corpus"
+      e.write.mode("overwrite").parquet(corpusPath)
+      val qs = e.filter(col("vec_id") < 4)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .collect().map(r => QueryVec(r.getLong(0), r.getSeq[Float](1)))
+      val stream = MemoryStream[QueryVec]
+      var served = 0L
+      val q = StreamingAnnServing.serveIvfPqFromPath(stream.toDF(), dir, corpusPath,
+        k = 1, nprobe = 4, shortlist = 10) { (ans, _) => served += ans.count() }
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(s"$dir/centroids")).deleteRecursively()
+      new Directory(new java.io.File(s"$dir/books")).deleteRecursively()
+      stream.addData(qs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      stream.addData(qs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      // 2 epochs × 4 planted-duplicate queries × k=1
+      assert(served == 8L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("code+corpus rows appended to the stored index are served without a restart") {
     // serveIvfPqFromPath re-reads BOTH the code table and the float corpus
     // per micro-batch (fresh file listings), so ivfPqEncode-appended codes
