@@ -60,7 +60,38 @@ object Dedup {
                  idCol: String = "doc_id", textCol: String = "text",
                  shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                  threshold: Double = 0.7,
-                 maxBucketSize: Int = 1000): DataFrame = {
+                 maxBucketSize: Int = 1000): DataFrame =
+    lshImpl(docs, idCol, textCol, shingleN, bands, rowsPerBand, threshold,
+      maxBucketSize, wantReport = false)._1
+
+  /**
+   * [[minHashLsh]] plus its COVERAGE report: the second frame has one row
+   * per `(band, bh)` bucket the `maxBucketSize` cap excluded from pair
+   * generation, with its size. The cap is a documented recall trade
+   * (boilerplate floods would otherwise explode the bucket self-join
+   * O(bucket²)), but at 100 TB "covered everything" must be checkable —
+   * a non-empty report tells the operator exactly which floods were
+   * skipped and how big they were, from the size table the cap already
+   * computes. The report is eagerly materialized (it is at most one row
+   * per over-cap bucket) so it stays valid after the internal shingle
+   * cache is released.
+   */
+  def minHashLshWithReport(docs: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                           threshold: Double = 0.7,
+                           maxBucketSize: Int = 1000): (DataFrame, DataFrame) = {
+    val (pairs, report) = lshImpl(docs, idCol, textCol, shingleN, bands,
+      rowsPerBand, threshold, maxBucketSize, wantReport = true)
+    (pairs, report.get)
+  }
+
+  private def lshImpl(docs: DataFrame,
+                      idCol: String, textCol: String,
+                      shingleN: Int, bands: Int, rowsPerBand: Int,
+                      threshold: Double,
+                      maxBucketSize: Int,
+                      wantReport: Boolean): (DataFrame, Option[DataFrame]) = {
     val numHashes = bands * rowsPerBand
     // sigd feeds banding AND both verify joins — persist so the shingling
     // pass runs once, not three times. Lifecycle is bounded: the result is
@@ -106,6 +137,16 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
 
+    // dropped-bucket report (only when asked — the plain path pays nothing):
+    // one tiny aggregate over the band rows, materialized while the shingle
+    // cache is still warm so its lineage does not replay shingling later
+    val report =
+      if (!wantReport) None
+      else Some(banded.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("bucket_size"))
+        .filter(col("bucket_size") > maxBucketSize)
+        .localCheckpoint())
+
     // Materialize the (small: one row per verified near-dup pair) result and
     // cut its lineage so sigd can be released NOW rather than leaking until
     // session end. localCheckpoint blocks are freed by the ContextCleaner
@@ -113,7 +154,7 @@ object Dedup {
     // allocation, swap for reliable checkpoint or caller-owned lifecycle.
     val out = verified.localCheckpoint()
     sigd.unpersist()
-    out
+    (out, report)
   }
 
   /**
@@ -423,24 +464,42 @@ object Dedup {
    */
   def semanticDedup(embs: DataFrame, nlist: Int, threshold: Double,
                     kmeansIters: Int = 0, maxClusterSize: Int = 100000,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semanticDedupWithReport(embs, nlist, threshold, kmeansIters, maxClusterSize,
+      idCol, vecCol)._1
+
+  /**
+   * [[semanticDedup]] plus its COVERAGE report: the second frame has one row
+   * per cluster the `maxClusterSize` cap excluded from pair generation —
+   * `(cluster_id, cluster_size)` — computed from the same nlist-row size
+   * table the cap itself uses (a second tiny aggregate, no extra corpus
+   * pass). At 100 TB a silently skipped mega-cluster is the difference
+   * between "deduped" and "thought we deduped"; a non-empty report names
+   * it. Both frames are lazy and share the assignment plan — persist the
+   * assignment upstream if both are consumed at scale.
+   */
+  def semanticDedupWithReport(embs: DataFrame, nlist: Int, threshold: Double,
+                              kmeansIters: Int = 0, maxClusterSize: Int = 100000,
+                              idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     val assigned = Similarity.buildIvfIndex(embs, nlist, idCol, vecCol, kmeansIters)
       .assigned.withColumnRenamed("list_id", "cluster_id")
     // size cap via a tiny nlist-row aggregate + broadcast semi-join — NOT a
     // corpus-wide window (which would shuffle AND sort the whole corpus on
     // cluster_id just to count; the cluster-count table is nlist rows by
     // construction, broadcastable at any corpus size)
-    val okClusters = assigned.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("_csz"))
-      .filter(col("_csz") <= maxClusterSize)
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val okClusters = sizes.filter(col("cluster_size") <= maxClusterSize)
       .select(col("cluster_id"))
+    val dropped = sizes.filter(col("cluster_size") > maxClusterSize)
     val bounded = assigned.join(broadcast(okClusters), Seq("cluster_id"))
     val l = bounded.select(col("cluster_id"), col("cid").as("a"), col("cv").as("va"))
     val r = bounded.select(col("cluster_id"), col("cid").as("b"), col("cv").as("vb"))
-    l.join(r, Seq("cluster_id")).filter(col("a") < col("b"))
+    val pairs = l.join(r, Seq("cluster_id")).filter(col("a") < col("b"))
       .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"), col("cluster_id"))
+    (pairs, dropped)
   }
 
   /**

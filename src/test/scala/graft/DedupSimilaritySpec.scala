@@ -209,6 +209,46 @@ class DedupSimilaritySpec extends SparkSpec {
       maxClusterSize = 10).count() == 0)
   }
 
+  test("minHashLshWithReport names every bucket the size cap dropped") {
+    // 12 identical docs flood one bucket per band (size 12); 3 copies of a
+    // second text stay under the cap. With maxBucketSize = 10 the flood's
+    // pairs vanish SILENTLY from the pair set — the report must name all 8
+    // dropped (band, bh) buckets at size 12, and nothing else.
+    val flood = (1L to 12L).map(i => (i, "same boilerplate flood text repeated over and over"))
+    val small = (21L to 23L).map(i => (i, "a different small duplicate group of documents here"))
+    val fixture = (flood ++ small).toDF("doc_id", "text")
+    val (pairs, report) = Dedup.minHashLshWithReport(fixture,
+      shingleN = 3, threshold = 0.5, maxBucketSize = 10)
+    val p = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // flood pairs dropped, small-group pairs intact
+    assert(!p.exists { case (a, b) => a <= 12 && b <= 12 })
+    assert(p == Set((21L, 22L), (21L, 23L), (22L, 23L)))
+    val rep = report.collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(rep.length == 8 && rep.forall(_._2 == 12L), rep.mkString(","))
+    assert(rep.map(_._1).sorted.sameElements(0 until 8))
+    // an uncapped run reports nothing dropped
+    val (_, clean) = Dedup.minHashLshWithReport(fixture, shingleN = 3, threshold = 0.5)
+    assert(clean.count() == 0)
+  }
+
+  test("semanticDedupWithReport names every cluster the size cap dropped") {
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, Sf).filter(col("vec_id") < 40)
+    val fixture = e.select(col("vec_id"), col("embedding"))
+      .union(e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    // nlist = 1: one 80-member cluster, over a cap of 10 — pair set empties
+    // and the report names the cluster at its true size
+    val (pairs, dropped) = Dedup.semanticDedupWithReport(fixture, nlist = 1,
+      threshold = 0.95, maxClusterSize = 10)
+    assert(pairs.count() == 0)
+    val rep = dropped.collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rep.toSeq == Seq((0, 80L)), rep.mkString(","))
+    // under a generous cap nothing is dropped and the planted pairs return
+    val (pairs2, dropped2) = Dedup.semanticDedupWithReport(fixture, nlist = 1,
+      threshold = 0.95, maxClusterSize = 1000)
+    assert(dropped2.count() == 0 && pairs2.count() == 40)
+  }
+
   test("keepMinIdRepresentatives: empty pair set keeps everything (no dups found)") {
     val all = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("vec_id", "t")
     val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
