@@ -798,25 +798,45 @@ private[graft] object Oracles {
       """WITH m AS (
         |  SELECT doc_id AS media_id,
         |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 'png'
+        |              WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'raw' END AS container,
+        |         n_chars,
         |         hex(encode(text)) AS hx,
-        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS ilen
         |  FROM documents),
         |b AS (
-        |  SELECT media_id, kind, n_bytes,
-        |         coalesce(list_transform(range(0, CAST(n_bytes AS INT)), i ->
+        |  SELECT media_id, kind, container, n_chars, ilen,
+        |         -- container overhead: PNG = sig 8 + IHDR 25 + IDAT wrapper 12
+        |         -- + IEND 12 = 57; JPEG = SOI 2 + APP0 18 + SOF0 19 + EOI 2 +
+        |         -- 4 bytes per COM segment (ceil(ilen/60000), min 1)
+        |         CASE container
+        |           WHEN 'png'  THEN ilen + 57
+        |           WHEN 'jpeg' THEN ilen + 41 +
+        |             4 * greatest(CAST(ceil(CAST(ilen AS DOUBLE) / 60000) AS BIGINT), 1)
+        |           ELSE ilen END AS n_bytes,
+        |         coalesce(list_transform(range(0, CAST(ilen AS INT)), i ->
         |           CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT)), []) AS bytes
         |  FROM m),
         |c AS (
-        |  SELECT media_id, kind, n_bytes, bytes,
+        |  SELECT media_id, kind, container, n_chars, ilen, n_bytes, bytes,
         |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
         |             list_transform(bytes, x -> CAST(x AS HUGEINT))),
         |           (acc, x) -> (31*acc + x) % CAST('18446744073709551616' AS HUGEINT)) AS cs
         |  FROM b)
-        |SELECT media_id, kind, n_bytes,
+        |SELECT media_id, kind, n_bytes, ilen AS n_inner_bytes, container,
+        |       CAST(CASE WHEN container = 'raw' THEN 0 ELSE n_chars % 640 END AS INT) AS width,
+        |       CAST(CASE WHEN container = 'raw' THEN 0 ELSE n_chars % 480 END AS INT) AS height,
         |       CAST(CASE WHEN cs >= CAST('9223372036854775808' AS HUGEINT)
         |                 THEN cs - CAST('18446744073709551616' AS HUGEINT) ELSE cs END AS BIGINT) AS checksum,
         |       CAST(16 AS BIGINT) AS feature_dim,
         |       array_to_string(list_transform(range(0, 16), j ->
         |         len(list_filter(bytes, x -> x % 16 = j))), ',') AS hist
-        |FROM c ORDER BY media_id""".stripMargin)
+        |FROM c ORDER BY media_id""".stripMargin,
+
+    "multimodal_image_dims" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |       CAST(n_chars % 640 AS INT) AS width,
+        |       CAST(n_chars % 480 AS INT) AS height
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin)
 }

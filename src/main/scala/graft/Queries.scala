@@ -432,22 +432,43 @@ private[graft] object Queries {
     }),
 
     "multimodal_features" -> ((s, dir) => {
-      // every output column is a DETERMINISTIC function of the payload bytes
-      // (= UTF-8 text), so the whole row — polynomial checksum included — is
-      // DuckDB-oracle-checked. The normalized folded-histogram feature is
-      // inverted back to integer byte counts (counts_j = f_j · n_bytes / Σf,
-      // exact because Σcounts = n_bytes and fp error ≪ 0.5), gating the
-      // decode→histogram→L2-normalize path end-to-end.
+      // every output column is a DETERMINISTIC function of the document row:
+      // image payloads are REAL PNG/JPEG containers (the decoder parses
+      // actual IHDR/SOF headers — container/width/height are the parse
+      // result, which DuckDB cross-checks against the generator formulas,
+      // and n_bytes carries the exact container overhead), while checksum
+      // and the folded-histogram feature run over the container's embedded
+      // data (= UTF-8 text), so the whole row stays DuckDB-oracle-checked.
+      // The normalized histogram is inverted back to integer byte counts
+      // (counts_j = f_j · n_inner_bytes / Σf, exact because Σcounts =
+      // n_inner_bytes and fp error ≪ 0.5), gating the container-decode →
+      // histogram → L2-normalize path end-to-end.
       val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(Tables.documents(s, dir)))
         .toDF()
       val fsum = aggregate(col("feature"), lit(0.0d), (acc, f) => acc + f.cast("double"))
       feats.select(
-        col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        col("media_id"), col("kind"), col("n_bytes"), col("n_inner_bytes"),
+        col("container"), col("width"), col("height"), col("checksum"),
         size(col("feature")).cast("long").as("feature_dim"),
         when(fsum > 0, concat_ws(",", transform(col("feature"),
-          f => round(f.cast("double") * col("n_bytes") / fsum).cast("long"))))
+          f => round(f.cast("double") * col("n_inner_bytes") / fsum).cast("long"))))
           .otherwise(concat_ws(",",
             transform(col("feature"), _ => lit(0L)))).as("hist"))
+        .orderBy(col("media_id"))
+    }),
+
+    "multimodal_image_dims" -> ((s, dir) => {
+      // the codegen'd image_dims EXPRESSION over the binary column (the
+      // DataFrame-plan twin of extractFeatures' typed path): parse real
+      // PNG-IHDR / JPEG-SOF headers in the scan; DuckDB replays the
+      // expected dims from the generator formulas — an encode→parse
+      // roundtrip gate. PlanSpec pins the no-UDF plan.
+      graft.plans.GraftFunctions.register(s)
+      Multimodal.syntheticMedia(Tables.documents(s, dir)).toDF()
+        .filter(col("kind") === "image")
+        .select(col("media_id"), call_function("image_dims", col("payload")).as("d"))
+        .select(col("media_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height"))
         .orderBy(col("media_id"))
     }),
 

@@ -72,6 +72,7 @@ object GraftFunctions {
     "word_shingles" -> (exprs => WordShingles(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs(0), exprs(1))),
     "simhash64" -> (exprs => SimHash64(exprs(0))),
+    "image_dims" -> (exprs => ImageDims(exprs(0))),
     // form must be a foldable string literal — it is a plan-time constant
     "text_normalize" -> (exprs => {
       require(exprs.length == 2 && exprs(1).foldable && exprs(1).eval(null) != null,
