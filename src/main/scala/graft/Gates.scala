@@ -484,16 +484,30 @@ private[graft] object Gates {
       // gates the funnel's exactly-oracle-able stages (input count, exact-
       // dedup survivor count — both plain SQL over the same fixture) plus
       // monotonicity/nonemptiness of the LSH-dependent later stages (those
-      // counts depend on MinHash banding, so they gate as booleans).
-      // Runs the whole dedup→LSH→quality pipeline itself: an independent
-      // second derivation of the sibling gate's counts, honestly timed.
+      // counts depend on MinHash banding, so they cannot be DuckDB
+      // literals). Runs the whole dedup→LSH→quality pipeline itself: an
+      // independent second derivation of the sibling gate's counts,
+      // honestly timed. The LSH-dependent stage-2 CARDINALITY is pinned by
+      // `neardup_consistent`: a THIRD derivation through the anti-join
+      // shape [[Curation.curate]] serves (exact-dedup frontier minus
+      // distinct pair b-sides) must equal the funnel's conditional-
+      // aggregation count exactly — banding nondeterminism or a count/path
+      // divergence flips the boolean and fails the hash check.
       import s.implicits._
       val m = computeFunnelStages(s, dir).toMap
+      val cfg = Curation.Config(nearDupThreshold = 0.6, minQuality = 0.1)
+      val exact = Dedup.exactDedupKept(docsWithNearDups(Tables.documents(s, dir)))
+      val dupB = Dedup.minHashLsh(exact, "doc_id", "text", cfg.shingleN,
+        cfg.minhashBands, cfg.minhashRowsPerBand, cfg.nearDupThreshold)
+        .select(col("b").as("doc_id")).distinct()
+      val n2Independent = exact.join(dupB, Seq("doc_id"), "left_anti").count()
       Seq((m("0_input"), m("1_exact_dedup"),
         m("2_near_dedup") <= m("1_exact_dedup"),
+        m("2_near_dedup") == n2Independent,
         m("3_quality_lang") <= m("2_near_dedup"),
         m("3_quality_lang") > 0L))
-        .toDF("n_input", "n_exact_kept", "neardup_monotone", "quality_monotone", "nonempty")
+        .toDF("n_input", "n_exact_kept", "neardup_monotone", "neardup_consistent",
+          "quality_monotone", "nonempty")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -590,7 +604,8 @@ private[graft] object Gates {
         |  FROM documents)
         |SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_input,
         |       CAST((SELECT COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) FROM d) AS BIGINT) AS n_exact_kept,
-        |       true AS neardup_monotone, true AS quality_monotone, true AS nonempty""".stripMargin,
+        |       true AS neardup_monotone, true AS neardup_consistent,
+        |       true AS quality_monotone, true AS nonempty""".stripMargin,
 
     "minhash_lsh_recall" ->
       """WITH f AS (
