@@ -198,6 +198,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("persisted IVF-PQ serving scan carries a partition filter on list_id") {
+    // the 100 TB serving claim: a probe reads nprobe/nlist of the stored
+    // code-table partitions, not all of them. The probe lists are dynamic
+    // (they come from the query batch), so the pruning arrives as Spark's
+    // dynamic partition pruning on the list_id join — assert the code-table
+    // scan plans a list_id partition filter with a dynamic pruning
+    // expression rather than an unfiltered full scan.
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, Sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_dpp").toString
+    try {
+      Similarity.saveIvfPq(e, dir, nlist = 8, m = 8, ksub = 16)
+      val idx = Similarity.loadIvfPq(spark, dir)
+      val served = Similarity.ivfPqQuery(idx.encoded, idx.centroids, idx.books,
+        e, e.filter(col("vec_id") < 4), k = 3, nprobe = 2, shortlist = 10)
+      val plan = explainFormatted(served)
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no dynamic partition pruning on the encoded scan:\n$plan")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("every ann_/embedding_ query plans with zero ScalaUDF nodes") {
     // locks in the native vector/SRP kernels: a regression that reintroduces
     // a per-row UDF into any ANN or embedding-dedup scan fails structurally
