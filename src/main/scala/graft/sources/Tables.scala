@@ -34,13 +34,26 @@ object Tables {
    * The raw long is converted with integer division (`div`, not `/` — double
    * division of epoch-nanos ≈1.7e18 would lose ~100 ns of precision) to a
    * microsecond TIMESTAMP. Hour-level semantics are unaffected.
+   *
+   * A TIMESTAMP_NTZ `ts` (parquet written with isAdjustedToUTC=false — e.g.
+   * a plain-TIMESTAMP export from another engine) is normalized to an
+   * instant too: every consumer here does instant arithmetic
+   * (`unix_millis`/`unix_micros`), which rejects NTZ outright, and all
+   * entry points run with a UTC session timezone so the cast is a
+   * shift-free reinterpretation. Found by the 5× scale probe: a replicated
+   * dataset written through DuckDB landed as NTZ and failed every as-of /
+   * sessionization query at plan time.
    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
