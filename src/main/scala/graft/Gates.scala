@@ -26,9 +26,12 @@ private[graft] object Gates {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
     val p = Path.of(path)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
