@@ -186,6 +186,11 @@ private[graft] object Queries {
         .orderBy(col("freq").desc, col("token").asc).limit(50)
     }),
 
+    "bm25_topk" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(Tables.documents(s, dir),
+        Seq("vector", "stream", "hash"), k = 20)
+    }),
+
     "fingerprints_md5" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp_md5"))

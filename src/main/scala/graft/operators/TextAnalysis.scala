@@ -64,6 +64,53 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
 
   /**
+   * BM25 lexical top-k retrieval (Okapi BM25 with the Lucene `+1` idf
+   * smoothing) — the keyword-search complement to the embedding ANN paths:
+   * curation pipelines use it for decontamination lookups, targeted quality
+   * sampling and retrieval-based dedup triage.
+   *
+   * Shape at 100 TB: ONE corpus-wide narrow tokenize + count pass produces
+   * per-doc lengths (shuffle keyed on doc_id); corpus scalars (N, avgdl) ride
+   * a broadcast 1-row aggregate; the postings side is filtered to the query's
+   * terms BEFORE any aggregation, so the scoring shuffle is proportional to
+   * matching postings, not the corpus; per-term document frequencies are a
+   * ≤|query|-row broadcast. Final top-k is a TakeOrdered, never a full sort.
+   *
+   * Scores are rounded to 6 decimals so ordering (and the DuckDB oracle
+   * replay) is robust to double-summation order; ties break on `idCol`.
+   */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
+    require(k > 0, "bm25TopK: k must be positive")
+    val terms = queryTerms.map(_.trim.toLowerCase).distinct
+    val toks = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val perDoc = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // Exact scalar stats: integer sum then one division, so Spark and the
+    // DuckDB oracle agree bit-for-bit regardless of partitioning.
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfq"))
+    val num = col("tf") * lit(k1 + 1.0)
+    val den = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    val idf = log((col("n_docs") - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5)) + lit(1.0))
+    tf.join(broadcast(dfreq), "token")
+      .join(perDoc, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), (idf * num / den).as("s"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("s")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * Benchmark-contamination check: for each training document, the number of
    * DISTINCT word `n`-grams it shares with ANY benchmark document. The
    * standard eval-leakage scan (n=13 in the literature; lower n for short

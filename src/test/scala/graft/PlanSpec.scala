@@ -240,4 +240,11 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("ScalaUDF"), s"$name plans a ScalaUDF:\n$plan")
     }
   }
+
+  test("BM25 top-k: TakeOrdered (never a full sort), broadcast stats/df sides, no UDF") {
+    val plan = formattedPlan(SparkEntry.queries("bm25_topk")(spark, Sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastExchange"), plan) // dfreq + corpus scalars
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }

@@ -77,4 +77,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.length == 3)
     assert(r.distinct.length == 3)
   }
+
+  test("bm25TopK matches the hand-computed Okapi formula; non-matching docs absent") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c c")).toDF("doc_id", "text")
+    // N=3, avgdl=3.0, dfq(a)=2, idf=ln((3-2+0.5)/(2+0.5)+1)=ln(1.6)
+    val idf = math.log(1.6)
+    val s1 = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
+    val s2 = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2 / 3.0))
+    val got = TextAnalysis.bm25TopK(docs, Seq("a"), k = 10).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // desc score, doc 3 absent
+    assert(math.abs(got(0).getDouble(1) - s1) < 1e-6)
+    assert(math.abs(got(1).getDouble(1) - s2) < 1e-6)
+  }
+
+  test("bm25TopK: k limits output, ties break on doc_id, terms lowercased") {
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq("X", "y"), k = 2).collect()
+    assert(got.length == 2)
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // equal scores → id order
+  }
 }
