@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{Quantization, Similarity}
+import graft.operators.{Quantization, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -82,6 +82,19 @@ private[graft] object AnnArtifacts {
       Similarity.saveIvfIndex(index, s"$p/ivf")
       Quantization.savePq(Quantization.encodePq(e, books), books, s"$p/pq")
       Similarity.saveIvfPqWith(index, books, s"$p/ivfpq")
+      p
+    })
+  }
+
+  private val lexMemo = scala.collection.mutable.Map[String, String]()
+
+  /** Persisted BM25 postings index ([[TextAnalysis.saveLexicalIndex]]
+    * layout) for the documents table under `dir` — the lexical serving
+    * artifact, built at most once per JVM per dataset. */
+  def lexicalRoot(s: SparkSession, dir: String): String = synchronized {
+    lexMemo.getOrElseUpdate(dir, {
+      val p = s"$root/${Integer.toHexString(dir.hashCode)}_lex"
+      TextAnalysis.saveLexicalIndex(Tables.documents(s, dir), p)
       p
     })
   }

@@ -19,6 +19,30 @@ import graft.sources.Tables
 private[graft] object Oracles {
   import Fixtures._
 
+  // Okapi BM25 (Lucene +1 idf), k1=1.2 b=0.75, query {vector,stream,hash},
+  // top-20. Literals and expression tree mirror TextAnalysis.bm25TopK
+  // operation-for-operation; avgdl is an exact integer sum / count so both
+  // engines agree bit-for-bit; the final round(…,6) absorbs double-summation
+  // order; constants fold as arithmetic ((1.2 + 1.0), not 2.2) so the
+  // decimal literals round to the same doubles the operator computes.
+  private val Bm25Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |    FROM documents) WHERE token <> ''),
+      |perdoc AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM perdoc),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
+      |       WHERE token IN ('vector', 'stream', 'hash') GROUP BY 1, 2),
+      |dfq AS (SELECT token, COUNT(*) AS dfq FROM tf GROUP BY 1),
+      |s AS (
+      |  SELECT tf.doc_id,
+      |         ln((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)
+      |           * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
+      |  FROM tf JOIN dfq USING (token) JOIN perdoc USING (doc_id) CROSS JOIN stats)
+      |SELECT doc_id, round(SUM(s), 6) AS score
+      |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
   def all: Map[String, String] = Map(
     "h1_history_avg" ->
       s"""$ReadingsCte
@@ -188,28 +212,11 @@ private[graft] object Oracles {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
         |WHERE token <> '' GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
 
-    // Okapi BM25 (Lucene +1 idf), k1=1.2 b=0.75, query {vector,stream,hash},
-    // top-20. Literals and expression tree mirror TextAnalysis.bm25TopK
-    // operation-for-operation; avgdl is an exact integer sum / count so both
-    // engines agree bit-for-bit; the final round(…,6) absorbs double-summation
-    // order.
-    "bm25_topk" ->
-      """WITH tk AS (
-        |  SELECT doc_id, token FROM (
-        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        |    FROM documents) WHERE token <> ''),
-        |perdoc AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
-        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM perdoc),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
-        |       WHERE token IN ('vector', 'stream', 'hash') GROUP BY 1, 2),
-        |dfq AS (SELECT token, COUNT(*) AS dfq FROM tf GROUP BY 1),
-        |s AS (
-        |  SELECT tf.doc_id,
-        |         ln((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)
-        |           * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
-        |  FROM tf JOIN dfq USING (token) JOIN perdoc USING (doc_id) CROSS JOIN stats)
-        |SELECT doc_id, round(SUM(s), 6) AS score
-        |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "bm25_topk" -> Bm25Sql,
+
+    // the persisted-index serving path computes the identical formula from
+    // the postings artifact — one oracle pins both derivations
+    "bm25_index_topk" -> Bm25Sql,
 
     "fingerprints_md5" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5

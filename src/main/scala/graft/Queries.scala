@@ -191,6 +191,15 @@ private[graft] object Queries {
         Seq("vector", "stream", "hash"), k = 20)
     }),
 
+    "bm25_index_topk" -> ((s, dir) => {
+      // serving path: answers from the persisted postings artifact (built
+      // once per JVM) with a static bucket partition filter; arithmetic is
+      // literal-for-literal the bm25_topk derivation, so the same oracle
+      // pins both paths
+      TextAnalysis.bm25QueryIndex(s, AnnArtifacts.lexicalRoot(s, dir),
+        Seq("vector", "stream", "hash"), k = 20)
+    }),
+
     "fingerprints_md5" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp_md5"))

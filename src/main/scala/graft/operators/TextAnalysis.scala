@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -107,6 +107,77 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(round(sum(col("s")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
+   * Persist a BM25 serving index: the lexical analogue of the IVF-PQ
+   * artifact — tokenize the corpus ONCE at build time, serve every query
+   * after from a partition-pruned postings scan that never touches the
+   * corpus text again.
+   *
+   * Layout under `path`:
+   *  - `postings/` — (token, doc_id, tf, dl, dfq), parquet partitioned by
+   *    `bucket = pmod(xxhash64(token), nBuckets)`. Per-doc length `dl` and
+   *    per-term document frequency `dfq` are DENORMALIZED into the postings
+   *    rows so serving reads nothing else (storage for correctness-free
+   *    joins — the classic search-index trade).
+   *  - `stats/` — one row (n_docs, avgdl, n_buckets); avgdl is an exact
+   *    integer sum / count, so serving reproduces [[bm25TopK]] bit-for-bit.
+   *
+   * At 100 TB the build is two token-keyed shuffles (tf, dfq) plus one
+   * doc-keyed one (dl) — each a plain partial/final hash aggregate; serving
+   * reads |queryTerms| buckets out of nBuckets.
+   */
+  def saveLexicalIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
+                       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(nBuckets > 0, "saveLexicalIndex: nBuckets must be positive")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfq"))
+    tf.join(dl, "doc_id").join(dfreq, "token")
+      .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /**
+   * Answer a BM25 top-k query from a [[saveLexicalIndex]] artifact. Same
+   * arithmetic, literal for literal, as [[bm25TopK]] — the two paths return
+   * row-identical results (spec-pinned) — but the only data touched is the
+   * 1-row stats table and the query terms' postings buckets: the bucket ids
+   * land on the partition column as a static isin, so the scan prunes to
+   * ≤ |queryTerms| of the nBuckets directories.
+   */
+  def bm25QueryIndex(spark: SparkSession, path: String, queryTerms: Seq[String],
+                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25QueryIndex: queryTerms must be non-empty")
+    require(k > 0, "bm25QueryIndex: k must be positive")
+    val terms = queryTerms.map(_.trim.toLowerCase).distinct
+    val st = spark.read.parquet(s"$path/stats").collect()(0) // 1 row by layout
+    val nDocs = st.getAs[Long]("n_docs")
+    val nBuckets = st.getAs[Int]("n_buckets")
+    val avgdl = if (nDocs == 0L) 1.0 else st.getAs[Double]("avgdl")
+    // bucket ids via the engine's own xxhash64 (≤ |terms| rows collected)
+    import spark.implicits._
+    val bucketIds = terms.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(bucketIds: _*) && col("token").isin(terms: _*))
+    val num = col("tf") * lit(k1 + 1.0)
+    val den = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
+    val idf = log((lit(nDocs) - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5)) + lit(1.0))
+    postings.select(col("doc_id"), (idf * num / den).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
 

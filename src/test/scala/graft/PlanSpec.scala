@@ -247,4 +247,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan) // dfreq + corpus scalars
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("persisted BM25 index serving scan prunes postings partitions on bucket") {
+    // the lexical serving claim: a query reads ≤ |terms| of the nBuckets
+    // postings directories — the bucket isin must land in PartitionFilters
+    // (static pruning; the bucket ids are literals at plan time)
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, Sf)
+    val dir = java.nio.file.Files.createTempDirectory("lex_prune").toString
+    try {
+      TextAnalysis.saveLexicalIndex(docs, dir, nBuckets = 16)
+      val served = TextAnalysis.bm25QueryIndex(spark, dir, Seq("vector"), k = 5)
+      val plan = explainFormatted(served)
+      val partFilter = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(partFilter.contains("bucket"), s"no bucket partition filter:\n$plan")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }

@@ -96,4 +96,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.length == 2)
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // equal scores → id order
   }
+
+  test("bm25QueryIndex serves row-identical results to the direct derivation") {
+    val docs = Seq(
+      (1L, "spark scan spark merge"), (2L, "scan filter join"),
+      (3L, "merge merge merge scan"), (4L, "filter value row"),
+      (5L, "spark")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_idx").toString
+    try {
+      TextAnalysis.saveLexicalIndex(docs, dir, nBuckets = 8)
+      // multi-term query incl. a term absent from the corpus: the index path
+      // must agree row-for-row (same scores, same order) with bm25TopK
+      val terms = Seq("spark", "merge", "absent_term")
+      val direct = TextAnalysis.bm25TopK(docs, terms, k = 10).collect().toSeq
+      val served = TextAnalysis.bm25QueryIndex(spark, dir, terms, k = 10).collect().toSeq
+      assert(served == direct)
+      assert(direct.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
