@@ -212,6 +212,24 @@ private[graft] object Oracles {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
         |WHERE token <> '' GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
 
+    // add-one unigram LM over the top-20 corpus tokens; mean negative
+    // log-likelihood per doc. Model inputs (T, top-V counts, tie-break)
+    // are exact integers; round(…,6) absorbs double-summation order.
+    "unigram_nll" ->
+      """WITH tk AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |counts AS (SELECT token, COUNT(*) AS freq FROM tk GROUP BY 1),
+        |stats AS (SELECT SUM(freq) AS t_total FROM counts),
+        |vocab AS (SELECT token, freq FROM counts ORDER BY freq DESC, token ASC LIMIT 20),
+        |s AS (
+        |  SELECT tk.doc_id,
+        |         ln(CAST(COALESCE(v.freq, 0) + 1 AS DOUBLE) / (t_total + 20 + 1)) AS lnp
+        |  FROM tk LEFT JOIN vocab v USING (token) CROSS JOIN stats)
+        |SELECT doc_id, round(-(SUM(lnp) / COUNT(*)), 6) AS nll
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "bm25_topk" -> Bm25Sql,
 
     // the persisted-index serving path computes the identical formula from

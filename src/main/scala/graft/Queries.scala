@@ -191,6 +191,13 @@ private[graft] object Queries {
         Seq("vector", "stream", "hash"), k = 20)
     }),
 
+    "unigram_nll" -> ((s, dir) => {
+      // vocabSize=20 < corpus vocabulary so the OOV smoothing path is
+      // genuinely exercised at fixture scale
+      TextAnalysis.unigramNll(Tables.documents(s, dir), vocabSize = 20)
+        .orderBy(col("doc_id"))
+    }),
+
     "bm25_index_topk" -> ((s, dir) => {
       // serving path: answers from the persisted postings artifact (built
       // once per JVM) with a static bucket partition filter; arithmetic is

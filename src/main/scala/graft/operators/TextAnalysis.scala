@@ -111,6 +111,41 @@ object TextAnalysis {
   }
 
   /**
+   * Unigram LM perplexity proxy (the CCNet-style fluency filter): per-doc
+   * mean negative log-likelihood under an add-one-smoothed corpus unigram
+   * model restricted to the top-`vocabSize` tokens — low nll ≈ fluent /
+   * in-distribution text, high nll ≈ boilerplate, OOV-heavy or junk. Real
+   * pipelines threshold on a trained KenLM; the unigram model keeps the
+   * distributed shape (count → broadcast model → narrow score pass)
+   * identical while staying engine-replayable.
+   *
+   * P(t) = (freq_V(t) + 1) / (T + V + 1), OOV → freq 0; all model inputs
+   * are exact integers (corpus token count T, top-V counts), so the model
+   * is bit-reproducible across partitionings. Shape at 100 TB: one
+   * token-keyed count shuffle, a V-row TakeOrdered broadcast, a 1-row total
+   * broadcast, then one narrow scan scoring every doc; the nll rounds to 6
+   * decimals to absorb double-summation order.
+   */
+  def unigramNll(docs: DataFrame, vocabSize: Int = 1000,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "unigramNll: vocabSize must be positive")
+    val toks = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val stats = counts.agg(sum(col("freq")).as("t_total"))
+    val vocab = counts.orderBy(col("freq").desc, col("token").asc).limit(vocabSize)
+    val lnp = log(
+      (coalesce(col("freq"), lit(0L)) + lit(1L)).cast("double") /
+        (col("t_total") + lit(vocabSize.toLong) + lit(1L)))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), lnp.as("lnp"))
+      .groupBy(col(idCol))
+      .agg(round(-(sum(col("lnp")) / count(lit(1))), 6).as("nll"))
+  }
+
+  /**
    * Persist a BM25 serving index: the lexical analogue of the IVF-PQ
    * artifact — tokenize the corpus ONCE at build time, serve every query
    * after from a partition-pruned postings scan that never touches the

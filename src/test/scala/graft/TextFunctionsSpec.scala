@@ -97,6 +97,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // equal scores → id order
   }
 
+  test("unigramNll matches the hand-computed add-one model; OOV scores worse") {
+    // corpus: tokens a×3, b×2, c×1 → T=6; vocabSize=2 keeps {a,b}, c is OOV
+    val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val t = 6.0; val v = 2
+    val pa = 4.0 / (t + v + 1); val pb = 3.0 / (t + v + 1); val poov = 1.0 / (t + v + 1)
+    val nll1 = -(math.log(pa) + math.log(pa) + math.log(pb)) / 3
+    val nll2 = -(math.log(pa) + math.log(pb) + math.log(poov)) / 3
+    val got = TextAnalysis.unigramNll(docs, vocabSize = v).orderBy($"doc_id").collect()
+    assert(math.abs(got(0).getDouble(1) - nll1) < 1e-6)
+    assert(math.abs(got(1).getDouble(1) - nll2) < 1e-6)
+    assert(got(1).getDouble(1) > got(0).getDouble(1)) // the OOV doc is less fluent
+  }
+
   test("bm25QueryIndex serves row-identical results to the direct derivation") {
     val docs = Seq(
       (1L, "spark scan spark merge"), (2L, "scan filter join"),
