@@ -175,6 +175,12 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfq"))
     tf.join(dl, "doc_id").join(dfreq, "token")
       .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int"))
+      // cluster by the partition column before the partitioned write: without
+      // this every task writes a file into every bucket (tasks × nBuckets
+      // small files at scale); sorting by token inside each file gives the
+      // parquet row groups tight token min/max stats, so the serving scan
+      // skips row groups within a bucket too
+      .repartition(col("bucket")).sortWithinPartitions(col("token"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     dl.agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
