@@ -41,6 +41,14 @@ private[graft] object AnnArtifacts {
   private lazy val root: String =
     Files.createTempDirectory("graft_ann_artifacts").toString
 
+  /** Collision-free per-dataset path key (String.hashCode collides;
+    * md5 over the dir string does not, for any realistic set of dirs). */
+  private def dirKey(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
+
   private val centsMemo =
     scala.collection.mutable.Map[String, Array[(Int, Array[Float])]]()
   private val booksMemo =
@@ -77,7 +85,7 @@ private[graft] object AnnArtifacts {
       val e = Tables.embeddings(s, dir)
       val cents = ivfCentroids(s, dir)
       val books = pqBooks(s, dir)
-      val p = s"$root/${Integer.toHexString(dir.hashCode)}"
+      val p = s"$root/${dirKey(dir)}"
       val index = Similarity.IvfIndex(cents, Similarity.assignIvf(e, cents))
       Similarity.saveIvfIndex(index, s"$p/ivf")
       Quantization.savePq(Quantization.encodePq(e, books), books, s"$p/pq")
@@ -93,8 +101,26 @@ private[graft] object AnnArtifacts {
     * artifact, built at most once per JVM per dataset. */
   def lexicalRoot(s: SparkSession, dir: String): String = synchronized {
     lexMemo.getOrElseUpdate(dir, {
-      val p = s"$root/${Integer.toHexString(dir.hashCode)}_lex"
+      val p = s"$root/${dirKey(dir)}_lex"
       TextAnalysis.saveLexicalIndex(Tables.documents(s, dir), p)
+      p
+    })
+  }
+
+  private val lexAppendMemo = scala.collection.mutable.Map[String, String]()
+
+  /** The same documents corpus indexed as TWO segments — an initial
+    * [[TextAnalysis.saveLexicalIndex]] over doc_id % 3 != 0 plus an
+    * [[TextAnalysis.appendLexicalIndex]] of the rest — the artifact behind
+    * the append-≡-rebuild gate (`bm25_append_topk`): serving from it must
+    * reproduce the full-corpus BM25 formula row for row. */
+  def lexicalAppendRoot(s: SparkSession, dir: String): String = synchronized {
+    lexAppendMemo.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.functions.col
+      val p = s"$root/${dirKey(dir)}_lexapp"
+      val d = Tables.documents(s, dir)
+      TextAnalysis.saveLexicalIndex(d.filter(col("doc_id") % 3 =!= 0), p)
+      TextAnalysis.appendLexicalIndex(d.filter(col("doc_id") % 3 === 0), p)
       p
     })
   }

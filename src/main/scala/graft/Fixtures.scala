@@ -273,12 +273,12 @@ private[graft] object Fixtures {
     embs.select(col("vec_id"), col("embedding"))
       .union(embs.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
 
-  /** Stage counts of the curation funnel — recomputed by EVERY caller.
-    * `curation_funnel` and `curation_funnel_check` each run the full
-    * dedup→LSH→quality pipeline: the check is an independent re-derivation
-    * (two runs must agree, so banding nondeterminism would surface as a gate
-    * disagreement), and each query's bench timing measures real pipeline
-    * work in isolation (a shared memo made the second timing fake). */
+  /** Stage counts of the curation funnel — recomputed by EVERY caller
+    * (no memo: each query's bench timing measures real pipeline work).
+    * `curation_funnel` runs the full dedup→LSH→quality pipeline through
+    * here; `curation_funnel_check` re-derives the same stages with its own
+    * single pipeline run (two independent runs, so banding nondeterminism
+    * would surface as disagreement on the oracle-pinned stages). */
   def computeFunnelStages(s: SparkSession, dir: String): Seq[(String, Long)] =
     Curation.funnel(docsWithNearDups(Tables.documents(s, dir)),
       Curation.Config(nearDupThreshold = 0.6, minQuality = 0.1))

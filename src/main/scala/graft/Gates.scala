@@ -488,29 +488,46 @@ private[graft] object Gates {
       // dedup survivor count — both plain SQL over the same fixture) plus
       // monotonicity/nonemptiness of the LSH-dependent later stages (those
       // counts depend on MinHash banding, so they cannot be DuckDB
-      // literals). Runs the whole dedup→LSH→quality pipeline itself: an
-      // independent second derivation of the sibling gate's counts,
-      // honestly timed. The LSH-dependent stage-2 CARDINALITY is pinned by
-      // `neardup_consistent`: a THIRD derivation through the anti-join
-      // shape [[Curation.curate]] serves (exact-dedup frontier minus
-      // distinct pair b-sides) must equal the funnel's conditional-
-      // aggregation count exactly — banding nondeterminism or a count/path
-      // divergence flips the boolean and fails the hash check.
+      // literals). Runs the dedup→LSH pipeline ONCE — the sibling
+      // `curation_funnel` query is already an independent full re-run, and
+      // banding determinism is their agreement on the oracle-pinned stages —
+      // then derives the stage-2 cardinality through TWO counting paths
+      // over the same cached frames: the funnel's conditional aggregation
+      // and the anti-join shape [[Curation.curate]] serves (exact-dedup
+      // frontier minus distinct pair b-sides). `neardup_consistent` pins
+      // their EQUALITY — a count/path divergence flips the boolean and
+      // fails the hash check. The LSH pair frame is localCheckpointed by
+      // construction, so the second counting path replans only the
+      // anti-join, not the banding (round 7 re-ran the whole pipeline for
+      // it, ~doubling the gate's cost for no extra evidence).
       import s.implicits._
-      val m = computeFunnelStages(s, dir).toMap
       val cfg = Curation.Config(nearDupThreshold = 0.6, minQuality = 0.1)
-      val exact = Dedup.exactDedupKept(docsWithNearDups(Tables.documents(s, dir)))
-      val dupB = Dedup.minHashLsh(exact, "doc_id", "text", cfg.shingleN,
-        cfg.minhashBands, cfg.minhashRowsPerBand, cfg.nearDupThreshold)
-        .select(col("b").as("doc_id")).distinct()
-      val n2Independent = exact.join(dupB, Seq("doc_id"), "left_anti").count()
-      Seq((m("0_input"), m("1_exact_dedup"),
-        m("2_near_dedup") <= m("1_exact_dedup"),
-        m("2_near_dedup") == n2Independent,
-        m("3_quality_lang") <= m("2_near_dedup"),
-        m("3_quality_lang") > 0L))
-        .toDF("n_input", "n_exact_kept", "neardup_monotone", "neardup_consistent",
-          "quality_monotone", "nonempty")
+      val docs = docsWithNearDups(Tables.documents(s, dir))
+      val n0 = docs.count()
+      val exact = Dedup.exactDedupKept(docs).persist()
+      try {
+        val dupB = Dedup.minHashLsh(exact, "doc_id", "text", cfg.shingleN,
+          cfg.minhashBands, cfg.minhashRowsPerBand, cfg.nearDupThreshold)
+          .select(col("b").as("doc_id")).distinct()
+        val langOk =
+          if (cfg.keepLangs.isEmpty) lit(true)
+          else col("lang_pred").isin(cfg.keepLangs: _*)
+        val counts = exact
+          .join(dupB.withColumn("_dup", lit(1)), Seq("doc_id"), "left")
+          .withColumn("quality", TextFunctions.qualityScore(col("text"), cfg.stopwords))
+          .withColumn("lang_pred", TextFunctions.langId(col("text")))
+          .agg(
+            count(lit(1)).as("n1"),
+            count(when(col("_dup").isNull, 1)).as("n2"),
+            count(when(col("_dup").isNull && col("quality") >= cfg.minQuality && langOk, 1))
+              .as("n3"))
+          .collect()(0)
+        val (n1, n2, n3) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+        val n2Independent = exact.join(dupB, Seq("doc_id"), "left_anti").count()
+        Seq((n0, n1, n2 <= n1, n2 == n2Independent, n3 <= n2, n3 > 0L))
+          .toDF("n_input", "n_exact_kept", "neardup_monotone", "neardup_consistent",
+            "quality_monotone", "nonempty")
+      } finally exact.unpersist()
     }))
 
   def oracles: Map[String, String] = Map(

@@ -43,6 +43,39 @@ private[graft] object Oracles {
       |SELECT doc_id, round(SUM(s), 6) AS score
       |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  // Batch BM25: three queries scored over the union of their terms with the
+  // same per-term arithmetic as Bm25Sql, per-query top-10 by row_number.
+  // Types cast to the Spark result's schema (query_id/doc_id BIGINT, rnk INT).
+  private val Bm25BatchSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |    FROM documents) WHERE token <> ''),
+      |perdoc AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM perdoc),
+      |q(query_id, token) AS (VALUES
+      |  (CAST(1 AS BIGINT), 'vector'), (CAST(1 AS BIGINT), 'stream'), (CAST(1 AS BIGINT), 'hash'),
+      |  (CAST(2 AS BIGINT), 'data'),   (CAST(2 AS BIGINT), 'merge'),
+      |  (CAST(3 AS BIGINT), 'window'), (CAST(3 AS BIGINT), 'stream')),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
+      |       WHERE token IN ('vector', 'stream', 'hash', 'data', 'merge', 'window')
+      |       GROUP BY 1, 2),
+      |dfq AS (SELECT token, COUNT(*) AS dfq FROM tf GROUP BY 1),
+      |s AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |         ln((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)
+      |           * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
+      |  FROM tf JOIN q USING (token) JOIN dfq USING (token)
+      |       JOIN perdoc USING (doc_id) CROSS JOIN stats),
+      |sc AS (SELECT query_id, doc_id, round(SUM(s), 6) AS score
+      |       FROM s GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score,
+      |             CAST(row_number() OVER (PARTITION BY query_id
+      |               ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+      |      FROM sc)
+      |SELECT query_id, doc_id, score, rnk FROM r
+      |WHERE rnk <= 10 ORDER BY query_id ASC, rnk ASC""".stripMargin
+
   def all: Map[String, String] = Map(
     "h1_history_avg" ->
       s"""$ReadingsCte
@@ -230,11 +263,39 @@ private[graft] object Oracles {
         |SELECT doc_id, round(-(SUM(lnp) / COUNT(*)), 6) AS nll
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "bigram_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)), i ->
+        |           array_to_string(w[i:i+1], ' '))) AS bigram
+        |  FROM tok WHERE len(w) >= 2),
+        |c1 AS (SELECT token, COUNT(*) AS freq1
+        |       FROM (SELECT unnest(w) AS token FROM tok) WHERE token <> '' GROUP BY 1),
+        |v1 AS (SELECT token AS w1, freq1 FROM c1 ORDER BY freq1 DESC, token ASC LIMIT 20),
+        |c2 AS (SELECT bigram, COUNT(*) AS freq2 FROM big GROUP BY 1),
+        |v2 AS (SELECT bigram, freq2 FROM c2 ORDER BY freq2 DESC, bigram ASC LIMIT 50),
+        |s AS (
+        |  SELECT big.doc_id,
+        |         ln(CAST(COALESCE(v2.freq2, 0) + 1 AS DOUBLE)
+        |            / (COALESCE(v1.freq1, 0) + 20 + 1)) AS lnp
+        |  FROM big
+        |  LEFT JOIN v2 USING (bigram)
+        |  LEFT JOIN v1 ON v1.w1 = split_part(big.bigram, ' ', 1))
+        |SELECT doc_id, round(-(SUM(lnp) / COUNT(*)), 6) AS nll
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "bm25_topk" -> Bm25Sql,
 
     // the persisted-index serving path computes the identical formula from
     // the postings artifact — one oracle pins both derivations
     "bm25_index_topk" -> Bm25Sql,
+    // append+serve ≡ full rebuild: the two-segment artifact must reproduce
+    // the full-corpus formula, so the SAME oracle pins the append path
+    "bm25_append_topk" -> Bm25Sql,
+    "bm25_batch_topk" -> Bm25BatchSql,
 
     "fingerprints_md5" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
@@ -852,28 +913,49 @@ private[graft] object Oracles {
         |         hex(encode(text)) AS hx,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS ilen
         |  FROM documents),
+        |g AS (
+        |  SELECT *,
+        |         CAST(n_chars % 24 + 1 AS INT) AS w,
+        |         CAST(n_chars % 8 + 1 AS INT) AS h
+        |  FROM m),
         |b AS (
-        |  SELECT media_id, kind, container, n_chars, ilen,
-        |         -- container overhead: PNG = sig 8 + IHDR 25 + IDAT wrapper 12
-        |         -- + IEND 12 = 57; JPEG = SOI 2 + APP0 18 + SOF0 19 + EOI 2 +
-        |         -- 4 bytes per COM segment (ceil(ilen/60000), min 1)
+        |  SELECT media_id, kind, container, ilen, w, h,
+        |         -- decoder-visible data: PNG = the decompressed, defiltered
+        |         -- 3wh pixel bytes; JPEG/raw = the embedded/raw bytes
+        |         CASE container WHEN 'png' THEN CAST(3*w*h AS BIGINT)
+        |              ELSE ilen END AS n_inner,
+        |         -- container sizes: PNG = 57 bytes of chunk structure +
+        |         -- zlib-stored scanline stream (2 hdr + 5/block + raw +
+        |         -- 4 adler over raw = h*(1+3w) bytes); JPEG = SOI 2 +
+        |         -- APP0 18 + SOF0 19 + EOI 2 + 4 bytes per COM segment
         |         CASE container
-        |           WHEN 'png'  THEN ilen + 57
+        |           WHEN 'png'  THEN 57 + 2 + 4 + h*(1+3*w) +
+        |             5 * greatest(CAST(ceil(CAST(h*(1+3*w) AS DOUBLE) / 65535) AS BIGINT), 1)
         |           WHEN 'jpeg' THEN ilen + 41 +
         |             4 * greatest(CAST(ceil(CAST(ilen AS DOUBLE) / 60000) AS BIGINT), 1)
         |           ELSE ilen END AS n_bytes,
-        |         coalesce(list_transform(range(0, CAST(ilen AS INT)), i ->
-        |           CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT)), []) AS bytes
-        |  FROM m),
+        |         -- the bytes the feature kernel reads: PNG pixels are the
+        |         -- text bytes cycled over the 3wh RGB samples
+        |         CASE
+        |           WHEN container = 'png' AND ilen > 0 THEN
+        |             list_transform(range(0, CAST(3*w*h AS INT)), i ->
+        |               CAST(('0x' || substr(hx, CAST(2*(i % CAST(ilen AS INT))+1 AS INT), 2)) AS INT))
+        |           WHEN container = 'png' THEN
+        |             list_transform(range(0, CAST(3*w*h AS INT)), i -> 0)
+        |           ELSE
+        |             coalesce(list_transform(range(0, CAST(ilen AS INT)), i ->
+        |               CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT)), [])
+        |         END AS bytes
+        |  FROM g),
         |c AS (
-        |  SELECT media_id, kind, container, n_chars, ilen, n_bytes, bytes,
+        |  SELECT media_id, kind, container, n_inner, n_bytes, bytes, w, h,
         |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
         |             list_transform(bytes, x -> CAST(x AS HUGEINT))),
         |           (acc, x) -> (31*acc + x) % CAST('18446744073709551616' AS HUGEINT)) AS cs
         |  FROM b)
-        |SELECT media_id, kind, n_bytes, ilen AS n_inner_bytes, container,
-        |       CAST(CASE WHEN container = 'raw' THEN 0 ELSE n_chars % 640 END AS INT) AS width,
-        |       CAST(CASE WHEN container = 'raw' THEN 0 ELSE n_chars % 480 END AS INT) AS height,
+        |SELECT media_id, kind, n_bytes, n_inner AS n_inner_bytes, container,
+        |       CAST(CASE WHEN container = 'raw' THEN 0 ELSE w END AS INT) AS width,
+        |       CAST(CASE WHEN container = 'raw' THEN 0 ELSE h END AS INT) AS height,
         |       CAST(CASE WHEN cs >= CAST('9223372036854775808' AS HUGEINT)
         |                 THEN cs - CAST('18446744073709551616' AS HUGEINT) ELSE cs END AS BIGINT) AS checksum,
         |       CAST(16 AS BIGINT) AS feature_dim,
@@ -884,7 +966,7 @@ private[graft] object Oracles {
     "multimodal_image_dims" ->
       """SELECT doc_id AS media_id,
         |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-        |       CAST(n_chars % 640 AS INT) AS width,
-        |       CAST(n_chars % 480 AS INT) AS height
+        |       CAST(n_chars % 24 + 1 AS INT) AS width,
+        |       CAST(n_chars % 8 + 1 AS INT) AS height
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin)
 }

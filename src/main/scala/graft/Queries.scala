@@ -207,6 +207,35 @@ private[graft] object Queries {
         Seq("vector", "stream", "hash"), k = 20)
     }),
 
+    "bigram_nll" -> ((s, dir) => {
+      // small vocab caps (20 conditioning tokens / 50 bigrams) so both OOV
+      // backoff paths are genuinely exercised at fixture scale
+      TextAnalysis.bigramNll(Tables.documents(s, dir),
+        unigramVocab = 20, bigramVocab = 50)
+        .orderBy(col("doc_id"))
+    }),
+
+    "bm25_append_topk" -> ((s, dir) => {
+      // the index here was built as an initial segment (doc_id % 3 != 0)
+      // plus an APPENDED segment (the rest) — serving from the two-segment
+      // artifact must equal the full-corpus derivation, so the same oracle
+      // that pins bm25_topk pins append+serve ≡ full rebuild
+      TextAnalysis.bm25QueryIndex(s, AnnArtifacts.lexicalAppendRoot(s, dir),
+        Seq("vector", "stream", "hash"), k = 20)
+    }),
+
+    "bm25_batch_topk" -> ((s, dir) => {
+      // batch serving: three queries answered by ONE pruned postings scan
+      // over the union of their terms; per-query top-10 via the heap-based
+      // TopKPerKey physical operator
+      import s.implicits._
+      val qs = Seq(
+        (1L, Seq("vector", "stream", "hash")),
+        (2L, Seq("data", "merge")),
+        (3L, Seq("window", "stream"))).toDF("query_id", "terms")
+      TextAnalysis.bm25QueryIndexBatch(s, AnnArtifacts.lexicalRoot(s, dir), qs, k = 10)
+    }),
+
     "fingerprints_md5" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp_md5"))
@@ -457,13 +486,15 @@ private[graft] object Queries {
       // image payloads are REAL PNG/JPEG containers (the decoder parses
       // actual IHDR/SOF headers — container/width/height are the parse
       // result, which DuckDB cross-checks against the generator formulas,
-      // and n_bytes carries the exact container overhead), while checksum
-      // and the folded-histogram feature run over the container's embedded
-      // data (= UTF-8 text), so the whole row stays DuckDB-oracle-checked.
-      // The normalized histogram is inverted back to integer byte counts
+      // and n_bytes carries the exact container overhead incl. the PNG
+      // zlib framing). PNG checksum/histogram run over GENUINELY DECODED
+      // pixels (IDAT → java.util.zip.Inflater → scanline defilter) which
+      // DuckDB replays as the generator's cycled text bytes; JPEG (no JDK
+      // DCT codec — declared stub) runs over the COM-embedded text. The
+      // normalized histogram is inverted back to integer byte counts
       // (counts_j = f_j · n_inner_bytes / Σf, exact because Σcounts =
       // n_inner_bytes and fp error ≪ 0.5), gating the container-decode →
-      // histogram → L2-normalize path end-to-end.
+      // inflate → defilter → histogram → L2-normalize path end-to-end.
       val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(Tables.documents(s, dir)))
         .toDF()
       val fsum = aggregate(col("feature"), lit(0.0d), (acc, f) => acc + f.cast("double"))

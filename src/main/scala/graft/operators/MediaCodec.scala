@@ -15,12 +15,14 @@ import java.util.zip.CRC32
  * The container layer is REAL: `imageDims` walks actual chunk/marker
  * structure (skipping APP0/COM and any other variable-length segment to
  * find SOF — the part a fixed-offset peek gets wrong), and the writers
- * emit spec-correct signatures, lengths and CRC32s. Only the PIXEL codec
- * (inflate/DCT) stays behind the declared [[Multimodal.FakeDecoder]] stub —
- * the container's embedded data is carried verbatim in IDAT (PNG) / COM
- * segments (JPEG), which keeps every byte of the artifact deterministic
- * and lets the DuckDB oracle replay features from the inner payload while
- * the dims replay from the generator's width/height formulas (an
+ * emit spec-correct signatures, lengths and CRC32s. The PNG PIXEL path is
+ * real too: IDAT carries genuine zlib-wrapped scanlines ([[zlibStore]] —
+ * deterministic stored-block deflate) and [[pngPixels]] decodes them with
+ * the real [[java.util.zip.Inflater]] plus a full five-filter defilter.
+ * Only JPEG's DCT pixel codec is intentionally absent (no JDK decoder) —
+ * its COM-embedded data stands in, declared. Every byte of both writers
+ * is deterministic, so the DuckDB oracle replays features from the decoded
+ * payload and dims from the generator's width/height formulas (an
  * encode→parse roundtrip gate).
  *
  * Parsing never throws on foreign bytes: anything that is not a
@@ -90,11 +92,17 @@ object MediaCodec {
     else if (isPng(b)) {
       val out = new ByteArrayOutputStream()
       var i = 8
-      while (i + 8 <= b.length) {
+      var ok = true
+      while (ok && i + 8 <= b.length) {
         val len = beInt(b, i)
-        val t = new String(b, i + 4, 4, "US-ASCII")
-        if (t == "IDAT" && i + 8 + len <= b.length) out.write(b, i + 8, len)
-        i += 12 + len // length + type + data + crc
+        // a negative length (high bit set) or one past the buffer is a
+        // corrupt chunk: stop walking — corrupt blobs are data, not loops
+        if (len < 0 || len > b.length - i - 12) ok = false
+        else {
+          val t = new String(b, i + 4, 4, "US-ASCII")
+          if (t == "IDAT") out.write(b, i + 8, len)
+          i += 12 + len // length + type + data + crc
+        }
       }
       out.toByteArray
     } else if (isJpeg(b)) {
@@ -107,12 +115,125 @@ object MediaCodec {
         else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
         else {
           val len = beShort(b, i + 2)
-          if (m == 0xfe && i + 2 + len <= b.length) out.write(b, i + 4, len - 2)
+          // u16 segment length covers itself, so < 2 is malformed
+          if (m == 0xfe && len >= 2 && i + 2 + len <= b.length)
+            out.write(b, i + 4, len - 2)
           i += 2 + len
         }
       }
       out.toByteArray
     } else b
+
+  // ------------------------------------------------------------------- zlib
+
+  /**
+   * Deterministic zlib container (RFC 1950) around STORED deflate blocks
+   * (RFC 1951 `btype=00`) — a REAL zlib stream any inflater accepts, with a
+   * byte-exact formula-computable length:
+   * `2 + 5·max(1, ceil(len/65535)) + len + 4` (header + per-block 5-byte
+   * stored header + data + Adler-32). Compression isn't the point here —
+   * determinism is (the DuckDB oracle replays container sizes byte-exactly);
+   * the read side runs the real [[java.util.zip.Inflater]] either way, so
+   * swapping in compressed deflate changes nothing downstream.
+   */
+  def zlibStore(data: Array[Byte]): Array[Byte] = {
+    val nBlocks = math.max(1, (data.length + 65534) / 65535)
+    val out = new ByteArrayOutputStream(data.length + 6 + 5 * nBlocks)
+    out.write(0x78); out.write(0x01) // CMF/FLG: deflate/32K window, FCHECK ok
+    var off = 0
+    var blk = 0
+    while (blk < nBlocks) {
+      val len = math.min(65535, data.length - off)
+      out.write(if (blk == nBlocks - 1) 1 else 0) // BFINAL on the last block
+      out.write(len & 0xff); out.write((len >>> 8) & 0xff)       // LEN (LE)
+      out.write((~len) & 0xff); out.write(((~len) >>> 8) & 0xff) // NLEN
+      out.write(data, off, len)
+      off += len; blk += 1
+    }
+    val ad = new java.util.zip.Adler32()
+    ad.update(data)
+    writeBe32(out, ad.getValue.toInt)
+    out.toByteArray
+  }
+
+  /** Real zlib inflate via [[java.util.zip.Inflater]]; `None` on any
+    * corrupt or truncated stream, and a hard output cap (`maxLen`) so a
+    * hostile ratio bomb can't balloon an executor at corpus scale —
+    * corrupt blobs are data, not exceptions. */
+  def inflate(b: Array[Byte], maxLen: Int = 1 << 26): Option[Array[Byte]] = {
+    if (b == null || b.length < 6) return None
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b)
+      val out = new ByteArrayOutputStream(math.min(math.max(b.length, 64) * 2, 1 << 16))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        out.write(buf, 0, n)
+        if (out.size > maxLen) return None
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /**
+   * Decode a PNG's PIXEL bytes — the real pixel path: concatenated IDAT →
+   * [[inflate]] (real Inflater) → scanline defilter (all five RFC 2083 §6
+   * filter types, bpp = 3 truecolor) → `3·w·h` RGB bytes. `None` if the
+   * blob isn't a PNG, the zlib stream is corrupt, the decompressed length
+   * disagrees with the IHDR geometry, or a row carries an unknown filter
+   * type — never an exception.
+   */
+  def pngPixels(b: Array[Byte]): Option[Array[Byte]] = imageDims(b) match {
+    case Some(("png", w, h)) if w > 0 && h > 0 &&
+        3L * w * h <= Int.MaxValue - h =>
+      inflate(innerPayload(b)).flatMap { raw =>
+        val rowBytes = 3 * w
+        val stride = 1 + rowBytes
+        if (raw.length.toLong != h.toLong * stride) None
+        else {
+          val bpp = 3
+          val out = new Array[Byte](rowBytes * h)
+          var y = 0
+          var ok = true
+          while (ok && y < h) {
+            val ft = raw(y * stride) & 0xff
+            val rowIn = y * stride + 1
+            val rowOut = y * rowBytes
+            var x = 0
+            while (ok && x < rowBytes) {
+              val rv = raw(rowIn + x) & 0xff
+              val a = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
+              val up = if (y > 0) out(rowOut - rowBytes + x) & 0xff else 0
+              val ul = if (y > 0 && x >= bpp) out(rowOut - rowBytes + x - bpp) & 0xff else 0
+              val v = ft match {
+                case 0 => rv
+                case 1 => rv + a
+                case 2 => rv + up
+                case 3 => rv + ((a + up) >> 1)
+                case 4 => rv + paeth(a, up, ul)
+                case _ => ok = false; 0
+              }
+              out(rowOut + x) = (v & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          if (ok) Some(out) else None
+        }
+      }
+    case _ => None
+  }
+
+  /** RFC 2083 §6.6 Paeth predictor. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
 
   // ----------------------------------------------------------------- encode
 
@@ -135,12 +256,29 @@ object MediaCodec {
     writeBe32(out, crc.getValue.toInt)
   }
 
-  /** Spec-correct PNG container (signature, IHDR with real dims + CRCs,
-    * one IDAT carrying `inner` verbatim, IEND). The IDAT content is NOT
-    * zlib — pixel decode is the declared stub — but every header byte,
-    * length and CRC is real PNG structure. Fixed overhead: 57 bytes. */
-  def encodePng(inner: Array[Byte], width: Int, height: Int): Array[Byte] = {
-    val out = new ByteArrayOutputStream(inner.length + 64)
+  /**
+   * Spec-correct PNG (signature, IHDR with real dims + CRCs, IDAT, IEND)
+   * carrying REAL pixel data: `pixels` must be exactly `3·width·height` RGB
+   * bytes, serialized as genuine scanlines (one filter byte + `3·width`
+   * sample bytes per row — filter type 0, the identity; [[pngPixels]]
+   * defilters all five types on read) and zlib-wrapped by [[zlibStore]], so
+   * any standards-compliant PNG reader inflates and reconstructs the exact
+   * pixel array. Container overhead over the raw scanline stream
+   * (`height·(1+3·width)` bytes): 57 bytes of chunk structure + the
+   * [[zlibStore]] formula.
+   */
+  def encodePng(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(pixels.length == 3 * width * height,
+      s"encodePng: ${pixels.length} pixel bytes for ${width}x$height (need ${3 * width * height})")
+    val rowBytes = 3 * width
+    val raw = new Array[Byte](height * (1 + rowBytes))
+    var y = 0
+    while (y < height) {
+      // raw(y * (1 + rowBytes)) stays 0: filter type None
+      System.arraycopy(pixels, y * rowBytes, raw, y * (1 + rowBytes) + 1, rowBytes)
+      y += 1
+    }
+    val out = new ByteArrayOutputStream(raw.length + 80)
     out.write(PngSig, 0, 8)
     val ihdr = new ByteArrayOutputStream(13)
     writeBe32(ihdr, width); writeBe32(ihdr, height)
@@ -148,7 +286,7 @@ object MediaCodec {
     ihdr.write(2)  // color type: truecolor
     ihdr.write(0); ihdr.write(0); ihdr.write(0) // compression, filter, interlace
     pngChunk(out, "IHDR", ihdr.toByteArray)
-    pngChunk(out, "IDAT", inner)
+    pngChunk(out, "IDAT", zlibStore(raw))
     pngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }

@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
  * them. The CONTAINER layer is real — image payloads are spec-correct
  * PNG/JPEG byte streams and the read side parses actual chunk/marker
  * structure ([[MediaCodec]], plus the codegen'd `image_dims` expression in
- * [[graft.plans.ImageDims]] for DataFrame plans). The container has no
- * image/audio PIXEL codecs, so only the inflate/DCT step is a
- * clearly-marked deterministic fake ([[FakeDecoder]]) over the container's
- * embedded data; swapping in a real codec changes only `FakeDecoder.decode`.
+ * [[graft.plans.ImageDims]] for DataFrame plans). The PNG PIXEL path is
+ * real as well: payloads carry zlib-wrapped scanlines and the decode path
+ * runs the real `java.util.zip.Inflater` + five-filter defilter
+ * ([[MediaCodec.pngPixels]]), so PNG features derive from genuinely
+ * decompressed pixel data. JPEG's DCT codec is intentionally absent (no
+ * JDK decoder — declared stub): its features run over the COM-embedded
+ * data instead, through the same [[FeatureKernel]].
  *
  * Scala-side equivalent of a Python `mapInPandas` batch UDF: a typed
  * `Dataset.mapPartitions` that processes records streamingly per partition
@@ -45,49 +48,68 @@ object Multimodal {
       height: Int)
 
   /**
-   * STUB decoder — deterministic fake standing in for the absent codec
-   * libraries. Produces a stable pseudo-feature from the payload bytes so
-   * pipelines downstream (dedup, ANN) are exercised end-to-end with real
-   * Spark semantics. Replace `decode` with a real codec binding in prod.
+   * Byte-stream feature kernel — the REAL feature math shared by every
+   * decode path: folded byte histogram (L2-normalized, the fixed-dim
+   * embedding-like vector) and a rolling checksum. What varies per format
+   * is the INPUT: PNG feeds genuinely decompressed + defiltered pixel
+   * bytes ([[MediaCodec.pngPixels]]); JPEG has no JDK DCT decoder, so its
+   * COM-embedded data stands in (the one remaining declared stub — a real
+   * JPEG binding would swap only the input, not this kernel); raw payloads
+   * feed themselves.
    */
-  object FakeDecoder {
+  object FeatureKernel {
     val FeatureDim = 16
-    def decode(payload: Array[Byte]): Array[Float] = {
-      // ??? real codec goes here; fake: folded byte histogram, L2-normalized
+    def histogram(data: Array[Byte]): Array[Float] = {
       val h = new Array[Float](FeatureDim)
       var i = 0
-      while (i < payload.length) { h((payload(i) & 0xff) % FeatureDim) += 1f; i += 1 }
+      while (i < data.length) { h((data(i) & 0xff) % FeatureDim) += 1f; i += 1 }
       val n = math.sqrt(h.map(x => x * x.toDouble).sum).toFloat
       if (n > 0) h.map(_ / n) else h
     }
-    def checksum(payload: Array[Byte]): Long = {
+    def checksum(data: Array[Byte]): Long = {
       var c = 1125899906842597L
       var i = 0
-      while (i < payload.length) { c = 31 * c + (payload(i) & 0xff); i += 1 }
+      while (i < data.length) { c = 31 * c + (data(i) & 0xff); i += 1 }
       c
     }
   }
 
+  /** Pixel bytes for a synthetic w×h image: the document's UTF-8 text
+    * cycled to fill the 3·w·h RGB samples (zeros for an empty text) —
+    * every pixel a deterministic, DuckDB-replayable function of the row. */
+  private def cyclePixels(text: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](3 * w * h)
+    if (text.nonEmpty) {
+      var i = 0
+      while (i < out.length) { out(i) = text(i % text.length); i += 1 }
+    }
+    out
+  }
+
   /** Synthesize a deterministic media table from `documents` — lets every
     * sf dir drive the pipeline. Image-kind records carry REAL container
-    * bytes: even ids a spec-correct PNG (signature + IHDR with the record's
-    * dims + CRCs), odd ids a JPEG/JFIF (marker segments, COM-embedded data,
-    * SOF0 with the dims); the UTF-8 text rides inside as the embedded data,
-    * so every byte stays a deterministic function of the document row and
-    * the DuckDB oracle can replay both the inner features and (via the
-    * generator formulas) the parsed dims. Audio/video stay raw bytes. */
+    * bytes: even ids a spec-correct PNG whose IDAT holds genuine
+    * zlib-wrapped scanlines of [[cyclePixels]] pixel data (decodable by any
+    * compliant reader), odd ids a JPEG/JFIF (marker segments, COM-embedded
+    * text, SOF0 with the dims). Image dims are SMALL on purpose
+    * (`w = n%24+1`, `h = n%8+1`, never zero) so the pixel stream stays
+    * bounded per row; every byte is a deterministic function of the
+    * document row, so the DuckDB oracle replays features and (via the
+    * generator formulas) the parsed dims. Audio/video stay raw bytes with
+    * the old metadata formulas. */
   def syntheticMedia(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text"), col("n_chars")).as[(Long, String, Long)]
       .map { case (id, text, n) =>
         val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
-        val w = (n % 640).toInt
-        val h = (n % 480).toInt
         val inner = text.getBytes("UTF-8")
+        val (w, h) =
+          if (kind == "image") (((n % 24) + 1).toInt, ((n % 8) + 1).toInt)
+          else ((n % 640).toInt, (n % 480).toInt)
         val payload =
           if (kind != "image") inner
-          else if (id % 2 == 0) MediaCodec.encodePng(inner, w, h)
+          else if (id % 2 == 0) MediaCodec.encodePng(cyclePixels(inner, w, h), w, h)
           else MediaCodec.encodeJpeg(inner, w, h)
         MediaRecord(id, kind, payload, width = w, height = h,
           sample_rate = 16000, n_frames = (n % 100).toInt)
@@ -105,12 +127,18 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition decoder init would go here (codec contexts, etc.)
       it.map { r =>
-        // container parse is real (PNG IHDR / JPEG SOF); the pixel decode
-        // over the embedded data stays the declared stub
+        // container parse is real (PNG IHDR / JPEG SOF); PNG pixel decode
+        // is real too (Inflater + defilter) — a corrupt PNG stream decodes
+        // to an empty pixel array (data, not an exception); JPEG has no JDK
+        // DCT decoder, so its COM-embedded data feeds the kernel (declared)
         val dims = MediaCodec.imageDims(r.payload)
-        val inner = MediaCodec.innerPayload(r.payload)
+        val inner = dims match {
+          case Some(("png", _, _)) =>
+            MediaCodec.pngPixels(r.payload).getOrElse(Array.emptyByteArray)
+          case _ => MediaCodec.innerPayload(r.payload)
+        }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, inner.length.toLong,
-          FakeDecoder.checksum(inner), FakeDecoder.decode(inner),
+          FeatureKernel.checksum(inner), FeatureKernel.histogram(inner),
           container = dims.map(_._1).getOrElse("raw"),
           width = dims.map(_._2).getOrElse(0),
           height = dims.map(_._3).getOrElse(0))
@@ -127,15 +155,15 @@ object Multimodal {
         .otherwise(array().cast("array<int>")).as("frame_idx"))
 
   /**
-   * "Resize" for image-kind records: decode the container, deterministically
-   * decimate the EMBEDDED data (every `factor`-th byte — the stand-in for
-   * the real resample kernel, which sits behind the decode stub like
-   * [[FakeDecoder.decode]]), and RE-ENCODE the same container format with
-   * the scaled dimensions in its header — so a resized image is still a
-   * structurally valid PNG/JPEG whose parsed dims match its metadata. The
-   * plumbing (container round-trip, metadata update, streaming
-   * per-partition batching) is the production shape. Non-image records pass
-   * through untouched.
+   * Resize for image-kind records. PNG is a REAL nearest-neighbor resample:
+   * decode the pixel grid ([[MediaCodec.pngPixels]] — Inflater + defilter),
+   * take source pixel `(x·factor, y·factor)` for each target `(x, y)` on a
+   * `ceil(w/factor) × ceil(h/factor)` grid, and re-encode genuine
+   * scanlines — the resized image is a valid PNG any reader decodes to
+   * exactly those pixels. JPEG (no DCT codec — declared stub) decimates its
+   * COM-embedded data bytewise and re-encodes with scaled header dims, so
+   * the container round-trip stays structurally real. Non-image records
+   * pass through untouched.
    */
   def resize(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
@@ -144,19 +172,35 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         if (r.kind != "image" || factor == 1) r
-        else {
-          val fmt = MediaCodec.imageDims(r.payload).map(_._1)
-          val inner = MediaCodec.innerPayload(r.payload)
-          val out = new Array[Byte]((inner.length + factor - 1) / factor)
-          var i = 0
-          while (i < out.length) { out(i) = inner(i * factor); i += 1 }
-          val (w, h) = (r.width / factor, r.height / factor)
-          val payload = fmt match {
-            case Some("png")  => MediaCodec.encodePng(out, w, h)
-            case Some("jpeg") => MediaCodec.encodeJpeg(out, w, h)
-            case _            => out
-          }
-          r.copy(payload = payload, width = w, height = h)
+        else MediaCodec.imageDims(r.payload) match {
+          case Some(("png", w, h)) =>
+            val pix = MediaCodec.pngPixels(r.payload).getOrElse(Array.emptyByteArray)
+            if (pix.isEmpty) r // corrupt stream: pass through as data
+            else {
+              val w2 = (w + factor - 1) / factor
+              val h2 = (h + factor - 1) / factor
+              val out = new Array[Byte](3 * w2 * h2)
+              var y = 0
+              while (y < h2) {
+                var x = 0
+                while (x < w2) {
+                  val src = (y * factor * w + x * factor) * 3
+                  val dst = (y * w2 + x) * 3
+                  out(dst) = pix(src); out(dst + 1) = pix(src + 1); out(dst + 2) = pix(src + 2)
+                  x += 1
+                }
+                y += 1
+              }
+              r.copy(payload = MediaCodec.encodePng(out, w2, h2), width = w2, height = h2)
+            }
+          case Some(("jpeg", _, _)) =>
+            val inner = MediaCodec.innerPayload(r.payload)
+            val out = new Array[Byte]((inner.length + factor - 1) / factor)
+            var i = 0
+            while (i < out.length) { out(i) = inner(i * factor); i += 1 }
+            val (w, h) = (r.width / factor, r.height / factor)
+            r.copy(payload = MediaCodec.encodeJpeg(out, w, h), width = w, height = h)
+          case _ => r
         }
       }
     }

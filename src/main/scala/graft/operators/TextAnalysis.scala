@@ -146,19 +146,71 @@ object TextAnalysis {
   }
 
   /**
+   * Conditional bigram-LM perplexity proxy — the second fluency signal next
+   * to [[unigramNll]] (a bigram model penalizes scrambled-but-common-token
+   * text that a unigram model scores as fluent): per-doc mean negative
+   * log-likelihood of each bigram under an add-one-smoothed conditional
+   * model restricted to the top-`unigramVocab` conditioning tokens and
+   * top-`bigramVocab` bigrams (OOV on either side backs off to count 0).
+   *
+   * P(w2 | w1) = (c2(w1 w2) + 1) / (c1(w1) + V1 + 1), every model input an
+   * exact integer (corpus unigram/bigram counts), so the model is
+   * bit-reproducible and the whole derivation DuckDB-replayable. Docs with
+   * fewer than two tokens have no bigrams and are absent from the output.
+   *
+   * Shape at 100 TB: two token/bigram-keyed count shuffles, two bounded
+   * TakeOrdered broadcasts (V1-, V2-row model tables), one narrow scoring
+   * pass per corpus bigram; nll rounds to 6 decimals to absorb
+   * double-summation order.
+   */
+  def bigramNll(docs: DataFrame, unigramVocab: Int = 1000, bigramVocab: Int = 5000,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(unigramVocab > 0, "bigramNll: unigramVocab must be positive")
+    require(bigramVocab > 0, "bigramNll: bigramVocab must be positive")
+    val bi = docs
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), 2)).as("bigram"))
+    val toks = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val v1 = toks.groupBy(col("token")).agg(count(lit(1)).as("freq1"))
+      .orderBy(col("freq1").desc, col("token").asc).limit(unigramVocab)
+      .withColumnRenamed("token", "w1")
+    val v2 = bi.groupBy(col("bigram")).agg(count(lit(1)).as("freq2"))
+      .orderBy(col("freq2").desc, col("bigram").asc).limit(bigramVocab)
+    val lnp = log(
+      (coalesce(col("freq2"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("freq1"), lit(0L)) + lit(unigramVocab.toLong) + lit(1L)))
+    bi.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(broadcast(v2), Seq("bigram"), "left")
+      .join(broadcast(v1), Seq("w1"), "left")
+      .select(col(idCol), lnp.as("lnp"))
+      .groupBy(col(idCol))
+      .agg(round(-(sum(col("lnp")) / count(lit(1))), 6).as("nll"))
+  }
+
+  /**
    * Persist a BM25 serving index: the lexical analogue of the IVF-PQ
    * artifact — tokenize the corpus ONCE at build time, serve every query
    * after from a partition-pruned postings scan that never touches the
    * corpus text again.
    *
-   * Layout under `path`:
-   *  - `postings/` — (token, doc_id, tf, dl, dfq), parquet partitioned by
-   *    `bucket = pmod(xxhash64(token), nBuckets)`. Per-doc length `dl` and
-   *    per-term document frequency `dfq` are DENORMALIZED into the postings
-   *    rows so serving reads nothing else (storage for correctness-free
-   *    joins — the classic search-index trade).
-   *  - `stats/` — one row (n_docs, avgdl, n_buckets); avgdl is an exact
-   *    integer sum / count, so serving reproduces [[bm25TopK]] bit-for-bit.
+   * Layout under `path` — every table is APPEND-ONLY (the segment model;
+   * [[appendLexicalIndex]] adds new documents without rewriting a byte of
+   * existing data, mirroring the stored band-index contract of
+   * [[Dedup.buildBandIndex]]/[[Dedup.nearDupsAgainstIndex]]):
+   *  - `postings/` — (token, doc_id, tf, dl), parquet partitioned by
+   *    `bucket = pmod(xxhash64(token), nBuckets)`. `dl` is a per-doc
+   *    property, so appended docs never invalidate existing rows. Per-term
+   *    document frequency `dfq` deliberately does NOT live here (it changes
+   *    with every append) — it rides the sidecar below.
+   *  - `termstats/` — (token, dfq) DELTA rows, partitioned by the same
+   *    `bucket`; each save/append writes the batch's per-term doc counts,
+   *    and serving sums deltas per term (a ≤ |query|·segments-row aggregate
+   *    after pruning — broadcast-sized).
+   *  - `stats/` — (n_docs, sum_dl, n_buckets) DELTA rows, one per segment;
+   *    serving sums them. `sum_dl` is an exact integer so
+   *    avgdl = Σsum_dl / Σn_docs reproduces [[bm25TopK]] bit-for-bit no
+   *    matter how the corpus was split across appends.
    *
    * At 100 TB the build is two token-keyed shuffles (tf, dfq) plus one
    * doc-keyed one (dl) — each a plain partial/final hash aggregate; serving
@@ -167,33 +219,91 @@ object TextAnalysis {
   def saveLexicalIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
                        idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(nBuckets > 0, "saveLexicalIndex: nBuckets must be positive")
+    writeLexicalSegment(docs, path, nBuckets, "overwrite", idCol, textCol)
+  }
+
+  /**
+   * Append a batch of NEW documents to a [[saveLexicalIndex]] artifact
+   * without rewriting existing segments: postings/termstats/stats each gain
+   * the batch's delta rows (same bucketing — nBuckets is read back from the
+   * stats table, not trusted from the caller). Contract: the batch's
+   * `idCol` values must not already be indexed (the standard segment-append
+   * contract — a re-indexed doc would double-count; use a fresh
+   * [[saveLexicalIndex]] to rebuild). Serve paths are segment-agnostic:
+   * append + serve ≡ full rebuild + serve, row for row (gate-pinned).
+   */
+  def appendLexicalIndex(docs: DataFrame, path: String,
+                         idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val nBuckets = docs.sparkSession.read.parquet(s"$path/stats")
+      .select(col("n_buckets")).head().getInt(0)
+    writeLexicalSegment(docs, path, nBuckets, "append", idCol, textCol)
+  }
+
+  /** One index segment: the shared write path of save (overwrite) and
+    * append (append). All three tables are written with the same clustering
+    * discipline — repartition on the partition column first (else every
+    * task writes a file per bucket: tasks × nBuckets small files at scale),
+    * token-sorted within files for tight parquet row-group min/max stats. */
+  private def writeLexicalSegment(docs: DataFrame, path: String, nBuckets: Int,
+                                  mode: String, idCol: String, textCol: String): Unit = {
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfq"))
-    tf.join(dl, "doc_id").join(dfreq, "token")
-      .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int"))
-      // cluster by the partition column before the partitioned write: without
-      // this every task writes a file into every bucket (tasks × nBuckets
-      // small files at scale); sorting by token inside each file gives the
-      // parquet row groups tight token min/max stats, so the serving scan
-      // skips row groups within a bucket too
+    val bucket = pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int")
+    tf.join(dl, "doc_id")
+      .withColumn("bucket", bucket)
       .repartition(col("bucket")).sortWithinPartitions(col("token"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    dl.agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
+    tf.groupBy(col("token")).agg(count(lit(1)).as("dfq"))
+      .withColumn("bucket", bucket)
+      .repartition(col("bucket")).sortWithinPartitions(col("token"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/termstats")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode(mode).parquet(s"$path/stats")
+  }
+
+  /** Collected corpus scalars of a lexical index: (nDocs, avgdl, nBuckets),
+    * summed across segments — exact integer sums, one double division, so
+    * any segmentation of the same corpus yields the same scalars. */
+  private def lexicalStats(spark: SparkSession, path: String): (Long, Double, Int) = {
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"),
+        max(col("n_buckets")).as("n_buckets"))
+      .collect()(0)
+    val nDocs = st.getAs[Long]("n_docs")
+    val sumDl = st.getAs[Long]("sum_dl")
+    val avgdl = if (nDocs == 0L) 1.0 else sumDl.toDouble / nDocs
+    (nDocs, avgdl, st.getAs[Int]("n_buckets"))
+  }
+
+  /** Pruned (token, dfq) for `terms`: termstats delta rows restricted to the
+    * terms' buckets, summed per term — broadcast-sized by construction. */
+  private def prunedDfq(spark: SparkSession, path: String, terms: Seq[String],
+                        bucketIds: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/termstats")
+      .where(col("bucket").isin(bucketIds: _*) && col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(sum(col("dfq")).as("dfq"))
+
+  /** Bucket ids for `terms` via the engine's own xxhash64 (≤ |terms| rows
+    * collected) — these land on the partition column as static literals, so
+    * the postings/termstats scans prune at plan time. */
+  private def termBuckets(spark: SparkSession, terms: Seq[String], nBuckets: Int): Seq[Int] = {
+    import spark.implicits._
+    terms.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
   }
 
   /**
-   * Answer a BM25 top-k query from a [[saveLexicalIndex]] artifact. Same
-   * arithmetic, literal for literal, as [[bm25TopK]] — the two paths return
-   * row-identical results (spec-pinned) — but the only data touched is the
-   * 1-row stats table and the query terms' postings buckets: the bucket ids
-   * land on the partition column as a static isin, so the scan prunes to
+   * Answer a BM25 top-k query from a [[saveLexicalIndex]] artifact (plus any
+   * [[appendLexicalIndex]] segments). Same arithmetic, literal for literal,
+   * as [[bm25TopK]] — the two paths return row-identical results
+   * (spec-pinned) — but the only data touched is the segment-count-sized
+   * stats table and the query terms' postings/termstats buckets: the bucket
+   * ids land on the partition column as a static isin, so the scans prune to
    * ≤ |queryTerms| of the nBuckets directories.
    */
   def bm25QueryIndex(spark: SparkSession, path: String, queryTerms: Seq[String],
@@ -201,25 +311,68 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "bm25QueryIndex: queryTerms must be non-empty")
     require(k > 0, "bm25QueryIndex: k must be positive")
     val terms = queryTerms.map(_.trim.toLowerCase).distinct
-    val st = spark.read.parquet(s"$path/stats").collect()(0) // 1 row by layout
-    val nDocs = st.getAs[Long]("n_docs")
-    val nBuckets = st.getAs[Int]("n_buckets")
-    val avgdl = if (nDocs == 0L) 1.0 else st.getAs[Double]("avgdl")
-    // bucket ids via the engine's own xxhash64 (≤ |terms| rows collected)
-    import spark.implicits._
-    val bucketIds = terms.toDF("token")
-      .select(pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val (nDocs, avgdl, nBuckets) = lexicalStats(spark, path)
+    val bucketIds = termBuckets(spark, terms, nBuckets)
     val postings = spark.read.parquet(s"$path/postings")
       .where(col("bucket").isin(bucketIds: _*) && col("token").isin(terms: _*))
     val num = col("tf") * lit(k1 + 1.0)
     val den = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
     val idf = log((lit(nDocs) - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5)) + lit(1.0))
-    postings.select(col("doc_id"), (idf * num / den).as("s"))
+    postings.join(broadcast(prunedDfq(spark, path, terms, bucketIds)), "token")
+      .select(col("doc_id"), (idf * num / den).as("s"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("s")), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /**
+   * Batch BM25 serving: answer a whole batch of queries with ONE pruned
+   * postings scan over the union of their terms (production retrieval
+   * serves batches — the ANN paths already do). `queries` carries
+   * (`queryIdCol`, `termsCol`: array<string>); terms are trimmed/lowercased
+   * like [[bm25TopK]]. The per-(query, doc) score is the same literal
+   * arithmetic as [[bm25QueryIndex]] — a query's rows in the batch result
+   * are row-identical to serving it alone (spec-pinned) — and the per-query
+   * top-k runs on the heap-based [[graft.plans.TopK.perKey]] physical
+   * operator, not a full sort. Output: (query_id, doc_id, score, rnk),
+   * rnk 1..k per query.
+   *
+   * Scale shape: the union term list is collected (bounded by the batch's
+   * total query terms — serving batches are small by contract) and becomes
+   * static partition-pruning literals; the query↔term map and summed dfq
+   * sidecar ride broadcasts; the one shuffle is the (query_id, doc_id)
+   * score aggregation, proportional to matching postings × queries sharing
+   * the term, not to the corpus.
+   */
+  def bm25QueryIndexBatch(spark: SparkSession, path: String, queries: DataFrame,
+                          k: Int, k1: Double = 1.2, b: Double = 0.75,
+                          queryIdCol: String = "query_id",
+                          termsCol: String = "terms"): DataFrame = {
+    require(k > 0, "bm25QueryIndexBatch: k must be positive")
+    val qt = queries
+      .select(col(queryIdCol).as("query_id"), explode(col(termsCol)).as("raw"))
+      .select(col("query_id"), trim(lower(col("raw"))).as("token"))
+      .filter(col("token") =!= "").distinct()
+    val terms = qt.select(col("token")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "bm25QueryIndexBatch: no non-empty query terms")
+    val (nDocs, avgdl, nBuckets) = lexicalStats(spark, path)
+    val bucketIds = termBuckets(spark, terms, nBuckets)
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(bucketIds: _*) && col("token").isin(terms: _*))
+    val num = col("tf") * lit(k1 + 1.0)
+    val den = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
+    val idf = log((lit(nDocs) - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5)) + lit(1.0))
+    val scored = postings
+      .join(broadcast(qt), "token") // fan each posting out to its queries
+      .join(broadcast(prunedDfq(spark, path, terms, bucketIds)), "token")
+      .select(col("query_id"), col("doc_id"), (idf * num / den).as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("score"))
+    graft.plans.TopK.perKey(scored, k, Seq(col("query_id")),
+        Seq(col("score").desc, col("doc_id").asc))
+      .orderBy(col("query_id").asc, col("rnk").asc)
   }
 
   /**

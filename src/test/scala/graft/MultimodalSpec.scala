@@ -10,7 +10,7 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == media.count())
     feats.foreach { f =>
-      assert(f.feature.length == Multimodal.FakeDecoder.FeatureDim)
+      assert(f.feature.length == Multimodal.FeatureKernel.FeatureDim)
       assert(f.n_bytes > 0)
       // L2-normalized fake feature
       val n = math.sqrt(f.feature.map(x => x * x.toDouble).sum)
@@ -21,7 +21,7 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.checksum).sorted.toSeq == again.map(_.checksum).sorted.toSeq)
   }
 
-  test("resize decimates the embedded data, re-encodes the container, scales dims") {
+  test("resize: PNG = real nearest-neighbor on the pixel grid; JPEG = byte decimation") {
     import graft.operators.MediaCodec
     val media = Multimodal.syntheticMedia(Tables.documents(spark, Sf))
     val before = media.collect().map(r => r.media_id -> r).toMap
@@ -33,13 +33,25 @@ class MultimodalSpec extends SparkSpec {
         val bd = MediaCodec.imageDims(b.payload).get
         val rd = MediaCodec.imageDims(r.payload).get
         assert(rd._1 == bd._1)
-        assert(r.width == b.width / 4 && r.height == b.height / 4)
         assert(rd._2 == r.width && rd._3 == r.height)
-        // decimation keeps every 4th EMBEDDED byte, starting at 0
-        val bi = MediaCodec.innerPayload(b.payload)
-        val ri = MediaCodec.innerPayload(r.payload)
-        assert(ri.length == (bi.length + 3) / 4)
-        assert(ri.indices.forall(i => ri(i) == bi(i * 4)))
+        if (bd._1 == "png") {
+          // ceil-grid nearest neighbor: out(x,y) == in(4x, 4y), decoded
+          // through the REAL inflate + defilter path on both sides
+          val (w, h) = (bd._2, bd._3)
+          assert(r.width == (w + 3) / 4 && r.height == (h + 3) / 4)
+          val bp = MediaCodec.pngPixels(b.payload).get
+          val rp = MediaCodec.pngPixels(r.payload).get
+          assert(rp.length == 3 * r.width * r.height)
+          for (y <- 0 until r.height; x <- 0 until r.width; ch <- 0 until 3)
+            assert(rp((y * r.width + x) * 3 + ch) == bp((y * 4 * w + x * 4) * 3 + ch))
+        } else {
+          // JPEG: every 4th embedded byte (DCT codec is the declared stub)
+          assert(r.width == b.width / 4 && r.height == b.height / 4)
+          val bi = MediaCodec.innerPayload(b.payload)
+          val ri = MediaCodec.innerPayload(r.payload)
+          assert(ri.length == (bi.length + 3) / 4)
+          assert(ri.indices.forall(i => ri(i) == bi(i * 4)))
+        }
       } else {
         assert(r.payload.sameElements(b.payload) && r.width == b.width)
       }
@@ -49,20 +61,35 @@ class MultimodalSpec extends SparkSpec {
   test("MediaCodec: spec-correct containers, golden-offset parse, foreign bytes -> None") {
     import graft.operators.MediaCodec
     val inner = "hello media world".getBytes("UTF-8")
-    val png = MediaCodec.encodePng(inner, 640, 360)
+    // PNG: real pixels through the real zlib + scanline round-trip
+    val (w, h) = (6, 2)
+    val pixels = Array.tabulate(3 * w * h)(i => (i * 7 % 251).toByte)
+    val png = MediaCodec.encodePng(pixels, w, h)
     // golden PNG offsets (public spec): 8-byte signature, IHDR length 13 at
     // offset 8, type at 12, width/height big-endian at 16/20
     assert((png(0) & 0xff) == 0x89 && new String(png, 1, 3, "US-ASCII") == "PNG")
     assert(new String(png, 12, 4, "US-ASCII") == "IHDR")
-    assert(png.length == inner.length + 57)
-    assert(MediaCodec.imageDims(png).contains(("png", 640, 360)))
-    assert(MediaCodec.innerPayload(png).sameElements(inner))
+    // container size: 57 bytes of chunk structure + the zlib-stored
+    // scanline stream (h·(1+3w) raw + 2 hdr + 5 block hdr + 4 adler)
+    val rawLen = h * (1 + 3 * w)
+    assert(png.length == 57 + rawLen + 11)
+    assert(MediaCodec.imageDims(png).contains(("png", w, h)))
+    // REAL decode: java.util.zip.Inflater + defilter → the exact pixels
+    assert(MediaCodec.pngPixels(png).get.sameElements(pixels))
+    // the IDAT payload is a genuine zlib stream on its own
+    assert(MediaCodec.inflate(MediaCodec.innerPayload(png)).get.length == rawLen)
     // IHDR CRC is a real CRC32 over type+data
     val crc = new java.util.zip.CRC32()
     crc.update(png, 12, 4 + 13)
     val stored = ((png(29) & 0xffL) << 24) | ((png(30) & 0xffL) << 16) |
       ((png(31) & 0xffL) << 8) | (png(32) & 0xffL)
     assert(stored == crc.getValue)
+    // corrupt zlib stream → None from the pixel path (data, not exception),
+    // while the container header still parses
+    val corrupt = png.clone()
+    corrupt(45) = (corrupt(45) ^ 0x55).toByte // inside the IDAT data
+    assert(MediaCodec.imageDims(corrupt).contains(("png", w, h)))
+    assert(MediaCodec.pngPixels(corrupt).isEmpty)
 
     val jpg = MediaCodec.encodeJpeg(inner, 1280, 721)
     // golden JPEG markers: SOI, APP0/JFIF, then the parser must SCAN past
@@ -86,6 +113,78 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.imageDims(java.util.Arrays.copyOf(png, 20)).isEmpty)
     assert(MediaCodec.innerPayload("raw".getBytes("UTF-8"))
       .sameElements("raw".getBytes("UTF-8")))
+  }
+
+  test("pngPixels defilters all five RFC 2083 filter types") {
+    import graft.operators.MediaCodec
+    // original 2x5 truecolor image; each row serialized with a DIFFERENT
+    // filter type (0..4), filtered forward here per spec — the decoder must
+    // invert every one to reconstruct the original pixels
+    val (w, h) = (2, 5)
+    val bpp = 3
+    val rowBytes = 3 * w
+    val pix = Array.tabulate(rowBytes * h)(i => ((i * 37 + 11) % 256).toByte)
+    def p(y: Int, x: Int): Int = if (y < 0 || x < 0) 0 else pix(y * rowBytes + x) & 0xff
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val q = a + b - c
+      val (pa, pb, pc) = (math.abs(q - a), math.abs(q - b), math.abs(q - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte](h * (1 + rowBytes))
+    for (y <- 0 until h) {
+      raw(y * (1 + rowBytes)) = y.toByte // filter type = row index
+      for (x <- 0 until rowBytes) {
+        val a = if (x >= bpp) p(y, x - bpp) else 0
+        val b = p(y - 1, x)
+        val c = if (x >= bpp) p(y - 1, x - bpp) else 0
+        val v = y match {
+          case 0 => p(y, x)
+          case 1 => p(y, x) - a
+          case 2 => p(y, x) - b
+          case 3 => p(y, x) - ((a + b) >> 1)
+          case 4 => p(y, x) - paeth(a, b, c)
+        }
+        raw(y * (1 + rowBytes) + 1 + x) = (v & 0xff).toByte
+      }
+    }
+    // wrap in a real container: chunk structure identical to encodePng's
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(t: String, d: Array[Byte]): Unit = {
+      def be32(v: Int): Unit = { out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+      be32(d.length); out.write(t.getBytes("US-ASCII"), 0, 4); out.write(d, 0, d.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t.getBytes("US-ASCII")); crc.update(d)
+      be32(crc.getValue.toInt)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    Seq(w, h).foreach { v => ihdr.write(v >>> 24); ihdr.write((v >>> 16) & 0xff)
+      ihdr.write((v >>> 8) & 0xff); ihdr.write(v & 0xff) }
+    Seq(8, 2, 0, 0, 0).foreach(ihdr.write)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", MediaCodec.zlibStore(raw))
+    chunk("IEND", Array.emptyByteArray)
+    val png = out.toByteArray
+    assert(MediaCodec.imageDims(png).contains(("png", w, h)))
+    assert(MediaCodec.pngPixels(png).get.sameElements(pix))
+    // an unknown filter type is rejected as corrupt (None, no throw):
+    // rebuild the container (signature + IHDR survive at offsets 0..32)
+    // around a stream whose first row claims filter type 9
+    val bad = raw.clone(); bad(0) = 9
+    val rebuilt = new java.io.ByteArrayOutputStream()
+    rebuilt.write(png, 0, 33)
+    def chunk2(t: String, d: Array[Byte]): Unit = {
+      def be32(v: Int): Unit = { rebuilt.write(v >>> 24); rebuilt.write((v >>> 16) & 0xff)
+        rebuilt.write((v >>> 8) & 0xff); rebuilt.write(v & 0xff) }
+      be32(d.length); rebuilt.write(t.getBytes("US-ASCII"), 0, 4); rebuilt.write(d, 0, d.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t.getBytes("US-ASCII")); crc.update(d)
+      be32(crc.getValue.toInt)
+    }
+    chunk2("IDAT", MediaCodec.zlibStore(bad))
+    chunk2("IEND", Array.emptyByteArray)
+    assert(MediaCodec.pngPixels(rebuilt.toByteArray).isEmpty)
   }
 
   test("image_dims expression parses headers in the scan (no UDF in the plan)") {

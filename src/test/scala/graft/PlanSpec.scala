@@ -266,4 +266,32 @@ class PlanSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("batch BM25 serving: ONE pruned postings scan, heap top-k (no full sort)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+    val dir = java.nio.file.Files.createTempDirectory("lex_batch_prune").toString
+    try {
+      TextAnalysis.saveLexicalIndex(docs, dir, nBuckets = 16)
+      val qs = Seq((1L, Seq("vector", "stream")), (2L, Seq("hash", "stream")))
+        .toDF("query_id", "terms")
+      val served = TextAnalysis.bm25QueryIndexBatch(spark, dir, qs, k = 5)
+      val plan = explainFormatted(served)
+      // the whole batch reads the postings tree exactly once...
+      val postingsScans = plan.linesIterator
+        .count(l => l.contains("Location") && l.contains("postings"))
+      assert(postingsScans == 1, s"expected 1 postings scan, got $postingsScans:\n$plan")
+      // ...with static bucket pruning (≤ |union terms| of the 16 buckets)
+      val partFilter = plan.linesIterator.filter(_.contains("PartitionFilters"))
+        .find(_.contains("bucket")).getOrElse("")
+      assert(partFilter.nonEmpty, s"no bucket partition filter:\n$plan")
+      // and the per-query top-k is the heap operator, not a global sort
+      val exec = formattedPlan(served)
+      assert(exec.contains("TopKPerKey"), exec)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }

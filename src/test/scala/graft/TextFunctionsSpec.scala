@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -110,6 +111,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1).getDouble(1) > got(0).getDouble(1)) // the OOV doc is less fluent
   }
 
+  test("bigramNll matches the hand-computed conditional add-one model") {
+    // corpus: doc1 "a b a b", doc2 "a b c" → c1: a=3 b=3 c=1; bigrams:
+    // "a b"×3, "b a"×1, "b c"×1. unigramVocab=2 keeps {a,b}; bigramVocab=2
+    // keeps {"a b", "b a"} (freq desc, lexicographic tiebreak) — "b c" OOV.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val den = 3 + 2 + 1 // freq1(w1)=3 for both a and b, + V1 + 1
+    val pab = 4.0 / den; val pba = 2.0 / den; val pbc = 1.0 / den
+    val nll1 = -(math.log(pab) + math.log(pba) + math.log(pab)) / 3
+    val nll2 = -(math.log(pab) + math.log(pbc)) / 2
+    val got = TextAnalysis.bigramNll(docs, unigramVocab = 2, bigramVocab = 2)
+      .orderBy($"doc_id").collect()
+    assert(got.length == 2) // a 1-token doc would be absent (no bigrams)
+    assert(math.abs(got(0).getDouble(1) - nll1) < 1e-6)
+    assert(math.abs(got(1).getDouble(1) - nll2) < 1e-6)
+    assert(got(1).getDouble(1) > got(0).getDouble(1)) // OOV bigram → less fluent
+  }
+
   test("bm25QueryIndex serves row-identical results to the direct derivation") {
     val docs = Seq(
       (1L, "spark scan spark merge"), (2L, "scan filter join"),
@@ -125,6 +143,64 @@ class TextFunctionsSpec extends SparkSpec {
       val served = TextAnalysis.bm25QueryIndex(spark, dir, terms, k = 10).collect().toSeq
       assert(served == direct)
       assert(direct.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("appendLexicalIndex: append + serve ≡ full rebuild, row for row") {
+    val first = Seq(
+      (1L, "spark scan spark merge"), (2L, "scan filter join"),
+      (3L, "merge merge merge scan")).toDF("doc_id", "text")
+    val extra = Seq(
+      (4L, "filter value row spark"), (5L, "spark merge")).toDF("doc_id", "text")
+    val all = first.union(extra)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_lex_app").toString
+    val dirF = java.nio.file.Files.createTempDirectory("graft_lex_full").toString
+    try {
+      TextAnalysis.saveLexicalIndex(first, dirA, nBuckets = 8)
+      TextAnalysis.appendLexicalIndex(extra, dirA)
+      TextAnalysis.saveLexicalIndex(all, dirF, nBuckets = 8)
+      val terms = Seq("spark", "merge", "value")
+      val appended = TextAnalysis.bm25QueryIndex(spark, dirA, terms, k = 10).collect().toSeq
+      val rebuilt = TextAnalysis.bm25QueryIndex(spark, dirF, terms, k = 10).collect().toSeq
+      val direct = TextAnalysis.bm25TopK(all, terms, k = 10).collect().toSeq
+      assert(appended == rebuilt)
+      assert(appended == direct) // dfq/avgdl re-derived exactly across segments
+      assert(direct.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dirA)).deleteRecursively()
+      new Directory(new java.io.File(dirF)).deleteRecursively()
+    }
+  }
+
+  test("bm25QueryIndexBatch: each query's rows ≡ serving it alone") {
+    val docs = Seq(
+      (1L, "spark scan spark merge"), (2L, "scan filter join"),
+      (3L, "merge merge merge scan"), (4L, "filter value row"),
+      (5L, "spark")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_batch").toString
+    try {
+      TextAnalysis.saveLexicalIndex(docs, dir, nBuckets = 8)
+      val qs = Seq(
+        (10L, Seq("spark", "merge")),
+        (20L, Seq("filter")),
+        (30L, Seq("absent_term"))).toDF("query_id", "terms")
+      val batch = TextAnalysis.bm25QueryIndexBatch(spark, dir, qs, k = 3).collect()
+      qs.collect().foreach { q =>
+        val qid = q.getLong(0)
+        val alone = TextAnalysis
+          .bm25QueryIndex(spark, dir, q.getSeq[String](1), k = 3).collect().toSeq
+        val mine = batch.filter(_.getLong(0) == qid).sortBy(_.getInt(3))
+          .map(r => Row(r.get(1), r.get(2))).toSeq
+        assert(mine == alone.map(r => Row(r.get(0), r.get(1))),
+          s"query $qid diverges: $mine vs $alone")
+      }
+      // rnk is dense 1..n per query and the no-hit query is simply absent
+      assert(batch.filter(_.getLong(0) == 30L).isEmpty)
+      assert(batch.filter(_.getLong(0) == 10L).map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
