@@ -17,15 +17,25 @@ which is the realistic shape). Bounded gate slices (vec_id < 8 queries,
 paths are what the probe measures. Events timestamps are written as
 regular microsecond TIMESTAMP (Tables.events handles both encodings).
 
-Usage: python3 tools/make_scale_probe.py [K] [src_dir] [out_dir]
+With --salt, every replica's DOCUMENT TEXTS are made unique by prefixing
+each whitespace token with a per-replica tag (r<replica>x): token count,
+length distribution and per-doc structure are preserved, but replicas
+share no shingles. The plain replica probe makes an 80%-duplicate corpus,
+so MinHash/Jaccard runtimes there measure OUTPUT growth (pair count
+explodes); the salted probe isolates CANDIDATE-GENERATION scaling —
+record both rows in SCALING.md.
+
+Usage: python3 tools/make_scale_probe.py [K] [src_dir] [out_dir] [--salt]
 """
 import sys
 
 import duckdb
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-OUT = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/sfprobe_{K}x"
+ARGS = [a for a in sys.argv[1:] if a != "--salt"]
+SALT = "--salt" in sys.argv[1:]
+K = int(ARGS[0]) if len(ARGS) > 0 else 5
+SRC = ARGS[1] if len(ARGS) > 1 else "/root/testdata/sf0.1"
+OUT = ARGS[2] if len(ARGS) > 2 else f"/tmp/sfprobe_{K}x" + ("_salted" if SALT else "")
 SHIFT = 10_000_000
 
 # table -> columns to shift per replica (BIGINT id/fk columns)
@@ -60,7 +70,12 @@ def main():
         for r in range(copies):
             proj = ", ".join(
                 f"{c} + {r * SHIFT} AS {c}" if c in shifted and r > 0
-                else (f"CAST(ts AS TIMESTAMPTZ) AS ts" if c == "ts" else c)
+                else (f"CAST(ts AS TIMESTAMPTZ) AS ts" if c == "ts" else
+                      # unique texts, same token count/length shape: tag every
+                      # token so replicas share no shingles (replica 0 = source)
+                      f"regexp_replace(text, '(\\S+)', 'r{r}x\\1', 'g') AS text"
+                      if SALT and t == "documents" and c == "text" and r > 0
+                      else c)
                 for c in cols)
             selects.append(f"SELECT {proj} FROM '{src}'")
         q = " UNION ALL ".join(selects)
