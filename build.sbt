@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally goes through sbt's logger, which prefixes
+// every line with "[info] " — that poisons line-level JSON parsing of the
+// bench artifact downstream. StdoutOutput passes the child's stdout
+// through verbatim, so graft.Bench's final machine line lands clean at
+// column 0.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

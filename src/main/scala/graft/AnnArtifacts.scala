@@ -109,6 +109,20 @@ private[graft] object AnnArtifacts {
 
   private val lexAppendMemo = scala.collection.mutable.Map[String, String]()
 
+  private val lexCompactMemo = scala.collection.mutable.Map[String, String]()
+
+  /** Single-segment [[TextAnalysis.compactLexicalIndex]] rewrite of
+    * [[lexicalAppendRoot]] — the artifact behind the compaction gate
+    * (`bm25_compact_topk`): serving from the compacted copy must reproduce
+    * the full-corpus formula row for row, same oracle as the append path. */
+  def lexicalCompactRoot(s: SparkSession, dir: String): String = synchronized {
+    lexCompactMemo.getOrElseUpdate(dir, {
+      val p = s"$root/${dirKey(dir)}_lexcomp"
+      TextAnalysis.compactLexicalIndex(s, lexicalAppendRoot(s, dir), p)
+      p
+    })
+  }
+
   /** The same documents corpus indexed as TWO segments — an initial
     * [[TextAnalysis.saveLexicalIndex]] over doc_id % 3 != 0 plus an
     * [[TextAnalysis.appendLexicalIndex]] of the rest — the artifact behind

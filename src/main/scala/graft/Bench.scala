@@ -186,15 +186,11 @@ object Bench {
     val compact = head +
       s""","omitted":$omitted,"omitted_sum_sec":${r2(omittedSum)},"queries":""" +
       entries.mkString("{", ",", "}") + "}"
-    println(compact)
-    // sbt's logger prefixes every in-process println with "[info] ", which
-    // poisons a line-level json.loads downstream — ALSO write the line to
-    // the real process stdout (FileDescriptor.out bypasses System.setOut
-    // redirection), so the driver's tail carries one clean `{...}` line
-    val rawOut = new java.io.PrintStream(
-      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
-    rawOut.println(compact)
-    rawOut.flush()
+    // stop FIRST so Spark's shutdown chatter (stderr) can't land after the
+    // machine line, then emit it as the last stdout line of the run;
+    // `run / outputStrategy := StdoutOutput` in build.sbt keeps it free of
+    // sbt's "[info] " prefix so a line-level json.loads downstream parses it
     spark.stop()
+    println(compact)
   }
 }

@@ -295,6 +295,8 @@ private[graft] object Oracles {
     // append+serve ≡ full rebuild: the two-segment artifact must reproduce
     // the full-corpus formula, so the SAME oracle pins the append path
     "bm25_append_topk" -> Bm25Sql,
+    // compaction preserves every serving-visible sum → same oracle again
+    "bm25_compact_topk" -> Bm25Sql,
     "bm25_batch_topk" -> Bm25BatchSql,
 
     "fingerprints_md5" ->

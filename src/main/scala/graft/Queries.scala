@@ -224,6 +224,14 @@ private[graft] object Queries {
         Seq("vector", "stream", "hash"), k = 20)
     }),
 
+    "bm25_compact_topk" -> ((s, dir) => {
+      // compaction rewrites the two-segment append artifact into one
+      // segment (summed termstats/stats deltas); serving from the compacted
+      // copy must still equal the full-corpus derivation — same oracle
+      TextAnalysis.bm25QueryIndex(s, AnnArtifacts.lexicalCompactRoot(s, dir),
+        Seq("vector", "stream", "hash"), k = 20)
+    }),
+
     "bm25_batch_topk" -> ((s, dir) => {
       // batch serving: three queries answered by ONE pruned postings scan
       // over the union of their terms; per-query top-10 via the heap-based

@@ -265,6 +265,34 @@ object TextAnalysis {
       .write.mode(mode).parquet(s"$path/stats")
   }
 
+  /**
+   * Compact a lexical index into a single-segment copy at `dst`: termstats
+   * delta rows are summed per term, stats delta rows into one row, and
+   * postings rewritten with the standard clustering (they carry no deltas —
+   * compaction just coalesces the small files appends accumulate). Serving
+   * from `dst` is row-identical to serving from `src` by construction
+   * (the serve paths only ever consume the SUMS — gate-pinned). Production
+   * shape: compaction writes a fresh artifact and the serving pointer flips
+   * to it; the pointer flip is the deployment's concern, not the engine's.
+   */
+  def compactLexicalIndex(spark: SparkSession, src: String, dst: String): Unit = {
+    require(src != dst, "compactLexicalIndex: dst must be a fresh path")
+    val nBuckets = spark.read.parquet(s"$src/stats")
+      .agg(max(col("n_buckets"))).head().getInt(0)
+    spark.read.parquet(s"$src/postings")
+      .repartition(col("bucket")).sortWithinPartitions(col("token"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/postings")
+    spark.read.parquet(s"$src/termstats")
+      .groupBy(col("bucket"), col("token")).agg(sum(col("dfq")).as("dfq"))
+      .select(col("token"), col("dfq"), col("bucket")) // canonical column order
+      .repartition(col("bucket")).sortWithinPartitions(col("token"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/termstats")
+    spark.read.parquet(s"$src/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$dst/stats")
+  }
+
   /** Collected corpus scalars of a lexical index: (nDocs, avgdl, nBuckets),
     * summed across segments — exact integer sums, one double division, so
     * any segmentation of the same corpus yields the same scalars. */

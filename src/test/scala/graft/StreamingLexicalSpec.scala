@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.TextAnalysis
+import graft.streaming.StreamingLexicalServing
+
+case class LexQuery(query_id: Long, terms: Seq[String])
+
+/** Streaming BM25 serving from the persisted lexical index: per-epoch
+  * answers must be ROW-IDENTICAL to the batch operator at the same index
+  * state, and appended segments must become searchable on the next epoch
+  * without a stream restart (growing-index semantics). */
+class StreamingLexicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed BM25 ≡ batch per epoch; appended segment searchable next epoch") {
+    val docs = Seq(
+      (1L, "spark scan spark merge"), (2L, "scan filter join"),
+      (3L, "merge merge merge scan"), (4L, "filter value row"),
+      (5L, "spark")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_stream").toString
+    try {
+      TextAnalysis.saveLexicalIndex(docs, dir, nBuckets = 8)
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[LexQuery]
+      val epochs = scala.collection.mutable.ArrayBuffer.empty[Set[Seq[Any]]]
+      val q = StreamingLexicalServing.serveBm25FromPath(stream.toDF(), dir, k = 3) {
+        (ans, _) => epochs += ans.collect().map(_.toSeq).toSet
+      }
+      try {
+        // epoch 0: answers must equal the batch operator on the same index
+        val q0 = Seq(LexQuery(1L, Seq("spark", "merge")), LexQuery(2L, Seq("filter")))
+        val expected0 = TextAnalysis.bm25QueryIndexBatch(spark, dir,
+          q0.toDF("query_id", "terms"), k = 3).collect().map(_.toSeq).toSet
+        stream.addData(q0: _*)
+        q.processAllAvailable()
+        assert(epochs.size == 1 && epochs(0) == expected0 && expected0.nonEmpty)
+
+        // append a segment carrying a term unseen so far; the NEXT epoch
+        // must see it (per-batch path re-read, no restart) and the answer
+        // must equal the batch operator on the grown index
+        TextAnalysis.appendLexicalIndex(
+          Seq((6L, "zebra zebra spark"), (7L, "zebra row")).toDF("doc_id", "text"), dir)
+        val q1 = Seq(LexQuery(3L, Seq("zebra")))
+        val expected1 = TextAnalysis.bm25QueryIndexBatch(spark, dir,
+          q1.toDF("query_id", "terms"), k = 3).collect().map(_.toSeq).toSet
+        stream.addData(q1: _*)
+        q.processAllAvailable()
+        assert(epochs.size == 2 && epochs(1) == expected1)
+        // the appended docs are the hits, repeated-zebra doc first
+        val hits = epochs(1).toSeq.sortBy(_(3).asInstanceOf[Int])
+        assert(hits.map(_(1)) == Seq(6L, 7L))
+      } finally q.stop()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("compacted index serves row-identical results to the segmented original") {
+    val docs = Seq(
+      (1L, "spark scan spark merge"), (2L, "scan filter join"),
+      (3L, "merge merge merge scan"), (4L, "filter value row")).toDF("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("graft_lex_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_lex_dst").toString + "/c"
+    try {
+      TextAnalysis.saveLexicalIndex(docs.filter($"doc_id" <= 2), src, nBuckets = 8)
+      TextAnalysis.appendLexicalIndex(docs.filter($"doc_id" > 2), src)
+      TextAnalysis.compactLexicalIndex(spark, src, dst)
+      val terms = Seq("spark", "merge", "filter")
+      val before = TextAnalysis.bm25QueryIndex(spark, src, terms, k = 10).collect().toSeq
+      val after = TextAnalysis.bm25QueryIndex(spark, dst, terms, k = 10).collect().toSeq
+      assert(after == before && before.nonEmpty)
+      // compaction really merged the termstats deltas: one row per term
+      val ts = spark.read.parquet(s"$dst/termstats")
+      assert(ts.count() == ts.select("token").distinct().count())
+      // and the stats table is a single row
+      assert(spark.read.parquet(s"$dst/stats").count() == 1)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(src)).deleteRecursively()
+      new Directory(new java.io.File(new java.io.File(dst).getParent)).deleteRecursively()
+    }
+  }
+}
