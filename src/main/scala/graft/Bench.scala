@@ -11,6 +11,9 @@ import graft.streaming.StreamingAnnServing
   * case-class Encoder derives). */
 case class BenchQueryVec(vec_id: Long, embedding: Seq[Float])
 
+/** Lexical-query row for the streaming BM25 serving micro-bench. */
+case class BenchLexQuery(query_id: Long, terms: Seq[String])
+
 /**
  * Benchmark main (BASELINE.md protocol): warm SparkSession, run every
  * SparkEntry query `SPARK_GRAFT_BENCH_RUNS` times (default 5, per the N≥5
@@ -35,7 +38,10 @@ case class BenchQueryVec(vec_id: Long, embedding: Seq[Float])
  *    artifact — quantizer load + stream construction are OUTSIDE the
  *    epochs (StreamingAnnSpec pins that quantizers are not re-read per
  *    epoch), so each epoch is pure micro-batch serving; epoch 0 still
- *    carries the first-execution plan/codegen cost of the serving pipeline.
+ *    carries the first-execution plan/codegen cost of the serving
+ *    pipeline. `bm25_serve_epoch_sec` is the lexical twin
+ *    ([[graft.streaming.StreamingLexicalServing]] from the persisted
+ *    postings index, growing-index per-epoch path re-read included).
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -140,13 +146,44 @@ object Bench {
         System.err.println(s"[bench] streaming section failed: $e"); Seq.empty
       }
 
+    // streaming BM25 serving latency: 3 micro-batches of a 3-query batch
+    // against the per-JVM persisted lexical index (growing-index path —
+    // postings/termstats/stats re-read per epoch, honest per-epoch cost)
+    val lexEpochs: Seq[Double] =
+      if (only.isDefined) Seq.empty
+      else try {
+        implicit val sqlCtx = spark.sqlContext
+        import spark.implicits._
+        val idxPath = AnnArtifacts.lexicalRoot(spark, sfDir)
+        val stream = MemoryStream[BenchLexQuery]
+        var served = 0L
+        val q = graft.streaming.StreamingLexicalServing
+          .serveBm25FromPath(stream.toDF(), idxPath, k = 10) { (ans, _) =>
+            served += ans.count()
+          }
+        val batch = Seq(
+          BenchLexQuery(1L, Seq("vector", "stream", "hash")),
+          BenchLexQuery(2L, Seq("data", "merge")),
+          BenchLexQuery(3L, Seq("window", "stream")))
+        val epochs = (1 to 3).map { _ =>
+          stream.addData(batch: _*)
+          r4(time(q.processAllAvailable()))
+        }
+        q.stop()
+        require(served > 0, s"streaming BM25 bench served $served rows")
+        epochs
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming BM25 section failed: $e"); Seq.empty
+      }
+
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, mn, mx, warm) =>
       "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + ",\"warm\":" + warm + "}"
     }.mkString("{", ",", "}")
     val streaming =
-      "{\"ann_serve_epoch_sec\":" + streamEpochs.mkString("[", ",", "]") + "}"
+      "{\"ann_serve_epoch_sec\":" + streamEpochs.mkString("[", ",", "]") +
+        ",\"bm25_serve_epoch_sec\":" + lexEpochs.mkString("[", ",", "]") + "}"
     val total = results.map(_._2).filter(_ >= 0).sum
     // the commit SHA makes the artifact self-identifying: a stale
     // bench_latest.json from a previous (e.g. failed) round is detectable

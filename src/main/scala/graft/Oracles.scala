@@ -910,7 +910,8 @@ private[graft] object Oracles {
         |  SELECT doc_id AS media_id,
         |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |         CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 'png'
-        |              WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'raw' END AS container,
+        |              WHEN doc_id % 3 = 0 THEN 'jpeg'
+        |              WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'raw' END AS container,
         |         n_chars,
         |         hex(encode(text)) AS hx,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS ilen
@@ -918,32 +919,45 @@ private[graft] object Oracles {
         |g AS (
         |  SELECT *,
         |         CAST(n_chars % 24 + 1 AS INT) AS w,
-        |         CAST(n_chars % 8 + 1 AS INT) AS h
+        |         CAST(n_chars % 8 + 1 AS INT) AS h,
+        |         CAST(n_chars % 200 + 50 AS INT) AS ns
         |  FROM m),
         |b AS (
         |  SELECT media_id, kind, container, ilen, w, h,
         |         -- decoder-visible data: PNG = the decompressed, defiltered
-        |         -- 3wh pixel bytes; JPEG/raw = the embedded/raw bytes
+        |         -- 3wh pixel bytes; WAV = the 2·ns PCM data-chunk bytes;
+        |         -- JPEG/raw = the embedded/raw bytes
         |         CASE container WHEN 'png' THEN CAST(3*w*h AS BIGINT)
+        |              WHEN 'wav' THEN CAST(2*ns AS BIGINT)
         |              ELSE ilen END AS n_inner,
         |         -- container sizes: PNG = 57 bytes of chunk structure +
         |         -- zlib-stored scanline stream (2 hdr + 5/block + raw +
         |         -- 4 adler over raw = h*(1+3w) bytes); JPEG = SOI 2 +
-        |         -- APP0 18 + SOF0 19 + EOI 2 + 4 bytes per COM segment
+        |         -- APP0 18 + SOF0 19 + EOI 2 + 4 bytes per COM segment;
+        |         -- WAV = 44-byte RIFF/fmt/data header + 2·ns PCM bytes
         |         CASE container
         |           WHEN 'png'  THEN 57 + 2 + 4 + h*(1+3*w) +
         |             5 * greatest(CAST(ceil(CAST(h*(1+3*w) AS DOUBLE) / 65535) AS BIGINT), 1)
         |           WHEN 'jpeg' THEN ilen + 41 +
         |             4 * greatest(CAST(ceil(CAST(ilen AS DOUBLE) / 60000) AS BIGINT), 1)
+        |           WHEN 'wav'  THEN 44 + 2*ns
         |           ELSE ilen END AS n_bytes,
         |         -- the bytes the feature kernel reads: PNG pixels are the
-        |         -- text bytes cycled over the 3wh RGB samples
+        |         -- text bytes cycled over the 3wh RGB samples; WAV bytes
+        |         -- are the little-endian halves of the synthesized PCM
+        |         -- samples v_i = (b[i mod L]·251 + 7i + 17) mod 2^16
         |         CASE
         |           WHEN container = 'png' AND ilen > 0 THEN
         |             list_transform(range(0, CAST(3*w*h AS INT)), i ->
         |               CAST(('0x' || substr(hx, CAST(2*(i % CAST(ilen AS INT))+1 AS INT), 2)) AS INT))
         |           WHEN container = 'png' THEN
         |             list_transform(range(0, CAST(3*w*h AS INT)), i -> 0)
+        |           WHEN container = 'wav' THEN
+        |             list_transform(range(0, CAST(2*ns AS INT)), j ->
+        |               CASE WHEN j % 2 = 0
+        |                 THEN ((CASE WHEN ilen > 0 THEN CAST(('0x' || substr(hx, CAST(2*((j//2) % CAST(ilen AS INT))+1 AS INT), 2)) AS INT) ELSE 0 END) * 251 + (j//2)*7 + 17) % 65536 % 256
+        |                 ELSE ((CASE WHEN ilen > 0 THEN CAST(('0x' || substr(hx, CAST(2*((j//2) % CAST(ilen AS INT))+1 AS INT), 2)) AS INT) ELSE 0 END) * 251 + (j//2)*7 + 17) % 65536 // 256
+        |               END)
         |           ELSE
         |             coalesce(list_transform(range(0, CAST(ilen AS INT)), i ->
         |               CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT)), [])
@@ -956,14 +970,20 @@ private[graft] object Oracles {
         |           (acc, x) -> (31*acc + x) % CAST('18446744073709551616' AS HUGEINT)) AS cs
         |  FROM b)
         |SELECT media_id, kind, n_bytes, n_inner AS n_inner_bytes, container,
-        |       CAST(CASE WHEN container = 'raw' THEN 0 ELSE w END AS INT) AS width,
-        |       CAST(CASE WHEN container = 'raw' THEN 0 ELSE h END AS INT) AS height,
+        |       CAST(CASE WHEN container IN ('png', 'jpeg') THEN w ELSE 0 END AS INT) AS width,
+        |       CAST(CASE WHEN container IN ('png', 'jpeg') THEN h ELSE 0 END AS INT) AS height,
         |       CAST(CASE WHEN cs >= CAST('9223372036854775808' AS HUGEINT)
         |                 THEN cs - CAST('18446744073709551616' AS HUGEINT) ELSE cs END AS BIGINT) AS checksum,
         |       CAST(16 AS BIGINT) AS feature_dim,
         |       array_to_string(list_transform(range(0, 16), j ->
         |         len(list_filter(bytes, x -> x % 16 = j))), ',') AS hist
         |FROM c ORDER BY media_id""".stripMargin,
+
+    "multimodal_audio_info" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(16000 AS INT) AS sample_rate,
+        |       CAST(n_chars % 200 + 50 AS INT) AS n_samples
+        |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin,
 
     "multimodal_image_dims" ->
       """SELECT doc_id AS media_id,

@@ -532,6 +532,14 @@ private[graft] object Queries {
         .orderBy(col("media_id"))
     }),
 
+    "multimodal_audio_info" -> ((s, dir) => {
+      // real RIFF chunk walk over the audio records' WAV payloads; DuckDB
+      // replays sample_rate / n_samples from the generator formulas — the
+      // audio twin of the image encode→parse roundtrip gate
+      Multimodal.audioInfo(Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))
+    }),
+
     "geo_history_avg" -> ((s, dir) => {
       // geohash-keyed slice of the reference pipeline: synth coordinates from
       // user_id, encode at precision 6, bbox → cover prefixes → history

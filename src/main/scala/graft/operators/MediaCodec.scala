@@ -124,6 +124,108 @@ object MediaCodec {
       out.toByteArray
     } else b
 
+  // -------------------------------------------------------------------- wav
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Walk the RIFF chunks of a WAV blob to `(sampleRate, nSamples)` for
+    * PCM-16 mono audio — real chunk traversal (fmt/data may sit anywhere
+    * after the RIFF header, lengths are little-endian and byte-guarded), so
+    * a fixed-offset peek is deliberately not what this does. `None` for
+    * foreign bytes, non-PCM16-mono encodings, or corrupt lengths. */
+  def wavInfo(b: Array[Byte]): Option[(Int, Int)] =
+    if (b == null || !isWav(b)) None
+    else {
+      var i = 12
+      var rate = -1
+      var nSamples = -1
+      while (i + 8 <= b.length && (rate < 0 || nSamples < 0)) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val len = leInt(b, i + 4)
+        if (len < 0 || len > b.length - i - 8) return None // corrupt length
+        if (id == "fmt ") {
+          // PCM (audioFormat=1), mono, 16-bit only — everything else is
+          // foreign data to this engine (None, not an exception)
+          if (len < 16 || leShort(b, i + 8) != 1 || leShort(b, i + 10) != 1 ||
+            leShort(b, i + 22) != 16) return None
+          rate = leInt(b, i + 12)
+        } else if (id == "data") {
+          nSamples = len / 2
+        }
+        i += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      }
+      if (rate > 0 && nSamples >= 0) Some((rate, nSamples)) else None
+    }
+
+  /** The decoded PCM-16 samples of a [[wavInfo]]-valid WAV blob (data-chunk
+    * little-endian int16s); `None` on anything else. */
+  def wavSamples(b: Array[Byte]): Option[Array[Short]] =
+    wavInfo(b).flatMap { case (_, n) =>
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val len = leInt(b, i + 4)
+        if (id == "data") {
+          val out = new Array[Short](n)
+          var k = 0
+          while (k < n) { out(k) = leShort(b, i + 8 + 2 * k).toShort; k += 1 }
+          return Some(out)
+        }
+        i += 8 + len + (len & 1)
+      }
+      None
+    }
+
+  /** The data-chunk BYTES of a WAV blob (the LE byte stream the feature
+    * kernel consumes); `None` for non-WAV/corrupt input. */
+  def wavDataBytes(b: Array[Byte]): Option[Array[Byte]] =
+    wavInfo(b).flatMap { case (_, n) =>
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val len = leInt(b, i + 4)
+        if (id == "data") return Some(java.util.Arrays.copyOfRange(b, i + 8, i + 8 + 2 * n))
+        i += 8 + len + (len & 1)
+      }
+      None
+    }
+
+  /** Spec-correct PCM-16 mono WAV container (RIFF/WAVE, canonical 16-byte
+    * fmt chunk, one data chunk). Fixed overhead: 44 bytes + the 2·n sample
+    * bytes — byte-exact, formula-computable (the oracle replays sizes). */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    require(sampleRate > 0, s"encodeWav: bad sample rate $sampleRate")
+    val dataLen = 2 * samples.length
+    val out = new ByteArrayOutputStream(44 + dataLen)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    le32(36 + dataLen) // riff payload size
+    out.write("WAVE".getBytes("US-ASCII"), 0, 4)
+    out.write("fmt ".getBytes("US-ASCII"), 0, 4)
+    le32(16)           // canonical PCM fmt chunk
+    le16(1)            // audioFormat = PCM
+    le16(1)            // mono
+    le32(sampleRate)
+    le32(sampleRate * 2) // byte rate = rate · block align
+    le16(2)            // block align (mono 16-bit)
+    le16(16)           // bits per sample
+    out.write("data".getBytes("US-ASCII"), 0, 4)
+    le32(dataLen)
+    samples.foreach(s => le16(s & 0xffff))
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------- zlib
 
   /**

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
  * real as well: payloads carry zlib-wrapped scanlines and the decode path
  * runs the real `java.util.zip.Inflater` + five-filter defilter
  * ([[MediaCodec.pngPixels]]), so PNG features derive from genuinely
- * decompressed pixel data. JPEG's DCT codec is intentionally absent (no
- * JDK decoder — declared stub): its features run over the COM-embedded
- * data instead, through the same [[FeatureKernel]].
+ * decompressed pixel data. Audio payloads are real PCM-16 WAV containers
+ * decoded by a genuine RIFF chunk walk ([[MediaCodec.wavInfo]] /
+ * [[MediaCodec.wavDataBytes]]). JPEG's DCT codec is intentionally absent
+ * (no JDK decoder — declared stub): its features run over the
+ * COM-embedded data instead, through the same [[FeatureKernel]].
  *
  * Scala-side equivalent of a Python `mapInPandas` batch UDF: a typed
  * `Dataset.mapPartitions` that processes records streamingly per partition
@@ -86,6 +88,21 @@ object Multimodal {
     out
   }
 
+  /** Deterministic PCM-16 samples for a synthetic audio record: each
+    * sample mixes a cycled text byte with the sample index
+    * (`v_i = (b_{i mod L}·251 + 7i + 17) mod 2^16`) — varies per position,
+    * yet every little-endian byte is DuckDB-replayable arithmetic. */
+  private def synthSamples(text: Array[Byte], n: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val b = if (text.isEmpty) 0 else text(i % text.length) & 0xff
+      out(i) = ((b * 251 + i * 7 + 17) % 65536).toShort
+      i += 1
+    }
+    out
+  }
+
   /** Synthesize a deterministic media table from `documents` — lets every
     * sf dir drive the pipeline. Image-kind records carry REAL container
     * bytes: even ids a spec-correct PNG whose IDAT holds genuine
@@ -93,10 +110,11 @@ object Multimodal {
     * compliant reader), odd ids a JPEG/JFIF (marker segments, COM-embedded
     * text, SOF0 with the dims). Image dims are SMALL on purpose
     * (`w = n%24+1`, `h = n%8+1`, never zero) so the pixel stream stays
-    * bounded per row; every byte is a deterministic function of the
-    * document row, so the DuckDB oracle replays features and (via the
-    * generator formulas) the parsed dims. Audio/video stay raw bytes with
-    * the old metadata formulas. */
+    * bounded per row. Audio-kind records carry REAL PCM-16 mono WAV
+    * containers ([[MediaCodec.encodeWav]], `n%200+50` [[synthSamples]] at
+    * 16 kHz). Every byte is a deterministic function of the document row,
+    * so the DuckDB oracle replays features and (via the generator
+    * formulas) the parsed dims / audio info. Video stays raw bytes. */
   def syntheticMedia(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -107,10 +125,13 @@ object Multimodal {
         val (w, h) =
           if (kind == "image") (((n % 24) + 1).toInt, ((n % 8) + 1).toInt)
           else ((n % 640).toInt, (n % 480).toInt)
-        val payload =
-          if (kind != "image") inner
-          else if (id % 2 == 0) MediaCodec.encodePng(cyclePixels(inner, w, h), w, h)
-          else MediaCodec.encodeJpeg(inner, w, h)
+        val payload = kind match {
+          case "image" if id % 2 == 0 => MediaCodec.encodePng(cyclePixels(inner, w, h), w, h)
+          case "image"                => MediaCodec.encodeJpeg(inner, w, h)
+          case "audio" =>
+            MediaCodec.encodeWav(synthSamples(inner, ((n % 200) + 50).toInt), 16000)
+          case _ => inner
+        }
         MediaRecord(id, kind, payload, width = w, height = h,
           sample_rate = 16000, n_frames = (n % 100).toInt)
       }
@@ -127,27 +148,45 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition decoder init would go here (codec contexts, etc.)
       it.map { r =>
-        // container parse is real (PNG IHDR / JPEG SOF); PNG pixel decode
-        // is real too (Inflater + defilter) — a corrupt PNG stream decodes
-        // to an empty pixel array (data, not an exception); JPEG has no JDK
-        // DCT decoder, so its COM-embedded data feeds the kernel (declared)
+        // container parse is real (PNG IHDR / JPEG SOF / WAV RIFF walk);
+        // PNG pixel decode is real (Inflater + defilter) and WAV features
+        // run over the real PCM byte stream — a corrupt stream decodes to
+        // an empty array (data, not an exception); JPEG has no JDK DCT
+        // decoder, so its COM-embedded data feeds the kernel (declared)
         val dims = MediaCodec.imageDims(r.payload)
+        val wav = if (dims.isEmpty) MediaCodec.wavInfo(r.payload) else None
         val inner = dims match {
           case Some(("png", _, _)) =>
             MediaCodec.pngPixels(r.payload).getOrElse(Array.emptyByteArray)
+          case _ if wav.isDefined =>
+            MediaCodec.wavDataBytes(r.payload).getOrElse(Array.emptyByteArray)
           case _ => MediaCodec.innerPayload(r.payload)
         }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, inner.length.toLong,
           FeatureKernel.checksum(inner), FeatureKernel.histogram(inner),
-          container = dims.map(_._1).getOrElse("raw"),
+          container = dims.map(_._1).orElse(wav.map(_ => "wav")).getOrElse("raw"),
           width = dims.map(_._2).getOrElse(0),
           height = dims.map(_._3).getOrElse(0))
       }
     }
   }
 
+  /** Audio info parsed from the REAL WAV headers of audio-kind records —
+    * the audio twin of the `image_dims` roundtrip gate: (media_id,
+    * sample_rate, n_samples) from [[MediaCodec.wavInfo]]'s RIFF chunk walk,
+    * which the oracle cross-checks against the generator formulas. */
+  def audioInfo(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").map { r =>
+      val info = MediaCodec.wavInfo(r.payload)
+      (r.media_id, info.map(_._1).getOrElse(0), info.map(_._2).getOrElse(0))
+    }.toDF("media_id", "sample_rate", "n_samples")
+  }
+
   /** Frame sampling for video-kind records: every `stride`-th frame index —
-    * pure metadata math (real frame decode sits behind FakeDecoder). */
+    * pure metadata math (real frame decode would slot in like the PNG/WAV
+    * decoders). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int): DataFrame =
     media.toDF().select(col("media_id"), col("n_frames"),
       when(col("n_frames") > 0,

@@ -115,6 +115,29 @@ class MultimodalSpec extends SparkSpec {
       .sameElements("raw".getBytes("UTF-8")))
   }
 
+  test("MediaCodec WAV: spec-correct RIFF container, chunk-walk parse, PCM roundtrip") {
+    import graft.operators.MediaCodec
+    val samples = Array.tabulate(100)(i => ((i * 1103 + 7) % 65536).toShort)
+    val wav = MediaCodec.encodeWav(samples, 16000)
+    // canonical PCM-16 mono layout: 44-byte header + 2 bytes per sample
+    assert(wav.length == 44 + 200)
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
+    assert(MediaCodec.wavInfo(wav).contains((16000, 100)))
+    assert(MediaCodec.wavSamples(wav).get.sameElements(samples))
+    assert(MediaCodec.wavDataBytes(wav).get.length == 200)
+    // corrupt fmt-chunk length (offset 16, LE) → None, never an exception
+    val bad = wav.clone()
+    bad(16) = 0x7f.toByte; bad(17) = 0x7f.toByte; bad(18) = 0x7f.toByte; bad(19) = 0x7f.toByte
+    assert(MediaCodec.wavInfo(bad).isEmpty)
+    // non-PCM audioFormat (offset 20) is foreign data to this engine
+    val nonPcm = wav.clone(); nonPcm(20) = 3
+    assert(MediaCodec.wavInfo(nonPcm).isEmpty)
+    // foreign / truncated bytes
+    assert(MediaCodec.wavInfo("RIFFxxxxWAVE but short".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodec.wavInfo("not audio at all".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("pngPixels defilters all five RFC 2083 filter types") {
     import graft.operators.MediaCodec
     // original 2x5 truecolor image; each row serialized with a DIFFERENT
