@@ -911,7 +911,7 @@ private[graft] object Oracles {
         |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |         CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 'png'
         |              WHEN doc_id % 3 = 0 THEN 'jpeg'
-        |              WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'raw' END AS container,
+        |              WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'y4m' END AS container,
         |         n_chars,
         |         hex(encode(text)) AS hx,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS ilen
@@ -920,38 +920,48 @@ private[graft] object Oracles {
         |  SELECT *,
         |         CAST(n_chars % 24 + 1 AS INT) AS w,
         |         CAST(n_chars % 8 + 1 AS INT) AS h,
-        |         CAST(n_chars % 200 + 50 AS INT) AS ns
+        |         CAST(n_chars % 200 + 50 AS INT) AS ns,
+        |         CAST(n_chars % 16 + 1 AS INT) AS vw,
+        |         CAST(n_chars % 8 + 1 AS INT) AS vh,
+        |         CAST(n_chars % 100 AS INT) AS nf
         |  FROM m),
         |b AS (
-        |  SELECT media_id, kind, container, ilen, w, h,
+        |  SELECT media_id, kind, container, ilen, w, h, vw, vh,
         |         -- decoder-visible data: PNG = the decompressed, defiltered
         |         -- 3wh pixel bytes; WAV = the 2·ns PCM data-chunk bytes;
+        |         -- Y4M = the nf·3·vw·vh concatenated frame planes;
         |         -- JPEG/raw = the embedded/raw bytes
         |         CASE container WHEN 'png' THEN CAST(3*w*h AS BIGINT)
         |              WHEN 'wav' THEN CAST(2*ns AS BIGINT)
+        |              WHEN 'y4m' THEN CAST(3*vw*vh*nf AS BIGINT)
         |              ELSE ilen END AS n_inner,
         |         -- container sizes: PNG = 57 bytes of chunk structure +
         |         -- zlib-stored scanline stream (2 hdr + 5/block + raw +
         |         -- 4 adler over raw = h*(1+3w) bytes); JPEG = SOI 2 +
         |         -- APP0 18 + SOF0 19 + EOI 2 + 4 bytes per COM segment;
-        |         -- WAV = 44-byte RIFF/fmt/data header + 2·ns PCM bytes
+        |         -- WAV = 44-byte RIFF/fmt/data header + 2·ns PCM bytes;
+        |         -- Y4M = 33-char fixed header + dim digits + per-frame
+        |         -- "FRAME\n" + 3·vw·vh plane bytes
         |         CASE container
         |           WHEN 'png'  THEN 57 + 2 + 4 + h*(1+3*w) +
         |             5 * greatest(CAST(ceil(CAST(h*(1+3*w) AS DOUBLE) / 65535) AS BIGINT), 1)
         |           WHEN 'jpeg' THEN ilen + 41 +
         |             4 * greatest(CAST(ceil(CAST(ilen AS DOUBLE) / 60000) AS BIGINT), 1)
         |           WHEN 'wav'  THEN 44 + 2*ns
+        |           WHEN 'y4m'  THEN 33 + len(CAST(vw AS VARCHAR)) + len(CAST(vh AS VARCHAR))
+        |             + nf * (6 + 3*vw*vh)
         |           ELSE ilen END AS n_bytes,
-        |         -- the bytes the feature kernel reads: PNG pixels are the
-        |         -- text bytes cycled over the 3wh RGB samples; WAV bytes
-        |         -- are the little-endian halves of the synthesized PCM
-        |         -- samples v_i = (b[i mod L]·251 + 7i + 17) mod 2^16
+        |         -- the bytes the feature kernel reads: PNG pixels / Y4M
+        |         -- frame planes are the text bytes cycled over the decoded
+        |         -- length; WAV bytes are the little-endian halves of the
+        |         -- synthesized PCM samples v_i = (b[i mod L]·251 + 7i + 17)
+        |         -- mod 2^16
         |         CASE
-        |           WHEN container = 'png' AND ilen > 0 THEN
-        |             list_transform(range(0, CAST(3*w*h AS INT)), i ->
+        |           WHEN container IN ('png', 'y4m') AND ilen > 0 THEN
+        |             list_transform(range(0, CAST(CASE container WHEN 'png' THEN 3*w*h ELSE 3*vw*vh*nf END AS INT)), i ->
         |               CAST(('0x' || substr(hx, CAST(2*(i % CAST(ilen AS INT))+1 AS INT), 2)) AS INT))
-        |           WHEN container = 'png' THEN
-        |             list_transform(range(0, CAST(3*w*h AS INT)), i -> 0)
+        |           WHEN container IN ('png', 'y4m') THEN
+        |             list_transform(range(0, CAST(CASE container WHEN 'png' THEN 3*w*h ELSE 3*vw*vh*nf END AS INT)), i -> 0)
         |           WHEN container = 'wav' THEN
         |             list_transform(range(0, CAST(2*ns AS INT)), j ->
         |               CASE WHEN j % 2 = 0
@@ -964,14 +974,16 @@ private[graft] object Oracles {
         |         END AS bytes
         |  FROM g),
         |c AS (
-        |  SELECT media_id, kind, container, n_inner, n_bytes, bytes, w, h,
+        |  SELECT media_id, kind, container, n_inner, n_bytes, bytes, w, h, vw, vh,
         |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
         |             list_transform(bytes, x -> CAST(x AS HUGEINT))),
         |           (acc, x) -> (31*acc + x) % CAST('18446744073709551616' AS HUGEINT)) AS cs
         |  FROM b)
         |SELECT media_id, kind, n_bytes, n_inner AS n_inner_bytes, container,
-        |       CAST(CASE WHEN container IN ('png', 'jpeg') THEN w ELSE 0 END AS INT) AS width,
-        |       CAST(CASE WHEN container IN ('png', 'jpeg') THEN h ELSE 0 END AS INT) AS height,
+        |       CAST(CASE WHEN container IN ('png', 'jpeg') THEN w
+        |                 WHEN container = 'y4m' THEN vw ELSE 0 END AS INT) AS width,
+        |       CAST(CASE WHEN container IN ('png', 'jpeg') THEN h
+        |                 WHEN container = 'y4m' THEN vh ELSE 0 END AS INT) AS height,
         |       CAST(CASE WHEN cs >= CAST('9223372036854775808' AS HUGEINT)
         |                 THEN cs - CAST('18446744073709551616' AS HUGEINT) ELSE cs END AS BIGINT) AS checksum,
         |       CAST(16 AS BIGINT) AS feature_dim,
@@ -984,6 +996,13 @@ private[graft] object Oracles {
         |       CAST(16000 AS INT) AS sample_rate,
         |       CAST(n_chars % 200 + 50 AS INT) AS n_samples
         |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin,
+
+    "multimodal_video_info" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(n_chars % 16 + 1 AS INT) AS width,
+        |       CAST(n_chars % 8 + 1 AS INT) AS height,
+        |       CAST(n_chars % 100 AS INT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
 
     "multimodal_image_dims" ->
       """SELECT doc_id AS media_id,

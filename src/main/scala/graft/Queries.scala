@@ -532,6 +532,14 @@ private[graft] object Queries {
         .orderBy(col("media_id"))
     }),
 
+    "multimodal_video_info" -> ((s, dir) => {
+      // real Y4M header parse + FRAME-block walk over the video records'
+      // payloads; DuckDB replays dims/frame-count from the generator
+      // formulas — the video twin of the image/audio roundtrip gates
+      Multimodal.videoInfo(Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))
+    }),
+
     "multimodal_audio_info" -> ((s, dir) => {
       // real RIFF chunk walk over the audio records' WAV payloads; DuckDB
       // replays sample_rate / n_samples from the generator formulas — the

@@ -226,6 +226,90 @@ object MediaCodec {
     out.toByteArray
   }
 
+  // --------------------------------------------------------------------- y4m
+
+  private val Y4mMagic = "YUV4MPEG2 ".getBytes("US-ASCII")
+
+  /**
+   * Spec-correct YUV4MPEG2 (Y4M) container — the public uncompressed video
+   * interchange format (mjpegtools): ASCII stream header
+   * `YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1 C444\n` followed by `nFrames` blocks
+   * of `FRAME\n` + `3·w·h` C444 plane bytes. Byte-exact, formula-computable
+   * size: `33 + digits(w) + digits(h) + nFrames·(6 + 3wh)`.
+   */
+  def encodeY4m(frameData: Array[Byte], width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"encodeY4m: bad dims ${width}x$height")
+    val fsz = 3 * width * height
+    require(frameData.length == nFrames * fsz,
+      s"encodeY4m: ${frameData.length} bytes for $nFrames ${width}x$height frames")
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")
+    val out = new ByteArrayOutputStream(header.length + nFrames * (6 + fsz))
+    out.write(header, 0, header.length)
+    val fm = "FRAME\n".getBytes("US-ASCII")
+    var f = 0
+    while (f < nFrames) {
+      out.write(fm, 0, 6)
+      out.write(frameData, f * fsz, fsz)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Parse `(width, height, nFrames)` from a Y4M blob — real header-token
+    * parse plus a full frame-block walk (every block must carry the FRAME
+    * marker and a complete `3wh` payload, so a truncated stream is caught,
+    * not guessed from a size division). `None` for foreign bytes, a
+    * colourspace other than the C444 this engine writes, or malformed
+    * structure — corrupt blobs are data. Bare `FRAME` markers only (the
+    * writer's subset; per-frame params are out of scope). */
+  def y4mInfo(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b == null || b.length < Y4mMagic.length + 1) return None
+    var i = 0
+    while (i < Y4mMagic.length) {
+      if (b(i) != Y4mMagic(i)) return None
+      i += 1
+    }
+    val nl = b.indexOf('\n'.toByte)
+    if (nl < 0) return None
+    val toks = new String(b, 0, nl, "US-ASCII").split(' ')
+    var w = -1; var h = -1; var c444 = false
+    toks.iterator.drop(1).foreach { t =>
+      if (t.startsWith("W")) w = t.drop(1).toIntOption.getOrElse(-1)
+      else if (t.startsWith("H")) h = t.drop(1).toIntOption.getOrElse(-1)
+      else if (t.startsWith("C")) c444 = t == "C444"
+    }
+    if (w <= 0 || h <= 0 || !c444) return None
+    val fsz = 3 * w * h
+    var pos = nl + 1
+    var n = 0
+    while (pos < b.length) {
+      if (pos + 6 > b.length || b(pos) != 'F' || b(pos + 1) != 'R' ||
+        b(pos + 2) != 'A' || b(pos + 3) != 'M' || b(pos + 4) != 'E' ||
+        b(pos + 5) != '\n') return None
+      if (pos + 6 + fsz > b.length) return None
+      pos += 6 + fsz
+      n += 1
+    }
+    Some((w, h, n))
+  }
+
+  /** The concatenated frame payloads (`nFrames · 3wh` bytes) of a
+    * [[y4mInfo]]-valid blob; `None` otherwise. */
+  def y4mFrames(b: Array[Byte]): Option[Array[Byte]] =
+    y4mInfo(b).map { case (w, h, n) =>
+      val fsz = 3 * w * h
+      val nl = b.indexOf('\n'.toByte)
+      val out = new Array[Byte](n * fsz)
+      var pos = nl + 1
+      var f = 0
+      while (f < n) {
+        System.arraycopy(b, pos + 6, out, f * fsz, fsz)
+        pos += 6 + fsz
+        f += 1
+      }
+      out
+    }
+
   // ------------------------------------------------------------------- zlib
 
   /**

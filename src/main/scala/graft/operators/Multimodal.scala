@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
  * ([[MediaCodec.pngPixels]]), so PNG features derive from genuinely
  * decompressed pixel data. Audio payloads are real PCM-16 WAV containers
  * decoded by a genuine RIFF chunk walk ([[MediaCodec.wavInfo]] /
- * [[MediaCodec.wavDataBytes]]). JPEG's DCT codec is intentionally absent
+ * [[MediaCodec.wavDataBytes]]); video payloads are real YUV4MPEG2 streams
+ * decoded by a header parse + per-FRAME block walk ([[MediaCodec.y4mInfo]]
+ * / [[MediaCodec.y4mFrames]]). JPEG's DCT codec is intentionally absent
  * (no JDK decoder — declared stub): its features run over the
  * COM-embedded data instead, through the same [[FeatureKernel]].
  *
@@ -112,9 +114,11 @@ object Multimodal {
     * (`w = n%24+1`, `h = n%8+1`, never zero) so the pixel stream stays
     * bounded per row. Audio-kind records carry REAL PCM-16 mono WAV
     * containers ([[MediaCodec.encodeWav]], `n%200+50` [[synthSamples]] at
-    * 16 kHz). Every byte is a deterministic function of the document row,
-    * so the DuckDB oracle replays features and (via the generator
-    * formulas) the parsed dims / audio info. Video stays raw bytes. */
+    * 16 kHz); video-kind records REAL Y4M streams
+    * ([[MediaCodec.encodeY4m]], `n%100` C444 frames of `(n%16+1)×(n%8+1)`
+    * cycled-text planes). Every byte is a deterministic function of the
+    * document row, so the DuckDB oracle replays features and (via the
+    * generator formulas) the parsed dims / audio / video info. */
   def syntheticMedia(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -130,9 +134,14 @@ object Multimodal {
           case "image"                => MediaCodec.encodeJpeg(inner, w, h)
           case "audio" =>
             MediaCodec.encodeWav(synthSamples(inner, ((n % 200) + 50).toInt), 16000)
-          case _ => inner
+          case _ => // video: real Y4M with small dims, n_frames C444 frames
+            val (vw, vh) = (((n % 16) + 1).toInt, ((n % 8) + 1).toInt)
+            val nf = (n % 100).toInt
+            MediaCodec.encodeY4m(cyclePixels(inner, vw * nf, vh), vw, vh, nf)
         }
-        MediaRecord(id, kind, payload, width = w, height = h,
+        val (mw, mh) =
+          if (kind == "video") (((n % 16) + 1).toInt, ((n % 8) + 1).toInt) else (w, h)
+        MediaRecord(id, kind, payload, width = mw, height = mh,
           sample_rate = 16000, n_frames = (n % 100).toInt)
       }
   }
@@ -155,18 +164,22 @@ object Multimodal {
         // decoder, so its COM-embedded data feeds the kernel (declared)
         val dims = MediaCodec.imageDims(r.payload)
         val wav = if (dims.isEmpty) MediaCodec.wavInfo(r.payload) else None
+        val y4m = if (dims.isEmpty && wav.isEmpty) MediaCodec.y4mInfo(r.payload) else None
         val inner = dims match {
           case Some(("png", _, _)) =>
             MediaCodec.pngPixels(r.payload).getOrElse(Array.emptyByteArray)
           case _ if wav.isDefined =>
             MediaCodec.wavDataBytes(r.payload).getOrElse(Array.emptyByteArray)
+          case _ if y4m.isDefined =>
+            MediaCodec.y4mFrames(r.payload).getOrElse(Array.emptyByteArray)
           case _ => MediaCodec.innerPayload(r.payload)
         }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, inner.length.toLong,
           FeatureKernel.checksum(inner), FeatureKernel.histogram(inner),
-          container = dims.map(_._1).orElse(wav.map(_ => "wav")).getOrElse("raw"),
-          width = dims.map(_._2).getOrElse(0),
-          height = dims.map(_._3).getOrElse(0))
+          container = dims.map(_._1).orElse(wav.map(_ => "wav"))
+            .orElse(y4m.map(_ => "y4m")).getOrElse("raw"),
+          width = dims.map(_._2).orElse(y4m.map(_._1)).getOrElse(0),
+          height = dims.map(_._3).orElse(y4m.map(_._2)).getOrElse(0))
       }
     }
   }
@@ -184,9 +197,24 @@ object Multimodal {
     }.toDF("media_id", "sample_rate", "n_samples")
   }
 
+  /** Video info parsed from the REAL Y4M headers + frame walk of
+    * video-kind records: (media_id, width, height, n_frames) from
+    * [[MediaCodec.y4mInfo]], oracle-checked against the generator
+    * formulas — n_frames comes from counting actual FRAME blocks, so a
+    * truncated container fails the gate rather than rounding down. */
+  def videoInfo(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").map { r =>
+      val info = MediaCodec.y4mInfo(r.payload)
+      (r.media_id, info.map(_._1).getOrElse(0), info.map(_._2).getOrElse(0),
+        info.map(_._3).getOrElse(0))
+    }.toDF("media_id", "width", "height", "n_frames")
+  }
+
   /** Frame sampling for video-kind records: every `stride`-th frame index —
-    * pure metadata math (real frame decode would slot in like the PNG/WAV
-    * decoders). */
+    * pure metadata math (the real per-frame payload walk lives in
+    * [[MediaCodec.y4mFrames]]). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int): DataFrame =
     media.toDF().select(col("media_id"), col("n_frames"),
       when(col("n_frames") > 0,

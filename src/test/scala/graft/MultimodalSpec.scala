@@ -12,9 +12,11 @@ class MultimodalSpec extends SparkSpec {
     feats.foreach { f =>
       assert(f.feature.length == Multimodal.FeatureKernel.FeatureDim)
       assert(f.n_bytes > 0)
-      // L2-normalized fake feature
+      // L2-normalized feature — except a decoded-empty record (e.g. a
+      // zero-frame Y4M), whose histogram is legitimately all zeros
       val n = math.sqrt(f.feature.map(x => x * x.toDouble).sum)
-      assert(math.abs(n - 1.0) < 1e-5)
+      if (f.n_inner_bytes > 0) assert(math.abs(n - 1.0) < 1e-5)
+      else assert(n == 0.0)
     }
     // determinism: same payload → same checksum across runs
     val again = Multimodal.extractFeatures(media).collect()
@@ -136,6 +138,27 @@ class MultimodalSpec extends SparkSpec {
     // foreign / truncated bytes
     assert(MediaCodec.wavInfo("RIFFxxxxWAVE but short".getBytes("US-ASCII")).isEmpty)
     assert(MediaCodec.wavInfo("not audio at all".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("MediaCodec Y4M: spec-correct stream, header + frame-walk parse, roundtrip") {
+    import graft.operators.MediaCodec
+    val (w, h, nf) = (4, 3, 5)
+    val frames = Array.tabulate(3 * w * h * nf)(i => ((i * 31 + 5) % 251).toByte)
+    val y = MediaCodec.encodeY4m(frames, w, h, nf)
+    assert(new String(y, 0, 10, "US-ASCII") == "YUV4MPEG2 ")
+    // size formula: 33-char fixed header + dim digits + nf·(6 + 3wh)
+    assert(y.length == 33 + 1 + 1 + nf * (6 + 3 * w * h))
+    assert(MediaCodec.y4mInfo(y).contains((4, 3, 5)))
+    assert(MediaCodec.y4mFrames(y).get.sameElements(frames))
+    // a truncated final frame is malformed, not rounded down
+    assert(MediaCodec.y4mInfo(java.util.Arrays.copyOf(y, y.length - 1)).isEmpty)
+    // colourspaces this engine doesn't write are foreign data
+    assert(MediaCodec.y4mInfo(
+      "YUV4MPEG2 W4 H3 F25:1 Ip A1:1 C420\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+    // a zero-frame stream (header only) is valid
+    assert(MediaCodec.y4mInfo(
+      MediaCodec.encodeY4m(Array.emptyByteArray, 2, 2, 0)).contains((2, 2, 0)))
+    assert(MediaCodec.y4mInfo("not video at all".getBytes("US-ASCII")).isEmpty)
   }
 
   test("pngPixels defilters all five RFC 2083 filter types") {
