@@ -279,15 +279,21 @@ object MediaCodec {
       else if (t.startsWith("C")) c444 = t == "C444"
     }
     if (w <= 0 || h <= 0 || !c444) return None
-    val fsz = 3 * w * h
+    // hostile dims (e.g. W2000000000 H2000000000) overflow 3wh even in
+    // Long — bound by the structural limit first (a frame must fit a byte
+    // array), then the per-block Long check below catches the rest; an
+    // unguarded overflow walks the loop backwards (hung executor task)
+    val whL = w.toLong * h
+    if (whL > Int.MaxValue / 3) return None
+    val fszL = 3L * whL
     var pos = nl + 1
     var n = 0
     while (pos < b.length) {
       if (pos + 6 > b.length || b(pos) != 'F' || b(pos + 1) != 'R' ||
         b(pos + 2) != 'A' || b(pos + 3) != 'M' || b(pos + 4) != 'E' ||
         b(pos + 5) != '\n') return None
-      if (pos + 6 + fsz > b.length) return None
-      pos += 6 + fsz
+      if (pos + 6L + fszL > b.length) return None
+      pos += 6 + fszL.toInt // fits: pos + 6 + fszL ≤ b.length ≤ Int.MaxValue
       n += 1
     }
     Some((w, h, n))
@@ -374,8 +380,10 @@ object MediaCodec {
    * type — never an exception.
    */
   def pngPixels(b: Array[Byte]): Option[Array[Byte]] = imageDims(b) match {
+    // geometry guard in overflow-safe arithmetic: the raw scanline stream
+    // h·(1+3w) must fit a byte array (w·h alone can overflow 3L·w·h)
     case Some(("png", w, h)) if w > 0 && h > 0 &&
-        3L * w * h <= Int.MaxValue - h =>
+        w.toLong * h <= (Int.MaxValue.toLong - h) / 3 =>
       inflate(innerPayload(b)).flatMap { raw =>
         val rowBytes = 3 * w
         val stride = 1 + rowBytes

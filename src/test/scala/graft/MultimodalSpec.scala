@@ -159,6 +159,10 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.y4mInfo(
       MediaCodec.encodeY4m(Array.emptyByteArray, 2, 2, 0)).contains((2, 2, 0)))
     assert(MediaCodec.y4mInfo("not video at all".getBytes("US-ASCII")).isEmpty)
+    // hostile dims that would overflow 3wh are rejected, not spun on
+    assert(MediaCodec.y4mInfo(
+      "YUV4MPEG2 W2000000000 H2000000000 F25:1 Ip A1:1 C444\nFRAME\nxx"
+        .getBytes("US-ASCII")).isEmpty)
   }
 
   test("pngPixels defilters all five RFC 2083 filter types") {
