@@ -69,10 +69,16 @@ object Bench {
     // build into its first-run max
     try AnnArtifacts.artifactRoot(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] ann warmup failed: $e") }
-    // same for the persisted BM25 postings index: bm25_index_topk measures
-    // serving from the artifact, not the one-time build
-    try AnnArtifacts.lexicalRoot(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] lex warmup failed: $e") }
+    // same for the persisted BM25 postings artifacts: the index/append/
+    // compact serve entries measure serving, not the one-time lazy builds —
+    // without warming ALL THREE roots, bm25_append_topk / bm25_compact_topk
+    // absorb their segment build / compaction rewrite into the first
+    // timed run's max
+    try {
+      AnnArtifacts.lexicalRoot(spark, sfDir)
+      AnnArtifacts.lexicalAppendRoot(spark, sfDir)
+      AnnArtifacts.lexicalCompactRoot(spark, sfDir)
+    } catch { case e: Throwable => System.err.println(s"[bench] lex warmup failed: $e") }
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()

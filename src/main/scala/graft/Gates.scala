@@ -509,20 +509,10 @@ private[graft] object Gates {
         val dupB = Dedup.minHashLsh(exact, "doc_id", "text", cfg.shingleN,
           cfg.minhashBands, cfg.minhashRowsPerBand, cfg.nearDupThreshold)
           .select(col("b").as("doc_id")).distinct()
-        val langOk =
-          if (cfg.keepLangs.isEmpty) lit(true)
-          else col("lang_pred").isin(cfg.keepLangs: _*)
-        val counts = exact
-          .join(dupB.withColumn("_dup", lit(1)), Seq("doc_id"), "left")
-          .withColumn("quality", TextFunctions.qualityScore(col("text"), cfg.stopwords))
-          .withColumn("lang_pred", TextFunctions.langId(col("text")))
-          .agg(
-            count(lit(1)).as("n1"),
-            count(when(col("_dup").isNull, 1)).as("n2"),
-            count(when(col("_dup").isNull && col("quality") >= cfg.minQuality && langOk, 1))
-              .as("n3"))
-          .collect()(0)
-        val (n1, n2, n3) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+        // stage DEFINITIONS come from the one shared implementation
+        // (Curation.stageCounts — no drift between pipeline and gate);
+        // the INDEPENDENT part of this gate is the second counting path
+        val (n1, n2, n3) = Curation.stageCounts(exact, dupB, cfg)
         val n2Independent = exact.join(dupB, Seq("doc_id"), "left_anti").count()
         Seq((n0, n1, n2 <= n1, n2 == n2Independent, n3 <= n2, n3 > 0L))
           .toDF("n_input", "n_exact_kept", "neardup_monotone", "neardup_consistent",

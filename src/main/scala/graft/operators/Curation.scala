@@ -72,6 +72,25 @@ object Curation {
     val dupB = Dedup.minHashLsh(exact, idCol, textCol,
       cfg.shingleN, cfg.minhashBands, cfg.minhashRowsPerBand, cfg.nearDupThreshold)
       .select(col("b").as(idCol)).distinct()
+    val (n1, n2, n3) = stageCounts(exact, dupB, cfg, idCol, textCol)
+    exact.unpersist()
+    Seq(
+      ("0_input", n0),
+      ("1_exact_dedup", n1),
+      ("2_near_dedup", n2),
+      ("3_quality_lang", n3))
+      .toDF("stage", "n_docs")
+  }
+
+  /** The funnel's conditional three-count aggregate — stage 1 (exact-dedup
+    * survivors), stage 2 (minus near-dup b-sides), stage 3 (plus
+    * quality/lang filters) in ONE pass over `exact`. This is the single
+    * implementation of the stage semantics, shared by [[funnel]] and the
+    * `curation_funnel_check` gate: the gate re-derives stage 2 through an
+    * independent anti-join COUNTING path, but the stage DEFINITIONS cannot
+    * silently drift between pipeline and gate. */
+  def stageCounts(exact: DataFrame, dupB: DataFrame, cfg: Config = Config(),
+                  idCol: String = "doc_id", textCol: String = "text"): (Long, Long, Long) = {
     val langOk =
       if (cfg.keepLangs.isEmpty) lit(true) else col("lang_pred").isin(cfg.keepLangs: _*)
     val counts = exact
@@ -84,13 +103,7 @@ object Curation {
         count(when(col("_dup").isNull && col("quality") >= cfg.minQuality && langOk, 1))
           .as("n3"))
       .collect()(0)
-    exact.unpersist()
-    Seq(
-      ("0_input", n0),
-      ("1_exact_dedup", counts.getLong(0)),
-      ("2_near_dedup", counts.getLong(1)),
-      ("3_quality_lang", counts.getLong(2)))
-      .toDF("stage", "n_docs")
+    (counts.getLong(0), counts.getLong(1), counts.getLong(2))
   }
 
   /**

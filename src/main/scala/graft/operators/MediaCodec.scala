@@ -357,7 +357,10 @@ object MediaCodec {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(b)
-      val out = new ByteArrayOutputStream(math.min(math.max(b.length, 64) * 2, 1 << 16))
+      // clamp BEFORE doubling: b.length * 2 overflows Int past ~1 GiB and a
+      // negative capacity throws IllegalArgumentException past the
+      // DataFormatException catch — breaking the never-throws contract
+      val out = new ByteArrayOutputStream(math.max(64, math.min(b.length, 1 << 15)) * 2)
       val buf = new Array[Byte](8192)
       while (!inf.finished()) {
         val n = inf.inflate(buf)

@@ -126,23 +126,24 @@ object Multimodal {
       .map { case (id, text, n) =>
         val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
         val inner = text.getBytes("UTF-8")
-        val (w, h) =
-          if (kind == "image") (((n % 24) + 1).toInt, ((n % 8) + 1).toInt)
-          else ((n % 640).toInt, (n % 480).toInt)
+        // dims computed ONCE per kind (the oracle pins these formulas —
+        // a second copy could drift); audio has no spatial dims → 0/0
+        val (w, h) = kind match {
+          case "image" => (((n % 24) + 1).toInt, ((n % 8) + 1).toInt)
+          case "video" => (((n % 16) + 1).toInt, ((n % 8) + 1).toInt)
+          case _       => (0, 0)
+        }
+        val nf = (n % 100).toInt
         val payload = kind match {
           case "image" if id % 2 == 0 => MediaCodec.encodePng(cyclePixels(inner, w, h), w, h)
           case "image"                => MediaCodec.encodeJpeg(inner, w, h)
           case "audio" =>
             MediaCodec.encodeWav(synthSamples(inner, ((n % 200) + 50).toInt), 16000)
-          case _ => // video: real Y4M with small dims, n_frames C444 frames
-            val (vw, vh) = (((n % 16) + 1).toInt, ((n % 8) + 1).toInt)
-            val nf = (n % 100).toInt
-            MediaCodec.encodeY4m(cyclePixels(inner, vw * nf, vh), vw, vh, nf)
+          case _ => // video: real Y4M, nf C444 frames
+            MediaCodec.encodeY4m(cyclePixels(inner, w * nf, h), w, h, nf)
         }
-        val (mw, mh) =
-          if (kind == "video") (((n % 16) + 1).toInt, ((n % 8) + 1).toInt) else (w, h)
-        MediaRecord(id, kind, payload, width = mw, height = mh,
-          sample_rate = 16000, n_frames = (n % 100).toInt)
+        MediaRecord(id, kind, payload, width = w, height = h,
+          sample_rate = 16000, n_frames = nf)
       }
   }
 
@@ -265,7 +266,9 @@ object Multimodal {
             val out = new Array[Byte]((inner.length + factor - 1) / factor)
             var i = 0
             while (i < out.length) { out(i) = inner(i * factor); i += 1 }
-            val (w, h) = (r.width / factor, r.height / factor)
+            // ceil like the PNG grid — floor would zero small dims (the
+            // generator's heights are 1..8), emitting degenerate SOF headers
+            val (w, h) = ((r.width + factor - 1) / factor, (r.height + factor - 1) / factor)
             r.copy(payload = MediaCodec.encodeJpeg(out, w, h), width = w, height = h)
           case _ => r
         }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.TextAnalysis
@@ -34,9 +35,12 @@ object StreamingLexicalServing {
   /**
    * Serve BM25 top-k answers for a stream of (query_id, terms) rows from
    * the index at `indexPath`: each micro-batch's answer frame
-   * (query_id, doc_id, score, rnk) goes to `sink`. Empty micro-batches are
-   * skipped (there is no batch to answer — `sink` sees only epochs that
-   * carried queries).
+   * (query_id, doc_id, score, rnk) goes to `sink`. Queries with no
+   * non-blank term (empty/blank/null terms arrays) are DATA, not
+   * exceptions: they are dropped per batch, and a micro-batch left with
+   * nothing servable is skipped — one malformed client query must never
+   * take down serving for everyone (`sink` sees only epochs that carried
+   * servable queries).
    */
   def serveBm25FromPath(queryStream: DataFrame, indexPath: String, k: Int,
                         k1: Double = 1.2, b: Double = 0.75,
@@ -52,9 +56,14 @@ object StreamingLexicalServing {
     queryStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
-        if (!batch.isEmpty)
+        // the batch operator requires ≥1 non-blank term across the batch —
+        // filter unservable queries out FIRST (null arrays filter out via
+        // exists' null propagation)
+        val servable = batch.toDF()
+          .where(exists(col(termsCol), t => trim(lower(t)) =!= ""))
+        if (!servable.isEmpty)
           sink(TextAnalysis.bm25QueryIndexBatch(batch.sparkSession, indexPath,
-            batch.toDF(), k, k1, b, queryIdCol, termsCol), epochId)
+            servable, k, k1, b, queryIdCol, termsCol), epochId)
       }
       .start()
   }

@@ -47,8 +47,10 @@ class MultimodalSpec extends SparkSpec {
           for (y <- 0 until r.height; x <- 0 until r.width; ch <- 0 until 3)
             assert(rp((y * r.width + x) * 3 + ch) == bp((y * 4 * w + x * 4) * 3 + ch))
         } else {
-          // JPEG: every 4th embedded byte (DCT codec is the declared stub)
-          assert(r.width == b.width / 4 && r.height == b.height / 4)
+          // JPEG: every 4th embedded byte (DCT codec is the declared stub);
+          // dims scale on the same ceil grid as PNG — never to zero
+          assert(r.width == (b.width + 3) / 4 && r.height == (b.height + 3) / 4)
+          assert(r.width > 0 && r.height > 0)
           val bi = MediaCodec.innerPayload(b.payload)
           val ri = MediaCodec.innerPayload(r.payload)
           assert(ri.length == (bi.length + 3) / 4)

@@ -51,6 +51,17 @@ class StreamingLexicalSpec extends SparkSpec {
         // the appended docs are the hits, repeated-zebra doc first
         val hits = epochs(1).toSeq.sortBy(_(3).asInstanceOf[Int])
         assert(hits.map(_(1)) == Seq(6L, 7L))
+
+        // malformed queries are data: a batch of only blank-terms queries is
+        // skipped (no sink call, stream alive), and a mixed batch drops the
+        // unservable query instead of killing serving for everyone
+        stream.addData(LexQuery(90L, Seq("", "  ")))
+        q.processAllAvailable()
+        assert(epochs.size == 2)
+        stream.addData(LexQuery(91L, Seq(" ", "")), LexQuery(92L, Seq("spark")))
+        q.processAllAvailable()
+        assert(epochs.size == 3 && epochs(2).nonEmpty)
+        assert(epochs(2).forall(_(0) == 92L))
       } finally q.stop()
     } finally {
       import scala.reflect.io.Directory
