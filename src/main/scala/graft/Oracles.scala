@@ -997,6 +997,34 @@ private[graft] object Oracles {
         |       CAST(n_chars % 200 + 50 AS INT) AS n_samples
         |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin,
 
+    "multimodal_frame_checksums" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |         hex(encode(text)) AS hx,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS ilen,
+        |         CAST(n_chars % 16 + 1 AS INT) AS vw,
+        |         CAST(n_chars % 8 + 1 AS INT) AS vh,
+        |         CAST(n_chars % 100 AS INT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id, hx, ilen, 3*vw*vh AS fsz,
+        |         unnest(range(0, nf, 7)) AS fi
+        |  FROM v WHERE nf > 0),
+        |c AS (
+        |  SELECT media_id, CAST(fi AS INT) AS frame_idx,
+        |         CAST(fsz AS BIGINT) AS n_frame_bytes,
+        |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |             list_transform(range(0, CAST(fsz AS INT)), j ->
+        |               CAST(CASE WHEN ilen > 0
+        |                 THEN CAST(('0x' || substr(hx, CAST(2*((fi*fsz + j) % CAST(ilen AS INT))+1 AS INT), 2)) AS INT)
+        |                 ELSE 0 END AS HUGEINT))),
+        |           (acc, x) -> (31*acc + x) % CAST('18446744073709551616' AS HUGEINT)) AS cs
+        |  FROM f)
+        |SELECT media_id, frame_idx, n_frame_bytes,
+        |       CAST(CASE WHEN cs >= CAST('9223372036854775808' AS HUGEINT)
+        |                 THEN cs - CAST('18446744073709551616' AS HUGEINT) ELSE cs END AS BIGINT) AS frame_checksum
+        |FROM c ORDER BY media_id, frame_idx""".stripMargin,
+
     "multimodal_video_info" ->
       """SELECT doc_id AS media_id,
         |       CAST(n_chars % 16 + 1 AS INT) AS width,

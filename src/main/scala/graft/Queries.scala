@@ -532,6 +532,15 @@ private[graft] object Queries {
         .orderBy(col("media_id"))
     }),
 
+    "multimodal_frame_checksums" -> ((s, dir) => {
+      // REAL frame sampling: every 7th frame's payload decoded out of the
+      // Y4M FRAME blocks and fingerprinted; DuckDB replays each sampled
+      // frame's bytes (cycled text slices) and checksum exactly
+      Multimodal.sampleFrameData(
+        Multimodal.syntheticMedia(Tables.documents(s, dir)), stride = 7)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     "multimodal_video_info" -> ((s, dir) => {
       // real Y4M header parse + FRAME-block walk over the video records'
       // payloads; DuckDB replays dims/frame-count from the generator

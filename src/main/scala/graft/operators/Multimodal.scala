@@ -213,9 +213,35 @@ object Multimodal {
     }.toDF("media_id", "width", "height", "n_frames")
   }
 
+  /** REAL frame sampling: decode every `stride`-th frame's PAYLOAD from the
+    * Y4M container of each video record — the frame bytes come out of the
+    * actual FRAME blocks ([[MediaCodec.y4mFrames]]), not metadata math —
+    * and fingerprint each. This is the shape a frame-level training
+    * pipeline needs (sample → decode → feature); the per-frame checksum
+    * stands where a vision encoder would run. Corrupt containers yield no
+    * rows (data, not exceptions). */
+  def sampleFrameData(media: Dataset[MediaRecord], stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      MediaCodec.y4mInfo(r.payload) match {
+        case Some((w, h, n)) =>
+          val frames = MediaCodec.y4mFrames(r.payload)
+            .getOrElse(Array.emptyByteArray)
+          val fsz = 3 * w * h
+          (0 until n by stride).map { f =>
+            val fb = java.util.Arrays.copyOfRange(frames, f * fsz, (f + 1) * fsz)
+            (r.media_id, f, fsz.toLong, FeatureKernel.checksum(fb))
+          }
+        case None => Seq.empty
+      }
+    }.toDF("media_id", "frame_idx", "n_frame_bytes", "frame_checksum")
+  }
+
   /** Frame sampling for video-kind records: every `stride`-th frame index —
     * pure metadata math (the real per-frame payload walk lives in
-    * [[MediaCodec.y4mFrames]]). */
+    * [[sampleFrameData]] / [[MediaCodec.y4mFrames]]). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int): DataFrame =
     media.toDF().select(col("media_id"), col("n_frames"),
       when(col("n_frames") > 0,

@@ -258,6 +258,27 @@ class MultimodalSpec extends SparkSpec {
     assert(probe.select(call_function("image_dims", col("payload"))).collect()(0).isNullAt(0))
   }
 
+  test("sampleFrameData extracts real frame payloads; corrupt containers yield no rows") {
+    import spark.implicits._
+    import graft.operators.MediaCodec
+    val (w, h, nf) = (2, 2, 9)
+    val fsz = 3 * w * h
+    val data = Array.tabulate(fsz * nf)(i => ((i * 13 + 1) % 251).toByte)
+    val good = Multimodal.MediaRecord(1L, "video",
+      MediaCodec.encodeY4m(data, w, h, nf), w, h, 16000, nf)
+    val corrupt = Multimodal.MediaRecord(2L, "video",
+      "YUV4MPEG2 garbage".getBytes("US-ASCII"), 0, 0, 16000, 3)
+    val rows = Multimodal
+      .sampleFrameData(spark.createDataset(Seq(good, corrupt)), stride = 4).collect()
+    assert(rows.map(_.getLong(0)).distinct.toSeq == Seq(1L)) // corrupt → no rows
+    assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(0, 4, 8))
+    rows.foreach { r =>
+      val f = r.getInt(1)
+      val expect = java.util.Arrays.copyOfRange(data, f * fsz, (f + 1) * fsz)
+      assert(r.getLong(3) == Multimodal.FeatureKernel.checksum(expect))
+    }
+  }
+
   test("frame sampling yields stride-spaced indices within n_frames") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, Sf))
     val rows = Multimodal.sampleFrames(media, stride = 7).collect()
