@@ -1025,6 +1025,32 @@ private[graft] object Oracles {
         |                 THEN cs - CAST('18446744073709551616' AS HUGEINT) ELSE cs END AS BIGINT) AS frame_checksum
         |FROM c ORDER BY media_id, frame_idx""".stripMargin,
 
+    "multimodal_audio_resample" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id,
+        |         hex(encode(text)) AS hx,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS ilen,
+        |         CAST(n_chars % 200 + 50 AS INT) AS ns
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |r AS (SELECT media_id, hx, ilen, CAST((ns + 3) // 4 AS INT) AS n2 FROM a),
+        |c AS (
+        |  SELECT media_id, n2,
+        |         -- decimated PCM: sample i of the output is source sample
+        |         -- 4i, i.e. v(4i) = (b[(4i) mod L]·251 + 7·4i + 17) mod 2^16,
+        |         -- serialized as little-endian byte pairs
+        |         list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |             list_transform(range(0, CAST(2*n2 AS INT)), j ->
+        |               CAST(CASE WHEN j % 2 = 0
+        |                 THEN ((CASE WHEN ilen > 0 THEN CAST(('0x' || substr(hx, CAST(2*((4*(j//2)) % CAST(ilen AS INT))+1 AS INT), 2)) AS INT) ELSE 0 END) * 251 + 4*(j//2)*7 + 17) % 65536 % 256
+        |                 ELSE ((CASE WHEN ilen > 0 THEN CAST(('0x' || substr(hx, CAST(2*((4*(j//2)) % CAST(ilen AS INT))+1 AS INT), 2)) AS INT) ELSE 0 END) * 251 + 4*(j//2)*7 + 17) % 65536 // 256
+        |               END AS HUGEINT))),
+        |           (acc, x) -> (31*acc + x) % CAST('18446744073709551616' AS HUGEINT)) AS cs
+        |  FROM r)
+        |SELECT media_id, CAST(4000 AS INT) AS sample_rate, n2 AS n_samples,
+        |       CAST(CASE WHEN cs >= CAST('9223372036854775808' AS HUGEINT)
+        |                 THEN cs - CAST('18446744073709551616' AS HUGEINT) ELSE cs END AS BIGINT) AS pcm_checksum
+        |FROM c ORDER BY media_id""".stripMargin,
+
     "multimodal_video_info" ->
       """SELECT doc_id AS media_id,
         |       CAST(n_chars % 16 + 1 AS INT) AS width,

@@ -549,6 +549,16 @@ private[graft] object Queries {
         .orderBy(col("media_id"))
     }),
 
+    "multimodal_audio_resample" -> ((s, dir) => {
+      // decimate-by-4 resample: decode PCM out of the WAV container, keep
+      // every 4th sample, re-encode at rate/4; every output value is
+      // re-parsed from the re-encoded container and DuckDB replays the
+      // decimated-sample arithmetic exactly
+      Multimodal.resampledAudioInfo(
+        Multimodal.syntheticMedia(Tables.documents(s, dir)), factor = 4)
+        .orderBy(col("media_id"))
+    }),
+
     "multimodal_audio_info" -> ((s, dir) => {
       // real RIFF chunk walk over the audio records' WAV payloads; DuckDB
       // replays sample_rate / n_samples from the generator formulas — the

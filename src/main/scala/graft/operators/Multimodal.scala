@@ -213,6 +213,53 @@ object Multimodal {
     }.toDF("media_id", "width", "height", "n_frames")
   }
 
+  /**
+   * REAL audio resampling for audio-kind records: decode the PCM samples
+   * out of the WAV container, keep every `factor`-th sample (plain
+   * decimation — a production resampler would low-pass first; the
+   * container round-trip and sample arithmetic are the real part), and
+   * re-encode a valid WAV at `rate/factor`. Non-audio records and corrupt
+   * containers pass through untouched (data, not exceptions).
+   */
+  def resampleAudio(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.kind != "audio" || factor == 1) r
+        else MediaCodec.wavInfo(r.payload) match {
+          case Some((rate, _)) =>
+            val s = MediaCodec.wavSamples(r.payload).getOrElse(Array.empty[Short])
+            if (s.isEmpty) r
+            else {
+              val out = new Array[Short]((s.length + factor - 1) / factor)
+              var i = 0
+              while (i < out.length) { out(i) = s(i * factor); i += 1 }
+              val newRate = math.max(1, rate / factor)
+              r.copy(payload = MediaCodec.encodeWav(out, newRate), sample_rate = newRate)
+            }
+          case None => r
+        }
+      }
+    }
+  }
+
+  /** Parsed header + PCM checksum of [[resampleAudio]]'s output containers —
+    * the resample roundtrip gate: every value re-derived from the
+    * RE-ENCODED WAV bytes, which the oracle replays from the generator's
+    * decimated-sample formulas. */
+  def resampledAudioInfo(media: Dataset[MediaRecord], factor: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    resampleAudio(media, factor).filter(_.kind == "audio").map { r =>
+      val info = MediaCodec.wavInfo(r.payload)
+      val data = MediaCodec.wavDataBytes(r.payload).getOrElse(Array.emptyByteArray)
+      (r.media_id, info.map(_._1).getOrElse(0), info.map(_._2).getOrElse(0),
+        FeatureKernel.checksum(data))
+    }.toDF("media_id", "sample_rate", "n_samples", "pcm_checksum")
+  }
+
   /** REAL frame sampling: decode every `stride`-th frame's PAYLOAD from the
     * Y4M container of each video record — the frame bytes come out of the
     * actual FRAME blocks ([[MediaCodec.y4mFrames]]), not metadata math —

@@ -258,6 +258,28 @@ class MultimodalSpec extends SparkSpec {
     assert(probe.select(call_function("image_dims", col("payload"))).collect()(0).isNullAt(0))
   }
 
+  test("resampleAudio: decimated PCM round-trips; non-audio and corrupt pass through") {
+    import spark.implicits._
+    import graft.operators.MediaCodec
+    val samples = Array.tabulate[Short](101)(i => ((i * 517 + 3) % 65536).toShort)
+    val good = Multimodal.MediaRecord(1L, "audio",
+      MediaCodec.encodeWav(samples, 16000), 0, 0, 16000, 0)
+    val video = Multimodal.MediaRecord(2L, "video",
+      MediaCodec.encodeY4m(Array.emptyByteArray, 2, 2, 0), 2, 2, 16000, 0)
+    val corrupt = Multimodal.MediaRecord(3L, "audio",
+      "RIFF not a wav".getBytes("US-ASCII"), 0, 0, 16000, 0)
+    val out = Multimodal
+      .resampleAudio(spark.createDataset(Seq(good, video, corrupt)), factor = 4)
+      .collect().map(r => r.media_id -> r).toMap
+    // ceil(101/4) = 26 samples, every 4th source sample, rate 16000/4
+    val rs = MediaCodec.wavSamples(out(1L).payload).get
+    assert(rs.length == 26 && rs.indices.forall(i => rs(i) == samples(i * 4)))
+    assert(MediaCodec.wavInfo(out(1L).payload).contains((4000, 26)))
+    assert(out(1L).sample_rate == 4000)
+    assert(out(2L).payload.sameElements(video.payload)) // non-audio untouched
+    assert(out(3L).payload.sameElements(corrupt.payload)) // corrupt is data
+  }
+
   test("sampleFrameData extracts real frame payloads; corrupt containers yield no rows") {
     import spark.implicits._
     import graft.operators.MediaCodec
