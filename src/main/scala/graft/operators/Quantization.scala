@@ -92,73 +92,100 @@ object Quantization {
    * subspaces, optionally refined by `kmeansIters` bounded Lloyd iterations.
    *
    * `kmeansIters = 0` (default) returns the raw sample — bit-identical to
-   * the historical behavior, zero extra corpus passes. Each iteration runs
-   * ONE narrow assignment pass through the codegen'd `vec_pq_encode` kernel
-   * plus one tiny aggregate keyed on (subspace, code, dim) — m·ksub·subDim
-   * keys, map-side-combined to KBs regardless of corpus size — and updates
-   * each centroid to the exact-decimal mean of its assigned subvectors
-   * (empty cells keep their previous centroid, the standard Lloyd
-   * convention). Sums are DECIMAL-exact, so the refinement is deterministic
-   * across partitionings — the same property every oracle-checked aggregate
-   * here relies on.
+   * the historical behavior, zero extra corpus passes. Refinement trains on
+   * a BOUNDED deterministic sample — the first `ksub × trainPerCentroid`
+   * vectors of the same md5 order the seed uses (the seed is its prefix) —
+   * collected ONCE; the iterations then run entirely driver-side over that
+   * sample (assignment replicates the `vec_pq_encode` kernel: per-subspace
+   * L2 argmin, ties → lower code). At 100 TB this is the difference between
+   * `iters` full corpus scans and ONE top-k pass: full scans are spent on
+   * ENCODING only, never on codebook training. Centroid updates are the
+   * exact-decimal mean (each value quantized to `Decimal(18,12)` exactly as
+   * the historical Spark aggregate did, summed as BigDecimal — order-free,
+   * so the result is independent of corpus partitioning and bit-identical
+   * to the former cluster-side aggregate on the same training multiset);
+   * empty cells keep their previous centroid, the standard Lloyd convention.
    */
   def buildPqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
                        idCol: String = "vec_id", vecCol: String = "embedding",
-                       kmeansIters: Int = 0): PqCodebooks = {
+                       kmeansIters: Int = 0, trainPerCentroid: Int = 100): PqCodebooks = {
     // null/NaN/Inf vectors cannot seed or train a codebook (a null in the
     // sample would NPE the collect; a NaN would poison every centroid mean)
     val clean = corpus.filter(VectorFunctions.isFiniteVec(col(vecCol)))
-    val sample = clean.select(col(idCol), col(vecCol))
+    val cap = if (kmeansIters > 0) math.max(ksub, ksub * trainPerCentroid) else ksub
+    val train = clean.select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(ksub)
+      .limit(cap)
       .collect()
       .map(_.getSeq[Float](1).toArray)
+    val sample = train.take(ksub)
     require(sample.nonEmpty, "PQ codebook sample is empty")
     val dim = sample(0).length
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
     val seed = PqCodebooks(m, sub,
       (0 until m).map(mi => sample.toSeq.map(v => v.slice(mi * sub, (mi + 1) * sub).toSeq)))
-    (0 until kmeansIters).foldLeft(seed)((b, _) => lloydStepPq(clean, b, vecCol))
+    (0 until kmeansIters).foldLeft(seed)((b, _) => lloydStepPqLocal(train, b))
   }
 
-  /** One Lloyd iteration over PQ codebooks: assign (codegen'd kernel, narrow)
-    * → per-(subspace, code, dim) decimal-exact mean → new centroids. The only
-    * driver collect is the m·ksub·subDim cell table (bounded by the codebook
-    * shape, never by the corpus). */
-  private def lloydStepPq(corpus: DataFrame, books: PqCodebooks, vecCol: String): PqCodebooks = {
+  /** One driver-side Lloyd iteration over PQ codebooks for the bounded
+    * training sample: per-subspace L2 argmin assignment (same metric, same
+    * lower-code tie-break and same zero-padding as the codegen'd
+    * `vec_pq_encode` kernel that later encodes the corpus) → exact-decimal
+    * per-(subspace, code, dim) mean. O(|train| · ksub · dim) driver work —
+    * bounded by the sample cap, never by the corpus. */
+  private def lloydStepPqLocal(train: Array[Array[Float]], books: PqCodebooks): PqCodebooks = {
     val sub = books.subDim
-    val cells = corpus
-      .select(col(vecCol).as("_v"),
-        posexplode(graft.functions.VectorFunctions.pqEncode(col(vecCol), pqBooksLiteral(books)))
-          .as(Seq("_mi", "_code")))
-      .select(col("_mi"), col("_code"),
-        posexplode(slice(col("_v"), col("_mi") * sub + 1, lit(sub))).as(Seq("_d", "_x")))
-      // Decimal(18,12) stays Long-backed (fast compact arithmetic): 6 int
-      // digits cover any sane embedding magnitude, and Spark widens the SUM
-      // accumulator to Decimal(28,12) — exact to ~10^15 rows per cell.
-      // A value with |x| >= 10^6 casts to NULL, which sum() would silently
-      // skip — counted and rejected loudly instead (same job, no extra pass).
-      .groupBy(col("_mi"), col("_code"), col("_d"))
-      .agg(sum(col("_x").cast(org.apache.spark.sql.types.DecimalType(18, 12))).as("_s"),
-        count(lit(1)).as("_n"),
-        count(when(col("_x").cast(org.apache.spark.sql.types.DecimalType(18, 12)).isNull, 1))
-          .as("_bad"))
-      .collect()
-      .map { r =>
-        require(r.getLong(5) == 0L,
-          s"PQ Lloyd refinement: ${r.getLong(5)} embedding value(s) in subspace " +
-            s"${r.getInt(0)} exceed the compact-decimal range (|x| < 1e6) — " +
-            "normalize embeddings before k-means refinement")
-        ((r.getInt(0), r.getInt(1), r.getInt(2)), (r.getDecimal(3), r.getLong(4)))
-      }.toMap
-    PqCodebooks(books.m, sub,
+    val m = books.m
+    val bookArr = books.books.map(_.map(_.toArray).toArray).toArray
+    val sums = Array.fill(m, bookArr(0).length, sub)(java.math.BigDecimal.ZERO)
+    // counts are PER (subspace, code, dim): a vector shorter than the span
+    // contributes nothing to its missing dims — matching the historical
+    // slice+posexplode aggregate, where such dims produced no row (the
+    // zero-padding below applies to ASSIGNMENT only, like vec_pq_encode)
+    val counts = Array.fill(m, bookArr(0).length, sub)(0L)
+    train.foreach { v =>
+      var off = 0
+      var mi = 0
+      while (mi < m) {
+        val book = bookArr(mi)
+        // assignment replicates VecKernels.pqEncode: L2 over the mi-th
+        // contiguous subvector, zero-padded past the vector's end,
+        // first-minimum-wins (ties → lower code)
+        var best = 0
+        var bd = Double.MaxValue
+        var k = 0
+        while (k < book.length) {
+          val c = book(k)
+          var d = 0.0
+          var i = 0
+          while (i < sub) {
+            val qv = if (off + i < v.length) v(off + i).toDouble else 0.0
+            val diff = qv - c(i).toDouble
+            d += diff * diff
+            i += 1
+          }
+          if (d < bd) { bd = d; best = k }
+          k += 1
+        }
+        var i = 0
+        while (i < sub && off + i < v.length) {
+          sums(mi)(best)(i) =
+            sums(mi)(best)(i).add(LloydMath.toDecimal12(v(off + i).toDouble, "PQ"))
+          counts(mi)(best)(i) += 1L
+          i += 1
+        }
+        off += sub
+        mi += 1
+      }
+    }
+    PqCodebooks(m, sub,
       books.books.zipWithIndex.map { case (book, mi) =>
         book.zipWithIndex.map { case (cent, ki) =>
           cent.zipWithIndex.map { case (prev, d) =>
-            cells.get((mi, ki, d))
-              .map { case (s, n) => (s.doubleValue() / n).toFloat }
-              .getOrElse(prev)
+            val n = counts(mi)(ki)(d)
+            if (n == 0L) prev
+            else (sums(mi)(ki)(d).doubleValue() / n).toFloat
           }
         }
       })
@@ -219,4 +246,30 @@ object Quantization {
   def loadPq(spark: org.apache.spark.sql.SparkSession,
              path: String): (DataFrame, PqCodebooks) =
     (spark.read.parquet(s"$path/codes"), readPqBooks(spark, path))
+}
+
+/**
+ * Exact-decimal arithmetic shared by the driver-side Lloyd refinements
+ * ([[Quantization.buildPqCodebooks]], [[Similarity.buildIvfIndex]]): each
+ * training value is quantized to `Decimal(18,12)` with HALF_UP rounding —
+ * the same conversion Spark's `cast(x as decimal(18,12))` applied when the
+ * refinement ran as a cluster-side aggregate — so centroid means are
+ * order-free, partition-independent, and bit-identical to the historical
+ * aggregate on the same training multiset.
+ */
+private[operators] object LloydMath {
+  /** `Decimal(18,12)` quantization of a training value; values with
+    * |x| ≥ 1e6 exceed the compact-decimal range and are rejected loudly
+    * (the cluster-side cast produced NULL there, which was counted and
+    * rejected the same way). `valueOf` (= `Double.toString`, the shortest
+    * decimal representation) mirrors Spark's `Decimal.set(double)` exactly —
+    * the exact-binary-expansion constructor could round differently at the
+    * 12th decimal place. */
+  def toDecimal12(x: Double, family: String): java.math.BigDecimal = {
+    require(math.abs(x) < 1e6,
+      s"$family Lloyd refinement: embedding value $x exceeds the " +
+        "compact-decimal range (|x| < 1e6) — normalize embeddings before " +
+        "k-means refinement")
+    java.math.BigDecimal.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP)
+  }
 }

@@ -352,28 +352,36 @@ object Similarity {
     * expression over a literal centroid table — no UDF conversion per row.
     *
     * `kmeansIters = 0` (default) keeps the raw hash-order sample —
-    * bit-identical to the historical behavior. Each iteration is one narrow
-    * assign pass (same codegen'd kernel as the final assignment) plus one
-    * tiny (nlist·dim)-key decimal-exact mean aggregate; empty lists keep
-    * their previous centroid. Deterministic across partitionings (decimal
-    * sums), one corpus scan per iteration. */
+    * bit-identical to the historical behavior. Refinement trains on a
+    * BOUNDED deterministic sample — the first `nlist × trainPerCentroid`
+    * vectors of the same md5 order the seed uses (the seed is its prefix) —
+    * collected ONCE; the iterations run entirely driver-side over it
+    * (assignment replicates the `vec_top_centroids` kernel: cosine argmax,
+    * ties → lower index). At 100 TB this turns `iters` corpus scans into
+    * ONE top-k pass — the full corpus scan is spent on ASSIGNMENT only.
+    * Centroid updates are exact-decimal means (order-free BigDecimal sums
+    * of `Decimal(18,12)`-quantized values — partition-independent and
+    * bit-identical to the historical cluster-side aggregate on the same
+    * training multiset); empty lists keep their previous centroid. */
   def buildIvfIndex(corpus: DataFrame, nlist: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    kmeansIters: Int = 0): IvfIndex = {
+                    kmeansIters: Int = 0, trainPerCentroid: Int = 100): IvfIndex = {
     // null/NaN/Inf vectors cannot be indexed: excluded from the seed pick
     // (a null in the first nlist hash-order rows would otherwise NPE the
     // collect; NaN cosine sorts above every value and would hijack
-    // assignment), the Lloyd passes and the assignment table
+    // assignment), the Lloyd training sample and the assignment table
     val clean = corpus.filter(VectorFunctions.isFiniteVec(col(vecCol)))
-    val seed: Array[(Int, Array[Float])] = clean
+    val cap = if (kmeansIters > 0) math.max(nlist, nlist * trainPerCentroid) else nlist
+    val train: Array[Array[Float]] = clean
       .select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(nlist)
+      .limit(cap)
       .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+      .map(_.getSeq[Float](1).toArray)
+    val seed: Array[(Int, Array[Float])] =
+      train.take(nlist).zipWithIndex.map { case (v, i) => (i, v) }
     val cents = (0 until kmeansIters)
-      .foldLeft(seed)((c, _) => lloydStepIvf(clean, c, vecCol))
+      .foldLeft(seed)((c, _) => lloydStepIvfLocal(train, c))
     IvfIndex(cents, assignIvf(corpus, cents, idCol, vecCol))
   }
 
@@ -391,39 +399,58 @@ object Similarity {
         element_at(VectorFunctions.topCentroids(col("cv"), centsLit, 1), 1))
   }
 
-  /** One Lloyd iteration over the coarse quantizer: assign each vector to its
-    * nearest centroid (cosine — the same metric the probe uses), then move
-    * every centroid to the exact-decimal mean of its list. Rescaling a
+  /** One driver-side Lloyd iteration over the coarse quantizer for the
+    * bounded training sample: assign each sample vector to its nearest
+    * centroid (cosine — the same metric, sequential-ascending double
+    * accumulation and lower-index tie-break as the `vec_top_centroids`
+    * kernel that later assigns the corpus), then move every centroid to the
+    * exact-decimal mean of its list ([[LloydMath.toDecimal12]] — order-free,
+    * bit-identical to the historical cluster-side aggregate). Rescaling a
     * centroid never changes cosine ranking, so the un-normalized mean is the
-    * correct spherical-k-means update here. Driver collect is the nlist·dim
-    * cell table — bounded by the quantizer shape, never by the corpus. */
-  private def lloydStepIvf(corpus: DataFrame, cents: Array[(Int, Array[Float])],
-                           vecCol: String): Array[(Int, Array[Float])] = {
-    val centsLit = centroidsLiteral(cents)
-    val cells = corpus.select(col(vecCol).as("_v"))
-      .select(
-        element_at(VectorFunctions.topCentroids(col("_v"), centsLit, 1), 1).as("_list"),
-        posexplode(col("_v")).as(Seq("_d", "_x")))
-      // Decimal(18,12): Long-backed compact arithmetic; out-of-range values
-      // (|x| >= 1e6) cast to NULL and are rejected loudly (see lloydStepPq)
-      .groupBy(col("_list"), col("_d"))
-      .agg(sum(col("_x").cast(org.apache.spark.sql.types.DecimalType(18, 12))).as("_s"),
-        count(lit(1)).as("_n"),
-        count(when(col("_x").cast(org.apache.spark.sql.types.DecimalType(18, 12)).isNull, 1))
-          .as("_bad"))
-      .collect()
-      .map { r =>
-        require(r.getLong(4) == 0L,
-          s"IVF Lloyd refinement: ${r.getLong(4)} embedding value(s) in list " +
-            s"${r.getInt(0)} exceed the compact-decimal range (|x| < 1e6) — " +
-            "normalize embeddings before k-means refinement")
-        ((r.getInt(0), r.getInt(1)), (r.getDecimal(2), r.getLong(3)))
-      }.toMap
+    * correct spherical-k-means update here. O(|train| · nlist · dim) driver
+    * work — bounded by the sample cap, never by the corpus. */
+  private def lloydStepIvfLocal(train: Array[Array[Float]],
+                                cents: Array[(Int, Array[Float])]): Array[(Int, Array[Float])] = {
+    val ordered = cents.sortBy(_._1).map(_._2)
+    val n = ordered.length
+    val dim = (train.iterator.map(_.length) ++ ordered.iterator.map(_.length))
+      .foldLeft(0)(math.max)
+    val sums = Array.fill(n, dim)(java.math.BigDecimal.ZERO)
+    // counts are PER (list, dim): a vector shorter than the centroid span
+    // contributes nothing to its missing dims — matching the historical
+    // posexplode aggregate, where such dims simply produced no row
+    val counts = Array.fill(n, dim)(0L)
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val m = math.min(a.length, b.length)
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      i = 0; while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+      i = 0; while (i < b.length) { val x = b(i).toDouble; nb += x * x; i += 1 }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else d / denom
+    }
+    train.foreach { v =>
+      // first-max-wins (ties → lower index), matching VecKernels.topCentroids
+      var best = -1
+      var bs = Double.NegativeInfinity
+      var c = 0
+      while (c < n) {
+        val s = cosine(v, ordered(c))
+        if (best < 0 || s > bs) { best = c; bs = s }
+        c += 1
+      }
+      var d = 0
+      val lim = math.min(v.length, dim)
+      while (d < lim) {
+        sums(best)(d) = sums(best)(d).add(LloydMath.toDecimal12(v(d).toDouble, "IVF"))
+        counts(best)(d) += 1L
+        d += 1
+      }
+    }
     cents.map { case (li, prev) =>
       (li, prev.zipWithIndex.map { case (old, d) =>
-        cells.get((li, d))
-          .map { case (s, n) => (s.doubleValue() / n).toFloat }
-          .getOrElse(old)
+        if (d >= dim || counts(li)(d) == 0L) old
+        else (sums(li)(d).doubleValue() / counts(li)(d)).toFloat
       })
     }
   }
