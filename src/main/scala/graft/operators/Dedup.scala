@@ -43,6 +43,23 @@ object Dedup {
     docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** [[exactDedupKept]] plus a `grp_n` column — the size of each
+    * representative's duplicate group, counted in the SAME window pass
+    * (an unbounded-frame count over the fingerprint partition reuses the
+    * row_number's shuffle and sort). `Σ grp_n` over the frontier equals
+    * the input cardinality, so a caller that needs both (the curation
+    * funnel's stage-0 count) folds it into its stage aggregate instead of
+    * spending a separate corpus count action. */
+  def exactDedupKeptCounted(docs: DataFrame,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    docs
+      .withColumn("grp_n", count(lit(1)).over(Window.partitionBy(fp)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /**
    * MinHash + LSH near-duplicate pairs.
    *
