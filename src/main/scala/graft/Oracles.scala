@@ -989,7 +989,20 @@ private[graft] object Oracles {
         |       CAST(16 AS BIGINT) AS feature_dim,
         |       array_to_string(list_transform(range(0, 16), j ->
         |         len(list_filter(bytes, x -> x % 16 = j))), ',') AS hist
-        |FROM c ORDER BY media_id""".stripMargin,
+        |FROM c WHERE container <> 'jpeg' ORDER BY media_id""".stripMargin,
+
+    // dims and raster size replay from the generator formulas; the DCT
+    // contract itself (bounded luma error, deterministic redecode) is
+    // computed Spark-side and predicted true here
+    "multimodal_jpeg_roundtrip" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(n_chars % 24 + 1 AS INT) AS width,
+        |       CAST(n_chars % 8 + 1 AS INT) AS height,
+        |       CAST(3 * (n_chars % 24 + 1) * (n_chars % 8 + 1) AS BIGINT) AS n_pixel_bytes,
+        |       true AS luma_err_ok,
+        |       true AS redecode_ok
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+        |ORDER BY media_id""".stripMargin,
 
     "multimodal_audio_info" ->
       """SELECT doc_id AS media_id,

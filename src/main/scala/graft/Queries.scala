@@ -497,14 +497,18 @@ private[graft] object Queries {
       // and n_bytes carries the exact container overhead incl. the PNG
       // zlib framing). PNG checksum/histogram run over GENUINELY DECODED
       // pixels (IDAT → java.util.zip.Inflater → scanline defilter) which
-      // DuckDB replays as the generator's cycled text bytes; JPEG (no JDK
-      // DCT codec — declared stub) runs over the COM-embedded text. The
+      // DuckDB replays as the generator's cycled text bytes. The
       // normalized histogram is inverted back to integer byte counts
       // (counts_j = f_j · n_inner_bytes / Σf, exact because Σcounts =
       // n_inner_bytes and fp error ≪ 0.5), gating the container-decode →
       // inflate → defilter → histogram → L2-normalize path end-to-end.
+      // JPEG rows decode through the JDK's baseline-DCT codec — their
+      // bytes/checksum/histogram are DCT output, not SQL arithmetic, so
+      // THIS exact gate excludes them; they are gated by their own
+      // `multimodal_jpeg_roundtrip` audit + rows-only checksum companion.
       val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(Tables.documents(s, dir)))
         .toDF()
+        .filter(col("container") =!= "jpeg")
       val fsum = aggregate(col("feature"), lit(0.0d), (acc, f) => acc + f.cast("double"))
       feats.select(
         col("media_id"), col("kind"), col("n_bytes"), col("n_inner_bytes"),
@@ -514,6 +518,25 @@ private[graft] object Queries {
           f => round(f.cast("double") * col("n_inner_bytes") / fsum).cast("long"))))
           .otherwise(concat_ws(",",
             transform(col("feature"), _ => lit(0L)))).as("hist"))
+        .orderBy(col("media_id"))
+    }),
+
+    "multimodal_jpeg_roundtrip" -> ((s, dir) => {
+      // REAL JPEG pixel decode (JDK baseline-DCT via javax.imageio), gated
+      // by what replays exactly: SOF-parsed dims (generator formulas),
+      // decoded raster size (3wh), a luma-error bound (DCT at quality 0.9
+      // measures ≤~21 max luma error even on noise; a garbage decode blows
+      // past the 48 gate), and decode determinism. See
+      // Multimodal.jpegDecodeAudit for the full contract.
+      Multimodal.jpegDecodeAudit(Tables.documents(s, dir))
+        .orderBy(col("media_id"))
+    }),
+
+    "multimodal_jpeg_checksums" -> ((s, dir) => {
+      // decoded-pixel checksums of the jpeg records — deterministic DCT
+      // output (rows-only: not SQL arithmetic; the exact-arithmetic
+      // companions are multimodal_jpeg_roundtrip's columns)
+      Multimodal.jpegChecksums(Multimodal.syntheticMedia(Tables.documents(s, dir)))
         .orderBy(col("media_id"))
     }),
 

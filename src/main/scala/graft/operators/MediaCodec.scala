@@ -19,10 +19,16 @@ import java.util.zip.CRC32
  * real too: IDAT carries genuine zlib-wrapped scanlines ([[zlibStore]] —
  * deterministic stored-block deflate) and [[pngPixels]] decodes them with
  * the real [[java.util.zip.Inflater]] plus a full five-filter defilter.
- * Only JPEG's DCT pixel codec is intentionally absent (no JDK decoder) —
- * its COM-embedded data stands in, declared. Every byte of both writers
- * is deterministic, so the DuckDB oracle replays features from the decoded
- * payload and dims from the generator's width/height formulas (an
+ * The JPEG PIXEL path is real as well: [[encodeJpegPixels]] /
+ * [[jpegPixels]] run the JDK's built-in baseline-DCT codec
+ * (`javax.imageio.ImageIO` — ISO 10918 sequential DCT, no external
+ * dependency). DCT output is not SQL arithmetic, so the JPEG gates pin the
+ * roundtrip differently: parsed dims and decoded raster size replay
+ * exactly in DuckDB, reconstruction error against the source pixels is
+ * bounded (lossy-but-bounded is the DCT contract), and the decoded-pixel
+ * checksum rides a rows-only companion. Every byte of the PNG/WAV/Y4M
+ * writers is deterministic, so the DuckDB oracle replays features from the
+ * decoded payload and dims from the generator's width/height formulas (an
  * encode→parse roundtrip gate).
  *
  * Parsing never throws on foreign bytes: anything that is not a
@@ -522,4 +528,87 @@ object MediaCodec {
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
+
+  // --------------------------------------------------- JPEG pixels (ImageIO)
+
+  // keep ImageIO memory-only: the default disk-backed stream cache would
+  // write temp files from every executor task
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decoded-raster sanity bound for [[jpegPixels]]: a corrupt or
+    * adversarial SOF header can declare up to 65535×65535 (12 GB of
+    * raster) — refuse anything over ~4M pixels BEFORE ImageIO allocates. */
+  private val MaxJpegPixels = 1 << 22
+
+  /** Real baseline-JPEG encode of a row-major RGB pixel array via the JDK's
+    * `javax.imageio` writer at a FIXED explicit quality (0.9) — fully
+    * deterministic for a given input on a given JDK, which is the same
+    * reproducibility contract the rest of the fixture relies on. */
+  def encodeJpegPixels(rgb: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length >= 3 * width * height,
+      s"encodeJpegPixels: need 3*$width*$height bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val i = (y * width + x) * 3
+        img.setRGB(x, y,
+          ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.9f)
+    val bos = new ByteArrayOutputStream(3 * width * height / 2 + 1024)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.flush()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Real baseline-JPEG pixel decode via the JDK's `javax.imageio` reader:
+    * row-major RGB bytes (3·w·h). `None` for anything that does not parse
+    * as a JPEG with sane dims or fails to decode — corrupt blobs are data,
+    * not exceptions (same totality contract as [[pngPixels]], fuzz-pinned).
+    * Dims are bounded via the [[imageDims]] marker walk BEFORE ImageIO
+    * touches the stream, so an adversarial SOF cannot force a huge raster
+    * allocation. */
+  def jpegPixels(b: Array[Byte]): Option[Array[Byte]] =
+    imageDims(b) match {
+      case Some(("jpeg", w, h))
+          if w > 0 && h > 0 && w.toLong * h <= MaxJpegPixels =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+          if (img == null || img.getWidth != w || img.getHeight != h) None
+          else {
+            val out = new Array[Byte](3 * w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val i = (y * w + x) * 3
+                out(i) = ((p >> 16) & 0xff).toByte
+                out(i + 1) = ((p >> 8) & 0xff).toByte
+                out(i + 2) = (p & 0xff).toByte
+                x += 1
+              }
+              y += 1
+            }
+            Some(out)
+          }
+        } catch { case _: Exception => None }
+      case _ => None
+    }
 }

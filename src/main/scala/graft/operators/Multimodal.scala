@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
  * decoded by a genuine RIFF chunk walk ([[MediaCodec.wavInfo]] /
  * [[MediaCodec.wavDataBytes]]); video payloads are real YUV4MPEG2 streams
  * decoded by a header parse + per-FRAME block walk ([[MediaCodec.y4mInfo]]
- * / [[MediaCodec.y4mFrames]]). JPEG's DCT codec is intentionally absent
- * (no JDK decoder — declared stub): its features run over the
- * COM-embedded data instead, through the same [[FeatureKernel]].
+ * / [[MediaCodec.y4mFrames]]). The JPEG PIXEL path is real too: the JDK's
+ * built-in baseline-DCT codec ([[MediaCodec.jpegPixels]] /
+ * [[MediaCodec.encodeJpegPixels]], `javax.imageio`) decodes genuine scan
+ * data, through the same [[FeatureKernel]].
  *
  * Scala-side equivalent of a Python `mapInPandas` batch UDF: a typed
  * `Dataset.mapPartitions` that processes records streamingly per partition
@@ -56,10 +57,9 @@ object Multimodal {
    * decode path: folded byte histogram (L2-normalized, the fixed-dim
    * embedding-like vector) and a rolling checksum. What varies per format
    * is the INPUT: PNG feeds genuinely decompressed + defiltered pixel
-   * bytes ([[MediaCodec.pngPixels]]); JPEG has no JDK DCT decoder, so its
-   * COM-embedded data stands in (the one remaining declared stub — a real
-   * JPEG binding would swap only the input, not this kernel); raw payloads
-   * feed themselves.
+   * bytes ([[MediaCodec.pngPixels]]); JPEG feeds genuinely DCT-decoded
+   * pixels ([[MediaCodec.jpegPixels]], the JDK's baseline codec); raw
+   * payloads feed themselves.
    */
   object FeatureKernel {
     val FeatureDim = 16
@@ -109,16 +109,20 @@ object Multimodal {
     * sf dir drive the pipeline. Image-kind records carry REAL container
     * bytes: even ids a spec-correct PNG whose IDAT holds genuine
     * zlib-wrapped scanlines of [[cyclePixels]] pixel data (decodable by any
-    * compliant reader), odd ids a JPEG/JFIF (marker segments, COM-embedded
-    * text, SOF0 with the dims). Image dims are SMALL on purpose
+    * compliant reader), odd ids a REAL baseline JPEG of the same
+    * [[cyclePixels]] grid ([[MediaCodec.encodeJpegPixels]] — genuine DCT
+    * scan data, decodable by any compliant reader; dims replay in the
+    * oracle, pixels are gated by the roundtrip audit since DCT output is
+    * not SQL arithmetic). Image dims are SMALL on purpose
     * (`w = n%24+1`, `h = n%8+1`, never zero) so the pixel stream stays
     * bounded per row. Audio-kind records carry REAL PCM-16 mono WAV
     * containers ([[MediaCodec.encodeWav]], `n%200+50` [[synthSamples]] at
     * 16 kHz); video-kind records REAL Y4M streams
     * ([[MediaCodec.encodeY4m]], `n%100` C444 frames of `(n%16+1)×(n%8+1)`
     * cycled-text planes). Every byte is a deterministic function of the
-    * document row, so the DuckDB oracle replays features and (via the
-    * generator formulas) the parsed dims / audio / video info. */
+    * document row, so the DuckDB oracle replays features (jpeg rows gated
+    * by their own audit) and (via the generator formulas) the parsed dims
+    * / audio / video info. */
   def syntheticMedia(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -136,7 +140,7 @@ object Multimodal {
         val nf = (n % 100).toInt
         val payload = kind match {
           case "image" if id % 2 == 0 => MediaCodec.encodePng(cyclePixels(inner, w, h), w, h)
-          case "image"                => MediaCodec.encodeJpeg(inner, w, h)
+          case "image"                => MediaCodec.encodeJpegPixels(cyclePixels(inner, w, h), w, h)
           case "audio" =>
             MediaCodec.encodeWav(synthSamples(inner, ((n % 200) + 50).toInt), 16000)
           case _ => // video: real Y4M, nf C444 frames
@@ -159,16 +163,18 @@ object Multimodal {
       // per-partition decoder init would go here (codec contexts, etc.)
       it.map { r =>
         // container parse is real (PNG IHDR / JPEG SOF / WAV RIFF walk);
-        // PNG pixel decode is real (Inflater + defilter) and WAV features
-        // run over the real PCM byte stream — a corrupt stream decodes to
-        // an empty array (data, not an exception); JPEG has no JDK DCT
-        // decoder, so its COM-embedded data feeds the kernel (declared)
+        // pixel/PCM decode is real on EVERY container path — PNG via
+        // Inflater + defilter, JPEG via the JDK's baseline-DCT codec
+        // (jpegPixels), WAV over the real PCM byte stream — a corrupt
+        // stream decodes to an empty array (data, not an exception)
         val dims = MediaCodec.imageDims(r.payload)
         val wav = if (dims.isEmpty) MediaCodec.wavInfo(r.payload) else None
         val y4m = if (dims.isEmpty && wav.isEmpty) MediaCodec.y4mInfo(r.payload) else None
         val inner = dims match {
           case Some(("png", _, _)) =>
             MediaCodec.pngPixels(r.payload).getOrElse(Array.emptyByteArray)
+          case Some(("jpeg", _, _)) =>
+            MediaCodec.jpegPixels(r.payload).getOrElse(Array.emptyByteArray)
           case _ if wav.isDefined =>
             MediaCodec.wavDataBytes(r.payload).getOrElse(Array.emptyByteArray)
           case _ if y4m.isDefined =>
@@ -295,16 +301,42 @@ object Multimodal {
         sequence(lit(0), col("n_frames") - 1, lit(stride)))
         .otherwise(array().cast("array<int>")).as("frame_idx"))
 
+  /** Nearest-neighbor resample of a row-major RGB grid: source pixel
+    * `(x·factor, y·factor)` for each target `(x, y)` on a
+    * `ceil(w/factor) × ceil(h/factor)` grid (ceil — floor would zero the
+    * generator's 1..8 heights and emit degenerate headers). Shared by the
+    * PNG and JPEG resize branches — the kernel is format-independent; only
+    * the codec wrapping it differs. */
+  private def nnResample(pix: Array[Byte], w: Int, h: Int,
+                         factor: Int): (Array[Byte], Int, Int) = {
+    val w2 = (w + factor - 1) / factor
+    val h2 = (h + factor - 1) / factor
+    val out = new Array[Byte](3 * w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = (y * factor * w + x * factor) * 3
+        val dst = (y * w2 + x) * 3
+        out(dst) = pix(src); out(dst + 1) = pix(src + 1); out(dst + 2) = pix(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    (out, w2, h2)
+  }
+
   /**
-   * Resize for image-kind records. PNG is a REAL nearest-neighbor resample:
-   * decode the pixel grid ([[MediaCodec.pngPixels]] — Inflater + defilter),
-   * take source pixel `(x·factor, y·factor)` for each target `(x, y)` on a
-   * `ceil(w/factor) × ceil(h/factor)` grid, and re-encode genuine
-   * scanlines — the resized image is a valid PNG any reader decodes to
-   * exactly those pixels. JPEG (no DCT codec — declared stub) decimates its
-   * COM-embedded data bytewise and re-encodes with scaled header dims, so
-   * the container round-trip stays structurally real. Non-image records
-   * pass through untouched.
+   * Resize for image-kind records — a REAL nearest-neighbor resample on
+   * BOTH container paths: decode the pixel grid ([[MediaCodec.pngPixels]] —
+   * Inflater + defilter; [[MediaCodec.jpegPixels]] — the JDK's baseline-DCT
+   * codec), [[nnResample]] it, and re-encode with the matching writer — the
+   * resized image is a valid container any reader decodes to those pixels
+   * (exactly for PNG; within DCT quantization for JPEG). Dims come from the
+   * PARSED header on both branches, never from record metadata — a record
+   * whose metadata disagrees with its container must not re-encode a
+   * container that disagrees with itself. Non-image records pass through
+   * untouched.
    */
   def resize(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
@@ -318,35 +350,86 @@ object Multimodal {
             val pix = MediaCodec.pngPixels(r.payload).getOrElse(Array.emptyByteArray)
             if (pix.isEmpty) r // corrupt stream: pass through as data
             else {
-              val w2 = (w + factor - 1) / factor
-              val h2 = (h + factor - 1) / factor
-              val out = new Array[Byte](3 * w2 * h2)
-              var y = 0
-              while (y < h2) {
-                var x = 0
-                while (x < w2) {
-                  val src = (y * factor * w + x * factor) * 3
-                  val dst = (y * w2 + x) * 3
-                  out(dst) = pix(src); out(dst + 1) = pix(src + 1); out(dst + 2) = pix(src + 2)
-                  x += 1
-                }
-                y += 1
-              }
+              val (out, w2, h2) = nnResample(pix, w, h, factor)
               r.copy(payload = MediaCodec.encodePng(out, w2, h2), width = w2, height = h2)
             }
-          case Some(("jpeg", _, _)) =>
-            val inner = MediaCodec.innerPayload(r.payload)
-            val out = new Array[Byte]((inner.length + factor - 1) / factor)
-            var i = 0
-            while (i < out.length) { out(i) = inner(i * factor); i += 1 }
-            // ceil like the PNG grid — floor would zero small dims (the
-            // generator's heights are 1..8), emitting degenerate SOF headers
-            val (w, h) = ((r.width + factor - 1) / factor, (r.height + factor - 1) / factor)
-            r.copy(payload = MediaCodec.encodeJpeg(out, w, h), width = w, height = h)
+          case Some(("jpeg", w, h)) =>
+            val pix = MediaCodec.jpegPixels(r.payload).getOrElse(Array.emptyByteArray)
+            if (pix.isEmpty) r // corrupt stream: pass through as data
+            else {
+              val (out, w2, h2) = nnResample(pix, w, h, factor)
+              r.copy(payload = MediaCodec.encodeJpegPixels(out, w2, h2),
+                width = w2, height = h2)
+            }
           case _ => r
         }
       }
     }
+  }
+
+  /**
+   * JPEG decode audit — the gate frame behind `multimodal_jpeg_roundtrip`.
+   * For every jpeg-kind record the generator would synthesize, runs the
+   * full encode→parse→decode roundtrip (the same [[MediaCodec
+   * .encodeJpegPixels]] call [[syntheticMedia]] makes, the same
+   * [[MediaCodec.jpegPixels]] decode [[extractFeatures]] consumes) and
+   * emits what each side of the oracle CAN check exactly:
+   *  - `width`/`height`: parsed from the written SOF header (DuckDB replays
+   *    the generator formulas);
+   *  - `n_pixel_bytes`: decoded raster size, must be exactly 3·w·h;
+   *  - `luma_err_ok`: max per-pixel LUMA error vs the source pixels ≤ 48.
+   *    Baseline DCT at quality 0.9 measures ≤ ~21 even on uniform noise
+   *    (chroma is subsampled, luma is not — per-channel error is the wrong
+   *    thing to bound); a garbage decode blows far past 48;
+   *  - `redecode_ok`: a second decode is byte-identical (determinism).
+   * The decoded-pixel checksum itself is DCT output — not SQL arithmetic —
+   * so it rides the rows-only `multimodal_jpeg_checksums` companion.
+   */
+  def jpegDecodeAudit(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars")).as[(Long, String, Long)]
+      .filter(t => t._1 % 3 == 0 && t._1 % 2 == 1)
+      .map { case (id, text, n) =>
+        val (w, h) = (((n % 24) + 1).toInt, ((n % 8) + 1).toInt)
+        val src = cyclePixels(text.getBytes("UTF-8"), w, h)
+        val payload = MediaCodec.encodeJpegPixels(src, w, h)
+        val dims = MediaCodec.imageDims(payload)
+        val dec = MediaCodec.jpegPixels(payload).getOrElse(Array.emptyByteArray)
+        val dec2 = MediaCodec.jpegPixels(payload).getOrElse(Array.emptyByteArray)
+        def luma(a: Array[Byte], p: Int): Double =
+          0.299 * (a(3 * p) & 0xff) + 0.587 * (a(3 * p + 1) & 0xff) +
+            0.114 * (a(3 * p + 2) & 0xff)
+        var maxLumaErr = 0.0
+        if (dec.length == src.length) {
+          var p = 0
+          while (p < w * h) {
+            val e = math.abs(luma(dec, p) - luma(src, p))
+            if (e > maxLumaErr) maxLumaErr = e
+            p += 1
+          }
+        } else maxLumaErr = Double.MaxValue
+        (id,
+          dims.map(_._2).getOrElse(0), dims.map(_._3).getOrElse(0),
+          dec.length.toLong,
+          maxLumaErr <= 48.0,
+          java.util.Arrays.equals(dec, dec2) && dec.nonEmpty)
+      }
+      .toDF("media_id", "width", "height", "n_pixel_bytes", "luma_err_ok", "redecode_ok")
+  }
+
+  /** Decoded-pixel checksums for the jpeg records — deterministic DCT
+    * output, pinned rows-only (the exact-arithmetic companions live in
+    * [[jpegDecodeAudit]]). */
+  def jpegChecksums(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(r => r.kind == "image" && r.media_id % 2 == 1)
+      .map { r =>
+        val dec = MediaCodec.jpegPixels(r.payload).getOrElse(Array.emptyByteArray)
+        (r.media_id, FeatureKernel.checksum(dec), dec.length.toLong)
+      }
+      .toDF("media_id", "checksum", "n_pixel_bytes")
   }
 
   /** Partition-friendly write shape: media tables should be written

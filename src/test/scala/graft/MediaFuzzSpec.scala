@@ -20,6 +20,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     MediaCodec.imageDims(b)
     MediaCodec.innerPayload(b)
     MediaCodec.pngPixels(b)
+    MediaCodec.jpegPixels(b)
     MediaCodec.wavInfo(b)
     MediaCodec.wavSamples(b)
     MediaCodec.wavDataBytes(b)
@@ -50,6 +51,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     val valid = Seq(
       MediaCodec.encodePng(pixels, 4, 3),
       MediaCodec.encodeJpeg("hello fuzz world".getBytes("US-ASCII"), 5, 4),
+      MediaCodec.encodeJpegPixels(Array.tabulate(3 * 5 * 4)(i => (i * 11).toByte), 5, 4),
       MediaCodec.encodeWav(Array.tabulate[Short](50)(i => (i * 321).toShort), 16000),
       MediaCodec.encodeY4m(Array.tabulate(36)(i => i.toByte), 2, 2, 3))
     (0 until 100).foreach { i =>
@@ -69,7 +71,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     // untouched valid containers still decode after the fuzz pass (the
     // parsers hold no state)
     assert(MediaCodec.pngPixels(valid(0)).get.sameElements(pixels))
-    assert(MediaCodec.wavInfo(valid(2)).contains((16000, 50)))
-    assert(MediaCodec.y4mInfo(valid(3)).contains((2, 2, 3)))
+    assert(MediaCodec.jpegPixels(valid(2)).exists(_.length == 3 * 5 * 4))
+    assert(MediaCodec.wavInfo(valid(3)).contains((16000, 50)))
+    assert(MediaCodec.y4mInfo(valid(4)).contains((2, 2, 3)))
   }
 }

@@ -23,7 +23,7 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.checksum).sorted.toSeq == again.map(_.checksum).sorted.toSeq)
   }
 
-  test("resize: PNG = real nearest-neighbor on the pixel grid; JPEG = byte decimation") {
+  test("resize: real nearest-neighbor on the decoded pixel grid for PNG and JPEG") {
     import graft.operators.MediaCodec
     val media = Multimodal.syntheticMedia(Tables.documents(spark, Sf))
     val before = media.collect().map(r => r.media_id -> r).toMap
@@ -36,25 +36,35 @@ class MultimodalSpec extends SparkSpec {
         val rd = MediaCodec.imageDims(r.payload).get
         assert(rd._1 == bd._1)
         assert(rd._2 == r.width && rd._3 == r.height)
+        // ceil-grid dims on BOTH branches — never to zero
+        val (w, h) = (bd._2, bd._3)
+        assert(r.width == (w + 3) / 4 && r.height == (h + 3) / 4)
+        assert(r.width > 0 && r.height > 0)
         if (bd._1 == "png") {
-          // ceil-grid nearest neighbor: out(x,y) == in(4x, 4y), decoded
-          // through the REAL inflate + defilter path on both sides
-          val (w, h) = (bd._2, bd._3)
-          assert(r.width == (w + 3) / 4 && r.height == (h + 3) / 4)
+          // out(x,y) == in(4x, 4y) EXACTLY, decoded through the REAL
+          // inflate + defilter path on both sides
           val bp = MediaCodec.pngPixels(b.payload).get
           val rp = MediaCodec.pngPixels(r.payload).get
           assert(rp.length == 3 * r.width * r.height)
           for (y <- 0 until r.height; x <- 0 until r.width; ch <- 0 until 3)
             assert(rp((y * r.width + x) * 3 + ch) == bp((y * 4 * w + x * 4) * 3 + ch))
         } else {
-          // JPEG: every 4th embedded byte (DCT codec is the declared stub);
-          // dims scale on the same ceil grid as PNG — never to zero
-          assert(r.width == (b.width + 3) / 4 && r.height == (b.height + 3) / 4)
-          assert(r.width > 0 && r.height > 0)
-          val bi = MediaCodec.innerPayload(b.payload)
-          val ri = MediaCodec.innerPayload(r.payload)
-          assert(ri.length == (bi.length + 3) / 4)
-          assert(ri.indices.forall(i => ri(i) == bi(i * 4)))
+          // JPEG: decoded through the REAL baseline-DCT codec on both
+          // sides; the resample is exact on the decoded grids, but the
+          // re-encode is lossy — bound the LUMA error of the roundtrip
+          // (chroma is subsampled; see jpegDecodeAudit for the rationale)
+          val bp = MediaCodec.jpegPixels(b.payload).get
+          val rp = MediaCodec.jpegPixels(r.payload).get
+          assert(rp.length == 3 * r.width * r.height)
+          def luma(a: Array[Byte], p: Int): Double =
+            0.299 * (a(3 * p) & 0xff) + 0.587 * (a(3 * p + 1) & 0xff) +
+              0.114 * (a(3 * p + 2) & 0xff)
+          for (y <- 0 until r.height; x <- 0 until r.width) {
+            val expect = luma(bp, y * 4 * w + x * 4)
+            val got = luma(rp, y * r.width + x)
+            assert(math.abs(got - expect) <= 48.0,
+              s"luma drift $got vs $expect at ($x,$y) of ${r.media_id}")
+          }
         }
       } else {
         assert(r.payload.sameElements(b.payload) && r.width == b.width)
