@@ -131,8 +131,11 @@ object Bench {
     // queries (shifted ids — client id space) against the per-JVM persisted
     // IVF-PQ artifact; the growing-index path re-lists code table + corpus
     // per epoch, which is part of the honest per-epoch cost
+    // the streaming sections run in a full bench, or when the subset names
+    // "streaming" explicitly (focused iteration on epoch latency)
+    val runStreaming = only.forall(_.contains("streaming"))
     val streamEpochs: Seq[Double] =
-      if (only.isDefined) Seq.empty
+      if (!runStreaming) Seq.empty
       else try {
         implicit val sqlCtx = spark.sqlContext
         import spark.implicits._
@@ -162,7 +165,7 @@ object Bench {
     // against the per-JVM persisted lexical index (growing-index path —
     // postings/termstats/stats re-read per epoch, honest per-epoch cost)
     val lexEpochs: Seq[Double] =
-      if (only.isDefined) Seq.empty
+      if (!runStreaming) Seq.empty
       else try {
         implicit val sqlCtx = spark.sqlContext
         import spark.implicits._

@@ -299,6 +299,26 @@ private[graft] object Oracles {
     "bm25_compact_topk" -> Bm25Sql,
     "bm25_batch_topk" -> Bm25BatchSql,
 
+    // commit-record audit of the two-segment append artifact: expected row
+    // counts replay from the corpus (postings rows = Σ per-doc distinct
+    // tokens; termstats rows = per-segment distinct tokens, two segments
+    // split on doc_id % 3), and a healthy artifact's actuals match
+    "bm25_index_audit" ->
+      """WITH tk AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |post AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+        |  (SELECT DISTINCT doc_id, token FROM tk)),
+        |seg AS (SELECT CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 <> 0 THEN token END) AS BIGINT)
+        |          + CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 = 0 THEN token END) AS BIGINT) AS n
+        |        FROM tk)
+        |SELECT CAST(2 AS BIGINT) AS n_segments,
+        |       post.n AS n_postings_expected, post.n AS n_postings_actual,
+        |       seg.n AS n_terms_expected, seg.n AS n_terms_actual,
+        |       true AS postings_consistent, true AS terms_consistent
+        |FROM post, seg""".stripMargin,
+
     "fingerprints_md5" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -232,6 +232,16 @@ private[graft] object Queries {
         Seq("vector", "stream", "hash"), k = 20)
     }),
 
+    "bm25_index_audit" -> ((s, dir) => {
+      // torn-segment audit over the two-segment append artifact: every
+      // save/append writes its stats row LAST as the commit record carrying
+      // the segment's postings/termstats row counts; actual table counts
+      // must match the committed sums. DuckDB replays the expected counts
+      // from the corpus (Σ per-doc distinct tokens; per-segment distinct
+      // token counts for the doc_id%3 split) and predicts consistency true.
+      TextAnalysis.validateLexicalIndex(s, AnnArtifacts.lexicalAppendRoot(s, dir))
+    }),
+
     "bm25_batch_topk" -> ((s, dir) => {
       // batch serving: three queries answered by ONE pruned postings scan
       // over the union of their terms; per-query top-10 via the heap-based

@@ -169,8 +169,13 @@ object TextAnalysis {
     require(bigramVocab > 0, "bigramNll: bigramVocab must be positive")
     val bi = docs
       .select(col(idCol), explode(TextFunctions.shingles(col(textCol), 2)).as("bigram"))
+    // unigram counts from the SAME shingle tokenizer as the bigrams
+    // (shingles n=1) — a split("\\s+") here would disagree with the
+    // WordShingles separator set (bytes <= 0x20) on control characters,
+    // making the conditional model's numerator and denominator count
+    // different token streams on such text
     val toks = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .select(explode(TextFunctions.shingles(col(textCol), 1)).as("token"))
       .filter(col("token") =!= "")
     val v1 = toks.groupBy(col("token")).agg(count(lit(1)).as("freq1"))
       .orderBy(col("freq1").desc, col("token").asc).limit(unigramVocab)
@@ -207,10 +212,13 @@ object TextAnalysis {
    *    `bucket`; each save/append writes the batch's per-term doc counts,
    *    and serving sums deltas per term (a ≤ |query|·segments-row aggregate
    *    after pruning — broadcast-sized).
-   *  - `stats/` — (n_docs, sum_dl, n_buckets) DELTA rows, one per segment;
-   *    serving sums them. `sum_dl` is an exact integer so
-   *    avgdl = Σsum_dl / Σn_docs reproduces [[bm25TopK]] bit-for-bit no
-   *    matter how the corpus was split across appends.
+   *  - `stats/` — (n_docs, sum_dl, n_postings, n_terms, n_buckets) DELTA
+   *    rows, one per segment; serving sums them. `sum_dl` is an exact
+   *    integer so avgdl = Σsum_dl / Σn_docs reproduces [[bm25TopK]]
+   *    bit-for-bit no matter how the corpus was split across appends. The
+   *    stats row doubles as the segment's COMMIT RECORD (written last,
+   *    carrying the row counts the segment's other writes produced —
+   *    [[validateLexicalIndex]] audits them).
    *
    * At 100 TB the build is two token-keyed shuffles (tf, dfq) plus one
    * doc-keyed one (dl) — each a plain partial/final hash aggregate; serving
@@ -243,26 +251,72 @@ object TextAnalysis {
     * append (append). All three tables are written with the same clustering
     * discipline — repartition on the partition column first (else every
     * task writes a file per bucket: tasks × nBuckets small files at scale),
-    * token-sorted within files for tight parquet row-group min/max stats. */
+    * token-sorted within files for tight parquet row-group min/max stats.
+    *
+    * `tf`/`dl` are persisted across the three writes — without the cache
+    * each write re-ran the tokenize→aggregate pipeline, tripling the
+    * build's shuffle cost (same discipline as Dedup's `sigd`).
+    *
+    * The STATS row is the segment's COMMIT RECORD: it is written LAST and
+    * carries the segment's expected postings/termstats row counts, so a
+    * crash between the three writes leaves an artifact
+    * [[validateLexicalIndex]] flags (postings rows present whose stats
+    * delta never landed) instead of one that silently skews idf/avgdl. */
   private def writeLexicalSegment(docs: DataFrame, path: String, nBuckets: Int,
                                   mode: String, idCol: String, textCol: String): Unit = {
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val bucket = pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int")
-    tf.join(dl, "doc_id")
-      .withColumn("bucket", bucket)
-      .repartition(col("bucket")).sortWithinPartitions(col("token"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
-    tf.groupBy(col("token")).agg(count(lit(1)).as("dfq"))
-      .withColumn("bucket", bucket)
-      .repartition(col("bucket")).sortWithinPartitions(col("token"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$path/termstats")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .write.mode(mode).parquet(s"$path/stats")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl"), count(lit(1)).as("n_post"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val bucket = pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int")
+        tf.join(dl.select(col("doc_id"), col("dl")), "doc_id")
+          .withColumn("bucket", bucket)
+          .repartition(col("bucket")).sortWithinPartitions(col("token"))
+          .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
+        val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfq"))
+        dfq.withColumn("bucket", bucket)
+          .repartition(col("bucket")).sortWithinPartitions(col("token"))
+          .write.mode(mode).partitionBy("bucket").parquet(s"$path/termstats")
+        // commit record, written last: corpus scalars + the row counts the
+        // two writes above must have produced (n_post per doc sums to the
+        // postings rows; dfq rows are the termstats rows)
+        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+            sum(col("n_post")).as("n_postings"))
+          .crossJoin(broadcast(dfq.agg(count(lit(1)).as("n_terms"))))
+          .withColumn("n_buckets", lit(nBuckets))
+          .write.mode(mode).parquet(s"$path/stats")
+      } finally dl.unpersist()
+    } finally tf.unpersist()
+  }
+
+  /**
+   * Audit a lexical index for torn segments: every save/append writes its
+   * stats commit record LAST, carrying the postings/termstats row counts
+   * that segment produced — so actual table counts exceeding the committed
+   * sums mean a crash landed data rows whose stats delta (and therefore
+   * dfq/avgdl contribution) is missing. One row: expected vs actual counts
+   * plus the consistency booleans. Cost is a full count of both tables —
+   * a deployment check (stream construction, post-append audit), not a
+   * per-query path.
+   */
+  def validateLexicalIndex(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(count(lit(1)).as("n_segments"), sum(col("n_postings")).as("p_exp"),
+        sum(col("n_terms")).as("t_exp"))
+      .collect()(0)
+    val pAct = spark.read.parquet(s"$path/postings").count()
+    val tAct = spark.read.parquet(s"$path/termstats").count()
+    val (nSeg, pExp, tExp) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    Seq((nSeg, pExp, pAct, tExp, tAct, pExp == pAct, tExp == tAct))
+      .toDF("n_segments", "n_postings_expected", "n_postings_actual",
+        "n_terms_expected", "n_terms_actual", "postings_consistent", "terms_consistent")
   }
 
   /**
@@ -287,24 +341,63 @@ object TextAnalysis {
       .select(col("token"), col("dfq"), col("bucket")) // canonical column order
       .repartition(col("bucket")).sortWithinPartitions(col("token"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/termstats")
+    // the compacted commit record: postings rows are preserved verbatim
+    // (Σ of the segments' committed counts), termstats rows MERGE per term —
+    // count the rewritten table so the record matches what actually landed
+    val nTerms = spark.read.parquet(s"$dst/termstats").count()
     spark.read.parquet(s"$src/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"),
+        sum(col("n_postings")).as("n_postings"))
+      .withColumn("n_terms", lit(nTerms))
       .withColumn("n_buckets", lit(nBuckets))
       .write.mode("overwrite").parquet(s"$dst/stats")
   }
 
+  /** Per-JVM memo of collected index scalars, keyed by index path and
+    * invalidated by the stats directory's file listing — see
+    * [[lexicalStats]]. */
+  private val statsMemo =
+    scala.collection.mutable.Map[String, (String, (Long, Double, Int))]()
+
+  /** Fingerprint of the stats directory's file listing (name, length,
+    * mtime per file) — one filesystem listing, no Spark job. Appends write
+    * new delta files and compaction rewrites the directory, so any index
+    * mutation changes the fingerprint. */
+  private def statsFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
   /** Collected corpus scalars of a lexical index: (nDocs, avgdl, nBuckets),
     * summed across segments — exact integer sums, one double division, so
-    * any segmentation of the same corpus yields the same scalars. */
+    * any segmentation of the same corpus yields the same scalars.
+    *
+    * Memoized per (path, stats-listing fingerprint): a streaming serving
+    * loop calls this every micro-batch, and without the memo each call is a
+    * full Spark action (plan + scan + collect) for a value that only
+    * changes when a segment lands. The fingerprint is the stats directory's
+    * file listing, so an [[appendLexicalIndex]] or [[compactLexicalIndex]]
+    * invalidates on the very next call — the growing-index contract is
+    * preserved (spec-pinned), only the redundant recomputation goes. */
   private def lexicalStats(spark: SparkSession, path: String): (Long, Double, Int) = {
-    val st = spark.read.parquet(s"$path/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"),
-        max(col("n_buckets")).as("n_buckets"))
-      .collect()(0)
-    val nDocs = st.getAs[Long]("n_docs")
-    val sumDl = st.getAs[Long]("sum_dl")
-    val avgdl = if (nDocs == 0L) 1.0 else sumDl.toDouble / nDocs
-    (nDocs, avgdl, st.getAs[Int]("n_buckets"))
+    val fp = statsFingerprint(spark, path)
+    statsMemo.synchronized { statsMemo.get(path) } match {
+      case Some((`fp`, v)) => v
+      case _ =>
+        val st = spark.read.parquet(s"$path/stats")
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"),
+            max(col("n_buckets")).as("n_buckets"))
+          .collect()(0)
+        val nDocs = st.getAs[Long]("n_docs")
+        val sumDl = st.getAs[Long]("sum_dl")
+        val avgdl = if (nDocs == 0L) 1.0 else sumDl.toDouble / nDocs
+        val v = (nDocs, avgdl, st.getAs[Int]("n_buckets"))
+        statsMemo.synchronized { statsMemo(path) = (fp, v) }
+        v
+    }
   }
 
   /** Pruned (token, dfq) for `terms`: termstats delta rows restricted to the
@@ -315,15 +408,22 @@ object TextAnalysis {
       .where(col("bucket").isin(bucketIds: _*) && col("token").isin(terms: _*))
       .groupBy(col("token")).agg(sum(col("dfq")).as("dfq"))
 
-  /** Bucket ids for `terms` via the engine's own xxhash64 (≤ |terms| rows
-    * collected) — these land on the partition column as static literals, so
-    * the postings/termstats scans prune at plan time. */
-  private def termBuckets(spark: SparkSession, terms: Seq[String], nBuckets: Int): Seq[Int] = {
-    import spark.implicits._
-    terms.toDF("token")
-      .select(pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-  }
+  /** Bucket ids for `terms`, computed DRIVER-SIDE: `pmod(xxhash64(term),
+    * nBuckets)` of a literal string needs no Spark job — the same
+    * `XxHash64Function` (seed 42) the SQL `xxhash64` runs per row, applied
+    * to the term's UTF-8 bytes directly (parity spec-pinned against the SQL
+    * expression). These land on the partition column as static literals, so
+    * the postings/termstats scans prune at plan time. A streaming serving
+    * loop calls this every micro-batch; as a Spark job it was one more
+    * plan+collect per epoch for pure literal arithmetic. */
+  private[graft] def termBuckets(terms: Seq[String], nBuckets: Int): Seq[Int] =
+    terms.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L)
+      val m = (h % nBuckets).toInt
+      if (m < 0) m + nBuckets else m
+    }.distinct
 
   /**
    * Answer a BM25 top-k query from a [[saveLexicalIndex]] artifact (plus any
@@ -340,7 +440,7 @@ object TextAnalysis {
     require(k > 0, "bm25QueryIndex: k must be positive")
     val terms = queryTerms.map(_.trim.toLowerCase).distinct
     val (nDocs, avgdl, nBuckets) = lexicalStats(spark, path)
-    val bucketIds = termBuckets(spark, terms, nBuckets)
+    val bucketIds = termBuckets(terms, nBuckets)
     val postings = spark.read.parquet(s"$path/postings")
       .where(col("bucket").isin(bucketIds: _*) && col("token").isin(terms: _*))
     val num = col("tf") * lit(k1 + 1.0)
@@ -384,9 +484,45 @@ object TextAnalysis {
       .filter(col("token") =!= "").distinct()
     val terms = qt.select(col("token")).distinct()
       .collect().map(_.getString(0)).toSeq
+    scoreBatch(spark, path, qt, terms, k, k1, b)
+  }
+
+  /**
+   * [[bm25QueryIndexBatch]] for a DRIVER-RESIDENT query batch — the
+   * streaming serving path ([[graft.streaming.StreamingLexicalServing]])
+   * collects each micro-batch (serving batches are small by contract) and
+   * calls this: the (query, term) pairs become a local relation, term
+   * normalization runs through the same `UTF8String` trim/lowercase the
+   * SQL expressions apply, and with [[lexicalStats]] memoized and
+   * [[termBuckets]] driver-side the ONLY Spark job per call is the pruned
+   * scoring scan itself. Row-identical to the DataFrame path by
+   * construction (shared [[scoreBatch]]; spec-pinned).
+   */
+  def bm25QueryIndexBatchLocal(spark: SparkSession, path: String,
+                               queries: Seq[(Long, Seq[String])], k: Int,
+                               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "bm25QueryIndexBatchLocal: k must be positive")
+    import spark.implicits._
+    val qt = queries.flatMap { case (qid, terms) =>
+      Option(terms).getOrElse(Seq.empty).filter(_ != null).map { raw =>
+        // exact parity with the SQL trim(lower(raw)) the DataFrame path runs
+        val t = org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+          .trim().toLowerCase().toString
+        (qid, t)
+      }.filter(_._2.nonEmpty)
+    }.distinct
+    val terms = qt.map(_._2).distinct
+    scoreBatch(spark, path, qt.toDF("query_id", "token"), terms, k, k1, b)
+  }
+
+  /** Shared scoring tail of the two batch-serving entry points: one pruned
+    * postings scan for the union of `terms`, broadcast query↔term fan-out,
+    * per-query heap top-k. */
+  private def scoreBatch(spark: SparkSession, path: String, qt: DataFrame,
+                         terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
     require(terms.nonEmpty, "bm25QueryIndexBatch: no non-empty query terms")
     val (nDocs, avgdl, nBuckets) = lexicalStats(spark, path)
-    val bucketIds = termBuckets(spark, terms, nBuckets)
+    val bucketIds = termBuckets(terms, nBuckets)
     val postings = spark.read.parquet(s"$path/postings")
       .where(col("bucket").isin(bucketIds: _*) && col("token").isin(terms: _*))
     val num = col("tf") * lit(k1 + 1.0)

@@ -12,15 +12,23 @@ import graft.operators.TextAnalysis
  * STATIC side of a stream-static composition, the query batches are the
  * stream — the lexical twin of [[StreamingAnnServing]].
  *
- * Every micro-batch answers through the EXACT batch operator
- * ([[TextAnalysis.bm25QueryIndexBatch]] — one pruned postings scan for the
- * union of the batch's terms, heap-based per-query top-k), so streaming
- * answers are row-identical to batch answers for the same query set by
- * construction (gated in StreamingLexicalSpec, not assumed). Per-query
- * top-k needs a rank over the candidate set, which append-mode streaming
- * cannot express without state; answering each micro-batch with the batch
- * operator is the standard serving shape and keeps ONE implementation of
- * the scoring semantics.
+ * Every micro-batch answers through the EXACT batch scoring pipeline
+ * ([[TextAnalysis.bm25QueryIndexBatchLocal]] — the driver-resident entry of
+ * the same shared scorer as [[TextAnalysis.bm25QueryIndexBatch]]: one
+ * pruned postings scan for the union of the batch's terms, heap-based
+ * per-query top-k), so streaming answers are row-identical to batch
+ * answers for the same query set by construction (gated in
+ * StreamingLexicalSpec, not assumed). Per-query top-k needs a rank over
+ * the candidate set, which append-mode streaming cannot express without
+ * state; answering each micro-batch with the batch operator is the
+ * standard serving shape and keeps ONE implementation of the scoring
+ * semantics.
+ *
+ * Epoch cost discipline: the micro-batch is collected once (serving
+ * batches are driver-small by contract) and the serve prelude — term
+ * normalization, corpus stats (memoized on the stats-file listing), bucket
+ * pruning ids (driver-side xxhash64) — runs without Spark jobs, so each
+ * epoch spends its wall-clock on the one pruned scoring scan.
  *
  * GROWING-INDEX semantics: the batch operator reads postings / termstats /
  * stats BY PATH inside each call, so every micro-batch sees a fresh file
@@ -46,24 +54,48 @@ object StreamingLexicalServing {
                         k1: Double = 1.2, b: Double = 0.75,
                         queryIdCol: String = "query_id", termsCol: String = "terms")
                        (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    // fail FAST at stream construction on a missing/corrupt artifact (one
-    // footer read per table) instead of letting the deployment look healthy
-    // until epoch 0 dies inside foreachBatch
+    // fail FAST at stream construction on a missing, corrupt or TORN
+    // artifact (a crash mid-append leaves postings rows whose stats commit
+    // record never landed — silently skewed idf/avgdl) instead of letting
+    // the deployment look healthy until epoch 0 serves wrong scores. One
+    // full count of postings/termstats — a construction-time audit, never
+    // a per-epoch cost.
     val spark0 = queryStream.sparkSession
-    spark0.read.parquet(s"$indexPath/postings").schema
-    spark0.read.parquet(s"$indexPath/termstats").schema
-    spark0.read.parquet(s"$indexPath/stats").schema
+    val audit = TextAnalysis.validateLexicalIndex(spark0, indexPath).collect()(0)
+    require(audit.getAs[Boolean]("postings_consistent") &&
+      audit.getAs[Boolean]("terms_consistent"),
+      s"lexical index at $indexPath is torn: postings " +
+        s"${audit.getAs[Long]("n_postings_actual")} vs committed " +
+        s"${audit.getAs[Long]("n_postings_expected")}, termstats " +
+        s"${audit.getAs[Long]("n_terms_actual")} vs committed " +
+        s"${audit.getAs[Long]("n_terms_expected")} — recover by rebuilding " +
+        "or compacting from the last consistent segment set")
     queryStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
-        // the batch operator requires ≥1 non-blank term across the batch —
-        // filter unservable queries out FIRST (null arrays filter out via
-        // exists' null propagation)
-        val servable = batch.toDF()
-          .where(exists(col(termsCol), t => trim(lower(t)) =!= ""))
-        if (!servable.isEmpty)
-          sink(TextAnalysis.bm25QueryIndexBatch(batch.sparkSession, indexPath,
-            servable, k, k1, b, queryIdCol, termsCol), epochId)
+        // collect the micro-batch ONCE (serving batches are driver-small by
+        // contract) and run the whole serve prelude driver-side — term
+        // normalization, blank/null-query filtering, stats (memoized),
+        // bucket pruning ids — so the only Spark job per epoch is the
+        // pruned scoring scan. A malformed client query (null/blank terms)
+        // is dropped here, never an exception; an epoch left with nothing
+        // servable is skipped (`sink` sees only epochs that carried
+        // servable queries).
+        val rows = batch.toDF()
+          .select(col(queryIdCol).cast("long"), col(termsCol))
+          .collect()
+        val qs = rows.iterator.collect {
+          case r if !r.isNullAt(0) && !r.isNullAt(1) =>
+            (r.getLong(0), r.getSeq[String](1))
+        }.toSeq
+        // servable = at least one term that normalizes (same UTF8String
+        // trim/lowercase the scoring path applies) to a non-blank token
+        def nonBlank(t: String): Boolean = t != null &&
+          !org.apache.spark.unsafe.types.UTF8String.fromString(t)
+            .trim().toString.isEmpty
+        if (qs.exists(q => q._2 != null && q._2.exists(nonBlank)))
+          sink(TextAnalysis.bm25QueryIndexBatchLocal(batch.sparkSession,
+            indexPath, qs, k, k1, b), epochId)
       }
       .start()
   }

@@ -69,6 +69,41 @@ class StreamingLexicalSpec extends SparkSpec {
     }
   }
 
+  test("torn segment (data landed, commit record missing) is flagged and refuses to serve") {
+    val docs = Seq(
+      (1L, "spark scan spark merge"), (2L, "scan filter join"),
+      (3L, "merge merge merge scan"), (4L, "filter value row")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_torn").toString
+    try {
+      TextAnalysis.saveLexicalIndex(docs.filter($"doc_id" <= 2), dir, nBuckets = 8)
+      TextAnalysis.appendLexicalIndex(docs.filter($"doc_id" > 2), dir)
+      // healthy two-segment artifact: audit green
+      val ok = TextAnalysis.validateLexicalIndex(spark, dir).collect()(0)
+      assert(ok.getAs[Long]("n_segments") == 2L)
+      assert(ok.getAs[Boolean]("postings_consistent") && ok.getAs[Boolean]("terms_consistent"))
+
+      // simulate the crash window: an append's postings landed but its
+      // stats commit record did not — drop one stats part file
+      val statsDir = new java.io.File(s"$dir/stats")
+      val part = statsDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      assert(part.delete())
+      val torn = TextAnalysis.validateLexicalIndex(spark, dir).collect()(0)
+      assert(!(torn.getAs[Boolean]("postings_consistent") &&
+        torn.getAs[Boolean]("terms_consistent")))
+
+      // stream construction must refuse the torn artifact loudly
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[LexQuery]
+      val e = intercept[IllegalArgumentException] {
+        StreamingLexicalServing.serveBm25FromPath(stream.toDF(), dir, k = 3)((_, _) => ())
+      }
+      assert(e.getMessage.contains("torn"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("compacted index serves row-identical results to the segmented original") {
     val docs = Seq(
       (1L, "spark scan spark merge"), (2L, "scan filter join"),

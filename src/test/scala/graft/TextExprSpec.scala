@@ -209,4 +209,25 @@ class TextExprSpec extends SparkSpec {
     assert(r.getSeq[java.lang.Long](1).length == 4)
     assert(!r.isNullAt(2))
   }
+
+  test("driver-side termBuckets ≡ SQL pmod(xxhash64(token), n) — pruning parity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the lexical serving path prunes partitions with driver-computed
+    // bucket ids; if they ever diverged from the SQL xxhash64 the index
+    // wrote with, serving would silently miss postings — pin the parity
+    // on adversarial tokens (unicode, empty-ish, long, ascii)
+    val tokens = Seq("vector", "stream", "hash", "naïve", "日本語", "a",
+      "x" * 500, "UPPER", "with space", "ﬁligree", "émigré")
+    for (n <- Seq(1, 7, 16, 64)) {
+      val sqlSide = tokens.toDF("token")
+        .select(col("token"), pmod(xxhash64(col("token")), lit(n.toLong)).cast("int").as("b"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      tokens.foreach { t =>
+        val driverSide = graft.operators.TextAnalysis.termBuckets(Seq(t), n)
+        assert(driverSide == Seq(sqlSide(t)),
+          s"bucket divergence for '$t' n=$n: driver $driverSide vs sql ${sqlSide(t)}")
+      }
+    }
+  }
 }
