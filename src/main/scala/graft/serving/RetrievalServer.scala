@@ -1,0 +1,149 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.QueryBuilders.QueryError
+import graft.operators.{Similarity, TextAnalysis}
+
+/**
+ * REST retrieval over the persisted serving artifacts — the reference's
+ * interactive-query story (`querying/QueryingService.java:39` serves its
+ * materialized store over HTTP) applied to the extension surface: the
+ * lexical BM25 index ([[TextAnalysis.saveLexicalIndex]] layout) and the
+ * IVF-PQ ANN index ([[Similarity.saveIvfPqWith]] layout) answer queries
+ * over the same JDK `HttpServer`, `Message` envelope and error contract as
+ * [[RestServer]].
+ *
+ *   GET /api/retrieve/lexical?terms=t1,t2[,…]&k=10
+ *     → `{"columns":["doc_id","score"],"data":[[id,score],…],
+ *        "metadata":{"metric":"retrieval"}}` — row-identical to
+ *     [[TextAnalysis.bm25QueryIndex]] on the same artifact (spec-pinned).
+ *   GET /api/retrieve/ann?vector=v1,v2,…&k=5[&nprobe=8]
+ *     → `{"columns":["rnk","vec_id","cos"],…}` — row-identical to
+ *     [[Similarity.ivfPqQuery]] (`excludeSelf = false`: client queries live
+ *     in their own id space).
+ *
+ * Malformed input is a 400 with the reference's `ErrorMessage` shape, never
+ * a 500: missing/blank terms, non-positive or non-numeric `k`/`nprobe`,
+ * non-numeric vector components, and a query-vector dimensionality that
+ * does not match the index (`width` of the coarse quantizer — scoring a
+ * wrong-dim vector would silently truncate the dot product instead).
+ *
+ * The ANN quantizers (centroids + codebooks) load ONCE at construction —
+ * they are the index artifact's driver/broadcast-small state; the code
+ * table and float corpus stay DataFrames. Artifacts are immutable per
+ * deployment (compaction/rebuild writes a fresh path and the pointer
+ * flips), so per-request re-listing buys nothing here; the lexical path
+ * re-reads by path inside the query call and so serves appended segments
+ * immediately (same growing-index contract as the streaming server).
+ */
+class RetrievalServer(spark: SparkSession, lexicalPath: String,
+                      ivfPqPath: String, corpusPath: String, port: Int = 0) {
+
+  private val index = Similarity.loadIvfPq(spark, ivfPqPath)
+  private val dim = index.centroids.head._2.length
+  private def corpus: DataFrame = spark.read.parquet(corpusPath)
+
+  private var server: HttpServer = _
+
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/api/retrieve", handle _)
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val path = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+      // path = api, retrieve, lexical|ann
+      val params = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      if (path.length != 3) respond(ex, 404, errorJson("not found", 404))
+      else path(2) match {
+        case "lexical" => respond(ex, 200, lexical(params))
+        case "ann"     => respond(ex, 200, ann(params))
+        case _         => respond(ex, 404, errorJson("not found", 404))
+      }
+    } catch {
+      case QueryError(msg, code) => respond(ex, code, errorJson(msg, code))
+      case t: Throwable          => respond(ex, 500, errorJson(t.toString, 500))
+    }
+  }
+
+  private def positiveInt(params: Map[String, String], name: String,
+                          default: Int): Int =
+    params.get(name) match {
+      case None => default
+      case Some(s) => s.toIntOption.filter(_ > 0)
+        .getOrElse(throw QueryError(s"Invalid $name: $s"))
+    }
+
+  private def lexical(params: Map[String, String]): String = {
+    val terms = params.getOrElse("terms", "").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    if (terms.isEmpty) throw QueryError("Missing or empty terms")
+    val k = positiveInt(params, "k", 10)
+    val rows = TextAnalysis.bm25QueryIndex(spark, lexicalPath, terms, k)
+      .collect().map(r => s"[${r.getLong(0)},${numJson(r.get(1))}]")
+    messageJson(Seq("doc_id", "score"), rows.toSeq)
+  }
+
+  private def ann(params: Map[String, String]): String = {
+    val raw = params.getOrElse("vector", "").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    if (raw.isEmpty) throw QueryError("Missing or empty vector")
+    val vec = raw.map(s =>
+      s.toFloatOption.getOrElse(throw QueryError(s"Invalid vector component: $s")))
+    if (vec.length != dim)
+      throw QueryError(s"Vector dimension ${vec.length} does not match index dim $dim")
+    val k = positiveInt(params, "k", 5)
+    val nprobe = positiveInt(params, "nprobe", 8)
+    import spark.implicits._
+    val q = Seq((0L, vec)).toDF("vec_id", "embedding")
+    val rows = Similarity.ivfPqQuery(index.encoded, index.centroids, index.books,
+        corpus, q, k, nprobe, shortlist = math.max(50, k), excludeSelf = false)
+      .orderBy(col("rnk"))
+      .collect().map(r => s"[${r.getInt(1)},${r.getLong(2)},${numJson(r.get(3))}]")
+    messageJson(Seq("rnk", "vec_id", "cos"), rows.toSeq)
+  }
+
+  private def messageJson(columns: Seq[String], dataRows: Seq[String]): String =
+    s"""{"columns":[${columns.map(c => s""""$c"""").mkString(",")}],""" +
+      s""""data":[${dataRows.mkString(",")}],""" +
+      s""""metadata":{"metric":"retrieval"}}"""
+
+  private def numJson(v: Any): String = v match {
+    case null      => "null"
+    case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
+    case other     => other.toString
+  }
+
+  private def errorJson(msg: String, code: Int): String = {
+    val esc = msg.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"errorMessage":"$esc","errorCode":$code}"""
+  }
+
+  private def parseQuery(q: String): Map[String, String] =
+    q.split("&").filter(_.contains("=")).map { kv =>
+      val Array(kk, v) = kv.split("=", 2)
+      kk -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+    }.toMap
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import scala.io.Source
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quantization, Similarity, TextAnalysis}
+import graft.serving.RetrievalServer
+import graft.sources.Tables
+
+/** The `/api/retrieve` endpoints must answer from the persisted lexical +
+  * IVF-PQ artifacts ROW-IDENTICALLY to the library calls they wrap, wear
+  * the reference `Message` envelope, and turn malformed input into 400
+  * `ErrorMessage`s — never 500s. */
+class RetrievalServerSpec extends SparkSpec {
+
+  private def get(url: String): (Int, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = Source.fromInputStream(is).mkString
+    (code, body)
+  }
+
+  private def withServer(f: (Int, String, String) => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft_retrieve").toString
+    val lex = s"$root/lex"
+    val ivfpq = s"$root/ivfpq"
+    val corpusPath = s"$root/corpus"
+    try {
+      TextAnalysis.saveLexicalIndex(Tables.documents(spark, Sf), lex, nBuckets = 16)
+      val e = Tables.embeddings(spark, Sf)
+      e.write.mode("overwrite").parquet(corpusPath)
+      Similarity.saveIvfPq(e, ivfpq, nlist = 8, m = 8, ksub = 16, kmeansIters = 1)
+      val srv = new RetrievalServer(spark, lex, ivfpq, corpusPath)
+      val port = srv.start()
+      try f(port, lex, ivfpq) finally srv.stop()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
+  test("lexical + ann endpoints: Message envelope, row-identical to library calls") {
+    withServer { (port, lex, ivfpq) =>
+      // lexical: compare against bm25QueryIndex on the same artifact
+      val expectLex = TextAnalysis.bm25QueryIndex(spark, lex,
+          Seq("vector", "stream", "hash"), k = 5)
+        .collect().map(r => s"[${r.getLong(0)},${r.getDouble(1)}]").mkString(",")
+      val (c1, b1) = get(s"http://localhost:$port/api/retrieve/lexical" +
+        "?terms=vector,stream,hash&k=5")
+      assert(c1 == 200, b1)
+      assert(b1 ==
+        s"""{"columns":["doc_id","score"],"data":[$expectLex],"metadata":{"metric":"retrieval"}}""")
+
+      // ann: a corpus vector as the client query (own id space) — compare
+      // against ivfPqQuery with excludeSelf = false on the loaded artifact
+      val qvec = Tables.embeddings(spark, Sf).filter(col("vec_id") === 3)
+        .head().getSeq[Float](1)
+      val idx = Similarity.loadIvfPq(spark, ivfpq)
+      import spark.implicits._
+      val q = Seq((0L, qvec)).toDF("vec_id", "embedding")
+      val expectAnn = Similarity.ivfPqQuery(idx.encoded, idx.centroids, idx.books,
+          Tables.embeddings(spark, Sf), q, k = 4, nprobe = 8, shortlist = 50,
+          excludeSelf = false)
+        .orderBy(col("rnk"))
+        .collect().map(r => s"[${r.getInt(1)},${r.getLong(2)},${r.getDouble(3)}]")
+        .mkString(",")
+      val (c2, b2) = get(s"http://localhost:$port/api/retrieve/ann" +
+        s"?vector=${qvec.mkString(",")}&k=4&nprobe=8")
+      assert(c2 == 200, b2)
+      assert(b2 ==
+        s"""{"columns":["rnk","vec_id","cos"],"data":[$expectAnn],"metadata":{"metric":"retrieval"}}""")
+      // the planted self-duplicate comes back at rank 1 with cos 1.0
+      assert(b2.contains("[1,3,1.0]"), b2)
+    }
+  }
+
+  test("malformed input is a 400 ErrorMessage, unknown paths 404 — never a 500") {
+    withServer { (port, _, _) =>
+      val cases = Seq(
+        s"http://localhost:$port/api/retrieve/lexical?terms=&k=5",
+        s"http://localhost:$port/api/retrieve/lexical?terms=vector&k=0",
+        s"http://localhost:$port/api/retrieve/lexical?terms=vector&k=abc",
+        s"http://localhost:$port/api/retrieve/ann?vector=&k=2",
+        s"http://localhost:$port/api/retrieve/ann?vector=1.0,zap&k=2",
+        s"http://localhost:$port/api/retrieve/ann?vector=1.0,2.0&k=2", // wrong dim
+        s"http://localhost:$port/api/retrieve/ann?vector=${Seq.fill(64)("0.1").mkString(",")}&nprobe=-1")
+      cases.foreach { url =>
+        val (code, body) = get(url)
+        assert(code == 400, s"$url -> $code $body")
+        assert(body.contains("\"errorMessage\"") && body.contains("\"errorCode\":400"), body)
+      }
+      val (nf, _) = get(s"http://localhost:$port/api/retrieve/nope?x=1")
+      assert(nf == 404)
+    }
+  }
+}
