@@ -18,8 +18,11 @@ case class BenchLexQuery(query_id: Long, terms: Seq[String])
  * Benchmark main (BASELINE.md protocol): warm SparkSession, run every
  * SparkEntry query `SPARK_GRAFT_BENCH_RUNS` times (default 5, per the N≥5
  * protocol) on `SPARK_GRAFT_SF_DIR`, report per-query MEDIAN wall-clock
- * seconds and the median total as ONE JSON line on stdout. The SQL cache is
- * cleared between queries so each is measured in isolation.
+ * seconds and the median total as ONE JSON line on stdout. Runs are
+ * INTERLEAVED round-robin across queries (run 1 of every query, then run
+ * 2, …) so one query's spread is not an artifact of the JVM/GC phase its
+ * back-to-back minute landed in; the SQL cache is cleared before every
+ * measurement so each is measured in isolation.
  *
  * Timing includes plan + execution (count() forces the full pipeline;
  * results are already small aggregates so count ≈ materialize).
@@ -104,21 +107,33 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None        => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // isolate queries from each other's cache residue: clear the SQL cache
-      // and nudge the ContextCleaner (localCheckpoint blocks are freed on GC)
-      // so each query is measured on its own plan, not a prior query's leak
-      spark.catalog.clearCache()
+    // INTERLEAVED rounds (round 8 verdict #7): run 1 of every query, then
+    // run 2, … — back-to-back runs of one query correlate its min/max with
+    // whatever JVM/GC phase that minute happened to be in (ann_ivfpq_build
+    // measured max/min 1.7× that way); spreading a query's runs across the
+    // whole bench decorrelates them. The SQL cache is still cleared before
+    // every measurement (no cross-query cache residue); the ContextCleaner
+    // GC nudge (frees localCheckpoint blocks) runs once per round instead
+    // of per measurement — same total pressure, ~1/100th the gc() calls.
+    val queryFns = selected.toSeq.sortBy(_._1)
+    val samples = Array.fill(queryFns.size)(Vector.empty[Double])
+    (1 to runs).foreach { _ =>
       System.gc()
-      val ts = (1 to runs).map { _ =>
-        try time(fn(spark, sfDir).count())
-        catch { case _: Throwable => -1.0 }
+      queryFns.zipWithIndex.foreach { case ((_, fn), i) =>
+        spark.catalog.clearCache()
+        samples(i) = samples(i) :+
+          (try time(fn(spark, sfDir).count())
+           catch { case _: Throwable => -1.0 })
       }
+    }
+    val results = queryFns.zipWithIndex.map { case ((name, fn), i) =>
       // warm-plan second execution: one Dataset, counted twice; the second
       // count isolates execution from analysis/optimization/codegen
+      spark.catalog.clearCache()
       val warm =
         try { val df = fn(spark, sfDir); df.count(); time(df.count()) }
         catch { case _: Throwable => -1.0 }
+      val ts = samples(i)
       val bad = ts.contains(-1.0)
       (name,
         if (bad) -1.0 else median(ts),

@@ -55,7 +55,11 @@ object Dedup {
     val fp = TextFunctions.fingerprint(col(textCol))
     val w = Window.partitionBy(fp).orderBy(col(idCol))
     docs
-      .withColumn("grp_n", count(lit(1)).over(Window.partitionBy(fp)))
+      // same partitioning AND ordering as the row_number window (whole-
+      // partition frame) — one Window operator computes both, instead of a
+      // second shuffle+sort for an orderless count window
+      .withColumn("grp_n", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }
