@@ -273,6 +273,53 @@ private[graft] object Fixtures {
     embs.select(col("vec_id"), col("embedding"))
       .union(embs.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
 
+  /** DuckDB replay of the windowed-Gear CDC cut positions + chunk spans
+    * over a `(doc_id, text)` relation named `src`: the 256-entry gear
+    * table is recomputed from the published splitmix64 function at
+    * oracle-build time and inlined as unsigned HUGEINT literals (the SRP
+    * sign-table precedent), each boundary is an INDEPENDENT 16-byte
+    * windowed sum (position independence is part of the operator's
+    * contract — it is what makes the replay possible at all), and chunk
+    * md5s hash the HEX slice of the byte stream (DuckDB md5 takes VARCHAR
+    * only). Yields a relation (doc_id, chunk_idx, start, len, chunk_md5).
+    * Shared by the `cdc_chunks` and `cdc_dedup` oracles. */
+  def cdcChunksSql(maskBits: Int): String = {
+    val gear = (0 until 256)
+      .map(b => java.lang.Long.toUnsignedString(graft.plans.TextKernels.gearConstant(b)))
+      .mkString("[", ",", "]")
+    val bound = java.math.BigInteger.TWO.pow(64 - maskBits).toString
+    s"""b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         CAST(octet_length(encode(text)) AS INT) AS n
+       |  FROM src WHERE octet_length(encode(text)) > 0),
+       |cuts AS (
+       |  SELECT doc_id, hx, n,
+       |    list_filter(range(15, n), i ->
+       |      (list_sum(list_transform(range(0, 16), j ->
+       |         list_extract($gear,
+       |           CAST(('0x' || substr(hx, 2 * CAST(i - j AS INT) + 1, 2)) AS INT) + 1)
+       |         * (1 << CAST(j AS INT))))
+       |       % CAST('18446744073709551616' AS HUGEINT))
+       |      < CAST('$bound' AS HUGEINT)) AS cs
+       |  FROM b),
+       |spans AS (
+       |  SELECT doc_id, hx,
+       |    list_prepend(0, list_transform(cs, c -> CAST(c AS INT) + 1)) AS starts,
+       |    list_append(list_transform(cs, c -> CAST(c AS INT)), n - 1) AS ends
+       |  FROM cuts),
+       |exploded AS (
+       |  SELECT doc_id, hx,
+       |    unnest(list_transform(range(1, len(starts) + 1), k ->
+       |      {'idx': k - 1, 's': starts[CAST(k AS INT)],
+       |       'l': ends[CAST(k AS INT)] - starts[CAST(k AS INT)] + 1})) AS c
+       |  FROM spans),
+       |chunks AS (
+       |  SELECT doc_id, CAST(c.idx AS INT) AS chunk_idx, CAST(c.s AS INT) AS start,
+       |         CAST(c.l AS INT) AS len,
+       |         md5(substr(hx, 2 * CAST(c.s AS INT) + 1, 2 * CAST(c.l AS INT))) AS chunk_md5
+       |  FROM exploded WHERE c.l > 0)""".stripMargin
+  }
+
   /** Stage counts of the curation funnel — recomputed by EVERY caller
     * (no memo here: the `curation_funnel` query runs the full
     * dedup→LSH→quality pipeline through this on every call, so its bench

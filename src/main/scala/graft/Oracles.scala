@@ -862,6 +862,40 @@ private[graft] object Oracles {
         |         CAST(chunk_id * 48 + least(64, n - chunk_id * 48) AS INT)), ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
+    "hash_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN u < 0.8 THEN 'train'
+        |            WHEN u < 0.9 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |          / 4294967296.0 AS u
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "cdc_chunks" ->
+      s"""WITH src AS (SELECT doc_id, text FROM documents),
+         |${Fixtures.cdcChunksSql(6)}
+         |SELECT doc_id, chunk_idx, start, len, chunk_md5
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "cdc_dedup" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\\s+'), 1,
+         |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+         |  FROM documents),
+         |src AS (SELECT doc_id, text FROM d0),
+         |${Fixtures.cdcChunksSql(6)}
+         |SELECT chunk_md5,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |       MIN(doc_id) AS min_doc_id
+         |FROM chunks GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_md5""".stripMargin,
+
     "quantize_embeddings" ->
       """SELECT vec_id,
         |       CAST(list_min(embedding) AS DOUBLE) AS q_min,

@@ -999,6 +999,35 @@ private[graft] object Queries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    "cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking (windowed-Gear, maskBits=6 → ~64B chunks):
+      // every boundary is an independent 16-byte windowed hash test, so
+      // DuckDB replays EVERY cut position, span and chunk digest from the
+      // text bytes + the published splitmix64 gear table alone
+      Curation.cdcChunkDocuments(Tables.documents(s, dir), maskBits = 6)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    "hash_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment: u = md5(id)[0:8]/2^32 vs
+      // exact-decimal cumulative bounds — every row's split replays in
+      // DuckDB from the id alone
+      Curation.hashSplit(Tables.documents(s, dir),
+          Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "cdc_dedup" -> ((s, dir) => {
+      // sub-document duplicate report over the near-dup fixture: truncated
+      // copies share their whole prefix, and CDC boundaries are
+      // shift-robust, so shared passages yield identical chunk digests —
+      // group sizes and representatives replay exactly in DuckDB
+      Curation.cdcDuplicateChunks(
+          docsWithNearDups(Tables.documents(s, dir)), maskBits = 6)
+        .orderBy(col("chunk_md5"))
+    }),
+
 
     "quantize_embeddings" -> ((s, dir) => {
       // SQ8 per-vector affine quantization: min/scale exactly oracle-checked

@@ -70,6 +70,18 @@ object TextFunctions {
     * both. */
   def shingles_udf(text: Column, n: Int): Column = shinglesUdf(text, lit(n))
 
+  /** Content-defined chunk spans (windowed-Gear CDC): array of
+    * (start, len) BYTE offsets into the UTF-8 encoding, boundaries where
+    * the 16-byte windowed gear hash's top `maskBits` bits are zero —
+    * expected chunk ≈ 2^maskBits bytes. Native codegen'd expression
+    * ([[graft.plans.CdcChunks]]), one O(n) pass per document; null text →
+    * empty array. The shift-robust dedup granularity: a one-byte edit
+    * moves at most two boundaries. */
+  def cdcChunks(text: Column, maskBits: Int): Column =
+    coalesce(
+      toCol(graft.plans.CdcChunks(toExpr(text), toExpr(lit(maskBits)))),
+      array().cast(graft.plans.CdcChunks.Schema))
+
   /** Unicode normalization (NFC/NFD/NFKC/NFKD) via the codegen'd
     * [[graft.plans.TextNormalize]] expression — the canonicalization pass a
     * crawled corpus runs before tokenization/dedup (decomposed accents and

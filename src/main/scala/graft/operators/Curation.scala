@@ -300,6 +300,90 @@ object Curation {
   }
 
   /**
+   * Content-defined chunking (windowed-Gear CDC, the shift-robust
+   * complement of [[chunkDocuments]]'s fixed token windows): chunk
+   * boundaries fall where the 16-byte windowed gear hash's top `maskBits`
+   * bits are zero ([[graft.functions.TextFunctions.cdcChunks]], a native
+   * codegen'd O(n)-per-document expression), so an insertion or deletion
+   * moves at most the two adjacent boundaries — duplicated passages in
+   * otherwise-edited documents keep identical chunks, which fixed-size
+   * blocking destroys. Output: (idCol, chunk_idx, start, len, chunk_md5)
+   * with BYTE offsets into the UTF-8 encoding; `chunk_md5` is the md5 of
+   * the chunk's HEX-encoded bytes (hex, not raw, so the DuckDB oracle —
+   * whose md5 only takes VARCHAR — replays it exactly).
+   *
+   * Scale shape: one narrow codegen'd scan (chunking + explode), no
+   * shuffle at all — chunk rows stream straight to the consumer (the
+   * dedup groupBy downstream is where the first shuffle happens).
+   */
+  def cdcChunkDocuments(docs: DataFrame, maskBits: Int = 6,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(TextFunctions.cdcChunks(col(textCol), maskBits))
+          .as(Seq("chunk_idx", "c")),
+        col(textCol))
+      .select(col(idCol), col("chunk_idx"),
+        col("c.start").as("start"), col("c.len").as("len"),
+        md5(hex(encode(col(textCol), "UTF-8")
+          .substr(col("c.start") + 1, col("c.len"))).cast("binary")).as("chunk_md5"))
+
+  /**
+   * Chunk-level duplicate report over [[cdcChunkDocuments]] output: chunk
+   * contents appearing in more than one document — the sub-document dedup
+   * signal (boilerplate headers, license blocks, quoted passages) that
+   * whole-document fingerprints cannot see and shifted copies hide from
+   * fixed blocks. One hash-keyed aggregate (the standard partial/final
+   * shape); `n_docs`/`n_occurrences` are exact, `min_doc_id` is the
+   * deterministic representative.
+   */
+  def cdcDuplicateChunks(docs: DataFrame, maskBits: Int = 6, minDocs: Int = 2,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    cdcChunkDocuments(docs, maskBits, idCol, textCol)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("min_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+
+  /**
+   * Deterministic train/validation/test split: each row is assigned to the
+   * first split whose cumulative weight bound exceeds its hash fraction
+   * `u = int(md5(id)[0:8]) / 2^32` — a pure function of the id, so the
+   * assignment is reproducible across runs, partitionings and engines (no
+   * `rand()`, no global sort, no state), rows never migrate between splits
+   * when the corpus grows, and the same id always lands in the same split
+   * across pipeline versions — the property that keeps eval sets
+   * uncontaminated as training data is re-curated.
+   *
+   * Cumulative bounds are accumulated in exact decimal (`BigDecimal`) so
+   * `Seq(0.8, 0.1, 0.1)` yields boundaries exactly 0.8 / 0.9 / 1.0 — a
+   * naive double fold would produce 0.9000000000000001 and disagree with
+   * any engine writing the boundary as the literal `0.9` (the DuckDB
+   * oracle does exactly that).
+   *
+   * Scale: one narrow codegen'd scan, zero shuffles.
+   */
+  def hashSplit(docs: DataFrame, weights: Seq[Double], names: Seq[String],
+                idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.length == names.length,
+      s"need matching non-empty weights/names, got ${weights.length}/${names.length}")
+    require(weights.forall(_ > 0), s"weights must be positive: $weights")
+    val total = weights.map(BigDecimal(_)).sum
+    val cum = weights.map(BigDecimal(_)).scanLeft(BigDecimal(0))(_ + _).tail
+      .map(c => (c / total).toDouble)
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    // last split is the unconditional otherwise — u < 1.0 can miss the top
+    // boundary only through float rounding, and every row must land somewhere
+    val split = cum.init.zip(names.init).reverse
+      .foldLeft(lit(names.last): Column) { case (acc, (bound, name)) =>
+        when(u < lit(bound), lit(name)).otherwise(acc)
+      }
+    docs.withColumn("split", split)
+  }
+
+  /**
    * Exact-fraction stratified sample: per stratum, keep the first
    * `ceil(fraction × stratum size)` documents in deterministic md5-of-id
    * order. Reproducible across runs/partitionings (no `rand()`), and the

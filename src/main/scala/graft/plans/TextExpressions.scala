@@ -172,6 +172,103 @@ object TextKernels {
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
+
+  /** CDC window width in bytes (fixed — part of the chunking contract). */
+  final val CdcWindow = 16
+
+  /** Gear table for content-defined chunking: splitmix64 of `0x10000 + b`
+    * (a namespace disjoint from the minhash constants) — 256 longs,
+    * recomputable in any engine from the published splitmix64 function
+    * (the DuckDB oracle inlines them as literals, the SRP-table precedent). */
+  def gearConstant(b: Int): Long = mixConstant(0x10000 + b)
+
+  private lazy val GearTable: Array[Long] =
+    Array.tabulate(256)(gearConstant)
+
+  /**
+   * Content-defined chunking (windowed-Gear variant): a chunk boundary
+   * falls AFTER byte `i` (0-based, `i ≥ 15`) iff the windowed hash
+   * `h_i = Σ_{j=0..15} gear(b_{i-j}) · 2^j (mod 2^64)` has its TOP
+   * `maskBits` bits zero (`h_i >>> (64 − maskBits) == 0`). Top-bit test,
+   * not bottom: `gear(b)·2^j mod 2^k` vanishes for `j ≥ k`, so a low-bit
+   * mask would degenerate the window to its trailing `maskBits` bytes;
+   * the top bits take carries from every term. Boundaries depend only on
+   * the local 16-byte window — the property that makes CDC dedup robust
+   * to insertions/shifts (a one-byte edit moves at most the two adjacent
+   * boundaries, unlike fixed-size blocks where everything downstream
+   * shifts) — and position-independence is also what lets the DuckDB
+   * oracle replay every boundary as an independent windowed sum.
+   *
+   * One O(n) pass, O(1) per byte (incremental window update; Long wrap IS
+   * mod 2^64). Returns array<struct<start,len>> in BYTE offsets into the
+   * UTF-8 encoding; empty text → empty array; text shorter than the
+   * window → one whole-text chunk. Expected chunk length ≈ `2^maskBits`.
+   */
+  def cdcChunks(text: UTF8String, maskBits: Int): ArrayData = {
+    if (text == null || maskBits <= 0 || maskBits >= 64)
+      return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val w = CdcWindow
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    if (n >= w) {
+      // initial window [0, w-1]
+      var h = 0L
+      var j = 0
+      while (j < w) { h += GearTable(bytes(w - 1 - j) & 0xff) << j; j += 1 }
+      val shift = 64 - maskBits
+      var i = w - 1
+      while (i < n) {
+        if ((h >>> shift) == 0L) {
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](start, i - start + 1))
+          start = i + 1
+        }
+        i += 1
+        if (i < n) {
+          // slide: drop b_{i-w}, shift, add b_i
+          h = ((h - (GearTable(bytes(i - w) & 0xff) << (w - 1))) << 1) +
+            GearTable(bytes(i) & 0xff)
+        }
+      }
+    }
+    if (start < n)
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](start, n - start))
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `cdc_chunks(text, maskBits)` → array<struct<start:int, len:int>> (byte
+  * offsets into the UTF-8 encoding) — see [[TextKernels.cdcChunks]]. */
+case class CdcChunks(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = CdcChunks.Schema
+  override def prettyName: String = "cdc_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(
+        s"$prettyName expects (string, int), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(text: Any, maskBits: Any): Any =
+    TextKernels.cdcChunks(text.asInstanceOf[UTF8String], maskBits.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, m) => s"graft.plans.TextKernels.cdcChunks($t, $m)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object CdcChunks {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false))), containsNull = false)
 }
 
 /** `word_shingles(text, n)` → array<string> (see [[TextKernels.shingles]]).

@@ -45,4 +45,52 @@ class CurationSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum($"n_tokens")).head().getLong(0)
     assert(total <= 5000)
   }
+
+  test("hashSplit: id-stable assignment, corpus-growth invariance, validation") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val full = Curation.hashSplit(docs, Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      .select($"doc_id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every split non-empty at fixture scale, roughly proportioned
+    val byName = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName.keySet == Set("train", "val", "test"), byName.toString)
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+    // growth invariance: a SUBSET of the corpus assigns identically — rows
+    // never migrate between splits as data is added or removed
+    val sub = Curation.hashSplit(docs.filter($"doc_id" % 3 === 0),
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      .select($"doc_id", $"split").collect()
+    sub.foreach(r => assert(full(r.getLong(0)) == r.getString(1)))
+    // determinism across calls
+    val again = Curation.hashSplit(docs, Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      .select($"doc_id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == full)
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(docs, Seq(0.8, -0.1), Seq("a", "b"))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(docs, Seq(0.8, 0.2), Seq("only"))
+    }
+  }
+
+  test("cdc chunk rows: tile each document's bytes; duplicate report finds planted copies") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val chunks = Curation.cdcChunkDocuments(docs, maskBits = 6)
+    // per-doc: chunk spans tile [0, octet_length) contiguously
+    val audit = chunks.groupBy($"doc_id")
+      .agg(min($"start").as("s0"), max(col("start") + col("len")).as("end"),
+        sum($"len").as("cover"), count(lit(1)).as("k"))
+      .join(docs.select($"doc_id",
+        octet_length(encode($"text", "UTF-8")).as("n")), "doc_id")
+    assert(audit.filter($"s0" =!= 0 || $"end" =!= $"n" || $"cover" =!= $"n").count() == 0)
+    // an exact copy of a doc must produce identical chunk digests → the
+    // duplicate report finds every chunk of the copied doc
+    val withCopy = docs.select($"doc_id", $"text")
+      .union(docs.filter($"doc_id" === 3).select(($"doc_id" + 500000).as("doc_id"), $"text"))
+    val dup = Curation.cdcDuplicateChunks(withCopy, maskBits = 6)
+    val copiedChunks = Curation.cdcChunkDocuments(
+      docs.filter($"doc_id" === 3), maskBits = 6).count()
+    assert(dup.filter($"min_doc_id" === 3).count() >= copiedChunks)
+  }
 }

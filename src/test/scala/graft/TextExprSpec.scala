@@ -210,6 +210,46 @@ class TextExprSpec extends SparkSpec {
     assert(!r.isNullAt(2))
   }
 
+  test("cdc chunks: partition cover, window edges, shift robustness") {
+    import graft.plans.TextKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def chunksOf(s: String, maskBits: Int = 6): Seq[(Int, Int)] = {
+      val a = TextKernels.cdcChunks(UTF8String.fromString(s), maskBits)
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2); (r.getInt(0), r.getInt(1))
+      }
+    }
+    // empty → no chunks; shorter than the 16-byte window → one whole chunk
+    assert(chunksOf("").isEmpty)
+    assert(chunksOf("short") == Seq((0, 5)))
+    assert(chunksOf("exactly15bytes!") == Seq((0, 15)))
+    // chunks tile the byte stream exactly: contiguous, complete, non-empty
+    val text = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val cs = chunksOf(text)
+    assert(cs.nonEmpty && cs.head._1 == 0)
+    assert(cs.forall(_._2 > 0))
+    assert(cs.sliding(2).forall {
+      case Seq((s1, l1), (s2, _)) => s2 == s1 + l1
+      case _ => true
+    })
+    assert(cs.last._1 + cs.last._2 == text.getBytes("UTF-8").length)
+    // shift robustness — THE property fixed-size blocking lacks: prepending
+    // bytes changes only the leading chunk(s); the tail re-aligns because
+    // boundaries depend on the local 16-byte window alone
+    val shifted = chunksOf("PREFIX-INSERTED " + text)
+    def hashes(s: String, c: Seq[(Int, Int)]): Seq[Seq[Byte]] = {
+      val b = s.getBytes("UTF-8")
+      c.map { case (st, ln) => b.slice(st, st + ln).toSeq }
+    }
+    val orig = hashes(text, cs).toSet
+    val after = hashes("PREFIX-INSERTED " + text, shifted)
+    val preserved = after.count(orig.contains)
+    assert(preserved >= cs.length - 2,
+      s"only $preserved of ${cs.length} chunks survived a prefix insertion")
+    // determinism
+    assert(chunksOf(text) == cs)
+  }
+
   test("driver-side termBuckets ≡ SQL pmod(xxhash64(token), n) — pruning parity") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
