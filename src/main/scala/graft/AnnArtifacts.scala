@@ -94,6 +94,37 @@ private[graft] object AnnArtifacts {
     })
   }
 
+  private val annAppendMemo = scala.collection.mutable.Map[String, String]()
+
+  /** An IVF-PQ artifact GROWN by the incremental path — the ANN twin of
+    * [[lexicalAppendRoot]]: quantizers trained and persisted from the even
+    * half of the corpus only, then the odd half encoded against the STORED
+    * quantizers ([[Similarity.ivfPqEncode]] — no retraining, one narrow
+    * pass) and appended to the `partitionBy(list_id)` code layout. The
+    * `ann_append_topk` gate serves planted duplicates of APPENDED vectors
+    * from it: an append that failed to land (or landed with wrong codes /
+    * in the wrong list) cannot return its query at rank 1 / cos 1.0. */
+  def ivfPqAppendRoot(s: SparkSession, dir: String): String = synchronized {
+    annAppendMemo.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.functions.col
+      val p = s"$root/${dirKey(dir)}_annapp"
+      val e = Tables.embeddings(s, dir)
+      val base = e.filter(col("vec_id") % 2 === 0)
+      val idx = Similarity.buildIvfIndex(base, Nlist, kmeansIters = Iters)
+      val books = Quantization.buildPqCodebooks(base, M, Ksub, kmeansIters = Iters)
+      Similarity.saveIvfPqWith(idx, books, p)
+      // grow: encode the odd half against the artifact's own stored
+      // quantizers (the honest deployment shape — no driver state reuse)
+      val loaded = Similarity.loadIvfPq(s, p)
+      Similarity.ivfPqEncode(e.filter(col("vec_id") % 2 =!= 0),
+          loaded.centroids, loaded.books)
+        .select(col("cid"), col("pq_codes"), col("list_id"))
+        .repartition(col("list_id"))
+        .write.mode("append").partitionBy("list_id").parquet(s"$p/encoded")
+      p
+    })
+  }
+
   private val lexMemo = scala.collection.mutable.Map[String, String]()
 
   /** Persisted BM25 postings index ([[TextAnalysis.saveLexicalIndex]]

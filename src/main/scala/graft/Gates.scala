@@ -482,6 +482,26 @@ private[graft] object Gates {
           col("cos") === 1.0, 1)).as("n_self_top1"))
     }),
 
+    "ann_append_topk" -> ((s, dir) => {
+      // append ≡ availability for ANN (the vector twin of bm25_append_topk):
+      // the artifact's code table was GROWN by ivfPqEncode against stored
+      // quantizers (no retraining — AnnArtifacts.ivfPqAppendRoot); queries
+      // are planted shifted-id duplicates of APPENDED (odd-id) vectors, so
+      // each must return exactly k answers with its source row at rank 1 /
+      // cos 1.0 — an append that did not land, or landed with wrong codes
+      // or in the wrong list partition, fails the hash
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") % 2 =!= 0 && col("vec_id") < 16)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val idx = Similarity.loadIvfPq(s, AnnArtifacts.ivfPqAppendRoot(s, dir))
+      Similarity.ivfPqQuery(idx.encoded, idx.centroids, idx.books, e, q,
+        k = 5, nprobe = 8, shortlist = 50).agg(
+        countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_answers"),
+        count(when(col("rnk") === 1 && col("cid") === col("qid") - 1000000L &&
+          col("cos") === 1.0, 1)).as("n_self_top1"))
+    }),
+
 
     "curation_funnel_check" -> ((s, dir) => {
       // gates the funnel's exactly-oracle-able stages (input count, exact-
@@ -593,6 +613,15 @@ private[graft] object Gates {
         |       CAST(5 * COUNT(*) AS BIGINT) AS n_answers,
         |       CAST(COUNT(*) AS BIGINT) AS n_self_top1
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    // append availability: every planted duplicate of an APPENDED (odd-id)
+    // vector must be answered from the grown code table — same counting
+    // contract as the serve gate, over the appended id slice
+    "ann_append_topk" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       CAST(5 * COUNT(*) AS BIGINT) AS n_answers,
+        |       CAST(COUNT(*) AS BIGINT) AS n_self_top1
+        |FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 16""".stripMargin,
 
     "curation_funnel_check" ->
       """WITH d AS (
