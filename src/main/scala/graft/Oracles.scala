@@ -862,6 +862,34 @@ private[graft] object Oracles {
         |         CAST(chunk_id * 48 + least(64, n - chunk_id * 48) AS INT)), ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // hybrid RRF: rank the Bm25Sql top-20 and the brute-cosine top-20 for
+    // query vector 5, fuse 1/(60+r) contributions in one per-row expression
+    "hybrid_rrf_topk" ->
+      s"""WITH lex0 AS ($Bm25Sql),
+         |lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rl
+         |        FROM lex0),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id = 5),
+         |s AS (
+         |  SELECT v.vec_id AS cid,
+         |    round(
+         |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i]))
+         |      / (sqrt(list_sum(list_transform(qe, x -> x * x))) * sqrt(list_sum(list_transform(e, x -> x * x)))), 6) AS cos
+         |  FROM q, v WHERE v.vec_id <> qid),
+         |vecr AS (
+         |  SELECT cid AS doc_id, rv FROM (
+         |    SELECT cid, cos, ROW_NUMBER() OVER (ORDER BY cos DESC, cid ASC) AS rv FROM s)
+         |  WHERE rv <= 20),
+         |fused AS (
+         |  SELECT coalesce(lex.doc_id, vecr.doc_id) AS doc_id,
+         |         round(coalesce(1.0 / (60.0 + rl), 0.0)
+         |             + coalesce(1.0 / (60.0 + rv), 0.0), 6) AS rrf_score
+         |  FROM lex FULL OUTER JOIN vecr ON lex.doc_id = vecr.doc_id)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rnk,
+         |       doc_id, rrf_score
+         |FROM fused
+         |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
     "hash_split" ->
       """SELECT doc_id,
         |       CASE WHEN u < 0.8 THEN 'train'

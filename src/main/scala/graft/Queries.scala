@@ -1008,6 +1008,24 @@ private[graft] object Queries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      // hybrid retrieval: BM25 top-20 (terms) fused with exact-cosine
+      // top-20 (query vector = embedding 5) by reciprocal-rank fusion —
+      // rank-based, so the two score scales never need calibrating; the
+      // fused score is a single per-row expression of the two ranks (no
+      // float aggregation), so DuckDB replays every fused rank and score
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val lex = Retrieval.ranked(
+        TextAnalysis.bm25TopK(docs, Seq("vector", "stream", "hash"), k = 20),
+        "doc_id", "score")
+      val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 5), k = 20)
+        .select(col("cid").as("doc_id"), col("rnk"))
+      Retrieval.rrfFuse(lex.select(col("doc_id"), col("rnk")), vec,
+          k = 10, idCol = "doc_id")
+        .orderBy(col("rnk"))
+    }),
+
     "hash_split" -> ((s, dir) => {
       // deterministic train/val/test assignment: u = md5(id)[0:8]/2^32 vs
       // exact-decimal cumulative bounds — every row's split replays in

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Rank fusion for hybrid retrieval — combining a lexical ranking (BM25,
+ * [[TextAnalysis]]) with a vector ranking ([[Similarity]]) is the standard
+ * retrieval shape for RAG serving and curation lookups: each ranker covers
+ * the other's misses (exact keywords vs paraphrase).
+ *
+ * Reciprocal-rank fusion (RRF): `score(d) = Σ_r 1 / (kRrf + rank_r(d))`
+ * over the rankings that contain `d`. Rank-based, so the two score scales
+ * (BM25 vs cosine) never need calibrating — the classic robustness
+ * argument for RRF over score interpolation.
+ *
+ * Scale/determinism shape: each input is already a top-k ranking (small by
+ * construction), the fusion is one full-outer join on the id plus a single
+ * per-row arithmetic expression — NOT a float aggregation, so the fused
+ * score is a deterministic expression of the two ranks (no summation-order
+ * sensitivity) and replays exactly in the DuckDB oracle; `round(…, 6)`
+ * absorbs ulp-level division drift, ties break on the id.
+ */
+object Retrieval {
+
+  /**
+   * Fuse two rankings by RRF. Inputs carry (`idCol`, `rnkCol`) — ranks
+   * 1-based, ids unique per frame (top-k lists). Output: (rnk, idCol,
+   * rrf_score) — the fused top-`k`, rank 1 best.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60,
+              idCol: String = "id", rnkCol: String = "rnk"): DataFrame = {
+    require(k > 0, "rrfFuse: k must be positive")
+    require(kRrf >= 1, "rrfFuse: kRrf must be >= 1")
+    def side(df: DataFrame, id: String, s: String): DataFrame =
+      df.select(col(idCol).as(id),
+        (lit(1.0) / (lit(kRrf.toDouble) + col(rnkCol).cast("double"))).as(s))
+    val fused = side(a, "_ida", "_sa")
+      .join(side(b, "_idb", "_sb"), col("_ida") === col("_idb"), "full_outer")
+      .select(
+        coalesce(col("_ida"), col("_idb")).as(idCol),
+        round(coalesce(col("_sa"), lit(0.0)) + coalesce(col("_sb"), lit(0.0)), 6)
+          .as("rrf_score"))
+    val w = Window.orderBy(col("rrf_score").desc, col(idCol).asc)
+    // the fused candidate set is |a| + |b| rows at most — two top-k lists —
+    // so the single-partition window is bounded by construction, never by
+    // any corpus
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col(idCol), col("rrf_score"))
+  }
+
+  /** Attach a 1-based rank column to a scored top-k list (deterministic:
+    * score desc, id asc) — adapts score-shaped outputs like
+    * [[TextAnalysis.bm25TopK]]'s (id, score) to [[rrfFuse]]'s rank input.
+    * Bounded: callers pass top-k lists, never corpora. */
+  def ranked(scored: DataFrame, idCol: String, scoreCol: String): DataFrame =
+    scored.withColumn("rnk",
+      row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol).asc)))
+
+  /** The RRF contribution of one rank — exposed for spec assertions. */
+  private[graft] def rrfTerm(rnk: Column, kRrf: Int): Column =
+    lit(1.0) / (lit(kRrf.toDouble) + rnk.cast("double"))
+}

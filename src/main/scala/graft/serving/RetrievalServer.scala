@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import graft.operators.QueryBuilders.QueryError
-import graft.operators.{Similarity, TextAnalysis}
+import graft.operators.{Retrieval, Similarity, TextAnalysis}
 
 /**
  * REST retrieval over the persisted serving artifacts — the reference's
@@ -28,6 +28,13 @@ import graft.operators.{Similarity, TextAnalysis}
  *     → `{"columns":["rnk","vec_id","cos"],…}` — row-identical to
  *     [[Similarity.ivfPqQuery]] (`excludeSelf = false`: client queries live
  *     in their own id space).
+ *   GET /api/retrieve/hybrid?terms=t1,t2&vector=v1,v2,…&k=10[&depth=20][&nprobe=8]
+ *     → `{"columns":["rnk","doc_id","rrf_score"],…}` — the lexical and ANN
+ *     top-`depth` rankings fused by reciprocal-rank fusion
+ *     ([[Retrieval.rrfFuse]]); row-identical to the library composition
+ *     (spec-pinned). Requires a shared id space between the lexical index's
+ *     `doc_id` and the ANN index's `vec_id` — the deployment contract for
+ *     hybrid search over one corpus.
  *
  * Malformed input is a 400 with the reference's `ErrorMessage` shape, never
  * a 500: missing/blank terms, non-positive or non-numeric `k`/`nprobe`,
@@ -71,6 +78,7 @@ class RetrievalServer(spark: SparkSession, lexicalPath: String,
       else path(2) match {
         case "lexical" => respond(ex, 200, lexical(params))
         case "ann"     => respond(ex, 200, ann(params))
+        case "hybrid"  => respond(ex, 200, hybrid(params))
         case _         => respond(ex, 404, errorJson("not found", 404))
       }
     } catch {
@@ -114,6 +122,36 @@ class RetrievalServer(spark: SparkSession, lexicalPath: String,
       .orderBy(col("rnk"))
       .collect().map(r => s"[${r.getInt(1)},${r.getLong(2)},${numJson(r.get(3))}]")
     messageJson(Seq("rnk", "vec_id", "cos"), rows.toSeq)
+  }
+
+  private def hybrid(params: Map[String, String]): String = {
+    val terms = params.getOrElse("terms", "").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    if (terms.isEmpty) throw QueryError("Missing or empty terms")
+    val raw = params.getOrElse("vector", "").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    if (raw.isEmpty) throw QueryError("Missing or empty vector")
+    val vec = raw.map(s =>
+      s.toFloatOption.getOrElse(throw QueryError(s"Invalid vector component: $s")))
+    if (vec.length != dim)
+      throw QueryError(s"Vector dimension ${vec.length} does not match index dim $dim")
+    val k = positiveInt(params, "k", 10)
+    val depth = positiveInt(params, "depth", math.max(20, k))
+    val nprobe = positiveInt(params, "nprobe", 8)
+    import spark.implicits._
+    val lex = Retrieval.ranked(
+        TextAnalysis.bm25QueryIndex(spark, lexicalPath, terms, depth),
+        "doc_id", "score")
+      .select(col("doc_id"), col("rnk"))
+    val q = Seq((0L, vec)).toDF("vec_id", "embedding")
+    val ann = Similarity.ivfPqQuery(index.encoded, index.centroids, index.books,
+        corpus, q, depth, nprobe, shortlist = math.max(50, depth),
+        excludeSelf = false)
+      .select(col("cid").as("doc_id"), col("rnk"))
+    val rows = Retrieval.rrfFuse(lex, ann, k, idCol = "doc_id")
+      .orderBy(col("rnk"))
+      .collect().map(r => s"[${r.getInt(0)},${r.getLong(1)},${numJson(r.get(2))}]")
+    messageJson(Seq("rnk", "doc_id", "rrf_score"), rows.toSeq)
   }
 
   private def messageJson(columns: Seq[String], dataRows: Seq[String]): String =

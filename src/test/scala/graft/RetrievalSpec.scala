@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** [[Retrieval.rrfFuse]] must implement textbook reciprocal-rank fusion:
+  * score(d) = Σ_r 1/(kRrf + rank_r(d)) over the rankings containing d,
+  * deterministic ties on id, exact on ids present in only one ranking. */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ranking(rows: (Long, Int)*) =
+    rows.toSeq.toDF("doc_id", "rnk")
+
+  test("rrf arithmetic: both-sides, one-side, ordering and the k cut") {
+    // a: 10>20>30 ; b: 20>40>10  (30 and 40 each live in one ranking)
+    val a = ranking(10L -> 1, 20L -> 2, 30L -> 3)
+    val b = ranking(20L -> 1, 40L -> 2, 10L -> 3)
+    val out = Retrieval.rrfFuse(a, b, k = 3, idCol = "doc_id")
+      .orderBy(col("rnk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    def t(r: Int) = 1.0 / (60.0 + r)
+    def rnd(x: Double) = math.rint(x * 1e6) / 1e6
+    // 20: 1/62 + 1/61 ; 10: 1/61 + 1/63 ; 30: 1/63 ; 40: 1/62
+    val expect = Seq(
+      (1, 20L, rnd(t(2) + t(1))),
+      (2, 10L, rnd(t(1) + t(3))),
+      (3, 40L, rnd(t(2))))
+    assert(out.toSeq == expect, out.toSeq)
+    // k cut dropped doc 30 (the lowest fused score)
+    assert(!out.exists(_._2 == 30L))
+  }
+
+  test("score ties break on id ascending; kRrf is honored") {
+    // identical ranks on both sides -> equal scores -> id order decides
+    val a = ranking(7L -> 1, 5L -> 1)
+    val b = ranking(7L -> 1, 5L -> 1)
+    val out = Retrieval.rrfFuse(a, b, k = 2, kRrf = 10, idCol = "doc_id")
+      .orderBy(col("rnk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val s = math.rint(2.0 / 11.0 * 1e6) / 1e6
+    assert(out.toSeq == Seq((1, 5L, s), (2, 7L, s)), out.toSeq)
+  }
+
+  test("ranked adapts a scored list: score desc, id asc, 1-based") {
+    val scored = Seq((3L, 0.5), (1L, 0.9), (2L, 0.5)).toDF("doc_id", "score")
+    val out = Retrieval.ranked(scored, "doc_id", "score")
+      .orderBy(col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)), out.toSeq)
+  }
+
+  test("input validation") {
+    val a = ranking(1L -> 1)
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(a, a, k = 0, idCol = "doc_id"))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(a, a, k = 1, kRrf = 0, idCol = "doc_id"))
+  }
+}
