@@ -317,7 +317,13 @@ object Curation {
    * dedup groupBy downstream is where the first shuffle happens).
    */
   def cdcChunkDocuments(docs: DataFrame, maskBits: Int = 6,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the kernel returns an empty boundary array outside this range (its
+    // null-safety convention); at the operator level that would silently
+    // posexplode every document away — reject loudly instead (the
+    // LloydMath.toDecimal12 convention)
+    require(maskBits >= 1 && maskBits <= 63,
+      s"cdcChunkDocuments: maskBits must be in [1, 63], got $maskBits")
     docs
       .select(col(idCol),
         posexplode(TextFunctions.cdcChunks(col(textCol), maskBits))
@@ -327,6 +333,7 @@ object Curation {
         col("c.start").as("start"), col("c.len").as("len"),
         md5(hex(encode(col(textCol), "UTF-8")
           .substr(col("c.start") + 1, col("c.len"))).cast("binary")).as("chunk_md5"))
+  }
 
   /**
    * Chunk-level duplicate report over [[cdcChunkDocuments]] output: chunk

@@ -242,6 +242,12 @@ object TextAnalysis {
    */
   def appendLexicalIndex(docs: DataFrame, path: String,
                          idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // refuse to append onto a pre-audit-schema artifact: the new segment's
+    // stats row would sit next to rows missing the audit columns, and the
+    // mixed-schema sums would falsely flag the index as torn forever —
+    // compaction migrates it first (one rewrite, serving unchanged)
+    lexicalAuditability(docs.sparkSession, path).foreach(reason =>
+      throw new IllegalStateException(s"appendLexicalIndex: $reason"))
     val nBuckets = docs.sparkSession.read.parquet(s"$path/stats")
       .select(col("n_buckets")).head().getInt(0)
     writeLexicalSegment(docs, path, nBuckets, "append", idCol, textCol)
@@ -296,6 +302,30 @@ object TextAnalysis {
   }
 
   /**
+   * Whether the index at `path` carries the audit columns
+   * ([[validateLexicalIndex]] needs per-segment `n_postings`/`n_terms` in
+   * its stats commit records): `None` when auditable, `Some(reason)` for a
+   * pre-audit-schema (round-8) artifact — missing columns, or null counts
+   * from a segment written before the columns existed. Such an artifact
+   * still SERVES correctly (the serve paths consume only the
+   * `n_docs`/`sum_dl`/`n_buckets` sums) but cannot be audited or appended
+   * to until [[compactLexicalIndex]] migrates it (compaction derives the
+   * counts from the rewritten tables themselves).
+   */
+  def lexicalAuditability(spark: SparkSession, path: String): Option[String] = {
+    val stats = spark.read.parquet(s"$path/stats")
+    val cols = stats.columns.toSet
+    if (!cols.contains("n_postings") || !cols.contains("n_terms"))
+      Some(s"stats at $path/stats predate the audit schema (no " +
+        "n_postings/n_terms commit counts) — compact the index to migrate")
+    else if (stats.filter(col("n_postings").isNull || col("n_terms").isNull)
+        .limit(1).count() > 0)
+      Some(s"stats at $path/stats contain segments without audit counts " +
+        "(append onto a pre-audit artifact) — compact the index to migrate")
+    else None
+  }
+
+  /**
    * Audit a lexical index for torn segments: every save/append writes its
    * stats commit record LAST, carrying the postings/termstats row counts
    * that segment produced — so actual table counts exceeding the committed
@@ -304,8 +334,14 @@ object TextAnalysis {
    * plus the consistency booleans. Cost is a full count of both tables —
    * a deployment check (stream construction, post-append audit), not a
    * per-query path.
+   *
+   * A pre-audit-schema artifact (see [[lexicalAuditability]]) throws with
+   * the migration instruction rather than summing nulls and reporting a
+   * healthy index as torn.
    */
   def validateLexicalIndex(spark: SparkSession, path: String): DataFrame = {
+    lexicalAuditability(spark, path).foreach(reason =>
+      throw new IllegalStateException(s"validateLexicalIndex: $reason"))
     import spark.implicits._
     val st = spark.read.parquet(s"$path/stats")
       .agg(count(lit(1)).as("n_segments"), sum(col("n_postings")).as("p_exp"),
@@ -341,13 +377,17 @@ object TextAnalysis {
       .select(col("token"), col("dfq"), col("bucket")) // canonical column order
       .repartition(col("bucket")).sortWithinPartitions(col("token"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/termstats")
-    // the compacted commit record: postings rows are preserved verbatim
-    // (Σ of the segments' committed counts), termstats rows MERGE per term —
-    // count the rewritten table so the record matches what actually landed
+    // the compacted commit record: BOTH audit counts are taken from the
+    // rewritten tables themselves (postings rows are preserved verbatim,
+    // termstats rows merge per term), so the record matches what actually
+    // landed — and compaction doubles as the MIGRATION path for
+    // pre-audit-schema artifacts (see [[lexicalAuditability]]), whose stats
+    // carry no counts to sum
+    val nPostings = spark.read.parquet(s"$dst/postings").count()
     val nTerms = spark.read.parquet(s"$dst/termstats").count()
     spark.read.parquet(s"$src/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"),
-        sum(col("n_postings")).as("n_postings"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .withColumn("n_postings", lit(nPostings))
       .withColumn("n_terms", lit(nTerms))
       .withColumn("n_buckets", lit(nBuckets))
       .write.mode("overwrite").parquet(s"$dst/stats")
@@ -355,9 +395,14 @@ object TextAnalysis {
 
   /** Per-JVM memo of collected index scalars, keyed by index path and
     * invalidated by the stats directory's file listing — see
-    * [[lexicalStats]]. */
+    * [[lexicalStats]]. Bounded (keys are deployment paths, but a long-lived
+    * serving JVM cycling through many ephemeral index paths must not grow
+    * it without limit): at [[StatsMemoCap]] entries the map is cleared —
+    * the entries are cheap to recompute and a serving loop touches O(1)
+    * live paths, so wholesale reset beats LRU bookkeeping here. */
   private val statsMemo =
     scala.collection.mutable.Map[String, (String, (Long, Double, Int))]()
+  private final val StatsMemoCap = 256
 
   /** Fingerprint of the stats directory's file listing (name, length,
     * mtime per file) — one filesystem listing, no Spark job. Appends write
@@ -366,9 +411,17 @@ object TextAnalysis {
   private def statsFingerprint(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$path/stats")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(p)
+    try fs.listStatus(p)
       .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .sorted.mkString("|")
+    catch {
+      case e: java.io.IOException =>
+        // a deleted/unreadable index must not leave a stale memo entry
+        // behind (the cached scalars would outlive the artifact); evict,
+        // then surface the real failure to the caller
+        statsMemo.synchronized { statsMemo.remove(path) }
+        throw e
+    }
   }
 
   /** Collected corpus scalars of a lexical index: (nDocs, avgdl, nBuckets),
@@ -395,7 +448,10 @@ object TextAnalysis {
         val sumDl = st.getAs[Long]("sum_dl")
         val avgdl = if (nDocs == 0L) 1.0 else sumDl.toDouble / nDocs
         val v = (nDocs, avgdl, st.getAs[Int]("n_buckets"))
-        statsMemo.synchronized { statsMemo(path) = (fp, v) }
+        statsMemo.synchronized {
+          if (statsMemo.size >= StatsMemoCap) statsMemo.clear()
+          statsMemo(path) = (fp, v)
+        }
         v
     }
   }

@@ -115,10 +115,8 @@ class RestServer(viewProvider: () => DataFrame, port: Int) {
     case other     => other.toString
   }
 
-  private def errorJson(msg: String, code: Int): String = {
-    val esc = msg.replace("\\", "\\\\").replace("\"", "\\\"")
-    s"""{"errorMessage":"$esc","errorCode":$code}"""
-  }
+  private def errorJson(msg: String, code: Int): String =
+    s"""{"errorMessage":"${Json.escape(msg)}","errorCode":$code}"""
 
   private def parseQuery(q: String): Map[String, String] =
     q.split("&").filter(_.contains("=")).map { kv =>

@@ -165,10 +165,8 @@ class RetrievalServer(spark: SparkSession, lexicalPath: String,
     case other     => other.toString
   }
 
-  private def errorJson(msg: String, code: Int): String = {
-    val esc = msg.replace("\\", "\\\\").replace("\"", "\\\"")
-    s"""{"errorMessage":"$esc","errorCode":$code}"""
-  }
+  private def errorJson(msg: String, code: Int): String =
+    s"""{"errorMessage":"${Json.escape(msg)}","errorCode":$code}"""
 
   private def parseQuery(q: String): Map[String, String] =
     q.split("&").filter(_.contains("=")).map { kv =>

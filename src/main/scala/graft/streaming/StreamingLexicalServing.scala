@@ -38,7 +38,7 @@ import graft.operators.TextAnalysis
  * captured DataFrame would snapshot its leaf files at stream construction
  * and silently never see appends.
  */
-object StreamingLexicalServing {
+object StreamingLexicalServing extends org.apache.spark.internal.Logging {
 
   /**
    * Serve BM25 top-k answers for a stream of (query_id, terms) rows from
@@ -52,8 +52,11 @@ object StreamingLexicalServing {
    */
   def serveBm25FromPath(queryStream: DataFrame, indexPath: String, k: Int,
                         k1: Double = 1.2, b: Double = 0.75,
-                        queryIdCol: String = "query_id", termsCol: String = "terms")
+                        queryIdCol: String = "query_id", termsCol: String = "terms",
+                        maxBatchQueries: Int = 100000)
                        (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(maxBatchQueries > 0,
+      "serveBm25FromPath: maxBatchQueries must be positive")
     // fail FAST at stream construction on a missing, corrupt or TORN
     // artifact (a crash mid-append leaves postings rows whose stats commit
     // record never landed — silently skewed idf/avgdl) instead of letting
@@ -61,15 +64,25 @@ object StreamingLexicalServing {
     // full count of postings/termstats — a construction-time audit, never
     // a per-epoch cost.
     val spark0 = queryStream.sparkSession
-    val audit = TextAnalysis.validateLexicalIndex(spark0, indexPath).collect()(0)
-    require(audit.getAs[Boolean]("postings_consistent") &&
-      audit.getAs[Boolean]("terms_consistent"),
-      s"lexical index at $indexPath is torn: postings " +
-        s"${audit.getAs[Long]("n_postings_actual")} vs committed " +
-        s"${audit.getAs[Long]("n_postings_expected")}, termstats " +
-        s"${audit.getAs[Long]("n_terms_actual")} vs committed " +
-        s"${audit.getAs[Long]("n_terms_expected")} — recover by rebuilding " +
-        "or compacting from the last consistent segment set")
+    // a pre-audit-schema artifact can't be audited but SERVES correctly
+    // (serve paths read only the stats sums) — skip the torn-segment check
+    // with an explicit notice instead of refusing to start; compaction
+    // migrates it to auditable form
+    TextAnalysis.lexicalAuditability(spark0, indexPath) match {
+      case Some(reason) =>
+        logWarning(s"serveBm25FromPath: skipping construction-time " +
+          s"torn-segment audit — $reason")
+      case None =>
+        val audit = TextAnalysis.validateLexicalIndex(spark0, indexPath).collect()(0)
+        require(audit.getAs[Boolean]("postings_consistent") &&
+          audit.getAs[Boolean]("terms_consistent"),
+          s"lexical index at $indexPath is torn: postings " +
+            s"${audit.getAs[Long]("n_postings_actual")} vs committed " +
+            s"${audit.getAs[Long]("n_postings_expected")}, termstats " +
+            s"${audit.getAs[Long]("n_terms_actual")} vs committed " +
+            s"${audit.getAs[Long]("n_terms_expected")} — recover by rebuilding " +
+            "or compacting from the last consistent segment set")
+    }
     queryStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
@@ -81,9 +94,19 @@ object StreamingLexicalServing {
         // is dropped here, never an exception; an epoch left with nothing
         // servable is skipped (`sink` sees only epochs that carried
         // servable queries).
+        // "serving batches are driver-small" is a CONTRACT, and contracts
+        // get enforced: the collect is bounded by maxBatchQueries + 1 rows
+        // (limit runs before collect, so driver memory is capped even when
+        // a client violates it), and a violation fails with the config
+        // knob's name instead of an OOM that takes down serving opaquely
         val rows = batch.toDF()
           .select(col(queryIdCol).cast("long"), col(termsCol))
+          .limit(maxBatchQueries + 1)
           .collect()
+        require(rows.length <= maxBatchQueries,
+          s"serveBm25FromPath: micro-batch exceeds maxBatchQueries=" +
+            s"$maxBatchQueries query rows — split the client batch or " +
+            "raise the limit")
         val qs = rows.iterator.collect {
           case r if !r.isNullAt(0) && !r.isNullAt(1) =>
             (r.getLong(0), r.getSeq[String](1))

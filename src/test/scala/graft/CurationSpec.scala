@@ -93,4 +93,14 @@ class CurationSpec extends SparkSpec {
       docs.filter($"doc_id" === 3), maskBits = 6).count()
     assert(dup.filter($"min_doc_id" === 3).count() >= copiedChunks)
   }
+
+  test("cdc maskBits outside [1,63] is rejected loudly, not an empty result") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    for (bad <- Seq(0, -1, 64)) {
+      val e = intercept[IllegalArgumentException] {
+        Curation.cdcChunkDocuments(docs, maskBits = bad)
+      }
+      assert(e.getMessage.contains("maskBits"))
+    }
+  }
 }

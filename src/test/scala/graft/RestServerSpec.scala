@@ -119,4 +119,15 @@ class RestServerSpec extends SparkSpec {
       assert(code2 == 200 && body2.contains(s"[[$H0,30.0]]"), body2) // (10+30+50)/3
     } finally srv.stop()
   }
+
+  test("error-body JSON escaping covers control characters, not just quotes") {
+    // Spark exception text routinely carries newlines/tabs; RFC 8259
+    // requires every char < 0x20 escaped or the error body is unparseable
+    assert(graft.serving.Json.escape("a\nb\rc\td\"e\\fg") ==
+      "a\\nb\\rc\\td\\\"e\\\\fg")
+    assert(graft.serving.Json.escape("x" + 1.toChar + "y" + 31.toChar + "z") ==
+      "x\\u0001y\\u001fz")
+    assert(graft.serving.Json.escape("plain") == "plain")
+    assert(graft.serving.Json.escape("\b\f") == "\\b\\f")
+  }
 }

@@ -104,6 +104,93 @@ class StreamingLexicalSpec extends SparkSpec {
     }
   }
 
+  test("pre-audit-schema artifact: validate/append refuse with the migration " +
+      "instruction, serving skips the audit, compaction migrates") {
+    val docs = Seq(
+      (1L, "spark scan spark merge"), (2L, "scan filter join"),
+      (3L, "merge merge merge scan"), (4L, "filter value row")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_legacy").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_lex_migrated").toString + "/c"
+    try {
+      TextAnalysis.saveLexicalIndex(docs, dir, nBuckets = 8)
+      // rewrite the stats table in the ROUND-8 shape (no audit columns) —
+      // the artifact a deployment built before the schema change carries
+      val legacyRows = spark.read.parquet(s"$dir/stats")
+        .select($"n_docs", $"sum_dl", $"n_buckets").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      legacyRows.toDF("n_docs", "sum_dl", "n_buckets")
+        .write.mode("overwrite").parquet(s"$dir/stats")
+
+      // audit and append both refuse LOUDLY, naming the migration path
+      val e1 = intercept[IllegalStateException] {
+        TextAnalysis.validateLexicalIndex(spark, dir)
+      }
+      assert(e1.getMessage.contains("compact"))
+      val e2 = intercept[IllegalStateException] {
+        TextAnalysis.appendLexicalIndex(docs.filter($"doc_id" > 4), dir)
+      }
+      assert(e2.getMessage.contains("compact"))
+
+      // serving still works (serve paths read only the stats sums):
+      // batch serve answers, and stream construction skips the audit
+      // instead of throwing
+      val served = TextAnalysis.bm25QueryIndex(spark, dir, Seq("spark", "merge"), k = 3)
+      assert(served.count() > 0)
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[LexQuery]
+      var epochs = List.empty[Array[org.apache.spark.sql.Row]]
+      val q = StreamingLexicalServing.serveBm25FromPath(stream.toDF(), dir, k = 3) {
+        (df, _) => epochs = epochs :+ df.collect()
+      }
+      try {
+        stream.addData(LexQuery(1L, Seq("spark")))
+        q.processAllAvailable()
+        assert(epochs.size == 1 && epochs.head.nonEmpty)
+      } finally q.stop()
+
+      // compaction migrates: the compacted copy is auditable and green
+      TextAnalysis.compactLexicalIndex(spark, dir, dst)
+      assert(TextAnalysis.lexicalAuditability(spark, dst).isEmpty)
+      val ok = TextAnalysis.validateLexicalIndex(spark, dst).collect()(0)
+      assert(ok.getAs[Boolean]("postings_consistent") &&
+        ok.getAs[Boolean]("terms_consistent"))
+      // and serves row-identically to the legacy original
+      val before = TextAnalysis.bm25QueryIndex(spark, dir, Seq("spark", "merge"), k = 10)
+        .collect().toSeq
+      val after = TextAnalysis.bm25QueryIndex(spark, dst, Seq("spark", "merge"), k = 10)
+        .collect().toSeq
+      assert(after == before && before.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      new Directory(new java.io.File(new java.io.File(dst).getParent)).deleteRecursively()
+    }
+  }
+
+  test("micro-batch over maxBatchQueries fails with the knob's name, not an OOM") {
+    val docs = Seq(
+      (1L, "spark scan spark merge"), (2L, "scan filter join")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_cap").toString
+    try {
+      TextAnalysis.saveLexicalIndex(docs, dir, nBuckets = 8)
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[LexQuery]
+      val q = StreamingLexicalServing.serveBm25FromPath(stream.toDF(), dir, k = 3,
+        maxBatchQueries = 1)((_, _) => ())
+      try {
+        stream.addData(LexQuery(1L, Seq("spark")), LexQuery(2L, Seq("scan")))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(e.getMessage.contains("maxBatchQueries") ||
+          Option(e.getCause).exists(_.getMessage.contains("maxBatchQueries")))
+      } finally q.stop()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("compacted index serves row-identical results to the segmented original") {
     val docs = Seq(
       (1L, "spark scan spark merge"), (2L, "scan filter join"),
