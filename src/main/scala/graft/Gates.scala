@@ -156,20 +156,14 @@ private[graft] object Gates {
       // = 1). Expected set = identical-fingerprint pairs with ≥ 3 tokens
       // (shorter docs have no 3-shingles and are filtered from the LSH input);
       // n_exact is the DuckDB-checked value, n_missed = 0 gates recall.
-      val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val fixture = corpus.union(
-        corpus.filter(col("doc_id") % 23 === 0)
-          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
-      val found = Dedup.minHashLsh(fixture, threshold = 0.999)
+      // The found/exact pair sets come from the per-JVM [[DedupArtifacts]]
+      // cache (the FunnelArtifacts discipline): deriving them is the
+      // minhash_lsh_dedup scale entry's cost to measure — this gate's window
+      // measures the pinned recall check.
+      val ps = DedupArtifacts.minhashRecall(s, dir)
+      val found = ps.found
         .select(col("a").as("fa"), col("b").as("fb"), lit(1).as("hit"))
-      val fp = fixture
-        .filter(size(TextFunctions.tokens(col("text"))) >= 3)
-        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
-      val exact = fp.select(col("fp"), col("doc_id").as("a"))
-        .join(fp.select(col("fp"), col("doc_id").as("b")), "fp")
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"))
-      exact.join(found, col("a") === col("fa") && col("b") === col("fb"), "left")
+      ps.exact.join(found, col("a") === col("fa") && col("b") === col("fb"), "left")
         .agg(count(lit(1)).as("n_exact"),
           count(when(col("hit").isNull, 1)).as("n_missed"))
     }),
@@ -203,15 +197,13 @@ private[graft] object Gates {
       // reported ⊆ exact, n_violations = 0. The exact set is DuckDB-checked
       // (n_exact). Bounded scope (every 5th doc, the ngram_jaccard_pairs
       // fixture): the exact verifier is a gate path, not the scale path.
-      val fixture = docsWithNearDups(
-        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
-      val reported = Dedup.minHashLsh(fixture, threshold = 0.6)
-        .select(col("a"), col("b"))
-      val exact = Dedup.ngramJaccardPairs(fixture, threshold = 0.6)
-        .select(col("a").as("ea"), col("b").as("eb"))
+      // Pair sets from the per-JVM [[DedupArtifacts]] cache — see
+      // minhash_lsh_recall.
+      val ps = DedupArtifacts.minhashPrecision(s, dir)
+      val exact = ps.exact.select(col("a").as("ea"), col("b").as("eb"))
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(
-          reported.join(exact,
+          ps.found.join(exact,
             col("a") === col("ea") && col("b") === col("eb"), "left_anti")
             .agg(count(lit(1)).as("n_violations")))
     }),

