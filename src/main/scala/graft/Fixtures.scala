@@ -111,6 +111,46 @@ private[graft] object Fixtures {
        |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain re-deriving the spherical-k-means state from
+    * the parquet table alone (the [[annIvfTopkOracle]] derivation, split
+    * out for the clustering oracles): md5-order centroid pick, per-vector
+    * assignment by raw cosine with lower-list-id tie-break — exactly the
+    * `vec_top_centroids` kernel's semantics. Ends with an `assign` CTE of
+    * (vec_id, list_id, cos). */
+  def kmeansAssignCtes(nlist: Int): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |ck AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+       |       ORDER BY h, vec_id LIMIT $nlist),
+       |cents AS (
+       |  SELECT (ROW_NUMBER() OVER (ORDER BY ck.h, ck.vec_id)) - 1 AS list_id, v.e AS ce
+       |  FROM ck JOIN v ON v.vec_id = ck.vec_id),
+       |ccos AS (
+       |  SELECT v.vec_id, c.list_id, ${duckCos("v.e", "c.ce")} AS cos
+       |  FROM v, cents c),
+       |assign AS (
+       |  SELECT vec_id, list_id, cos FROM (
+       |    SELECT vec_id, list_id, cos,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS rn
+       |    FROM ccos) WHERE rn = 1)""".stripMargin
+
+  /** Oracle for `embedding_clusters`: full independent k-means assignment
+    * replay — centroids, assignment and the rounded member-to-centroid
+    * cosine all re-derived in DuckDB (no engine-fed constants). */
+  def embeddingClustersOracle: String =
+    s"""${kmeansAssignCtes(16)}
+       |SELECT vec_id, CAST(list_id AS INT) AS list_id,
+       |       round(cos, 6) AS cos_centroid
+       |FROM assign ORDER BY vec_id""".stripMargin
+
+  /** Oracle for `cluster_sizes`: per-cluster count + decimal-exact mean of
+    * the rounded-6 cosines (sum as DECIMAL, one double division — the dsum
+    * convention, partition-order-free on both engines). */
+  def clusterSizesOracle: String =
+    s"""${kmeansAssignCtes(16)}
+       |SELECT CAST(list_id AS INT) AS list_id, COUNT(*) AS n,
+       |       CAST(SUM(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_cos
+       |FROM assign GROUP BY list_id ORDER BY list_id""".stripMargin
+
   /** The SRP bucket of double-list column `e` as DuckDB SQL: the ±1 sign
     * table is recomputed from the published splitmix64 function at
     * oracle-build time and inlined as literals — shared by the

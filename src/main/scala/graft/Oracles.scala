@@ -356,6 +356,10 @@ private[graft] object Oracles {
 
     "ann_lsh_topk" -> annLshTopkOracle,
 
+    "embedding_clusters" -> embeddingClustersOracle,
+
+    "cluster_sizes" -> clusterSizesOracle,
+
     "json_props_sum" ->
       """SELECT event_type, CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -468,6 +468,22 @@ private[graft] object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    "embedding_clusters" -> ((s, dir) => {
+      // spherical k-means as a first-class operator: every vector's cluster
+      // id + cosine to its centroid; md5-order centroid pick ⇒ DuckDB
+      // re-derives centroids, assignment and the rounded cosine end to end
+      Similarity.clusterAssignments(Tables.embeddings(s, dir), nlist = 16)
+        .orderBy(col("vec_id"))
+    }),
+
+    "cluster_sizes" -> ((s, dir) => {
+      // per-cluster roll-up (count + decimal-exact mean tightness): the
+      // cluster-quality table a curation pipeline drills into
+      Similarity.clusterSummary(
+        Similarity.clusterAssignments(Tables.embeddings(s, dir), nlist = 16))
+        .orderBy(col("list_id"))
+    }),
+
     "embedding_near_dup" -> ((s, dir) => {
       // row contents oracle-checked: DuckDB replays the SRP bucket table
       // (inlined splitmix64 signs), the bucket self-join and the exact

@@ -399,6 +399,46 @@ object Similarity {
         element_at(VectorFunctions.topCentroids(col("cv"), centsLit, 1), 1))
   }
 
+  /**
+   * Spherical k-means clustering as a FIRST-CLASS operator (the IVF coarse
+   * quantizer reframed as the analysis product, not an index internal):
+   * every finite vector with its cluster id and its cosine to the cluster
+   * centroid — the per-corpus taxonomy/diagnostics table a curation
+   * pipeline buckets, balances and drills into. Centroid pick is the
+   * deterministic md5-order seed (engine-replayable — the DuckDB oracle
+   * re-derives centroids, assignment AND the rounded cosine from the
+   * parquet table alone at `kmeansIters = 0`), optionally Lloyd-refined
+   * through the same bounded-sample machinery as [[buildIvfIndex]]
+   * (refinement pinned separately by VectorExprSpec's non-inferiority law).
+   *
+   * Scale shape: training is one bounded md5-ordered collect + driver
+   * Lloyd; assignment is one narrow codegen'd corpus scan against the
+   * centroid literal + a broadcast join to a `nlist`-row centroid table —
+   * no corpus shuffle anywhere.
+   */
+  def clusterAssignments(corpus: DataFrame, nlist: Int, kmeansIters: Int = 0,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idx = buildIvfIndex(corpus, nlist, idCol, vecCol, kmeansIters)
+    val cents = idx.centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("list_id", "ce")
+    idx.assigned.join(broadcast(cents), "list_id")
+      .select(col("cid").as(idCol), col("list_id"),
+        round(VectorFunctions.cosine(col("cv"), col("ce")), 6).as("cos_centroid"))
+  }
+
+  /** Per-cluster roll-up of [[clusterAssignments]] output: member count and
+    * mean member-to-centroid cosine (the cluster-tightness signal that
+    * flags junk clusters for re-curation). The mean is decimal-exact over
+    * the rounded-6 cosines — sum as DECIMAL, one double division — so it is
+    * partition-order-free and engine-replayable (the dsum convention). */
+  def clusterSummary(assignments: DataFrame): DataFrame =
+    assignments.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("cos_centroid").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("mean_cos"))
+
   /** One driver-side Lloyd iteration over the coarse quantizer for the
     * bounded training sample: assign each sample vector to its nearest
     * centroid (cosine — the same metric, sequential-ascending double

@@ -332,4 +332,39 @@ class DedupSimilaritySpec extends SparkSpec {
       .orderBy(col("qid"), col("rnk")).collect().map(_.toSeq).toSeq
     assert(viaLoaded == direct && direct.nonEmpty)
   }
+
+  test("clusterAssignments: total single-assignment partition; duplicates co-cluster; " +
+      "summary is consistent") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, Sf)
+    val n = e.count()
+    val fixture = Fixtures.embsWithDups(e)
+    val assign = graft.operators.Similarity.clusterAssignments(fixture, nlist = 8)
+
+    // every finite vector appears exactly once, with a valid cluster id
+    assert(assign.count() == fixture.count())
+    assert(assign.select(col("vec_id")).distinct().count() == fixture.count())
+    assert(assign.filter(col("list_id") < 0 || col("list_id") >= 8).count() == 0)
+
+    // a planted exact copy has the same cosine profile ⇒ the same cluster
+    val pairs = assign.select(col("vec_id"), col("list_id"))
+    val mism = pairs.filter(col("vec_id") >= 1000000)
+      .select((col("vec_id") - 1000000).as("vec_id"), col("list_id").as("copy_list"))
+      .join(pairs, "vec_id")
+      .filter(col("copy_list") =!= col("list_id"))
+    assert(mism.count() == 0)
+
+    // summary counts roll up exactly; mean tightness is a valid cosine
+    val summ = graft.operators.Similarity.clusterSummary(assign)
+    assert(summ.agg(org.apache.spark.sql.functions.sum(col("n"))).head().getLong(0)
+      == fixture.count())
+    assert(summ.filter(col("mean_cos") > 1.000001 || col("mean_cos") < -1.000001).count() == 0)
+
+    // Lloyd refinement keeps the partition total and valid
+    val refined = graft.operators.Similarity.clusterAssignments(fixture, nlist = 8,
+      kmeansIters = 2)
+    assert(refined.count() == fixture.count())
+    assert(n > 0)
+  }
 }
