@@ -111,6 +111,31 @@ private[graft] object Fixtures {
        |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Oracle for `bpe_first_merge`: full DuckDB replay of BPE training's
+    * rank-0 selection — word dictionary (whitespace tokens of the
+    * trimmed/lowercased text), per-position adjacent symbol pairs over
+    * (chars + end-of-word marker U+E000 = chr(57344)) weighted by word
+    * frequency, argmax by (freq DESC, left ASC, right ASC) under the
+    * binary collation. The trainer's `maxWords` cap never binds at gate
+    * scale, so the unbounded dictionary here is the same dictionary. */
+  def bpeFirstMergeOracle: String =
+    """WITH w AS (
+      |  SELECT word, COUNT(*) AS freq FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      |    FROM documents) t
+      |  WHERE word <> '' GROUP BY word),
+      |p AS (
+      |  SELECT substr(word, CAST(i AS INT), 1) AS l,
+      |         CASE WHEN i = length(word) THEN chr(57344)
+      |              ELSE substr(word, CAST(i AS INT) + 1, 1) END AS r,
+      |         freq
+      |  FROM (SELECT word, freq,
+      |               unnest(generate_series(1, CAST(length(word) AS BIGINT))) AS i
+      |        FROM w))
+      |SELECT l AS merge_left, r AS merge_right, CAST(SUM(freq) AS BIGINT) AS pair_freq
+      |FROM p GROUP BY l, r
+      |ORDER BY pair_freq DESC, merge_left ASC, merge_right ASC LIMIT 1""".stripMargin
+
   /** Shared DuckDB CTE chain re-deriving the spherical-k-means state from
     * the parquet table alone (the [[annIvfTopkOracle]] derivation, split
     * out for the clustering oracles): md5-order centroid pick, per-vector

@@ -360,6 +360,14 @@ private[graft] object Oracles {
 
     "cluster_sizes" -> clusterSizesOracle,
 
+    "bpe_first_merge" -> bpeFirstMergeOracle,
+
+    // the roundtrip law is computed entirely engine-side (decode∘encode vs
+    // the normalization contract, per document); the oracle pins the corpus
+    // cardinality and the zero-mismatch law — the precision-gate pattern
+    "bpe_roundtrip" ->
+      "SELECT COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch FROM documents",
+
     "json_props_sum" ->
       """SELECT event_type, CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

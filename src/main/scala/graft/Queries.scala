@@ -254,6 +254,31 @@ private[graft] object Queries {
       TextAnalysis.bm25QueryIndexBatch(s, AnnArtifacts.lexicalRoot(s, dir), qs, k = 10)
     }),
 
+    "bpe_first_merge" -> ((s, dir) => {
+      // BPE training's rank-0 merge: the most frequent adjacent symbol
+      // pair over the word dictionary (chars + end-of-word marker U+E000),
+      // tie-broken (freq DESC, left ASC, right ASC) in code-point order —
+      // DuckDB replays the whole argmax from the corpus
+      import s.implicits._
+      val m = Bpe.trainBpe(Tables.documents(s, dir), numMerges = 1).merges.head
+      Seq((m.left, m.right, m.freq)).toDF("merge_left", "merge_right", "pair_freq")
+    }),
+
+    "bpe_roundtrip" -> ((s, dir) => {
+      // END-TO-END tokenizer law over the full corpus: decode(encode(x))
+      // must reproduce the normalized text for EVERY document — train a
+      // real 30-merge model, segment every doc through the codegen'd
+      // kernel, rebuild, compare. n_mismatch = 0 is the pinned value.
+      val docs = Tables.documents(s, dir)
+      val model = Bpe.trainBpe(docs, numMerges = 30)
+      docs
+        .select(
+          Bpe.decode(Bpe.encode(col("text"), model)).as("rt"),
+          Bpe.normalizedText(col("text")).as("nm"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("rt") =!= col("nm"), 1)).as("n_mismatch"))
+    }),
+
     "fingerprints_md5" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp_md5"))

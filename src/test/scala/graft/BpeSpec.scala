@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, BpeMerge}
+import graft.plans.BpeKernels
+
+/** BPE tokenizer: hand-computed merge sequence, encode/decode laws on
+  * adversarial text, artifact roundtrip, determinism, codegen plan. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = BpeKernels.Marker
+
+  // the classic BPE fixture: low×5 lower×2 newest×6 widest×3
+  private lazy val corpus = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")).toDF("doc_id", "text")
+
+  test("training reproduces the hand-computed merge sequence with tie-breaks") {
+    val m = Bpe.trainBpe(corpus, numMerges = 5).merges
+    // round 1: (e,s)/(s,t)/(t,M) all 9 — left-asc tie-break picks (e,s)
+    // round 2: (es,t)/(t,M) at 9 — 'es' < 't'
+    // round 3: (est,M) alone at 9
+    // round 4: (l,o)/(o,w) at 7 — 'l' < 'o'
+    // round 5: (lo,w) at 7
+    assert(m == Seq(
+      BpeMerge("e", "s", 9L), BpeMerge("es", "t", 9L), BpeMerge("est", M, 9L),
+      BpeMerge("l", "o", 7L), BpeMerge("lo", "w", 7L)))
+  }
+
+  test("encoding an UNSEEN word composes learned merges by rank") {
+    val model = Bpe.trainBpe(corpus, numMerges = 5)
+    val toks = corpus.limit(1)
+      .select(Bpe.encode(lit("lowest"), model).as("t"))
+      .head().getSeq[String](0)
+    // l,o,w,e,s,t,M → (e,s) → (es,t) → (est,M) → (l,o) → (lo,w) → low | estM
+    assert(toks == Seq("low", "est" + M))
+  }
+
+  test("roundtrip law on adversarial text; tokenize shape") {
+    val model = Bpe.trainBpe(corpus, numMerges = 5)
+    val tricky = Seq(
+      (1L, "  low\t\tnewest   widest\n"), // whitespace runs + edges
+      (2L, ""),                            // empty
+      (3L, "LoW NeWeSt"),                  // case folding
+      (4L, s"mid${M}marker $M lone"),      // marker chars stripped as alphabet
+      (5L, "café élève"),   // accents
+      (6L, "a😀b 😀"), // supplementary (emoji) codepoints
+      (7L, "x")).toDF("doc_id", "text")
+    val bad = tricky.select(
+      Bpe.decode(Bpe.encode(col("text"), model)).as("rt"),
+      Bpe.normalizedText(col("text")).as("nm"))
+      .filter(col("rt") =!= col("nm"))
+    assert(bad.count() == 0)
+
+    val tk = Bpe.tokenize(tricky, model)
+    assert(tk.columns.toSeq == Seq("doc_id", "tokens", "n_tokens"))
+    // an unseen single-char word stays (char, marker) — no learned merge
+    assert(tk.filter(col("doc_id") === 7L).head().getAs[Int]("n_tokens") == 2)
+    assert(tk.filter(col("doc_id") === 2L).head().getAs[Int]("n_tokens") == 0)
+  }
+
+  test("model artifact: save -> load -> identical encoding; training is deterministic") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val m1 = Bpe.trainBpe(docs, numMerges = 20)
+    val m2 = Bpe.trainBpe(docs, numMerges = 20)
+    assert(m1 == m2 && m1.merges.size == 20)
+
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/model"
+    try {
+      Bpe.saveBpeModel(spark, m1, path)
+      val loaded = Bpe.loadBpeModel(spark, path)
+      assert(loaded == m1)
+      val a = docs.select(Bpe.encode(col("text"), m1).as("t")).collect().map(_.getSeq[String](0))
+      val b = docs.select(Bpe.encode(col("text"), loaded).as("t")).collect().map(_.getSeq[String](0))
+      assert(a.toSeq == b.toSeq)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(new java.io.File(path).getParent)).deleteRecursively()
+    }
+  }
+
+  test("encode runs as a native codegen expression — no ScalaUDF in the plan") {
+    val model = Bpe.trainBpe(corpus, numMerges = 3)
+    val plan = corpus.select(Bpe.encode(col("text"), model).as("t"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("kernel edges: cpCompare is code-point order; merge exhaustion stops early") {
+    // U+FFFF (BMP max) must sort BELOW U+10000 (first supplementary) —
+    // UTF-16 code-unit comparison gets this backwards
+    assert(BpeKernels.cpCompare(new String(Character.toChars(0xFFFF)),
+      new String(Character.toChars(0x10000))) < 0)
+    assert(BpeKernels.cpCompare("ab", "ab") == 0)
+    assert(BpeKernels.cpCompare("a", "ab") < 0)
+    // a one-word corpus exhausts its pairs; training stops without error
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = Bpe.trainBpe(tiny, numMerges = 100)
+    assert(m.merges.size == 2) // (a,b) then (ab,M)
+  }
+}
