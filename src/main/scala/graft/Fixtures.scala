@@ -111,6 +111,41 @@ private[graft] object Fixtures {
        |SELECT qid, rnk, cid, cos FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Oracle for `pagerank_trade`: a full replay of the damped power
+    * iteration — every iteration's per-edge contributions rounded to 12
+    * decimals, summed as DECIMAL(30,12) (exact, order-free), update
+    * re-rounded to 12 — so ranks are bit-identical to the engine's at
+    * every step. Iterations unrolled as CTEs (no reliance on recursive
+    * aggregation); the damping literal is written `0.85` and the teleport
+    * term `(1.0 - 0.85) / cnt`, the exact IEEE expression the operator
+    * evaluates. */
+  def pagerankTradeOracle: String = {
+    val iters = 3
+    val iterCtes = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT nn.node,
+         |         round((1.0 - 0.85) / (SELECT cnt FROM ncnt) + 0.85 * COALESCE(s.c, 0.0), 12) AS pr
+         |  FROM nodes nn LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           CAST(SUM(CAST(round(p.pr / o.deg, 12) AS DECIMAL(30,12))) AS DOUBLE) AS c
+         |    FROM pr${k - 1} p JOIN outdeg o ON o.src = p.node JOIN edges e ON e.src = p.node
+         |    GROUP BY e.dst) s ON s.node = nn.node)""".stripMargin
+    }
+    s"""WITH oc AS (
+       |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT 'c' || CAST(ck AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst FROM oc
+       |  UNION
+       |  SELECT 's' || CAST(sk AS VARCHAR), 'c' || CAST(ck AS VARCHAR) FROM oc),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+       |ncnt AS (SELECT COUNT(*) AS cnt FROM nodes),
+       |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |pr0 AS (SELECT node, round(1.0 / (SELECT cnt FROM ncnt), 12) AS pr FROM nodes),
+       |${iterCtes.mkString(",\n")}
+       |SELECT node, pr FROM pr$iters ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `bpe_first_merge`: full DuckDB replay of BPE training's
     * rank-0 selection — word dictionary (whitespace tokens of the
     * trimmed/lowercased text), per-position adjacent symbol pairs over

@@ -360,6 +360,8 @@ private[graft] object Oracles {
 
     "cluster_sizes" -> clusterSizesOracle,
 
+    "pagerank_trade" -> pagerankTradeOracle,
+
     "bpe_first_merge" -> bpeFirstMergeOracle,
 
     // the roundtrip law is computed entirely engine-side (decode∘encode vs

@@ -254,6 +254,24 @@ private[graft] object Queries {
       TextAnalysis.bm25QueryIndexBatch(s, AnnArtifacts.lexicalRoot(s, dir), qs, k = 10)
     }),
 
+    "pagerank_trade" -> ((s, dir) => {
+      // PageRank over the customer↔supplier trade graph (both directions of
+      // every distinct orders⋈lineitem pair), 3 damped power iterations.
+      // Exact-decimal iteration discipline makes the float fixpoint
+      // hash-comparable: DuckDB replays all iterations
+      val oc = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
+      val edges = oc.select(concat(lit("c"), col("ck")).as("src"),
+          concat(lit("s"), col("sk")).as("dst"))
+        .union(oc.select(concat(lit("s"), col("sk")).as("src"),
+          concat(lit("c"), col("ck")).as("dst")))
+      Graph.pageRank(edges, iters = 3)
+        .select(col("node"), col("rank").as("pr"))
+        .orderBy(col("node"))
+    }),
+
     "bpe_first_merge" -> ((s, dir) => {
       // BPE training's rank-0 merge: the most frequent adjacent symbol
       // pair over the word dictionary (chars + end-of-word marker U+E000),

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** PageRank: hand-checkable structure laws + a naive driver-side replay. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cycle symmetry: every node of a 3-cycle holds rank 1/3 at every iteration") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 4).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set("a", "b", "c"))
+    // 1/3 rounds to 0.333333333333; the damped update keeps the fixpoint
+    // (0.15/3 + 0.85 * r) up to the 12-decimal rounding of each step
+    assert(r.values.toSet.size == 1)
+    assert(math.abs(r("a") - 1.0 / 3.0) < 1e-9)
+  }
+
+  test("star graph: the hub out-ranks the leaves; mass stays bounded") {
+    // leaves point at the hub, hub points back at every leaf
+    val leaves = (1 to 5).map(i => (s"l$i", "hub")) ++ (1 to 5).map(i => ("hub", s"l$i"))
+    val r = Graph.pageRank(leaves.toDF("src", "dst"), iters = 5).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("hub") > r("l1") && r("l1") == r("l3"))
+    val total = r.values.sum
+    assert(total > 0.99 && total < 1.01) // no dangling nodes here
+  }
+
+  test("matches a naive driver-side power iteration with the same rounding") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a"))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val adj = Map("a" -> Seq("b", "c"), "b" -> Seq("c"), "c" -> Seq("a"), "d" -> Seq("a"))
+    val nodes = Seq("a", "b", "c", "d")
+    var rank = nodes.map(_ -> r12(1.0 / 4)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[String, BigDecimal]
+      for ((s0, ds) <- adj; d <- ds) {
+        val c = BigDecimal(r12(rank(s0) / ds.length))
+        contrib(d) = contrib.getOrElse(d, BigDecimal(0)) + c
+      }
+      rank = nodes.map(n => n ->
+        r12((1.0 - 0.85) / 4 + 0.85 * contrib.getOrElse(n, BigDecimal(0)).toDouble)).toMap
+    }
+    assert(got == rank)
+  }
+
+  test("invalid parameters are rejected loudly") {
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRank(e, iters = -1))
+    intercept[IllegalArgumentException](Graph.pageRank(e, iters = 1, damping = 1.0))
+  }
+}
