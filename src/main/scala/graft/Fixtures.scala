@@ -135,9 +135,9 @@ private[graft] object Fixtures {
        |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |edges AS (
-       |  SELECT 'c' || CAST(ck AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst FROM oc
+       |  SELECT CAST(ck AS BIGINT) AS src, CAST(sk AS BIGINT) + 1000000000 AS dst FROM oc
        |  UNION
-       |  SELECT 's' || CAST(sk AS VARCHAR), 'c' || CAST(ck AS VARCHAR) FROM oc),
+       |  SELECT CAST(sk AS BIGINT) + 1000000000, CAST(ck AS BIGINT) FROM oc),
        |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
        |ncnt AS (SELECT COUNT(*) AS cnt FROM nodes),
        |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),

@@ -263,11 +263,19 @@ private[graft] object Queries {
         .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
-      val edges = oc.select(concat(lit("c"), col("ck")).as("src"),
-          concat(lit("s"), col("sk")).as("dst"))
-        .union(oc.select(concat(lit("s"), col("sk")).as("src"),
-          concat(lit("c"), col("ck")).as("dst")))
-      Graph.pageRank(edges, iters = 3)
+      // both directions in ONE pass over the distinct pair set (a union of
+      // two selects would compute the join+distinct twice); long node ids —
+      // suppliers offset into a disjoint range — keep the joins/aggregates
+      // on integer keys
+      val edges = oc.select(explode(array(
+          struct(col("ck").cast("long").as("src"),
+            (col("sk").cast("long") + 1000000000L).as("dst")),
+          struct((col("sk").cast("long") + 1000000000L).as("src"),
+            col("ck").cast("long").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // oc is distinct and the two direction sets are prefix-disjoint, so
+      // the result is already a pair set — skip the operator's dedup shuffle
+      Graph.pageRank(edges, iters = 3, edgesDistinct = true)
         .select(col("node"), col("rank").as("pr"))
         .orderBy(col("node"))
     }),

@@ -20,52 +20,107 @@ import org.apache.spark.sql.types.DecimalType
  * iterative algorithm).
  *
  * Scale shape: per iteration one equi-join of the rank table against the
- * edge table plus one partial/final aggregate — the canonical distributed
- * PageRank plan; rank lineage is cut every round ([[Dedup.dupClusters]]
- * discipline) so plans stay constant-size. Dangling nodes (no out-edges)
- * keep the standard simplification: their mass is not redistributed.
+ * (degree-annotated, cached) edge table plus one partial/final aggregate —
+ * the canonical distributed PageRank plan. The rank table is node-sized;
+ * while it fits the broadcast budget (`broadcastNodeLimit`) it is
+ * MATERIALIZED as a local table between iterations (the Lloyd-codebook
+ * discipline: corpus-sized work distributed, model-sized state through the
+ * driver), so each iteration is exactly one cached edge scan with one
+ * broadcast hash join — no nested lazy broadcast subplans re-deriving
+ * earlier rounds, no edge-table shuffle. Past the budget (web-scale
+ * graphs) the joins fall back to shuffles on the edge key and the loop
+ * cuts rank lineage per round ([[Dedup.dupClusters]] discipline). Dangling
+ * nodes (no out-edges) keep the standard simplification: their mass is not
+ * redistributed.
  */
 object Graph {
 
   /**
    * PageRank over a directed edge list with `iters` damped power
    * iterations. Returns (node, rank); ranks rounded to 12 decimals.
-   * Self-loops count like any edge; duplicate edges are collapsed.
+   * Self-loops count like any edge; duplicate edges are collapsed (pass
+   * `edgesDistinct = true` when the input is already a pair set to skip
+   * that shuffle).
    */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+               srcCol: String = "src", dstCol: String = "dst",
+               edgesDistinct: Boolean = false,
+               broadcastNodeLimit: Long = 1000000L): DataFrame = {
     require(iters >= 0, s"pageRank: iters must be >= 0, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"pageRank: damping must be in (0, 1), got $damping")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
-        .distinct().localCheckpoint()
-      val n = nodes.count()
-      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
+      val n = nodes.count() // also materializes the persisted node set
+      val small = n <= broadcastNodeLimit
       val teleport = (1.0 - damping) / n
-      var rank = nodes.withColumn("rank", round(lit(1.0) / n, 12))
-        .localCheckpoint()
-      var k = 0
-      while (k < iters) {
-        val contrib = rank.join(e, rank("node") === e("src"))
-          .join(outdeg, "src")
-          .select(col("dst").as("node"),
-            round(col("rank") / col("deg"), 12).as("c"))
-          .groupBy(col("node"))
-          .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("csum"))
-        rank = nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            round(lit(teleport) + lit(damping) * coalesce(col("csum"), lit(0.0)), 12)
-              .as("rank"))
-          .localCheckpoint()
-        k += 1
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      if (small) {
+        // NODE-SIZED-STATE path (the Lloyd-codebook shape: corpus-sized
+        // work distributed, model-sized state through the driver): nodes,
+        // degrees and ranks are materialized once as local tables, so each
+        // iteration is exactly ONE cached raw-edge scan joined against two
+        // LocalTableScan broadcasts plus a partial/final aggregate — no
+        // nested lazy broadcast subplans re-deriving earlier rounds, no
+        // edge-table shuffle, no degree-annotated edge copy to cache
+        def localize(df: DataFrame): DataFrame =
+          spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+        val nodesL = localize(nodes)
+        val outdegL = localize(outdeg)
+        var rank = localize(nodesL.withColumn("rank", round(lit(1.0) / n, 12)))
+        var k = 0
+        while (k < iters) {
+          val contrib = e
+            .join(broadcast(rank), col("node") === col("src"))
+            .join(broadcast(outdegL), "src")
+            .select(col("dst").as("node"),
+              round(col("rank") / col("deg"), 12).as("c"))
+            .groupBy(col("node"))
+            .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("csum"))
+          rank = localize(nodesL.join(broadcast(contrib), Seq("node"), "left")
+            .select(col("node"),
+              round(lit(teleport) + lit(damping) * coalesce(col("csum"), lit(0.0)), 12)
+                .as("rank")))
+          k += 1
+        }
+        rank
+      } else {
+        // DISTRIBUTED path (web-scale graphs): degree-annotated cached
+        // edges, shuffle joins on the edge key, rank lineage cut per round
+        // ([[Dedup.dupClusters]] discipline)
+        val ed = e.join(outdeg, "src")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          var rank = nodes.withColumn("rank", round(lit(1.0) / n, 12))
+            .localCheckpoint()
+          var k = 0
+          while (k < iters) {
+            val contrib = ed
+              .join(rank, col("node") === col("src"))
+              .select(col("dst").as("node"),
+                round(col("rank") / col("deg"), 12).as("c"))
+              .groupBy(col("node"))
+              .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("csum"))
+            rank = nodes.join(contrib, Seq("node"), "left")
+              .select(col("node"),
+                round(lit(teleport) + lit(damping) * coalesce(col("csum"), lit(0.0)), 12)
+                  .as("rank"))
+              .localCheckpoint()
+            k += 1
+          }
+          rank
+        } finally ed.unpersist()
       }
-      rank
-    } finally e.unpersist()
+    } finally {
+      nodes.unpersist()
+      e.unpersist()
+    }
   }
 }
