@@ -233,12 +233,21 @@ class PlanSpec extends SparkSpec {
       Seq("exact_dedup", "minhash_lsh_dedup", "simhash_dedup", "semantic_dedup",
         "dup_clusters",
         "dedup_representatives", "line_dedup", "ngram_jaccard_pairs",
-        "span_dedup", "gopher_rules")
+        "span_dedup", "gopher_rules", "cluster_sizes", "bpe_roundtrip")
     assert(targets.nonEmpty)
     targets.foreach { name =>
       val plan = formattedPlan(SparkEntry.queries(name)(spark, Sf))
       assert(!plan.contains("ScalaUDF"), s"$name plans a ScalaUDF:\n$plan")
     }
+  }
+
+  test("cluster assignment joins the centroid table by broadcast (no shuffle join)") {
+    // the clustering claim: one narrow assignment scan + a broadcast join to
+    // an nlist-row centroid table — a sort-merge join here would shuffle the
+    // corpus for a 16-row dim
+    val plan = formattedPlan(SparkEntry.queries("embedding_clusters")(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("BM25 top-k: TakeOrdered (never a full sort), broadcast stats/df sides, no UDF") {
