@@ -202,6 +202,16 @@ private[graft] object Fixtures {
        |       round(cos, 6) AS cos_centroid
        |FROM assign ORDER BY vec_id""".stripMargin
 
+  /** Oracle for `streaming_cluster_assign`: the [[embeddingClustersOracle]]
+    * derivation (centroids from the FULL table — the batch-trained
+    * quantizer) restricted to the streamed id range; streamed ≡ batch
+    * assignment is thereby pinned by DuckDB, not assumed. */
+  def streamingClusterAssignOracle: String =
+    s"""${kmeansAssignCtes(16)}
+       |SELECT vec_id, CAST(list_id AS INT) AS list_id,
+       |       round(cos, 6) AS cos_centroid
+       |FROM assign WHERE vec_id < 120 ORDER BY vec_id""".stripMargin
+
   /** Oracle for `cluster_sizes`: per-cluster count + decimal-exact mean of
     * the rounded-6 cosines (sum as DECIMAL, one double division — the dsum
     * convention, partition-order-free on both engines). */

@@ -360,6 +360,8 @@ private[graft] object Oracles {
 
     "cluster_sizes" -> clusterSizesOracle,
 
+    "streaming_cluster_assign" -> streamingClusterAssignOracle,
+
     "pagerank_trade" -> pagerankTradeOracle,
 
     "bpe_first_merge" -> bpeFirstMergeOracle,

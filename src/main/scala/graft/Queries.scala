@@ -1022,6 +1022,35 @@ private[graft] object Queries {
     }),
 
 
+    "streaming_cluster_assign" -> ((s, dir) => {
+      // the STREAMING clustering path gated against the same full DuckDB
+      // k-means replay as embedding_clusters: centroids trained batch-side
+      // (deterministic md5-order pick over the full table), then the first
+      // 120 vectors streamed through the stateless assigner in two real
+      // micro-batches — streamed assignments must hash-match the oracle's
+      // batch derivation restricted to those ids
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val cents = Similarity.buildIvfIndex(Tables.embeddings(s, dir), nlist = 16).centroids
+      val rows = Tables.embeddings(s, dir).filter(col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val out = graft.streaming.StreamingClusterAssign.assignStream(
+        mem.toDF().toDF("vec_id", "embedding"), cents)
+      val name = "sca_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .select(col("vec_id"), col("list_id"), col("cos_centroid"))
+        .orderBy(col("vec_id"))
+    }),
+
     "multimodal_frame_sample" -> ((s, dir) => {
       // frame-index sampling is pure metadata arithmetic → exactly
       // oracle-able even though frame DECODE sits behind the labeled stub

@@ -418,12 +418,23 @@ object Similarity {
    */
   def clusterAssignments(corpus: DataFrame, nlist: Int, kmeansIters: Int = 0,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val idx = buildIvfIndex(corpus, nlist, idCol, vecCol, kmeansIters)
-    val cents = idx.centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
+    withCentroidCosine(idx.assigned, idx.centroids, idCol)
+  }
+
+  /** Attach each assigned row's rounded cosine to its centroid (broadcast
+    * join to the nlist-row centroid table) — shared by the batch
+    * [[clusterAssignments]] and the stateless streaming assignment path
+    * ([[graft.streaming.StreamingClusterAssign]]); works unchanged on a
+    * streaming `assigned` frame because every op is narrow. */
+  private[graft] def withCentroidCosine(assigned: DataFrame,
+                                        centroids: Array[(Int, Array[Float])],
+                                        idCol: String): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cents = centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("list_id", "ce")
-    idx.assigned.join(broadcast(cents), "list_id")
+    assigned.join(broadcast(cents), "list_id")
       .select(col("cid").as(idCol), col("list_id"),
         round(VectorFunctions.cosine(col("cv"), col("ce")), 6).as("cos_centroid"))
   }

@@ -179,4 +179,36 @@ class StreamingAnnSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("streamed cluster assignment is row-identical to the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val embs = graft.sources.Tables.embeddings(spark, Sf)
+    val cents = graft.operators.Similarity.buildIvfIndex(embs, nlist = 8).centroids
+    val probe = embs.filter($"vec_id" < 40)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val out = graft.streaming.StreamingClusterAssign.assignStream(
+      mem.toDF().toDF("vec_id", "embedding"), cents)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sca_spec").start()
+    try {
+      val (b1, b2) = probe.splitAt(probe.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // statelessness: append mode with zero state rows
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+
+    val streamed = spark.table("sca_spec")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq.sorted
+    val batch = graft.operators.Similarity.withCentroidCosine(
+      graft.operators.Similarity.assignIvf(embs.filter($"vec_id" < 40), cents),
+      cents, "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq.sorted
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
