@@ -259,8 +259,11 @@ private[graft] object Queries {
       // every distinct orders⋈lineitem pair), 3 damped power iterations.
       // Exact-decimal iteration discipline makes the float fixpoint
       // hash-comparable: DuckDB replays all iterations
-      val oc = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+      // the 2-column orders projection is MBs even at large SF (two longs
+      // per order) — broadcast it so lineitem never shuffles for the join
+      // (file-level stats hide the projection discount from the planner)
+      val oc = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(broadcast(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
       // both directions in ONE pass over the distinct pair set (a union of
