@@ -52,6 +52,18 @@ class GraphSpec extends SparkSpec {
     assert(got == rank)
   }
 
+  test("distributed branch (over the broadcast budget) is rank-identical to the small path") {
+    // broadcastNodeLimit = 0 forces the shuffle-join + lineage-cut loop;
+    // the exact-decimal discipline makes the two branches bit-identical
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a"), ("c", "d"))
+      .toDF("src", "dst")
+    val smallPath = Graph.pageRank(edges, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val distPath = Graph.pageRank(edges, iters = 3, broadcastNodeLimit = 0).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(distPath == smallPath && smallPath.size == 4)
+  }
+
   test("invalid parameters are rejected loudly") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(e, iters = -1))
