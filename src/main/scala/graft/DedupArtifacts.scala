@@ -31,13 +31,21 @@ private[graft] object DedupArtifacts {
   private val recallMemo = scala.collection.mutable.Map[String, PairSets]()
   private val precisionMemo = scala.collection.mutable.Map[String, PairSets]()
   private val semanticMemo = scala.collection.mutable.Map[String, DataFrame]()
+  // keys are dataset dirs (a handful per process), but a long-lived JVM
+  // cycling through many dirs must not pin checkpointed pair-set blocks
+  // forever — same cap-and-clear discipline as TextAnalysis.statsMemo,
+  // with a small cap because each entry holds RDD blocks, not scalars
+  private final val MemoCap = 8
+  private def capped[V](memo: scala.collection.mutable.Map[String, V], dir: String)
+                       (build: => V): V =
+    memo.getOrElseUpdate(dir, { if (memo.size >= MemoCap) memo.clear(); build })
 
   /** `minhash_lsh_recall` inputs: the LSH pair set found at threshold
     * 0.999 on the corpus ∪ planted-exact-copy fixture, and the expected
     * identical-fingerprint pair set (≥ 3 tokens — shorter docs have no
     * 3-shingles and are filtered from the LSH input). */
   def minhashRecall(s: SparkSession, dir: String): PairSets = synchronized {
-    recallMemo.getOrElseUpdate(dir, {
+    capped(recallMemo, dir) {
       val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val fixture = corpus.union(
         corpus.filter(col("doc_id") % 23 === 0)
@@ -52,14 +60,14 @@ private[graft] object DedupArtifacts {
         .filter(col("a") < col("b"))
         .select(col("a"), col("b")).localCheckpoint()
       PairSets(found, exact)
-    })
+    }
   }
 
   /** `minhash_lsh_precision` inputs on the bounded every-5th-doc fixture:
     * the LSH-reported pair set at threshold 0.6 and the exact n-gram
     * Jaccard pair set at the same threshold. */
   def minhashPrecision(s: SparkSession, dir: String): PairSets = synchronized {
-    precisionMemo.getOrElseUpdate(dir, {
+    capped(precisionMemo, dir) {
       val fixture = Fixtures.docsWithNearDups(
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
       val reported = Dedup.minHashLsh(fixture, threshold = 0.6)
@@ -67,7 +75,7 @@ private[graft] object DedupArtifacts {
       val exact = Dedup.ngramJaccardPairs(fixture, threshold = 0.6)
         .select(col("a"), col("b")).localCheckpoint()
       PairSets(reported, exact)
-    })
+    }
   }
 
   /** `semantic_dedup_keep` input: the SemDeDup pair set on the planted-dup
@@ -75,10 +83,10 @@ private[graft] object DedupArtifacts {
     * the keep-set gate consumes the cache so its window measures
     * [[Dedup.keepMinIdRepresentatives]]). */
   def semanticPairs(s: SparkSession, dir: String): DataFrame = synchronized {
-    semanticMemo.getOrElseUpdate(dir, {
+    capped(semanticMemo, dir) {
       val fixture = Fixtures.embsWithDups(Tables.embeddings(s, dir))
       Dedup.semanticDedup(fixture, nlist = 16, threshold = 0.95)
         .localCheckpoint()
-    })
+    }
   }
 }

@@ -135,9 +135,9 @@ private[graft] object Fixtures {
        |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |edges AS (
-       |  SELECT CAST(ck AS BIGINT) AS src, CAST(sk AS BIGINT) + 1000000000 AS dst FROM oc
+       |  SELECT CAST(ck AS BIGINT) AS src, -1 - CAST(sk AS BIGINT) AS dst FROM oc
        |  UNION
-       |  SELECT CAST(sk AS BIGINT) + 1000000000, CAST(ck AS BIGINT) FROM oc),
+       |  SELECT -1 - CAST(sk AS BIGINT), CAST(ck AS BIGINT) FROM oc),
        |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
        |ncnt AS (SELECT COUNT(*) AS cnt FROM nodes),
        |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
@@ -151,12 +151,15 @@ private[graft] object Fixtures {
     * trimmed/lowercased text), per-position adjacent symbol pairs over
     * (chars + end-of-word marker U+E000 = chr(57344)) weighted by word
     * frequency, argmax by (freq DESC, left ASC, right ASC) under the
-    * binary collation. The trainer's `maxWords` cap never binds at gate
+    * binary collation. Marker code points (chr(57344)) are stripped from
+    * words and empties dropped — exactly the engine's initialSymbols
+    * normalization, so corpora containing the marker stay oracle-equal. The trainer's `maxWords` cap never binds at gate
     * scale, so the unbounded dictionary here is the same dictionary. */
   def bpeFirstMergeOracle: String =
     """WITH w AS (
       |  SELECT word, COUNT(*) AS freq FROM (
-      |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      |    SELECT replace(unnest(regexp_split_to_array(trim(lower(text)), '\s+')),
+      |           chr(57344), '') AS word
       |    FROM documents) t
       |  WHERE word <> '' GROUP BY word),
       |p AS (

@@ -268,15 +268,16 @@ private[graft] object Queries {
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
       // both directions in ONE pass over the distinct pair set (a union of
       // two selects would compute the join+distinct twice); long node ids —
-      // suppliers offset into a disjoint range — keep the joins/aggregates
-      // on integer keys
+      // suppliers mapped to the NEGATIVE range (-1 - sk), which is disjoint
+      // from the positive customer keys at EVERY scale factor (a fixed
+      // positive offset would collide once custkeys cross it)
       val edges = oc.select(explode(array(
           struct(col("ck").cast("long").as("src"),
-            (col("sk").cast("long") + 1000000000L).as("dst")),
-          struct((col("sk").cast("long") + 1000000000L).as("src"),
+            (lit(-1L) - col("sk").cast("long")).as("dst")),
+          struct((lit(-1L) - col("sk").cast("long")).as("src"),
             col("ck").cast("long").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      // oc is distinct and the two direction sets are prefix-disjoint, so
+      // oc is distinct and the two direction sets are sign-disjoint, so
       // the result is already a pair set — skip the operator's dedup shuffle
       Graph.pageRank(edges, iters = 3, edgesDistinct = true)
         .select(col("node"), col("rank").as("pr"))

@@ -246,10 +246,10 @@ object TextAnalysis {
     // stats row would sit next to rows missing the audit columns, and the
     // mixed-schema sums would falsely flag the index as torn forever —
     // compaction migrates it first (one rewrite, serving unchanged)
-    lexicalAuditability(docs.sparkSession, path).foreach(reason =>
+    val stats = docs.sparkSession.read.parquet(s"$path/stats")
+    auditabilityOf(stats, path).foreach(reason =>
       throw new IllegalStateException(s"appendLexicalIndex: $reason"))
-    val nBuckets = docs.sparkSession.read.parquet(s"$path/stats")
-      .select(col("n_buckets")).head().getInt(0)
+    val nBuckets = stats.select(col("n_buckets")).head().getInt(0)
     writeLexicalSegment(docs, path, nBuckets, "append", idCol, textCol)
   }
 
@@ -312,8 +312,12 @@ object TextAnalysis {
    * to until [[compactLexicalIndex]] migrates it (compaction derives the
    * counts from the rewritten tables themselves).
    */
-  def lexicalAuditability(spark: SparkSession, path: String): Option[String] = {
-    val stats = spark.read.parquet(s"$path/stats")
+  def lexicalAuditability(spark: SparkSession, path: String): Option[String] =
+    auditabilityOf(spark.read.parquet(s"$path/stats"), path)
+
+  /** [[lexicalAuditability]] over an already-loaded stats frame — callers
+    * that need the frame anyway (validate, append) avoid a second listing. */
+  private def auditabilityOf(stats: DataFrame, path: String): Option[String] = {
     val cols = stats.columns.toSet
     if (!cols.contains("n_postings") || !cols.contains("n_terms"))
       Some(s"stats at $path/stats predate the audit schema (no " +
@@ -340,10 +344,11 @@ object TextAnalysis {
    * healthy index as torn.
    */
   def validateLexicalIndex(spark: SparkSession, path: String): DataFrame = {
-    lexicalAuditability(spark, path).foreach(reason =>
-      throw new IllegalStateException(s"validateLexicalIndex: $reason"))
     import spark.implicits._
-    val st = spark.read.parquet(s"$path/stats")
+    val stats = spark.read.parquet(s"$path/stats")
+    auditabilityOf(stats, path).foreach(reason =>
+      throw new IllegalStateException(s"validateLexicalIndex: $reason"))
+    val st = stats
       .agg(count(lit(1)).as("n_segments"), sum(col("n_postings")).as("p_exp"),
         sum(col("n_terms")).as("t_exp"))
       .collect()(0)
@@ -367,6 +372,24 @@ object TextAnalysis {
    */
   def compactLexicalIndex(spark: SparkSession, src: String, dst: String): Unit = {
     require(src != dst, "compactLexicalIndex: dst must be a fresh path")
+    // an AUDITABLE source must pass its audit first: the compacted commit
+    // record is derived from the rewritten tables, so compacting a TORN
+    // index would otherwise launder orphan postings rows (data landed,
+    // commit record missing) into a green-auditing artifact whose
+    // idf/avgdl stay silently skewed. Pre-audit-schema sources carry no
+    // counts to check — for them compaction IS the migration path.
+    if (lexicalAuditability(spark, src).isEmpty) {
+      val audit = validateLexicalIndex(spark, src).collect()(0)
+      require(audit.getAs[Boolean]("postings_consistent") &&
+        audit.getAs[Boolean]("terms_consistent"),
+        s"compactLexicalIndex: source index at $src is torn (postings " +
+          s"${audit.getAs[Long]("n_postings_actual")} vs committed " +
+          s"${audit.getAs[Long]("n_postings_expected")}, termstats " +
+          s"${audit.getAs[Long]("n_terms_actual")} vs committed " +
+          s"${audit.getAs[Long]("n_terms_expected")}) — compacting would " +
+          "hide the tear; rebuild from the corpus or drop the orphan " +
+          "segment files first")
+    }
     val nBuckets = spark.read.parquet(s"$src/stats")
       .agg(max(col("n_buckets"))).head().getInt(0)
     spark.read.parquet(s"$src/postings")

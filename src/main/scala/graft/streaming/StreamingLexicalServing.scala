@@ -81,7 +81,7 @@ object StreamingLexicalServing extends org.apache.spark.internal.Logging {
             s"${audit.getAs[Long]("n_postings_expected")}, termstats " +
             s"${audit.getAs[Long]("n_terms_actual")} vs committed " +
             s"${audit.getAs[Long]("n_terms_expected")} — recover by rebuilding " +
-            "or compacting from the last consistent segment set")
+            "from the corpus, or remove the orphan segment files and compact")
     }
     queryStream.writeStream
       .outputMode("append")
@@ -101,7 +101,8 @@ object StreamingLexicalServing extends org.apache.spark.internal.Logging {
         // knob's name instead of an OOM that takes down serving opaquely
         val rows = batch.toDF()
           .select(col(queryIdCol).cast("long"), col(termsCol))
-          .limit(maxBatchQueries + 1)
+          .limit(if (maxBatchQueries == Int.MaxValue) Int.MaxValue
+                 else maxBatchQueries + 1) // saturating: MaxValue disables the cap
           .collect()
         require(rows.length <= maxBatchQueries,
           s"serveBm25FromPath: micro-batch exceeds maxBatchQueries=" +

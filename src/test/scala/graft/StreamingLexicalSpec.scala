@@ -98,6 +98,20 @@ class StreamingLexicalSpec extends SparkSpec {
         StreamingLexicalServing.serveBm25FromPath(stream.toDF(), dir, k = 3)((_, _) => ())
       }
       assert(e.getMessage.contains("torn"))
+
+      // and compaction must refuse too — deriving the compacted commit
+      // record from the rewritten tables would otherwise launder the tear
+      // into a green-auditing artifact with silently skewed idf/avgdl
+      val dstTorn = java.nio.file.Files.createTempDirectory("graft_lex_torncpt").toString + "/c"
+      try {
+        val ec = intercept[IllegalArgumentException] {
+          TextAnalysis.compactLexicalIndex(spark, dir, dstTorn)
+        }
+        assert(ec.getMessage.contains("torn"))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(new java.io.File(dstTorn).getParent)).deleteRecursively()
+      }
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
