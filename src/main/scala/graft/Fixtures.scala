@@ -146,6 +146,40 @@ private[graft] object Fixtures {
        |SELECT node, pr FROM pr$iters ORDER BY node""".stripMargin
   }
 
+  /** Oracle for `pagerank_weighted`: the [[pagerankTradeOracle]] replay
+    * with weight-proportional splitting — contribution
+    * `round(pr · (CAST(w AS DOUBLE) / Σw), 12)`, the exact IEEE shape the
+    * operator evaluates; Σw cast back to BIGINT (DuckDB SUM(BIGINT) widens
+    * to HUGEINT, Spark keeps LONG). */
+  def pagerankWeightedOracle: String = {
+    val iters = 2
+    val iterCtes = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT nn.node,
+         |         round((1.0 - 0.85) / (SELECT cnt FROM ncnt) + 0.85 * COALESCE(s.c, 0.0), 12) AS pr
+         |  FROM nodes nn LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           CAST(SUM(CAST(round(p.pr * (CAST(e.w AS DOUBLE) / o.deg), 12) AS DECIMAL(30,12))) AS DOUBLE) AS c
+         |    FROM pr${k - 1} p JOIN outdeg o ON o.src = p.node JOIN edges e ON e.src = p.node
+         |    GROUP BY e.dst) s ON s.node = nn.node)""".stripMargin
+    }
+    s"""WITH pw AS (
+       |  SELECT o_custkey AS ck, l_suppkey AS sk, COUNT(*) AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE year(o_orderdate) = 1995
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT CAST(ck AS BIGINT) AS src, -1 - CAST(sk AS BIGINT) AS dst, w FROM pw
+       |  UNION ALL
+       |  SELECT -1 - CAST(sk AS BIGINT), CAST(ck AS BIGINT), w FROM pw),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+       |ncnt AS (SELECT COUNT(*) AS cnt FROM nodes),
+       |outdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |pr0 AS (SELECT node, round(1.0 / (SELECT cnt FROM ncnt), 12) AS pr FROM nodes),
+       |${iterCtes.mkString(",\n")}
+       |SELECT node, pr FROM pr$iters ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `bpe_first_merge`: full DuckDB replay of BPE training's
     * rank-0 selection — word dictionary (whitespace tokens of the
     * trimmed/lowercased text), per-position adjacent symbol pairs over

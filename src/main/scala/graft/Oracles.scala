@@ -364,6 +364,8 @@ private[graft] object Oracles {
 
     "pagerank_trade" -> pagerankTradeOracle,
 
+    "pagerank_weighted" -> pagerankWeightedOracle,
+
     "bpe_first_merge" -> bpeFirstMergeOracle,
 
     // the roundtrip law is computed entirely engine-side (decode∘encode vs

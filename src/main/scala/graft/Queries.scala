@@ -284,6 +284,29 @@ private[graft] object Queries {
         .orderBy(col("node"))
     }),
 
+    "pagerank_weighted" -> ((s, dir) => {
+      // weight-proportional PageRank on the 1995 trade slice: edge weight =
+      // lineitem count per (customer, supplier) pair, rank splitting
+      // rank · (w / Σw) — the oracle replays both damped iterations
+      val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(broadcast(Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")) === 1995)
+          .select(col("o_orderkey"), col("o_custkey"))),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"), col("w"))
+      val edges = pairs.select(explode(array(
+          struct(col("ck").cast("long").as("src"),
+            (lit(-1L) - col("sk").cast("long")).as("dst"), col("w")),
+          struct((lit(-1L) - col("sk").cast("long")).as("src"),
+            col("ck").cast("long").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+      Graph.pageRankWeighted(edges, iters = 2)
+        .select(col("node"), col("rank").as("pr"))
+        .orderBy(col("node"))
+    }),
+
     "bpe_first_merge" -> ((s, dir) => {
       // BPE training's rank-0 merge: the most frequent adjacent symbol
       // pair over the word dictionary (chars + end-of-word marker U+E000),

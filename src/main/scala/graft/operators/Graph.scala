@@ -45,12 +45,40 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst",
                edgesDistinct: Boolean = false,
-               broadcastNodeLimit: Long = 1000000L): DataFrame = {
+               broadcastNodeLimit: Long = 1000000L): DataFrame =
+    pageRankImpl(edges, iters, damping, srcCol, dstCol, None,
+      edgesDistinct, broadcastNodeLimit)
+
+  /**
+   * Weight-proportional PageRank: each edge carries an INTEGER weight
+   * (e.g. link count / interaction count) and a node's rank splits across
+   * its out-edges proportionally — contribution = rank · (w / Σw_src),
+   * with the division evaluated exactly in that shape so the DuckDB
+   * oracle replays it bit-for-bit. Integer weights keep Σw exact; the
+   * per-edge contribution then follows the same round-12 / DECIMAL-sum
+   * discipline as the unweighted operator. Duplicate (src, dst) rows are
+   * NOT collapsed here — the caller provides the weighted pair set.
+   */
+  def pageRankWeighted(edges: DataFrame, iters: Int, damping: Double = 0.85,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       weightCol: String = "w",
+                       broadcastNodeLimit: Long = 1000000L): DataFrame =
+    pageRankImpl(edges, iters, damping, srcCol, dstCol, Some(weightCol),
+      edgesDistinct = true, broadcastNodeLimit)
+
+  private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
+                           srcCol: String, dstCol: String, weightCol: Option[String],
+                           edgesDistinct: Boolean,
+                           broadcastNodeLimit: Long): DataFrame = {
     require(iters >= 0, s"pageRank: iters must be >= 0, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"pageRank: damping must be in (0, 1), got $damping")
     val spark = edges.sparkSession
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = weightCol match {
+      case Some(w) => edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(w).cast("long").as("w"))
+      case None => edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    }
     val e = (if (edgesDistinct) e0 else e0.distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
@@ -61,7 +89,18 @@ object Graph {
       val n = nodes.count() // also materializes the persisted node set
       val small = n <= broadcastNodeLimit
       val teleport = (1.0 - damping) / n
-      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // unweighted: deg = out-edge count, contribution = rank / deg;
+      // weighted: deg = Σw (exact integer sum), contribution =
+      // rank · (w / Σw) — evaluated in exactly that IEEE shape so the
+      // oracle replays it
+      val outdeg = weightCol match {
+        case Some(_) => e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+        case None    => e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      }
+      def contribution: org.apache.spark.sql.Column = weightCol match {
+        case Some(_) => round(col("rank") * (col("w").cast("double") / col("deg")), 12)
+        case None    => round(col("rank") / col("deg"), 12)
+      }
       if (small) {
         // NODE-SIZED-STATE path (the Lloyd-codebook shape: corpus-sized
         // work distributed, model-sized state through the driver): nodes,
@@ -80,8 +119,7 @@ object Graph {
           val contrib = e
             .join(broadcast(rank), col("node") === col("src"))
             .join(broadcast(outdegL), "src")
-            .select(col("dst").as("node"),
-              round(col("rank") / col("deg"), 12).as("c"))
+            .select(col("dst").as("node"), contribution.as("c"))
             .groupBy(col("node"))
             .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("csum"))
           rank = localize(nodesL.join(broadcast(contrib), Seq("node"), "left")
@@ -104,8 +142,7 @@ object Graph {
           while (k < iters) {
             val contrib = ed
               .join(rank, col("node") === col("src"))
-              .select(col("dst").as("node"),
-                round(col("rank") / col("deg"), 12).as("c"))
+              .select(col("dst").as("node"), contribution.as("c"))
               .groupBy(col("node"))
               .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("csum"))
             rank = nodes.join(contrib, Seq("node"), "left")

