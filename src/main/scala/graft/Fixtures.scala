@@ -180,6 +180,121 @@ private[graft] object Fixtures {
        |SELECT node, pr FROM pr$iters ORDER BY node""".stripMargin
   }
 
+  /** Shared feature + GD-iteration CTEs for the `quality_lr_*` oracles: a
+    * full replay of [[operators.Learn]]'s distributed training — the
+    * text_metrics-proven feature expressions, then `iters` unrolled
+    * gradient steps with round-12 contributions summed as DECIMAL(30,12)
+    * and the update `round(w - lr*(g/n), 12)`, every arithmetic shape
+    * (left-associated predictor, `g/n` before `lr*`, subtraction last)
+    * written exactly as the engine evaluates it. */
+  private def learnCtes(iters: Int): String = {
+    val lr = "0.5"
+    // the fixed left-associated predictor over a row of f joined with w{k}
+    val pred = "b + w1 * x1 + w2 * x2 + w3 * x3"
+    val stops = "['the','a','an','and','or','of','to','in','is','it','that'," +
+      "'with','for','on','as','at','by','this','be']"
+    val iterCtes = (1 to iters).map { k =>
+      s"""g$k AS (SELECT
+         |  CAST(SUM(CAST(round($pred - y, 12) AS DECIMAL(30,12))) AS DOUBLE) AS g0,
+         |  CAST(SUM(CAST(round(($pred - y) * x1, 12) AS DECIMAL(30,12))) AS DOUBLE) AS g1,
+         |  CAST(SUM(CAST(round(($pred - y) * x2, 12) AS DECIMAL(30,12))) AS DOUBLE) AS g2,
+         |  CAST(SUM(CAST(round(($pred - y) * x3, 12) AS DECIMAL(30,12))) AS DOUBLE) AS g3
+         |  FROM f, w${k - 1}),
+         |w$k AS (SELECT
+         |  round(b - $lr * (g0 / (SELECT cnt FROM ncnt)), 12) AS b,
+         |  round(w1 - $lr * (g1 / (SELECT cnt FROM ncnt)), 12) AS w1,
+         |  round(w2 - $lr * (g2 / (SELECT cnt FROM ncnt)), 12) AS w2,
+         |  round(w3 - $lr * (g3 / (SELECT cnt FROM ncnt)), 12) AS w3
+         |  FROM w${k - 1}, g$k)""".stripMargin
+    }
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+       |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) / 100.0 AS x1,
+       |    round(CAST(len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+       |          / greatest(len(text), 1), 6) AS x2,
+       |    round(CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+       |          $stops)) AS DOUBLE)
+       |          / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), 1), 6) AS x3
+       |  FROM documents),
+       |ncnt AS (SELECT COUNT(*) AS cnt FROM f),
+       |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
+       |              CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
+       |${iterCtes.mkString(",\n")}""".stripMargin
+  }
+
+  /** Oracle for `quality_lr_train`: all 3 GD iterations replayed, final
+    * weights named like the engine's output rows. */
+  def qualityLrTrainOracle: String =
+    s"""${learnCtes(3)}
+       |SELECT feature, weight FROM (
+       |  SELECT 'bias' AS feature, b AS weight FROM w3
+       |  UNION ALL SELECT 'x1_tokens', w1 FROM w3
+       |  UNION ALL SELECT 'x2_punct', w2 FROM w3
+       |  UNION ALL SELECT 'x3_stop', w3 FROM w3)
+       |ORDER BY feature""".stripMargin
+
+  /** Oracle for `quality_lr_scores`: the trained weights applied through
+    * the rational sigmoid `round6(0.5 + 0.5*(z/(1+|z|)))` — exp is not
+    * cross-engine exact, the rational link is. */
+  def qualityLrScoresOracle: String =
+    s"""${learnCtes(3)}
+       |SELECT doc_id, y AS label,
+       |  round(0.5 + 0.5 * ((b + w1 * x1 + w2 * x2 + w3 * x3) / (1.0 + abs(b + w1 * x1 + w2 * x2 + w3 * x3))), 6) AS score,
+       |  CASE WHEN round(0.5 + 0.5 * ((b + w1 * x1 + w2 * x2 + w3 * x3) / (1.0 + abs(b + w1 * x1 + w2 * x2 + w3 * x3))), 6) >= 0.5
+       |       THEN 1 ELSE 0 END AS pred_label
+       |FROM f, w3 ORDER BY doc_id""".stripMargin
+
+  /** Shared CTEs for the `pca_*` oracles: clean vectors → positional
+    * explode with 6-decimal input quantization (products of 6-decimal
+    * values are EXACT 12-decimal grid values, so the per-row round12 is
+    * engine-agnostic — see [[operators.Pca.moments]]) → decimal-exact mean
+    * and second-moment sums → `cov_ij = round12(s_ij/n - μ_i μ_j)` →
+    * `iters` power iterates from the deterministic `round12(1/√d)` start.
+    * sqrt is IEEE-correctly-rounded, so the normalization (and therefore
+    * every iterate, sign included) replays the driver arithmetic
+    * bit-for-bit. */
+  private def pcaCtes(dim: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""y$k AS (SELECT c.i, CAST(SUM(CAST(round(round(c.c, 6) * round(p.pv, 6), 12) AS DECIMAL(30,12))) AS DOUBLE) AS y
+         |  FROM cov c JOIN p${k - 1} p ON p.i = c.j GROUP BY c.i),
+         |n$k AS (SELECT round(sqrt(CAST(SUM(CAST(round(y * y, 12) AS DECIMAL(30,12))) AS DOUBLE)), 12) AS nv FROM y$k),
+         |p$k AS (SELECT i, round(y / (SELECT nv FROM n$k), 12) AS pv FROM y$k)""".stripMargin
+    }
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |  WHERE len(embedding) = $dim
+       |    AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+       |ncnt AS (SELECT COUNT(*) AS cnt FROM v),
+       |ex AS (SELECT vec_id, CAST(t.i - 1 AS INT) AS i, round(e[CAST(t.i AS INT)], 6) AS x
+       |       FROM v, range(1, ${dim + 1}) t(i)),
+       |mu AS (SELECT i, round(CAST(SUM(CAST(round(x, 12) AS DECIMAL(30,12))) AS DOUBLE)
+       |                       / (SELECT cnt FROM ncnt), 12) AS mu
+       |       FROM ex GROUP BY i),
+       |sp AS (SELECT a.i, b.i AS j, CAST(SUM(CAST(round(a.x * b.x, 12) AS DECIMAL(30,12))) AS DOUBLE) AS s
+       |       FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       |cov AS (SELECT s.i, s.j, round(s.s / (SELECT cnt FROM ncnt) - m1.mu * m2.mu, 12) AS c
+       |        FROM sp s JOIN mu m1 ON m1.i = s.i JOIN mu m2 ON m2.i = s.j),
+       |p0 AS (SELECT i, round(1.0 / sqrt(CAST($dim AS DOUBLE)), 12) AS pv FROM mu),
+       |${iterCtes.mkString(",\n")}""".stripMargin
+  }
+
+  /** Oracle for `pca_power_component`: the third power iterate (i, loading). */
+  def pcaPowerComponentOracle: String =
+    s"""${pcaCtes(64, 3)}
+       |SELECT i, pv AS loading FROM p3 ORDER BY i""".stripMargin
+
+  /** Oracle for `pca_project`: every clean vector's exact-decimal dot
+    * product against the third power iterate. */
+  def pcaProjectOracle: String =
+    s"""${pcaCtes(64, 3)},
+       |p6 AS (SELECT i, round(pv, 6) AS pv6 FROM p3)
+       |SELECT ex.vec_id,
+       |       round(CAST(SUM(CAST(round(ex.x * p.pv6, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS proj
+       |FROM ex JOIN p6 p ON p.i = ex.i
+       |GROUP BY ex.vec_id ORDER BY ex.vec_id""".stripMargin
+
   /** Oracle for `bpe_first_merge`: full DuckDB replay of BPE training's
     * rank-0 selection — word dictionary (whitespace tokens of the
     * trimmed/lowercased text), per-position adjacent symbol pairs over

@@ -366,6 +366,14 @@ private[graft] object Oracles {
 
     "pagerank_weighted" -> pagerankWeightedOracle,
 
+    "quality_lr_train" -> qualityLrTrainOracle,
+
+    "quality_lr_scores" -> qualityLrScoresOracle,
+
+    "pca_power_component" -> pcaPowerComponentOracle,
+
+    "pca_project" -> pcaProjectOracle,
+
     "bpe_first_merge" -> bpeFirstMergeOracle,
 
     // the roundtrip law is computed entirely engine-side (decode∘encode vs

@@ -332,6 +332,27 @@ private[graft] object Queries {
           count(when(col("rt") =!= col("nm"), 1)).as("n_mismatch"))
     }),
 
+    "quality_lr_train" -> ((s, dir) => {
+      // learned quality filtering: distributed full-batch GD on a linear
+      // model over parity-proven text features (label: lang == 'en').
+      // Exact-decimal gradient sums + round-12 updates make every
+      // iteration's weights bit-reproducible — the oracle replays all 3
+      // GD steps from the corpus
+      val w = Learn.trainLinear(
+        Learn.qualityFeatures(Tables.documents(s, dir)),
+        Seq("x1", "x2", "x3"), "y", iters = 3)
+      import s.implicits._
+      Seq(("bias", w(0)), ("x1_tokens", w(1)), ("x2_punct", w(2)), ("x3_stop", w(3)))
+        .toDF("feature", "weight").orderBy(col("feature"))
+    }),
+
+    "quality_lr_scores" -> ((s, dir) => {
+      // train (3 GD steps) + score every document through the rational
+      // sigmoid (exp is not IEEE-exact across engines; z/(1+|z|) is) —
+      // one narrow scoring scan with the trained weights inlined
+      Learn.scoreDocuments(Tables.documents(s, dir), iters = 3)
+    }),
+
     "fingerprints_md5" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp_md5"))
@@ -347,6 +368,22 @@ private[graft] object Queries {
     // ------------------------------------------------ vectors / similarity (M6)
     "embed_norms" -> ((s, dir) => {
       Similarity.norms(Tables.embeddings(s, dir)).orderBy(col("vec_id"))
+    }),
+
+    "pca_power_component" -> ((s, dir) => {
+      // top principal axis of the embedding corpus: moments distributed
+      // (posexplode² with map-side combine — shuffle is partitions × d²,
+      // never corpus-sized), 3 power iterations on the driver-resident
+      // d×d covariance. sqrt is IEEE-correctly-rounded, so the oracle
+      // replays mean, covariance and every iterate bit-exactly — the
+      // deterministic round12(1/sqrt(d)) start even pins the sign
+      Pca.topComponent(Tables.embeddings(s, dir), dim = 64, iters = 3)
+    }),
+
+    "pca_project" -> ((s, dir) => {
+      // project every vector onto the trained axis: exact-decimal dot
+      // product in a HOF fold — one narrow codegen scan, no shuffle
+      Pca.projectTop(Tables.embeddings(s, dir), dim = 64, iters = 3)
     }),
 
     "ann_brute_topk" -> ((s, dir) => {

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions
+
+/**
+ * Learned quality filtering: a linear document-quality classifier trained
+ * distributed by full-batch gradient descent — the Spark-native analogue of
+ * the fastText/logistic quality classifiers in CCNet-style curation
+ * pipelines (score every document, keep the high-scoring tail). The model
+ * here is honest but tiny (a handful of engine-computable features); the
+ * point is the TRAINING SHAPE: corpus-sized work stays distributed, the
+ * model (d+1 weights) passes through the driver between iterations — the
+ * same model-sized-state discipline as [[Graph.pageRank]] and the Lloyd
+ * codebook loops.
+ *
+ * Numeric discipline (what makes a float training loop hash-comparable
+ * across engines AND partitionings, cf. [[Graph]]): every per-row gradient
+ * contribution is rounded to 12 decimals and summed as DECIMAL(30,12)
+ * (exact, order-free); the weight update `w - lr * (g / n)` is re-rounded
+ * to 12; the prediction is the fixed left-associated chain
+ * `((w0 + w1*x1) + w2*x2) + w3*x3`, the exact IEEE shape an ANSI SQL
+ * expression parses to — so a DuckDB oracle replays every iteration
+ * bit-for-bit. The calibrated score uses the RATIONAL sigmoid
+ * `0.5 + 0.5 * z / (1 + |z|)` instead of the logistic `1/(1+e^-z)`:
+ * +, *, /, abs are correctly-rounded IEEE operations on every engine,
+ * `exp` is not — the monotone rational link gives the same ranking with
+ * cross-engine bit parity.
+ *
+ * Scale shape: one narrow feature-projection scan is computed ONCE and
+ * cached; each GD iteration is one pass over it feeding d+1 decimal
+ * aggregates (partial/final — map-side combine reduces the shuffle to
+ * #partitions × (d+1) rows). At 100 TB with K iterations that is K cached
+ * scans and a constant-width shuffle; the weights never leave the driver.
+ */
+object Learn {
+
+  /** Fixed GD hyperparameters shared with the DuckDB replay. */
+  val LearningRate = 0.5
+
+  /**
+   * Engine-computable quality features per document, every expression
+   * cross-engine parity-proven by the `text_metrics` gate family:
+   * token count (scaled), punctuation ratio, stopword ratio — plus the
+   * supervision label `y` = 1.0 for English documents (the "target
+   * language" signal a curation classifier is typically trained on).
+   * Returns (id, y, x1, x2, x3).
+   */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", langCol: String = "lang"): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      when(col(langCol) === "en", 1.0).otherwise(0.0).as("y"),
+      (TextFunctions.tokenCount(col(textCol)).cast("double") / 100.0).as("x1"),
+      TextFunctions.punctRatio(col(textCol)).as("x2"),
+      TextFunctions.stopwordRatio(col(textCol), TextAnalysis.Stopwords).as("x3"))
+
+  /** The fixed-association linear predictor `((w0 + w1*x1) + w2*x2) + ...`
+    * over the given feature columns — the shape an ANSI SQL left-to-right
+    * parse produces, so oracles can write it as plain infix arithmetic. */
+  def predictor(weights: Array[Double], featCols: Seq[String]): Column =
+    featCols.zipWithIndex.foldLeft(lit(weights(0)): Column) {
+      case (acc, (c, j)) => acc + lit(weights(j + 1)) * col(c)
+    }
+
+  /**
+   * Full-batch gradient-descent training of a linear model on squared loss:
+   * `iters` iterations of `w_j ← round12(w_j - lr * (g_j / n))` with
+   * `g_j = Σ round12((pred - y) * x_j)` summed as DECIMAL(30,12)
+   * (bias: `g_0 = Σ round12(pred - y)`). Returns the d+1 weights
+   * (bias first). Deterministic under any partitioning; replayable
+   * bit-for-bit by unrolled SQL CTEs.
+   */
+  def trainLinear(features: DataFrame, featCols: Seq[String], labelCol: String,
+                  iters: Int, lr: Double = LearningRate): Array[Double] = {
+    require(iters >= 0, s"trainLinear: iters must be >= 0, got $iters")
+    require(lr > 0.0, s"trainLinear: lr must be > 0, got $lr")
+    val f = features.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = f.count()
+      require(n > 0, "trainLinear: empty training set")
+      val w = Array.fill(featCols.size + 1)(0.0)
+      var k = 0
+      while (k < iters) {
+        val err = predictor(w, featCols) - col(labelCol)
+        def dsum(c: Column): Column =
+          sum(round(c, 12).cast(DecimalType(30, 12))).cast("double")
+        val aggs = dsum(err).as("g0") +:
+          featCols.zipWithIndex.map { case (c, j) => dsum(err * col(c)).as(s"g${j + 1}") }
+        val g = f.agg(aggs.head, aggs.tail: _*).head()
+        var j = 0
+        while (j < w.length) {
+          val gj = g.getDouble(j)
+          w(j) = LloydMath.toDecimal12(w(j) - lr * (gj / n), "Learn").doubleValue
+          j += 1
+        }
+        k += 1
+      }
+      w
+    } finally f.unpersist()
+  }
+
+  /** Rational sigmoid calibration `round6(0.5 + 0.5 * (z / (1 + |z|)))` —
+    * monotone in z, range (0,1), every op correctly-rounded IEEE. */
+  def rationalSigmoid(z: Column): Column =
+    round(lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z))), 6)
+
+  /**
+   * Train on the corpus' own features (`iters` GD steps) and score every
+   * document: (id, label, score, pred_label) ordered by id. One narrow
+   * scoring scan with the trained weights inlined as literals.
+   */
+  def scoreDocuments(docs: DataFrame, iters: Int): DataFrame = {
+    val feats = qualityFeatures(docs)
+    val w = trainLinear(feats, Seq("x1", "x2", "x3"), "y", iters)
+    val score = rationalSigmoid(predictor(w, Seq("x1", "x2", "x3")))
+    feats.select(col("id").as("doc_id"), col("y").as("label"), score.as("score"))
+      .withColumn("pred_label", when(col("score") >= 0.5, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.VectorFunctions
+
+/**
+ * Principal-component analysis over an embedding column — the
+ * dimensionality-reduction / drift-diagnosis step of an embedding-heavy
+ * curation pipeline (project 64-dim vectors onto their dominant axis to
+ * histogram, stratify, or spot batch effects). Two distributed passes plus
+ * driver-side power iteration:
+ *
+ *  1. MOMENTS: one cached clean scan feeds the per-dimension mean (d
+ *     decimal aggregates) and the raw second-moment matrix (d² groups —
+ *     posexplode² stays inside the codegen pipeline; the groupBy's partial
+ *     aggregation map-side-combines, so the shuffle is #partitions × d²
+ *     rows, NEVER corpus-sized). The covariance `round12(s_ij/n - μ_i μ_j)`
+ *     is model-sized (d² doubles) and assembled on the driver.
+ *  2. POWER ITERATION: `iters` rounds of `v ← round12(Cv / ‖Cv‖)` on the
+ *     driver — d² flops per round on a bounded matrix (the Lloyd-codebook
+ *     shape: corpus-sized work distributed, model-sized state local).
+ *  3. PROJECT: one narrow scan; per-vector dot product against the
+ *     component via exact fixed-point arithmetic (round12 terms summed as
+ *     integer micro-units in a HOF fold — no shuffle, no UDF).
+ *
+ * Numeric discipline (cf. [[Graph]], [[Learn]]): contributions rounded to
+ * 12 decimals, summed exactly (DECIMAL(30,12) in cluster aggregates,
+ * BigDecimal on the driver, integer 1e-12 units in the projection fold),
+ * updates re-rounded to 12. `sqrt` IS correctly-rounded under IEEE 754
+ * (unlike exp/log), so the normalization replays bit-for-bit — a DuckDB
+ * oracle re-derives the mean, the covariance, every power iterate and
+ * every projection hash-exactly. The start vector `round12(1/√d)` is
+ * deterministic, so even the component's SIGN is pinned — no sign
+ * convention needed.
+ */
+object Pca {
+
+  /** Clean = finite, expected arity (the [[Similarity]] convention). */
+  private def cleanVectors(embeds: DataFrame, dim: Int, vecCol: String): DataFrame =
+    embeds.filter(VectorFunctions.isFiniteVec(col(vecCol)) && size(col(vecCol)) === dim)
+
+  private def round12(x: Double): Double =
+    LloydMath.toDecimal12(x, "Pca").doubleValue
+
+  /**
+   * Covariance of the clean vectors over 6-decimal-QUANTIZED inputs
+   * `q_i = round6(x_i)`: returns (n, mean, cov) with
+   * `mean_i = round12(Σ q_i / n)` and
+   * `cov_ij = round12(Σ round12(q_i q_j) / n - mean_i mean_j)`
+   * (decimal-exact sums; x cast float→double before any arithmetic).
+   *
+   * WHY the input quantization (the [[LloydMath]] discipline): a product of
+   * two 6-decimal values is an EXACT 12-decimal value, and float×float is
+   * exact in double (24+24 ≤ 53 mantissa bits) — so every one of the N·d²
+   * per-row `round12` calls lands ON the decimal grid, where every engine's
+   * rounding agrees. Rounding raw float products instead puts ~N·d²
+   * arbitrary doubles through round12, where exact-decimal HALF_UP (Spark,
+   * this driver) and scaled `std::round` (DuckDB) disagree with probability
+   * ∝ |x|·10¹²·2⁻⁵³ per call — measured as ~10⁻⁹-level drift at corpus
+   * scale. After quantization the only arbitrary-value roundings left are
+   * the ~d² small-magnitude one-shots below (expected cross-engine flips
+   * ≪ 1). 1e-6 resolution is a deliberate, SQ8-style quantization — far
+   * below any diagnostic signal in unit-scale embeddings.
+   */
+  def moments(embeds: DataFrame, dim: Int,
+              vecCol: String = "embedding"): (Long, Array[Double], Array[Array[Double]]) = {
+    require(dim > 0, s"Pca.moments: dim must be > 0, got $dim")
+    val clean = cleanVectors(embeds, dim, vecCol)
+      .select(transform(col(vecCol), x => round(x.cast("double"), 6)).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = clean.count()
+      require(n > 0, "Pca.moments: no clean vectors")
+      def dsum(c: Column): Column =
+        sum(round(c, 12).cast(DecimalType(30, 12))).cast("double")
+      val meanRows = clean
+        .select(posexplode(col("e")).as(Seq("i", "xi")))
+        .groupBy(col("i")).agg(dsum(col("xi")).as("s"))
+        .collect()
+      val mean = Array.ofDim[Double](dim)
+      meanRows.foreach(r => mean(r.getInt(0)) = round12(r.getDouble(1) / n))
+      val pairRows = clean
+        .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
+        .groupBy(col("i"), col("j"))
+        .agg(dsum(col("xi") * col("xj")).as("s"))
+        .collect()
+      val cov = Array.ofDim[Double](dim, dim)
+      pairRows.foreach { r =>
+        cov(r.getInt(0))(r.getInt(1)) = round12(r.getDouble(2) / n - mean(r.getInt(0)) * mean(r.getInt(1)))
+      }
+      (n, mean, cov)
+    } finally clean.unpersist()
+  }
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** `iters` power iterations on a (driver-resident, model-sized) matrix
+    * from the deterministic start `v_i = round12(1/√d)`:
+    * `y = Σ_j round12(c6_ij v6_j)` over the 6-QUANTIZED operands
+    * `c6 = round6(c)`, `v6 = round6(v)` (exact decimal sums),
+    * `‖y‖ = round12(√Σ round12(y_i²))`, `v' = round12(y_i/‖y‖)`. The
+    * iterate after `iters` rounds is the pinned, replayable result
+    * (convergence is not part of the contract).
+    *
+    * WHY the per-round operand quantization: a 12-decimal matrix entry
+    * times a short vector entry can land EXACTLY on a 12th-decimal
+    * rounding tie (with `v0 = 0.125`, ⅛ of all first-round products do),
+    * and at an exact tie the engines' rounding paths disagree ~half the
+    * time. 6-decimal operands make every product an exact 12-grid value —
+    * no tie, no hazard — the same discipline as [[moments]]' input
+    * quantization. */
+  def powerIteration(cov: Array[Array[Double]], iters: Int): Array[Double] = {
+    require(iters >= 0, s"Pca.powerIteration: iters must be >= 0, got $iters")
+    val d = cov.length
+    val cov6 = cov.map(_.map(round6))
+    var v = Array.fill(d)(round12(1.0 / math.sqrt(d.toDouble)))
+    var k = 0
+    while (k < iters) {
+      val v6 = v.map(round6)
+      val y = Array.tabulate(d) { i =>
+        var acc = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < d) {
+          acc = acc.add(LloydMath.toDecimal12(cov6(i)(j) * v6(j), "Pca"))
+          j += 1
+        }
+        acc.doubleValue
+      }
+      var ss = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < d) { ss = ss.add(LloydMath.toDecimal12(y(i) * y(i), "Pca")); i += 1 }
+      val nrm = round12(math.sqrt(ss.doubleValue))
+      require(nrm != 0.0, "Pca.powerIteration: zero-norm iterate (degenerate covariance)")
+      v = y.map(yi => round12(yi / nrm))
+      k += 1
+    }
+    v
+  }
+
+  /** Top principal axis as a DataFrame (i, loading), `iters` power rounds. */
+  def topComponent(embeds: DataFrame, dim: Int, iters: Int,
+                   vecCol: String = "embedding"): DataFrame = {
+    val (_, _, cov) = moments(embeds, dim, vecCol)
+    val v = powerIteration(cov, iters)
+    val spark = embeds.sparkSession
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq.toDF("i", "loading")
+      .orderBy(col("i"))
+  }
+
+  /**
+   * Project every clean vector onto `component`:
+   * `proj = round12(Σ_i round12(q_i v6_i))` over the 6-quantized inputs
+   * and the 6-quantized component (`v6 = round6(v)`) — every term an exact
+   * 12-decimal grid value (see [[moments]]), summed EXACTLY as
+   * DECIMAL(30,12) inside a HOF fold (decimal addition is exact and
+   * order-free, so the narrow fold matches any oracle summation order).
+   * One codegen scan, no shuffle — the 100 TB shape.
+   */
+  def project(embeds: DataFrame, component: Array[Double],
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dim = component.length
+    val dec = DecimalType(30, 12)
+    val v6 = component.map(x =>
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+    val compLit = array(v6.map(lit): _*)
+    val terms = zip_with(col(vecCol), compLit,
+      (x, w) => round(round(x.cast("double"), 6) * w, 12).cast(dec))
+    val proj = round(
+      aggregate(terms, lit(java.math.BigDecimal.ZERO).cast(dec),
+        (acc, t) => (acc + t).cast(dec)).cast("double"), 12)
+    cleanVectors(embeds, dim, vecCol)
+      .select(col(idCol), proj.as("proj"))
+      .orderBy(col(idCol))
+  }
+
+  /** End-to-end: moments → power iteration → projection of the same corpus
+    * (id, proj), the drift-histogram input. */
+  def projectTop(embeds: DataFrame, dim: Int, iters: Int,
+                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val (_, _, cov) = moments(embeds, dim, vecCol)
+    project(embeds, powerIteration(cov, iters), vecCol, idCol)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Learn
+
+/** Learned quality filtering: GD-training laws, a bit-exact naive driver
+  * replay of the distributed loop, and partitioning-invariance of the
+  * decimal gradient sums. */
+class LearnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toyFeatures = Seq(
+    // separable-ish: y=1 rows have higher x1, lower x2
+    (1L, 1.0, 1.2, 0.02, 0.5), (2L, 1.0, 0.9, 0.05, 0.4),
+    (3L, 1.0, 1.5, 0.01, 0.6), (4L, 0.0, 0.2, 0.30, 0.1),
+    (5L, 0.0, 0.1, 0.25, 0.0), (6L, 0.0, 0.3, 0.40, 0.2)
+  ).toDF("id", "y", "x1", "x2", "x3")
+
+  test("training reduces squared loss over iterations") {
+    def loss(w: Array[Double]): Double = {
+      val rows = toyFeatures.select(col("y"), col("x1"), col("x2"), col("x3")).collect()
+      rows.map { r =>
+        val p = w(0) + w(1) * r.getDouble(1) + w(2) * r.getDouble(2) + w(3) * r.getDouble(3)
+        val e = p - r.getDouble(0); e * e
+      }.sum
+    }
+    val w0 = Array(0.0, 0.0, 0.0, 0.0)
+    val w3 = Learn.trainLinear(toyFeatures, Seq("x1", "x2", "x3"), "y", iters = 3)
+    val w8 = Learn.trainLinear(toyFeatures, Seq("x1", "x2", "x3"), "y", iters = 8)
+    assert(loss(w3) < loss(w0))
+    assert(loss(w8) < loss(w3))
+  }
+
+  test("matches a naive driver-side GD loop with the same rounding bit-for-bit") {
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = toyFeatures.collect().map(r =>
+      (r.getDouble(1), Array(r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+    val n = rows.length
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val g = Array.fill(4)(java.math.BigDecimal.ZERO)
+      rows.foreach { case (y, x) =>
+        val pred = ((w(0) + w(1) * x(0)) + w(2) * x(1)) + w(3) * x(2)
+        val err = pred - y
+        g(0) = g(0).add(java.math.BigDecimal.valueOf(r12(err)))
+        for (j <- 0 until 3)
+          g(j + 1) = g(j + 1).add(java.math.BigDecimal.valueOf(r12(err * x(j))))
+      }
+      w = Array.tabulate(4)(j => r12(w(j) - 0.5 * (g(j).doubleValue / n)))
+    }
+    val got = Learn.trainLinear(toyFeatures, Seq("x1", "x2", "x3"), "y", iters = 3)
+    assert(got.toSeq == w.toSeq)
+  }
+
+  test("weights are invariant under repartitioning (order-free decimal sums)") {
+    val a = Learn.trainLinear(toyFeatures.repartition(7), Seq("x1", "x2", "x3"), "y", 3)
+    val b = Learn.trainLinear(toyFeatures.repartition(2), Seq("x1", "x2", "x3"), "y", 3)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("scoreDocuments: rational sigmoid is monotone and separates the toy corpus") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was a good day for this", "en", "s"),
+      (2L, "der hund lief schnell durch den park und bellte laut dabei", "de", "s"),
+      (3L, "the quick brown fox jumps over the lazy dog in the sun", "en", "s"),
+      (4L, "el gato negro duerme en la casa grande cerca del rio", "es", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val out = Learn.scoreDocuments(docs, iters = 5).collect()
+    assert(out.length == 4)
+    val byId = out.map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // scores in (0,1)
+    assert(byId.values.forall { case (_, s) => s > 0.0 && s < 1.0 })
+    // mean English score above mean non-English score after training
+    val (en, non) = byId.values.partition(_._1 == 1.0)
+    assert(en.map(_._2).sum / en.size > non.map(_._2).sum / non.size)
+  }
+
+  test("parameter validation rejects bad iters/lr/empty input") {
+    intercept[IllegalArgumentException] {
+      Learn.trainLinear(toyFeatures, Seq("x1"), "y", iters = -1)
+    }
+    intercept[IllegalArgumentException] {
+      Learn.trainLinear(toyFeatures, Seq("x1"), "y", iters = 1, lr = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Learn.trainLinear(toyFeatures.filter(col("id") < 0), Seq("x1"), "y", 1)
+    }
+  }
+}

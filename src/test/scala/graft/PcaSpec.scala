@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pca
+
+/** PCA: moment laws on hand-checkable input, a bit-exact naive driver
+  * replay of the distributed moments, power-iteration behavior on a known
+  * matrix, and clean-vector filtering in the projection. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r12(x: Double): Double =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def toyVecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.25f)),
+    (2L, Array(0.5f, 0.5f, -0.25f)),
+    (3L, Array(0.0f, 1.0f, 0.5f)),
+    (4L, Array(-0.5f, 0.25f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("moments: mean and covariance match a naive driver replay bit-for-bit") {
+    val (n, mean, cov) = Pca.moments(toyVecs, dim = 3)
+    assert(n == 4)
+    val q = toyVecs.collect().map(_.getSeq[Float](1).toArray.map(x => r6(x.toDouble)))
+    def dsum(vals: Iterable[Double]): Double = {
+      var acc = java.math.BigDecimal.ZERO
+      vals.foreach(v => acc = acc.add(java.math.BigDecimal.valueOf(r12(v))))
+      acc.doubleValue
+    }
+    val m = Array.tabulate(3)(i => r12(dsum(q.map(_(i))) / 4))
+    assert(mean.toSeq == m.toSeq)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val s = dsum(q.map(v => v(i) * v(j)))
+      assert(cov(i)(j) == r12(s / 4 - m(i) * m(j)), s"cov($i)($j)")
+    }
+    // symmetry comes free from the exact arithmetic
+    for (i <- 0 until 3; j <- 0 until 3) assert(cov(i)(j) == cov(j)(i))
+  }
+
+  test("moments are invariant under repartitioning (order-free decimal sums)") {
+    val (_, m1, c1) = Pca.moments(toyVecs.repartition(5), dim = 3)
+    val (_, m2, c2) = Pca.moments(toyVecs.repartition(1), dim = 3)
+    assert(m1.toSeq == m2.toSeq)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
+  test("power iteration converges to the dominant axis of a known matrix") {
+    // diag(0.09, 0.01, 0.0025): dominant eigenvector is e0 (up to sign;
+    // the all-positive deterministic start keeps the positive orientation)
+    val m = Array(
+      Array(0.09, 0.0, 0.0), Array(0.0, 0.01, 0.0), Array(0.0, 0.0, 0.0025))
+    val v = Pca.powerIteration(m, iters = 8)
+    assert(math.abs(v(0) - 1.0) < 1e-6)
+    assert(math.abs(v(1)) < 1e-6 && math.abs(v(2)) < 1e-6)
+    // unit norm up to the rounding discipline
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-6)
+  }
+
+  test("zero iterations returns the deterministic start; negative rejected") {
+    val m = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val v0 = Pca.powerIteration(m, iters = 0)
+    assert(v0.toSeq == Seq.fill(2)(r12(1.0 / math.sqrt(2.0))))
+    intercept[IllegalArgumentException] { Pca.powerIteration(m, iters = -1) }
+  }
+
+  test("project: exact quantized dot products; non-finite and wrong-arity rows dropped") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(Float.NaN, 0.0f, 0.0f)),   // dropped: non-finite
+      (3L, Array(1.0f, 1.0f)),              // dropped: wrong arity
+      (4L, Array(-1.0f, 0.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val comp = Array(0.5, 0.25, 0.1234567) // quantized to 0.123457 inside
+    val out = Pca.project(vecs, comp).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    def dot(x: Array[Double]) =
+      r12((0 until 3).map(i => java.math.BigDecimal.valueOf(r12(r6(x(i)) * r6(comp(i)))))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue)
+    assert(out(0).getDouble(1) == dot(Array(1.0, 2.0, 3.0)))
+    assert(out(1).getDouble(1) == dot(Array(-1.0, 0.5, 0.0)))
+  }
+
+  test("projectTop end-to-end orders the toy corpus along its dominant spread") {
+    val out = Pca.projectTop(toyVecs, dim = 3, iters = 6).collect()
+    assert(out.length == 4)
+    // the projection must not be constant (there IS spread to find)
+    assert(out.map(_.getDouble(1)).distinct.length > 1)
+  }
+}
