@@ -68,29 +68,49 @@ object Pca {
   def moments(embeds: DataFrame, dim: Int,
               vecCol: String = "embedding"): (Long, Array[Double], Array[Array[Double]]) = {
     require(dim > 0, s"Pca.moments: dim must be > 0, got $dim")
+    // 6-quantized values carried as EXACT 1e-6-unit integers: the per-row
+    // product and the group sums become plain long arithmetic (the decimal
+    // hash-aggregate over N·d² rows is ~20× slower — Decimal allocation per
+    // row — for identical exact results)
     val clean = cleanVectors(embeds, dim, vecCol)
-      .select(transform(col(vecCol), x => round(x.cast("double"), 6)).as("e"))
+      .select(transform(col(vecCol),
+        x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long")).as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = clean.count()
       require(n > 0, "Pca.moments: no clean vectors")
-      def dsum(c: Column): Column =
-        sum(round(c, 12).cast(DecimalType(30, 12))).cast("double")
       val meanRows = clean
         .select(posexplode(col("e")).as(Seq("i", "xi")))
-        .groupBy(col("i")).agg(dsum(col("xi")).as("s"))
+        .groupBy(col("i")).agg(sum(col("xi")).as("s"), max(abs(col("xi"))).as("m"))
         .collect()
       val mean = Array.ofDim[Double](dim)
-      meanRows.foreach(r => mean(r.getInt(0)) = round12(r.getDouble(1) / n))
+      var maxAbs = 0L
+      meanRows.foreach { r =>
+        mean(r.getInt(0)) = round12(java.math.BigDecimal.valueOf(r.getLong(1), 6).doubleValue / n)
+        maxAbs = math.max(maxAbs, r.getLong(2))
+      }
+      // overflow guard for the long fast path: every (i,j) group sums n
+      // terms of |t| ≤ maxAbs² (1e-12 units). Unit-scale embeddings pass by
+      // orders of magnitude; past the bound, sum the same exact 1e-12-unit
+      // terms as DECIMAL(30,0) — identical values, corpus-scale-safe.
+      val longSafe = maxAbs == 0L ||
+        n <= (Long.MaxValue / 2) / (maxAbs * maxAbs)
+      val pairSum: Column =
+        if (longSafe) sum(col("xi") * col("xj"))
+        else sum((col("xi") * col("xj")).cast(DecimalType(30, 0))).cast("decimal(38,0)")
       val pairRows = clean
         .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
         .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
         .groupBy(col("i"), col("j"))
-        .agg(dsum(col("xi") * col("xj")).as("s"))
+        .agg(pairSum.as("s"))
         .collect()
       val cov = Array.ofDim[Double](dim, dim)
       pairRows.foreach { r =>
-        cov(r.getInt(0))(r.getInt(1)) = round12(r.getDouble(2) / n - mean(r.getInt(0)) * mean(r.getInt(1)))
+        val sUnits = // exact Σ q_i q_j in 1e-12 units
+          if (longSafe) java.math.BigDecimal.valueOf(r.getLong(2))
+          else r.getDecimal(2)
+        val s = new java.math.BigDecimal(sUnits.unscaledValue(), 12).doubleValue
+        cov(r.getInt(0))(r.getInt(1)) = round12(s / n - mean(r.getInt(0)) * mean(r.getInt(1)))
       }
       (n, mean, cov)
     } finally clean.unpersist()
