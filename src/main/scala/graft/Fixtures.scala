@@ -223,6 +223,21 @@ private[graft] object Fixtures {
        |${iterCtes.mkString(",\n")}""".stripMargin
   }
 
+  /** Oracle for `zorder_value`: the Morton interleave replayed as plain
+    * BIGINT shift/and/or — dimension 0 (partkey rank) owns the
+    * least-significant position of each bit group, exactly like
+    * [[sources.Layout.interleaveBits]]. */
+  def zorderValueOracle: String = {
+    val bits = (0 until 8).flatMap { i =>
+      Seq("l_partkey", "l_suppkey").zipWithIndex.map { case (c, j) =>
+        s"(((($c % 256)::BIGINT >> $i) & 1) << ${i * 2 + j})"
+      }
+    }
+    s"""SELECT l_orderkey, l_linenumber,
+       |  ${bits.mkString(" | ")} AS zval
+       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   /** Oracle for `quality_lr_train`: all 3 GD iterations replayed, final
     * weights named like the engine's output rows. */
   def qualityLrTrainOracle: String =

@@ -366,6 +366,8 @@ private[graft] object Oracles {
 
     "pagerank_weighted" -> pagerankWeightedOracle,
 
+    "zorder_value" -> zorderValueOracle,
+
     "quality_lr_train" -> qualityLrTrainOracle,
 
     "quality_lr_scores" -> qualityLrScoresOracle,

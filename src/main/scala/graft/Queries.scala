@@ -332,6 +332,20 @@ private[graft] object Queries {
           count(when(col("rt") =!= col("nm"), 1)).as("n_mismatch"))
     }),
 
+    "zorder_value" -> ((s, dir) => {
+      // the Z-order (Morton) interleave kernel behind Layout.writeZOrdered,
+      // oracle-checked bit for bit on modular ranks (the width_bucket
+      // quantization path is LayoutSpec-pinned — DuckDB lacks the
+      // function); pure shift/and/or arithmetic, fully inside codegen
+      import graft.sources.Layout
+      val li = Tables.lineitem(s, dir)
+      val ranks = Seq(pmod(col("l_partkey"), lit(256)).cast("long"),
+        pmod(col("l_suppkey"), lit(256)).cast("long"))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          Layout.interleaveBits(ranks).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "quality_lr_train" -> ((s, dir) => {
       // learned quality filtering: distributed full-batch GD on a linear
       // model over parity-proven text features (label: lang == 'en').
