@@ -514,6 +514,36 @@ private[graft] object Oracles {
         |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
         |ORDER BY a, b""".stripMargin,
 
+    "containment_pairs" ->
+      """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |d0 AS (
+        |  SELECT doc_id, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1,
+        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+        |  FROM src),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+        |           i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS sh
+        |  FROM d0
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |dfok AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 100),
+        |exf AS (SELECT ex.doc_id, ex.g FROM ex JOIN dfok USING (g)),
+        |p AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+        |  FROM exf x JOIN exf y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM s)
+        |SELECT a, b,
+        |       round(CAST(inter AS DOUBLE) / sa.n, 6) AS contain_a_in_b,
+        |       round(CAST(inter AS DOUBLE) / sb.n, 6) AS contain_b_in_a
+        |FROM p JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |WHERE greatest(CAST(inter AS DOUBLE) / sa.n, CAST(inter AS DOUBLE) / sb.n) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
     "normalize_text" ->
       """WITH fx AS (
         |  SELECT doc_id,

@@ -555,6 +555,18 @@ private[graft] object Queries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "containment_pairs" -> ((s, dir) => {
+      // asymmetric containment |S(a)∩S(b)|/|S(a)| over the truncated-copy
+      // fixture: the 75%-prefix near-dups sit at Jaccard ≈ 0.75 but
+      // containment ≈ 1.0 on the truncated side — the subset-inclusion
+      // signal symmetric thresholds miss. Same bounded scope as
+      // ngram_jaccard_pairs (every 5th doc); inverted-index df-cut at 100
+      Dedup.containmentPairs(
+        docsWithNearDups(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)),
+        threshold = 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "normalize_text" -> ((s, dir) => {
       // Unicode NFC normalization (codegen'd text_normalize): each doc is
       // prefixed with denormalized text — combining acute (e+U+0301) and

@@ -421,6 +421,53 @@ object Dedup {
   }
 
   /**
+   * Asymmetric shingle-CONTAINMENT pairs: `C(a→b) = |S(a)∩S(b)| / |S(a)|`.
+   * Symmetric Jaccard misses subset inclusion — a short document quoted
+   * whole inside a long one, or a boilerplate-wrapped copy, keeps
+   * containment ≈ 1 on the small side while Jaccard shrinks with the size
+   * gap. Returns one row per unordered pair (a < b) with BOTH directions'
+   * containments, kept when either direction ≥ `threshold`.
+   *
+   * Scale shape: pair generation is the inverted-index equi-join on the
+   * shingle key with a DOCUMENT-FREQUENCY cut — shingles appearing in more
+   * than `maxDf` documents are excluded from pairing (a boilerplate
+   * shingle would otherwise pair everything with everything; the same
+   * coverage-cap discipline as [[minHashLsh]]'s `maxBucketSize`).
+   * Denominators stay the FULL per-document shingle counts, so the df-cut
+   * can only lower a containment estimate, never inflate it. Exact
+   * pairwise output is inherently quadratic in shingle collisions — use
+   * bounded scopes or [[minHashLsh]] candidates upstream at corpus scale.
+   */
+  def containmentPairs(docs: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       maxDf: Int = 100): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentPairs: threshold must be in (0, 1], got $threshold")
+    require(maxDf >= 1, s"containmentPairs: maxDf must be >= 1, got $maxDf")
+    val d = docs.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = d.select(col("id"), explode(col("sh")).as("g"))
+    val dfOk = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    val exf = ex.join(dfOk, "g")
+    val sizes = d.select(col("id"), size(col("sh")).as("n"))
+    exf.as("x").join(exf.as("y"), col("x.g") === col("y.g"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("ca", col("inter").cast("double") / col("na").cast("double"))
+      .withColumn("cb", col("inter").cast("double") / col("nb").cast("double"))
+      .filter(greatest(col("ca"), col("cb")) >= threshold)
+      .select(col("a"), col("b"),
+        round(col("ca"), 6).as("contain_a_in_b"),
+        round(col("cb"), 6).as("contain_b_in_a"))
+  }
+
+  /**
    * SimHash near-dup pairs: 64-bit signature, banded into `bands` chunks of
    * 64/bands bits (a pair within Hamming distance d collides on ≥1 band when
    * d < bands); verify candidates by exact Hamming ≤ `maxHamming`.

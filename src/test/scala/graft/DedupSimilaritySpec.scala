@@ -56,6 +56,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(j12 - 11.0 / 12.0) < 1e-6, s"j12=$j12")
   }
 
+  test("containmentPairs: a quoted subset is flagged by containment where jaccard misses it") {
+    import spark.implicits._
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val cd = Seq(
+      (1L, big),                              // host document
+      (2L, "alpha beta gamma delta epsilon"), // fully contained 5-token quote
+      (3L, "totally unrelated words about another topic entirely here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(cd, shingleN = 3, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    // doc2's 3 shingles all appear in doc1 (12 shingles): C(2→1)=1.0, C(1→2)=0.25
+    assert(got.keySet == Set(1L -> 2L))
+    val (ca, cb) = got(1L -> 2L)
+    assert(cb == 1.0 && math.abs(ca - 3.0 / 12.0) < 1e-6, s"ca=$ca cb=$cb")
+    // symmetric jaccard on the same pair is 0.25 — below any near-dup threshold
+    val j = Dedup.ngramJaccardPairs(cd, shingleN = 3, threshold = 0.01)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j(1L -> 2L) < 0.3)
+  }
+
+  test("containmentPairs df-cut: a boilerplate shingle shared by all docs pairs nothing") {
+    import spark.implicits._
+    // every doc shares one boilerplate sentence (the same 5 tokens) but is
+    // otherwise unique; with maxDf=2 the boilerplate shingles are excluded
+    // from pairing, so no pair reaches the threshold
+    val boiler = "subscribe to our newsletter today"
+    val cd = (1L to 4L).map(i =>
+      (i, s"$boiler unique$i content$i words$i body$i text$i")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(cd, shingleN = 3, threshold = 0.3, maxDf = 2)
+    assert(got.count() == 0)
+    // without the cut the boilerplate DOES pair them — the cut is load-bearing
+    val uncut = Dedup.containmentPairs(cd, shingleN = 3, threshold = 0.3, maxDf = 100)
+    assert(uncut.count() > 0)
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(cd, threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(cd, maxDf = 0)
+    }
+  }
+
   test("embeddingNearDup finds identical vectors via SRP buckets") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, -0.2f)),
