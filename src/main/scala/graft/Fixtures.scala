@@ -260,6 +260,17 @@ private[graft] object Fixtures {
        |       THEN 1 ELSE 0 END AS pred_label
        |FROM f, w3 ORDER BY doc_id""".stripMargin
 
+  /** Oracle for `streaming_quality_score`: [[qualityLrScoresOracle]]
+    * restricted to the streamed id slice — training still sees the FULL
+    * corpus (the engine trains batch-side before streaming). */
+  def streamingQualityScoreOracle: String =
+    s"""${learnCtes(3)}
+       |SELECT doc_id, y AS label,
+       |  round(0.5 + 0.5 * ((b + w1 * x1 + w2 * x2 + w3 * x3) / (1.0 + abs(b + w1 * x1 + w2 * x2 + w3 * x3))), 6) AS score,
+       |  CASE WHEN round(0.5 + 0.5 * ((b + w1 * x1 + w2 * x2 + w3 * x3) / (1.0 + abs(b + w1 * x1 + w2 * x2 + w3 * x3))), 6) >= 0.5
+       |       THEN 1 ELSE 0 END AS pred_label
+       |FROM f, w3 WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
   /** Shared CTEs for the `pca_*` oracles: clean vectors → positional
     * explode with 6-decimal input quantization (products of 6-decimal
     * values are EXACT 12-decimal grid values, so the per-row round12 is

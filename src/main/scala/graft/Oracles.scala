@@ -362,6 +362,8 @@ private[graft] object Oracles {
 
     "streaming_cluster_assign" -> streamingClusterAssignOracle,
 
+    "streaming_quality_score" -> streamingQualityScoreOracle,
+
     "pagerank_trade" -> pagerankTradeOracle,
 
     "pagerank_weighted" -> pagerankWeightedOracle,

@@ -1112,6 +1112,37 @@ private[graft] object Queries {
     }),
 
 
+    "streaming_quality_score" -> ((s, dir) => {
+      // the STREAMING quality-scoring path gated against the same full
+      // DuckDB GD replay as quality_lr_scores: weights trained batch-side
+      // (3 exact-decimal GD iterations over the full corpus), then the
+      // first 100 docs streamed through the stateless scorer in two real
+      // micro-batches — streamed scores must hash-match the oracle's
+      // batch derivation restricted to those ids
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val w = Learn.trainLinear(
+        Learn.qualityFeatures(Tables.documents(s, dir)),
+        Seq("x1", "x2", "x3"), "y", iters = 3)
+      val rows = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .as[(Long, String, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val out = graft.streaming.StreamingQuality.scoreStream(
+        mem.toDF().toDF("doc_id", "text", "lang"), w)
+      val name = "sqs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .select(col("doc_id"), col("label"), col("score"), col("pred_label"))
+        .orderBy(col("doc_id"))
+    }),
+
     "streaming_cluster_assign" -> ((s, dir) => {
       // the STREAMING clustering path gated against the same full DuckDB
       // k-means replay as embedding_clusters: centroids trained batch-side

@@ -109,16 +109,26 @@ object Learn {
     round(lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z))), 6)
 
   /**
+   * Score documents with GIVEN weights: (doc_id, label, score, pred_label)
+   * — one narrow scan (features + inlined-literal predictor + rational
+   * sigmoid), no shuffle, no state. Applies unchanged to a STREAMING
+   * DataFrame ([[graft.streaming.StreamingQuality]]).
+   */
+  def scoreWith(docs: DataFrame, weights: Array[Double]): DataFrame = {
+    require(weights.length == 4, s"scoreWith: expected 4 weights, got ${weights.length}")
+    val feats = qualityFeatures(docs)
+    val score = rationalSigmoid(predictor(weights, Seq("x1", "x2", "x3")))
+    feats.select(col("id").as("doc_id"), col("y").as("label"), score.as("score"))
+      .withColumn("pred_label", when(col("score") >= 0.5, 1).otherwise(0))
+  }
+
+  /**
    * Train on the corpus' own features (`iters` GD steps) and score every
    * document: (id, label, score, pred_label) ordered by id. One narrow
    * scoring scan with the trained weights inlined as literals.
    */
   def scoreDocuments(docs: DataFrame, iters: Int): DataFrame = {
-    val feats = qualityFeatures(docs)
-    val w = trainLinear(feats, Seq("x1", "x2", "x3"), "y", iters)
-    val score = rationalSigmoid(predictor(w, Seq("x1", "x2", "x3")))
-    feats.select(col("id").as("doc_id"), col("y").as("label"), score.as("score"))
-      .withColumn("pred_label", when(col("score") >= 0.5, 1).otherwise(0))
-      .orderBy(col("doc_id"))
+    val w = trainLinear(qualityFeatures(docs), Seq("x1", "x2", "x3"), "y", iters)
+    scoreWith(docs, w).orderBy(col("doc_id"))
   }
 }

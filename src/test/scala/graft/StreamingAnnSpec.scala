@@ -211,4 +211,37 @@ class StreamingAnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq.sorted
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("streamed quality scores are row-identical to the batch scorer at the same weights") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val w = graft.operators.Learn.trainLinear(
+      graft.operators.Learn.qualityFeatures(docs), Seq("x1", "x2", "x3"), "y", iters = 2)
+    val probe = docs.filter($"doc_id" < 60)
+      .select($"doc_id", $"text", $"lang").as[(Long, String, String)].collect()
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val out = graft.streaming.StreamingQuality.scoreStream(
+      mem.toDF().toDF("doc_id", "text", "lang"), w)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sqs_spec").start()
+    try {
+      val (b1, b2) = probe.splitAt(probe.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // statelessness: append mode with zero state rows
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+
+    val streamed = spark.table("sqs_spec")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val batch = graft.operators.Learn.scoreWith(docs.filter($"doc_id" < 60), w)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
