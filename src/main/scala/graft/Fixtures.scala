@@ -280,36 +280,60 @@ private[graft] object Fixtures {
     * sqrt is IEEE-correctly-rounded, so the normalization (and therefore
     * every iterate, sign included) replays the driver arithmetic
     * bit-for-bit. */
-  private def pcaCtes(dim: Int, iters: Int): String = {
-    val iterCtes = (1 to iters).map { k =>
-      s"""y$k AS (SELECT c.i, CAST(SUM(CAST(round(round(c.c, 6) * round(p.pv, 6), 12) AS DECIMAL(30,12))) AS DOUBLE) AS y
-         |  FROM cov c JOIN p${k - 1} p ON p.i = c.j GROUP BY c.i),
-         |n$k AS (SELECT round(sqrt(CAST(SUM(CAST(round(y * y, 12) AS DECIMAL(30,12))) AS DOUBLE)), 12) AS nv FROM y$k),
-         |p$k AS (SELECT i, round(y / (SELECT nv FROM n$k), 12) AS pv FROM y$k)""".stripMargin
+  /** Power-iterate CTE chain over `matrix` (columns i, j, c) with CTE
+    * names `<prefix>0..<prefix>iters` — the quantized-operand iterate
+    * shape [[operators.Pca.powerIteration]] evaluates. */
+  private def pcaIterCtes(matrix: String, prefix: String, dim: Int, iters: Int): String = {
+    val p0 = s"""${prefix}0 AS (SELECT i, round(1.0 / sqrt(CAST($dim AS DOUBLE)), 12) AS pv FROM mu)"""
+    val its = (1 to iters).map { k =>
+      s"""${prefix}y$k AS MATERIALIZED (SELECT c.i, CAST(SUM(CAST(round(round(c.c, 6) * round(p.pv, 6), 12) AS DECIMAL(30,12))) AS DOUBLE) AS y
+         |  FROM $matrix c JOIN $prefix${k - 1} p ON p.i = c.j GROUP BY c.i),
+         |${prefix}n$k AS (SELECT round(sqrt(CAST(SUM(CAST(round(y * y, 12) AS DECIMAL(30,12))) AS DOUBLE)), 12) AS nv FROM ${prefix}y$k),
+         |$prefix$k AS MATERIALIZED (SELECT i, round(y / (SELECT nv FROM ${prefix}n$k), 12) AS pv FROM ${prefix}y$k)""".stripMargin
     }
+    (p0 +: its).mkString(",\n")
+  }
+
+  private def pcaCtes(dim: Int, iters: Int): String = {
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings
        |  WHERE len(embedding) = $dim
        |    AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
        |ncnt AS (SELECT COUNT(*) AS cnt FROM v),
-       |ex AS (SELECT vec_id, CAST(t.i - 1 AS INT) AS i, round(e[CAST(t.i AS INT)], 6) AS x
+       |ex AS MATERIALIZED (SELECT vec_id, CAST(t.i - 1 AS INT) AS i, round(e[CAST(t.i AS INT)], 6) AS x
        |       FROM v, range(1, ${dim + 1}) t(i)),
        |mu AS (SELECT i, round(CAST(SUM(CAST(round(x, 12) AS DECIMAL(30,12))) AS DOUBLE)
        |                       / (SELECT cnt FROM ncnt), 12) AS mu
        |       FROM ex GROUP BY i),
-       |sp AS (SELECT a.i, b.i AS j, CAST(SUM(CAST(round(a.x * b.x, 12) AS DECIMAL(30,12))) AS DOUBLE) AS s
+       |sp AS MATERIALIZED (SELECT a.i, b.i AS j, CAST(SUM(CAST(round(a.x * b.x, 12) AS DECIMAL(30,12))) AS DOUBLE) AS s
        |       FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
-       |cov AS (SELECT s.i, s.j, round(s.s / (SELECT cnt FROM ncnt) - m1.mu * m2.mu, 12) AS c
+       |cov AS MATERIALIZED (SELECT s.i, s.j, round(s.s / (SELECT cnt FROM ncnt) - m1.mu * m2.mu, 12) AS c
        |        FROM sp s JOIN mu m1 ON m1.i = s.i JOIN mu m2 ON m2.i = s.j),
-       |p0 AS (SELECT i, round(1.0 / sqrt(CAST($dim AS DOUBLE)), 12) AS pv FROM mu),
-       |${iterCtes.mkString(",\n")}""".stripMargin
+       |${pcaIterCtes("cov", "p", dim, iters)}""".stripMargin
   }
 
   /** Oracle for `pca_power_component`: the third power iterate (i, loading). */
   def pcaPowerComponentOracle: String =
     s"""${pcaCtes(64, 3)}
        |SELECT i, pv AS loading FROM p3 ORDER BY i""".stripMargin
+
+  /** Oracle for `pca_second_component`: Hotelling deflation replayed —
+    * Rayleigh quotient λ from the converged first iterate, then
+    * `C' = round12(c6 − round12(λ6 · round12(v6 v6ᵀ)))` and a fresh power
+    * chain over C' (the quantized-operand shapes of
+    * [[operators.Pca.deflate]], term for term). */
+  def pcaSecondComponentOracle: String =
+    s"""${pcaCtes(64, 3)},
+       |yv AS MATERIALIZED (SELECT c.i, CAST(SUM(CAST(round(round(c.c, 6) * round(p.pv, 6), 12) AS DECIMAL(30,12))) AS DOUBLE) AS y
+       |  FROM cov c JOIN p3 p ON p.i = c.j GROUP BY c.i),
+       |lam AS (SELECT CAST(SUM(CAST(round(round(p.pv, 6) * y.y, 12) AS DECIMAL(30,12))) AS DOUBLE) AS l
+       |  FROM yv y JOIN p3 p ON p.i = y.i),
+       |cov2 AS MATERIALIZED (SELECT c.i, c.j,
+       |    round(round(c.c, 6) - round(round((SELECT l FROM lam), 6) * round(round(pa.pv, 6) * round(pb.pv, 6), 12), 12), 12) AS c
+       |  FROM cov c JOIN p3 pa ON pa.i = c.i JOIN p3 pb ON pb.i = c.j),
+       |${pcaIterCtes("cov2", "q", 64, 3)}
+       |SELECT i, pv AS loading FROM q3 ORDER BY i""".stripMargin
 
   /** Oracle for `pca_project`: every clean vector's exact-decimal dot
     * product against the third power iterate. */

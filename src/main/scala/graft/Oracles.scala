@@ -376,6 +376,8 @@ private[graft] object Oracles {
 
     "pca_power_component" -> pcaPowerComponentOracle,
 
+    "pca_second_component" -> pcaSecondComponentOracle,
+
     "pca_project" -> pcaProjectOracle,
 
     "bpe_first_merge" -> bpeFirstMergeOracle,

@@ -394,6 +394,14 @@ private[graft] object Queries {
       Pca.topComponent(Tables.embeddings(s, dir), dim = 64, iters = 3)
     }),
 
+    "pca_second_component" -> ((s, dir) => {
+      // Hotelling deflation: subtract the first axis' Rayleigh component
+      // from the covariance (quantized-operand arithmetic, driver-resident)
+      // and power-iterate again — the oracle replays the deflation and the
+      // second power chain term for term
+      Pca.secondComponent(Tables.embeddings(s, dir), dim = 64, iters = 3)
+    }),
+
     "pca_project" -> ((s, dir) => {
       // project every vector onto the trained axis: exact-decimal dot
       // product in a HOF fold — one narrow codegen scan, no shuffle

@@ -167,10 +167,57 @@ object Pca {
                    vecCol: String = "embedding"): DataFrame = {
     val (_, _, cov) = moments(embeds, dim, vecCol)
     val v = powerIteration(cov, iters)
+    componentDf(embeds, v)
+  }
+
+  private def componentDf(embeds: DataFrame, v: Array[Double]): DataFrame = {
     val spark = embeds.sparkSession
     import spark.implicits._
     v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq.toDF("i", "loading")
       .orderBy(col("i"))
+  }
+
+  /**
+   * Hotelling deflation under the quantized-operand discipline: returns
+   * `(λ, C')` with the Rayleigh quotient `λ = Σ_i round12(v6_i y_i)`,
+   * `y_i = Σ_j round12(c6_ij v6_j)` (exact decimal sums), and
+   * `C'_ij = round12(c6_ij − round12(λ6 · round12(v6_i v6_j)))` — every
+   * product of 6-quantized operands an exact 12-grid value, every
+   * subtraction of near-grid doubles recovered exactly by round12. Power-
+   * iterating C' yields the SECOND principal axis, replayable like the
+   * first.
+   */
+  def deflate(cov: Array[Array[Double]], v: Array[Double]): (Double, Array[Array[Double]]) = {
+    require(cov.length == v.length, "Pca.deflate: dimension mismatch")
+    val d = cov.length
+    val c6 = cov.map(_.map(round6))
+    val v6 = v.map(round6)
+    val y = Array.tabulate(d) { i =>
+      var acc = java.math.BigDecimal.ZERO
+      var j = 0
+      while (j < d) { acc = acc.add(LloydMath.toDecimal12(c6(i)(j) * v6(j), "Pca")); j += 1 }
+      acc.doubleValue
+    }
+    var lacc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < d) { lacc = lacc.add(LloydMath.toDecimal12(v6(i) * y(i), "Pca")); i += 1 }
+    val lam = lacc.doubleValue
+    val l6 = round6(lam)
+    val cov2 = Array.tabulate(d, d) { (a, b) =>
+      round12(c6(a)(b) - round12(l6 * round12(v6(a) * v6(b))))
+    }
+    (lam, cov2)
+  }
+
+  /** Second principal axis (i, loading): power-iterate, deflate, power-
+    * iterate again — all driver-resident model-sized arithmetic on the
+    * one distributed moment pass. */
+  def secondComponent(embeds: DataFrame, dim: Int, iters: Int,
+                      vecCol: String = "embedding"): DataFrame = {
+    val (_, _, cov) = moments(embeds, dim, vecCol)
+    val v1 = powerIteration(cov, iters)
+    val (_, cov2) = deflate(cov, v1)
+    componentDf(embeds, powerIteration(cov2, iters))
   }
 
   /**

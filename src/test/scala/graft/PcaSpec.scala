@@ -85,6 +85,20 @@ class PcaSpec extends SparkSpec {
     assert(out(1).getDouble(1) == dot(Array(-1.0, 0.5, 0.0)))
   }
 
+  test("deflation: second axis of a diagonal matrix is the second eigenvector, " +
+    "orthogonal to the first") {
+    val m = Array(
+      Array(0.09, 0.0, 0.0), Array(0.0, 0.04, 0.0), Array(0.0, 0.0, 0.0025))
+    val v1 = Pca.powerIteration(m, iters = 12)
+    val (lam, m2) = Pca.deflate(m, v1)
+    assert(math.abs(lam - 0.09) < 1e-4) // Rayleigh quotient ≈ top eigenvalue
+    val v2 = Pca.powerIteration(m2, iters = 12)
+    assert(math.abs(math.abs(v2(1)) - 1.0) < 1e-4, s"v2=${v2.toSeq}")
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-3, s"not orthogonal: $dot")
+    intercept[IllegalArgumentException] { Pca.deflate(m, Array(1.0, 0.0)) }
+  }
+
   test("projectTop end-to-end orders the toy corpus along its dominant spread") {
     val out = Pca.projectTop(toyVecs, dim = 3, iters = 6).collect()
     assert(out.length == 4)
