@@ -345,6 +345,76 @@ private[graft] object Fixtures {
        |FROM ex JOIN p6 p ON p.i = ex.i
        |GROUP BY ex.vec_id ORDER BY ex.vec_id""".stripMargin
 
+  /** Oracle for `mmr_select`: every greedy MMR step replayed — step 1 is
+    * the pure-relevance argmax, step m ≥ 2 scores
+    * `round6(0.5·rel − 0.5·greatest(cos6 to each selected))` over the
+    * not-yet-selected pool with ties to the lower id, exactly the shapes
+    * [[operators.Similarity.mmrSelect]] evaluates. */
+  def mmrSelectOracle: String = {
+    val k = 5
+    val steps = (2 to k).map { m =>
+      val prev = 1 until m
+      s"""b$m AS MATERIALIZED (SELECT b.id, b.e, b.rel,
+         |    greatest(${prev.map(j => s"round(${duckCos("b.e", s"s$j.e")}, 6)").mkString(", ")}) AS ms
+         |  FROM base b, ${prev.map(j => s"s$j").mkString(", ")}
+         |  WHERE b.id NOT IN (${prev.map(j => s"s$j.id").mkString(", ")})),
+         |s$m AS MATERIALIZED (SELECT id, e, round(0.5 * rel - 0.5 * ms, 6) AS s
+         |  FROM b$m ORDER BY s DESC, id LIMIT 1)""".stripMargin
+    }
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |  WHERE len(embedding) = 64
+       |    AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+       |q AS (SELECT e FROM v WHERE vec_id = 0),
+       |base AS MATERIALIZED (SELECT v.vec_id AS id, v.e, round(${duckCos("v.e", "q.e")}, 6) AS rel
+       |  FROM v, q WHERE v.vec_id > 0),
+       |s1 AS MATERIALIZED (SELECT id, e, rel AS s FROM base ORDER BY rel DESC, id LIMIT 1),
+       |${steps.mkString(",\n")}
+       |SELECT rnk, id, score FROM (
+       |  ${(1 to k).map(m => s"SELECT $m AS rnk, id, s AS score FROM s$m").mkString("\n  UNION ALL ")})
+       |ORDER BY rnk""".stripMargin
+  }
+
+  /** Oracle for `pagerank_personalized`: the [[pagerankTradeOracle]]
+    * replay with the teleport term and start vector restricted to the
+    * seed set (nation-7 customers) — isolated seeds and zero-start
+    * non-seeds included, the exact CASE shapes the operator evaluates. */
+  def pagerankPersonalizedOracle: String = {
+    val iters = 2
+    val tp = "CASE WHEN nn.node IN (SELECT node FROM seeds) " +
+      "THEN (1.0 - 0.85) / (SELECT cnt FROM scnt) ELSE 0.0 END"
+    val iterCtes = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT nn.node,
+         |         round($tp + 0.85 * COALESCE(s.c, 0.0), 12) AS pr
+         |  FROM nodes nn LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           CAST(SUM(CAST(round(p.pr / o.deg, 12) AS DECIMAL(30,12))) AS DOUBLE) AS c
+         |    FROM pr${k - 1} p JOIN outdeg o ON o.src = p.node JOIN edges e ON e.src = p.node
+         |    GROUP BY e.dst) s ON s.node = nn.node)""".stripMargin
+    }
+    s"""WITH oc AS (
+       |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE year(o_orderdate) = 1996),
+       |edges AS (
+       |  SELECT CAST(ck AS BIGINT) AS src, -1 - CAST(sk AS BIGINT) AS dst FROM oc
+       |  UNION
+       |  SELECT -1 - CAST(sk AS BIGINT), CAST(ck AS BIGINT) FROM oc),
+       |seeds AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer WHERE c_nationkey = 7),
+       |scnt AS (SELECT COUNT(*) AS cnt FROM seeds),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges
+       |          UNION SELECT node FROM seeds),
+       |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |pr0 AS (SELECT node,
+       |          CASE WHEN node IN (SELECT node FROM seeds)
+       |               THEN round(1.0 / (SELECT cnt FROM scnt), 12) ELSE 0.0 END AS pr
+       |        FROM nodes),
+       |${iterCtes.mkString(",\n")}
+       |SELECT node, pr FROM pr$iters ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `bpe_first_merge`: full DuckDB replay of BPE training's
     * rank-0 selection — word dictionary (whitespace tokens of the
     * trimmed/lowercased text), per-position adjacent symbol pairs over

@@ -368,6 +368,8 @@ private[graft] object Oracles {
 
     "pagerank_weighted" -> pagerankWeightedOracle,
 
+    "pagerank_personalized" -> pagerankPersonalizedOracle,
+
     "zorder_value" -> zorderValueOracle,
 
     "quality_lr_train" -> qualityLrTrainOracle,
@@ -377,6 +379,8 @@ private[graft] object Oracles {
     "pca_power_component" -> pcaPowerComponentOracle,
 
     "pca_second_component" -> pcaSecondComponentOracle,
+
+    "mmr_select" -> mmrSelectOracle,
 
     "pca_project" -> pcaProjectOracle,
 

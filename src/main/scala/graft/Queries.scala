@@ -307,6 +307,34 @@ private[graft] object Queries {
         .orderBy(col("node"))
     }),
 
+    "pagerank_personalized" -> ((s, dir) => {
+      // personalized PageRank: teleport mass restricted to one nation's
+      // customers (the trusted-seed crawl-prioritization shape) — ranks
+      // measure proximity to the seed set; the oracle replays both
+      // iterations including the seed-conditional teleport and start vector
+      // 1996 slice (the weighted entry owns 1995; the full graph is
+      // pagerank_trade's entry — no need to pay the whole edge ETL twice)
+      import s.implicits._
+      val seeds = Tables.customer(s, dir)
+        .filter(col("c_nationkey") === 7)
+        .select(col("c_custkey").cast("long")).as[Long].collect().toSet
+      val oc = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(broadcast(Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_orderkey"), col("o_custkey"))),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
+      val edges = oc.select(explode(array(
+          struct(col("ck").cast("long").as("src"),
+            (lit(-1L) - col("sk").cast("long")).as("dst")),
+          struct((lit(-1L) - col("sk").cast("long")).as("src"),
+            col("ck").cast("long").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      Graph.pageRankPersonalized(edges, seeds, iters = 2, edgesDistinct = true)
+        .select(col("node"), col("rank").as("pr"))
+        .orderBy(col("node"))
+    }),
+
     "bpe_first_merge" -> ((s, dir) => {
       // BPE training's rank-0 merge: the most frequent adjacent symbol
       // pair over the word dictionary (chars + end-of-word marker U+E000),
@@ -392,6 +420,18 @@ private[graft] object Queries {
       // replays mean, covariance and every iterate bit-exactly — the
       // deterministic round12(1/sqrt(d)) start even pins the sign
       Pca.topComponent(Tables.embeddings(s, dir), dim = 64, iters = 3)
+    }),
+
+    "mmr_select" -> ((s, dir) => {
+      // maximal-marginal-relevance selection: 5 diverse exemplars for the
+      // vec_id-0 query — each greedy step is one narrow scan with the
+      // model-sized selected set inlined; the oracle replays every step's
+      // relevance, max-marginal-similarity, score and tie-break
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head().toArray
+      Similarity.mmrSelect(e.filter(col("vec_id") > 0), q, k = 5)
     }),
 
     "pca_second_component" -> ((s, dir) => {

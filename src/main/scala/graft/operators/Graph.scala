@@ -66,10 +66,31 @@ object Graph {
     pageRankImpl(edges, iters, damping, srcCol, dstCol, Some(weightCol),
       edgesDistinct = true, broadcastNodeLimit)
 
+  /**
+   * Personalized PageRank: teleport mass goes ONLY to the `seeds` set —
+   * `rank' = round12([node ∈ S] · (1-d)/|S| + d · Σ contrib)` — ranking
+   * nodes by proximity to the seeds (crawl prioritization from trusted
+   * hosts, neighborhood scoring from a labeled subset). The start vector
+   * is the same teleport distribution (seeds at `round12(1/|S|)`, others
+   * 0). Seeds not present in the graph still receive teleport mass (they
+   * are counted in |S| and emitted as isolated nodes); the same round-12 /
+   * DECIMAL-sum discipline and small/distributed branches apply.
+   */
+  def pageRankPersonalized(edges: DataFrame, seeds: Set[Long], iters: Int,
+                           damping: Double = 0.85,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           edgesDistinct: Boolean = false,
+                           broadcastNodeLimit: Long = 1000000L): DataFrame = {
+    require(seeds.nonEmpty, "pageRankPersonalized: seeds must be non-empty")
+    pageRankImpl(edges, iters, damping, srcCol, dstCol, None,
+      edgesDistinct, broadcastNodeLimit, Some(seeds))
+  }
+
   private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
                            srcCol: String, dstCol: String, weightCol: Option[String],
                            edgesDistinct: Boolean,
-                           broadcastNodeLimit: Long): DataFrame = {
+                           broadcastNodeLimit: Long,
+                           seeds: Option[Set[Long]] = None): DataFrame = {
     require(iters >= 0, s"pageRank: iters must be >= 0, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"pageRank: damping must be in (0, 1), got $damping")
@@ -81,14 +102,33 @@ object Graph {
     }
     val e = (if (edgesDistinct) e0 else e0.distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
+    val graphNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = (seeds match {
+      // seeds are a driver-small model-sized set (teleport targets); any
+      // seed absent from the edge list still holds teleport mass, so it
+      // joins the node set as an isolated node
+      case Some(ss) =>
+        import spark.implicits._
+        graphNodes.union(ss.toSeq.sorted.toDF("node")).distinct()
+      case None => graphNodes
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = nodes.count() // also materializes the persisted node set
       val small = n <= broadcastNodeLimit
       val teleport = (1.0 - damping) / n
+      // teleport term and start vector: uniform for classic PageRank,
+      // seed-restricted for the personalized variant — both in the exact
+      // IEEE shapes the oracles replay
+      val (tpCol, initCol) = seeds match {
+        case Some(ss) =>
+          val isSeed = col("node").isInCollection(ss)
+          (when(isSeed, lit((1.0 - damping) / ss.size)).otherwise(lit(0.0)),
+            when(isSeed, round(lit(1.0) / ss.size, 12)).otherwise(lit(0.0)))
+        case None =>
+          (lit(teleport), round(lit(1.0) / n, 12))
+      }
       // unweighted: deg = out-edge count, contribution = rank / deg;
       // weighted: deg = Σw (exact integer sum), contribution =
       // rank · (w / Σw) — evaluated in exactly that IEEE shape so the
@@ -113,7 +153,7 @@ object Graph {
           spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
         val nodesL = localize(nodes)
         val outdegL = localize(outdeg)
-        var rank = localize(nodesL.withColumn("rank", round(lit(1.0) / n, 12)))
+        var rank = localize(nodesL.withColumn("rank", initCol))
         var k = 0
         while (k < iters) {
           val contrib = e
@@ -124,7 +164,7 @@ object Graph {
             .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("csum"))
           rank = localize(nodesL.join(broadcast(contrib), Seq("node"), "left")
             .select(col("node"),
-              round(lit(teleport) + lit(damping) * coalesce(col("csum"), lit(0.0)), 12)
+              round(tpCol + lit(damping) * coalesce(col("csum"), lit(0.0)), 12)
                 .as("rank")))
           k += 1
         }
@@ -136,7 +176,7 @@ object Graph {
         val ed = e.join(outdeg, "src")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          var rank = nodes.withColumn("rank", round(lit(1.0) / n, 12))
+          var rank = nodes.withColumn("rank", initCol)
             .localCheckpoint()
           var k = 0
           while (k < iters) {
@@ -147,7 +187,7 @@ object Graph {
               .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("csum"))
             rank = nodes.join(contrib, Seq("node"), "left")
               .select(col("node"),
-                round(lit(teleport) + lit(damping) * coalesce(col("csum"), lit(0.0)), 12)
+                round(tpCol + lit(damping) * coalesce(col("csum"), lit(0.0)), 12)
                   .as("rank"))
               .localCheckpoint()
             k += 1

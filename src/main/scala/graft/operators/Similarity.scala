@@ -533,6 +533,75 @@ object Similarity {
 
   /** Probe the query's `nprobe` nearest centroids and exactly re-rank those
     * inverted lists. Per-query cost ∝ corpus × nprobe / nlist. */
+  /**
+   * Maximal-marginal-relevance selection: greedily pick `k` pool items
+   * maximizing `λ·rel − (1−λ)·max_{s∈selected} cos6(d, s)` — the diverse-
+   * exemplar shape of curation (few-shot example picking, eval-set
+   * selection, dedup-aware sampling): relevance alone returns k near-
+   * copies of the best match; the marginal term forces coverage.
+   *
+   * Scale shape: the selected set is MODEL-sized driver state (≤ k vectors
+   * — the Lloyd-codebook discipline). Each of the k steps is ONE narrow
+   * scan of the (cached) candidate pool — the relevance column plus
+   * `greatest()` over the ≤ k inlined selected vectors, all through the
+   * codegen'd [[VectorFunctions.cosine]] kernel — and a driver-side argmax
+   * (`orderBy.limit(1)`, one row). No shuffle, no pairwise pool join. At
+   * 100 TB the pool is a pre-filtered top-N candidate set (e.g. an ANN
+   * result), never the raw corpus.
+   *
+   * Determinism: cosines rounded to 6 like every ANN path, ties → lower
+   * id; the score `round6(λ·rel − (1−λ)·maxSim)` is plain IEEE arithmetic
+   * on round-6 values, so a DuckDB oracle replays every selection step.
+   * Returns (rnk, id, score) in selection order — rank 1's score is the
+   * raw relevance (nothing selected yet).
+   */
+  def mmrSelect(pool: DataFrame, queryVec: Array[Float], k: Int,
+                lambda: Double = 0.5,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"mmrSelect: k must be >= 1, got $k")
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"mmrSelect: lambda must be in (0, 1], got $lambda")
+    require(queryVec.nonEmpty && queryVec.forall(x => !x.isNaN && !x.isInfinite),
+      "mmrSelect: query vector must be non-empty and finite")
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val base = pool
+      .filter(VectorFunctions.isFiniteVec(col(vecCol)) && size(col(vecCol)) === queryVec.length)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("e"),
+        round(VectorFunctions.cosine(col(vecCol), typedLit(queryVec.toSeq)), 6).as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val selIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val selVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+      var step = 1
+      var exhausted = false
+      while (step <= k && !exhausted) {
+        val score =
+          if (selVecs.isEmpty) col("rel")
+          else {
+            val sims = selVecs.toSeq.map(v =>
+              round(VectorFunctions.cosine(col("e"), typedLit(v)), 6))
+            val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+            round(lit(lambda) * col("rel") - lit(1.0 - lambda) * maxSim, 6)
+          }
+        val cand = (if (selIds.isEmpty) base else base.filter(!col("id").isin(selIds.toSeq: _*)))
+          .select(col("id"), col("e"), score.as("s"))
+          .orderBy(col("s").desc, col("id"))
+          .limit(1).collect()
+        if (cand.isEmpty) exhausted = true
+        else {
+          val r = cand(0)
+          selIds += r.getLong(0)
+          selVecs += r.getSeq[Float](1)
+          out += ((step, r.getLong(0), r.getDouble(2)))
+          step += 1
+        }
+      }
+      out.toSeq.toDF("rnk", "id", "score").orderBy(col("rnk"))
+    } finally base.unpersist()
+  }
+
   def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centsLit = centroidsLiteral(index.centroids)

@@ -108,6 +108,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("mmrSelect: diversity demotes near-copies that pure relevance ranks high") {
+    import spark.implicits._
+    val pool = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // orthogonal-ish to top pick
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // exact duplicate of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // most relevant
+      (4L, Array(0.01f, 0.999f, 0.0f, 0.0f)) // near-copy of 3
+    ).toDF("vec_id", "embedding")
+    val q = Array(0.6f, 0.8f, 0.0f, 0.0f)
+    val got = Similarity.mmrSelect(pool, q, k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // pure relevance orders 4, 3, 1, 2 (4's small x-component aligns with
+    // the query); MMR promotes the orthogonal vector over 4's near-copy at
+    // step 2, and the exact duplicate lands last
+    assert(got == Seq((1, 4L), (2, 1L), (3, 3L), (4, 2L)), got.toString)
+    // pool smaller than k: stops early instead of looping
+    val short = Similarity.mmrSelect(pool.filter($"vec_id" <= 2), q, k = 10)
+    assert(short.count() == 2)
+    intercept[IllegalArgumentException](Similarity.mmrSelect(pool, q, k = 0))
+    intercept[IllegalArgumentException](Similarity.mmrSelect(pool, q, k = 1, lambda = 0.0))
+    intercept[IllegalArgumentException](
+      Similarity.mmrSelect(pool, Array(Float.NaN, 1f, 0f, 0f), k = 1))
+  }
+
   test("bruteForceTopK: nearest neighbor is the most-aligned vector") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f)),

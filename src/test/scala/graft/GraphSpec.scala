@@ -104,4 +104,37 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(e, iters = -1))
     intercept[IllegalArgumentException](Graph.pageRank(e, iters = 1, damping = 1.0))
   }
+
+  test("personalized: mass concentrates near the seed; isolated seed keeps teleport; " +
+    "naive replay bit-exact") {
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 1 -> 2 -> 3 -> 1 cycle plus a chain 3 -> 4; seed at node 1 and an
+    // isolated seed 99 that has no edges at all
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Set(1L, 99L)
+    val got = Graph.pageRankPersonalized(edges, seeds, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 99L))
+    // the seed out-ranks every non-seed (it alone receives teleport mass)
+    assert(got(1L) > got(2L) && got(1L) > got(3L) && got(1L) > got(4L))
+    // an isolated seed receives exactly the teleport share each round
+    assert(got(99L) == r12((1.0 - 0.85) / 2))
+
+    // naive driver replay with the same rounding
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(3L), 3L -> Seq(1L, 4L))
+    val nodes = Seq(1L, 2L, 3L, 4L, 99L)
+    var rank = nodes.map(n => n -> (if (seeds(n)) r12(1.0 / 2) else 0.0)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[Long, BigDecimal]
+      for ((s0, ds) <- adj; d <- ds)
+        contrib(d) = contrib.getOrElse(d, BigDecimal(0)) + BigDecimal(r12(rank(s0) / ds.size))
+      rank = nodes.map(n => n -> r12(
+        (if (seeds(n)) (1.0 - 0.85) / 2 else 0.0) +
+          0.85 * contrib.getOrElse(n, BigDecimal(0)).toDouble)).toMap
+    }
+    assert(got == rank)
+    intercept[IllegalArgumentException](
+      Graph.pageRankPersonalized(edges, Set.empty[Long], iters = 1))
+  }
 }
