@@ -522,6 +522,54 @@ private[graft] object Oracles {
         |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
         |ORDER BY a, b""".stripMargin,
 
+    "source_overlap" ->
+      """WITH ss AS (
+        |  SELECT DISTINCT s, g FROM (
+        |    SELECT source AS s,
+        |           unnest(list_transform(range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+        |             i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS g
+        |    FROM documents
+        |    WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3)),
+        |sz AS (SELECT s, COUNT(*) AS n FROM ss GROUP BY s),
+        |p AS (SELECT x.s AS src_a, y.s AS src_b, COUNT(*) AS shared
+        |      FROM ss x JOIN ss y ON x.g = y.g AND x.s < y.s GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared, a.n AS na, b.n AS nb,
+        |       round(CAST(shared AS DOUBLE) / (a.n + b.n - shared), 6) AS jaccard
+        |FROM p JOIN sz a ON a.s = src_a JOIN sz b ON b.s = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "dataset_profile" ->
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  round(CAST(SUM(CAST(
+        |    round(
+        |      least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |      + (1.0 - least(round(CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 6) * 5.0, 1.0)) * 0.3
+        |      + least(round(CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+        |          ['the','a','an','and','or','of','to','in','is','it','that','with','for','on','as','at','by','this','be'])) AS DOUBLE)
+        |          / greatest(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), 1), 6) * 4.0, 1.0) * 0.3, 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents),
+        |nw AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]' ELSE text END AS text
+        |  FROM o WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM o WHERE doc_id % 11 = 0),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.text AS ot, n.text AS nt
+        |      FROM o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN ot IS NULL THEN 'added'
+        |            WHEN nt IS NULL THEN 'removed'
+        |            WHEN ot = nt THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin,
+
     "containment_pairs" ->
       """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
         |d0 AS (

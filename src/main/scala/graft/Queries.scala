@@ -603,6 +603,46 @@ private[graft] object Queries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "source_overlap" -> ((s, dir) => {
+      // cross-source contamination matrix: distinct shared shingles per
+      // source pair + shingle-set Jaccard — per-key join fan-out bounded
+      // by #sources², never the corpus
+      Dedup.sourceOverlapMatrix(Tables.documents(s, dir))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    "dataset_profile" -> ((s, dir) => {
+      // the dataset-card rollup: per-source cardinality, token volume,
+      // language spread and mean quality (decimal-exact mean over the
+      // round-6 per-doc scores — the dsum convention)
+      val d = Tables.documents(s, dir)
+      d.select(col("source"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("tc"),
+          TextFunctions.qualityScore(col("text"), TextAnalysis.Stopwords).as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tc")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(sum(col("q").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_quality"))
+        .orderBy(col("source"))
+    }),
+
+    "snapshot_diff" -> ((s, dir) => {
+      // dataset-versioning diff: classify every id across two snapshots
+      // (old = the corpus; new = deterministic deletions %17, edits %13,
+      // additions %11 shifted +200000) — one narrow-projection full outer
+      // join on fingerprints, the minimum any diff must pay
+      val old = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val nw = old.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")).as("text"))
+        .union(old.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Curation.snapshotDiff(old, nw).orderBy(col("doc_id"))
+    }),
+
     "containment_pairs" -> ((s, dir) => {
       // asymmetric containment |S(a)∩S(b)|/|S(a)| over the truncated-copy
       // fixture: the 75%-prefix near-dups sit at Jaccard ≈ 0.75 but

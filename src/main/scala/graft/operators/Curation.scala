@@ -510,4 +510,31 @@ object Curation {
       .filter(col("_rn") <= takeExpr)
       .drop("_rn")
   }
+
+  /**
+   * Snapshot diff — the dataset-versioning primitive of an iterative
+   * curation pipeline: given two corpus snapshots keyed by `idCol`,
+   * classify every id as `added` (new only), `removed` (old only),
+   * `changed` (both, content fingerprint differs) or `unchanged`.
+   * Content identity is `md5(contentCol)` — compare fingerprints, not
+   * payloads, so the join rows stay narrow regardless of document size.
+   *
+   * Scale shape: ONE full outer shuffle join on the id of two
+   * (id, fingerprint) projections — the minimum any diff must pay; at
+   * 100 TB both sides prune to two columns at the parquet scan, and a
+   * bucketed/Z-ordered id layout makes the join co-located. Output is
+   * id + status (audit log); roll up with a groupBy for the summary.
+   */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String = "doc_id",
+                   contentCol: String = "text"): DataFrame = {
+    def fp(df: DataFrame, as: String) = df.select(
+      col(idCol).as("id"), md5(col(contentCol).cast("binary")).as(as))
+    fp(oldSnap, "fp_old").join(fp(newSnap, "fp_new"), Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -468,6 +468,36 @@ object Dedup {
   }
 
   /**
+   * Cross-source shingle-overlap matrix — the data-governance view of
+   * contamination: for every unordered source pair, how many DISTINCT
+   * n-gram shingles they share, plus per-source totals and the Jaccard of
+   * their shingle sets. High overlap between a "clean" and a "web" source
+   * is leakage a per-document dedup can miss.
+   *
+   * Scale shape: one (source, shingle) distinct projection (a corpus-
+   * shingle shuffle, same cost class as vocabulary building), then a
+   * self-equi-join on the shingle key whose per-key fan-out is bounded by
+   * the SOURCE COUNT squared (not the corpus) — no df-cut needed; the
+   * result is #sources² rows.
+   */
+  def sourceOverlapMatrix(docs: DataFrame, sourceCol: String = "source",
+                          textCol: String = "text", shingleN: Int = 3): DataFrame = {
+    val ss = docs.select(col(sourceCol).as("s"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN))).as("g"))
+      .distinct()
+    val sizes = ss.groupBy(col("s")).agg(count(lit(1)).as("n"))
+    ss.as("x").join(ss.as("y"), col("x.g") === col("y.g"))
+      .filter(col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("src_a"), col("y.s").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("s", "src_a").withColumnRenamed("n", "na"), "src_a")
+      .join(sizes.withColumnRenamed("s", "src_b").withColumnRenamed("n", "nb"), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"), col("na"), col("nb"),
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"), 6).as("jaccard"))
+  }
+
+  /**
    * SimHash near-dup pairs: 64-bit signature, banded into `bands` chunks of
    * 64/bands bits (a pair within Hamming distance d collides on ≥1 band when
    * d < bands); verify candidates by exact Hamming ≤ `maxHamming`.

@@ -103,4 +103,16 @@ class CurationSpec extends SparkSpec {
       assert(e.getMessage.contains("maskBits"))
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val nw = Seq((2L, "beta"), (3L, "gamma edited"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(old, nw).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    // identical snapshots: everything unchanged, cardinality preserved
+    val same = Curation.snapshotDiff(old, old).collect()
+    assert(same.length == 3 && same.forall(_.getString(1) == "unchanged"))
+  }
 }

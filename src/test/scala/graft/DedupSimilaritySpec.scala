@@ -108,6 +108,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("sourceOverlapMatrix counts shared distinct shingles per source pair") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "one two three four", "a"),   // shingles: {one two three, two three four}
+      (2L, "one two three", "b"),        // {one two three}
+      (3L, "five six seven eight", "b"), // {five six seven, six seven eight}
+      (4L, "nine ten eleven", "c")       // {nine ten eleven}
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapMatrix(d)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // a∩b share exactly "one two three"; a has 2 distinct shingles, b has 3
+    assert(got(("a", "b")) == ((1L, 2L, 3L, 0.25)))
+    // c shares nothing — pairs with zero overlap simply don't appear
+    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
+  }
+
   test("mmrSelect: diversity demotes near-copies that pure relevance ranks high") {
     import spark.implicits._
     val pool = Seq(
