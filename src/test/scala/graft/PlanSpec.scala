@@ -305,4 +305,56 @@ class PlanSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("quality-classifier scoring is one narrow scan: no shuffle, no UDF") {
+    val plan = formattedPlan(graft.operators.Learn.scoreWith(
+      Tables.documents(spark, Sf), Array(0.1, 0.2, -0.3, 0.4)))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("quality-classifier gradient aggregate plans a partial/final split") {
+    val feats = graft.operators.Learn.qualityFeatures(Tables.documents(spark, Sf))
+    val err = graft.operators.Learn.predictor(Array(0.0, 0.0, 0.0, 0.0),
+      Seq("x1", "x2", "x3")) - col("y")
+    val agg = feats.agg(
+      sum(round(err, 12).cast(org.apache.spark.sql.types.DecimalType(30, 12))).cast("double"))
+    val plan = formattedPlan(agg)
+    assert(plan.contains("partial"), plan) // map-side combine before the 1-row exchange
+  }
+
+  test("PCA projection is a zero-shuffle HOF fold over the corpus scan") {
+    val comp = Array.fill(64)(0.125)
+    val plan = formattedPlan(graft.operators.Pca.project(
+      Tables.embeddings(spark, Sf), comp))
+    // the only Exchange allowed is the final orderBy's range partitioning
+    val body = plan.linesIterator.filterNot(_.contains("rangepartitioning")).mkString("\n")
+    assert(!body.contains("ScalaUDF"), plan)
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 1, plan)
+  }
+
+  test("MMR per-step argmax is a TakeOrdered, never a global sort") {
+    import spark.implicits._
+    val pool = Tables.embeddings(spark, Sf).filter(col("vec_id") > 0)
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Seq[Float]].head().toArray
+    val base = pool.select(col("vec_id").as("id"),
+      round(graft.functions.VectorFunctions.cosine(col("embedding"),
+        typedLit(q.toSeq)), 6).as("rel"))
+    val step = base.orderBy(col("rel").desc, col("id")).limit(1)
+    val plan = formattedPlan(step)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort "), plan)
+  }
+
+  test("snapshot diff joins narrow fingerprint projections, not payloads") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val plan = explainFormatted(graft.operators.Curation.snapshotDiff(docs, docs))
+    // the parquet scans must read only (doc_id, text) — the md5 projection
+    // happens before the join, so no full-width rows cross the shuffle
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty &&
+      readSchemas.forall(l => l.contains("doc_id") && !l.contains("n_chars")), plan)
+  }
 }
