@@ -122,6 +122,27 @@ object Learn {
       .withColumn("pred_label", when(col("score") >= 0.5, 1).otherwise(0))
   }
 
+  /** Persist trained weights as a tiny parquet artifact (j, feature,
+    * weight) — the deployable model of the serving layer. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, weights: Array[Double],
+                path: String): Unit = {
+    import spark.implicits._
+    require(weights.length == 4, s"saveModel: expected 4 weights, got ${weights.length}")
+    val names = Seq("bias", "x1_tokens", "x2_punct", "x3_stop")
+    weights.toSeq.zipWithIndex.map { case (w, j) => (j, names(j), w) }
+      .toDF("j", "feature", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveModel]] artifact back into the d+1 weight array. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Array[Double] = {
+    val rows = spark.read.parquet(path).select(col("j"), col("weight")).collect()
+    require(rows.length == 4, s"loadModel: expected 4 weight rows, got ${rows.length}")
+    val w = Array.ofDim[Double](4)
+    rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    w
+  }
+
   /**
    * Train on the corpus' own features (`iters` GD steps) and score every
    * document: (id, label, score, pred_label) ordered by id. One narrow

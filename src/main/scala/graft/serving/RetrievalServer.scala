@@ -35,6 +35,11 @@ import graft.operators.{Retrieval, Similarity, TextAnalysis}
  *     (spec-pinned). Requires a shared id space between the lexical index's
  *     `doc_id` and the ANN index's `vec_id` — the deployment contract for
  *     hybrid search over one corpus.
+ *   GET /api/retrieve/score?text=…[&lang=xx]
+ *     → `{"columns":["score","pred_label"],…}` — the trained quality
+ *     classifier ([[graft.operators.Learn]] model artifact) served
+ *     interactively; requires a `qualityModelPath` deployment (absent →
+ *     400, not 500).
  *
  * Malformed input is a 400 with the reference's `ErrorMessage` shape, never
  * a 500: missing/blank terms, non-positive or non-numeric `k`/`nprobe`,
@@ -51,11 +56,15 @@ import graft.operators.{Retrieval, Similarity, TextAnalysis}
  * immediately (same growing-index contract as the streaming server).
  */
 class RetrievalServer(spark: SparkSession, lexicalPath: String,
-                      ivfPqPath: String, corpusPath: String, port: Int = 0) {
+                      ivfPqPath: String, corpusPath: String, port: Int = 0,
+                      qualityModelPath: Option[String] = None) {
 
   private val index = Similarity.loadIvfPq(spark, ivfPqPath)
   private val dim = index.centroids.head._2.length
   private def corpus: DataFrame = spark.read.parquet(corpusPath)
+  // trained classifier weights: model-sized, loaded once per deployment
+  // (the artifact is immutable; retraining writes a fresh path)
+  private val qualityWeights = qualityModelPath.map(p => graft.operators.Learn.loadModel(spark, p))
 
   private var server: HttpServer = _
 
@@ -79,6 +88,7 @@ class RetrievalServer(spark: SparkSession, lexicalPath: String,
         case "lexical" => respond(ex, 200, lexical(params))
         case "ann"     => respond(ex, 200, ann(params))
         case "hybrid"  => respond(ex, 200, hybrid(params))
+        case "score"   => respond(ex, 200, score(params))
         case _         => respond(ex, 404, errorJson("not found", 404))
       }
     } catch {
@@ -152,6 +162,24 @@ class RetrievalServer(spark: SparkSession, lexicalPath: String,
       .orderBy(col("rnk"))
       .collect().map(r => s"[${r.getInt(0)},${r.getLong(1)},${numJson(r.get(2))}]")
     messageJson(Seq("rnk", "doc_id", "rrf_score"), rows.toSeq)
+  }
+
+  /** GET /api/retrieve/score?text=…[&lang=xx] — the trained quality
+    * classifier served interactively: same feature expressions and
+    * rational-sigmoid calibration as [[graft.operators.Learn.scoreWith]],
+    * row-identical to the library call (spec-pinned). Requires a
+    * `qualityModelPath` deployment; absent → 400, not 500. */
+  private def score(params: Map[String, String]): String = {
+    val w = qualityWeights.getOrElse(
+      throw QueryError("No quality model deployed on this server"))
+    val text = params.getOrElse("text", "")
+    if (text.trim.isEmpty) throw QueryError("Missing or empty text")
+    val lang = params.getOrElse("lang", "und")
+    import spark.implicits._
+    val one = Seq((0L, text, lang)).toDF("doc_id", "text", "lang")
+    val rows = graft.operators.Learn.scoreWith(one, w)
+      .collect().map(r => s"[${numJson(r.get(2))},${r.getInt(3)}]")
+    messageJson(Seq("score", "pred_label"), rows.toSeq)
   }
 
   private def messageJson(columns: Seq[String], dataRows: Seq[String]): String =

@@ -94,6 +94,46 @@ class RetrievalServerSpec extends SparkSpec {
       }
       val (nf, _) = get(s"http://localhost:$port/api/retrieve/nope?x=1")
       assert(nf == 404)
+      // score endpoint without a deployed model is a 400, not a 500
+      val (nm, nmBody) = get(s"http://localhost:$port/api/retrieve/score?text=hello+world")
+      assert(nm == 400 && nmBody.contains("No quality model"), nmBody)
+    }
+  }
+
+  test("score endpoint serves the persisted classifier, row-identical to the library") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_score").toString
+    try {
+      val docs = Tables.documents(spark, Sf)
+      val w = graft.operators.Learn.trainLinear(
+        graft.operators.Learn.qualityFeatures(docs), Seq("x1", "x2", "x3"), "y", iters = 2)
+      graft.operators.Learn.saveModel(spark, w, s"$root/model")
+      assert(graft.operators.Learn.loadModel(spark, s"$root/model").toSeq == w.toSeq)
+      TextAnalysis.saveLexicalIndex(docs, s"$root/lex", nBuckets = 16)
+      val e = Tables.embeddings(spark, Sf)
+      e.write.mode("overwrite").parquet(s"$root/corpus")
+      Similarity.saveIvfPq(e, s"$root/ivfpq", nlist = 8, m = 8, ksub = 16, kmeansIters = 1)
+      val srv = new RetrievalServer(spark, s"$root/lex", s"$root/ivfpq",
+        s"$root/corpus", qualityModelPath = Some(s"$root/model"))
+      val port = srv.start()
+      try {
+        val text = "the quick brown fox jumps over the lazy dog in the sun"
+        val enc = java.net.URLEncoder.encode(text, "UTF-8")
+        val (code, body) = get(
+          s"http://localhost:$port/api/retrieve/score?text=$enc&lang=en")
+        assert(code == 200, body)
+        val expect = graft.operators.Learn.scoreWith(
+            Seq((0L, text, "en")).toDF("doc_id", "text", "lang"), w)
+          .collect().head
+        assert(body ==
+          s"""{"columns":["score","pred_label"],"data":[[${expect.getDouble(2)},${expect.getInt(3)}]],""" +
+          s""""metadata":{"metric":"retrieval"}}""", body)
+        val (bad, badBody) = get(s"http://localhost:$port/api/retrieve/score?text=")
+        assert(bad == 400 && badBody.contains("errorMessage"), badBody)
+      } finally srv.stop()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
     }
   }
 }
