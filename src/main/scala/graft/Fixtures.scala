@@ -335,6 +335,19 @@ private[graft] object Fixtures {
        |${pcaIterCtes("cov2", "q", 64, 3)}
        |SELECT i, pv AS loading FROM q3 ORDER BY i""".stripMargin
 
+  /** Oracle for `pca_variance_share`: the Rayleigh quotient λ (from the
+    * converged first iterate, [[pcaSecondComponentOracle]]'s lam CTE) over
+    * the exact-decimal covariance trace. */
+  def pcaVarianceShareOracle: String =
+    s"""${pcaCtes(64, 3)},
+       |yv AS MATERIALIZED (SELECT c.i, CAST(SUM(CAST(round(round(c.c, 6) * round(p.pv, 6), 12) AS DECIMAL(30,12))) AS DOUBLE) AS y
+       |  FROM cov c JOIN p3 p ON p.i = c.j GROUP BY c.i),
+       |lam AS (SELECT CAST(SUM(CAST(round(round(p.pv, 6) * y.y, 12) AS DECIMAL(30,12))) AS DOUBLE) AS l
+       |  FROM yv y JOIN p3 p ON p.i = y.i),
+       |tr AS (SELECT CAST(SUM(CAST(c AS DECIMAL(30,12))) AS DOUBLE) AS t FROM cov WHERE i = j)
+       |SELECT (SELECT l FROM lam) AS lambda, (SELECT t FROM tr) AS trace,
+       |       round((SELECT l FROM lam) / (SELECT t FROM tr), 6) AS share""".stripMargin
+
   /** Oracle for `pca_project`: every clean vector's exact-decimal dot
     * product against the third power iterate. */
   def pcaProjectOracle: String =

@@ -382,6 +382,8 @@ private[graft] object Oracles {
 
     "mmr_select" -> mmrSelectOracle,
 
+    "pca_variance_share" -> pcaVarianceShareOracle,
+
     "pca_project" -> pcaProjectOracle,
 
     "bpe_first_merge" -> bpeFirstMergeOracle,

@@ -442,6 +442,13 @@ private[graft] object Queries {
       Pca.secondComponent(Tables.embeddings(s, dir), dim = 64, iters = 3)
     }),
 
+    "pca_variance_share" -> ((s, dir) => {
+      // drift diagnostic: Rayleigh λ of the top axis over the covariance
+      // trace — "is one direction dominating my embeddings"; one row,
+      // fully replayed (λ, exact-decimal trace, round6 share)
+      Pca.varianceShare(Tables.embeddings(s, dir), dim = 64, iters = 3)
+    }),
+
     "pca_project" -> ((s, dir) => {
       // project every vector onto the trained axis: exact-decimal dot
       // product in a HOF fold — one narrow codegen scan, no shuffle

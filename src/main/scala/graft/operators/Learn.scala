@@ -137,7 +137,8 @@ object Learn {
   /** Load a [[saveModel]] artifact back into the d+1 weight array. */
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Array[Double] = {
     val rows = spark.read.parquet(path).select(col("j"), col("weight")).collect()
-    require(rows.length == 4, s"loadModel: expected 4 weight rows, got ${rows.length}")
+    require(rows.length == 4 && rows.map(_.getInt(0)).sorted.sameElements(0 until 4),
+      s"loadModel: expected weight rows j=0..3, got ${rows.map(_.getInt(0)).mkString(",")}")
     val w = Array.ofDim[Double](4)
     rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
     w

@@ -93,8 +93,9 @@ object Pca {
       // terms of |t| ≤ maxAbs² (1e-12 units). Unit-scale embeddings pass by
       // orders of magnitude; past the bound, sum the same exact 1e-12-unit
       // terms as DECIMAL(30,0) — identical values, corpus-scale-safe.
+      // compare in doubles: maxAbs² itself overflows long for |q| ≳ 3e3
       val longSafe = maxAbs == 0L ||
-        n <= (Long.MaxValue / 2) / (maxAbs * maxAbs)
+        n.toDouble * maxAbs.toDouble * maxAbs.toDouble < Long.MaxValue.toDouble / 2
       val pairSum: Column =
         if (longSafe) sum(col("xi") * col("xj"))
         else sum((col("xi") * col("xj")).cast(DecimalType(30, 0))).cast("decimal(38,0)")
@@ -208,6 +209,28 @@ object Pca {
     }
     (lam, cov2)
   }
+
+  /** Variance share of the top axis: the Rayleigh quotient λ over the
+    * covariance trace (exact decimal sum of the round12 diagonal) —
+    * (lambda, trace, round6(λ/trace)), the one-row "is one direction
+    * dominating my embeddings" drift diagnostic. */
+  def varianceShare(embeds: DataFrame, dim: Int, iters: Int,
+                    vecCol: String = "embedding"): DataFrame = {
+    val (_, _, cov) = moments(embeds, dim, vecCol)
+    val v1 = powerIteration(cov, iters)
+    val (lam, _) = deflate(cov, v1)
+    var tacc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < dim) { tacc = tacc.add(LloydMath.toDecimal12(cov(i)(i), "Pca")); i += 1 }
+    val trace = tacc.doubleValue
+    val spark = embeds.sparkSession
+    import spark.implicits._
+    Seq((lam, trace, round12toShare(lam, trace))).toDF("lambda", "trace", "share")
+  }
+
+  private def round12toShare(lam: Double, trace: Double): Double =
+    java.math.BigDecimal.valueOf(lam / trace)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
 
   /** Second principal axis (i, loading): power-iterate, deflate, power-
     * iterate again — all driver-resident model-sized arithmetic on the
