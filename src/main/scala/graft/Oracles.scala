@@ -563,12 +563,13 @@ private[graft] object Oracles {
         |  FROM o WHERE doc_id % 17 <> 0
         |  UNION ALL
         |  SELECT doc_id + 200000, text FROM o WHERE doc_id % 11 = 0),
-        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.text AS ot, n.text AS nt
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |             o.doc_id AS oid, n.doc_id AS nid, o.text AS ot, n.text AS nt
         |      FROM o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
         |SELECT doc_id,
-        |       CASE WHEN ot IS NULL THEN 'added'
-        |            WHEN nt IS NULL THEN 'removed'
-        |            WHEN ot = nt THEN 'unchanged'
+        |       CASE WHEN oid IS NULL THEN 'added'
+        |            WHEN nid IS NULL THEN 'removed'
+        |            WHEN ot IS NOT DISTINCT FROM nt THEN 'unchanged'
         |            ELSE 'changed' END AS status
         |FROM j ORDER BY doc_id""".stripMargin,
 

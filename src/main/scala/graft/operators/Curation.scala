@@ -528,13 +528,17 @@ object Curation {
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    idCol: String = "doc_id",
                    contentCol: String = "text"): DataFrame = {
-    def fp(df: DataFrame, as: String) = df.select(
-      col(idCol).as("id"), md5(col(contentCol).cast("binary")).as(as))
-    fp(oldSnap, "fp_old").join(fp(newSnap, "fp_new"), Seq("id"), "full_outer")
+    // presence comes from explicit per-side markers, NOT from the
+    // fingerprint — md5(NULL) is NULL, and a NULL-content row present on
+    // both sides must compare as content (null-safely), not as absence
+    def fp(df: DataFrame, side: String) = df.select(
+      col(idCol).as("id"), md5(col(contentCol).cast("binary")).as(s"fp_$side"),
+      lit(1).as(s"in_$side"))
+    fp(oldSnap, "old").join(fp(newSnap, "new"), Seq("id"), "full_outer")
       .select(col("id").as(idCol),
-        when(col("fp_old").isNull, lit("added"))
-          .when(col("fp_new").isNull, lit("removed"))
-          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("fp_old") <=> col("fp_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 }

@@ -445,26 +445,33 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containmentPairs: threshold must be in (0, 1], got $threshold")
     require(maxDf >= 1, s"containmentPairs: maxDf must be >= 1, got $maxDf")
-    val d = docs.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val ex = d.select(col("id"), explode(col("sh")).as("g"))
-    val dfOk = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("g"))
-    val exf = ex.join(dfOk, "g")
-    val sizes = d.select(col("id"), size(col("sh")).as("n"))
-    exf.as("x").join(exf.as("y"), col("x.g") === col("y.g"))
-      .filter(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
-      .withColumn("ca", col("inter").cast("double") / col("na").cast("double"))
-      .withColumn("cb", col("inter").cast("double") / col("nb").cast("double"))
-      .filter(greatest(col("ca"), col("cb")) >= threshold)
-      .select(col("a"), col("b"),
-        round(col("ca"), 6).as("contain_a_in_b"),
-        round(col("cb"), 6).as("contain_b_in_a"))
+    // ex feeds the df-count, BOTH sides of the self-join and (via groupBy)
+    // the size table — persist so shingling runs once, not ~5×; the
+    // (small, thresholded) pair output is eagerly materialized with a
+    // lineage cut and ex unpersisted before returning (the [[minHashLsh]]
+    // discipline)
+    val ex = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfOk = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("g"))
+      val exf = ex.join(dfOk, "g")
+      val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      exf.as("x").join(exf.as("y"), col("x.g") === col("y.g"))
+        .filter(col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("ca", col("inter").cast("double") / col("na").cast("double"))
+        .withColumn("cb", col("inter").cast("double") / col("nb").cast("double"))
+        .filter(greatest(col("ca"), col("cb")) >= threshold)
+        .select(col("a"), col("b"),
+          round(col("ca"), 6).as("contain_a_in_b"),
+          round(col("cb"), 6).as("contain_b_in_a"))
+        .localCheckpoint()
+    } finally ex.unpersist()
   }
 
   /**

@@ -94,7 +94,15 @@ object Learn {
         var j = 0
         while (j < w.length) {
           val gj = g.getDouble(j)
-          w(j) = LloydMath.toDecimal12(w(j) - lr * (gj / n), "Learn").doubleValue
+          val next = w(j) - lr * (gj / n)
+          // full-batch GD diverges when lr·λmax(XᵀX/n) > 2 — e.g. a corpus
+          // whose RMS x1 (= tokens/100) is large. Fail loudly with the
+          // actual remedy instead of letting the weights run away.
+          require(!next.isNaN && !next.isInfinite && math.abs(next) < 1e6,
+            s"trainLinear: weight w$j reached $next at iteration ${k + 1} — " +
+              "gradient descent diverged; lower lr or rescale the features")
+          w(j) = java.math.BigDecimal.valueOf(next)
+            .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
           j += 1
         }
         k += 1

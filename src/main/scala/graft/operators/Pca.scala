@@ -79,26 +79,37 @@ object Pca {
     try {
       val n = clean.count()
       require(n > 0, "Pca.moments: no clean vectors")
+      // overflow guards for the long fast paths, decided BEFORE either
+      // aggregate from one narrow max-|q| pre-pass: the mean sums n terms
+      // of |t| ≤ maxAbs (1e-6 units), each (i,j) pair group sums n terms
+      // of |t| ≤ maxAbs² (1e-12 units). Unit-scale embeddings pass by
+      // orders of magnitude; past a bound, the SAME exact unit terms sum
+      // as decimals — identical values, corpus-scale-safe. Compared in
+      // doubles (maxAbs² itself overflows long for |q| ≳ 3e3); the
+      // per-row product is cast to decimal BEFORE multiplying on the
+      // fallback path, or it would overflow exactly where the fallback
+      // is needed.
+      val maxAbs = clean.select(max(aggregate(col("e"), lit(0L),
+        (a, x) => greatest(a, abs(x))))).head().getLong(0)
+      val meanSafe = maxAbs == 0L ||
+        n.toDouble * maxAbs.toDouble < Long.MaxValue.toDouble / 2
+      val pairSafe = maxAbs == 0L ||
+        n.toDouble * maxAbs.toDouble * maxAbs.toDouble < Long.MaxValue.toDouble / 2
+      def unitsToDouble(v: Any, scale: Int): Double = (v match {
+        case l: java.lang.Long => new java.math.BigDecimal(java.math.BigInteger.valueOf(l), scale)
+        case d: java.math.BigDecimal => new java.math.BigDecimal(d.unscaledValue(), scale)
+      }).doubleValue
+      val meanSum: Column =
+        if (meanSafe) sum(col("xi")) else sum(col("xi").cast(DecimalType(30, 0)))
       val meanRows = clean
         .select(posexplode(col("e")).as(Seq("i", "xi")))
-        .groupBy(col("i")).agg(sum(col("xi")).as("s"), max(abs(col("xi"))).as("m"))
+        .groupBy(col("i")).agg(meanSum.as("s"))
         .collect()
       val mean = Array.ofDim[Double](dim)
-      var maxAbs = 0L
-      meanRows.foreach { r =>
-        mean(r.getInt(0)) = round12(java.math.BigDecimal.valueOf(r.getLong(1), 6).doubleValue / n)
-        maxAbs = math.max(maxAbs, r.getLong(2))
-      }
-      // overflow guard for the long fast path: every (i,j) group sums n
-      // terms of |t| ≤ maxAbs² (1e-12 units). Unit-scale embeddings pass by
-      // orders of magnitude; past the bound, sum the same exact 1e-12-unit
-      // terms as DECIMAL(30,0) — identical values, corpus-scale-safe.
-      // compare in doubles: maxAbs² itself overflows long for |q| ≳ 3e3
-      val longSafe = maxAbs == 0L ||
-        n.toDouble * maxAbs.toDouble * maxAbs.toDouble < Long.MaxValue.toDouble / 2
+      meanRows.foreach(r => mean(r.getInt(0)) = round12(unitsToDouble(r.get(1), 6) / n))
       val pairSum: Column =
-        if (longSafe) sum(col("xi") * col("xj"))
-        else sum((col("xi") * col("xj")).cast(DecimalType(30, 0))).cast("decimal(38,0)")
+        if (pairSafe) sum(col("xi") * col("xj"))
+        else sum(col("xi").cast(DecimalType(30, 0)) * col("xj"))
       val pairRows = clean
         .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
         .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
@@ -107,10 +118,7 @@ object Pca {
         .collect()
       val cov = Array.ofDim[Double](dim, dim)
       pairRows.foreach { r =>
-        val sUnits = // exact Σ q_i q_j in 1e-12 units
-          if (longSafe) java.math.BigDecimal.valueOf(r.getLong(2))
-          else r.getDecimal(2)
-        val s = new java.math.BigDecimal(sUnits.unscaledValue(), 12).doubleValue
+        val s = unitsToDouble(r.get(2), 12) // exact Σ q_i q_j in 1e-12 units
         cov(r.getInt(0))(r.getInt(1)) = round12(s / n - mean(r.getInt(0)) * mean(r.getInt(1)))
       }
       (n, mean, cov)
@@ -225,12 +233,8 @@ object Pca {
     val trace = tacc.doubleValue
     val spark = embeds.sparkSession
     import spark.implicits._
-    Seq((lam, trace, round12toShare(lam, trace))).toDF("lambda", "trace", "share")
+    Seq((lam, trace, round6(lam / trace))).toDF("lambda", "trace", "share")
   }
-
-  private def round12toShare(lam: Double, trace: Double): Double =
-    java.math.BigDecimal.valueOf(lam / trace)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
 
   /** Second principal axis (i, loading): power-iterate, deflate, power-
     * iterate again — all driver-resident model-sized arithmetic on the
@@ -256,8 +260,7 @@ object Pca {
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val dim = component.length
     val dec = DecimalType(30, 12)
-    val v6 = component.map(x =>
-      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+    val v6 = component.map(round6)
     val compLit = array(v6.map(lit): _*)
     val terms = zip_with(col(vecCol), compLit,
       (x, w) => round(round(x.cast("double"), 6) * w, 12).cast(dec))

@@ -114,5 +114,13 @@ class CurationSpec extends SparkSpec {
     // identical snapshots: everything unchanged, cardinality preserved
     val same = Curation.snapshotDiff(old, old).collect()
     assert(same.length == 3 && same.forall(_.getString(1) == "unchanged"))
+    // NULL content is compared null-safely, never read as absence:
+    // id 1 NULL->NULL unchanged, id 2 text->NULL changed, id 3 removed
+    val oldN = Seq((1L, null: String), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val nwN = Seq((1L, null: String), (2L, null: String)).toDF("doc_id", "text")
+    val gotN = Curation.snapshotDiff(oldN, nwN).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotN == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed"))
   }
 }

@@ -78,6 +78,16 @@ class LearnSpec extends SparkSpec {
     assert(en.map(_._2).sum / en.size > non.map(_._2).sum / non.size)
   }
 
+  test("divergent GD fails loudly with the remedy, not a weight blow-up") {
+    import org.apache.spark.sql.functions.lit
+    // RMS x1 far beyond the lr=0.5 stability bound -> geometric divergence
+    val wide = toyFeatures.withColumn("x1", col("x1") * lit(1000.0))
+    val e = intercept[IllegalArgumentException] {
+      Learn.trainLinear(wide, Seq("x1", "x2", "x3"), "y", iters = 10)
+    }
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+  }
+
   test("parameter validation rejects bad iters/lr/empty input") {
     intercept[IllegalArgumentException] {
       Learn.trainLinear(toyFeatures, Seq("x1"), "y", iters = -1)
