@@ -358,6 +358,42 @@ private[graft] object Fixtures {
        |FROM ex JOIN p6 p ON p.i = ex.i
        |GROUP BY ex.vec_id ORDER BY ex.vec_id""".stripMargin
 
+  /** Oracle for `hits_trade`: both HITS iterations replayed — authority
+    * raw sums from hub scores over out-edges, hub raw sums from authority
+    * scores over in-edges, each L2-normalized
+    * (`round12(√Σ round12(raw²))`, sqrt IEEE-exact) and re-rounded, the
+    * exact shapes [[operators.Graph.hits]] evaluates. */
+  def hitsTradeOracle: String = {
+    val iters = 2
+    val iterCtes = (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(SUM(CAST(round(p.hub, 12) AS DECIMAL(30,12))) AS DOUBLE) AS raw
+         |  FROM h${k - 1} p JOIN edges e ON e.src = p.node GROUP BY e.dst),
+         |an$k AS (SELECT round(sqrt(CAST(SUM(CAST(round(raw * raw, 12) AS DECIMAL(30,12))) AS DOUBLE)), 12) AS nv FROM ar$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT nn.node, round(COALESCE(r.raw, 0.0) / (SELECT nv FROM an$k), 12) AS auth
+         |  FROM nodes nn LEFT JOIN ar$k r ON r.node = nn.node),
+         |hr$k AS MATERIALIZED (
+         |  SELECT e.src AS node, CAST(SUM(CAST(round(p.auth, 12) AS DECIMAL(30,12))) AS DOUBLE) AS raw
+         |  FROM a$k p JOIN edges e ON e.dst = p.node GROUP BY e.src),
+         |hn$k AS (SELECT round(sqrt(CAST(SUM(CAST(round(raw * raw, 12) AS DECIMAL(30,12))) AS DOUBLE)), 12) AS nv FROM hr$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT nn.node, round(COALESCE(r.raw, 0.0) / (SELECT nv FROM hn$k), 12) AS hub
+         |  FROM nodes nn LEFT JOIN hr$k r ON r.node = nn.node)""".stripMargin
+    }
+    s"""WITH oc AS (
+       |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE year(o_orderdate) = 1995),
+       |edges AS (SELECT CAST(ck AS BIGINT) AS src, -1 - CAST(sk AS BIGINT) AS dst FROM oc),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+       |ncnt AS (SELECT COUNT(*) AS cnt FROM nodes),
+       |h0 AS (SELECT node, round(1.0 / sqrt(CAST((SELECT cnt FROM ncnt) AS DOUBLE)), 12) AS hub FROM nodes),
+       |${iterCtes.mkString(",\n")}
+       |SELECT h$iters.node, h$iters.hub, a$iters.auth
+       |FROM h$iters JOIN a$iters USING (node) ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `mmr_select`: every greedy MMR step replayed — step 1 is
     * the pure-relevance argmax, step m ≥ 2 scores
     * `round6(0.5·rel − 0.5·greatest(cos6 to each selected))` over the

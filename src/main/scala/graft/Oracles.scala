@@ -370,6 +370,8 @@ private[graft] object Oracles {
 
     "pagerank_personalized" -> pagerankPersonalizedOracle,
 
+    "hits_trade" -> hitsTradeOracle,
+
     "zorder_value" -> zorderValueOracle,
 
     "quality_lr_train" -> qualityLrTrainOracle,

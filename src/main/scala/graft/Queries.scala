@@ -335,6 +335,22 @@ private[graft] object Queries {
         .orderBy(col("node"))
     }),
 
+    "hits_trade" -> ((s, dir) => {
+      // HITS on the DIRECTED 1995 customer→supplier graph: hubs = big
+      // buyers, authorities = widely-bought-from suppliers; both
+      // L2-normalized iterations replayed bit-for-bit by the oracle
+      val oc = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(broadcast(Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")) === 1995)
+          .select(col("o_orderkey"), col("o_custkey"))),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (lit(-1L) - col("l_suppkey").cast("long")).as("dst"))
+        .distinct()
+      Graph.hits(oc, iters = 2, edgesDistinct = true)
+        .orderBy(col("node"))
+    }),
+
     "bpe_first_merge" -> ((s, dir) => {
       // BPE training's rank-0 merge: the most frequent adjacent symbol
       // pair over the word dictionary (chars + end-of-word marker U+E000),

@@ -86,6 +86,80 @@ object Graph {
       edgesDistinct, broadcastNodeLimit, Some(seeds))
   }
 
+  /**
+   * HITS (hubs & authorities) over a DIRECTED edge list — the second
+   * classic link-analysis centrality: authorities are pointed-to by good
+   * hubs (`a(v) = Σ_{u→v} h(u)`), hubs point at good authorities
+   * (`h(u) = Σ_{u→v} a(v)`), each vector L2-normalized per round. On a
+   * bipartite interaction graph (customer→supplier, page→cited-doc) the
+   * two scores separate the "big consumers" from the "widely-consumed".
+   *
+   * Numeric discipline (cf. [[pageRank]]): contributions are 12-decimal
+   * grid values summed as DECIMAL(30,12); the L2 norm is
+   * `round12(√Σ round12(x²))` — `sqrt` is IEEE-correctly-rounded, and a
+   * square of a 12-grid value rounds tie-free (the [[Pca]] argument) —
+   * so every iteration replays bit-for-bit in DuckDB. Returns
+   * (node, hub, auth) for every node; nodes without the respective role
+   * hold 0.0. Same node-sized-state / distributed branching as
+   * [[pageRank]].
+   */
+  def hits(edges: DataFrame, iters: Int,
+           srcCol: String = "src", dstCol: String = "dst",
+           edgesDistinct: Boolean = false,
+           broadcastNodeLimit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count()
+      require(n > 0, "hits: empty graph")
+      val small = n <= broadcastNodeLimit
+      def localize(df: DataFrame): DataFrame =
+        spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      def cut(df: DataFrame): DataFrame =
+        if (small) localize(df) else df.localCheckpoint()
+      val nodesM = cut(nodes.select(col("node")))
+      def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+      // one normalized update: scores s on the `from` end of the edge flow
+      // into raw sums on the `to` end, L2-normalize, re-round
+      def step(scores: DataFrame, scoreCol: String, from: String, to: String,
+               outCol: String): DataFrame = {
+        val raw = e
+          .join(side(scores), col("node") === col(from))
+          .select(col(to).as("node"), round(col(scoreCol), 12).as("c"))
+          .groupBy(col("node"))
+          .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("raw"))
+        val nrm = raw
+          .agg(round(sqrt(sum(round(col("raw") * col("raw"), 12)
+            .cast(DecimalType(30, 12))).cast("double")), 12))
+          .head().getDouble(0)
+        require(nrm != 0.0, s"hits: zero $outCol norm (degenerate graph)")
+        cut(nodesM.join(side(raw), Seq("node"), "left")
+          .select(col("node"),
+            round(coalesce(col("raw"), lit(0.0)) / nrm, 12).as(outCol)))
+      }
+      var h = cut(nodesM.withColumn("hub", round(lit(1.0) / sqrt(lit(n.toDouble)), 12)))
+      var a: DataFrame = null
+      var k = 0
+      while (k < iters) {
+        a = step(h, "hub", "src", "dst", "auth")
+        h = step(a, "auth", "dst", "src", "hub")
+        k += 1
+      }
+      h.join(a, Seq("node"))
+        .select(col("node"), col("hub"), col("auth"))
+    } finally {
+      nodes.unpersist()
+      e.unpersist()
+    }
+  }
+
   private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
                            srcCol: String, dstCol: String, weightCol: Option[String],
                            edgesDistinct: Boolean,

@@ -105,6 +105,42 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(e, iters = 1, damping = 1.0))
   }
 
+  test("hits: the broader buyer is the bigger hub, the shared supplier the bigger " +
+    "authority; naive replay bit-exact") {
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // bipartite: buyer 1 buys from suppliers 10,11,12; buyer 2 only from 10
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 10L, 11L, 12L))
+    assert(got(1L)._1 > got(2L)._1)                    // broader hub wins
+    assert(got(10L)._2 > got(11L)._2)                  // shared supplier wins
+    assert(got(11L)._2 == got(12L)._2)                 // symmetric authorities tie
+    assert(got(10L)._1 == 0.0 && got(1L)._2 == 0.0)    // roles don't leak
+
+    // naive replay with the same rounding discipline
+    val out = Map(1L -> Seq(10L, 11L, 12L), 2L -> Seq(10L))
+    val nodes = Seq(1L, 2L, 10L, 11L, 12L)
+    var h = nodes.map(_ -> r12(1.0 / math.sqrt(5.0))).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to 2) {
+      def norm(raw: Map[Long, BigDecimal]): Double =
+        r12(math.sqrt(raw.values.map(v => BigDecimal(r12(v.toDouble * v.toDouble)))
+          .foldLeft(BigDecimal(0))(_ + _).toDouble))
+      val ar = out.toSeq.flatMap { case (u, vs) => vs.map(_ -> BigDecimal(r12(h(u)))) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).foldLeft(BigDecimal(0))(_ + _)).toMap
+      val an = norm(ar)
+      a = nodes.map(v => v -> r12(ar.getOrElse(v, BigDecimal(0)).toDouble / an)).toMap
+      val hr = out.toSeq.flatMap { case (u, vs) => vs.map(v => u -> BigDecimal(r12(a(v)))) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).foldLeft(BigDecimal(0))(_ + _)).toMap
+      val hn = norm(hr)
+      h = nodes.map(u => u -> r12(hr.getOrElse(u, BigDecimal(0)).toDouble / hn)).toMap
+    }
+    assert(got == nodes.map(v => v -> (h(v), a(v))).toMap)
+    intercept[IllegalArgumentException](Graph.hits(edges, iters = 0))
+  }
+
   test("personalized: mass concentrates near the seed; isolated seed keeps teleport; " +
     "naive replay bit-exact") {
     def r12(x: Double): Double =
