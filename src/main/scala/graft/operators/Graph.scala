@@ -120,40 +120,90 @@ object Graph {
       val n = nodes.count()
       require(n > 0, "hits: empty graph")
       val small = n <= broadcastNodeLimit
-      def localize(df: DataFrame): DataFrame =
-        spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
-      def cut(df: DataFrame): DataFrame =
-        if (small) localize(df) else df.localCheckpoint()
-      val nodesM = cut(nodes.select(col("node")))
-      def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-      // one normalized update: scores s on the `from` end of the edge flow
-      // into raw sums on the `to` end, L2-normalize, re-round
-      def step(scores: DataFrame, scoreCol: String, from: String, to: String,
-               outCol: String): DataFrame = {
-        val raw = e
-          .join(side(scores), col("node") === col(from))
+      def r12(x: Double): Double =
+        java.math.BigDecimal.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
+      // L2 norm of the raw sums under the replay discipline:
+      // round12(√Σ round12(raw²)) — exact decimal sum, IEEE-exact sqrt
+      def l2(raws: Iterable[Double]): Double = {
+        var acc = java.math.BigDecimal.ZERO
+        raws.foreach(v => acc = acc.add(
+          java.math.BigDecimal.valueOf(r12(v * v))))
+        r12(math.sqrt(acc.doubleValue))
+      }
+      // raw contribution sums for one half-step: scores on the `from` end
+      // of each edge flow into decimal-exact sums on the `to` end
+      def rawSums(scores: DataFrame, scoreCol: String, from: String, to: String): DataFrame =
+        e.join(if (small) broadcast(scores) else scores, col("node") === col(from))
           .select(col(to).as("node"), round(col(scoreCol), 12).as("c"))
           .groupBy(col("node"))
           .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("raw"))
-        val nrm = raw
-          .agg(round(sqrt(sum(round(col("raw") * col("raw"), 12)
-            .cast(DecimalType(30, 12))).cast("double")), 12))
-          .head().getDouble(0)
-        require(nrm != 0.0, s"hits: zero $outCol norm (degenerate graph)")
-        cut(nodesM.join(side(raw), Seq("node"), "left")
-          .select(col("node"),
-            round(coalesce(col("raw"), lit(0.0)) / nrm, 12).as(outCol)))
+      if (small) {
+        // NODE-SIZED-STATE path (the [[pageRank]] discipline, one step
+        // further): the raw sums are node-sized, so the norm and the
+        // normalized score table are DRIVER arithmetic on the collected
+        // rows — one Spark job per half-step instead of three
+        val nodeList = nodes.collect().map(_.get(0))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          nodes.schema.fields.head.copy(name = "node"),
+          org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.DoubleType)))
+        def scoreTable(byNode: Map[Any, Double]): DataFrame =
+          spark.createDataFrame(
+            java.util.Arrays.asList(nodeList.map(v =>
+              org.apache.spark.sql.Row(v, byNode.getOrElse(v, 0.0))): _*), schema)
+        def stepSmall(scores: DataFrame, from: String, to: String,
+                      what: String): (DataFrame, Map[Any, Double]) = {
+          val raw = rawSums(scores, "s", from, to).collect()
+            .map(r => r.get(0) -> r.getDouble(1)).toMap
+          val nrm = l2(raw.values)
+          require(nrm != 0.0, s"hits: zero $what norm (degenerate graph)")
+          val normalized = raw.map { case (v, x) => v -> r12(x / nrm) }
+          (scoreTable(normalized), normalized)
+        }
+        var h = scoreTable(nodeList.map(_ -> r12(1.0 / math.sqrt(n.toDouble))).toMap)
+        var hMap = Map.empty[Any, Double]
+        var aMap = Map.empty[Any, Double]
+        var k = 0
+        while (k < iters) {
+          val (aT, aM) = stepSmall(h, "src", "dst", "auth")
+          val (hT, hM) = stepSmall(aT, "dst", "src", "hub")
+          h = hT; hMap = hM; aMap = aM
+          k += 1
+        }
+        spark.createDataFrame(
+          java.util.Arrays.asList(nodeList.map(v => org.apache.spark.sql.Row(
+            v, hMap.getOrElse(v, 0.0), aMap.getOrElse(v, 0.0))): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            nodes.schema.fields.head.copy(name = "node"),
+            org.apache.spark.sql.types.StructField("hub", org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("auth", org.apache.spark.sql.types.DoubleType))))
+      } else {
+        // DISTRIBUTED path: norm via a 1-row aggregate, normalized scores
+        // re-joined against the node set, lineage cut per half-step
+        val nodesM = nodes.select(col("node")).localCheckpoint()
+        def step(scores: DataFrame, from: String, to: String, what: String): DataFrame = {
+          val raw = rawSums(scores, "s", from, to)
+          val nrm = raw
+            .agg(round(sqrt(sum(round(col("raw") * col("raw"), 12)
+              .cast(DecimalType(30, 12))).cast("double")), 12))
+            .head().getDouble(0)
+          require(nrm != 0.0, s"hits: zero $what norm (degenerate graph)")
+          nodesM.join(raw, Seq("node"), "left")
+            .select(col("node"),
+              round(coalesce(col("raw"), lit(0.0)) / nrm, 12).as("s"))
+            .localCheckpoint()
+        }
+        var h = nodesM.withColumn("s", round(lit(1.0) / sqrt(lit(n.toDouble)), 12))
+          .localCheckpoint()
+        var a: DataFrame = null
+        var k = 0
+        while (k < iters) {
+          a = step(h, "src", "dst", "auth")
+          h = step(a, "dst", "src", "hub")
+          k += 1
+        }
+        h.select(col("node"), col("s").as("hub"))
+          .join(a.select(col("node"), col("s").as("auth")), Seq("node"))
       }
-      var h = cut(nodesM.withColumn("hub", round(lit(1.0) / sqrt(lit(n.toDouble)), 12)))
-      var a: DataFrame = null
-      var k = 0
-      while (k < iters) {
-        a = step(h, "hub", "src", "dst", "auth")
-        h = step(a, "auth", "dst", "src", "hub")
-        k += 1
-      }
-      h.join(a, Seq("node"))
-        .select(col("node"), col("hub"), col("auth"))
     } finally {
       nodes.unpersist()
       e.unpersist()

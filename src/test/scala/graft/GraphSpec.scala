@@ -139,6 +139,12 @@ class GraphSpec extends SparkSpec {
     }
     assert(got == nodes.map(v => v -> (h(v), a(v))).toMap)
     intercept[IllegalArgumentException](Graph.hits(edges, iters = 0))
+
+    // the distributed branch (forced by a tiny broadcast limit) is
+    // score-identical to the node-sized-state fast path
+    val dist = Graph.hits(edges, iters = 2, broadcastNodeLimit = 1L).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(dist == got)
   }
 
   test("personalized: mass concentrates near the seed; isolated seed keeps teleport; " +
