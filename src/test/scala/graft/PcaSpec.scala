@@ -41,6 +41,30 @@ class PcaSpec extends SparkSpec {
     for (i <- 0 until 3; j <- 0 until 3) assert(cov(i)(j) == cov(j)(i))
   }
 
+  test("moments decimal fallback: large-magnitude vectors take the guarded path " +
+    "and still match the naive replay bit-for-bit") {
+    // |q| = 9e8 units -> n*maxAbs^2 = 6*8.1e17 > Long.MaxValue/2: the pair
+    // sums MUST route through the decimal fallback (the long product would
+    // overflow); results stay identical to the exact driver replay
+    val vecs = Seq(
+      (1L, Array(900.0f, -900.0f)), (2L, Array(-900.0f, 900.0f)),
+      (3L, Array(900.0f, 900.0f)), (4L, Array(-900.0f, -900.0f)),
+      (5L, Array(450.0f, -450.0f)), (6L, Array(-450.0f, 450.0f))
+    ).toDF("vec_id", "embedding")
+    val (n, mean, cov) = Pca.moments(vecs, dim = 2)
+    assert(n == 6)
+    val q = vecs.collect().map(_.getSeq[Float](1).toArray.map(x => r6(x.toDouble)))
+    def dsum(vals: Iterable[Double]): Double = {
+      var acc = java.math.BigDecimal.ZERO
+      vals.foreach(v => acc = acc.add(java.math.BigDecimal.valueOf(r12(v))))
+      acc.doubleValue
+    }
+    val m = Array.tabulate(2)(i => r12(dsum(q.map(_(i))) / 6))
+    assert(mean.toSeq == m.toSeq)
+    for (i <- 0 until 2; j <- 0 until 2)
+      assert(cov(i)(j) == r12(dsum(q.map(v => v(i) * v(j))) / 6 - m(i) * m(j)), s"cov($i)($j)")
+  }
+
   test("moments are invariant under repartitioning (order-free decimal sums)") {
     val (_, m1, c1) = Pca.moments(toyVecs.repartition(5), dim = 3)
     val (_, m2, c2) = Pca.moments(toyVecs.repartition(1), dim = 3)
