@@ -29,6 +29,11 @@ case class BenchLexQuery(query_id: Long, terms: Seq[String])
  *
  * Beyond the per-query median the line carries (round-6 verdict #2 — the
  * variance that separates environmental drift from a real regression):
+ *  - `total_min_sec`: the contention-robust second headline — Σ per-query
+ *    spread.min (each query's best observed run, the closest proxy for its
+ *    uncontended cost); entries whose base-round max/min exceeds 2× get
+ *    `runs` extra measurements and additionally report `tmax` (max with the
+ *    single worst sample dropped) and `n` (sample count) — `max` stays raw.
  *  - `spread`: per-query min/max across the runs, plus `warm` — a SECOND
  *    count() on one Dataset instance, which reuses the analyzed plan and
  *    cached codegen and so isolates execution cost from per-call planning
@@ -90,6 +95,17 @@ object Bench {
     // timed run of the check would absorb the one-time pipeline build
     try FunnelArtifacts.stages(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] funnel warmup failed: $e") }
+    // and the per-JVM trade-graph edge cache (round-10 verdict #2): the
+    // weighted / personalized / HITS entries measure ITERATIONS against the
+    // cached year-slice edge sets; pagerank_trade stays the honest full
+    // edge-ETL recompute — without warming, the first timed run of each
+    // consumer would absorb the one-time slice derivation
+    try {
+      GraphArtifacts.weightedEdges1995(spark, sfDir)
+      GraphArtifacts.edges1996(spark, sfDir)
+      GraphArtifacts.directedEdges1995(spark, sfDir)
+      GraphArtifacts.nationSeeds(spark, sfDir)
+    } catch { case e: Throwable => System.err.println(s"[bench] graph warmup failed: $e") }
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -119,14 +135,32 @@ object Bench {
     // of per measurement — same total pressure, ~1/100th the gc() calls.
     val queryFns = selected.toSeq.sortBy(_._1)
     val samples = Array.fill(queryFns.size)(Vector.empty[Double])
-    (1 to runs).foreach { _ =>
+    def measureRound(idx: Seq[Int]): Unit = {
       System.gc()
-      queryFns.zipWithIndex.foreach { case ((_, fn), i) =>
+      idx.foreach { i =>
+        val fn = queryFns(i)._2
         spark.catalog.clearCache()
         samples(i) = samples(i) :+
           (try time(fn(spark, sfDir).count())
            catch { case _: Throwable => -1.0 })
       }
+    }
+    (1 to runs).foreach(_ => measureRound(queryFns.indices))
+    // CONTENTION ROBUSTNESS (round-10 verdict #1/#3): entries whose max/min
+    // exceeded 2× over the base rounds get `runs` EXTRA interleaved
+    // measurements — a host-contention hit on one run of a heavy entry
+    // should not define its round-over-round number. Entries that took
+    // extras then also report `tmax`, the max after dropping the single
+    // worst sample (a trimmed statistic is only meaningful once n ≥ 2·runs;
+    // `max` stays the raw maximum either way, nothing is hidden).
+    val highSpread = queryFns.indices.filter { i =>
+      val ts = samples(i)
+      !ts.contains(-1.0) && ts.min > 0 && ts.max / ts.min > 2.0
+    }
+    if (highSpread.nonEmpty) {
+      System.err.println(s"[bench] extra runs for high-spread entries: " +
+        highSpread.map(queryFns(_)._1).mkString(", "))
+      (1 to runs).foreach(_ => measureRound(highSpread))
     }
     val results = queryFns.zipWithIndex.map { case ((name, fn), i) =>
       // warm-plan second execution: one Dataset, counted twice; the second
@@ -137,11 +171,15 @@ object Bench {
         catch { case _: Throwable => -1.0 }
       val ts = samples(i)
       val bad = ts.contains(-1.0)
+      val tmax = if (bad || ts.length <= runs) -1.0
+                 else r4(ts.sorted.dropRight(1).max)
       (name,
         if (bad) -1.0 else median(ts),
         if (bad) -1.0 else r4(ts.min),
         if (bad) -1.0 else r4(ts.max),
-        r4(warm))
+        r4(warm),
+        tmax,
+        ts.length)
     }
 
     // streaming ANN serving latency: 3 micro-batches of the 8 fixture
@@ -208,18 +246,26 @@ object Bench {
         System.err.println(s"[bench] streaming BM25 section failed: $e"); Seq.empty
       }
 
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, mn, mx, warm) =>
-      "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + ",\"warm\":" + warm + "}"
+    val spread = results.map { case (k, _, mn, mx, warm, tmax, n) =>
+      "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + ",\"warm\":" + warm +
+        (if (tmax >= 0) ",\"tmax\":" + tmax else "") + ",\"n\":" + n + "}"
     }.mkString("{", ",", "}")
     val streaming =
       "{\"ann_serve_epoch_sec\":" + streamEpochs.mkString("[", ",", "]") +
         ",\"bm25_serve_epoch_sec\":" + lexEpochs.mkString("[", ",", "]") + "}"
     val total = results.map(_._2).filter(_ >= 0).sum
+    // SECOND, contention-robust headline (round-10 verdict #3): the sum of
+    // per-query spread.min. Each min is that query's best observed run —
+    // the closest measurable proxy for its cost on an UNCONTENDED host —
+    // so Σmin is comparable round-over-round even when a noisy-neighbor
+    // phase inflates medians across the board; SCALING.md gates
+    // regressions on it alongside the median total
+    val totalMin = r4(results.map(_._3).filter(_ >= 0).sum)
     // the commit SHA makes the artifact self-identifying: a stale
     // bench_latest.json from a previous (e.g. failed) round is detectable
-    val line = s"""{"metric":"total_median_sec","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"streaming":$streaming,"runs":$runs,"cpus":"$cpus","sf":"$sfDir","commit":"${BuildId.gitSha()}"}"""
+    val line = s"""{"metric":"total_median_sec","value":$total,"unit":"sec","total_min_sec":$totalMin,"queries":$qs,"spread":$spread,"streaming":$streaming,"runs":$runs,"cpus":"$cpus","sf":"$sfDir","commit":"${BuildId.gitSha()}"}"""
     println(line)
     // stdout gets truncated by some harnesses — also persist the full
     // per-query map as a file artifact (SPARK_GRAFT_BENCH_OUT overrides)
@@ -240,9 +286,9 @@ object Bench {
     // seconds and live in full in `bench_latest.json` (commit-stamped above).
     val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
     def r2(x: Double): Double = math.rint(x * 100) / 100
-    val byCost = results.map { case (k, v, _, _, _) => (k, v) }.sortBy(-_._2)
+    val byCost = results.map { case (k, v, _, _, _, _, _) => (k, v) }.sortBy(-_._2)
     val budget = 1800
-    val head = s"""{"metric":"total_median_sec","value":${r4(total)},"unit":"sec","sf":"$sfName","runs":$runs,"commit":"${BuildId.gitSha()}","full":"$outPath""""
+    val head = s"""{"metric":"total_median_sec","value":${r4(total)},"unit":"sec","total_min_sec":$totalMin,"sf":"$sfName","runs":$runs,"commit":"${BuildId.gitSha()}","full":"$outPath""""
     val entries = scala.collection.mutable.ArrayBuffer[String]()
     var used = head.length + 60 // room for the omitted/queries framing + close
     var omitted = 0

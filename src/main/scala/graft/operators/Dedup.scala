@@ -489,19 +489,27 @@ object Dedup {
    */
   def sourceOverlapMatrix(docs: DataFrame, sourceCol: String = "source",
                           textCol: String = "text", shingleN: Int = 3): DataFrame = {
+    // ss feeds the size table and BOTH self-join sides — persist so the
+    // corpus shingle explode+distinct runs once, not ~3×; the #sources²-row
+    // result is eagerly materialized with a lineage cut and ss unpersisted
+    // before returning (the [[containmentPairs]] discipline)
     val ss = docs.select(col(sourceCol).as("s"),
         explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN))).as("g"))
       .distinct()
-    val sizes = ss.groupBy(col("s")).agg(count(lit(1)).as("n"))
-    ss.as("x").join(ss.as("y"), col("x.g") === col("y.g"))
-      .filter(col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("src_a"), col("y.s").as("src_b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.withColumnRenamed("s", "src_a").withColumnRenamed("n", "na"), "src_a")
-      .join(sizes.withColumnRenamed("s", "src_b").withColumnRenamed("n", "nb"), "src_b")
-      .select(col("src_a"), col("src_b"), col("shared"), col("na"), col("nb"),
-        round(col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared")).cast("double"), 6).as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = ss.groupBy(col("s")).agg(count(lit(1)).as("n"))
+      ss.as("x").join(ss.as("y"), col("x.g") === col("y.g"))
+        .filter(col("x.s") < col("y.s"))
+        .groupBy(col("x.s").as("src_a"), col("y.s").as("src_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.withColumnRenamed("s", "src_a").withColumnRenamed("n", "na"), "src_a")
+        .join(sizes.withColumnRenamed("s", "src_b").withColumnRenamed("n", "nb"), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared"), col("na"), col("nb"),
+          round(col("shared").cast("double") /
+            (col("na") + col("nb") - col("shared")).cast("double"), 6).as("jaccard"))
+        .localCheckpoint()
+    } finally ss.unpersist()
   }
 
   /**

@@ -267,32 +267,60 @@ object Graph {
       }
       if (small) {
         // NODE-SIZED-STATE path (the Lloyd-codebook shape: corpus-sized
-        // work distributed, model-sized state through the driver): nodes,
-        // degrees and ranks are materialized once as local tables, so each
-        // iteration is exactly ONE cached raw-edge scan joined against two
-        // LocalTableScan broadcasts plus a partial/final aggregate — no
-        // nested lazy broadcast subplans re-deriving earlier rounds, no
-        // edge-table shuffle, no degree-annotated edge copy to cache
-        def localize(df: DataFrame): DataFrame =
-          spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
-        val nodesL = localize(nodes)
-        val outdegL = localize(outdeg)
-        var rank = localize(nodesL.withColumn("rank", initCol))
+        // work distributed, model-sized state through the driver — and the
+        // [[hits]] discipline of ONE Spark job per iteration): the
+        // contribution sums are node-sized, so the damped update is DRIVER
+        // arithmetic on the collected rows in exactly the IEEE shape the
+        // Spark/oracle replays evaluate (round12(tp + d·csum), double ops
+        // in the same order). Each iteration is one job: cached raw-edge
+        // scan joined against two LocalTableScan broadcasts, partial/final
+        // decimal aggregate, node-sized collect — no second join job to
+        // apply the update, no edge-table shuffle.
+        def r12(x: Double): Double =
+          java.math.BigDecimal.valueOf(x)
+            .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
+        val nodeList = nodes.collect().map(_.get(0))
+        val outdegL = spark.createDataFrame(
+          java.util.Arrays.asList(outdeg.collect(): _*), outdeg.schema)
+        val isSeed: Any => Boolean = seeds match {
+          case Some(ss) => {
+            case nmb: java.lang.Number => ss.contains(nmb.longValue)
+            case _ => false
+          }
+          case None => (_: Any) => false
+        }
+        val tpOf: Any => Double = seeds match {
+          case Some(ss) => v => if (isSeed(v)) (1.0 - damping) / ss.size else 0.0
+          case None => _ => teleport
+        }
+        val initOf: Any => Double = seeds match {
+          case Some(ss) => v => if (isSeed(v)) r12(1.0 / ss.size) else 0.0
+          case None => _ => r12(1.0 / n)
+        }
+        val rankSchema = org.apache.spark.sql.types.StructType(Seq(
+          nodes.schema.fields.head.copy(name = "node"),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.DoubleType)))
+        def rankTable(m: Map[Any, Double]): DataFrame =
+          spark.createDataFrame(
+            java.util.Arrays.asList(nodeList.map(v =>
+              org.apache.spark.sql.Row(v, m(v))): _*), rankSchema)
+        var rankMap: Map[Any, Double] =
+          nodeList.map(v => (v: Any) -> initOf(v)).toMap
         var k = 0
         while (k < iters) {
-          val contrib = e
-            .join(broadcast(rank), col("node") === col("src"))
+          val csum = e
+            .join(broadcast(rankTable(rankMap)), col("node") === col("src"))
             .join(broadcast(outdegL), "src")
             .select(col("dst").as("node"), contribution.as("c"))
             .groupBy(col("node"))
             .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("csum"))
-          rank = localize(nodesL.join(broadcast(contrib), Seq("node"), "left")
-            .select(col("node"),
-              round(tpCol + lit(damping) * coalesce(col("csum"), lit(0.0)), 12)
-                .as("rank")))
+            .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+          rankMap = nodeList.map(v =>
+            (v: Any) -> r12(tpOf(v) + damping * csum.getOrElse(v, 0.0))).toMap
           k += 1
         }
-        rank
+        rankTable(rankMap)
       } else {
         // DISTRIBUTED path (web-scale graphs): degree-annotated cached
         // edges, shuffle joins on the edge key, rank lineage cut per round

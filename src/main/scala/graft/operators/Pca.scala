@@ -98,6 +98,14 @@ object Pca {
       def unitsToDouble(v: Any, scale: Int): Double = (v match {
         case l: java.lang.Long => new java.math.BigDecimal(java.math.BigInteger.valueOf(l), scale)
         case d: java.math.BigDecimal => new java.math.BigDecimal(d.unscaledValue(), scale)
+        // non-ANSI Spark returns null when a DECIMAL sum overflows the
+        // 38-digit ceiling — fail with a diagnostic, not a MatchError: the
+        // long-overflow guards bound per-TERM magnitude but a pathological
+        // corpus (N·|x|² ≥ 10³⁸ in 1e-6 units) can still blow the SUM
+        case null => throw new IllegalStateException(
+          "Pca.moments: DECIMAL(30,0) fallback sum overflowed Spark's 38-digit " +
+            "decimal ceiling (sum returned null) — the corpus magnitude/count " +
+            "exceeds the exact-moments range; pre-scale the embeddings")
       }).doubleValue
       val meanSum: Column =
         if (meanSafe) sum(col("xi")) else sum(col("xi").cast(DecimalType(30, 0)))

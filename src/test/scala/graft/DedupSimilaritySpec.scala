@@ -147,6 +147,11 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.mmrSelect(pool, q, k = 1, lambda = 0.0))
     intercept[IllegalArgumentException](
       Similarity.mmrSelect(pool, Array(Float.NaN, 1f, 0f, 0f), k = 1))
+    // bounded-k contract: the greedy plan inlines k vectors per step, so
+    // k past maxK fails loudly instead of blowing up codegen/analysis
+    intercept[IllegalArgumentException](Similarity.mmrSelect(pool, q, k = 129))
+    // ...and raising maxK deliberately is allowed (pool exhausts at 4)
+    assert(Similarity.mmrSelect(pool, q, k = 129, maxK = 200).count() == 4)
   }
 
   test("bruteForceTopK: nearest neighbor is the most-aligned vector") {
