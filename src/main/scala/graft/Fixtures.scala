@@ -193,12 +193,15 @@ private[graft] object Fixtures {
     val pred = "b + w1 * x1 + w2 * x2 + w3 * x3"
     val stops = "['the','a','an','and','or','of','to','in','is','it','that'," +
       "'with','for','on','as','at','by','this','be']"
+    // the residual is 6-grid-quantized BEFORE the per-row products (the
+    // pca operand discipline, mirrored in Learn.trainLinear): err and x_j
+    // both on the 6-decimal grid make each round12 land tie-free
     val iterCtes = (1 to iters).map { k =>
       s"""g$k AS (SELECT
-         |  CAST(SUM(CAST(round($pred - y, 12) AS DECIMAL(30,12))) AS DOUBLE) AS g0,
-         |  CAST(SUM(CAST(round(($pred - y) * x1, 12) AS DECIMAL(30,12))) AS DOUBLE) AS g1,
-         |  CAST(SUM(CAST(round(($pred - y) * x2, 12) AS DECIMAL(30,12))) AS DOUBLE) AS g2,
-         |  CAST(SUM(CAST(round(($pred - y) * x3, 12) AS DECIMAL(30,12))) AS DOUBLE) AS g3
+         |  CAST(SUM(CAST(round(round($pred - y, 6), 12) AS DECIMAL(30,12))) AS DOUBLE) AS g0,
+         |  CAST(SUM(CAST(round(round($pred - y, 6) * x1, 12) AS DECIMAL(30,12))) AS DOUBLE) AS g1,
+         |  CAST(SUM(CAST(round(round($pred - y, 6) * x2, 12) AS DECIMAL(30,12))) AS DOUBLE) AS g2,
+         |  CAST(SUM(CAST(round(round($pred - y, 6) * x3, 12) AS DECIMAL(30,12))) AS DOUBLE) AS g3
          |  FROM f, w${k - 1}),
          |w$k AS (SELECT
          |  round(b - $lr * (g0 / (SELECT cnt FROM ncnt)), 12) AS b,
@@ -210,7 +213,7 @@ private[graft] object Fixtures {
     s"""WITH f AS (
        |  SELECT doc_id,
        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
-       |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) / 100.0 AS x1,
+       |    round(CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) / 100.0, 6) AS x1,
        |    round(CAST(len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
        |          / greatest(len(text), 1), 6) AS x2,
        |    round(CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')),

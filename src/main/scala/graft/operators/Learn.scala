@@ -54,7 +54,10 @@ object Learn {
     docs.select(
       col(idCol).as("id"),
       when(col(langCol) === "en", 1.0).otherwise(0.0).as("y"),
-      (TextFunctions.tokenCount(col(textCol)).cast("double") / 100.0).as("x1"),
+      // round6 pins x1 to the 6-decimal grid (tokens/100 is a 2-decimal
+      // rational, so this is exact in both engines) — with ALL features on
+      // the grid, the per-row gradient products below round tie-free
+      round(TextFunctions.tokenCount(col(textCol)).cast("double") / 100.0, 6).as("x1"),
       TextFunctions.punctRatio(col(textCol)).as("x2"),
       TextFunctions.stopwordRatio(col(textCol), TextAnalysis.Stopwords).as("x3"))
 
@@ -69,8 +72,10 @@ object Learn {
   /**
    * Full-batch gradient-descent training of a linear model on squared loss:
    * `iters` iterations of `w_j ← round12(w_j - lr * (g_j / n))` with
-   * `g_j = Σ round12((pred - y) * x_j)` summed as DECIMAL(30,12)
-   * (bias: `g_0 = Σ round12(pred - y)`). Returns the d+1 weights
+   * `g_j = Σ round12(round6(pred - y) * x_j)` summed as DECIMAL(30,12)
+   * (bias: `g_0 = Σ round12(round6(pred - y))`) — the residual is
+   * 6-grid-quantized before the products so the per-row round12 is
+   * tie-free cross-engine. Returns the d+1 weights
    * (bias first). Deterministic under any partitioning; replayable
    * bit-for-bit by unrolled SQL CTEs.
    */
@@ -85,7 +90,14 @@ object Learn {
       val w = Array.fill(featCols.size + 1)(0.0)
       var k = 0
       while (k < iters) {
-        val err = predictor(w, featCols) - col(labelCol)
+        // round6 quantizes the residual BEFORE the per-row products (the
+        // [[Pca.moments]] operand discipline): err and x_j both on the
+        // 6-decimal grid make every round12(err*x_j) land tie-free, so the
+        // bit-for-bit oracle replay is deterministic, not probabilistic —
+        // round12 of a RAW double product disagrees between BigDecimal
+        // HALF_UP and DuckDB's scaled rounding with probability
+        // ~|x|·1e12·2^-53 per call, which grows with corpus × iterations
+        val err = round(predictor(w, featCols) - col(labelCol), 6)
         def dsum(c: Column): Column =
           sum(round(c, 12).cast(DecimalType(30, 12))).cast("double")
         val aggs = dsum(err).as("g0") +:

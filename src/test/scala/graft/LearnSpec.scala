@@ -43,7 +43,9 @@ class LearnSpec extends SparkSpec {
       val g = Array.fill(4)(java.math.BigDecimal.ZERO)
       rows.foreach { case (y, x) =>
         val pred = ((w(0) + w(1) * x(0)) + w(2) * x(1)) + w(3) * x(2)
-        val err = pred - y
+        // residual quantized to the 6-grid BEFORE the products, exactly as
+        // trainLinear and the learnCtes oracle evaluate it (tie-free round12)
+        val err = BigDecimal(pred - y).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         g(0) = g(0).add(java.math.BigDecimal.valueOf(r12(err)))
         for (j <- 0 until 3)
           g(j + 1) = g(j + 1).add(java.math.BigDecimal.valueOf(r12(err * x(j))))
