@@ -226,6 +226,78 @@ private[graft] object Fixtures {
        |${iterCtes.mkString(",\n")}""".stripMargin
   }
 
+  // ------------------------------------------------------------- phash
+  // SQL replay of [[operators.Multimodal.dHash64]] over the generator's
+  // cycled-text PNG pixel formulas: byte i of the decoded RGB stream is
+  // text byte (i mod L) (0 for empty text), luma is the integer
+  // 299r+587g+114b, the 9×8 NN grid indexes with integer division, and
+  // the 64 bits assemble into a SIGNED BIGINT via the two's-complement
+  // k=63 term — every step exact integer arithmetic, no float anywhere.
+
+  /** Pixel-byte expression over (hx, ilen); `perturb` replays the planted
+    * near-dup fixture (first byte nudged +1 mod 256). */
+  private def phashByte(i: String, perturb: Boolean): String = {
+    val base = s"(CASE WHEN ilen > 0 THEN CAST(('0x' || substr(hx, CAST(2*(($i) % ilen)+1 AS INT), 2)) AS INT) ELSE 0 END)"
+    if (!perturb) base
+    else {
+      val b0 = "(CASE WHEN ilen > 0 THEN CAST(('0x' || substr(hx, 1, 2)) AS INT) ELSE 0 END)"
+      s"(CASE WHEN ($i) = 0 THEN ($b0 + 1) % 256 ELSE $base END)"
+    }
+  }
+
+  /** Integer luma ×1000 of pixel index `p` (row-major RGB). */
+  private def phashLuma(p: String, perturb: Boolean): String =
+    s"(299*${phashByte(s"3*($p)", perturb)} + 587*${phashByte(s"3*($p)+1", perturb)} + 114*${phashByte(s"3*($p)+2", perturb)})"
+
+  /** The 64-bit dHash as one aggregate expression over rows (media_id, k)
+    * joined with the per-image (hx, ilen, w, h). */
+  private def phashAgg(perturb: Boolean): String = {
+    val pL = "((((k//8)*h)//8)*w + (((k%8)*w)//9))"
+    val pR = "((((k//8)*h)//8)*w + ((((k%8)+1)*w)//9))"
+    s"""CAST(SUM(CASE WHEN ${phashLuma(pR, perturb)} > ${phashLuma(pL, perturb)}
+       |  THEN CASE WHEN k = 63 THEN CAST('-9223372036854775808' AS BIGINT)
+       |            ELSE (CAST(1 AS BIGINT) << CAST(k AS INT)) END
+       |  ELSE CAST(0 AS BIGINT) END) AS BIGINT)""".stripMargin
+  }
+
+  /** Shared CTEs: per-PNG-image generator params ⨯ bit index k, then the
+    * original (`ph`) and planted-perturbed (`php`) hash tables. */
+  private def phashCtes(withPlanted: Boolean): String = {
+    val planted = if (!withPlanted) ""
+    else s""",
+       |php AS (SELECT media_id, ${phashAgg(perturb = true)} AS phash
+       |        FROM px GROUP BY media_id)""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         CAST(octet_length(encode(text)) AS INT) AS ilen,
+       |         CAST(n_chars % 24 + 1 AS INT) AS w,
+       |         CAST(n_chars % 8 + 1 AS INT) AS h
+       |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
+       |px AS MATERIALIZED (
+       |  SELECT media_id, hx, ilen, w, h, CAST(t.k AS INT) AS k
+       |  FROM m, range(0, 64) t(k)),
+       |ph AS (SELECT media_id, ${phashAgg(perturb = false)} AS phash
+       |       FROM px GROUP BY media_id)$planted""".stripMargin
+  }
+
+  /** Oracle for `image_phash`: the dHash of every PNG image, bit-exact. */
+  def imagePhashOracle: String =
+    s"""${phashCtes(withPlanted = false)}
+       |SELECT media_id, phash FROM ph ORDER BY media_id""".stripMargin
+
+  /** Oracle for `phash_near_dup`: exhaustive Hamming≤3 self-join over the
+    * replayed hashes of originals ∪ planted copies (ids +600000) — the
+    * banded Spark join is EXACTLY this relation (4 bands > 3 bits). */
+  def phashNearDupOracle: String =
+    s"""${phashCtes(withPlanted = true)},
+       |allph AS (SELECT media_id, phash FROM ph
+       |          UNION ALL SELECT media_id + 600000, phash FROM php),
+       |pairs AS (
+       |  SELECT x.media_id AS a, y.media_id AS b,
+       |         CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+       |  FROM allph x JOIN allph y ON x.media_id < y.media_id)
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+
   /** Oracle for `zorder_value`: the Morton interleave replayed as plain
     * BIGINT shift/and/or — dimension 0 (partkey rank) owns the
     * least-significant position of each bit group, exactly like

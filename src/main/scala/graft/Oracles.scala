@@ -374,6 +374,10 @@ private[graft] object Oracles {
 
     "zorder_value" -> zorderValueOracle,
 
+    "image_phash" -> imagePhashOracle,
+
+    "phash_near_dup" -> phashNearDupOracle,
+
     "quality_lr_train" -> qualityLrTrainOracle,
 
     "quality_lr_scores" -> qualityLrScoresOracle,

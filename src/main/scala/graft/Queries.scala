@@ -790,6 +790,39 @@ private[graft] object Queries {
         .orderBy(col("media_id"))
     }),
 
+    "image_phash" -> ((s, dir) => {
+      // perceptual fingerprints (dHash) over REAL decoded PNG pixel grids
+      // (IDAT → Inflater → defilter): 9×8 NN luma grid, bit = right
+      // neighbor strictly brighter — integer arithmetic end to end, so
+      // DuckDB replays every bit from the generator's cycled-text pixel
+      // formulas (jpeg rows are DCT output and are gated by their own
+      // roundtrip audit; their hashes still flow through the same kernel
+      // in MultimodalSpec)
+      Multimodal.imagePerceptualHashes(
+          Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .filter(col("container") === "png")
+        .select(col("media_id"), col("phash"))
+        .orderBy(col("media_id"))
+    }),
+
+    "phash_near_dup" -> ((s, dir) => {
+      // dedup × multimodal: banded Hamming pairs over the perceptual
+      // hashes of the PNG images ∪ planted one-sub-pixel-perturbed copies
+      // (a near-duplicate an exact byte hash must miss). bands=4 >
+      // maxHamming=3 makes the banded equi-join EXACTLY the Hamming≤3
+      // relation (pigeonhole: 3 differing bits touch ≤3 of 4 bands), so
+      // the oracle's exhaustive self-join over the replayed hashes is the
+      // same pair set — recall AND precision in one hash-exact gate
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+      val fixture = media.union(Multimodal.plantImageNearDups(media))
+      val hashes = Multimodal.imagePerceptualHashes(fixture)
+        .filter(col("container") === "png")
+      Dedup.hamming64Pairs(hashes, idCol = "media_id", hashCol = "phash",
+          bands = 4, maxHamming = 3)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "multimodal_image_dims" -> ((s, dir) => {
       // the codegen'd image_dims EXPRESSION over the binary column (the
       // DataFrame-plan twin of extractFeatures' typed path): parse real

@@ -527,10 +527,33 @@ object Dedup {
   def simHashDedup(docs: DataFrame,
                    idCol: String = "doc_id", textCol: String = "text",
                    bands: Int = 4, maxHamming: Int = 3,
-                   maxBucketSize: Int = 100000): DataFrame = {
+                   maxBucketSize: Int = 100000): DataFrame =
+    hamming64Pairs(
+      docs.select(col(idCol).as("id"),
+        TextFunctions.simHash64(TextFunctions.tokens(col(textCol))).as("sh")),
+      idCol = "id", hashCol = "sh",
+      bands = bands, maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+
+  /**
+   * Banded Hamming-neighbor pairs over ANY 64-bit signature column — the
+   * shared engine beneath [[simHashDedup]] (text SimHash) and the
+   * perceptual-hash image path ([[Multimodal.imagePerceptualHashes]]):
+   * band the signature into `bands` chunks of 64/bands bits, equi-join on
+   * (band, chunk), verify exact Hamming ≤ `maxHamming`. When
+   * `maxHamming < bands` the pigeonhole guarantees EXACT recall (≤ d
+   * differing bits can touch at most d < bands of the bands, so one band
+   * matches) as long as no bucket exceeds `maxBucketSize` — the same
+   * documented coverage cap as [[minHashLsh]]'s.
+   *
+   * Output: (a, b, hamming) with a < b.
+   */
+  def hamming64Pairs(sigs: DataFrame, idCol: String, hashCol: String,
+                     bands: Int = 4, maxHamming: Int = 3,
+                     maxBucketSize: Int = 100000): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"hamming64Pairs: bands must divide 64, got $bands")
     val bits = 64 / bands
-    val d = docs.select(col(idCol).as("id"),
-      TextFunctions.simHash64(TextFunctions.tokens(col(textCol))).as("sh"))
+    val d = sigs.select(col(idCol).as("id"), col(hashCol).as("sh"))
     val banded = d.select(col("id"), col("sh"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),

@@ -432,6 +432,90 @@ object Multimodal {
       .toDF("media_id", "checksum", "n_pixel_bytes")
   }
 
+  /**
+   * Difference hash (dHash) over a decoded row-major RGB grid — the
+   * classic perceptual image fingerprint: sample the luma plane on a 9×8
+   * nearest-neighbor grid and set bit `y·8+x` when the right neighbor is
+   * strictly brighter. All INTEGER arithmetic (luma scaled ×1000:
+   * `299·r + 587·g + 114·b`; NN indices `x·w/9`, `y·h/8` in integer
+   * division), so for losslessly-decoded containers the hash is exact,
+   * engine-replayable math — small shifts/re-encodes/noise move few bits,
+   * which is what makes Hamming distance a near-duplicate signal.
+   */
+  def dHash64(pix: Array[Byte], w: Int, h: Int): Long = {
+    require(w >= 1 && h >= 1 && pix.length >= 3 * w * h,
+      s"dHash64: need a full 3*w*h RGB grid, got ${pix.length} bytes for ${w}x$h")
+    def luma(px: Int, py: Int): Long = {
+      val p = (py * w + px) * 3
+      299L * (pix(p) & 0xff) + 587L * (pix(p + 1) & 0xff) + 114L * (pix(p + 2) & 0xff)
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        if (luma((x + 1) * w / 9, sy) > luma(x * w / 9, sy))
+          hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /**
+   * Perceptual hashes for image-kind records: decode the pixel grid (PNG
+   * via Inflater + defilter, JPEG via the JDK baseline-DCT codec — both
+   * REAL decodes) and [[dHash64]] it. One narrow per-partition scan, no
+   * shuffle; corrupt containers yield no rows (data, not exceptions).
+   * Feed the output to [[Dedup.hamming64Pairs]] for banded near-duplicate
+   * detection — the "dedup × multimodal" composition.
+   */
+  def imagePerceptualHashes(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").flatMap { r =>
+      MediaCodec.imageDims(r.payload).flatMap { case (container, w, h) =>
+        val pix = (container match {
+          case "png"  => MediaCodec.pngPixels(r.payload)
+          case "jpeg" => MediaCodec.jpegPixels(r.payload)
+          case _      => None
+        }).getOrElse(Array.emptyByteArray)
+        if (pix.length >= 3 * w * h && w >= 1 && h >= 1)
+          Some((r.media_id, container, dHash64(pix, w, h)))
+        else None
+      }
+    }.toDF("media_id", "container", "phash")
+  }
+
+  /**
+   * Planted near-identical images for the phash gate: each PNG record
+   * re-encoded with its FIRST pixel byte nudged by +1 (mod 256) — a
+   * one-sub-pixel change, the canonical near-duplicate a perceptual hash
+   * must keep close (and an exact byte hash must miss). Planted ids are
+   * offset so originals and copies coexist; dims come from the PARSED
+   * header, and the re-encode is a real container any reader decodes.
+   */
+  def plantImageNearDups(media: Dataset[MediaRecord],
+                         idOffset: Long = 600000L): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(r => r.kind == "image").flatMap { r =>
+      MediaCodec.imageDims(r.payload) match {
+        case Some(("png", w, h)) =>
+          val pix = MediaCodec.pngPixels(r.payload).getOrElse(Array.emptyByteArray)
+          if (pix.isEmpty) None
+          else {
+            pix(0) = ((pix(0) + 1) & 0xff).toByte
+            Some(r.copy(media_id = r.media_id + idOffset,
+              payload = MediaCodec.encodePng(pix, w, h)))
+          }
+        case _ => None
+      }
+    }
+  }
+
   /** Partition-friendly write shape: media tables should be written
     * partitioned by kind and bucketed by id at scale. */
   def repartitionForWrite(media: Dataset[MediaRecord], n: Int): DataFrame =

@@ -311,6 +311,59 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("perceptual hash: near-identical images collide, different images diverge") {
+    import graft.operators.{Dedup, MediaCodec}
+    import org.apache.spark.sql.functions.col
+    // dHash kernel laws on hand-built grids (w=16, h=16: every grid cell
+    // maps to a distinct pixel, no NN degeneracy)
+    val w = 16; val h = 16
+    def grid(f: (Int, Int) => Int): Array[Byte] = {
+      val a = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        a((y * w + x) * 3 + c) = (f(x, y) & 0xff).toByte
+      a
+    }
+    val ramp = grid((x, _) => x * 16)         // brightens left→right
+    val flat = grid((_, _) => 128)
+    val rampHash = Multimodal.dHash64(ramp, w, h)
+    assert(rampHash == -1L, s"monotone ramp must set all 64 bits, got $rampHash")
+    assert(Multimodal.dHash64(flat, w, h) == 0L)
+    // determinism + one-sub-pixel perturbation stays within a few bits
+    val perturbed = ramp.clone(); perturbed(0) = (perturbed(0) + 1).toByte
+    assert(java.lang.Long.bitCount(rampHash ^ Multimodal.dHash64(perturbed, w, h)) <= 3)
+    intercept[IllegalArgumentException](Multimodal.dHash64(Array[Byte](1, 2), 2, 2))
+
+    // end-to-end over real containers: planted perturbed PNGs pair with
+    // their originals through the banded join at Hamming <= 3, and the
+    // banded pair set EQUALS the exhaustive Hamming relation (4 bands > 3)
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, Sf))
+    val fixture = media.union(Multimodal.plantImageNearDups(media))
+    val hashes = Multimodal.imagePerceptualHashes(fixture)
+      .filter(col("container") === "png").cache()
+    val pairs = Dedup.hamming64Pairs(hashes, "media_id", "phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getLong(2)))
+    val exhaustive = (for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == exhaustive)
+    // every planted copy whose hash stayed within 3 bits is found
+    val byId = hs.toMap
+    val planted = hs.filter(_._1 >= 600000L)
+    assert(planted.nonEmpty)
+    planted.foreach { case (pid, phash) =>
+      val orig = pid - 600000L
+      if (java.lang.Long.bitCount(byId(orig) ^ phash) <= 3)
+        assert(pairs.contains((orig, pid)), s"missing planted pair ($orig, $pid)")
+    }
+    // the JPEG decode path flows through the same kernel (hashes exist)
+    val jpegHashes = Multimodal.imagePerceptualHashes(media)
+      .filter(col("container") === "jpeg")
+    assert(jpegHashes.count() > 0)
+    hashes.unpersist()
+  }
+
   test("frame sampling yields stride-spaced indices within n_frames") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, Sf))
     val rows = Multimodal.sampleFrames(media, stride = 7).collect()
