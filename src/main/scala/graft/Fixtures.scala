@@ -567,6 +567,54 @@ private[graft] object Fixtures {
       |FROM p GROUP BY l, r
       |ORDER BY pair_freq DESC, merge_left ASC, merge_right ASC LIMIT 1""".stripMargin
 
+  /** Oracle for `bpe_pack`: a FULL replay of train(1 merge) → encode →
+    * pack. Rank 0's (l, r) argmax is the [[bpeFirstMergeOracle]]
+    * derivation; with a single merge the iterative encoder provably
+    * converges in one leftmost-non-overlapping pass (the merged symbol
+    * l‖r can never re-form the (l, r) pair), so per-word token count =
+    * cp_len(word) + 1 − (len(w‖marker) − len(replace(w‖marker, l‖r, '')))/2
+    * — SQL `replace` IS the leftmost-non-overlapping single scan. The
+    * packing is the `pack_sequences` cumsum/chunk arithmetic at 512. */
+  def bpePackOracle: String =
+    """WITH w AS (
+      |  SELECT word, COUNT(*) AS freq FROM (
+      |    SELECT replace(unnest(regexp_split_to_array(trim(lower(text)), '\s+')),
+      |           chr(57344), '') AS word
+      |    FROM documents) t
+      |  WHERE word <> '' GROUP BY word),
+      |p AS (
+      |  SELECT substr(word, CAST(i AS INT), 1) AS l,
+      |         CASE WHEN i = length(word) THEN chr(57344)
+      |              ELSE substr(word, CAST(i AS INT) + 1, 1) END AS r,
+      |         freq
+      |  FROM (SELECT word, freq,
+      |               unnest(generate_series(1, CAST(length(word) AS BIGINT))) AS i
+      |        FROM w)),
+      |m1 AS (
+      |  SELECT l || r AS pat FROM (
+      |    SELECT l, r, SUM(freq) AS pf FROM p GROUP BY l, r
+      |    ORDER BY pf DESC, l ASC, r ASC LIMIT 1)),
+      |dw AS (
+      |  SELECT doc_id,
+      |         replace(unnest(regexp_split_to_array(trim(lower(text)), '\s+')),
+      |                 chr(57344), '') AS word
+      |  FROM documents),
+      |dn AS (
+      |  SELECT d.doc_id,
+      |         CAST(SUM(length(d.word) + 1
+      |           - (length(d.word || chr(57344))
+      |              - length(replace(d.word || chr(57344), m.pat, ''))) // 2
+      |         ) AS BIGINT) AS n_tokens
+      |  FROM dw d, m1 m WHERE d.word <> ''
+      |  GROUP BY d.doc_id),
+      |c AS (SELECT doc_id, n_tokens,
+      |        SUM(n_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+      |      FROM dn)
+      |SELECT doc_id, n_tokens,
+      |       CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first,
+      |       CAST((cum - 1) // 512 AS BIGINT) AS seq_last
+      |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
+
   /** Shared DuckDB CTE chain re-deriving the spherical-k-means state from
     * the parquet table alone (the [[annIvfTopkOracle]] derivation, split
     * out for the clustering oracles): md5-order centroid pick, per-vector

@@ -394,6 +394,8 @@ private[graft] object Oracles {
 
     "bpe_first_merge" -> bpeFirstMergeOracle,
 
+    "bpe_pack" -> bpePackOracle,
+
     // the roundtrip law is computed entirely engine-side (decode∘encode vs
     // the normalization contract, per document); the oracle pins the corpus
     // cardinality and the zero-mismatch law — the precision-gate pattern

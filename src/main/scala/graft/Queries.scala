@@ -346,6 +346,27 @@ private[graft] object Queries {
           count(when(col("rt") =!= col("nm"), 1)).as("n_mismatch"))
     }),
 
+    "bpe_pack" -> ((s, dir) => {
+      // the tokenizer made LOAD-BEARING: train a BPE model, segment every
+      // document through the codegen'd encode kernel, and pack the REAL
+      // subword token counts into 512-token training sequences
+      // (packSequencesBy — the whitespace heuristic replaced by the
+      // trained tokenizer). One merge, because that keeps the oracle a
+      // FULL replay: rank-0's argmax is SQL (the bpe_first_merge
+      // derivation) and one-merge segmentation counts are leftmost-
+      // non-overlapping replace() arithmetic — with a single merge the
+      // iterative encoder provably converges in one pass (the merged
+      // symbol l+r can never re-form the (l,r) pair), so
+      // n_tokens(word) = cp_len+1 − replace-count, per word, exactly.
+      // The 30-merge model's end-to-end law stays pinned by bpe_roundtrip.
+      val docs = Tables.documents(s, dir)
+      val model = Bpe.trainBpe(docs, numMerges = 1)
+      Curation.packSequencesBy(docs, seqTokens = 512L, idCol = "doc_id",
+          tokensExpr = size(Bpe.encode(col("text"), model)))
+        .select(col("doc_id"), col("n_tokens"), col("seq_first"), col("seq_last"))
+        .orderBy(col("doc_id"))
+    }),
+
     "zorder_value" -> ((s, dir) => {
       // the Z-order (Morton) interleave kernel behind Layout.writeZOrdered,
       // oracle-checked bit for bit on modular ranks (the width_bucket

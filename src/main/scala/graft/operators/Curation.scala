@@ -186,12 +186,16 @@ object Curation {
   /** Inclusive running token count in global md5(id) order (helper columns
     * `_h`, `_bucket`, `_tokens`, `_cum`) — the distributed prefix sum
     * documented on [[sampleToTokenBudget]]. */
-  private def hashOrderCumsum(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private def hashOrderCumsum(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    hashOrderCumsumBy(docs, idCol, TextFunctions.tokenCount(col(textCol)))
+
+  private def hashOrderCumsumBy(docs: DataFrame, idCol: String,
+                                tokensExpr: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs
       .withColumn("_h", md5(col(idCol).cast("string")))
       .withColumn("_bucket", substring(col("_h"), 1, 2))
-      .withColumn("_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("_tokens", tokensExpr.cast("long"))
     val subtotals = base.groupBy(col("_bucket"))
       .agg(sum(col("_tokens")).as("_bsum"))
       .collect()
@@ -220,7 +224,20 @@ object Curation {
    */
   def packSequences(docs: DataFrame, seqTokens: Long,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    hashOrderCumsum(docs, idCol, textCol)
+    packSequencesBy(docs, seqTokens, idCol,
+      TextFunctions.tokenCount(col(textCol)))
+
+  /**
+   * [[packSequences]] with a CALLER-SUPPLIED token-count expression — the
+   * hook that makes a trained tokenizer load-bearing: pass
+   * `size([[Bpe.encode]](text, model))` (or a precomputed `n_tokens`
+   * column from [[Bpe.tokenize]]) and the chunk boundaries pack REAL
+   * subword ids instead of the whitespace heuristic. Same distributed
+   * hash-order prefix sum, same scale shape.
+   */
+  def packSequencesBy(docs: DataFrame, seqTokens: Long, idCol: String,
+                      tokensExpr: Column): DataFrame =
+    hashOrderCumsumBy(docs, idCol, tokensExpr)
       .filter(col("_tokens") > 0)
       // integer `div`, not double floor — exact past 2^53 tokens
       .withColumn("seq_first", expr(s"(_cum - _tokens) div $seqTokens"))

@@ -90,6 +90,41 @@ class BpeSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("tokenize-then-pack: chunk boundaries follow the REAL subword counts") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions.size
+    val model = Bpe.trainBpe(corpus, numMerges = 1)
+    val packed = Curation.packSequencesBy(corpus, seqTokens = 7L,
+        idCol = "doc_id", tokensExpr = size(Bpe.encode(col("text"), model)))
+      .select(col("doc_id"), col("n_tokens"), col("seq_first"), col("seq_last"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // n_tokens is the encoder's count, not the whitespace heuristic
+    val enc = corpus.select(col("doc_id"), size(Bpe.encode(col("text"), model)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    packed.foreach { case (id, n, f, l) =>
+      assert(n == enc(id))
+      assert(f <= l, s"doc $id: seq_first $f > seq_last $l")
+    }
+    // concat-then-chunk law: replay greedily in md5(id) order
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    var cum = 0L
+    packed.sortBy { case (id, _, _, _) => (md5hex(id.toString), id) }
+      .foreach { case (id, n, f, l) =>
+        assert(f == cum / 7 && l == (cum + n - 1) / 7, s"doc $id boundaries")
+        cum += n
+      }
+    // whitespace-count packing is the textCol special case of the same path
+    val a = Curation.packSequences(corpus, 7L).select(col("doc_id"), col("n_tokens"),
+      col("seq_first"), col("seq_last")).collect().toSeq
+    val b = Curation.packSequencesBy(corpus, 7L, "doc_id",
+        graft.functions.TextFunctions.tokenCount(col("text")))
+      .select(col("doc_id"), col("n_tokens"), col("seq_first"), col("seq_last"))
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("kernel edges: cpCompare is code-point order; merge exhaustion stops early") {
     // U+FFFF (BMP max) must sort BELOW U+10000 (first supplementary) —
     // UTF-16 code-unit comparison gets this backwards
