@@ -146,6 +146,43 @@ private[graft] object Fixtures {
        |SELECT node, pr FROM pr$iters ORDER BY node""".stripMargin
   }
 
+  /** Oracle for `pagerank_dangling`: the [[pagerankTradeOracle]] replay on
+    * the DIRECTED 1995 slice (suppliers are sinks) with the dangling-mass
+    * opt-in — per iteration `dsh = round12(Σdec(pr_sink)/n)` (sum exact as
+    * DECIMAL(30,12), division and round on the double), update
+    * `round12(tp + 0.85·(csum + dsh))`, the exact IEEE shapes the
+    * operator evaluates on both branches. */
+  def pagerankDanglingOracle: String = {
+    val iters = 2
+    val iterCtes = (1 to iters).map { k =>
+      s"""dm$k AS (
+         |  SELECT round(COALESCE(CAST(SUM(CAST(pr AS DECIMAL(30,12))) AS DOUBLE), 0.0)
+         |               / (SELECT cnt FROM ncnt), 12) AS dsh
+         |  FROM pr${k - 1} WHERE node IN (SELECT node FROM dang)),
+         |pr$k AS (
+         |  SELECT nn.node,
+         |         round((1.0 - 0.85) / (SELECT cnt FROM ncnt)
+         |               + 0.85 * (COALESCE(s.c, 0.0) + (SELECT dsh FROM dm$k)), 12) AS pr
+         |  FROM nodes nn LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           CAST(SUM(CAST(round(p.pr / o.deg, 12) AS DECIMAL(30,12))) AS DOUBLE) AS c
+         |    FROM pr${k - 1} p JOIN outdeg o ON o.src = p.node JOIN edges e ON e.src = p.node
+         |    GROUP BY e.dst) s ON s.node = nn.node)""".stripMargin
+    }
+    s"""WITH edges AS (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+       |         -1 - CAST(l_suppkey AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE year(o_orderdate) = 1995),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+       |ncnt AS (SELECT COUNT(*) AS cnt FROM nodes),
+       |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM outdeg)),
+       |pr0 AS (SELECT node, round(1.0 / (SELECT cnt FROM ncnt), 12) AS pr FROM nodes),
+       |${iterCtes.mkString(",\n")}
+       |SELECT node, pr FROM pr$iters ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `pagerank_weighted`: the [[pagerankTradeOracle]] replay
     * with weight-proportional splitting — contribution
     * `round(pr · (CAST(w AS DOUBLE) / Σw), 12)`, the exact IEEE shape the

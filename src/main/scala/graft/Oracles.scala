@@ -370,6 +370,8 @@ private[graft] object Oracles {
 
     "pagerank_personalized" -> pagerankPersonalizedOracle,
 
+    "pagerank_dangling" -> pagerankDanglingOracle,
+
     "hits_trade" -> hitsTradeOracle,
 
     "zorder_value" -> zorderValueOracle,

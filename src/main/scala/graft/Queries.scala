@@ -310,6 +310,18 @@ private[graft] object Queries {
         .orderBy(col("node"))
     }),
 
+    "pagerank_dangling" -> ((s, dir) => {
+      // the dangling-mass opt-in on a graph with REAL sinks: the DIRECTED
+      // 1995 customer→supplier slice (suppliers have no out-edges — on
+      // the both-direction trade graphs the term is identically zero).
+      // Each iteration's sink mass is decimal-summed and shared uniformly;
+      // the oracle replays both iterations including the dm/n term
+      Graph.pageRank(GraphArtifacts.directedEdges1995(s, dir), iters = 2,
+          edgesDistinct = true, danglingRedistribute = true)
+        .select(col("node"), col("rank").as("pr"))
+        .orderBy(col("node"))
+    }),
+
     "hits_trade" -> ((s, dir) => {
       // HITS on the DIRECTED 1995 customer→supplier graph: hubs = big
       // buyers, authorities = widely-bought-from suppliers; both

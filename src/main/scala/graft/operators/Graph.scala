@@ -41,13 +41,23 @@ object Graph {
    * Self-loops count like any edge; duplicate edges are collapsed (pass
    * `edgesDistinct = true` when the input is already a pair set to skip
    * that shuffle).
+   *
+   * `danglingRedistribute` opts into the standard dangling-mass
+   * treatment: each iteration the mass sitting on sink nodes (no
+   * out-edges) is summed decimal-exactly and redistributed uniformly —
+   * `rank' = round12(tp + d·(csum + round12(dm/n)))` — so total rank
+   * stays ≈1 on graphs with sinks. Off by default: on the both-direction
+   * trade graphs every node has out-edges and the term is identically
+   * zero, so the default keeps those oracles' replay shape unchanged;
+   * the `pagerank_dangling` gate replays the opt-in on a real sink graph.
    */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst",
                edgesDistinct: Boolean = false,
-               broadcastNodeLimit: Long = 1000000L): DataFrame =
+               broadcastNodeLimit: Long = 1000000L,
+               danglingRedistribute: Boolean = false): DataFrame =
     pageRankImpl(edges, iters, damping, srcCol, dstCol, None,
-      edgesDistinct, broadcastNodeLimit)
+      edgesDistinct, broadcastNodeLimit, danglingRedistribute = danglingRedistribute)
 
   /**
    * Weight-proportional PageRank: each edge carries an INTEGER weight
@@ -214,7 +224,8 @@ object Graph {
                            srcCol: String, dstCol: String, weightCol: Option[String],
                            edgesDistinct: Boolean,
                            broadcastNodeLimit: Long,
-                           seeds: Option[Set[Long]] = None): DataFrame = {
+                           seeds: Option[Set[Long]] = None,
+                           danglingRedistribute: Boolean = false): DataFrame = {
     require(iters >= 0, s"pageRank: iters must be >= 0, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"pageRank: damping must be in (0, 1), got $damping")
@@ -305,6 +316,14 @@ object Graph {
           spark.createDataFrame(
             java.util.Arrays.asList(nodeList.map(v =>
               org.apache.spark.sql.Row(v, m(v))): _*), rankSchema)
+        // dangling set for the opt-in redistribution: nodes with no
+        // out-edges (driver set — node-sized by the small-path contract)
+        val danglingSet: Set[Any] =
+          if (!danglingRedistribute) Set.empty
+          else {
+            val srcs = outdeg.select(col("src")).collect().map(_.get(0)).toSet
+            nodeList.filterNot(srcs).toSet
+          }
         var rankMap: Map[Any, Double] =
           nodeList.map(v => (v: Any) -> initOf(v)).toMap
         var k = 0
@@ -316,8 +335,19 @@ object Graph {
             .groupBy(col("node"))
             .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("csum"))
             .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+          // dangling mass: decimal-exact sum of the (12-grid) sink ranks,
+          // shared uniformly — round12(dm/n) puts the share back on the
+          // grid before it enters the update (the oracle replays this shape)
+          val dshare =
+            if (danglingSet.isEmpty) 0.0
+            else {
+              var dm = java.math.BigDecimal.ZERO
+              danglingSet.foreach(v =>
+                dm = dm.add(java.math.BigDecimal.valueOf(rankMap(v))))
+              r12(dm.doubleValue / n)
+            }
           rankMap = nodeList.map(v =>
-            (v: Any) -> r12(tpOf(v) + damping * csum.getOrElse(v, 0.0))).toMap
+            (v: Any) -> r12(tpOf(v) + damping * (csum.getOrElse(v, 0.0) + dshare))).toMap
           k += 1
         }
         rankTable(rankMap)
@@ -328,10 +358,24 @@ object Graph {
         val ed = e.join(outdeg, "src")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // sink nodes for the opt-in redistribution (anti-join, cut once)
+          val dangling =
+            if (!danglingRedistribute) null
+            else nodes.join(outdeg.select(col("src")),
+              col("node") === col("src"), "left_anti").localCheckpoint()
           var rank = nodes.withColumn("rank", initCol)
             .localCheckpoint()
           var k = 0
           while (k < iters) {
+            // dangling mass: one 1-row decimal aggregate per round (a
+            // driver sync the loop already pays for the lineage cut)
+            val dshare =
+              if (!danglingRedistribute) 0.0
+              else rank.join(dangling.select(col("node")), Seq("node"))
+                .agg(round(
+                  coalesce(sum(col("rank").cast(DecimalType(30, 12))).cast("double"),
+                    lit(0.0)) / n, 12))
+                .head().getDouble(0)
             val contrib = ed
               .join(rank, col("node") === col("src"))
               .select(col("dst").as("node"), contribution.as("c"))
@@ -339,7 +383,8 @@ object Graph {
               .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("csum"))
             rank = nodes.join(contrib, Seq("node"), "left")
               .select(col("node"),
-                round(tpCol + lit(damping) * coalesce(col("csum"), lit(0.0)), 12)
+                round(tpCol + lit(damping) *
+                  (coalesce(col("csum"), lit(0.0)) + lit(dshare)), 12)
                   .as("rank"))
               .localCheckpoint()
             k += 1

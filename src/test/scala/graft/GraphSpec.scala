@@ -64,6 +64,41 @@ class GraphSpec extends SparkSpec {
     assert(distPath == smallPath && smallPath.size == 4)
   }
 
+  test("dangling redistribution: sink mass conserved, branch parity, naive replay") {
+    // b and d are sinks — without redistribution their mass drains each
+    // iteration; with the opt-in, total rank stays ≈1
+    val edges = Seq(("a", "b"), ("a", "d"), ("c", "a"), ("c", "b")).toDF("src", "dst")
+    val off = Graph.pageRank(edges, iters = 4).collect().map(_.getDouble(1)).sum
+    val on = Graph.pageRank(edges, iters = 4, danglingRedistribute = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(off < 0.95, s"without redistribution mass drains, got $off")
+    assert(math.abs(on.values.sum - 1.0) < 1e-9, s"with it mass ≈ 1, got ${on.values.sum}")
+    // both branches bit-identical
+    val dist = Graph.pageRank(edges, iters = 4, broadcastNodeLimit = 0,
+      danglingRedistribute = true).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dist == on)
+    // naive driver-side replay of the exact shapes
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val adj = Map("a" -> Seq("b", "d"), "c" -> Seq("a", "b"))
+    val nodes = Seq("a", "b", "c", "d")
+    val sinks = Seq("b", "d")
+    var rank = nodes.map(_ -> r12(1.0 / 4)).toMap
+    for (_ <- 1 to 4) {
+      val contrib = scala.collection.mutable.Map.empty[String, BigDecimal]
+      for ((s0, ds) <- adj; d <- ds) {
+        val c = BigDecimal(r12(rank(s0) / ds.length))
+        contrib(d) = contrib.getOrElse(d, BigDecimal(0)) + c
+      }
+      val dsh = r12(sinks.map(s0 => BigDecimal(rank(s0))).sum.toDouble / 4)
+      rank = nodes.map(n => n ->
+        r12((1.0 - 0.85) / 4 +
+          0.85 * (contrib.getOrElse(n, BigDecimal(0)).toDouble + dsh))).toMap
+    }
+    assert(on == rank)
+  }
+
   test("weighted: matches a naive replay; branch parity; heavier edge wins") {
     val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
       ("c", "a", 5L), ("d", "a", 1L)).toDF("src", "dst", "w")
