@@ -95,6 +95,16 @@ object Bench {
     // timed run of the check would absorb the one-time pipeline build
     try FunnelArtifacts.stages(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] funnel warmup failed: $e") }
+    // and the LSH gate pair-set cache: the recall/precision/keep gates
+    // measure the pinned CHECK against cached pair frames by design
+    // (minhash_lsh_dedup / semantic_dedup stay honest full recomputes) —
+    // un-warmed, the one-time pair derivation lands in whichever timed
+    // run goes first and reads as a 20-40x spread on a 0.05 s entry
+    try {
+      DedupArtifacts.minhashRecall(spark, sfDir)
+      DedupArtifacts.minhashPrecision(spark, sfDir)
+      DedupArtifacts.semanticPairs(spark, sfDir)
+    } catch { case e: Throwable => System.err.println(s"[bench] dedup-gate warmup failed: $e") }
     // and the per-JVM trade-graph edge cache (round-10 verdict #2): the
     // weighted / personalized / HITS entries measure ITERATIONS against the
     // cached year-slice edge sets; pagerank_trade stays the honest full

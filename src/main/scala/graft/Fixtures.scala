@@ -298,13 +298,14 @@ private[graft] object Fixtures {
   }
 
   /** Shared CTEs: per-PNG-image generator params ⨯ bit index k, then the
-    * original (`ph`) and planted-perturbed (`php`) hash tables. */
-  private def phashCtes(withPlanted: Boolean): String = {
+    * original (`ph`) and planted-perturbed (`php`) hash tables.
+    * `recursive` emits `WITH RECURSIVE` so a closure CTE can follow. */
+  private def phashCtes(withPlanted: Boolean, recursive: Boolean = false): String = {
     val planted = if (!withPlanted) ""
     else s""",
        |php AS (SELECT media_id, ${phashAgg(perturb = true)} AS phash
        |        FROM px GROUP BY media_id)""".stripMargin
-    s"""WITH m AS (
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}m AS (
        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
        |         CAST(octet_length(encode(text)) AS INT) AS ilen,
        |         CAST(n_chars % 24 + 1 AS INT) AS w,
@@ -334,6 +335,29 @@ private[graft] object Fixtures {
        |         CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
        |  FROM allph x JOIN allph y ON x.media_id < y.media_id)
        |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+
+  /** Oracle for `phash_keep`: the [[phashNearDupOracle]] pair replay
+    * extended with the transitive closure ([[semanticDedupKeepOracle]]'s
+    * recursive CTE) — survivors are every PNG id (original ∪ planted) not
+    * a non-minimal member of a Hamming≤3 cluster. */
+  def phashKeepOracle: String =
+    s"""${phashCtes(withPlanted = true, recursive = true)},
+       |allph AS (SELECT media_id, phash FROM ph
+       |          UNION ALL SELECT media_id + 600000, phash FROM php),
+       |p AS (SELECT x.media_id AS a, y.media_id AS b
+       |      FROM allph x JOIN allph y ON x.media_id < y.media_id
+       |      WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+       |eg AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+       |reach(id, r) AS (
+       |  SELECT a AS id, a AS r FROM eg
+       |  UNION
+       |  SELECT eg.a AS id, reach.r FROM eg JOIN reach ON reach.id = eg.b),
+       |losers AS (
+       |  SELECT id FROM (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+       |  WHERE id <> rep)
+       |SELECT media_id FROM allph
+       |WHERE media_id NOT IN (SELECT id FROM losers)
+       |ORDER BY media_id""".stripMargin
 
   /** Oracle for `zorder_value`: the Morton interleave replayed as plain
     * BIGINT shift/and/or — dimension 0 (partkey rank) owns the

@@ -380,6 +380,8 @@ private[graft] object Oracles {
 
     "phash_near_dup" -> phashNearDupOracle,
 
+    "phash_keep" -> phashKeepOracle,
+
     "quality_lr_train" -> qualityLrTrainOracle,
 
     "quality_lr_scores" -> qualityLrScoresOracle,

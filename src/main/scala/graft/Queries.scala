@@ -856,6 +856,23 @@ private[graft] object Queries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "phash_keep" -> ((s, dir) => {
+      // the image-dedup END-PRODUCT: PNG ids surviving perceptual
+      // near-dup collapse — min id per Hamming≤3 cluster wins, so every
+      // planted perturbed copy loses to its original; oracle replays
+      // hashes + exhaustive pairs + transitive closure + anti-join
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+      val fixture = media.union(Multimodal.plantImageNearDups(media))
+      val hashes = Multimodal.imagePerceptualHashes(fixture)
+        .filter(col("container") === "png")
+        .select(col("media_id"), col("phash"))
+      val pairs = Dedup.hamming64Pairs(hashes, idCol = "media_id",
+        hashCol = "phash", bands = 4, maxHamming = 3)
+      Dedup.keepMinIdRepresentatives(hashes, pairs, idCol = "media_id")
+        .select(col("media_id"))
+        .orderBy(col("media_id"))
+    }),
+
     "multimodal_image_dims" -> ((s, dir) => {
       // the codegen'd image_dims EXPRESSION over the binary column (the
       // DataFrame-plan twin of extractFeatures' typed path): parse real
