@@ -336,6 +336,18 @@ private[graft] object Fixtures {
        |  FROM allph x JOIN allph y ON x.media_id < y.media_id)
        |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
 
+  /** Oracle for `streaming_phash_flag`: the streamed planted copies
+    * (ids +600000) crossed against the stored originals — every pair
+    * within Hamming 3, replayed exhaustively; the stateless
+    * lowest-matching-band join must emit exactly this set. */
+  def streamingPhashFlagOracle: String =
+    s"""${phashCtes(withPlanted = true)}
+       |SELECT p.media_id + 600000 AS media_id, o.media_id AS dup_of,
+       |       CAST(bit_count(xor(p.phash, o.phash)) AS INT) AS hamming
+       |FROM php p, ph o
+       |WHERE bit_count(xor(p.phash, o.phash)) <= 3
+       |ORDER BY media_id, dup_of""".stripMargin
+
   /** Oracle for `phash_keep`: the [[phashNearDupOracle]] pair replay
     * extended with the transitive closure ([[semanticDedupKeepOracle]]'s
     * recursive CTE) — survivors are every PNG id (original ∪ planted) not

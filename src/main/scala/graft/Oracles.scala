@@ -382,6 +382,8 @@ private[graft] object Oracles {
 
     "phash_keep" -> phashKeepOracle,
 
+    "streaming_phash_flag" -> streamingPhashFlagOracle,
+
     "quality_lr_train" -> qualityLrTrainOracle,
 
     "quality_lr_scores" -> qualityLrScoresOracle,

@@ -1336,6 +1336,35 @@ private[graft] object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    "streaming_phash_flag" -> ((s, dir) => {
+      // streaming × multimodal dedup: the planted one-sub-pixel copies
+      // streamed through the stateless flagger in two real micro-batches
+      // against the STORED phash index of the PNG corpus. Exactly-once
+      // pair emission via the lowest-matching-band expression (no
+      // .distinct() state); the oracle replays both hash sets and the
+      // exhaustive streamed×stored Hamming≤3 cross join
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+      val index = Multimodal.imagePerceptualHashes(media)
+        .filter(col("container") === "png")
+        .select(col("media_id"), col("phash"))
+      val planted = Multimodal.plantImageNearDups(media).collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Multimodal.MediaRecord]
+      val out = graft.streaming.StreamingPhashDedup.flagStream(mem.toDS(), index)
+      val name = "spf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = planted.splitAt(planted.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .select(col("media_id"), col("dup_of"), col("hamming"))
+        .orderBy(col("media_id"), col("dup_of"))
+    }),
+
     "multimodal_frame_sample" -> ((s, dir) => {
       // frame-index sampling is pure metadata arithmetic → exactly
       // oracle-able even though frame DECODE sits behind the labeled stub

@@ -550,16 +550,7 @@ object Dedup {
   def hamming64Pairs(sigs: DataFrame, idCol: String, hashCol: String,
                      bands: Int = 4, maxHamming: Int = 3,
                      maxBucketSize: Int = 100000): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0,
-      s"hamming64Pairs: bands must divide 64, got $bands")
-    val bits = 64 / bands
-    val d = sigs.select(col(idCol).as("id"), col(hashCol).as("sh"))
-    val banded = d.select(col("id"), col("sh"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          col("sh").bitwiseAND(lit(((1L << bits) - 1) << (b * bits))).as("chunk"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.chunk"))
+    val banded = banded64(sigs, idCol, hashCol, bands)
     val wb = Window.partitionBy(col("band"), col("chunk"))
     val bounded = banded
       .withColumn("bsz", count(lit(1)).over(wb))
@@ -571,6 +562,24 @@ object Dedup {
       .select(col("a"), col("b"), TextFunctions.hamming64(col("ha"), col("hb")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Band a 64-bit signature column into `bands` (band, chunk) keys:
+    * (id, sh, band, chunk) — the shared explode beneath [[hamming64Pairs]]
+    * and the streaming flagger ([[graft.streaming.StreamingPhashDedup]]).
+    * Every op is narrow, so it applies to a streaming frame unchanged. */
+  private[graft] def banded64(sigs: DataFrame, idCol: String, hashCol: String,
+                              bands: Int): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"banded64: bands must divide 64, got $bands")
+    val bits = 64 / bands
+    sigs.select(col(idCol).as("id"), col(hashCol).as("sh"))
+      .select(col("id"), col("sh"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            col("sh").bitwiseAND(lit(((1L << bits) - 1) << (b * bits))).as("chunk"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.chunk"))
   }
 
   /**

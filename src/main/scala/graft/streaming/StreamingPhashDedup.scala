@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal}
+import graft.operators.Multimodal.MediaRecord
+
+/**
+ * Streaming perceptual-hash near-duplicate flagging — the streaming ×
+ * multimodal dedup cell: incoming image records are decoded and dHashed
+ * in-flight ([[Multimodal.imagePerceptualHashes]] — stateless narrow
+ * ops), banded, and joined stream-static against a STORED banded hash
+ * index of the existing corpus. The online-ingest admission check: "is
+ * this upload a near-copy of something we already have?"
+ *
+ * Statelessness is load-bearing and non-trivial here: a pair within
+ * `maxHamming < bands` collides on ≥1 band (pigeonhole) but possibly on
+ * SEVERAL, and the batch operator dedups that multiplicity with a
+ * `.distinct()` — illegal state on an append stream. Instead each pair is
+ * emitted only from its LOWEST matching band, decided by a pure
+ * expression over the two signatures (`∀ b' < band: chunk_b'(ha) ≠
+ * chunk_b'(hb)`) — exactly-once pair emission with zero state-store rows,
+ * the same trick distributed LSH engines use to skip candidate dedup.
+ *
+ * Scale shape: the static side is a banded 8-byte-per-image hash index
+ * (build once per corpus epoch, `maxBucketSize` drops degenerate buckets
+ * with the documented [[Dedup.hamming64Pairs]] coverage trade); each
+ * micro-batch pays decode + hash (narrow) and one equi-join against it.
+ */
+object StreamingPhashDedup {
+
+  /**
+   * Flag a stream of media records against stored perceptual hashes
+   * (`indexHashes`: a static (idCol, hashCol) frame, e.g. persisted
+   * [[Multimodal.imagePerceptualHashes]] output). Returns
+   * (media_id, dup_of, hamming) — one row per (incoming, stored) pair
+   * within `maxHamming`; an incoming image absent from the output batch
+   * is novel.
+   */
+  def flagStream(stream: Dataset[MediaRecord], indexHashes: DataFrame,
+                 bands: Int = 4, maxHamming: Int = 3,
+                 maxBucketSize: Int = 100000,
+                 idCol: String = "media_id", hashCol: String = "phash"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"flagStream: need maxHamming < bands for the pigeonhole recall " +
+        s"guarantee (and the lowest-band dedup), got maxHamming=$maxHamming bands=$bands")
+    val bits = 64 / bands
+    // static side: banded index with the documented bucket cap (computed
+    // once — the corpus side is batch)
+    val idx0 = Dedup.banded64(indexHashes, idCol, hashCol, bands)
+    val okBuckets = idx0.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("band"), col("chunk"))
+    val idx = idx0.join(okBuckets, Seq("band", "chunk"))
+      .select(col("band"), col("chunk"), col("id").as("dup_of"), col("sh").as("hb"))
+    // stream side: decode → dHash → band explode, all stateless
+    val incoming = Dedup.banded64(
+        Multimodal.imagePerceptualHashes(stream), "media_id", "phash", bands)
+      .select(col("band"), col("chunk"), col("id").as("media_id"), col("sh").as("ha"))
+    def chunkOf(c: org.apache.spark.sql.Column, b: Int) =
+      c.bitwiseAND(lit(((1L << bits) - 1) << (b * bits)))
+    val lowestMatchingBand = (0 until bands).map { b =>
+      when(lit(b) < col("band"), chunkOf(col("ha"), b) =!= chunkOf(col("hb"), b))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    incoming.join(idx, Seq("band", "chunk"))
+      .filter(lowestMatchingBand)
+      .select(col("media_id"), col("dup_of"),
+        TextFunctions.hamming64(col("ha"), col("hb")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

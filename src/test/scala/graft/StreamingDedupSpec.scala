@@ -116,4 +116,44 @@ class StreamingDedupSpec extends SparkSpec {
       "join state never evicted — interval-arithmetic watermark derivation broke")
     q.stop()
   }
+
+  test("streaming phash flagging: exactly-once pairs vs exhaustive, zero state") {
+    import graft.operators.{Dedup, Multimodal}
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val media = Multimodal.syntheticMedia(
+      Tables.documents(spark, Sf).filter(col("doc_id") < 120))
+    val index = Multimodal.imagePerceptualHashes(media)
+      .filter(col("container") === "png")
+      .select(col("media_id"), col("phash"))
+    val planted = Multimodal.plantImageNearDups(media).collect()
+    assert(planted.nonEmpty)
+    val mem = MemoryStream[Multimodal.MediaRecord]
+    val out = graft.streaming.StreamingPhashDedup.flagStream(mem.toDS(), index)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("phash_flag_out").start()
+    val (b1, b2) = planted.splitAt(planted.length / 2)
+    mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    // stateless: the lowest-matching-band emission replaces .distinct()
+    assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0))
+    q.stop()
+    val got = spark.table("phash_flag_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // EXACTLY the exhaustive streamed×stored Hamming≤3 relation — each
+    // pair once (a multi-band collision emitted twice would fail the
+    // size equality)
+    val idxHs = index.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val plantedHs = Multimodal.imagePerceptualHashes(planted.toIndexedSeq.toDS())
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expect = for {
+      (pid, ph) <- plantedHs; (oid, oh) <- idxHs
+      if java.lang.Long.bitCount(ph ^ oh) <= 3
+    } yield (pid, oid, java.lang.Long.bitCount(ph ^ oh))
+    assert(got.length == expect.length, s"${got.length} vs ${expect.length}")
+    assert(got.toSet == expect.toSet)
+    // every planted copy within 3 bits of its original is flagged
+    assert(expect.exists { case (p, o, _) => p - 600000L == o })
+  }
 }
