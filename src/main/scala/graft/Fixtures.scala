@@ -336,6 +336,73 @@ private[graft] object Fixtures {
        |  FROM allph x JOIN allph y ON x.media_id < y.media_id)
        |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
 
+  // ------------------------------------------------------------- ahash
+  // SQL replay of [[operators.Multimodal.aHash64]] over the generator's
+  // synthetic PCM (`v_i = (b[i mod L]·251 + 7i + 17) mod 2¹⁶`, the
+  // multimodal_features formula): 65 integer-boundary windows, exact
+  // energy sums, bit w = window w+1 strictly louder — assembled into a
+  // signed BIGINT exactly like the image phash replay.
+
+  /** Shared CTEs: per-audio generator params ⨯ window, correlated sample
+    * expansion with original (`v`) and first-sample-perturbed (`vp`)
+    * values, energies, and hash tables `ah` (+ `ahp` when planted). */
+  private def ahashCtes(withPlanted: Boolean): String = {
+    val b = "(CASE WHEN ilen > 0 THEN CAST(('0x' || substr(hx, CAST(2*((i) % ilen)+1 AS INT), 2)) AS INT) ELSE 0 END)"
+    val v = s"(($b*251 + i*7 + 17) % 65536)"
+    def hashAgg(col: String) =
+      s"""CAST(SUM(CASE WHEN b.$col > a.$col
+         |  THEN CASE WHEN a.w = 63 THEN CAST('-9223372036854775808' AS BIGINT)
+         |            ELSE (CAST(1 AS BIGINT) << CAST(a.w AS INT)) END
+         |  ELSE CAST(0 AS BIGINT) END) AS BIGINT)""".stripMargin
+    val planted = if (!withPlanted) ""
+    else s""",
+       |ahp AS (SELECT a.media_id, ${hashAgg("enp")} AS phash
+       |        FROM en a JOIN en b ON b.media_id = a.media_id AND b.w = a.w + 1
+       |        WHERE a.w < 64 GROUP BY a.media_id)""".stripMargin
+    s"""WITH am AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         CAST(octet_length(encode(text)) AS INT) AS ilen,
+       |         CAST(n_chars % 200 + 50 AS INT) AS ns
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |wn AS (
+       |  SELECT media_id, hx, ilen, ns, CAST(t.w AS INT) AS w
+       |  FROM am, range(0, 65) t(w)),
+       |samp AS MATERIALIZED (
+       |  SELECT media_id, w, $v AS v,
+       |         CASE WHEN i = 0 THEN ($v + 1) % 65536 ELSE $v END AS vp
+       |  FROM wn, unnest(generate_series(CAST((w*ns)//65 AS BIGINT),
+       |                                  CAST(((w+1)*ns)//65 - 1 AS BIGINT))) t(i)),
+       |en AS MATERIALIZED (
+       |  SELECT wn.media_id, wn.w,
+       |         COALESCE(s.en, 0) AS en, COALESCE(s.enp, 0) AS enp
+       |  FROM wn LEFT JOIN (
+       |    SELECT media_id, w, SUM(v) AS en, SUM(vp) AS enp
+       |    FROM samp GROUP BY media_id, w) s
+       |  ON s.media_id = wn.media_id AND s.w = wn.w),
+       |ah AS (SELECT a.media_id, ${hashAgg("en")} AS phash
+       |       FROM en a JOIN en b ON b.media_id = a.media_id AND b.w = a.w + 1
+       |       WHERE a.w < 64 GROUP BY a.media_id)$planted""".stripMargin
+  }
+
+  /** Oracle for `audio_ahash`: the energy-delta hash of every synthetic
+    * WAV, bit-exact from the PCM formulas. */
+  def audioAhashOracle: String =
+    s"""${ahashCtes(withPlanted = false)}
+       |SELECT media_id, phash FROM ah ORDER BY media_id""".stripMargin
+
+  /** Oracle for `ahash_near_dup`: exhaustive Hamming≤3 self-join over the
+    * replayed hashes of originals ∪ planted one-LSB-perturbed copies
+    * (ids +700000) — the banded Spark join is exactly this relation. */
+  def ahashNearDupOracle: String =
+    s"""${ahashCtes(withPlanted = true)},
+       |allah AS (SELECT media_id, phash FROM ah
+       |          UNION ALL SELECT media_id + 700000, phash FROM ahp),
+       |pairs AS (
+       |  SELECT x.media_id AS a, y.media_id AS b,
+       |         CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+       |  FROM allah x JOIN allah y ON x.media_id < y.media_id)
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+
   /** Oracle for `streaming_phash_flag`: the streamed planted copies
     * (ids +600000) crossed against the stored originals — every pair
     * within Hamming 3, replayed exhaustively; the stateless

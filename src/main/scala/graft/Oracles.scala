@@ -384,6 +384,10 @@ private[graft] object Oracles {
 
     "streaming_phash_flag" -> streamingPhashFlagOracle,
 
+    "audio_ahash" -> audioAhashOracle,
+
+    "ahash_near_dup" -> ahashNearDupOracle,
+
     "quality_lr_train" -> qualityLrTrainOracle,
 
     "quality_lr_scores" -> qualityLrScoresOracle,

@@ -856,6 +856,29 @@ private[graft] object Queries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "audio_ahash" -> ((s, dir) => {
+      // the audio twin of image_phash: energy-delta perceptual hash over
+      // the REAL decoded PCM (RIFF walk + sample parse) — 65 integer
+      // windows, exact energy sums, bit = next window strictly louder;
+      // every bit replayed in SQL from the synthetic-PCM formulas
+      Multimodal.audioPerceptualHashes(
+          Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))
+    }),
+
+    "ahash_near_dup" -> ((s, dir) => {
+      // dedup × audio through the SAME banded-Hamming engine as text
+      // SimHash and image phash: planted one-LSB-perturbed WAVs (+700000)
+      // must pair with their originals (a single sample's +1 moves ≤2
+      // bits); oracle replays the exhaustive Hamming≤3 relation
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+      val fixture = media.union(Multimodal.plantAudioNearDups(media))
+      Dedup.hamming64Pairs(Multimodal.audioPerceptualHashes(fixture),
+          idCol = "media_id", hashCol = "phash", bands = 4, maxHamming = 3)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "phash_keep" -> ((s, dir) => {
       // the image-dedup END-PRODUCT: PNG ids surviving perceptual
       // near-dup collapse — min id per Hamming≤3 cluster wins, so every

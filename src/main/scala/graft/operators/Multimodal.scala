@@ -516,6 +516,76 @@ object Multimodal {
     }
   }
 
+  /**
+   * Audio perceptual hash — [[dHash64]]'s idea on the time axis: split
+   * the PCM stream into 65 equal windows (integer boundaries `w·n/65`),
+   * sum each window's UNSIGNED sample values (exact integer energy), and
+   * set bit `w` when window `w+1` is strictly louder than window `w`.
+   * Robust to gain-preserving re-encodes and single-sample noise, all
+   * integer arithmetic — SQL-replayable for the generator's synthetic
+   * PCM. Streams shorter than 65 samples leave trailing windows empty
+   * (energy 0) — still deterministic.
+   */
+  def aHash64(samples: Array[Short]): Long = {
+    val n = samples.length
+    require(n >= 1, "aHash64: empty PCM stream")
+    val e = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val lo = w * n / 65
+      val hi = (w + 1) * n / 65
+      var s = 0L
+      var i = lo
+      while (i < hi) { s += (samples(i) & 0xffff); i += 1 }
+      e(w) = s
+      w += 1
+    }
+    var h = 0L
+    w = 0
+    while (w < 64) {
+      if (e(w + 1) > e(w)) h |= 1L << w
+      w += 1
+    }
+    h
+  }
+
+  /** Perceptual hashes for audio-kind records: decode the REAL PCM out of
+    * the WAV container ([[MediaCodec.wavSamples]]) and [[aHash64]] it —
+    * the audio twin of [[imagePerceptualHashes]]; feed the output to
+    * [[Dedup.hamming64Pairs]]. Corrupt/empty containers yield no rows. */
+  def audioPerceptualHashes(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").flatMap { r =>
+      MediaCodec.wavSamples(r.payload) match {
+        case Some(s) if s.nonEmpty => Some((r.media_id, aHash64(s)))
+        case _ => None
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** Planted near-identical audio for the aHash gate: each WAV re-encoded
+    * with its FIRST sample bumped +1 (mod 2¹⁶) — one LSB of one sample,
+    * the canonical near-duplicate. Planted ids offset by 700000. */
+  def plantAudioNearDups(media: Dataset[MediaRecord],
+                         idOffset: Long = 700000L): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").flatMap { r =>
+      MediaCodec.wavInfo(r.payload) match {
+        case Some((rate, _)) =>
+          val s = MediaCodec.wavSamples(r.payload).getOrElse(Array.empty[Short])
+          if (s.isEmpty) None
+          else {
+            s(0) = (((s(0) & 0xffff) + 1) & 0xffff).toShort
+            Some(r.copy(media_id = r.media_id + idOffset,
+              payload = MediaCodec.encodeWav(s, rate)))
+          }
+        case None => None
+      }
+    }
+  }
+
   /** Partition-friendly write shape: media tables should be written
     * partitioned by kind and bucketed by id at scale. */
   def repartitionForWrite(media: Dataset[MediaRecord], n: Int): DataFrame =

@@ -364,6 +364,34 @@ class MultimodalSpec extends SparkSpec {
     hashes.unpersist()
   }
 
+  test("audio perceptual hash: energy-delta laws; planted LSB copies collide") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    // kernel laws: monotone-increasing loudness = all 64 bits; constant = 0
+    val up = Array.tabulate[Short](130)(i => (i * 100).toShort)
+    assert(Multimodal.aHash64(up) == -1L)
+    assert(Multimodal.aHash64(Array.fill[Short](130)(42)) == 0L)
+    // single-sample LSB bump moves at most 2 bits (its window's two deltas)
+    val bumped = up.clone(); bumped(0) = (bumped(0) + 1).toShort
+    assert(java.lang.Long.bitCount(Multimodal.aHash64(up) ^ Multimodal.aHash64(bumped)) <= 2)
+    intercept[IllegalArgumentException](Multimodal.aHash64(Array.empty[Short]))
+
+    // end-to-end: every planted WAV pairs with its original through the
+    // shared banded engine (≤2 bits moved < maxHamming=3 ⇒ always found)
+    val media = Multimodal.syntheticMedia(
+      Tables.documents(spark, Sf).filter(col("doc_id") < 150))
+    val fixture = media.union(Multimodal.plantAudioNearDups(media))
+    val hashes = Multimodal.audioPerceptualHashes(fixture)
+    val pairs = Dedup.hamming64Pairs(hashes, "media_id", "phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedIds = hashes.filter(col("media_id") >= 700000L)
+      .collect().map(_.getLong(0))
+    assert(plantedIds.nonEmpty)
+    plantedIds.foreach { pid =>
+      assert(pairs.contains((pid - 700000L, pid)), s"missing planted pair for $pid")
+    }
+  }
+
   test("frame sampling yields stride-spaced indices within n_frames") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, Sf))
     val rows = Multimodal.sampleFrames(media, stride = 7).collect()
