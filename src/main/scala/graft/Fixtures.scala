@@ -403,6 +403,74 @@ private[graft] object Fixtures {
        |  FROM allah x JOIN allah y ON x.media_id < y.media_id)
        |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
 
+  // ------------------------------------------------------------- vhash
+  // SQL replay of the video member of the delta-hash family:
+  // per-frame energies (Σ unsigned plane bytes of each FRAME block, the
+  // multimodal_frame_checksums byte formulas) → the 65-window delta hash
+  // over the frame-energy sequence.
+
+  /** Shared CTEs: per-video generator params → per-frame energies (`fe`,
+    * with the frame-0 byte-0 perturbation as `enp`) → windowed energies
+    * (`we`) → hash tables `vh` (+ `vhp` when planted). */
+  private def vhashCtes(withPlanted: Boolean): String = {
+    val b = "(CASE WHEN ilen > 0 THEN CAST(('0x' || substr(hx, CAST(2*((f*3*vw*vh + i) % ilen)+1 AS INT), 2)) AS INT) ELSE 0 END)"
+    val b0 = "(CASE WHEN ilen > 0 THEN CAST(('0x' || substr(hx, 1, 2)) AS INT) ELSE 0 END)"
+    def hashAgg(c: String) =
+      s"""CAST(SUM(CASE WHEN b.$c > a.$c
+         |  THEN CASE WHEN a.w = 63 THEN CAST('-9223372036854775808' AS BIGINT)
+         |            ELSE (CAST(1 AS BIGINT) << CAST(a.w AS INT)) END
+         |  ELSE CAST(0 AS BIGINT) END) AS BIGINT)""".stripMargin
+    val planted = if (!withPlanted) ""
+    else s""",
+       |vhp AS (SELECT a.media_id, ${hashAgg("enp")} AS phash
+       |        FROM we a JOIN we b ON b.media_id = a.media_id AND b.w = a.w + 1
+       |        WHERE a.w < 64 GROUP BY a.media_id)""".stripMargin
+    s"""WITH vm AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         CAST(octet_length(encode(text)) AS INT) AS ilen,
+       |         CAST(n_chars % 16 + 1 AS INT) AS vw,
+       |         CAST(n_chars % 8 + 1 AS INT) AS vh,
+       |         CAST(n_chars % 100 AS INT) AS nf
+       |  FROM documents WHERE doc_id % 3 = 2 AND n_chars % 100 >= 1),
+       |fr AS (
+       |  SELECT media_id, hx, ilen, vw, vh, nf, CAST(t.f AS INT) AS f
+       |  FROM vm, unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) t(f)),
+       |fe AS MATERIALIZED (
+       |  SELECT media_id, nf, f,
+       |         SUM($b) AS en,
+       |         SUM($b) + CASE WHEN f = 0 THEN (($b0 + 1) % 256 - $b0) ELSE 0 END AS enp
+       |  FROM fr, unnest(generate_series(0, CAST(3*vw*vh - 1 AS BIGINT))) t(i)
+       |  GROUP BY media_id, nf, f, hx, ilen),
+       |vwn AS (SELECT media_id, CAST(t.w AS INT) AS w FROM vm, range(0, 65) t(w)),
+       |we AS MATERIALIZED (
+       |  SELECT vwn.media_id, vwn.w,
+       |         COALESCE(SUM(fe.en), 0) AS en, COALESCE(SUM(fe.enp), 0) AS enp
+       |  FROM vwn LEFT JOIN fe ON fe.media_id = vwn.media_id
+       |    AND fe.f >= (vwn.w*fe.nf)//65 AND fe.f < ((vwn.w+1)*fe.nf)//65
+       |  GROUP BY vwn.media_id, vwn.w),
+       |vh AS (SELECT a.media_id, ${hashAgg("en")} AS phash
+       |       FROM we a JOIN we b ON b.media_id = a.media_id AND b.w = a.w + 1
+       |       WHERE a.w < 64 GROUP BY a.media_id)$planted""".stripMargin
+  }
+
+  /** Oracle for `video_vhash`: the frame-energy delta hash of every
+    * synthetic Y4M with ≥1 frame, bit-exact. */
+  def videoVhashOracle: String =
+    s"""${vhashCtes(withPlanted = false)}
+       |SELECT media_id, phash FROM vh ORDER BY media_id""".stripMargin
+
+  /** Oracle for `vhash_near_dup`: exhaustive Hamming≤3 self-join over
+    * originals ∪ planted frame-0 sub-pixel-perturbed copies (+800000). */
+  def vhashNearDupOracle: String =
+    s"""${vhashCtes(withPlanted = true)},
+       |allvh AS (SELECT media_id, phash FROM vh
+       |          UNION ALL SELECT media_id + 800000, phash FROM vhp),
+       |pairs AS (
+       |  SELECT x.media_id AS a, y.media_id AS b,
+       |         CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+       |  FROM allvh x JOIN allvh y ON x.media_id < y.media_id)
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+
   /** Oracle for `streaming_phash_flag`: the streamed planted copies
     * (ids +600000) crossed against the stored originals — every pair
     * within Hamming 3, replayed exhaustively; the stateless

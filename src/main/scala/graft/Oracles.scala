@@ -388,6 +388,10 @@ private[graft] object Oracles {
 
     "ahash_near_dup" -> ahashNearDupOracle,
 
+    "video_vhash" -> videoVhashOracle,
+
+    "vhash_near_dup" -> vhashNearDupOracle,
+
     "quality_lr_train" -> qualityLrTrainOracle,
 
     "quality_lr_scores" -> qualityLrScoresOracle,

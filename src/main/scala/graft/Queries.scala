@@ -879,6 +879,28 @@ private[graft] object Queries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "video_vhash" -> ((s, dir) => {
+      // the video member of the delta-hash family: per-frame energies
+      // over REAL decoded FRAME blocks → the 65-window delta hash — a
+      // temporal fingerprint; every bit replayed in SQL from the
+      // generator's cycled-plane formulas
+      Multimodal.videoPerceptualHashes(
+          Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))
+    }),
+
+    "vhash_near_dup" -> ((s, dir) => {
+      // dedup × video through the SAME banded engine: planted copies with
+      // one sub-pixel of frame 0 bumped (+800000) pair with their
+      // originals (≤2 bits moved); oracle replays the exhaustive relation
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+      val fixture = media.union(Multimodal.plantVideoNearDups(media))
+      Dedup.hamming64Pairs(Multimodal.videoPerceptualHashes(fixture),
+          idCol = "media_id", hashCol = "phash", bands = 4, maxHamming = 3)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "phash_keep" -> ((s, dir) => {
       // the image-dedup END-PRODUCT: PNG ids surviving perceptual
       // near-dup collapse — min id per Hamming≤3 cluster wins, so every

@@ -527,8 +527,20 @@ object Multimodal {
    * (energy 0) — still deterministic.
    */
   def aHash64(samples: Array[Short]): Long = {
-    val n = samples.length
-    require(n >= 1, "aHash64: empty PCM stream")
+    require(samples.length >= 1, "aHash64: empty PCM stream")
+    deltaHash64(samples.map(s => (s & 0xffff).toLong))
+  }
+
+  /**
+   * The shared windowed-delta kernel beneath [[aHash64]] (PCM sample
+   * values) and [[videoPerceptualHashes]] (per-frame energies): 65
+   * integer-boundary windows over any non-negative sequence, exact
+   * window sums, bit `w` = window `w+1` strictly greater. Sequences
+   * shorter than 65 leave windows empty (sum 0) — deterministic.
+   */
+  def deltaHash64(values: Array[Long]): Long = {
+    val n = values.length
+    require(n >= 1, "deltaHash64: empty sequence")
     val e = new Array[Long](65)
     var w = 0
     while (w < 65) {
@@ -536,7 +548,7 @@ object Multimodal {
       val hi = (w + 1) * n / 65
       var s = 0L
       var i = lo
-      while (i < hi) { s += (samples(i) & 0xffff); i += 1 }
+      while (i < hi) { s += values(i); i += 1 }
       e(w) = s
       w += 1
     }
@@ -547,6 +559,60 @@ object Multimodal {
       w += 1
     }
     h
+  }
+
+  /** Perceptual hashes for video-kind records: [[deltaHash64]] over the
+    * per-frame energy sequence (Σ unsigned plane bytes of each REAL
+    * decoded FRAME block) — a temporal fingerprint robust to
+    * re-containerization; zero-frame or corrupt streams yield no rows.
+    * The video member of the shared [[Dedup.hamming64Pairs]] family. */
+  def videoPerceptualHashes(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      MediaCodec.y4mInfo(r.payload) match {
+        case Some((w, h, n)) if n >= 1 =>
+          MediaCodec.y4mFrames(r.payload).flatMap { frames =>
+            val fsz = 3 * w * h
+            if (frames.length < n.toLong * fsz) None
+            else {
+              val e = Array.tabulate(n) { f =>
+                var s = 0L
+                var i = f * fsz
+                val end = (f + 1) * fsz
+                while (i < end) { s += (frames(i) & 0xff); i += 1 }
+                s
+              }
+              Some((r.media_id, deltaHash64(e)))
+            }
+          }
+        case _ => None
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** Planted near-identical videos: the Y4M re-encoded with the FIRST
+    * byte of frame 0's plane bumped +1 (mod 256) — one sub-pixel of one
+    * frame, moving at most the two comparisons around frame 0's window.
+    * Planted ids offset by 800000. */
+  def plantVideoNearDups(media: Dataset[MediaRecord],
+                         idOffset: Long = 800000L): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      MediaCodec.y4mInfo(r.payload) match {
+        case Some((w, h, n)) if n >= 1 =>
+          MediaCodec.y4mFrames(r.payload).flatMap { frames =>
+            if (frames.isEmpty) None
+            else {
+              frames(0) = ((frames(0) + 1) & 0xff).toByte
+              Some(r.copy(media_id = r.media_id + idOffset,
+                payload = MediaCodec.encodeY4m(frames, w, h, n)))
+            }
+          }
+        case _ => None
+      }
+    }
   }
 
   /** Perceptual hashes for audio-kind records: decode the REAL PCM out of

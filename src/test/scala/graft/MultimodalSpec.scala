@@ -392,6 +392,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video perceptual hash: frame-energy deltas; planted sub-pixel copies collide") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    // shared kernel law: with n a multiple of 65 every window holds the
+    // same count of a strictly increasing sequence → all 64 bits set
+    // (uneven window sizes can legitimately break monotonicity)
+    assert(Multimodal.deltaHash64(Array.tabulate[Long](130)(i => i * 7L)) == -1L)
+    intercept[IllegalArgumentException](Multimodal.deltaHash64(Array.empty[Long]))
+    val media = Multimodal.syntheticMedia(
+      Tables.documents(spark, Sf).filter(col("doc_id") < 150))
+    val fixture = media.union(Multimodal.plantVideoNearDups(media))
+    val hashes = Multimodal.videoPerceptualHashes(fixture)
+    val pairs = Dedup.hamming64Pairs(hashes, "media_id", "phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedIds = hashes.filter(col("media_id") >= 800000L)
+      .collect().map(_.getLong(0))
+    assert(plantedIds.nonEmpty)
+    // one sub-pixel of one frame moves <=2 bits < maxHamming=3: always found
+    plantedIds.foreach { pid =>
+      assert(pairs.contains((pid - 800000L, pid)), s"missing planted pair for $pid")
+    }
+    // zero-frame videos hash to no rows, planted skips them identically
+    val nfZero = media.filter(r => r.kind == "video" && r.n_frames == 0).count()
+    assert(hashes.filter(col("media_id") < 800000L).count() ==
+      media.filter(_.kind == "video").count() - nfZero)
+  }
+
   test("frame sampling yields stride-spaced indices within n_frames") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, Sf))
     val rows = Multimodal.sampleFrames(media, stride = 7).collect()
