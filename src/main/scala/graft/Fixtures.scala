@@ -248,7 +248,7 @@ private[graft] object Fixtures {
          |  FROM w${k - 1}, g$k)""".stripMargin
     }
     s"""WITH f AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, source,
        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
        |    round(CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) / 100.0, 6) AS x1,
        |    round(CAST(len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
@@ -542,6 +542,27 @@ private[graft] object Fixtures {
        |  CASE WHEN round(0.5 + 0.5 * ((b + w1 * x1 + w2 * x2 + w3 * x3) / (1.0 + abs(b + w1 * x1 + w2 * x2 + w3 * x3))), 6) >= 0.5
        |       THEN 1 ELSE 0 END AS pred_label
        |FROM f, w3 ORDER BY doc_id""".stripMargin
+
+  /** Oracle for `quality_weighted_sample`: the [[qualityLrScoresOracle]]
+    * scoring replay composed with the `weighted_sample` A-ExpJ draw —
+    * weight = the round-6 calibrated score, key
+    * `round(pow(u, 1.0/score), 12)` in the exact shapes the engine
+    * evaluates (u = (52-bit md5 prefix + 1) / 2⁵²). */
+  def qualityWeightedSampleOracle: String =
+    s"""${learnCtes(3)},
+       |sc AS (SELECT doc_id, source,
+       |         round(0.5 + 0.5 * ((b + w1 * x1 + w2 * x2 + w3 * x3) / (1.0 + abs(b + w1 * x1 + w2 * x2 + w3 * x3))), 6) AS score
+       |       FROM f, w3),
+       |dk AS (SELECT doc_id, source, score,
+       |         round(pow(
+       |           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+       |             / 4503599627370496.0,
+       |           1.0 / score), 12) AS k
+       |       FROM sc),
+       |rk AS (SELECT doc_id, source, score,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+       |       FROM dk)
+       |SELECT doc_id, source, score FROM rk WHERE rn <= 10 ORDER BY doc_id""".stripMargin
 
   /** Oracle for `streaming_quality_score`: [[qualityLrScoresOracle]]
     * restricted to the streamed id slice — training still sees the FULL

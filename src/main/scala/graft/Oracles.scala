@@ -396,6 +396,8 @@ private[graft] object Oracles {
 
     "quality_lr_scores" -> qualityLrScoresOracle,
 
+    "quality_weighted_sample" -> qualityWeightedSampleOracle,
+
     "pca_power_component" -> pcaPowerComponentOracle,
 
     "pca_second_component" -> pcaSecondComponentOracle,

@@ -414,6 +414,26 @@ private[graft] object Queries {
       Learn.scoreDocuments(Tables.documents(s, dir), iters = 3)
     }),
 
+    "quality_weighted_sample" -> ((s, dir) => {
+      // the learned classifier made LOAD-BEARING in curation (the
+      // bpe_pack pattern applied to Learn): train 3 GD steps, score every
+      // document through the rational sigmoid, and draw the per-source
+      // A-ExpJ weighted sample with weight = calibrated quality score —
+      // better documents win the draw proportionally. The oracle replays
+      // training, scoring AND the weighted draw end-to-end in SQL.
+      val docs = Tables.documents(s, dir)
+      val w = Learn.trainLinear(Learn.qualityFeatures(docs),
+        Seq("x1", "x2", "x3"), "y", iters = 3)
+      val scored = Learn.qualityFeatures(docs, keep = Seq("source"))
+        .select(col("id").as("doc_id"), col("source"),
+          Learn.rationalSigmoid(
+            Learn.predictor(w, Seq("x1", "x2", "x3"))).as("score"))
+      Curation.weightedSampleHash(scored, groupCol = "source",
+          weight = col("score"), k = 10)
+        .select(col("doc_id"), col("source"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     "fingerprints_md5" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp_md5"))

@@ -50,8 +50,9 @@ object Learn {
    * Returns (id, y, x1, x2, x3).
    */
   def qualityFeatures(docs: DataFrame, textCol: String = "text",
-                      idCol: String = "doc_id", langCol: String = "lang"): DataFrame =
-    docs.select(
+                      idCol: String = "doc_id", langCol: String = "lang",
+                      keep: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(
       col(idCol).as("id"),
       when(col(langCol) === "en", 1.0).otherwise(0.0).as("y"),
       // round6 pins x1 to the 6-decimal grid (tokens/100 is a 2-decimal
@@ -60,6 +61,7 @@ object Learn {
       round(TextFunctions.tokenCount(col(textCol)).cast("double") / 100.0, 6).as("x1"),
       TextFunctions.punctRatio(col(textCol)).as("x2"),
       TextFunctions.stopwordRatio(col(textCol), TextAnalysis.Stopwords).as("x3"))
+      ++ keep.map(col): _*)
 
   /** The fixed-association linear predictor `((w0 + w1*x1) + w2*x2) + ...`
     * over the given feature columns — the shape an ANSI SQL left-to-right
