@@ -728,6 +728,61 @@ private[graft] object Fixtures {
        |ORDER BY rnk""".stripMargin
   }
 
+  /** Oracle for `ann_then_mmr`: the [[annIvfTopkOracle]] derivation
+    * (centroid pick, assignment, probes) restricted to the vec_id-0
+    * query and ranked to a top-50 shortlist, composed with the
+    * [[mmrSelectOracle]] greedy replay whose base is that shortlist —
+    * the full ANN→rerank pipeline re-derived from the parquet table. */
+  def annThenMmrOracle: String = {
+    val (nlist, nprobe, kAnn, k) = (16, 4, 50, 5)
+    val steps = (2 to k).map { m =>
+      val prev = 1 until m
+      s"""b$m AS MATERIALIZED (SELECT b.id, b.e, b.rel,
+         |    greatest(${prev.map(j => s"round(${duckCos("b.e", s"s$j.e")}, 6)").mkString(", ")}) AS ms
+         |  FROM base b, ${prev.map(j => s"s$j").mkString(", ")}
+         |  WHERE b.id NOT IN (${prev.map(j => s"s$j.id").mkString(", ")})),
+         |s$m AS MATERIALIZED (SELECT id, e, round(0.5 * rel - 0.5 * ms, 6) AS s
+         |  FROM b$m ORDER BY s DESC, id LIMIT 1)""".stripMargin
+    }
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |ck AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+       |       ORDER BY h, vec_id LIMIT $nlist),
+       |cents AS (
+       |  SELECT (ROW_NUMBER() OVER (ORDER BY ck.h, ck.vec_id)) - 1 AS list_id, v.e AS ce
+       |  FROM ck JOIN v ON v.vec_id = ck.vec_id),
+       |ccos AS (
+       |  SELECT v.vec_id, c.list_id, ${duckCos("v.e", "c.ce")} AS cos
+       |  FROM v, cents c),
+       |assign AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS rn
+       |    FROM ccos) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS qid, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS rn
+       |    FROM ccos WHERE vec_id = 0) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cid
+       |  FROM probe p JOIN assign a ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.qid),
+       |scand AS (
+       |  SELECT cand.cid, round(${duckCos("q.e", "c.e")}, 6) AS cos
+       |  FROM cand JOIN v q ON q.vec_id = cand.qid JOIN v c ON c.vec_id = cand.cid),
+       |short AS (SELECT cid FROM (
+       |    SELECT cid, ROW_NUMBER() OVER (ORDER BY cos DESC, cid ASC) AS rnk FROM scand)
+       |  WHERE rnk <= $kAnn),
+       |qv AS (SELECT e FROM v WHERE vec_id = 0),
+       |base AS MATERIALIZED (SELECT v.vec_id AS id, v.e, round(${duckCos("v.e", "qv.e")}, 6) AS rel
+       |  FROM v, qv WHERE v.vec_id IN (SELECT cid FROM short)),
+       |s1 AS MATERIALIZED (SELECT id, e, rel AS s FROM base ORDER BY rel DESC, id LIMIT 1),
+       |${steps.mkString(",\n")}
+       |SELECT rnk, id, score FROM (
+       |  ${(1 to k).map(m => s"SELECT $m AS rnk, id, s AS score FROM s$m").mkString("\n  UNION ALL ")})
+       |ORDER BY rnk""".stripMargin
+  }
+
   /** Oracle for `pagerank_personalized`: the [[pagerankTradeOracle]]
     * replay with the teleport term and start vector restricted to the
     * seed set (nation-7 customers) — isolated seeds and zero-start

@@ -404,6 +404,8 @@ private[graft] object Oracles {
 
     "mmr_select" -> mmrSelectOracle,
 
+    "ann_then_mmr" -> annThenMmrOracle,
+
     "pca_variance_share" -> pcaVarianceShareOracle,
 
     "pca_project" -> pcaProjectOracle,

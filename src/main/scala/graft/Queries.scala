@@ -461,6 +461,22 @@ private[graft] object Queries {
       Pca.topComponent(Tables.embeddings(s, dir), dim = 64, iters = 3)
     }),
 
+    "ann_then_mmr" -> ((s, dir) => {
+      // the documented mmrSelect contract made LOAD-BEARING: the pool is
+      // an ANN SHORTLIST, never the corpus — IVF top-50 candidates for
+      // the vec_id-0 query, then 5 diverse exemplars via the greedy MMR
+      // rerank. The oracle replays the whole composition: centroid pick,
+      // assignment, probes, shortlist ranking, then every MMR step
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head().toArray
+      val shortlist = Similarity.ivfTopK(e, e.filter(col("vec_id") === 0), k = 50)
+        .select(col("cid").as("vec_id"))
+      val pool = e.join(broadcast(shortlist), "vec_id")
+      Similarity.mmrSelect(pool, q, k = 5)
+    }),
+
     "mmr_select" -> ((s, dir) => {
       // maximal-marginal-relevance selection: 5 diverse exemplars for the
       // vec_id-0 query — each greedy step is one narrow scan with the
