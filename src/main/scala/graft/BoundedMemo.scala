@@ -1,0 +1,34 @@
+package graft
+
+/**
+ * Insertion-ordered bounded memo shared by the per-JVM artifact caches
+ * ([[GraphArtifacts]], [[DedupArtifacts]]) — a long-lived JVM cycling
+ * through many dataset dirs must not pin checkpointed blocks forever.
+ *
+ * Two properties the earlier cap-and-clear helper lacked (round-11
+ * advice): the build runs OUTSIDE the map mutation (check-then-put, no
+ * reliance on how a map implementation tolerates mutation inside its own
+ * `getOrElseUpdate` default), and eviction removes the single OLDEST
+ * entry instead of clearing the whole table — hot entries survive the
+ * arrival of a 9th dataset dir, only the stalest re-derives. Evicted
+ * frames lose their last reference here; their localCheckpoint blocks are
+ * reclaimed by Spark's ContextCleaner once unreachable.
+ */
+private[graft] final class BoundedMemo[V](cap: Int) {
+  require(cap >= 1, s"BoundedMemo: cap must be >= 1, got $cap")
+  private val entries = scala.collection.mutable.LinkedHashMap[String, V]()
+
+  /** Cached value for `key`, building (and caching) it on miss. The lock
+    * spans the build — callers are bench/gate paths where a duplicate
+    * concurrent build would be the costlier outcome. */
+  def get(key: String)(build: => V): V = synchronized {
+    entries.get(key) match {
+      case Some(v) => v
+      case None =>
+        val v = build
+        if (entries.size >= cap) entries.remove(entries.head._1)
+        entries.put(key, v)
+        v
+    }
+  }
+}

@@ -28,24 +28,21 @@ private[graft] object DedupArtifacts {
 
   final case class PairSets(found: DataFrame, exact: DataFrame)
 
-  private val recallMemo = scala.collection.mutable.Map[String, PairSets]()
-  private val precisionMemo = scala.collection.mutable.Map[String, PairSets]()
-  private val semanticMemo = scala.collection.mutable.Map[String, DataFrame]()
   // keys are dataset dirs (a handful per process), but a long-lived JVM
   // cycling through many dirs must not pin checkpointed pair-set blocks
-  // forever — same cap-and-clear discipline as TextAnalysis.statsMemo,
-  // with a small cap because each entry holds RDD blocks, not scalars
-  private final val MemoCap = 8
-  private def capped[V](memo: scala.collection.mutable.Map[String, V], dir: String)
-                       (build: => V): V =
-    memo.getOrElseUpdate(dir, { if (memo.size >= MemoCap) memo.clear(); build })
+  // forever — bounded [[BoundedMemo]] (oldest-entry eviction, build
+  // outside the map mutation), with a small cap because each entry holds
+  // RDD blocks, not scalars
+  private val recallMemo = new BoundedMemo[PairSets](8)
+  private val precisionMemo = new BoundedMemo[PairSets](8)
+  private val semanticMemo = new BoundedMemo[DataFrame](8)
 
   /** `minhash_lsh_recall` inputs: the LSH pair set found at threshold
     * 0.999 on the corpus ∪ planted-exact-copy fixture, and the expected
     * identical-fingerprint pair set (≥ 3 tokens — shorter docs have no
     * 3-shingles and are filtered from the LSH input). */
-  def minhashRecall(s: SparkSession, dir: String): PairSets = synchronized {
-    capped(recallMemo, dir) {
+  def minhashRecall(s: SparkSession, dir: String): PairSets =
+    recallMemo.get(dir) {
       val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val fixture = corpus.union(
         corpus.filter(col("doc_id") % 23 === 0)
@@ -61,13 +58,12 @@ private[graft] object DedupArtifacts {
         .select(col("a"), col("b")).localCheckpoint()
       PairSets(found, exact)
     }
-  }
 
   /** `minhash_lsh_precision` inputs on the bounded every-5th-doc fixture:
     * the LSH-reported pair set at threshold 0.6 and the exact n-gram
     * Jaccard pair set at the same threshold. */
-  def minhashPrecision(s: SparkSession, dir: String): PairSets = synchronized {
-    capped(precisionMemo, dir) {
+  def minhashPrecision(s: SparkSession, dir: String): PairSets =
+    precisionMemo.get(dir) {
       val fixture = Fixtures.docsWithNearDups(
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
       val reported = Dedup.minHashLsh(fixture, threshold = 0.6)
@@ -76,17 +72,15 @@ private[graft] object DedupArtifacts {
         .select(col("a"), col("b")).localCheckpoint()
       PairSets(reported, exact)
     }
-  }
 
   /** `semantic_dedup_keep` input: the SemDeDup pair set on the planted-dup
     * embedding fixture (the `semantic_dedup` entry recomputes this honestly;
     * the keep-set gate consumes the cache so its window measures
     * [[Dedup.keepMinIdRepresentatives]]). */
-  def semanticPairs(s: SparkSession, dir: String): DataFrame = synchronized {
-    capped(semanticMemo, dir) {
+  def semanticPairs(s: SparkSession, dir: String): DataFrame =
+    semanticMemo.get(dir) {
       val fixture = Fixtures.embsWithDups(Tables.embeddings(s, dir))
       Dedup.semanticDedup(fixture, nlist = 16, threshold = 0.95)
         .localCheckpoint()
     }
-  }
 }

@@ -545,9 +545,11 @@ private[graft] object Fixtures {
 
   /** Oracle for `quality_weighted_sample`: the [[qualityLrScoresOracle]]
     * scoring replay composed with the `weighted_sample` A-ExpJ draw —
-    * weight = the round-6 calibrated score, key
-    * `round(pow(u, 1.0/score), 12)` in the exact shapes the engine
-    * evaluates (u = (52-bit md5 prefix + 1) / 2⁵²). */
+    * weight = the round-6 calibrated score floored at 1e-6 (a strongly
+    * negative predictor quantizes the sigmoid to exactly 0.0; the floor
+    * mirrors the engine so the draw stays defined and row-exact), key
+    * `round(pow(u, 1.0/greatest(score, 1e-6)), 12)` in the exact shapes
+    * the engine evaluates (u = (52-bit md5 prefix + 1) / 2⁵²). */
   def qualityWeightedSampleOracle: String =
     s"""${learnCtes(3)},
        |sc AS (SELECT doc_id, source,
@@ -557,7 +559,7 @@ private[graft] object Fixtures {
        |         round(pow(
        |           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
        |             / 4503599627370496.0,
-       |           1.0 / score), 12) AS k
+       |           1.0 / greatest(score, 0.000001)), 12) AS k
        |       FROM sc),
        |rk AS (SELECT doc_id, source, score,
        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn

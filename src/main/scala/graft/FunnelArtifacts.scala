@@ -27,14 +27,15 @@ private[graft] object FunnelArtifacts {
   final case class FunnelStages(n0: Long, n1: Long, n2: Long, n3: Long,
                                 exactIds: DataFrame, dupB: DataFrame)
 
-  private val memo = scala.collection.mutable.Map[String, FunnelStages]()
+  // bounded (oldest-entry eviction): entries hold localCheckpoint blocks
+  private val memo = new BoundedMemo[FunnelStages](8)
 
   /** The funnel pipeline's stage counts + the frames the gate's independent
     * counting path re-derives from — computed at most once per JVM per
     * dataset, from the same shared stage definitions
     * ([[Curation.stageCounts]]) the pipeline itself uses. */
-  def stages(s: SparkSession, dir: String): FunnelStages = synchronized {
-    memo.getOrElseUpdate(dir, {
+  def stages(s: SparkSession, dir: String): FunnelStages =
+    memo.get(dir) {
       val cfg = Curation.Config(nearDupThreshold = 0.6, minQuality = 0.1)
       val docs = Fixtures.docsWithNearDups(Tables.documents(s, dir))
       val exact = Dedup.exactDedupKeptCounted(docs).persist()
@@ -47,6 +48,5 @@ private[graft] object FunnelArtifacts {
         val exactIds = exact.select(col("doc_id")).localCheckpoint()
         FunnelStages(n0, n1, n2, n3, exactIds, dupB)
       } finally exact.unpersist()
-    })
-  }
+    }
 }

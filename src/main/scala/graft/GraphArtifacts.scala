@@ -30,16 +30,13 @@ import graft.sources.Tables
  */
 private[graft] object GraphArtifacts {
 
-  private val weightedMemo = scala.collection.mutable.Map[String, DataFrame]()
-  private val pairs96Memo = scala.collection.mutable.Map[String, DataFrame]()
-  private val directed95Memo = scala.collection.mutable.Map[String, DataFrame]()
-  private val seedsMemo = scala.collection.mutable.Map[String, Set[Long]]()
-  // cap-and-clear (the DedupArtifacts discipline): a long-lived JVM cycling
-  // through many dataset dirs must not pin checkpoint blocks forever
-  private final val MemoCap = 8
-  private def capped[V](memo: scala.collection.mutable.Map[String, V], dir: String)
-                       (build: => V): V =
-    memo.getOrElseUpdate(dir, { if (memo.size >= MemoCap) memo.clear(); build })
+  // bounded per-dir memos (the shared [[BoundedMemo]] discipline): a
+  // long-lived JVM cycling through many dataset dirs must not pin
+  // checkpoint blocks forever; eviction drops only the oldest entry
+  private val weightedMemo = new BoundedMemo[DataFrame](8)
+  private val pairs96Memo = new BoundedMemo[DataFrame](8)
+  private val directed95Memo = new BoundedMemo[DataFrame](8)
+  private val seedsMemo = new BoundedMemo[Set[Long]](8)
 
   /** Distinct (ck, sk) trade pairs for one order year — the shared ETL:
     * lineitem ⋈ broadcast(2-column orders slice), then distinct. */
@@ -64,47 +61,42 @@ private[graft] object GraphArtifacts {
 
   /** `pagerank_weighted` input: both directions of the 1995 pair set with
     * integer edge weight = lineitem count per (customer, supplier). */
-  def weightedEdges1995(s: SparkSession, dir: String): DataFrame = synchronized {
-    capped(weightedMemo, dir) {
+  def weightedEdges1995(s: SparkSession, dir: String): DataFrame =
+    weightedMemo.get(dir) {
       val pairs = yearPairs(s, dir, 1995)
         .groupBy(col("o_custkey"), col("l_suppkey"))
         .agg(count(lit(1)).as("w"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"), col("w"))
       bothDirections(pairs, Seq("w")).localCheckpoint()
     }
-  }
 
   /** `pagerank_personalized` input: both directions of the distinct 1996
     * pair set (already a pair set — consumers pass edgesDistinct=true). */
-  def edges1996(s: SparkSession, dir: String): DataFrame = synchronized {
-    capped(pairs96Memo, dir) {
+  def edges1996(s: SparkSession, dir: String): DataFrame =
+    pairs96Memo.get(dir) {
       val pairs = yearPairs(s, dir, 1996)
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
       bothDirections(pairs, Seq.empty).localCheckpoint()
     }
-  }
 
   /** `hits_trade` input: the DIRECTED distinct 1995 customer→supplier
     * edge set (HITS distinguishes direction; no reverse edges). */
-  def directedEdges1995(s: SparkSession, dir: String): DataFrame = synchronized {
-    capped(directed95Memo, dir) {
+  def directedEdges1995(s: SparkSession, dir: String): DataFrame =
+    directed95Memo.get(dir) {
       yearPairs(s, dir, 1995)
         .select(col("o_custkey").cast("long").as("src"),
           (lit(-1L) - col("l_suppkey").cast("long")).as("dst"))
         .distinct()
         .localCheckpoint()
     }
-  }
 
   /** `pagerank_personalized` seed set: one nation's customer keys — a
     * driver-small model-sized set (teleport targets). */
   def nationSeeds(s: SparkSession, dir: String, nationKey: Int = 7): Set[Long] =
-    synchronized {
-      capped(seedsMemo, s"$dir#$nationKey") {
-        import s.implicits._
-        Tables.customer(s, dir)
-          .filter(col("c_nationkey") === nationKey)
-          .select(col("c_custkey").cast("long")).as[Long].collect().toSet
-      }
+    seedsMemo.get(s"$dir#$nationKey") {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .filter(col("c_nationkey") === nationKey)
+        .select(col("c_custkey").cast("long")).as[Long].collect().toSet
     }
 }

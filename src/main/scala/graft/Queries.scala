@@ -20,6 +20,22 @@ import graft.sources.Tables
 private[graft] object Queries {
   import Fixtures._
 
+  /** Drain a finished memory-sink table into a LOCAL DataFrame and DROP
+    * the temp view: each streaming entry registers a uniquely-named sink,
+    * and repeated bench runs (5+ per round) must not accumulate in-memory
+    * sink tables for the JVM lifetime (round-11 advice). Sink contents
+    * are micro-batch-fixture-sized by construction, so the collect is
+    * bounded; the returned frame is a local-relation copy, independent of
+    * the dropped view. */
+  private def drainMemorySink(s: SparkSession, name: String)
+                             (shape: DataFrame => DataFrame): DataFrame = {
+    val out = shape(s.table(name))
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    val schema = out.schema
+    s.catalog.dropTempView(name)
+    s.createDataFrame(rows, schema)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ reference query surface
     "h1_history_avg" -> ((s, dir) => {
@@ -421,6 +437,11 @@ private[graft] object Queries {
       // A-ExpJ weighted sample with weight = calibrated quality score —
       // better documents win the draw proportionally. The oracle replays
       // training, scoring AND the weighted draw end-to-end in SQL.
+      // The draw weight is floored at 1e-6 (one round-6 grid step): a
+      // strongly negative predictor quantizes the sigmoid to exactly 0.0,
+      // which weightedSampleHash rightly rejects — the floor keeps such
+      // documents in the draw with the smallest representable weight
+      // (mirrored in the oracle, so the replay stays row-exact).
       val docs = Tables.documents(s, dir)
       val w = Learn.trainLinear(Learn.qualityFeatures(docs),
         Seq("x1", "x2", "x3"), "y", iters = 3)
@@ -429,7 +450,7 @@ private[graft] object Queries {
           Learn.rationalSigmoid(
             Learn.predictor(w, Seq("x1", "x2", "x3"))).as("score"))
       Curation.weightedSampleHash(scored, groupCol = "source",
-          weight = col("score"), k = 10)
+          weight = greatest(col("score"), lit(1e-6)), k = 10)
         .select(col("doc_id"), col("source"), col("score"))
         .orderBy(col("doc_id"))
     }),
@@ -1349,11 +1370,11 @@ private[graft] object Queries {
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       mem.addData(b2.toIndexedSeq); q.processAllAvailable()
       q.stop()
-      s.table(name)
+      drainMemorySink(s, name)(_
         .select(col("window_start"), explode(col("topk")).as("e"))
         .select(col("window_start"), col("e.item").as("item"),
           col("e.count_min").as("cnt"))
-        .orderBy(col("window_start"), col("item"))
+        .orderBy(col("window_start"), col("item")))
     }),
 
 
@@ -1383,9 +1404,9 @@ private[graft] object Queries {
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       mem.addData(b2.toIndexedSeq); q.processAllAvailable()
       q.stop()
-      s.table(name)
+      drainMemorySink(s, name)(_
         .select(col("doc_id"), col("label"), col("score"), col("pred_label"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id")))
     }),
 
     "streaming_cluster_assign" -> ((s, dir) => {
@@ -1412,9 +1433,9 @@ private[graft] object Queries {
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       mem.addData(b2.toIndexedSeq); q.processAllAvailable()
       q.stop()
-      s.table(name)
+      drainMemorySink(s, name)(_
         .select(col("vec_id"), col("list_id"), col("cos_centroid"))
-        .orderBy(col("vec_id"))
+        .orderBy(col("vec_id")))
     }),
 
     "streaming_phash_flag" -> ((s, dir) => {
@@ -1441,9 +1462,9 @@ private[graft] object Queries {
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       mem.addData(b2.toIndexedSeq); q.processAllAvailable()
       q.stop()
-      s.table(name)
+      drainMemorySink(s, name)(_
         .select(col("media_id"), col("dup_of"), col("hamming"))
-        .orderBy(col("media_id"), col("dup_of"))
+        .orderBy(col("media_id"), col("dup_of")))
     }),
 
     "multimodal_frame_sample" -> ((s, dir) => {

@@ -523,8 +523,9 @@ object Multimodal {
    * set bit `w` when window `w+1` is strictly louder than window `w`.
    * Robust to gain-preserving re-encodes and single-sample noise, all
    * integer arithmetic — SQL-replayable for the generator's synthetic
-   * PCM. Streams shorter than 65 samples leave trailing windows empty
-   * (energy 0) — still deterministic.
+   * PCM. Streams shorter than 65 samples make SOME windows empty (the
+   * integer boundaries `w·n/65` collapse, so empty windows interleave
+   * among non-empty ones rather than trailing) — still deterministic.
    */
   def aHash64(samples: Array[Short]): Long = {
     require(samples.length >= 1, "aHash64: empty PCM stream")
@@ -536,7 +537,9 @@ object Multimodal {
    * values) and [[videoPerceptualHashes]] (per-frame energies): 65
    * integer-boundary windows over any non-negative sequence, exact
    * window sums, bit `w` = window `w+1` strictly greater. Sequences
-   * shorter than 65 leave windows empty (sum 0) — deterministic.
+   * shorter than 65 make some windows empty (sum 0): the integer
+   * boundaries collapse, interleaving empty windows among non-empty ones
+   * (not a trailing-zeros layout) — still deterministic.
    */
   def deltaHash64(values: Array[Long]): Long = {
     val n = values.length

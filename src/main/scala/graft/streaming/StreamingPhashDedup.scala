@@ -32,12 +32,36 @@ import graft.operators.Multimodal.MediaRecord
 object StreamingPhashDedup {
 
   /**
-   * Flag a stream of media records against stored perceptual hashes
+   * Build the banded static-side index from stored perceptual hashes
    * (`indexHashes`: a static (idCol, hashCol) frame, e.g. persisted
-   * [[Multimodal.imagePerceptualHashes]] output). Returns
-   * (media_id, dup_of, hamming) — one row per (incoming, stored) pair
-   * within `maxHamming`; an incoming image absent from the output batch
-   * is novel.
+   * [[Multimodal.imagePerceptualHashes]] output), with the documented
+   * bucket cap applied. The result is `localCheckpoint`ed — in a
+   * stream-static join the static SUBPLAN re-executes on every
+   * micro-batch, so without severing it here each batch would re-pay the
+   * whole corpus-side band-explode + bucket-count aggregation. Build once
+   * per corpus epoch and pass to [[flagStream]]; blocks are reclaimed by
+   * Spark's ContextCleaner once the frame is unreachable.
+   */
+  def bandedIndex(indexHashes: DataFrame, bands: Int = 4,
+                  maxBucketSize: Int = 100000,
+                  idCol: String = "media_id", hashCol: String = "phash"): DataFrame = {
+    val idx0 = Dedup.banded64(indexHashes, idCol, hashCol, bands)
+    val okBuckets = idx0.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("band"), col("chunk"))
+    idx0.join(okBuckets, Seq("band", "chunk"))
+      .select(col("band"), col("chunk"), col("id").as("dup_of"), col("sh").as("hb"))
+      .localCheckpoint()
+  }
+
+  /**
+   * Flag a stream of media records against stored perceptual hashes.
+   * Returns (media_id, dup_of, hamming) — one row per (incoming, stored)
+   * pair within `maxHamming`; an incoming image absent from the output
+   * batch is novel. The static index is built (and materialized) via
+   * [[bandedIndex]] at plan-construction time, so each micro-batch pays
+   * only decode + hash on its own rows and one equi-join.
    */
   def flagStream(stream: Dataset[MediaRecord], indexHashes: DataFrame,
                  bands: Int = 4, maxHamming: Int = 3,
@@ -47,15 +71,7 @@ object StreamingPhashDedup {
       s"flagStream: need maxHamming < bands for the pigeonhole recall " +
         s"guarantee (and the lowest-band dedup), got maxHamming=$maxHamming bands=$bands")
     val bits = 64 / bands
-    // static side: banded index with the documented bucket cap (computed
-    // once — the corpus side is batch)
-    val idx0 = Dedup.banded64(indexHashes, idCol, hashCol, bands)
-    val okBuckets = idx0.groupBy(col("band"), col("chunk"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucketSize)
-      .select(col("band"), col("chunk"))
-    val idx = idx0.join(okBuckets, Seq("band", "chunk"))
-      .select(col("band"), col("chunk"), col("id").as("dup_of"), col("sh").as("hb"))
+    val idx = bandedIndex(indexHashes, bands, maxBucketSize, idCol, hashCol)
     // stream side: decode → dHash → band explode, all stateless
     val incoming = Dedup.banded64(
         Multimodal.imagePerceptualHashes(stream), "media_id", "phash", bands)
