@@ -116,6 +116,20 @@ object Bench {
       GraphArtifacts.directedEdges1995(spark, sfDir)
       GraphArtifacts.nationSeeds(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[bench] graph warmup failed: $e") }
+    // and the per-JVM media perceptual-hash cache: ahash/vhash_near_dup
+    // measure the banded JOIN, phash_keep the representative collapse,
+    // streaming_phash_flag the per-batch streaming path — image_phash /
+    // audio_ahash / video_vhash / phash_near_dup stay honest decode
+    // recomputes. Un-warmed, the first timed run of each consumer would
+    // absorb the one-time corpus decode
+    try {
+      MediaArtifacts.imageFixtureHashes(spark, sfDir)
+      MediaArtifacts.imagePairs(spark, sfDir)
+      MediaArtifacts.audioFixtureHashes(spark, sfDir)
+      MediaArtifacts.videoFixtureHashes(spark, sfDir)
+      MediaArtifacts.pngBandedIndex(spark, sfDir)
+      MediaArtifacts.plantedImageRecords(spark, sfDir)
+    } catch { case e: Throwable => System.err.println(s"[bench] media warmup failed: $e") }
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()

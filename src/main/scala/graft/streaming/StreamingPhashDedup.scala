@@ -66,12 +66,23 @@ object StreamingPhashDedup {
   def flagStream(stream: Dataset[MediaRecord], indexHashes: DataFrame,
                  bands: Int = 4, maxHamming: Int = 3,
                  maxBucketSize: Int = 100000,
-                 idCol: String = "media_id", hashCol: String = "phash"): DataFrame = {
+                 idCol: String = "media_id", hashCol: String = "phash"): DataFrame =
+    flagAgainstIndex(stream,
+      bandedIndex(indexHashes, bands, maxBucketSize, idCol, hashCol),
+      bands, maxHamming)
+
+  /**
+   * [[flagStream]] against a PREBUILT [[bandedIndex]] frame — the serving
+   * deployment shape: the index is held per corpus epoch (e.g. the
+   * per-JVM artifact cache) and many streams flag against it without
+   * rebuilding. `bands` must match the value the index was built with.
+   */
+  def flagAgainstIndex(stream: Dataset[MediaRecord], idx: DataFrame,
+                       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bands,
-      s"flagStream: need maxHamming < bands for the pigeonhole recall " +
+      s"flagAgainstIndex: need maxHamming < bands for the pigeonhole recall " +
         s"guarantee (and the lowest-band dedup), got maxHamming=$maxHamming bands=$bands")
     val bits = 64 / bands
-    val idx = bandedIndex(indexHashes, bands, maxBucketSize, idCol, hashCol)
     // stream side: decode → dHash → band explode, all stateless
     val incoming = Dedup.banded64(
         Multimodal.imagePerceptualHashes(stream), "media_id", "phash", bands)
