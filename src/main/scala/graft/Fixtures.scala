@@ -825,6 +825,61 @@ private[graft] object Fixtures {
        |SELECT node, pr FROM pr$iters ORDER BY node""".stripMargin
   }
 
+  /** Oracle for `label_propagation`: the 1996 both-direction trade-edge
+    * derivation (cf. [[pagerankPersonalizedOracle]]) + all 3 synchronous
+    * LPA rounds — per round, in-neighbor label counts and the
+    * (count DESC, label ASC) row_number argmax, with a left join keeping
+    * the previous label for nodes the round leaves unlabeled (on the
+    * both-direction graph every node has in-edges, so the branch is
+    * structural, exactly like the engine's coalesce). `l{k}` is
+    * referenced by both the next round's count and its keep-previous
+    * join, hence MATERIALIZED. */
+  def labelPropagationOracle: String = {
+    val iters = 3
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS id, l.lbl, COUNT(*) AS c
+         |  FROM edges e JOIN l${k - 1} l ON l.id = e.src GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (
+         |  SELECT n.node AS id, COALESCE(a.lbl, p.lbl) AS lbl
+         |  FROM nodes n JOIN l${k - 1} p ON p.id = n.node
+         |  LEFT JOIN (SELECT id, lbl FROM (
+         |      SELECT id, lbl,
+         |             ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+         |      FROM c$k) WHERE rn = 1) a ON a.id = n.node)""".stripMargin
+    }
+    s"""WITH oc AS (
+       |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE year(o_orderdate) = 1996),
+       |edges AS MATERIALIZED (
+       |  SELECT CAST(ck AS BIGINT) AS src, -1 - CAST(sk AS BIGINT) AS dst FROM oc
+       |  UNION
+       |  SELECT -1 - CAST(sk AS BIGINT), CAST(ck AS BIGINT) FROM oc),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |l0 AS MATERIALIZED (SELECT node AS id, node AS lbl FROM nodes),
+       |${rounds.mkString(",\n")}
+       |SELECT id AS node, lbl AS label FROM l$iters ORDER BY node""".stripMargin
+  }
+
+  /** Oracle for `trade_components`: the strong-1995-trade pair set
+    * (>= 2 lineitems per (customer, supplier)) closed transitively with a
+    * recursive CTE — min reachable id per node, the dup_clusters oracle
+    * shape on a second domain. The thresholded graph is hundreds of
+    * pairs at any gate scale, so the closure is cheap. */
+  def tradeComponentsOracle: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS a, -1 - CAST(l_suppkey AS BIGINT) AS b
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE year(o_orderdate) = 1995
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |reach(id, r) AS (
+      |  SELECT a AS id, a AS r FROM e
+      |  UNION
+      |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b)
+      |SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   /** Oracle for `bpe_first_merge`: full DuckDB replay of BPE training's
     * rank-0 selection — word dictionary (whitespace tokens of the
     * trimmed/lowercased text), per-position adjacent symbol pairs over

@@ -369,6 +369,8 @@ private[graft] object Oracles {
     "pagerank_weighted" -> pagerankWeightedOracle,
 
     "pagerank_personalized" -> pagerankPersonalizedOracle,
+    "label_propagation" -> labelPropagationOracle,
+    "trade_components" -> tradeComponentsOracle,
 
     "pagerank_dangling" -> pagerankDanglingOracle,
 

@@ -349,6 +349,36 @@ private[graft] object Queries {
         .orderBy(col("node"))
     }),
 
+    "label_propagation" -> ((s, dir) => {
+      // community detection: synchronous LPA on the 1996 both-direction
+      // trade graph — every node starts as its own community, 3 rounds of
+      // most-frequent-in-neighbor label with min-label tie-break; the
+      // sync+min-tie-break determinization makes every round SQL-exact,
+      // so the oracle replays all 3 (count + argmax per round). Cached
+      // edge artifact — pagerank_trade owns the honest edge ETL; this
+      // window measures the propagation ROUNDS
+      Graph.labelPropagation(GraphArtifacts.edges1996(s, dir), iters = 3,
+          edgesDistinct = true)
+        .orderBy(col("node"))
+    }),
+
+    "trade_components" -> ((s, dir) => {
+      // the connected-components operator (hash-min + pointer doubling,
+      // dup_clusters' engine) applied CROSS-DOMAIN: weakly-connected
+      // components of the STRONG 1995 trade graph — (customer, supplier)
+      // pairs with >= 2 lineitems; the weight threshold fragments the
+      // giant bipartite component into real trading communities (14 at
+      // sf0.01, 370 at sf0.1). Oracle replays the closure with a
+      // recursive CTE. Pair weights from the cached weighted-edge
+      // artifact; this window measures the CC ITERATIONS
+      val pairs = GraphArtifacts.weightedEdges1995(s, dir)
+        .filter(col("src") >= 0 && col("w") >= 2)
+        .select(col("src").as("a"), col("dst").as("b"))
+      Dedup.dupClusters(pairs)
+        .select(col("id"), col("cluster_rep"))
+        .orderBy(col("id"))
+    }),
+
     "bpe_first_merge" -> ((s, dir) => {
       // BPE training's rank-0 merge: the most frequent adjacent symbol
       // pair over the word dictionary (chars + end-of-word marker U+E000),

@@ -220,6 +220,103 @@ object Graph {
     }
   }
 
+  /**
+   * Synchronous label propagation (LPA community detection) over a
+   * directed edge list with LONG node ids: every node starts labeled with
+   * its own id; each of `iters` rounds relabels every node with the most
+   * frequent label among its IN-neighbors (`src → dst` means src's label
+   * flows to dst), ties broken by the SMALLEST label. The classic
+   * algorithm's async sweep order is replaced by synchronous rounds +
+   * min-tie-break, which makes every round a deterministic pure function
+   * of the previous one — fully SQL-replayable (count + argmax per
+   * round), the [[pageRank]] discipline applied to a discrete fixpoint.
+   * Nodes with no in-edges keep their current label. Returns
+   * (node, label) for every node.
+   *
+   * Scale shape: per round one cached edge scan joined against the
+   * node-sized label table (broadcast under `broadcastNodeLimit`, shuffle
+   * past it) and a two-stage aggregate — (dst, label) counts with
+   * map-side combine (shuffle rows ≤ distinct (dst, label) pairs ≤
+   * edges), then a per-node max over a (count, −label) struct, which IS
+   * the (count DESC, label ASC) argmax without a window sort. Label state
+   * is node-sized: driver-resident under the limit (one Spark job per
+   * round), localCheckpoint-cut per round on the distributed branch.
+   */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       edgesDistinct: Boolean = false,
+                       broadcastNodeLimit: Long = 1000000L): DataFrame = {
+    require(iters >= 0, s"labelPropagation: iters must be >= 0, got $iters")
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count()
+      require(n > 0, "labelPropagation: empty graph")
+      val small = n <= broadcastNodeLimit
+      // one round's relabeling: in-neighbor label counts → per-node argmax
+      // by (count DESC, label ASC); nodes without in-edges are ABSENT here
+      def relabeled(labels: DataFrame): DataFrame =
+        e.join(if (small) broadcast(labels) else labels, col("node") === col("src"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("dst").as("node"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lbl"))
+      val lblSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lbl",
+          org.apache.spark.sql.types.LongType)))
+      if (small) {
+        // node-sized-state path: the label table is driver-resident; each
+        // round is ONE Spark job (cached edge scan + LocalTableScan
+        // broadcast + two-stage agg + node-sized collect)
+        val nodeList = nodes.collect().map(_.getLong(0))
+        def lblTable(m: Map[Long, Long]): DataFrame =
+          spark.createDataFrame(
+            java.util.Arrays.asList(nodeList.map(v =>
+              org.apache.spark.sql.Row(v, m(v))): _*), lblSchema)
+        var lblMap: Map[Long, Long] = nodeList.map(v => v -> v).toMap
+        var k = 0
+        while (k < iters) {
+          val upd = relabeled(lblTable(lblMap)).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          lblMap = nodeList.map(v => v -> upd.getOrElse(v, lblMap(v))).toMap
+          k += 1
+        }
+        spark.createDataFrame(
+          java.util.Arrays.asList(nodeList.map(v =>
+            org.apache.spark.sql.Row(v, lblMap(v))): _*), lblSchema)
+          .select(col("node"), col("lbl").as("label"))
+      } else {
+        // distributed path: label lineage cut per round; no-in-edge nodes
+        // keep their previous label via the left join
+        var labels = nodes.select(col("node"), col("node").as("lbl"))
+          .localCheckpoint()
+        var k = 0
+        while (k < iters) {
+          val upd = relabeled(labels)
+          labels = labels.as("p")
+            .join(upd.as("u"), Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("u.lbl"), col("p.lbl")).as("lbl"))
+            .localCheckpoint()
+          k += 1
+        }
+        labels.select(col("node"), col("lbl").as("label"))
+      }
+    } finally {
+      nodes.unpersist()
+      e.unpersist()
+    }
+  }
+
   private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
                            srcCol: String, dstCol: String, weightCol: Option[String],
                            edgesDistinct: Boolean,

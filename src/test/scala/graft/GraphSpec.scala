@@ -214,4 +214,55 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pageRankPersonalized(edges, Set.empty[Long], iters = 1))
   }
+
+  test("label propagation: sync rounds, min-label tie-break, keep-label without in-edges") {
+    // two triangles bridged by one edge; node ids pick the tie-break
+    //   1-2-3 triangle (both directions), 4-5-6 triangle, bridge 3 -> 4
+    val tri = Seq((1L,2L),(2L,1L),(2L,3L),(3L,2L),(1L,3L),(3L,1L),
+                  (4L,5L),(5L,4L),(5L,6L),(6L,5L),(4L,6L),(6L,4L),
+                  (3L,4L))
+    val got = Graph.labelPropagation(tri.toDF("src", "dst"), iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // naive driver replay of the synchronous rounds
+    val edges = tri.distinct
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      val byDst = edges.groupBy(_._2)
+      lbl = nodes.map { v =>
+        byDst.get(v) match {
+          case None => v -> lbl(v)
+          case Some(in) =>
+            val counts = in.map(e => lbl(e._1)).groupBy(identity).view.mapValues(_.size)
+            // (count DESC, label ASC)
+            v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }.toMap
+    }
+    assert(got == lbl)
+    // node 1 has in-edges only from 2 and 3 — communities still form
+    assert(got.keySet == nodes.toSet)
+  }
+
+  test("label propagation: node without in-edges keeps its own label") {
+    // 10 -> 11 -> 12 chain: 10 has no in-edges and must stay labeled 10
+    val edges = Seq((10L, 11L), (11L, 12L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 10L)
+    // after 3 sync rounds the chain has propagated 10 down both hops
+    assert(got(11L) == 10L && got(12L) == 10L)
+  }
+
+  test("label propagation: distributed branch is label-identical to the small path") {
+    val edges = Seq((1L,2L),(2L,1L),(2L,3L),(3L,2L),(1L,3L),(3L,1L),
+                    (4L,5L),(5L,4L),(3L,4L)).toDF("src", "dst")
+    val smallPath = Graph.labelPropagation(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = Graph.labelPropagation(edges, iters = 3,
+        broadcastNodeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(smallPath == distributed)
+  }
 }
