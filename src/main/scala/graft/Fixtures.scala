@@ -834,8 +834,13 @@ private[graft] object Fixtures {
     * structural, exactly like the engine's coalesce). `l{k}` is
     * referenced by both the next round's count and its keep-previous
     * join, hence MATERIALIZED. */
-  def labelPropagationOracle: String = {
-    val iters = 3
+  /** The synchronous-LPA round CTE chain shared by the graph and dedup
+    * community oracles: expects `edges(src, dst)` and `nodes(node)` CTEs
+    * upstream, produces `l0..l{iters}` (id, lbl). Per round: in-neighbor
+    * label counts, the (count DESC, label ASC) row_number argmax, and a
+    * keep-previous left join — exactly [[operators.Graph.labelPropagation]]. */
+  private def lpaRoundCtes(iters: Int): String = {
+    val l0 = """l0 AS MATERIALIZED (SELECT node AS id, node AS lbl FROM nodes)"""
     val rounds = (1 to iters).map { k =>
       s"""c$k AS (SELECT e.dst AS id, l.lbl, COUNT(*) AS c
          |  FROM edges e JOIN l${k - 1} l ON l.id = e.src GROUP BY 1, 2),
@@ -847,6 +852,11 @@ private[graft] object Fixtures {
          |             ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
          |      FROM c$k) WHERE rn = 1) a ON a.id = n.node)""".stripMargin
     }
+    (l0 +: rounds).mkString(",\n")
+  }
+
+  def labelPropagationOracle: String = {
+    val iters = 3
     s"""WITH oc AS (
        |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -857,8 +867,40 @@ private[graft] object Fixtures {
        |  SELECT -1 - CAST(sk AS BIGINT), CAST(ck AS BIGINT) FROM oc),
        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
        |          UNION SELECT DISTINCT dst FROM edges),
-       |l0 AS MATERIALIZED (SELECT node AS id, node AS lbl FROM nodes),
-       |${rounds.mkString(",\n")}
+       |${lpaRoundCtes(iters)}
+       |SELECT id AS node, lbl AS label FROM l$iters ORDER BY node""".stripMargin
+  }
+
+  /** Oracle for `dup_communities`: the dup_clusters near-dup pair
+    * derivation (planted 3/4-truncations, 2-gram exact Jaccard >= 0.5)
+    * re-expressed as a both-direction edge set, then [[lpaRoundCtes]] —
+    * LPA applied to the dedup domain, every round replayed. */
+  def dupCommunitiesOracle: String = {
+    val iters = 2
+    s"""WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |d0 AS (
+       |  SELECT doc_id, text FROM src
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\\s+'), 1,
+       |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+       |  FROM src),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(string_split_regex(trim(lower(text)), '\\s+')) - 1),
+       |           i -> array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[i:i+2], ' '))) AS sh
+       |  FROM d0
+       |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
+       |p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |${lpaRoundCtes(iters)}
        |SELECT id AS node, lbl AS label FROM l$iters ORDER BY node""".stripMargin
   }
 

@@ -370,6 +370,7 @@ private[graft] object Oracles {
 
     "pagerank_personalized" -> pagerankPersonalizedOracle,
     "label_propagation" -> labelPropagationOracle,
+    "dup_communities" -> dupCommunitiesOracle,
     "trade_components" -> tradeComponentsOracle,
 
     "pagerank_dangling" -> pagerankDanglingOracle,

@@ -362,6 +362,21 @@ private[graft] object Queries {
         .orderBy(col("node"))
     }),
 
+    "dup_communities" -> ((s, dir) => {
+      // LPA made LOAD-BEARING in the dedup domain: community detection
+      // over the deterministic exact-Jaccard near-dup pair graph (same
+      // edges as dup_clusters, so the two labelings are directly
+      // comparable cluster assignments); 2 sync rounds, every round
+      // replayed in SQL via the shared LPA oracle chain
+      val pairs = Dedup.ngramJaccardPairs(
+        docsWithNearDups(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)),
+        threshold = 0.5)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      Graph.labelPropagation(edges, iters = 2, edgesDistinct = true)
+        .orderBy(col("node"))
+    }),
+
     "trade_components" -> ((s, dir) => {
       // the connected-components operator (hash-min + pointer doubling,
       // dup_clusters' engine) applied CROSS-DOMAIN: weakly-connected
