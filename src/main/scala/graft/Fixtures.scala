@@ -922,6 +922,39 @@ private[graft] object Fixtures {
       |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b)
       |SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Oracle for `supplier_triangles`: the co-occurrence graph (supplier
+    * pairs sharing >= 3 distinct 1995 customers) closed into canonical
+    * u<v<w triangles by a three-way self-join, unnested to per-node
+    * counts, with the engine's exact coefficient shape
+    * `round6(2.0·t / (d·(d−1.0)))`. Orientation-free here — the replay
+    * uses id-canonical edges; triangle membership is
+    * orientation-independent, so the counts agree with the engine's
+    * degree-ordered enumeration. */
+  def supplierTrianglesOracle: String =
+    """WITH p AS (
+      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE year(o_orderdate) = 1995),
+      |cp AS MATERIALIZED (
+      |  SELECT CAST(a.sk AS BIGINT) AS u, CAST(b.sk AS BIGINT) AS v
+      |  FROM p a JOIN p b ON a.ck = b.ck AND a.sk < b.sk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |deg AS (SELECT n, COUNT(*) AS d FROM (
+      |    SELECT u AS n FROM cp UNION ALL SELECT v FROM cp) GROUP BY n),
+      |tri AS MATERIALIZED (
+      |  SELECT t1.u AS a, t1.v AS b, t2.v AS c
+      |  FROM cp t1 JOIN cp t2 ON t2.u = t1.v
+      |       JOIN cp t3 ON t3.u = t1.u AND t3.v = t2.v),
+      |tc AS (SELECT n, COUNT(*) AS t FROM (
+      |    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri) GROUP BY n)
+      |SELECT deg.n AS node, COALESCE(tc.t, 0) AS triangles,
+      |       CASE WHEN deg.d < 2 THEN 0.0
+      |            ELSE round(2.0 * COALESCE(tc.t, 0) / (deg.d * (deg.d - 1.0)), 6)
+      |       END AS coeff
+      |FROM deg LEFT JOIN tc ON tc.n = deg.n
+      |ORDER BY node""".stripMargin
+
   /** Oracle for `bpe_first_merge`: full DuckDB replay of BPE training's
     * rank-0 selection — word dictionary (whitespace tokens of the
     * trimmed/lowercased text), per-position adjacent symbol pairs over

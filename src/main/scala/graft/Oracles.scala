@@ -371,6 +371,7 @@ private[graft] object Oracles {
     "pagerank_personalized" -> pagerankPersonalizedOracle,
     "label_propagation" -> labelPropagationOracle,
     "dup_communities" -> dupCommunitiesOracle,
+    "supplier_triangles" -> supplierTrianglesOracle,
     "trade_components" -> tradeComponentsOracle,
 
     "pagerank_dangling" -> pagerankDanglingOracle,

@@ -362,6 +362,26 @@ private[graft] object Queries {
         .orderBy(col("node"))
     }),
 
+    "supplier_triangles" -> ((s, dir) => {
+      // supplier co-occurrence cohesion: suppliers sharing >= 3 distinct
+      // 1995 customers form an undirected graph; per-node triangle counts
+      // + local clustering coefficient via degree-ordered-orientation
+      // enumeration (each triangle found exactly once at its lowest-
+      // (degree, id) vertex — no candidate dedup shuffle). Distinct pair
+      // slice from the cached [[GraphArtifacts]] artifact; oracle replays
+      // co-occurrence, canonical u<v<w triangle join and the coefficient
+      val p = GraphArtifacts.directedEdges1995(s, dir)
+        .select(col("src").as("ck"), (lit(-1L) - col("dst")).as("sk"))
+      val cp = p.as("a").join(p.as("b"),
+          col("a.ck") === col("b.ck") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("nshared"))
+        .filter(col("nshared") >= 3)
+        .select(col("u"), col("v"))
+      Graph.triangleCounts(cp, "u", "v")
+        .orderBy(col("node"))
+    }),
+
     "dup_communities" -> ((s, dir) => {
       // LPA made LOAD-BEARING in the dedup domain: community detection
       // over the deterministic exact-Jaccard near-dup pair graph (same

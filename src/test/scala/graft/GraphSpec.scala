@@ -265,4 +265,24 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(smallPath == distributed)
   }
+
+  test("triangle counts: K4 + pendant matches the closed form; orientation-independent") {
+    // K4 on {1,2,3,4}: every node in 3 triangles, coeff 1.0; pendant 5-1:
+    // node 5 degree 1 -> 0 triangles, coeff 0.0; node 1 degree 4 ->
+    // coeff = 2*3/(4*3) = 0.5. Edges given in MIXED directions with a
+    // duplicate — canonicalization must absorb both.
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(4L,2L),(3L,4L),
+                    (5L,1L),(2L,1L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, 0.5)))
+    assert(got(2L) == ((3L, 1.0)) && got(3L) == ((3L, 1.0)) && got(4L) == ((3L, 1.0)))
+    assert(got(5L) == ((0L, 0.0)))
+  }
+
+  test("triangle counts: triangle-free bipartite graph reports all zeros") {
+    val edges = Seq((1L,10L),(1L,11L),(2L,10L),(2L,11L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+    assert(got.length == 4 && got.forall(r => r.getLong(1) == 0L && r.getDouble(2) == 0.0))
+  }
 }
