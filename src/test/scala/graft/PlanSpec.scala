@@ -357,4 +357,26 @@ class PlanSpec extends SparkSpec {
     assert(readSchemas.nonEmpty &&
       readSchemas.forall(l => l.contains("doc_id") && !l.contains("n_chars")), plan)
   }
+
+  test("LPA relabel round: broadcast label join + partial/final count aggregate, no UDF") {
+    // the per-round plan claim: one edge scan joined against the node-sized
+    // label table by BROADCAST (under the budget), counts aggregated with a
+    // map-side partial split; a sort-merge join here would shuffle the edge
+    // table once per round
+    import spark.implicits._
+    val edges = Seq((1L,2L),(2L,3L),(3L,1L)).toDF("src", "dst")
+    val plan = formattedPlan(
+      graft.operators.Graph.labelPropagation(edges, iters = 1,
+        broadcastNodeLimit = 1000000L))
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("triangle enumeration joins oriented edge lists, never a cartesian") {
+    import spark.implicits._
+    val edges = Seq((1L,2L),(1L,3L),(2L,3L),(3L,4L)).toDF("src", "dst")
+    val plan = formattedPlan(graft.operators.Graph.triangleCounts(edges))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
