@@ -839,10 +839,10 @@ private[graft] object Fixtures {
     * upstream, produces `l0..l{iters}` (id, lbl). Per round: in-neighbor
     * label counts, the (count DESC, label ASC) row_number argmax, and a
     * keep-previous left join — exactly [[operators.Graph.labelPropagation]]. */
-  private def lpaRoundCtes(iters: Int): String = {
+  private def lpaRoundCtes(iters: Int, vote: String = "COUNT(*)"): String = {
     val l0 = """l0 AS MATERIALIZED (SELECT node AS id, node AS lbl FROM nodes)"""
     val rounds = (1 to iters).map { k =>
-      s"""c$k AS (SELECT e.dst AS id, l.lbl, COUNT(*) AS c
+      s"""c$k AS (SELECT e.dst AS id, l.lbl, $vote AS c
          |  FROM edges e JOIN l${k - 1} l ON l.id = e.src GROUP BY 1, 2),
          |l$k AS MATERIALIZED (
          |  SELECT n.node AS id, COALESCE(a.lbl, p.lbl) AS lbl
@@ -868,6 +868,28 @@ private[graft] object Fixtures {
        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
        |          UNION SELECT DISTINCT dst FROM edges),
        |${lpaRoundCtes(iters)}
+       |SELECT id AS node, lbl AS label FROM l$iters ORDER BY node""".stripMargin
+  }
+
+  /** Oracle for `label_propagation_weighted`: the weighted 1995 edge
+    * derivation (lineitem count per (customer, supplier), both
+    * directions — the `pagerank_weighted` slice) + 2 LPA rounds with
+    * votes = SUM of integer edge weights instead of COUNT(*); argmax,
+    * tie-break and keep-previous shapes identical to the unweighted
+    * replay. */
+  def labelPropagationWeightedOracle: String = {
+    val iters = 2
+    s"""WITH pw AS (
+       |  SELECT o_custkey AS ck, l_suppkey AS sk, COUNT(*) AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE year(o_orderdate) = 1995 GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT CAST(ck AS BIGINT) AS src, -1 - CAST(sk AS BIGINT) AS dst, w FROM pw
+       |  UNION ALL
+       |  SELECT -1 - CAST(sk AS BIGINT), CAST(ck AS BIGINT), w FROM pw),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |${lpaRoundCtes(iters, vote = "CAST(SUM(e.w) AS BIGINT)")}
        |SELECT id AS node, lbl AS label FROM l$iters ORDER BY node""".stripMargin
   }
 

@@ -372,6 +372,7 @@ private[graft] object Oracles {
     "label_propagation" -> labelPropagationOracle,
     "dup_communities" -> dupCommunitiesOracle,
     "supplier_triangles" -> supplierTrianglesOracle,
+    "label_propagation_weighted" -> labelPropagationWeightedOracle,
     "trade_components" -> tradeComponentsOracle,
 
     "pagerank_dangling" -> pagerankDanglingOracle,

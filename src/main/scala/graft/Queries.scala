@@ -362,6 +362,17 @@ private[graft] object Queries {
         .orderBy(col("node"))
     }),
 
+    "label_propagation_weighted" -> ((s, dir) => {
+      // weighted LPA: votes proportional to integer edge weight (lineitem
+      // count per trade pair) — heavy trading relationships pull harder;
+      // 2 rounds on the cached weighted 1995 slice (the pagerank_weighted
+      // artifact made load-bearing twice), every round replayed with
+      // SUM-of-weights votes
+      Graph.labelPropagation(GraphArtifacts.weightedEdges1995(s, dir),
+          iters = 2, edgesDistinct = true, weightCol = Some("w"))
+        .orderBy(col("node"))
+    }),
+
     "supplier_triangles" -> ((s, dir) => {
       // supplier co-occurrence cohesion: suppliers sharing >= 3 distinct
       // 1995 customers form an undirected graph; per-node triangle counts

@@ -245,11 +245,19 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int,
                        srcCol: String = "src", dstCol: String = "dst",
                        edgesDistinct: Boolean = false,
-                       broadcastNodeLimit: Long = 1000000L): DataFrame = {
+                       broadcastNodeLimit: Long = 1000000L,
+                       weightCol: Option[String] = None): DataFrame = {
     require(iters >= 0, s"labelPropagation: iters must be >= 0, got $iters")
     val spark = edges.sparkSession
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+    // weighted votes (the pageRankWeighted convention): each in-edge's
+    // label vote counts w times, with INTEGER weights so the vote sums
+    // stay exact — the argmax semantics and replay shape are unchanged
+    val e0 = weightCol match {
+      case Some(w) => edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(w).cast("long").as("w"))
+      case None => edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+    }
     val e = (if (edgesDistinct) e0 else e0.distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
@@ -262,9 +270,13 @@ object Graph {
       val small = n <= broadcastNodeLimit
       // one round's relabeling: in-neighbor label counts → per-node argmax
       // by (count DESC, label ASC); nodes without in-edges are ABSENT here
+      val vote = weightCol match {
+        case Some(_) => sum(col("w"))
+        case None    => count(lit(1))
+      }
       def relabeled(labels: DataFrame): DataFrame =
         e.join(if (small) broadcast(labels) else labels, col("node") === col("src"))
-          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("dst"), col("lbl")).agg(vote.as("c"))
           .groupBy(col("dst").as("node"))
           .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
           .select(col("node"), (-col("m.nl")).as("lbl"))

@@ -285,4 +285,31 @@ class GraphSpec extends SparkSpec {
     val got = Graph.triangleCounts(edges).collect()
     assert(got.length == 4 && got.forall(r => r.getLong(1) == 0L && r.getDouble(2) == 0.0))
   }
+
+  test("weighted label propagation: a heavy edge out-votes two light ones") {
+    // node 3 hears label 1 once at weight 5 and label 2 twice at weight 1
+    // each: unweighted LPA picks 2 (count 2 > 1), weighted picks 1 (5 > 2)
+    val edges = Seq((1L, 3L, 5L), (2L, 3L, 1L), (20L, 3L, 1L),
+                    (2L, 20L, 1L), (20L, 2L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val unweighted = Graph.labelPropagation(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // in the unweighted round node 3 counts labels {1: 1, 2: 1, 20: 1} ->
+    // min-label tie-break picks 1; make the tie-free case explicit instead:
+    // labels of 2 and 20 both vote their OWN ids in round 1, so use the
+    // weighted variant to check vote arithmetic
+    val weighted = Graph.labelPropagation(edges, iters = 1,
+        weightCol = Some("w")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted(3L) == 1L) // 5 > 1, 1
+    assert(unweighted(3L) == 1L) // three singleton votes -> smallest label
+    // flip the heavy edge to node 20's vote: now 20 must win despite the
+    // larger label id
+    val edges2 = Seq((1L, 3L, 1L), (20L, 3L, 5L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val weighted2 = Graph.labelPropagation(edges2, iters = 1,
+        weightCol = Some("w")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted2(3L) == 20L) // 5 beats 1 even though 1 < 20
+  }
 }
