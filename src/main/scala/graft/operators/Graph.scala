@@ -231,7 +231,11 @@ object Graph {
    * of the previous one — fully SQL-replayable (count + argmax per
    * round), the [[pageRank]] discipline applied to a discrete fixpoint.
    * Nodes with no in-edges keep their current label. Returns
-   * (node, label) for every node.
+   * (node, label) for every node. A reached fixpoint short-circuits the
+   * remaining rounds (a no-op tail, so the result still equals the
+   * fixed-`iters` labeling the oracles replay); note synchronous LPA can
+   * oscillate with period 2 on bipartite-like graphs — `iters` is then
+   * the honest semantic, and the early-exit simply never fires.
    *
    * Scale shape: per round one cached edge scan joined against the
    * node-sized label table (broadcast under `broadcastNodeLimit`, shuffle
@@ -296,10 +300,16 @@ object Graph {
               org.apache.spark.sql.Row(v, m(v))): _*), lblSchema)
         var lblMap: Map[Long, Long] = nodeList.map(v => v -> v).toMap
         var k = 0
-        while (k < iters) {
+        var converged = false
+        while (k < iters && !converged) {
           val upd = relabeled(lblTable(lblMap)).collect()
             .map(r => r.getLong(0) -> r.getLong(1)).toMap
-          lblMap = nodeList.map(v => v -> upd.getOrElse(v, lblMap(v))).toMap
+          val next = nodeList.map(v => v -> upd.getOrElse(v, lblMap(v))).toMap
+          // fixpoint early-exit: an unchanged labeling makes every further
+          // synchronous round a no-op, so stopping here returns EXACTLY the
+          // fixed-`iters` result (what the oracles replay) for fewer jobs
+          converged = next == lblMap
+          lblMap = next
           k += 1
         }
         spark.createDataFrame(
@@ -312,13 +322,24 @@ object Graph {
         var labels = nodes.select(col("node"), col("node").as("lbl"))
           .localCheckpoint()
         var k = 0
-        while (k < iters) {
-          val upd = relabeled(labels)
+        var converged = false
+        while (k < iters && !converged) {
+          val prev = labels
           labels = labels.as("p")
-            .join(upd.as("u"), Seq("node"), "left")
+            .join(relabeled(labels).as("u"), Seq("node"), "left")
             .select(col("node"),
               coalesce(col("u.lbl"), col("p.lbl")).as("lbl"))
             .localCheckpoint()
+          // fixpoint witness on the big path: one node-sized join count —
+          // same no-op argument as the small path, same lineage-cut loop.
+          // Skipped after the LAST round (nothing left to save), so a
+          // never-converging fixed-iters run pays iters−1 witness jobs,
+          // each node-sized — cheap next to the edge-scan rounds they can
+          // eliminate
+          converged = k + 1 < iters && labels.as("n")
+            .join(prev.as("o"), Seq("node"))
+            .filter(col("n.lbl") =!= col("o.lbl"))
+            .isEmpty
           k += 1
         }
         labels.select(col("node"), col("lbl").as("label"))

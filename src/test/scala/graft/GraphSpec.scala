@@ -312,4 +312,22 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(weighted2(3L) == 20L) // 5 beats 1 even though 1 < 20
   }
+
+  test("label propagation: fixpoint early-exit returns the fixed-iters result") {
+    // a both-direction triangle reaches the all-1 fixpoint within 3 rounds
+    // (round 1: 1<-2, 2<-1, 3<-1; round 2: 1<-1; round 3: stable), so a
+    // 50-round request must return the same labels as a 5-round one on
+    // both paths WITHOUT running 50 edge scans. (A directed 2-cycle would
+    // be the wrong substrate here: it oscillates with period 2 and never
+    // converges — sync LPA's known behavior on bipartite-like graphs.)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    def run(iters: Int, limit: Long) =
+      Graph.labelPropagation(edges, iters, broadcastNodeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    assert(run(5, 1000000L) == expected)
+    assert(run(50, 1000000L) == expected)
+    assert(run(50, 0L) == expected)
+  }
 }
