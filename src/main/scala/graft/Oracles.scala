@@ -240,6 +240,37 @@ private[graft] object Oracles {
         |  FROM s)
         |SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // chi-squared per-source divergence: fixed top-50 vocab + ''-marked
+    // OOV bucket, 6-grid p/q operands, exact 12-grid squared difference,
+    // re-rounded quotient, DECIMAL sum — mirrors TextAnalysis.sourceDivergence
+    "source_divergence" ->
+      """WITH tk AS (
+        |  SELECT source, token FROM (
+        |    SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |st AS MATERIALIZED (SELECT source, token, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |vocab AS MATERIALIZED (SELECT token FROM (
+        |    SELECT token, SUM(c) AS freq FROM st GROUP BY token
+        |    ORDER BY freq DESC, token ASC LIMIT 50)),
+        |stv AS MATERIALIZED (
+        |  SELECT source,
+        |         CASE WHEN token IN (SELECT token FROM vocab) THEN token ELSE '' END AS vterm,
+        |         SUM(c) AS c
+        |  FROM st GROUP BY 1, 2),
+        |ns AS (SELECT source, SUM(c) AS n FROM stv GROUP BY source),
+        |cv AS (SELECT vterm, SUM(c) AS cv FROM stv GROUP BY vterm),
+        |ntot AS (SELECT SUM(cv) AS n FROM cv),
+        |q AS MATERIALIZED (SELECT vterm, round(CAST(cv AS DOUBLE) / CAST((SELECT n FROM ntot) AS DOUBLE), 6) AS q6
+        |     FROM cv
+        |     WHERE round(CAST(cv AS DOUBLE) / CAST((SELECT n FROM ntot) AS DOUBLE), 6) > 0),
+        |grid AS (SELECT ns.source, ns.n, q.vterm, q.q6 FROM ns, q),
+        |pj AS (SELECT g.source, g.q6,
+        |         round(CAST(COALESCE(s.c, 0) AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS p6
+        |       FROM grid g LEFT JOIN stv s ON s.source = g.source AND s.vterm = g.vterm)
+        |SELECT source,
+        |       round(CAST(SUM(CAST(round(round((p6 - q6) * (p6 - q6), 12) / q6, 12) AS DECIMAL(30,12))) AS DOUBLE), 6) AS chi2
+        |FROM pj GROUP BY source ORDER BY source""".stripMargin,
+
     "vocab_top50" ->
       """SELECT token, COUNT(*) AS freq FROM (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)

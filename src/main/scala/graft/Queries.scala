@@ -197,6 +197,16 @@ private[graft] object Queries {
         .orderBy(col("lang"), col("lang_pred"))
     }),
 
+    "source_divergence" -> ((s, dir) => {
+      // mixture-drift diagnostic: chi-squared divergence of each source's
+      // token distribution against the corpus over the deterministic
+      // top-50 vocabulary + OOV bucket — rational arithmetic end to end
+      // (ln is not cross-engine exact, division is), quantize-operand
+      // rounding, so the oracle replays every term
+      TextAnalysis.sourceDivergence(Tables.documents(s, dir))
+        .orderBy(col("source"))
+    }),
+
     "vocab_top50" -> ((s, dir) => {
       TextAnalysis.vocabulary(Tables.documents(s, dir))
         .orderBy(col("freq").desc, col("token").asc).limit(50)

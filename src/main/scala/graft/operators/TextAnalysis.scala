@@ -64,6 +64,70 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
 
   /**
+   * Per-source token-distribution divergence against the corpus — the
+   * mixture-drift diagnostic a training pipeline runs per ingest batch:
+   * χ²(p_s ‖ q) = Σ_v (p_v − q_v)² / q_v over a fixed vocabulary (the
+   * deterministic top-`vocabSize` corpus tokens by (freq DESC, token ASC))
+   * plus an OOV bucket, so each side is a proper distribution. χ² instead
+   * of KL because it is RATIONAL arithmetic end to end — `ln` is not
+   * correctly-rounded across engines, division is — so with the
+   * quantize-operand discipline (p, q rounded to 6 decimals; the squared
+   * difference of 6-grid values is exact on the 12-grid; the quotient
+   * re-rounded to 12; DECIMAL sum) every value replays bit-for-bit in
+   * DuckDB. Vocabulary terms whose q rounds to 0 are dropped on both
+   * sides (0/0 guards), as is OOV when nothing falls outside the vocab.
+   *
+   * Scale shape: ONE corpus tokenize pass aggregated to (source, token)
+   * counts — the only corpus-sized shuffle; everything downstream lives
+   * on (sources × (vocabSize+1)) rows: the vocab is a broadcast `limit`
+   * result, the q table a broadcast (vocabSize+1)-row aggregate, the
+   * p-grid a broadcast cross of the source totals with q. Returns
+   * (source, chi2), chi2 rounded to 6 decimals.
+   */
+  def sourceDivergence(docs: DataFrame, vocabSize: Int = 50,
+                       textCol: String = "text",
+                       srcCol: String = "source"): DataFrame = {
+    require(vocabSize >= 1, s"sourceDivergence: vocabSize must be >= 1, got $vocabSize")
+    val st = docs.select(col(srcCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vocab = st.groupBy(col("token")).agg(sum(col("c")).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc).limit(vocabSize)
+        .select(col("token").as("vtok"))
+      // collapse out-of-vocab tokens into one bucket. Marker = the empty
+      // string: real tokens are non-empty by the filter above, so it can
+      // never collide; the oracle uses the same literal. (source, vterm)
+      // counts are then (sources × (vocabSize+1))-bounded
+      val stv = st.join(broadcast(vocab), col("token") === col("vtok"), "left")
+        .select(col("source"),
+          coalesce(col("vtok"), lit("")).as("vterm"), col("c"))
+        .groupBy(col("source"), col("vterm")).agg(sum(col("c")).as("c"))
+        .localCheckpoint() // reused by ns, the q table and the p-grid join
+      val ns = stv.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val cv = stv.groupBy(col("vterm")).agg(sum(col("c")).as("cv"))
+      val ntot = cv.agg(sum(col("cv"))).head().getLong(0)
+      val q = cv
+        .select(col("vterm"),
+          round(col("cv").cast("double") / lit(ntot.toDouble), 6).as("q6"))
+        .filter(col("q6") > 0.0)
+      val grid = ns.crossJoin(broadcast(q))
+      val pj = grid.join(stv, Seq("source", "vterm"), "left")
+        .select(col("source"), col("q6"),
+          round(coalesce(col("c"), lit(0L)).cast("double") / col("n"), 6).as("p6"))
+      pj.select(col("source"),
+          round(round((col("p6") - col("q6")) * (col("p6") - col("q6")), 12)
+            / col("q6"), 12).as("t"))
+        .groupBy(col("source"))
+        .agg(round(sum(col("t").cast(
+            org.apache.spark.sql.types.DecimalType(30, 12))).cast("double"), 6)
+          .as("chi2"))
+    } finally st.unpersist()
+  }
+
+  /**
    * BM25 lexical top-k retrieval (Okapi BM25 with the Lucene `+1` idf
    * smoothing) — the keyword-search complement to the embedding ANN paths:
    * curation pipelines use it for decontamination lookups, targeted quality

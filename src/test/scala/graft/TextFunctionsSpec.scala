@@ -206,4 +206,34 @@ class TextFunctionsSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("sourceDivergence: identical distributions read 0; a skewed source reads > 0") {
+    // two sources with IDENTICAL token distributions -> p = q for both,
+    // chi2 exactly 0.0; adding a third source of pure novel tokens makes
+    // the skewed source diverge and perturbs the others only slightly
+    val same = Seq(
+      (1L, "alpha beta beta", "s1"), (2L, "alpha beta beta", "s2"))
+      .toDF("doc_id", "text", "source")
+    val d0 = TextAnalysis.sourceDivergence(same, vocabSize = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d0("s1") == 0.0 && d0("s2") == 0.0)
+
+    val skew = same.union(Seq((3L, "zeta zeta zeta zeta", "s3"))
+      .toDF("doc_id", "text", "source"))
+    val d1 = TextAnalysis.sourceDivergence(skew, vocabSize = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d1("s3") > d1("s1") && d1("s3") > 1.0)
+    assert(d1("s1") == d1("s2")) // still identical to each other
+  }
+
+  test("sourceDivergence: OOV bucket catches tokens outside the capped vocab") {
+    // vocabSize=1 keeps only the most frequent token; everything else must
+    // flow through the OOV bucket and still form proper distributions
+    val docs = Seq((1L, "a a a b c", "s1"), (2L, "a a a d e", "s2"))
+      .toDF("doc_id", "text", "source")
+    val d = TextAnalysis.sourceDivergence(docs, vocabSize = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // both sources: p(a)=0.6, p(oov)=0.4 — identical to q -> exactly 0
+    assert(d("s1") == 0.0 && d("s2") == 0.0)
+  }
 }
