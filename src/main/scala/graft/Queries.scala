@@ -1526,6 +1526,34 @@ private[graft] object Queries {
         .orderBy(col("vec_id")))
     }),
 
+    "streaming_divergence_score" -> ((s, dir) => {
+      // governance × streaming: the divergence model (top-50 vocab + OOV
+      // q6 rows) trained batch-side, then the first 100 docs streamed
+      // through the STATELESS per-doc chi-squared scorer in two real
+      // micro-batches — streamed scores must hash-match the oracle's
+      // batch per-doc replay restricted to those ids (the
+      // streaming_quality_score pattern applied to a distribution)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val model = TextAnalysis.divergenceModel(Tables.documents(s, dir))
+      val rows = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingDivergence.scoreStream(
+        mem.toDF().toDF("doc_id", "text"), model)
+      val name = "sds_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name)(_
+        .select(col("doc_id"), col("chi2"))
+        .orderBy(col("doc_id")))
+    }),
+
     "streaming_phash_flag" -> ((s, dir) => {
       // streaming × multimodal dedup: the planted one-sub-pixel copies
       // streamed through the stateless flagger in two real micro-batches

@@ -128,6 +128,38 @@ object TextAnalysis {
   }
 
   /**
+   * The model-sized artifact behind [[sourceDivergence]]-style scoring:
+   * (term, q6) rows for the deterministic top-`vocabSize` corpus tokens
+   * plus the empty-string OOV bucket (present only when something falls
+   * outside the vocab), q6 = round6(count/total), zero-q rows dropped,
+   * sorted by term. Push this to an ingest stream for stateless per-doc
+   * drift scoring ([[graft.streaming.StreamingDivergence]]) — the
+   * quality-classifier weights pattern applied to a distribution.
+   */
+  def divergenceModel(docs: DataFrame, vocabSize: Int = 50,
+                      textCol: String = "text"): Seq[(String, Double)] = {
+    require(vocabSize >= 1, s"divergenceModel: vocabSize must be >= 1, got $vocabSize")
+    val tc = docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vocab = tc.orderBy(col("c").desc, col("token").asc).limit(vocabSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val ntot = tc.agg(sum(col("c"))).head().getLong(0)
+      require(ntot > 0, "divergenceModel: empty corpus")
+      val oov = ntot - vocab.map(_._2).sum
+      def q6(c: Long): Double =
+        java.math.BigDecimal.valueOf(c.toDouble / ntot.toDouble)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      (vocab.toSeq ++ (if (oov > 0) Seq(("", oov)) else Nil))
+        .map { case (t, c) => (t, q6(c)) }
+        .filter(_._2 > 0.0)
+        .sortBy(_._1)
+    } finally tc.unpersist()
+  }
+
+  /**
    * BM25 lexical top-k retrieval (Okapi BM25 with the Lucene `+1` idf
    * smoothing) — the keyword-search complement to the embedding ANN paths:
    * curation pipelines use it for decontamination lookups, targeted quality

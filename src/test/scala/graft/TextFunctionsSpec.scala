@@ -236,4 +236,25 @@ class TextFunctionsSpec extends SparkSpec {
     // both sources: p(a)=0.6, p(oov)=0.4 — identical to q -> exactly 0
     assert(d("s1") == 0.0 && d("s2") == 0.0)
   }
+
+  test("StreamingDivergence.scoreStream: corpus-identical doc scores 0; validation fires") {
+    import graft.streaming.StreamingDivergence
+    // corpus = one doc -> q IS that doc's distribution -> chi2 exactly 0
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val model = TextAnalysis.divergenceModel(docs, vocabSize = 10)
+    val got = StreamingDivergence.scoreStream(docs, model).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    // token-free rows are dropped, not scored
+    val withEmpty = Seq((1L, "a a b"), (2L, "   ")).toDF("doc_id", "text")
+    assert(StreamingDivergence.scoreStream(withEmpty, model).count() == 1)
+    // loud failures: empty model, oversized model, nonpositive q
+    intercept[IllegalArgumentException](
+      StreamingDivergence.scoreStream(docs, Seq.empty))
+    intercept[IllegalArgumentException](
+      StreamingDivergence.scoreStream(docs,
+        (1 to 1025).map(i => (s"t$i", 0.001))))
+    intercept[IllegalArgumentException](
+      StreamingDivergence.scoreStream(docs, Seq(("a", 0.0))))
+  }
 }
