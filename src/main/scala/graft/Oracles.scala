@@ -302,6 +302,36 @@ private[graft] object Oracles {
         |       round(CAST(SUM(CAST(round(round((p6 - q6) * (p6 - q6), 12) / q6, 12) AS DECIMAL(30,12))) AS DOUBLE), 6) AS chi2
         |FROM pj GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // the same per-doc chain over the WHOLE corpus, top 20 by divergence
+    "divergence_outliers" ->
+      """WITH tk AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |cnt AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM tk GROUP BY 1),
+        |vocab AS MATERIALIZED (SELECT token FROM (
+        |    SELECT token, c FROM cnt ORDER BY c DESC, token ASC LIMIT 50)),
+        |ntot AS (SELECT SUM(c) AS n FROM cnt),
+        |cv AS (SELECT CASE WHEN token IN (SELECT token FROM vocab) THEN token ELSE '' END AS vterm,
+        |              SUM(c) AS c FROM cnt GROUP BY 1),
+        |q AS MATERIALIZED (SELECT vterm, round(CAST(c AS DOUBLE) / CAST((SELECT n FROM ntot) AS DOUBLE), 6) AS q6
+        |     FROM cv
+        |     WHERE round(CAST(c AS DOUBLE) / CAST((SELECT n FROM ntot) AS DOUBLE), 6) > 0),
+        |dn AS (SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY 1),
+        |ds AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CASE WHEN token IN (SELECT token FROM vocab) THEN token ELSE '' END AS vterm,
+        |         COUNT(*) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |grid AS (SELECT dn.doc_id, dn.n, q.vterm, q.q6 FROM dn, q),
+        |pj AS (SELECT g.doc_id, g.q6,
+        |         round(CAST(COALESCE(ds.c, 0) AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS p6
+        |       FROM grid g LEFT JOIN ds ON ds.doc_id = g.doc_id AND ds.vterm = g.vterm),
+        |sc AS (SELECT doc_id,
+        |         round(CAST(SUM(CAST(round(round((p6 - q6) * (p6 - q6), 12) / q6, 12) AS DECIMAL(30,12))) AS DOUBLE), 6) AS chi2
+        |       FROM pj GROUP BY doc_id)
+        |SELECT doc_id, chi2 FROM sc ORDER BY chi2 DESC, doc_id ASC LIMIT 20""".stripMargin,
+
     "vocab_top50" ->
       """SELECT token, COUNT(*) AS freq FROM (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)

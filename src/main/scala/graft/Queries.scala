@@ -207,6 +207,19 @@ private[graft] object Queries {
         .orderBy(col("source"))
     }),
 
+    "divergence_outliers" -> ((s, dir) => {
+      // the drift scorer made load-bearing batch-side: the 20 most
+      // corpus-divergent documents (chi-squared DESC, id tie-break) — the
+      // outlier-triage pass a curation pipeline runs before quarantining
+      // a batch. Same stateless scorer as the streaming entry (narrow
+      // ops, model inlined), ranked by TakeOrdered, never a full sort
+      val docs = Tables.documents(s, dir)
+      val model = TextAnalysis.divergenceModel(docs)
+      graft.streaming.StreamingDivergence.scoreStream(docs, model)
+        .orderBy(col("chi2").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     "vocab_top50" -> ((s, dir) => {
       TextAnalysis.vocabulary(Tables.documents(s, dir))
         .orderBy(col("freq").desc, col("token").asc).limit(50)

@@ -379,4 +379,10 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("divergence outlier ranking is a TakeOrdered over narrow scoring, no UDF") {
+    val plan = formattedPlan(SparkEntry.queries("divergence_outliers")(spark, Sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
