@@ -211,11 +211,11 @@ private[graft] object Queries {
       // the drift scorer made load-bearing batch-side: the 20 most
       // corpus-divergent documents (chi-squared DESC, id tie-break) — the
       // outlier-triage pass a curation pipeline runs before quarantining
-      // a batch. Same stateless scorer as the streaming entry (narrow
-      // ops, model inlined), ranked by TakeOrdered, never a full sort
-      val docs = Tables.documents(s, dir)
-      val model = TextAnalysis.divergenceModel(docs)
-      graft.streaming.StreamingDivergence.scoreStream(docs, model)
+      // a batch. Relational per-doc aggregation (each token aggregated
+      // once; the streaming HOF kernel would pay O(vocab × tokens) per
+      // row across a whole corpus), ranked by TakeOrdered, never a full
+      // sort
+      TextAnalysis.docDivergence(Tables.documents(s, dir))
         .orderBy(col("chi2").desc, col("doc_id").asc)
         .limit(20)
     }),

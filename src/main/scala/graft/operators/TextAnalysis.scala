@@ -160,6 +160,80 @@ object TextAnalysis {
   }
 
   /**
+   * Per-DOCUMENT divergence against the corpus — [[sourceDivergence]]
+   * re-keyed on `idCol`, for outlier triage (rank documents by how little
+   * they look like the corpus). Same rational-arithmetic contract: 6-grid
+   * p/q operands, exact 12-grid squared difference, re-rounded quotient,
+   * DECIMAL(30,12) sum, so every score replays bit-for-bit in DuckDB.
+   *
+   * Scale shape — the key keyed-on-doc difference from the source variant:
+   * a docs × (vocab+1) GRID would be 51·N rows of which most are absent
+   * terms contributing a CONSTANT per q-row, so the grid is never built.
+   * Instead each absent term's contribution k_v = round(round(q6²,12)/q6,12)
+   * is folded in algebraically: χ²(doc) = Σ_present t + (K_all − Σ_present k)
+   * with K_all = Σ_allq k_v a model-sized scalar — exact on the 12-grid in
+   * DECIMAL, so the identity holds bit-for-bit against the oracle's full
+   * grid sum. Per-doc work is therefore ∝ the doc's DISTINCT in-vocab
+   * terms, not the vocabulary size. One corpus tokenize pass is shared
+   * (persisted (doc, token) counts feed the vocab, the q table and the
+   * per-doc side); the collapsed (doc, vterm) frame — ≤(vocab+1) tiny rows
+   * per doc — is localCheckpointed because three consumers fork from it.
+   * q rides a broadcast; the only corpus shuffles are keyed on
+   * (doc, token) → (doc, vterm) → doc.
+   */
+  def docDivergence(docs: DataFrame, vocabSize: Int = 50,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1, s"docDivergence: vocabSize must be >= 1, got $vocabSize")
+    import org.apache.spark.sql.types.DecimalType
+    val st = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vocab = st.groupBy(col("token")).agg(sum(col("c")).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc).limit(vocabSize)
+        .select(col("token").as("vtok"))
+      // collapse OOV into the ''-bucket (same marker convention as
+      // sourceDivergence: real tokens are non-empty, so no collision)
+      val ds = st.join(broadcast(vocab), col("token") === col("vtok"), "left")
+        .select(col("doc_id"),
+          coalesce(col("vtok"), lit("")).as("vterm"), col("c"))
+        .groupBy(col("doc_id"), col("vterm")).agg(sum(col("c")).as("c"))
+        .localCheckpoint() // forked by dn, the q table and the present join
+      val dn = ds.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      val cv = ds.groupBy(col("vterm")).agg(sum(col("c")).as("cv"))
+      val ntot = cv.agg(sum(col("cv"))).head().getLong(0)
+      // model-sized q table with each row's absent-term constant k_v
+      val q = cv
+        .select(col("vterm"),
+          round(col("cv").cast("double") / lit(ntot.toDouble), 6).as("q6"))
+        .filter(col("q6") > 0.0)
+        .withColumn("kv",
+          round(round(col("q6") * col("q6"), 12) / col("q6"), 12))
+      val kAll = q.agg(sum(col("kv").cast(DecimalType(30, 12)))).head()
+        .getDecimal(0)
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 12))
+      // present terms only: t for the observed p6, k to back the constant out
+      val agg = ds.join(broadcast(q), Seq("vterm"))
+        .join(dn, Seq("doc_id"))
+        .select(col("doc_id"), col("kv"),
+          round(col("c").cast("double") / col("n"), 6).as("p6"), col("q6"))
+        .select(col("doc_id"), col("kv"),
+          round(round((col("p6") - col("q6")) * (col("p6") - col("q6")), 12)
+            / col("q6"), 12).as("t"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("t").cast(DecimalType(30, 12))).as("tsum"),
+          sum(col("kv").cast(DecimalType(30, 12))).as("ksum"))
+      // left join keeps docs whose every vterm was q-dropped: χ² = K_all
+      dn.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round((coalesce(col("tsum"), zero) + lit(kAll)
+            - coalesce(col("ksum"), zero)).cast("double"), 6).as("chi2"))
+    } finally st.unpersist()
+  }
+
+  /**
    * BM25 lexical top-k retrieval (Okapi BM25 with the Lucene `+1` idf
    * smoothing) — the keyword-search complement to the embedding ANN paths:
    * curation pipelines use it for decontamination lookups, targeted quality
