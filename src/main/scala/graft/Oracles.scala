@@ -355,6 +355,51 @@ private[graft] object Oracles {
         |SELECT doc_id, round(-(SUM(lnp) / COUNT(*)), 6) AS nll
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // DSIR importance weights: per-doc mean ln(p_en / p_corpus) over the
+    // shared top-200 vocab + OOV, both models add-one smoothed; one
+    // conditional-aggregation count pass mirrors TextAnalysis.dsirWeights
+    "dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, is_tgt, token FROM (
+        |    SELECT doc_id, (lang = 'en') AS is_tgt,
+        |           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |counts AS MATERIALIZED (
+        |  SELECT token, COUNT(*) AS freq,
+        |         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS freq_t
+        |  FROM tk GROUP BY 1),
+        |stats AS (SELECT SUM(freq) AS t_all, SUM(freq_t) AS t_tgt FROM counts),
+        |vocab AS (SELECT token, freq, freq_t FROM counts
+        |          ORDER BY freq DESC, token ASC LIMIT 200),
+        |s AS (
+        |  SELECT tk.doc_id,
+        |         ln(CAST(COALESCE(v.freq_t, 0) + 1 AS DOUBLE) / (t_tgt + 200 + 1))
+        |       - ln(CAST(COALESCE(v.freq, 0) + 1 AS DOUBLE) / (t_all + 200 + 1)) AS lnr
+        |  FROM tk LEFT JOIN vocab v USING (token) CROSS JOIN stats)
+        |SELECT doc_id, round(SUM(lnr) / COUNT(*), 6) AS iw
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dsir_select" ->
+      """WITH tk AS (
+        |  SELECT doc_id, is_tgt, token FROM (
+        |    SELECT doc_id, (lang = 'en') AS is_tgt,
+        |           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |counts AS MATERIALIZED (
+        |  SELECT token, COUNT(*) AS freq,
+        |         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS freq_t
+        |  FROM tk GROUP BY 1),
+        |stats AS (SELECT SUM(freq) AS t_all, SUM(freq_t) AS t_tgt FROM counts),
+        |vocab AS (SELECT token, freq, freq_t FROM counts
+        |          ORDER BY freq DESC, token ASC LIMIT 200),
+        |s AS (
+        |  SELECT tk.doc_id,
+        |         ln(CAST(COALESCE(v.freq_t, 0) + 1 AS DOUBLE) / (t_tgt + 200 + 1))
+        |       - ln(CAST(COALESCE(v.freq, 0) + 1 AS DOUBLE) / (t_all + 200 + 1)) AS lnr
+        |  FROM tk LEFT JOIN vocab v USING (token) CROSS JOIN stats)
+        |SELECT doc_id, round(SUM(lnr) / COUNT(*), 6) AS iw
+        |FROM s GROUP BY doc_id ORDER BY iw DESC, doc_id ASC LIMIT 200""".stripMargin,
+
     "bigram_nll" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

@@ -237,6 +237,26 @@ private[graft] object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "dsir_weights" -> ((s, dir) => {
+      // DSIR-style importance weights: target = the English slice, one
+      // conditional-aggregation count pass builds both unigram models
+      // over the shared top-200 vocab + OOV; per-doc mean log-ratio
+      TextAnalysis.dsirWeights(Tables.documents(s, dir),
+          col("lang") === "en", vocabSize = 200)
+        .orderBy(col("doc_id"))
+    }),
+
+    "dsir_select" -> ((s, dir) => {
+      // the selection end-product: the 200 most target-like documents
+      // (iw DESC, id tie-break) — the set importance resampling keeps to
+      // tilt a pretraining mixture toward the target domain. TakeOrdered,
+      // never a full sort
+      TextAnalysis.dsirWeights(Tables.documents(s, dir),
+          col("lang") === "en", vocabSize = 200)
+        .orderBy(col("iw").desc, col("doc_id").asc)
+        .limit(200)
+    }),
+
     "bm25_index_topk" -> ((s, dir) => {
       // serving path: answers from the persisted postings artifact (built
       // once per JVM) with a static bucket partition filter; arithmetic is

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -313,6 +313,57 @@ object TextAnalysis {
       .select(col(idCol), lnp.as("lnp"))
       .groupBy(col(idCol))
       .agg(round(-(sum(col("lnp")) / count(lit(1))), 6).as("nll"))
+  }
+
+  /**
+   * DSIR-style importance weights for data selection (Xie et al. 2023,
+   * "Data Selection for Language Models via Importance Resampling"): score
+   * every document by how much more likely its tokens are under a TARGET
+   * domain's unigram distribution than under the whole corpus —
+   * iw(doc) = mean_t [ ln p_tgt(t) − ln p_all(t) ] — then keep the
+   * top-weighted documents to tilt a pretraining mixture toward the
+   * target domain. DSIR buckets by hashed n-grams; here the feature space
+   * is the deterministic shared top-`vocabSize` corpus vocabulary + OOV
+   * (the [[unigramNll]] model discipline), which keeps every model input
+   * an exact integer and the whole derivation DuckDB-replayable — a
+   * declared divergence, same estimator shape.
+   *
+   * Both models are add-one smoothed over the SAME buckets
+   * (p = (freq_V + 1) / (T + V + 1)), so OOV and zero-count-in-target
+   * tokens are well-defined. `targetPred` is any Boolean Column over the
+   * document row (e.g. `col("lang") === "en"`, a source slice, a quality
+   * threshold); an empty target slice degenerates to the uniform model
+   * (all-negative weights) rather than failing.
+   *
+   * Shape at 100 TB: ONE token-keyed count shuffle computes both models
+   * (conditional aggregation — the target slice is never re-scanned), a
+   * V-row TakeOrdered broadcast + 1-row totals broadcast, then one narrow
+   * scan scores every document; round(…,6) absorbs double-summation
+   * order. Docs with no tokens have no distribution and are absent.
+   */
+  def dsirWeights(docs: DataFrame, targetPred: Column, vocabSize: Int = 1000,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "dsirWeights: vocabSize must be positive")
+    val toks = docs
+      .select(col(idCol), targetPred.as("is_tgt"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"),
+        sum(when(col("is_tgt"), lit(1L)).otherwise(lit(0L))).as("freq_t"))
+    val stats = counts.agg(sum(col("freq")).as("t_all"),
+      sum(col("freq_t")).as("t_tgt"))
+    val vocab = counts.orderBy(col("freq").desc, col("token").asc).limit(vocabSize)
+    val lnr =
+      log((coalesce(col("freq_t"), lit(0L)) + lit(1L)).cast("double") /
+        (col("t_tgt") + lit(vocabSize.toLong) + lit(1L))) -
+        log((coalesce(col("freq"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t_all") + lit(vocabSize.toLong) + lit(1L)))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), lnr.as("lnr"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("lnr")) / count(lit(1)), 6).as("iw"))
   }
 
   /**
