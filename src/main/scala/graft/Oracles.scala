@@ -400,6 +400,72 @@ private[graft] object Oracles {
         |SELECT doc_id, round(SUM(lnr) / COUNT(*), 6) AS iw
         |FROM s GROUP BY doc_id ORDER BY iw DESC, doc_id ASC LIMIT 200""".stripMargin,
 
+    // per-source mean importance weight: the dsir_weights chain joined
+    // back to the source column, sources-bounded rollup
+    "dsir_source_affinity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, is_tgt, token FROM (
+        |    SELECT doc_id, (lang = 'en') AS is_tgt,
+        |           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |counts AS MATERIALIZED (
+        |  SELECT token, COUNT(*) AS freq,
+        |         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS freq_t
+        |  FROM tk GROUP BY 1),
+        |stats AS (SELECT SUM(freq) AS t_all, SUM(freq_t) AS t_tgt FROM counts),
+        |vocab AS (SELECT token, freq, freq_t FROM counts
+        |          ORDER BY freq DESC, token ASC LIMIT 200),
+        |s AS (
+        |  SELECT tk.doc_id,
+        |         ln(CAST(COALESCE(v.freq_t, 0) + 1 AS DOUBLE) / (t_tgt + 200 + 1))
+        |       - ln(CAST(COALESCE(v.freq, 0) + 1 AS DOUBLE) / (t_all + 200 + 1)) AS lnr
+        |  FROM tk LEFT JOIN vocab v USING (token) CROSS JOIN stats),
+        |w AS (SELECT doc_id, round(SUM(lnr) / COUNT(*), 6) AS iw
+        |      FROM s GROUP BY doc_id)
+        |SELECT d.source, round(SUM(w.iw) / COUNT(*), 6) AS affinity,
+        |       COUNT(*) AS n_docs
+        |FROM w JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // streamed per-doc DSIR scoring vs the QUANTIZED stored model (each
+    // bucket's log-ratio rounded to 6 decimals before the per-doc
+    // weighted sum — the stored-artifact convention), restricted to the
+    // streamed id slice; c·lnr6 terms summed in DECIMAL(30,12) exactly
+    // as the streaming fold
+    "streaming_dsir_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, is_tgt, token FROM (
+        |    SELECT doc_id, (lang = 'en') AS is_tgt,
+        |           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |counts AS MATERIALIZED (
+        |  SELECT token, COUNT(*) AS freq,
+        |         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS freq_t
+        |  FROM tk GROUP BY 1),
+        |stats AS (SELECT SUM(freq) AS t_all, SUM(freq_t) AS t_tgt FROM counts),
+        |vocab AS MATERIALIZED (SELECT token, freq, freq_t FROM counts
+        |          ORDER BY freq DESC, token ASC LIMIT 200),
+        |model AS MATERIALIZED (
+        |  SELECT token AS vterm,
+        |         round(ln(CAST(freq_t + 1 AS DOUBLE) / (t_tgt + 200 + 1))
+        |             - ln(CAST(freq + 1 AS DOUBLE) / (t_all + 200 + 1)), 6) AS lnr6
+        |  FROM vocab CROSS JOIN stats
+        |  UNION ALL
+        |  SELECT '', round(ln(CAST(1 AS DOUBLE) / (t_tgt + 200 + 1))
+        |              - ln(CAST(1 AS DOUBLE) / (t_all + 200 + 1)), 6) FROM stats),
+        |dtk AS (SELECT doc_id, token FROM tk WHERE doc_id < 100),
+        |dn AS (SELECT doc_id, COUNT(*) AS n FROM dtk GROUP BY 1),
+        |ds AS (
+        |  SELECT doc_id,
+        |         CASE WHEN token IN (SELECT token FROM vocab) THEN token ELSE '' END AS vterm,
+        |         COUNT(*) AS c
+        |  FROM dtk GROUP BY 1, 2)
+        |SELECT ds.doc_id,
+        |       round(CAST(SUM(CAST(CAST(ds.c AS DOUBLE) * m.lnr6 AS DECIMAL(30,12))) AS DOUBLE)
+        |             / dn.n, 6) AS iw
+        |FROM ds JOIN model m USING (vterm) JOIN dn USING (doc_id)
+        |GROUP BY ds.doc_id, dn.n ORDER BY doc_id""".stripMargin,
+
     "bigram_nll" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

@@ -257,6 +257,21 @@ private[graft] object Queries {
         .limit(200)
     }),
 
+    "dsir_source_affinity" -> ((s, dir) => {
+      // governance rollup: which SOURCES look most like the target
+      // domain — mean per-doc importance weight per source, the number a
+      // mixture re-weighting actually reads. One doc_id-keyed join of the
+      // weights back to the source column, then a sources-bounded
+      // aggregate
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.dsirWeights(docs, col("lang") === "en", vocabSize = 200)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(round(sum(col("iw")) / count(lit(1)), 6).as("affinity"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
     "bm25_index_topk" -> ((s, dir) => {
       // serving path: answers from the persisted postings artifact (built
       // once per JVM) with a static bucket partition filter; arithmetic is
@@ -1584,6 +1599,35 @@ private[graft] object Queries {
       q.stop()
       drainMemorySink(s, name)(_
         .select(col("doc_id"), col("chi2"))
+        .orderBy(col("doc_id")))
+    }),
+
+    "streaming_dsir_score" -> ((s, dir) => {
+      // data selection × streaming: the DSIR model (top-200 vocab + OOV
+      // lnr6 rows, target = the English slice) trained batch-side, then
+      // the first 100 docs streamed through the STATELESS domain-affinity
+      // scorer in two real micro-batches — streamed weights must
+      // hash-match the oracle's quantized-model replay restricted to
+      // those ids (admission control by domain match at ingest)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val model = TextAnalysis.dsirModel(Tables.documents(s, dir),
+        col("lang") === "en", vocabSize = 200)
+      val rows = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingDsir.scoreStream(
+        mem.toDF().toDF("doc_id", "text"), model)
+      val name = "sdw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name)(_
+        .select(col("doc_id"), col("iw"))
         .orderBy(col("doc_id")))
     }),
 

@@ -367,6 +367,46 @@ object TextAnalysis {
   }
 
   /**
+   * The model-sized artifact behind [[dsirWeights]]: (term, lnr6) rows for
+   * the deterministic top-`vocabSize` corpus tokens plus the empty-string
+   * OOV bucket (ALWAYS present — add-one smoothing defines every bucket),
+   * lnr6 = round6(ln p_tgt(term) − ln p_all(term)), sorted by term.
+   * Quantizing each bucket's log-ratio to the 6-grid makes the stored
+   * artifact engine-portable (the [[divergenceModel]] convention: ln is
+   * not correctly-rounded across engines, a quantized stored model is).
+   * Push to an ingest stream for stateless per-doc domain-affinity
+   * scoring ([[graft.streaming.StreamingDsir]]).
+   */
+  def dsirModel(docs: DataFrame, targetPred: Column, vocabSize: Int = 1000,
+                textCol: String = "text"): Seq[(String, Double)] = {
+    require(vocabSize > 0, "dsirModel: vocabSize must be positive")
+    val counts = docs.select(targetPred.as("is_tgt"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"),
+        sum(when(col("is_tgt"), lit(1L)).otherwise(lit(0L))).as("freq_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vocab = counts.orderBy(col("freq").desc, col("token").asc)
+        .limit(vocabSize)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val totals = counts.agg(sum(col("freq")), sum(col("freq_t"))).head()
+      require(!totals.isNullAt(0) && totals.getLong(0) > 0,
+        "dsirModel: empty corpus")
+      val (tAll, tTgt) = (totals.getLong(0), totals.getLong(1))
+      def lnr6(fa: Long, ft: Long): Double = {
+        val v = math.log((ft + 1).toDouble / (tTgt + vocabSize + 1)) -
+          math.log((fa + 1).toDouble / (tAll + vocabSize + 1))
+        java.math.BigDecimal.valueOf(v)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      }
+      (vocab.toSeq.map { case (t, fa, ft) => (t, lnr6(fa, ft)) } :+
+        (("", lnr6(0L, 0L)))).sortBy(_._1)
+    } finally counts.unpersist()
+  }
+
+  /**
    * Conditional bigram-LM perplexity proxy — the second fluency signal next
    * to [[unigramNll]] (a bigram model penalizes scrambled-but-common-token
    * text that a unigram model scores as fluent): per-doc mean negative
