@@ -1053,6 +1053,45 @@ private[graft] object Fixtures {
       |       CAST((cum - 1) // 512 AS BIGINT) AS seq_last
       |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
 
+  /** Oracle for `bpe_fertility`: the [[bpePackOracle]] train(1 merge) →
+    * per-word subword-count replay, rolled up per language — fertility =
+    * Σ subwords / Σ words, exact integer sums + one double division. */
+  def bpeFertilityOracle: String =
+    """WITH w AS (
+      |  SELECT word, COUNT(*) AS freq FROM (
+      |    SELECT replace(unnest(regexp_split_to_array(trim(lower(text)), '\s+')),
+      |           chr(57344), '') AS word
+      |    FROM documents) t
+      |  WHERE word <> '' GROUP BY word),
+      |p AS (
+      |  SELECT substr(word, CAST(i AS INT), 1) AS l,
+      |         CASE WHEN i = length(word) THEN chr(57344)
+      |              ELSE substr(word, CAST(i AS INT) + 1, 1) END AS r,
+      |         freq
+      |  FROM (SELECT word, freq,
+      |               unnest(generate_series(1, CAST(length(word) AS BIGINT))) AS i
+      |        FROM w)),
+      |m1 AS (
+      |  SELECT l || r AS pat FROM (
+      |    SELECT l, r, SUM(freq) AS pf FROM p GROUP BY l, r
+      |    ORDER BY pf DESC, l ASC, r ASC LIMIT 1)),
+      |dw AS (
+      |  SELECT lang,
+      |         replace(unnest(regexp_split_to_array(trim(lower(text)), '\s+')),
+      |                 chr(57344), '') AS word
+      |  FROM documents),
+      |f AS (
+      |  SELECT lang,
+      |         length(word) + 1
+      |           - (length(word || chr(57344))
+      |              - length(replace(word || chr(57344), m.pat, ''))) // 2 AS sub
+      |  FROM dw, m1 m WHERE word <> '')
+      |SELECT lang,
+      |       round(CAST(SUM(sub) AS DOUBLE) / COUNT(*), 6) AS fertility,
+      |       CAST(COUNT(*) AS BIGINT) AS n_words,
+      |       CAST(SUM(sub) AS BIGINT) AS n_subwords
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Shared DuckDB CTE chain re-deriving the spherical-k-means state from
     * the parquet table alone (the [[annIvfTopkOracle]] derivation, split
     * out for the clustering oracles): md5-order centroid pick, per-vector

@@ -621,6 +621,7 @@ private[graft] object Oracles {
     "bpe_first_merge" -> bpeFirstMergeOracle,
 
     "bpe_pack" -> bpePackOracle,
+    "bpe_fertility" -> bpeFertilityOracle,
 
     // the roundtrip law is computed entirely engine-side (decode∘encode vs
     // the normalization contract, per document); the oracle pins the corpus

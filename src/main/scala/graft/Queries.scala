@@ -529,6 +529,27 @@ private[graft] object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "bpe_fertility" -> ((s, dir) => {
+      // tokenizer-eval fertility: subwords per whitespace word, per
+      // language — the standard number for "how well does this tokenizer
+      // fit each language slice" (fertility ≈ 1 = near-word-level,
+      // high = heavy fragmentation). Single-merge model so the oracle
+      // replays the whole chain (the bpe_pack discipline); integer sums
+      // + ONE double division keep the ratio cross-engine exact
+      val docs = Tables.documents(s, dir)
+      val model = Bpe.trainBpe(docs, numMerges = 1)
+      docs.select(col("lang"),
+          size(Bpe.encode(col("text"), model)).cast("long").as("sub"),
+          size(filter(TextFunctions.tokens(col("text")),
+            t => t =!= lit(""))).cast("long").as("w"))
+        .filter(col("w") > 0)
+        .groupBy(col("lang"))
+        .agg(round(sum(col("sub")).cast("double") / sum(col("w")), 6)
+            .as("fertility"),
+          sum(col("w")).as("n_words"), sum(col("sub")).as("n_subwords"))
+        .orderBy(col("lang"))
+    }),
+
     "zorder_value" -> ((s, dir) => {
       // the Z-order (Morton) interleave kernel behind Layout.writeZOrdered,
       // oracle-checked bit for bit on modular ranks (the width_bucket

@@ -880,6 +880,98 @@ object TextAnalysis {
   }
 
   /**
+   * Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+   * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+   * 2003 — the MOSS fingerprinter). Over the whitespace-normalized
+   * lowercased text (the [[TextFunctions.fingerprint]] normalization),
+   * every character `k`-gram is hashed to its 52-bit md5 prefix; each
+   * sliding window of `w` consecutive gram hashes selects its MINIMUM,
+   * ties broken by the RIGHTMOST position (robust winnowing — re-selecting
+   * the same occurrence across overlapping windows minimizes fingerprint
+   * density), and repeated selections collapse. The paper's guarantee:
+   * any verbatim match of length >= w + k - 1 normalized characters
+   * between two documents shares at least one selected fingerprint — the
+   * LOCALIZED-match detector that whole-document or line hashes miss.
+   * Documents with at least one gram but fewer than `w` get one window
+   * over all their grams, so every doc of >= k normalized chars is
+   * fingerprinted; shorter docs yield no rows.
+   *
+   * 52-bit md5-prefix gram hashes (not xxhash64) so any SQL engine
+   * replays every value: `CAST(('0x' || substr(md5(g),1,13)) AS BIGINT)`.
+   *
+   * Returns exploded (idCol, pos, fp) rows — pos is the 1-based gram
+   * position in the normalized text; expected density is 2/(w+1) grams.
+   *
+   * Scale: ONE narrow per-row scan (higher-order expressions; O(len·w)
+   * comparisons and O(len) md5s per row), zero shuffles — streams over
+   * 100 TB. Match detection downstream joins on `fp` ([[winnowMatches]]).
+   */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"gram size k must be >= 1, got $k")
+    require(w >= 1, s"window size w must be >= 1, got $w")
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    docs
+      .select(col(idCol), norm.as("_nm"))
+      .withColumn("_n", (length(col("_nm")) - (k - 1)).cast("int"))
+      // sequence(1, n) flips descending for n < 1 — filter, don't clamp
+      .filter(col("_n") >= 1)
+      .withColumn("_hs", transform(sequence(lit(1), col("_n")), p =>
+        conv(substring(md5(col("_nm").substr(p, lit(k))), 1, 13), 16, 10)
+          .cast("long")))
+      .withColumn("_sel", array_distinct(
+        transform(sequence(lit(1), greatest(col("_n") - (w - 1), lit(1))),
+          i => aggregate(
+            sequence(i, least(i + (w - 1), col("_n"))),
+            struct(lit(Long.MaxValue).as("fp"), lit(0).as("pos")),
+            (acc, p) => {
+              val h = element_at(col("_hs"), p)
+              // <= keeps the LATER position on ties (rightmost-min rule)
+              when(h <= acc.getField("fp"), struct(h.as("fp"), p.as("pos")))
+                .otherwise(acc)
+            }))))
+      .select(col(idCol), explode(col("_sel")).as("_s"))
+      .select(col(idCol), col("_s.pos").as("pos"), col("_s.fp").as("fp"))
+  }
+
+  /**
+   * Winnowing-based local-match detection: document pairs sharing at least
+   * `minShared` DISTINCT winnowed fingerprints, with the shared count —
+   * the plagiarism / cross-split-leak report MOSS produces, over
+   * [[winnowFingerprints]] selections. By the winnowing guarantee a
+   * verbatim shared passage of >= w + k - 1 normalized chars surfaces the
+   * pair even when whole-document hashes differ.
+   *
+   * Shape: inverted-index equi-join on the fingerprint value with a
+   * document-frequency cut (`maxDf`, the [[Dedup.containmentPairs]]
+   * discipline) — boilerplate fingerprints shared by everything would
+   * otherwise pair the corpus quadratically; the cut bounds per-key
+   * fan-out at maxDf² and only lowers shared counts on boilerplate.
+   * Shuffles are keyed on fp (high-cardinality, uniform); nothing is
+   * collected.
+   */
+  def winnowMatches(docs: DataFrame, k: Int = 8, w: Int = 4,
+                    minShared: Long = 2, maxDf: Int = 20,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs df 2), got $maxDf")
+    val fps = winnowFingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val kept = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    val idx = fps.join(kept, Seq("fp"))
+    idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared")) // (id, fp) distinct ⇒ count = |∩|
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
    * Benchmark-contamination check: for each training document, the number of
    * DISTINCT word `n`-grams it shares with ANY benchmark document. The
    * standard eval-leakage scan (n=13 in the literature; lower n for short

@@ -125,6 +125,29 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("fertility: hand-computed subwords-per-word on a lang-tagged fixture") {
+    // classic fixture tagged with languages; single merge = (e,s).
+    // Subwords: low=4, lower=6, newest=7-1=6, widest=7-1=6 (marker char +1,
+    // one (e,s) hit each in the -est words).
+    //  lang a: 5×low + 2×lower = 32 subwords / 7 words = 4.571429
+    //  lang b: 6×newest + 3×widest = 54 subwords / 9 words = 6.0
+    val tagged = Seq(
+      (1L, "a", "low low low low low"),
+      (2L, "a", "lower lower"),
+      (3L, "b", "newest newest newest newest newest newest"),
+      (4L, "b", "widest widest widest")).toDF("doc_id", "lang", "text")
+    val model = Bpe.trainBpe(tagged, numMerges = 1)
+    val got = tagged.select(col("lang"),
+        size(Bpe.encode(col("text"), model)).cast("long").as("sub"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("w"))
+      .groupBy(col("lang"))
+      .agg(round(sum(col("sub")).cast("double") / sum(col("w")), 6).as("fertility"),
+        sum(col("w")).as("n_words"), sum(col("sub")).as("n_subwords"))
+      .orderBy(col("lang"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 4.571429, 7L, 32L), ("b", 6.0, 9L, 54L)))
+  }
+
   test("kernel edges: cpCompare is code-point order; merge exhaustion stops early") {
     // U+FFFF (BMP max) must sort BELOW U+10000 (first supplementary) —
     // UTF-16 code-unit comparison gets this backwards
