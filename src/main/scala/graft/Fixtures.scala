@@ -1092,6 +1092,71 @@ private[graft] object Fixtures {
       |       CAST(SUM(sub) AS BIGINT) AS n_subwords
       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Shared DuckDB replay of robust winnowing (k=8, w=4) over a
+    * `(doc_id, text)` relation named `src`: the fingerprint normalization,
+    * per-position 52-bit md5-prefix gram hashes, per-window minima via a
+    * ROWS frame computed over ALL gram rows then filtered to window starts
+    * (full windows, plus the single short-doc window when n < w), the
+    * rightmost-position tie-break as a max(p) join back on the window
+    * minimum, selections dedup'd. `h` is referenced twice → AS MATERIALIZED
+    * (DuckDB re-inlines multiply-referenced CTEs combinatorially
+    * otherwise). Yields `sel(doc_id, pos, fp)`. */
+  def winnowSelCtes: String =
+    """nm AS (
+      |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nm
+      |  FROM src),
+      |d AS (SELECT doc_id, nm, CAST(length(nm) - 7 AS INT) AS n
+      |      FROM nm WHERE length(nm) >= 8),
+      |h AS MATERIALIZED (
+      |  SELECT doc_id, n, CAST(p AS INT) AS p,
+      |         CAST(('0x' || substr(md5(substr(nm, CAST(p AS INT), 8)), 1, 13)) AS BIGINT) AS fp
+      |  FROM (SELECT doc_id, nm, n,
+      |               unnest(generate_series(1, CAST(n AS BIGINT))) AS p
+      |        FROM d)),
+      |ws AS MATERIALIZED (
+      |  SELECT doc_id, i, mn FROM (
+      |    SELECT doc_id, n, p AS i,
+      |           min(fp) OVER (PARTITION BY doc_id ORDER BY p
+      |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+      |    FROM h)
+      |  WHERE i <= greatest(n - 3, 1)),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, pos, fp FROM (
+      |    SELECT ws.doc_id, ws.i, max(h.p) AS pos, ws.mn AS fp
+      |    FROM ws JOIN h ON h.doc_id = ws.doc_id
+      |                  AND h.p >= ws.i AND h.p <= ws.i + 3
+      |                  AND h.fp = ws.mn
+      |    GROUP BY ws.doc_id, ws.i, ws.mn))""".stripMargin
+
+  /** Oracle for `winnow_fingerprints`: [[winnowSelCtes]] over the raw
+    * documents table — every selected (pos, fp) of every doc. */
+  def winnowFingerprintsOracle: String =
+    s"""WITH src AS (SELECT doc_id, text FROM documents),
+       |$winnowSelCtes
+       |SELECT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""".stripMargin
+
+  /** Oracle for `winnow_matches`: the near-dup fixture replay feeding
+    * [[winnowSelCtes]], then the distinct-fingerprint inverted index with
+    * the df ∈ [2, 20] cut and the >= 2 shared-count pair report. */
+  def winnowMatchesOracle: String =
+    s"""WITH src AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\\s+'), 1,
+       |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+       |  FROM documents),
+       |$winnowSelCtes,
+       |fps AS (SELECT DISTINCT doc_id AS id, fp FROM sel),
+       |kept AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp)
+       |         WHERE df >= 2 AND df <= 20),
+       |fk AS MATERIALIZED (SELECT id, fps.fp FROM fps JOIN kept USING (fp))
+       |SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM fk a JOIN fk b ON a.fp = b.fp AND a.id < b.id
+       |GROUP BY a.id, b.id
+       |HAVING COUNT(*) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Shared DuckDB CTE chain re-deriving the spherical-k-means state from
     * the parquet table alone (the [[annIvfTopkOracle]] derivation, split
     * out for the clustering oracles): md5-order centroid pick, per-vector

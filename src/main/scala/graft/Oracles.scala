@@ -526,6 +526,9 @@ private[graft] object Oracles {
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "winnow_fingerprints" -> winnowFingerprintsOracle,
+    "winnow_matches" -> winnowMatchesOracle,
+
     "exact_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents

@@ -621,6 +621,23 @@ private[graft] object Queries {
         .orderBy(col("fp"))
     }),
 
+    "winnow_fingerprints" -> ((s, dir) => {
+      // MOSS-style robust winnowing (k=8 char grams, w=4 windows,
+      // rightmost-min tie-break): every selected (position, 52-bit md5
+      // fingerprint) of every document replayed value-for-value in DuckDB
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    "winnow_matches" -> ((s, dir) => {
+      // winnowing turned into the MOSS report: pairs sharing >= 2 selected
+      // fingerprints over the planted 75%-prefix near-dups — the winnowing
+      // guarantee (any >= w+k-1 = 11-char verbatim passage shares a
+      // fingerprint) surfaces every truncated copy against its original
+      TextAnalysis.winnowMatches(docsWithNearDups(Tables.documents(s, dir)))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
 
     // ------------------------------------------------ vectors / similarity (M6)
     "embed_norms" -> ((s, dir) => {

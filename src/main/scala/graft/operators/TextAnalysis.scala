@@ -931,7 +931,14 @@ object TextAnalysis {
               when(h <= acc.getField("fp"), struct(h.as("fp"), p.as("pos")))
                 .otherwise(acc)
             }))))
-      .select(col(idCol), explode(col("_sel")).as("_s"))
+      // explode_OUTER, deliberately: plain explode lets Catalyst's
+      // InferFiltersFromGenerate push a `size(_sel) > 0` guard below the
+      // projections, where alias substitution inlines the WHOLE selection
+      // expression — including the gram-hash array rebuilt per element_at
+      // call — turning the scan into an md5 storm (observed 27 s for 20
+      // rows). The outer variant infers nothing; _sel is never empty for
+      // the surviving (_n >= 1) rows, so the row contract is identical.
+      .select(col(idCol), explode_outer(col("_sel")).as("_s"))
       .select(col(idCol), col("_s.pos").as("pos"), col("_s.fp").as("fp"))
   }
 
