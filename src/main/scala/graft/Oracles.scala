@@ -889,6 +889,22 @@ private[graft] object Oracles {
         |                 ELSE 0.125 END * n)
         |ORDER BY doc_id""".stripMargin,
 
+    "temperature_mix" ->
+      """WITH g AS (
+        |  SELECT source,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |u AS (SELECT source, n_docs, n_tokens,
+        |             CAST(round(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) * 1e6, 0) AS BIGINT) AS u
+        |      FROM g),
+        |t AS (SELECT SUM(u) AS ut, SUM(n_tokens) AS tt FROM u)
+        |SELECT source, n_docs, n_tokens,
+        |       round(CAST(n_tokens AS DOUBLE) / tt, 6) AS raw_share,
+        |       round(CAST(u AS DOUBLE) / ut, 6) AS weight,
+        |       round(round(CAST(u AS DOUBLE) / ut, 6) * 1000000, 6) AS alloc_tokens
+        |FROM u, t ORDER BY source""".stripMargin,
+
     "mix_sources" ->
       """WITH a AS (
         |  SELECT source, COUNT(*) AS n FROM documents

@@ -1319,6 +1319,14 @@ private[graft] object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "temperature_mix" -> ((s, dir) => {
+      // α = 0.5 temperature sampling (the mT5/XLM-R flattening rule,
+      // p_i ∝ n_i^α): sqrt is the one exponent IEEE pins cross-engine —
+      // per-source tempered weights + token allocation under a 1M budget
+      Curation.temperatureMix(Tables.documents(s, dir), budgetTokens = 1000000L)
+        .orderBy(col("source"))
+    }),
+
     "mix_sources" -> ((s, dir) => {
       // training-mixture construction: largest corpus matching the target
       // weights that availability supports (binding source sets the total)

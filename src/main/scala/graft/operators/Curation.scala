@@ -529,6 +529,47 @@ object Curation {
   }
 
   /**
+   * Temperature-based mixture weighting — the multilingual/multi-source
+   * sampling rule of mBERT / XLM-R / mT5: sampling weight p_i ∝ n_i^α
+   * with α < 1 flattening the head and upweighting the tail so low-resource
+   * slices are not drowned by sheer volume. α is FIXED at 0.5 so the
+   * exponent is `sqrt` — IEEE-754 requires sqrt correctly rounded, hence
+   * bit-identical across engines, where a general `pow` is not; α = 0.5
+   * sits inside the range the literature actually uses (0.2–0.7).
+   *
+   * Arithmetic (the exact-sums discipline): n_docs / n_tokens are exact
+   * integer aggregates; s_i = round6(sqrt(n_tokens_i)) carried as exact
+   * 1e-6-unit longs; weight_i = round6(u_i / Σu) — one exact-integer
+   * division per group; alloc_tokens_i = round6(weight_i · budgetTokens).
+   * raw_share_i = round6(n_tokens_i / Σ n_tokens) is reported alongside so
+   * the flattening is visible in the output.
+   *
+   * Scale: ONE partial/final aggregate to |groups| rows, then a broadcast
+   * of the 1-row total — no driver state, no second corpus pass.
+   */
+  def temperatureMix(docs: DataFrame, groupCol: String = "source",
+                     budgetTokens: Long = 1000000L,
+                     textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val perGroup = docs
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("_u", // re-round after the 1e6 scale — the product of the
+        // grid double can land a hair under the integer and truncate
+        round(round(sqrt(col("n_tokens").cast("double")), 6) * lit(1e6), 0)
+          .cast("long"))
+    val totals = perGroup.agg(
+      sum(col("_u")).as("_ut"), sum(col("n_tokens")).as("_tt"))
+    perGroup.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("_tt"), 6).as("raw_share"),
+        round(col("_u").cast("double") / col("_ut"), 6).as("weight"),
+        round(round(col("_u").cast("double") / col("_ut"), 6) * budgetTokens, 6)
+          .as("alloc_tokens"))
+  }
+
+  /**
    * Snapshot diff — the dataset-versioning primitive of an iterative
    * curation pipeline: given two corpus snapshots keyed by `idCol`,
    * classify every id as `added` (new only), `removed` (old only),

@@ -104,6 +104,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMix: hand-computed sqrt-flattened weights; validation") {
+    import org.apache.spark.sql.functions.col
+    // source a: 3 + 6 = 9 tokens (√ = 3.0), source b: 16 tokens (√ = 4.0)
+    val mix = Seq(
+      (1L, "a", "w w w"),
+      (2L, "a", "w w w w w w"),
+      (3L, "b", Seq.fill(16)("w").mkString(" "))).toDF("doc_id", "source", "text")
+    val got = Curation.temperatureMix(mix, budgetTokens = 1000000L)
+      .orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // raw shares 9/25 = 0.36 vs 16/25 = 0.64 flatten to 3/7 vs 4/7 —
+    // the tail source gains (0.36 → 0.428571), the head loses
+    assert(got.toSeq == Seq(
+      ("a", 2L, 9L, 0.36, 0.428571, 428571.0),
+      ("b", 1L, 16L, 0.64, 0.571429, 571429.0)))
+    intercept[IllegalArgumentException] {
+      Curation.temperatureMix(mix, budgetTokens = 0L)
+    }
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
     import spark.implicits._
     val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
