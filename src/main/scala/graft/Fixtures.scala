@@ -1094,45 +1094,59 @@ private[graft] object Fixtures {
 
   /** Shared DuckDB replay of robust winnowing (k=8, w=4) over a
     * `(doc_id, text)` relation named `src`: the fingerprint normalization,
-    * per-position 52-bit md5-prefix gram hashes, per-window minima via a
+    * per-position Karp-Rabin polynomial gram hashes (the exact integer
+    * arithmetic of [[graft.plans.TextKernels.winnowSelect]], unrolled —
+    * every intermediate < 2^63 so DuckDB's overflow-checking BIGINT
+    * multiply never trips), per-window minima via a
     * ROWS frame computed over ALL gram rows then filtered to window starts
     * (full windows, plus the single short-doc window when n < w), the
     * rightmost-position tie-break as a max(p) join back on the window
     * minimum, selections dedup'd. `h` is referenced twice → AS MATERIALIZED
     * (DuckDB re-inlines multiply-referenced CTEs combinatorially
     * otherwise). Yields `sel(doc_id, pos, fp)`. */
-  def winnowSelCtes: String =
-    """nm AS (
-      |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nm
-      |  FROM src),
-      |d AS (SELECT doc_id, nm, CAST(length(nm) - 7 AS INT) AS n
-      |      FROM nm WHERE length(nm) >= 8),
-      |h AS MATERIALIZED (
+  def winnowSelCtes(sfx: String = ""): String = {
+    // (((c1·B + c2) % M)·B + c3) % M … — matches the kernel exactly: the
+    // first term skips the mod (codepoints < 2^21 < M). `sfx` renames every
+    // CTE (src$sfx … sel$sfx) so two chains — e.g. stored corpus + streamed
+    // copies in the streaming-flag oracle — coexist in one query.
+    val fpExpr = (1 until 8).foldLeft(
+      "CAST(ascii(substr(nm, CAST(p AS INT), 1)) AS BIGINT)") { (e, i) =>
+      s"(($e * ${graft.plans.TextKernels.WinnowBase} + " +
+        s"ascii(substr(nm, CAST(p AS INT) + $i, 1))) % " +
+        s"${graft.plans.TextKernels.WinnowMod})"
+    }
+    s"""nm$sfx AS (
+      |  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nm
+      |  FROM src$sfx),
+      |d$sfx AS (SELECT doc_id, nm, CAST(length(nm) - 7 AS INT) AS n
+      |      FROM nm$sfx WHERE length(nm) >= 8),
+      |h$sfx AS MATERIALIZED (
       |  SELECT doc_id, n, CAST(p AS INT) AS p,
-      |         CAST(('0x' || substr(md5(substr(nm, CAST(p AS INT), 8)), 1, 13)) AS BIGINT) AS fp
+      |         $fpExpr AS fp
       |  FROM (SELECT doc_id, nm, n,
       |               unnest(generate_series(1, CAST(n AS BIGINT))) AS p
-      |        FROM d)),
-      |ws AS MATERIALIZED (
+      |        FROM d$sfx)),
+      |ws$sfx AS MATERIALIZED (
       |  SELECT doc_id, i, mn FROM (
       |    SELECT doc_id, n, p AS i,
       |           min(fp) OVER (PARTITION BY doc_id ORDER BY p
       |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
-      |    FROM h)
+      |    FROM h$sfx)
       |  WHERE i <= greatest(n - 3, 1)),
-      |sel AS (
+      |sel$sfx AS (
       |  SELECT DISTINCT doc_id, pos, fp FROM (
-      |    SELECT ws.doc_id, ws.i, max(h.p) AS pos, ws.mn AS fp
-      |    FROM ws JOIN h ON h.doc_id = ws.doc_id
-      |                  AND h.p >= ws.i AND h.p <= ws.i + 3
-      |                  AND h.fp = ws.mn
-      |    GROUP BY ws.doc_id, ws.i, ws.mn))""".stripMargin
+      |    SELECT w.doc_id, w.i, max(g.p) AS pos, w.mn AS fp
+      |    FROM ws$sfx w JOIN h$sfx g ON g.doc_id = w.doc_id
+      |                  AND g.p >= w.i AND g.p <= w.i + 3
+      |                  AND g.fp = w.mn
+      |    GROUP BY w.doc_id, w.i, w.mn))""".stripMargin
+  }
 
   /** Oracle for `winnow_fingerprints`: [[winnowSelCtes]] over the raw
     * documents table — every selected (pos, fp) of every doc. */
   def winnowFingerprintsOracle: String =
     s"""WITH src AS (SELECT doc_id, text FROM documents),
-       |$winnowSelCtes
+       |${winnowSelCtes()}
        |SELECT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""".stripMargin
 
   /** Oracle for `winnow_matches`: the near-dup fixture replay feeding
@@ -1146,7 +1160,7 @@ private[graft] object Fixtures {
        |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\\s+'), 1,
        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
        |  FROM documents),
-       |$winnowSelCtes,
+       |${winnowSelCtes()},
        |fps AS (SELECT DISTINCT doc_id AS id, fp FROM sel),
        |kept AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp)
        |         WHERE df >= 2 AND df <= 20),
@@ -1156,6 +1170,76 @@ private[graft] object Fixtures {
        |GROUP BY a.id, b.id
        |HAVING COUNT(*) >= 2
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for `winnow_spans`: the near-dup fixture replay feeding
+    * [[winnowSelCtes]], then the matches report's pair qualification
+    * (df ∈ [2, 20] cut, >= 2 shared) and the gaps-and-islands span
+    * collapse — island = per-doc selection index − rank among the pair's
+    * shared selections, grouped to (min pos, max pos, count). */
+  def winnowSpansOracle: String =
+    s"""WITH src AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\\s+'), 1,
+       |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+       |  FROM documents),
+       |${winnowSelCtes()},
+       |fps AS (SELECT DISTINCT doc_id AS id, fp FROM sel),
+       |kept AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp)
+       |         WHERE df >= 2 AND df <= 20),
+       |fk AS MATERIALIZED (SELECT id, fps.fp FROM fps JOIN kept USING (fp)),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM fk a JOIN fk b ON a.fp = b.fp AND a.id < b.id
+       |  GROUP BY a.id, b.id HAVING COUNT(*) >= 2),
+       |si AS MATERIALIZED (
+       |  SELECT doc_id AS id, pos, fp,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS sidx
+       |  FROM sel),
+       |sh AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.pos, a.sidx
+       |  FROM si a
+       |  JOIN fk b ON a.fp = b.fp AND a.id < b.id
+       |  JOIN pairs p ON p.id_a = a.id AND p.id_b = b.id),
+       |isl AS (
+       |  SELECT id_a, id_b, pos, sidx,
+       |         sidx - ROW_NUMBER() OVER (PARTITION BY id_a, id_b ORDER BY sidx) AS island
+       |  FROM sh)
+       |SELECT id_a, id_b,
+       |       CAST(MIN(pos) AS INT) AS span_start,
+       |       CAST(MAX(pos) AS INT) AS span_end,
+       |       CAST(COUNT(*) AS BIGINT) AS n_fps
+       |FROM isl GROUP BY id_a, id_b, island
+       |ORDER BY id_a, id_b, span_start""".stripMargin
+
+  /** Oracle for `streaming_winnow_flag`: TWO [[winnowSelCtes]] chains —
+    * the stored raw corpus (df <= 20 cut only: a stored fingerprint unique
+    * in the corpus still pairs with an incoming copy) and the streamed
+    * 75%-prefix copies of the first 500 docs — then the distinct
+    * shared-kept-fingerprint count per (incoming, stored) pair with the
+    * >= 2 floor. Replays the streamed flagger's batch equivalence: the
+    * stateless min-shared-fp emission + in-row intersect count must equal
+    * this aggregate. */
+  def streamingWinnowFlagOracle: String =
+    s"""WITH src AS (SELECT doc_id, text FROM documents),
+       |${winnowSelCtes()},
+       |stored AS (SELECT DISTINCT doc_id AS dup_of, fp FROM sel),
+       |keptf AS (SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM stored GROUP BY fp)
+       |          WHERE c <= 20),
+       |kept AS MATERIALIZED (SELECT dup_of, stored.fp FROM stored JOIN keptf USING (fp)),
+       |src2 AS (
+       |  SELECT doc_id + 100000 AS doc_id,
+       |         array_to_string(list_slice(string_split_regex(trim(lower(text)), '\\s+'), 1,
+       |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
+       |  FROM documents WHERE doc_id < 500),
+       |${winnowSelCtes("2")},
+       |inc AS (SELECT DISTINCT doc_id, fp FROM sel2)
+       |SELECT i.doc_id, k.dup_of, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM inc i JOIN kept k ON i.fp = k.fp
+       |GROUP BY i.doc_id, k.dup_of
+       |HAVING COUNT(*) >= 2
+       |ORDER BY doc_id, dup_of""".stripMargin
 
   /** Shared DuckDB CTE chain re-deriving the spherical-k-means state from
     * the parquet table alone (the [[annIvfTopkOracle]] derivation, split
@@ -1351,17 +1435,22 @@ private[graft] object Fixtures {
        |ORDER BY vec_id""".stripMargin
   }
 
-  /** Documents ∪ deterministic 75%-token-prefix copies (ids +100000) — the
-    * near-dup fixture the dedup demos run on (the raw synthetic docs share
-    * no near-dups, so operators would trivially return 0 rows). */
-  def docsWithNearDups(docs: DataFrame): DataFrame = {
+  /** The deterministic 75%-token-prefix copies half of [[docsWithNearDups]]
+    * on its own (ids +100000) — callers amortizing the base-corpus half of
+    * a derivation (e.g. cached winnow fingerprints) pay only this half. */
+  def nearDupCopies(docs: DataFrame): DataFrame = {
     val t = split(trim(lower(col("text"))), "\\s+")
-    val truncated = docs.select(
+    docs.select(
       (col("doc_id") + 100000).as("doc_id"),
       concat_ws(" ", slice(t, lit(1), greatest(floor(size(t) * 3 / 4).cast("int"), lit(1))))
         .as("text"))
-    docs.select(col("doc_id"), col("text")).union(truncated)
   }
+
+  /** Documents ∪ deterministic 75%-token-prefix copies (ids +100000) — the
+    * near-dup fixture the dedup demos run on (the raw synthetic docs share
+    * no near-dups, so operators would trivially return 0 rows). */
+  def docsWithNearDups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).union(nearDupCopies(docs))
 
   /** Embeddings ∪ exact copies (ids +1000000): near-dup fixture for the
     * vector-dedup demo. */

@@ -594,6 +594,8 @@ private[graft] object Oracles {
     "phash_keep" -> phashKeepOracle,
 
     "streaming_phash_flag" -> streamingPhashFlagOracle,
+    "streaming_winnow_flag" -> streamingWinnowFlagOracle,
+    "winnow_spans" -> winnowSpansOracle,
 
     "audio_ahash" -> audioAhashOracle,
 

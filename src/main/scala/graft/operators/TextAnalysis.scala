@@ -108,7 +108,12 @@ object TextAnalysis {
         .localCheckpoint() // reused by ns, the q table and the p-grid join
       val ns = stv.groupBy(col("source")).agg(sum(col("c")).as("n"))
       val cv = stv.groupBy(col("vterm")).agg(sum(col("c")).as("cv"))
-      val ntot = cv.agg(sum(col("cv"))).head().getLong(0)
+      // SUM over an empty aggregate is null — fail with the clear message
+      // divergenceModel raises, not an NPE on getLong
+      val ntotRow = cv.agg(sum(col("cv"))).head()
+      require(!ntotRow.isNullAt(0) && ntotRow.getLong(0) > 0,
+        "sourceDivergence: empty corpus")
+      val ntot = ntotRow.getLong(0)
       val q = cv
         .select(col("vterm"),
           round(col("cv").cast("double") / lit(ntot.toDouble), 6).as("q6"))
@@ -146,8 +151,10 @@ object TextAnalysis {
     try {
       val vocab = tc.orderBy(col("c").desc, col("token").asc).limit(vocabSize)
         .collect().map(r => (r.getString(0), r.getLong(1)))
-      val ntot = tc.agg(sum(col("c"))).head().getLong(0)
-      require(ntot > 0, "divergenceModel: empty corpus")
+      val ntotRow = tc.agg(sum(col("c"))).head()
+      require(!ntotRow.isNullAt(0) && ntotRow.getLong(0) > 0,
+        "divergenceModel: empty corpus")
+      val ntot = ntotRow.getLong(0)
       val oov = ntot - vocab.map(_._2).sum
       def q6(c: Long): Double =
         java.math.BigDecimal.valueOf(c.toDouble / ntot.toDouble)
@@ -203,7 +210,12 @@ object TextAnalysis {
         .localCheckpoint() // forked by dn, the q table and the present join
       val dn = ds.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
       val cv = ds.groupBy(col("vterm")).agg(sum(col("c")).as("cv"))
-      val ntot = cv.agg(sum(col("cv"))).head().getLong(0)
+      // SUM over an empty aggregate is null — fail with the clear message
+      // divergenceModel raises, not an NPE on getLong
+      val ntotRow = cv.agg(sum(col("cv"))).head()
+      require(!ntotRow.isNullAt(0) && ntotRow.getLong(0) > 0,
+        "docDivergence: empty corpus")
+      val ntot = ntotRow.getLong(0)
       // model-sized q table with each row's absent-term constant k_v
       val q = cv
         .select(col("vterm"),
@@ -884,7 +896,8 @@ object TextAnalysis {
    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
    * 2003 — the MOSS fingerprinter). Over the whitespace-normalized
    * lowercased text (the [[TextFunctions.fingerprint]] normalization),
-   * every character `k`-gram is hashed to its 52-bit md5 prefix; each
+   * every character `k`-gram is hashed with an exact Karp-Rabin rolling
+   * polynomial; each
    * sliding window of `w` consecutive gram hashes selects its MINIMUM,
    * ties broken by the RIGHTMOST position (robust winnowing — re-selecting
    * the same occurrence across overlapping windows minimizes fingerprint
@@ -896,49 +909,43 @@ object TextAnalysis {
    * over all their grams, so every doc of >= k normalized chars is
    * fingerprinted; shorter docs yield no rows.
    *
-   * 52-bit md5-prefix gram hashes (not xxhash64) so any SQL engine
-   * replays every value: `CAST(('0x' || substr(md5(g),1,13)) AS BIGINT)`.
+   * Gram hashes are an exact Karp-Rabin rolling polynomial mod a 41-bit
+   * prime ([[graft.plans.TextKernels.WinnowBase]] /
+   * [[graft.plans.TextKernels.WinnowMod]]) — the winnowing paper's own
+   * hash family: O(1) integer work per position (the md5-per-gram
+   * formulation this replaces paid a full digest per position — the two
+   * costliest queries in the round-12 bench), and every value replays in
+   * any SQL engine as plain integer `*`/`+`/`%` with no intermediate
+   * exceeding int64 (no wraparound in Spark, no overflow error in DuckDB).
    *
    * Returns exploded (idCol, pos, fp) rows — pos is the 1-based gram
    * position in the normalized text; expected density is 2/(w+1) grams.
    *
-   * Scale: ONE narrow per-row scan (higher-order expressions; O(len·w)
-   * comparisons and O(len) md5s per row), zero shuffles — streams over
-   * 100 TB. Match detection downstream joins on `fp` ([[winnowMatches]]).
+   * Scale: ONE narrow per-row scan (hashing, window minima via a monotone
+   * deque and selection dedup all inside one compiled codegen'd kernel,
+   * [[graft.plans.WinnowSelect]]), zero shuffles — streams over 100 TB.
+   * Match detection downstream joins on `fp` ([[winnowMatches]]).
    */
   def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     require(k >= 1, s"gram size k must be >= 1, got $k")
     require(w >= 1, s"window size w must be >= 1, got $w")
+    import org.apache.spark.sql.graftshim.GraftPlanBridge.{column => toCol, expr => toExpr}
     val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
     docs
       .select(col(idCol), norm.as("_nm"))
-      .withColumn("_n", (length(col("_nm")) - (k - 1)).cast("int"))
-      // sequence(1, n) flips descending for n < 1 — filter, don't clamp
-      .filter(col("_n") >= 1)
-      .withColumn("_hs", transform(sequence(lit(1), col("_n")), p =>
-        conv(substring(md5(col("_nm").substr(p, lit(k))), 1, 13), 16, 10)
-          .cast("long")))
-      .withColumn("_sel", array_distinct(
-        transform(sequence(lit(1), greatest(col("_n") - (w - 1), lit(1))),
-          i => aggregate(
-            sequence(i, least(i + (w - 1), col("_n"))),
-            struct(lit(Long.MaxValue).as("fp"), lit(0).as("pos")),
-            (acc, p) => {
-              val h = element_at(col("_hs"), p)
-              // <= keeps the LATER position on ties (rightmost-min rule)
-              when(h <= acc.getField("fp"), struct(h.as("fp"), p.as("pos")))
-                .otherwise(acc)
-            }))))
       // explode_OUTER, deliberately: plain explode lets Catalyst's
-      // InferFiltersFromGenerate push a `size(_sel) > 0` guard below the
-      // projections, where alias substitution inlines the WHOLE selection
-      // expression — including the gram-hash array rebuilt per element_at
-      // call — turning the scan into an md5 storm (observed 27 s for 20
-      // rows). The outer variant infers nothing; _sel is never empty for
-      // the surviving (_n >= 1) rows, so the row contract is identical.
-      .select(col(idCol), explode_outer(col("_sel")).as("_s"))
+      // InferFiltersFromGenerate push a `size(...) > 0` guard below the
+      // generate, evaluating the whole selection kernel a second time per
+      // row (the round-12 md5-storm lesson). The outer variant infers
+      // nothing; docs too short for a single gram yield an empty array →
+      // one null row, dropped by the post-explode isNotNull filter, which
+      // cannot be pushed below the generate (it references its output).
+      .select(col(idCol),
+        explode_outer(toCol(graft.plans.WinnowSelect(toExpr(col("_nm")), k, w)))
+          .as("_s"))
+      .filter(col("_s").isNotNull)
       .select(col(idCol), col("_s.pos").as("pos"), col("_s.fp").as("fp"))
   }
 
@@ -961,11 +968,23 @@ object TextAnalysis {
   def winnowMatches(docs: DataFrame, k: Int = 8, w: Int = 4,
                     minShared: Long = 2, maxDf: Int = 20,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text"): DataFrame =
+    winnowMatchesFromFingerprints(
+      winnowFingerprints(docs, k, w, idCol, textCol)
+        .select(col(idCol).as("id"), col("fp")),
+      minShared, maxDf)
+
+  /** [[winnowMatches]] over PRECOMPUTED fingerprints — a `(id, fp)` frame
+    * (duplicates tolerated; de-duplicated here). Callers that fingerprint
+    * the same base corpus for several reports amortize the corpus scan
+    * across them (the [[graft.DedupArtifacts]] discipline) by caching the
+    * base `(id, fp)` frame and unioning per-report extras. */
+  def winnowMatchesFromFingerprints(fingerprints: DataFrame,
+                                    minShared: Long = 2,
+                                    maxDf: Int = 20): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs df 2), got $maxDf")
-    val fps = winnowFingerprints(docs, k, w, idCol, textCol)
-      .select(col(idCol).as("id"), col("fp")).distinct()
+    val fps = fingerprints.select(col("id"), col("fp")).distinct()
     val kept = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
@@ -976,6 +995,71 @@ object TextAnalysis {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared")) // (id, fp) distinct ⇒ count = |∩|
       .filter(col("n_shared") >= minShared)
+  }
+
+  /**
+   * Winnow match SPANS — what MOSS actually reports: not just that a pair
+   * shares fingerprints, but WHERE. For each [[winnowMatches]]-qualifying
+   * pair, the lower-id side's shared selections are grouped into maximal
+   * runs of CONSECUTIVE selections (consecutive in that document's
+   * position-ordered selection list) whose fingerprint is also selected by
+   * the other side — the gaps-and-islands formulation ([[Dedup]]'s
+   * span-collapse idiom): island = selection_index − rank_among_shared,
+   * both plain window functions. One span row per island:
+   * (id_a, id_b, span_start, span_end, n_fps) with gram positions in
+   * doc id_a; the matched character range is
+   * [span_start, span_end + k − 1]. The b-side's regions follow by
+   * symmetry (swap the id inequality).
+   *
+   * Pair qualification matches [[winnowMatches]] exactly (df ∈ [2, maxDf]
+   * cut, >= minShared distinct shared fingerprints), so every reported
+   * pair carries >= 1 span and every matches row has spans here.
+   *
+   * Scale shape: the selection-index window is per-doc (bounded rows per
+   * partition key), the shared-row join is the same df-cut inverted-index
+   * equi-join as the pair report, and the island window partitions by
+   * pair — no step exceeds the matches report's own cost envelope.
+   */
+  def winnowSpans(docs: DataFrame, k: Int = 8, w: Int = 4,
+                  minShared: Long = 2, maxDf: Int = 20,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs df 2), got $maxDf")
+    import org.apache.spark.sql.expressions.Window
+    val sel = winnowFingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol).as("id"), col("pos"), col("fp"))
+    val withIdx = sel.withColumn("sidx",
+      row_number().over(Window.partitionBy(col("id")).orderBy(col("pos"))))
+    val distinctFps = sel.select(col("id"), col("fp")).distinct()
+    val kept = distinctFps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    val idx = distinctFps.join(kept, Seq("fp"))
+    // qualifying pairs, with the matches report's exact semantics
+    val pairs = idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"))
+    // a-side selections whose fp the b side also selected (kept fps only);
+    // distinct: the same a-selection can match several b positions
+    val shared = withIdx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pos"), col("a.sidx").as("sidx"))
+      .distinct()
+      .join(pairs, Seq("id_a", "id_b"))
+    shared
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id_a"), col("id_b")).orderBy(col("sidx"))))
+      .withColumn("island", col("sidx") - col("rn"))
+      .groupBy(col("id_a"), col("id_b"), col("island"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("span_end"),
+        count(lit(1)).as("n_fps"))
+      .drop("island")
   }
 
   /**

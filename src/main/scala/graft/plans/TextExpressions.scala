@@ -239,6 +239,92 @@ object TextKernels {
         Array[Any](start, n - start))
     new GenericArrayData(out.toArray)
   }
+
+  /** Karp-Rabin polynomial base — prime > 2^20, so every Unicode codepoint
+    * (< 2^21) is injected without aliasing for BMP text. Public: the DuckDB
+    * oracle builder replays the identical arithmetic. */
+  final val WinnowBase = 1048583L
+
+  /** Karp-Rabin modulus — prime < 2^41, chosen so every intermediate stays
+    * inside int64 WITHOUT wraparound in either engine:
+    * (Mod−1)·Base + 2^21 < 2^63 (Spark would wrap silently, DuckDB would
+    * raise — neither happens), and 41-bit hashes keep birthday collisions
+    * negligible at corpus scale (~10^3 among 10^8 grams). */
+  final val WinnowMod = 2199023255531L
+
+  /**
+   * Robust winnowing selection (Schleimer, Wilkerson & Aiken, SIGMOD 2003)
+   * over an ALREADY-NORMALIZED string, in one compiled pass:
+   *
+   *  1. every codepoint `k`-gram is hashed with an exact Karp-Rabin rolling
+   *     polynomial — h = (((c₁·B + c₂)·B + c₃)…) mod M with B=[[WinnowBase]],
+   *     M=[[WinnowMod]] — O(1) per position via the rolling update
+   *     h' = ((h + M − c_old·Bᵏ⁻¹ mod M)·B + c_new) mod M (the md5-per-gram
+   *     formulation this replaces cost a full digest per position);
+   *  2. each sliding window of `w` consecutive gram hashes selects its
+   *     MINIMUM, ties broken by the RIGHTMOST position (robust winnowing),
+   *     via a monotone deque — O(n) total, not O(n·w);
+   *  3. repeated selections collapse. The selected position strictly
+   *     increases whenever the selection changes (a new rightmost-min is
+   *     strictly later), so consecutive-dedup equals global distinct.
+   *
+   * Documents with ≥ 1 gram but fewer than `w` get one window over all
+   * their grams; n < 1 → empty array. Returns array<struct<pos:int,
+   * fp:bigint>> with 1-based codepoint gram positions.
+   */
+  def winnowSelect(nm: UTF8String, k: Int, w: Int): ArrayData = {
+    if (nm == null || k < 1 || w < 1)
+      return new GenericArrayData(Array.empty[Any])
+    val cps = nm.toString.codePoints().toArray
+    val n = cps.length - (k - 1)
+    if (n < 1) return new GenericArrayData(Array.empty[Any])
+    val B = WinnowBase
+    val M = WinnowMod
+    var pow = 1L // B^(k-1) mod M
+    var t = 0
+    while (t < k - 1) { pow = pow * B % M; t += 1 }
+    val hs = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+    hs(0) = h
+    var p = 1
+    while (p < n) {
+      // all terms nonnegative and < 2^63: h + M < 2^42, ·B < 2^62
+      h = ((h + M - cps(p - 1) * pow % M) * B + cps(p + k - 1)) % M
+      hs(p) = h
+      p += 1
+    }
+    val nw = math.max(n - w + 1, 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // monotone deque of 0-based indices, hash values strictly increasing
+    // front→back; pushing pops `>=` so among equal minima the LATEST index
+    // survives at the front — exactly the rightmost-min tie-break
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    var lastSel = -1
+    var j = 0
+    var win = 0
+    while (win < nw) {
+      val end = math.min(win + w - 1, n - 1) // short-doc single window: all grams
+      while (j <= end) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+        dq(tail) = j
+        tail += 1
+        j += 1
+      }
+      while (dq(head) < win) head += 1
+      val sel = dq(head)
+      if (sel != lastSel) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](sel + 1, hs(sel)))
+        lastSel = sel
+      }
+      win += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `cdc_chunks(text, maskBits)` → array<struct<start:int, len:int>> (byte
@@ -269,6 +355,38 @@ object CdcChunks {
   val Schema: DataType = ArrayType(StructType(Seq(
     StructField("start", IntegerType, nullable = false),
     StructField("len", IntegerType, nullable = false))), containsNull = false)
+}
+
+/** `winnow_select(normalizedText)` → array<struct<pos:int, fp:bigint>> —
+  * the full robust-winnowing selection in one compiled pass (see
+  * [[TextKernels.winnowSelect]]). `k`/`w` are plan-time constants (the
+  * [[TextNormalize]] convention), so codegen emits them as int literals. */
+case class WinnowSelect(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  require(k >= 1, s"winnow_select: gram size k must be >= 1, got $k")
+  require(w >= 1, s"winnow_select: window size w must be >= 1, got $w")
+  override def dataType: DataType = WinnowSelect.Schema
+  override def prettyName: String = "winnow_select"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckSuccess
+    case t => TypeCheckFailure(s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(nm: Any): Any =
+    TextKernels.winnowSelect(nm.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.TextKernels.winnowSelect($t, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
 }
 
 /** `word_shingles(text, n)` → array<string> (see [[TextKernels.shingles]]).

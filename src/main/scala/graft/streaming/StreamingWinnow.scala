@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming winnow-fingerprint flagging — the streaming × winnowing cell
+ * that completes the streaming dedup matrix ([[StreamingPhashDedup]] for
+ * images, [[StreamingDedup]] for exact content, [[StreamingDivergence]] /
+ * [[StreamingDsir]] for distributions): each incoming document is
+ * winnow-fingerprinted in-flight
+ * ([[graft.operators.TextAnalysis.winnowFingerprints]] semantics — the
+ * compiled Karp-Rabin kernel, stateless narrow ops) and flagged against a
+ * STORED fingerprint index of the existing corpus. The decontamination /
+ * plagiarism admission check at ingest: "does this document share a
+ * verbatim passage of >= w+k-1 chars with something we already have?"
+ *
+ * Statelessness is load-bearing (the [[StreamingPhashDedup]] lesson): a
+ * (incoming, stored) pair sharing n fingerprints collides on n index rows,
+ * and the batch report dedups that multiplicity with groupBy-count —
+ * illegal state on an append stream. Instead each pair is emitted only
+ * from its MINIMUM shared fingerprint, decided by a pure expression
+ * (`fp = array_min(array_intersect(fps_incoming, fps_stored))`) over the
+ * candidate row — exactly-once pair emission with zero state-store rows —
+ * and the shared COUNT is `size(array_intersect(...))`, computed in-row
+ * rather than aggregated.
+ *
+ * Scale shape: the static side is TWO narrow frames built once per corpus
+ * epoch — the inverted (fp, dup_of) index with the df cut (boilerplate
+ * fingerprints shared by everything would pair the corpus quadratically),
+ * and the per-doc KEPT-fingerprint arrays, joined only onto candidate
+ * rows (keeping the inverted index free of the array payload). Each
+ * micro-batch pays fingerprinting on its own rows + two equi-joins.
+ */
+object StreamingWinnow {
+
+  /** The stored-corpus side: `inverted` = (fp, dup_of) rows for
+    * fingerprints with corpus df <= maxDf; `docSets` = (dup_of, fps_b)
+    * with each stored doc's sorted kept-fingerprint array. */
+  final case class WinnowIndex(inverted: DataFrame, docSets: DataFrame)
+
+  /**
+   * Build the static index from stored fingerprints (`fps`: an (id, fp)
+   * frame, e.g. persisted [[graft.operators.TextAnalysis
+   * .winnowFingerprints]] output or the per-JVM
+   * [[graft.DedupArtifacts.winnowBaseFps]] cache; duplicates tolerated).
+   * Only the df <= maxDf cut applies (unlike the batch pair report's
+   * df >= 2 floor: a stored fingerprint unique in the corpus still pairs
+   * with an incoming copy). Both frames are `localCheckpoint`ed — in a
+   * stream-static join the static subplan re-executes per micro-batch,
+   * so without severing them each batch would re-pay the df aggregation
+   * and array collection.
+   */
+  def fingerprintIndex(fps: DataFrame, maxDf: Int = 20): WinnowIndex = {
+    require(maxDf >= 1, s"fingerprintIndex: maxDf must be >= 1, got $maxDf")
+    val distinctFps = fps.select(col("id"), col("fp")).distinct()
+    val keptFp = distinctFps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val kept = distinctFps.join(keptFp, Seq("fp"))
+    val inverted = kept.select(col("fp"), col("id").as("dup_of"))
+      .localCheckpoint()
+    val docSets = kept.groupBy(col("id").as("dup_of"))
+      .agg(sort_array(collect_set(col("fp"))).as("fps_b"))
+      .localCheckpoint()
+    WinnowIndex(inverted, docSets)
+  }
+
+  /**
+   * Flag a stream of (idCol, textCol) documents against a prebuilt
+   * [[WinnowIndex]]. Returns (idCol, dup_of, n_shared) — one row per
+   * (incoming, stored) pair sharing >= minShared distinct KEPT
+   * fingerprints; an incoming doc absent from the output batch shares no
+   * localized passage with the stored corpus. `k`/`w` must match the
+   * values the stored fingerprints were built with.
+   */
+  def flagAgainstIndex(stream: DataFrame, index: WinnowIndex,
+                       k: Int = 8, w: Int = 4, minShared: Long = 2,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(minShared >= 1, s"flagAgainstIndex: minShared must be >= 1, got $minShared")
+    import org.apache.spark.sql.graftshim.GraftPlanBridge.{column => toCol, expr => toExpr}
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val withFps = stream
+      .select(col(idCol), norm.as("_nm"))
+      .withColumn("_fps", array_distinct(transform(
+        toCol(graft.plans.WinnowSelect(toExpr(col("_nm")), k, w)),
+        s => s.getField("fp"))))
+      .filter(size(col("_fps")) > 0)
+      .select(col(idCol), col("_fps").as("fps_a"))
+    val candidates = withFps
+      .select(col(idCol), col("fps_a"), explode(col("fps_a")).as("fp"))
+      .join(index.inverted, Seq("fp"))
+      .join(index.docSets, Seq("dup_of"))
+    val shared = array_intersect(col("fps_a"), col("fps_b"))
+    candidates
+      // exactly-once: of the |shared| candidate rows this pair produces,
+      // only the one carrying the minimum shared fingerprint emits
+      .filter(col("fp") === array_min(shared))
+      .select(col(idCol), col("dup_of"),
+        size(shared).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

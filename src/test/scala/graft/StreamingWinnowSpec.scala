@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+import graft.streaming.StreamingWinnow
+
+/** Streaming winnow-fingerprint flagging: two-micro-batch batch
+  * equivalence against the driver-computed shared-kept-fingerprint
+  * relation, exactly-once pair emission with ZERO state-store rows, the
+  * df cut, and parameter validation. */
+class StreamingWinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two epochs: exactly-once pairs, zero state, batch equivalence") {
+    implicit val sqlCtx = spark.sqlContext
+    val stored = graft.sources.Tables.documents(spark, Sf)
+      .filter(col("doc_id") < 60)
+    val fps = TextAnalysis.winnowFingerprints(stored)
+      .select(col("doc_id").as("id"), col("fp"))
+    val index = StreamingWinnow.fingerprintIndex(fps, maxDf = 20)
+    val streamed = Fixtures.nearDupCopies(
+        graft.sources.Tables.documents(spark, Sf).filter(col("doc_id") < 30))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = StreamingWinnow.flagAgainstIndex(
+      mem.toDF().toDF("doc_id", "text"), index, minShared = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("winnow_flag_out").start()
+    val (b1, b2) = streamed.splitAt(streamed.length / 2)
+    mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    // stateless: the min-shared-fp emission replaces groupBy-count state
+    assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0))
+    q.stop()
+    val got = spark.table("winnow_flag_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // expected: distinct shared KEPT fps per (incoming, stored) pair — an
+    // n-fold fp collision emitted n times would fail the length equality
+    val keptByDoc = fps.distinct().groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select(col("fp"))
+      .join(fps.distinct(), Seq("fp"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).toSet }
+    val incByDoc = TextAnalysis.winnowFingerprints(
+        Fixtures.nearDupCopies(
+          graft.sources.Tables.documents(spark, Sf).filter(col("doc_id") < 30)))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).toSet }
+    val expect = for {
+      (iid, ifps) <- incByDoc.toSeq
+      (sid, sfps) <- keptByDoc.toSeq
+      n = (ifps & sfps).size
+      if n >= 2
+    } yield (iid, sid, n.toLong)
+    assert(got.length == expect.length, s"${got.length} vs ${expect.length}")
+    assert(got.toSet == expect.toSet)
+    // every streamed 75%-prefix copy pairs with its original (the
+    // winnowing guarantee carried through the stored index)
+    val origs = got.collect { case (i, s, _) if i - 100000L == s => i }.toSet
+    assert(origs.size >= 25, s"only ${origs.size} copies matched their original")
+  }
+
+  test("df cut: a fingerprint shared by more than maxDf stored docs is dropped") {
+    val docs = (1L to 5L).map(i => (i, "the common boilerplate sentence here"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs)
+      .select(col("doc_id").as("id"), col("fp"))
+    // every fp has df = 5 > maxDf = 4 → empty index
+    val idx = StreamingWinnow.fingerprintIndex(fps, maxDf = 4)
+    assert(idx.inverted.count() == 0)
+    assert(idx.docSets.count() == 0)
+    val idx2 = StreamingWinnow.fingerprintIndex(fps, maxDf = 5)
+    assert(idx2.inverted.count() > 0)
+  }
+
+  test("validation") {
+    val fps = Seq((1L, 10L)).toDF("id", "fp")
+    intercept[IllegalArgumentException] {
+      StreamingWinnow.fingerprintIndex(fps, maxDf = 0)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingWinnow.flagAgainstIndex(
+        Seq((1L, "x")).toDF("doc_id", "text"),
+        StreamingWinnow.fingerprintIndex(fps), minShared = 0)
+    }
+  }
+}

@@ -11,18 +11,24 @@ class WinnowSpec extends SparkSpec {
   import spark.implicits._
 
   /** Driver replay of the exact operator arithmetic (Spark `trim` strips
-    * ASCII spaces only — not Java's `String.trim` control-char sweep). */
+    * ASCII spaces only — not Java's `String.trim` control-char sweep).
+    * Gram hashes are the DIRECT per-gram Karp-Rabin polynomial (no rolling
+    * update) and window minima the O(n·w) rescan — independently pinning
+    * that the kernel's rolling update and monotone deque compute the same
+    * values the definition does. */
   private def naive(text: String, k: Int, w: Int): Seq[(Int, Long)] = {
     val lowered = text.toLowerCase(java.util.Locale.ROOT)
     val trimmed = lowered.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
     val nm = trimmed.replaceAll("\\s+", " ")
-    val n = nm.length - (k - 1)
+    val cps = nm.codePoints().toArray
+    val n = cps.length - (k - 1)
     if (n < 1) return Seq.empty
-    val hs = (1 to n).map { p =>
-      val g = nm.substring(p - 1, p - 1 + k)
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(md.substring(0, 13), 16)
+    val B = graft.plans.TextKernels.WinnowBase
+    val M = graft.plans.TextKernels.WinnowMod
+    val hs = (0 until n).map { p =>
+      var h = 0L
+      for (i <- 0 until k) h = (h * B + cps(p + i)) % M
+      h
     }
     (1 to math.max(n - w + 1, 1)).map { i =>
       var best = (Long.MaxValue, 0)
@@ -95,12 +101,14 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
-  test("plan: the gram-hash array is built once — no md5 below the explode") {
+  test("plan: the selection kernel runs once — no inferred-filter duplicate") {
     val docs = graft.sources.Tables.documents(spark, Sf)
     val plan = TextAnalysis.winnowFingerprints(docs)
       .queryExecution.optimizedPlan.toString
-    // one md5 for the gram hashes; a second inlined copy would mean the
-    // InferFiltersFromGenerate storm is back (27 s for 20 rows when it was)
-    assert("md5".r.findAllIn(plan).length == 1, plan.take(2000))
+    // exactly one winnow_select: a second copy would mean Catalyst's
+    // InferFiltersFromGenerate re-evaluates the whole kernel in a guard
+    // filter below the generate (the round-12 md5-storm failure mode)
+    assert("winnow_select".r.findAllIn(plan).length == 1, plan.take(2000))
+    assert(!plan.contains("md5"), plan.take(2000))
   }
 }
