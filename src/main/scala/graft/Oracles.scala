@@ -741,6 +741,24 @@ private[graft] object Oracles {
         |c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY h, doc_id) AS cum FROM t)
         |SELECT doc_id, n_tokens FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
 
+    "novelty_scores" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+        |             i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+2], ' '))) AS g
+        |    FROM documents
+        |    WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3)),
+        |d AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |       round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty,
+        |       round(CAST(SUM(df) AS DOUBLE) / COUNT(*), 6) AS mean_df
+        |FROM sh JOIN d USING (g)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "ngram_jaccard_pairs" ->
       """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
         |d0 AS (

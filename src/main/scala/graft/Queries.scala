@@ -1375,6 +1375,14 @@ private[graft] object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "novelty_scores" -> ((s, dir) => {
+      // cross-doc redundancy (the Lee et al. 2021 dedup signal): per-doc
+      // share of corpus-unique 3-shingles + mean corpus df — exact integer
+      // inputs, one IEEE division per output, bit-replayable
+      TextAnalysis.noveltyScores(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
 
     "line_dedup" -> ((s, dir) => {
       // corpus-level boilerplate-line removal: rebuild each doc as a shared

@@ -1100,6 +1100,48 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-novelty scoring — the cross-document counterpart of
+   * [[repetitionMetrics]] (which measures repetition WITHIN a doc): for
+   * each document, how much of its content is unique to it vs shared
+   * boilerplate. The deduplication literature's motivating signal (Lee et
+   * al. 2021, "Deduplicating Training Data Makes Language Models
+   * Better"): heavily-shared content contributes near-duplicate gradient
+   * updates, unique content is what a curation pass wants to keep.
+   *
+   * Per document over its DISTINCT word `n`-shingles: `n_shingles`,
+   * `n_unique` (corpus document frequency exactly 1 — no other doc has
+   * the shingle), `novelty` = n_unique / n_shingles and `mean_df` = the
+   * mean corpus df of its shingles. All model inputs are exact integers
+   * and each output is ONE IEEE division rounded to 6 decimals — no
+   * transcendentals, so any SQL engine replays the values bit-for-bit.
+   * Docs with fewer than `n` tokens have no shingles and are absent.
+   *
+   * Scale shape: one shingle-keyed count shuffle (the [[contamination]]
+   * discipline — high-cardinality uniform key, map-side combine) joined
+   * back to the exploded (id, shingle) rows, then a per-doc aggregate.
+   * At 100 TB nothing is collected and no side is assumed small.
+   */
+  def noveltyScores(docs: DataFrame, shingleN: Int = 3,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(shingleN >= 1, s"noveltyScores: shingleN must be >= 1, got $shingleN")
+    val ex = docs.select(col(idCol),
+      explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN)))
+        .as("sh"))
+    val df_ = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    ex.join(df_, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(col("df")).as("_sdf"))
+      .select(col(idCol), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 6)
+          .as("novelty"),
+        round(col("_sdf").cast("double") / col("n_shingles"), 6)
+          .as("mean_df"))
+  }
+
+  /**
    * Shuffle-FREE decontamination via a broadcast Bloom filter: build one
    * Bloom filter over the benchmark's distinct `n`-grams (driver-side —
    * real benchmark suites are KB–MB of n-grams, bounded by construction),

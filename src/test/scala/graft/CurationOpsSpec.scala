@@ -331,4 +331,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(!bloomKept.contains(1L))       // contaminated MUST go
     assert(bloomKept.subsetOf(clean))     // FPs only shrink the kept set
   }
+
+  test("noveltyScores: planted duplicate drives novelty to 0, unique doc to 1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),          // 2 shingles, both shared with 2
+      (2L, "alpha beta gamma delta"),          // exact copy
+      (3L, "one two three four five"),         // 3 shingles, all corpus-unique
+      (4L, "too short"))                       // < 3 tokens → absent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) == ((2L, 0L, 0.0, 2.0)))   // every shingle df=2
+    assert(out(2L) == ((2L, 0L, 0.0, 2.0)))
+    assert(out(3L) == ((3L, 3L, 1.0, 1.0)))   // fully novel
+    intercept[IllegalArgumentException] {
+      TextAnalysis.noveltyScores(docs, shingleN = 0)
+    }
+  }
 }
