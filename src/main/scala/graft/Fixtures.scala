@@ -1213,16 +1213,15 @@ private[graft] object Fixtures {
        |FROM isl GROUP BY id_a, id_b, island
        |ORDER BY id_a, id_b, span_start""".stripMargin
 
-  /** Oracle for `streaming_winnow_flag`: TWO [[winnowSelCtes]] chains —
-    * the stored raw corpus (df <= 20 cut only: a stored fingerprint unique
-    * in the corpus still pairs with an incoming copy) and the streamed
-    * 75%-prefix copies of the first 500 docs — then the distinct
-    * shared-kept-fingerprint count per (incoming, stored) pair with the
-    * >= 2 floor. Replays the streamed flagger's batch equivalence: the
-    * stateless min-shared-fp emission + in-row intersect count must equal
-    * this aggregate. */
-  def streamingWinnowFlagOracle: String =
-    s"""WITH src AS (SELECT doc_id, text FROM documents),
+  /** Shared replay for the winnow flaggers: TWO [[winnowSelCtes]] chains —
+    * a caller-supplied stored-corpus relation (df <= 20 cut only: a stored
+    * fingerprint unique in the corpus still pairs with an incoming copy)
+    * and the flagged 75%-prefix copies of the first 500 docs — then the
+    * distinct shared-kept-fingerprint count per (incoming, stored) pair
+    * with the >= 2 floor. The stateless min-shared-fp emission + in-row
+    * intersect count must equal this aggregate. */
+  def winnowFlagOracle(storedSrcSql: String): String =
+    s"""WITH src AS ($storedSrcSql),
        |${winnowSelCtes()},
        |stored AS (SELECT DISTINCT doc_id AS dup_of, fp FROM sel),
        |keptf AS (SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM stored GROUP BY fp)
@@ -1240,6 +1239,23 @@ private[graft] object Fixtures {
        |GROUP BY i.doc_id, k.dup_of
        |HAVING COUNT(*) >= 2
        |ORDER BY doc_id, dup_of""".stripMargin
+
+  /** Oracle for `streaming_winnow_flag`: [[winnowFlagOracle]] with the raw
+    * documents table as the stored corpus. */
+  def streamingWinnowFlagOracle: String =
+    winnowFlagOracle("SELECT doc_id, text FROM documents")
+
+  /** Oracle for `winnow_index_flag`: [[winnowFlagOracle]] with the stored
+    * corpus = documents ∪ the APPENDED ingest batch (exact copies of every
+    * 37th doc, ids +1000000 — identical text ⇒ identical fingerprints, so
+    * those fps' stored df doubles and the df <= 20 cut sees the merged
+    * set, exactly what the persisted save→append→load path must produce). */
+  def winnowIndexFlagOracle: String =
+    winnowFlagOracle(
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 37 = 0""".stripMargin)
 
   /** Shared DuckDB CTE chain re-deriving the spherical-k-means state from
     * the parquet table alone (the [[annIvfTopkOracle]] derivation, split

@@ -595,6 +595,7 @@ private[graft] object Oracles {
 
     "streaming_phash_flag" -> streamingPhashFlagOracle,
     "streaming_winnow_flag" -> streamingWinnowFlagOracle,
+    "winnow_index_flag" -> winnowIndexFlagOracle,
     "winnow_spans" -> winnowSpansOracle,
 
     "audio_ahash" -> audioAhashOracle,

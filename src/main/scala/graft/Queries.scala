@@ -645,6 +645,34 @@ private[graft] object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "winnow_index_flag" -> ((s, dir) => {
+      // persisted decontamination-index lifecycle: base-corpus fingerprints
+      // SAVED range-partitioned/sorted by fp, an ingest batch (exact copies
+      // of every 37th doc, shifted ids) APPENDED as delta files, the merged
+      // set LOADED and df-cut at index build, then a batch of 75%-prefix
+      // copies flagged against it — save→append→load exercised end-to-end
+      // with a full DuckDB replay (exact copies share their originals'
+      // fingerprints, so the merged df cut is visible in the result)
+      import graft.streaming.StreamingWinnow
+      val tmp = java.nio.file.Files.createTempDirectory("graft_winnow_idx").toString
+      val base = TextAnalysis.winnowFingerprints(Tables.documents(s, dir))
+        .select(col("doc_id").as("id"), col("fp"))
+      StreamingWinnow.saveFingerprints(base, tmp)
+      val batch = TextAnalysis.winnowFingerprints(
+          Tables.documents(s, dir).filter(col("doc_id") % 37 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        .select(col("doc_id").as("id"), col("fp"))
+      StreamingWinnow.appendFingerprints(batch, tmp)
+      val idx = StreamingWinnow.fingerprintIndex(
+        StreamingWinnow.loadFingerprints(s, tmp))
+      // flagAgainstIndex is stream-agnostic: the same stateless plan runs
+      // on a batch frame (the admission check replayed over a backfill)
+      StreamingWinnow.flagAgainstIndex(
+          Fixtures.nearDupCopies(
+            Tables.documents(s, dir).filter(col("doc_id") < 500)), idx)
+        .orderBy(col("doc_id"), col("dup_of"))
+    }),
+
     "winnow_spans" -> ((s, dir) => {
       // the MOSS report's REGIONS: per qualifying near-dup pair, maximal
       // runs of consecutive a-side selections shared with the b side

@@ -68,6 +68,35 @@ object StreamingWinnow {
   }
 
   /**
+   * Persist stored-corpus fingerprints as the on-disk decontamination
+   * artifact: slim (id, fp) rows range-partitioned and sorted by `fp`, so
+   * a flag join's probe prunes row groups via parquet min/max stats on
+   * the join key. The size is the winnow density bound (~2·chars/(w+1)
+   * per doc × 16 bytes) regardless of document length — corpus text is
+   * never needed again at flag time.
+   */
+  def saveFingerprints(fps: DataFrame, path: String): Unit =
+    fps.select(col("id"), col("fp"))
+      .repartitionByRange(col("fp")).sortWithinPartitions(col("fp"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append an ingest batch's fingerprints as delta files with the same
+    * per-file sort (the BM25 segment-append discipline — no rewrite of
+    * existing files). The df <= maxDf cut is applied at
+    * [[fingerprintIndex]] build time over the WHOLE loaded set, so
+    * appended docs participate in boilerplate suppression exactly as if
+    * the index had been rebuilt. */
+  def appendFingerprints(fps: DataFrame, path: String): Unit =
+    fps.select(col("id"), col("fp"))
+      .repartitionByRange(col("fp")).sortWithinPartitions(col("fp"))
+      .write.mode("append").parquet(path)
+
+  /** Read a stored fingerprint set back; schema (id, fp). */
+  def loadFingerprints(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /**
    * Flag a stream of (idCol, textCol) documents against a prebuilt
    * [[WinnowIndex]]. Returns (idCol, dup_of, n_shared) — one row per
    * (incoming, stored) pair sharing >= minShared distinct KEPT

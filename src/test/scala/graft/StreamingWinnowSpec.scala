@@ -76,6 +76,31 @@ class StreamingWinnowSpec extends SparkSpec {
     assert(idx2.inverted.count() > 0)
   }
 
+  test("save → append → load roundtrips the merged fingerprint set") {
+    val docs = graft.sources.Tables.documents(spark, Sf).filter(col("doc_id") < 40)
+    val base = TextAnalysis.winnowFingerprints(docs)
+      .select(col("doc_id").as("id"), col("fp"))
+    val batch = TextAnalysis.winnowFingerprints(
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      .select(col("doc_id").as("id"), col("fp"))
+    val tmp = java.nio.file.Files.createTempDirectory("winnow_idx_spec").toString
+    StreamingWinnow.saveFingerprints(base, tmp)
+    StreamingWinnow.appendFingerprints(batch, tmp)
+    val loaded = StreamingWinnow.loadFingerprints(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = base.union(batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loaded == direct)
+    // and the index built from the loaded set applies the df cut over the
+    // MERGED corpus: an appended exact copy doubles its fps' df
+    val idx = StreamingWinnow.fingerprintIndex(
+      StreamingWinnow.loadFingerprints(spark, tmp), maxDf = 20)
+    val idxDirect = StreamingWinnow.fingerprintIndex(base.union(batch), maxDf = 20)
+    assert(idx.inverted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      idxDirect.inverted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("validation") {
     val fps = Seq((1L, 10L)).toDF("id", "fp")
     intercept[IllegalArgumentException] {
