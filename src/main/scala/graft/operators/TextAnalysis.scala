@@ -984,17 +984,25 @@ object TextAnalysis {
                                     maxDf: Int = 20): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs df 2), got $maxDf")
+    // fps feeds the df cut and BOTH sides of the pair join — persist so
+    // the (possibly expensive) fingerprint derivation runs once, not 3×;
+    // the pair output is report-sized → eager localCheckpoint + unpersist
+    // (the containmentPairs fork-severing discipline)
     val fps = fingerprints.select(col("id"), col("fp")).distinct()
-    val kept = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("fp"))
-    val idx = fps.join(kept, Seq("fp"))
-    idx.as("a").join(idx.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared")) // (id, fp) distinct ⇒ count = |∩|
-      .filter(col("n_shared") >= minShared)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kept = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= maxDf)
+        .select(col("fp"))
+      val idx = fps.join(kept, Seq("fp"))
+      idx.as("a").join(idx.as("b"),
+          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared")) // (id, fp) distinct ⇒ count = |∩|
+        .filter(col("n_shared") >= minShared)
+        .localCheckpoint()
+    } finally fps.unpersist()
   }
 
   /**
@@ -1027,39 +1035,47 @@ object TextAnalysis {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs df 2), got $maxDf")
     import org.apache.spark.sql.expressions.Window
+    // sel feeds the per-doc index window, the df cut and both join sides —
+    // persist so the whole fingerprint scan runs once, not ~4×; the span
+    // output is report-sized → eager localCheckpoint + unpersist (the
+    // containmentPairs fork-severing discipline)
     val sel = winnowFingerprints(docs, k, w, idCol, textCol)
       .select(col(idCol).as("id"), col("pos"), col("fp"))
-    val withIdx = sel.withColumn("sidx",
-      row_number().over(Window.partitionBy(col("id")).orderBy(col("pos"))))
-    val distinctFps = sel.select(col("id"), col("fp")).distinct()
-    val kept = distinctFps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("fp"))
-    val idx = distinctFps.join(kept, Seq("fp"))
-    // qualifying pairs, with the matches report's exact semantics
-    val pairs = idx.as("a").join(idx.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .select(col("id_a"), col("id_b"))
-    // a-side selections whose fp the b side also selected (kept fps only);
-    // distinct: the same a-selection can match several b positions
-    val shared = withIdx.as("a").join(idx.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.pos").as("pos"), col("a.sidx").as("sidx"))
-      .distinct()
-      .join(pairs, Seq("id_a", "id_b"))
-    shared
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id_a"), col("id_b")).orderBy(col("sidx"))))
-      .withColumn("island", col("sidx") - col("rn"))
-      .groupBy(col("id_a"), col("id_b"), col("island"))
-      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("span_end"),
-        count(lit(1)).as("n_fps"))
-      .drop("island")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val withIdx = sel.withColumn("sidx",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("pos"))))
+      val distinctFps = sel.select(col("id"), col("fp")).distinct()
+      val kept = distinctFps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= maxDf)
+        .select(col("fp"))
+      val idx = distinctFps.join(kept, Seq("fp"))
+      // qualifying pairs, with the matches report's exact semantics
+      val pairs = idx.as("a").join(idx.as("b"),
+          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .select(col("id_a"), col("id_b"))
+      // a-side selections whose fp the b side also selected (kept fps only);
+      // distinct: the same a-selection can match several b positions
+      val shared = withIdx.as("a").join(idx.as("b"),
+          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.pos").as("pos"), col("a.sidx").as("sidx"))
+        .distinct()
+        .join(pairs, Seq("id_a", "id_b"))
+      shared
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id_a"), col("id_b")).orderBy(col("sidx"))))
+        .withColumn("island", col("sidx") - col("rn"))
+        .groupBy(col("id_a"), col("id_b"), col("island"))
+        .agg(min(col("pos")).as("span_start"), max(col("pos")).as("span_end"),
+          count(lit(1)).as("n_fps"))
+        .drop("island")
+        .localCheckpoint()
+    } finally sel.unpersist()
   }
 
   /**
