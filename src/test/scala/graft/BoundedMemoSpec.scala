@@ -2,9 +2,9 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The artifact-cache memo contract (round-11 advice): check-then-put,
-  * single-oldest eviction — arrival of an over-cap key must NOT flush the
-  * other live entries. */
+/** The artifact-cache memo contract (round-11 advice, LRU per round-12):
+  * check-then-put, single-LRU eviction — arrival of an over-cap key must
+  * NOT flush the other live entries, and a HIT refreshes recency. */
 class BoundedMemoSpec extends AnyFunSuite {
 
   test("caches on first build, returns cached value without rebuilding") {
@@ -23,6 +23,19 @@ class BoundedMemoSpec extends AnyFunSuite {
     assert(builds == 3)
     assert(get("b") == b && get("c") == c && builds == 3) // both survived
     assert(get("a") != a && builds == 4)                  // "a" re-derives
+  }
+
+  test("a hit refreshes recency: the hot first-inserted entry survives") {
+    val m = new BoundedMemo[String](2)
+    var builds = 0
+    def get(k: String) = m.get(k) { builds += 1; s"$k#$builds" }
+    val a = get("a"); get("b")
+    assert(get("a") == a)     // hit moves "a" to the back
+    get("c")                  // evicts "b" (now the LRU), not "a"
+    assert(get("a") == a && builds == 3) // hot entry survived the arrival
+    assert(builds == 3)
+    get("b")                  // "b" was evicted → re-derives
+    assert(builds == 4)
   }
 
   test("cap must be positive") {

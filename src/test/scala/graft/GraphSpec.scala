@@ -313,6 +313,26 @@ class GraphSpec extends SparkSpec {
     assert(weighted2(3L) == 20L) // 5 beats 1 even though 1 < 20
   }
 
+  test("weighted label propagation: duplicate (src,dst) edges sum consistently") {
+    // round-12 advice: distinct() over (src, dst, w) made semantics depend
+    // on whether duplicate edges carried EQUAL weights (collapsed) or
+    // UNEQUAL ones (both survived and double-voted). The fix sums weights
+    // per (src, dst) regardless. Discriminating case — equal duplicates:
+    // (1,3,2) twice must sum to 4 (old distinct collapsed them to 2), so
+    // label 1 at 4 beats label 20 at 3; under the old semantics 20 won
+    val equalDups = Seq((1L, 3L, 2L), (1L, 3L, 2L), (20L, 3L, 3L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.labelPropagation(equalDups, iters = 1, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) == 1L) // 2+2 = 4 > 3
+    // unequal duplicates sum the same way (4+2 = 6 > 5)
+    val unequalDups = Seq((1L, 3L, 4L), (1L, 3L, 2L), (20L, 3L, 5L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got2 = Graph.labelPropagation(unequalDups, iters = 1, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(3L) == 1L)
+  }
+
   test("label propagation: fixpoint early-exit returns the fixed-iters result") {
     // a both-direction triangle reaches the all-1 fixpoint within 3 rounds
     // (round 1: 1<-2, 2<-1, 3<-1; round 2: 1<-1; round 3: stable), so a
