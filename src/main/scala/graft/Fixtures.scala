@@ -1101,9 +1101,10 @@ private[graft] object Fixtures {
     * ROWS frame computed over ALL gram rows then filtered to window starts
     * (full windows, plus the single short-doc window when n < w), the
     * rightmost-position tie-break as a max(p) join back on the window
-    * minimum, selections dedup'd. `h` is referenced twice → AS MATERIALIZED
-    * (DuckDB re-inlines multiply-referenced CTEs combinatorially
-    * otherwise). Yields `sel(doc_id, pos, fp)`. */
+    * minimum, selections dedup'd. `h` (referenced twice) and `sel`
+    * (referenced up to twice by the spans oracle) are AS MATERIALIZED —
+    * DuckDB re-inlines multiply-referenced CTEs combinatorially otherwise.
+    * Yields `sel(doc_id, pos, fp)`. */
   def winnowSelCtes(sfx: String = ""): String = {
     // (((c1·B + c2) % M)·B + c3) % M … — matches the kernel exactly: the
     // first term skips the mod (codepoints < 2^21 < M). `sfx` renames every
@@ -1133,7 +1134,7 @@ private[graft] object Fixtures {
       |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
       |    FROM h$sfx)
       |  WHERE i <= greatest(n - 3, 1)),
-      |sel$sfx AS (
+      |sel$sfx AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, pos, fp FROM (
       |    SELECT w.doc_id, w.i, max(g.p) AS pos, w.mn AS fp
       |    FROM ws$sfx w JOIN h$sfx g ON g.doc_id = w.doc_id
@@ -1161,7 +1162,7 @@ private[graft] object Fixtures {
        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
        |  FROM documents),
        |${winnowSelCtes()},
-       |fps AS (SELECT DISTINCT doc_id AS id, fp FROM sel),
+       |fps AS MATERIALIZED (SELECT DISTINCT doc_id AS id, fp FROM sel),
        |kept AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp)
        |         WHERE df >= 2 AND df <= 20),
        |fk AS MATERIALIZED (SELECT id, fps.fp FROM fps JOIN kept USING (fp))
@@ -1185,7 +1186,7 @@ private[graft] object Fixtures {
        |           greatest(CAST(floor(len(string_split_regex(trim(lower(text)), '\\s+')) * 3 / 4) AS INT), 1)), ' ') AS text
        |  FROM documents),
        |${winnowSelCtes()},
-       |fps AS (SELECT DISTINCT doc_id AS id, fp FROM sel),
+       |fps AS MATERIALIZED (SELECT DISTINCT doc_id AS id, fp FROM sel),
        |kept AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp)
        |         WHERE df >= 2 AND df <= 20),
        |fk AS MATERIALIZED (SELECT id, fps.fp FROM fps JOIN kept USING (fp)),

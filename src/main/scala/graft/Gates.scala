@@ -21,8 +21,9 @@ private[graft] object Gates {
   import Fixtures._
 
   /** Remove a throwaway build artifact (bounded: the bench-build index
-    * trees, a few files each). */
-  private def deleteTree(path: String): Unit = {
+    * trees, a few files each). Shared with the [[Queries]] entries that
+    * build-and-discard persisted artifacts (`winnow_index_flag`). */
+  private[graft] def deleteTree(path: String): Unit = {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
     val p = Path.of(path)

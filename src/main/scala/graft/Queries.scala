@@ -666,11 +666,17 @@ private[graft] object Queries {
       val idx = StreamingWinnow.fingerprintIndex(
         StreamingWinnow.loadFingerprints(s, tmp))
       // flagAgainstIndex is stream-agnostic: the same stateless plan runs
-      // on a batch frame (the admission check replayed over a backfill)
-      StreamingWinnow.flagAgainstIndex(
+      // on a batch frame (the admission check replayed over a backfill).
+      // The result is report-sized → eager localCheckpoint severs it from
+      // the temp parquet, which is then deleted (the ann_*_build
+      // discipline — bench re-invocations must not accumulate /tmp trees)
+      val out = StreamingWinnow.flagAgainstIndex(
           Fixtures.nearDupCopies(
             Tables.documents(s, dir).filter(col("doc_id") < 500)), idx)
         .orderBy(col("doc_id"), col("dup_of"))
+        .localCheckpoint()
+      Gates.deleteTree(tmp)
+      out
     }),
 
     "winnow_spans" -> ((s, dir) => {

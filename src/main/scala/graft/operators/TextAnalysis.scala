@@ -991,19 +991,31 @@ object TextAnalysis {
     val fps = fingerprints.select(col("id"), col("fp")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val kept = fps.groupBy(col("fp"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= maxDf)
-        .select(col("fp"))
-      val idx = fps.join(kept, Seq("fp"))
-      idx.as("a").join(idx.as("b"),
-          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .agg(count(lit(1)).as("n_shared")) // (id, fp) distinct ⇒ count = |∩|
-        .filter(col("n_shared") >= minShared)
+      winnowSharedCountPairs(winnowKeptFpIndex(fps, maxDf), minShared)
         .localCheckpoint()
     } finally fps.unpersist()
   }
+
+  /** The df ∈ [2, maxDf]-cut inverted index over a DISTINCT (id, fp)
+    * frame — the pair-qualification substrate shared by [[winnowMatches]]
+    * and [[winnowSpans]] (one definition, so the spans ⊇ matches
+    * invariant can't silently diverge). */
+  private def winnowKeptFpIndex(fps: DataFrame, maxDf: Int): DataFrame = {
+    val kept = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    fps.join(kept, Seq("fp"))
+  }
+
+  /** (id_a, id_b, n_shared) pairs over a [[winnowKeptFpIndex]] with the
+    * >= minShared floor — distinct (id, fp) input ⇒ count = |∩|. */
+  private def winnowSharedCountPairs(idx: DataFrame, minShared: Long): DataFrame =
+    idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
 
   /**
    * Winnow match SPANS — what MOSS actually reports: not just that a pair
@@ -1046,17 +1058,10 @@ object TextAnalysis {
       val withIdx = sel.withColumn("sidx",
         row_number().over(Window.partitionBy(col("id")).orderBy(col("pos"))))
       val distinctFps = sel.select(col("id"), col("fp")).distinct()
-      val kept = distinctFps.groupBy(col("fp"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= maxDf)
-        .select(col("fp"))
-      val idx = distinctFps.join(kept, Seq("fp"))
-      // qualifying pairs, with the matches report's exact semantics
-      val pairs = idx.as("a").join(idx.as("b"),
-          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= minShared)
+      val idx = winnowKeptFpIndex(distinctFps, maxDf)
+      // qualifying pairs, with the matches report's exact semantics (the
+      // SAME shared helpers — the invariant is structural, not by-copy)
+      val pairs = winnowSharedCountPairs(idx, minShared)
         .select(col("id_a"), col("id_b"))
       // a-side selections whose fp the b side also selected (kept fps only);
       // distinct: the same a-selection can match several b positions

@@ -110,16 +110,29 @@ object StreamingWinnow {
                        textCol: String = "text"): DataFrame = {
     require(minShared >= 1, s"flagAgainstIndex: minShared must be >= 1, got $minShared")
     import org.apache.spark.sql.graftshim.GraftPlanBridge.{column => toCol, expr => toExpr}
-    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val norm = regexp_replace(
+      trim(lower(coalesce(col(textCol), lit("")))), "\\s+", " ")
+    // explode_OUTER and no size() guard, deliberately (the winnowFingerprints
+    // plan pin): a size(_fps) > 0 filter is semantically dead here — plain
+    // explode drops empty arrays anyway — but Catalyst pushes it below the
+    // projection, alias-substituting the whole kernel expression into the
+    // filter, and plain explode invites InferFiltersFromGenerate to inline
+    // a third copy. With the outer variant nothing is inferred; a doc too
+    // short for a gram yields one null-fp row, which the fp equi-join drops.
+    // The coalesce makes the kernel input (hence fps_a) NON-NULLABLE, so
+    // the downstream join condition on array_min(array_intersect(fps_a, …))
+    // cannot infer an isnotnull(fps_a) constraint filter either — that
+    // inference alias-substitutes a SECOND full kernel copy below the
+    // projection (the same round-12 failure mode through a different rule);
+    // null text ⇒ empty normalized text ⇒ no grams, identical semantics
     val withFps = stream
       .select(col(idCol), norm.as("_nm"))
       .withColumn("_fps", array_distinct(transform(
         toCol(graft.plans.WinnowSelect(toExpr(col("_nm")), k, w)),
         s => s.getField("fp"))))
-      .filter(size(col("_fps")) > 0)
       .select(col(idCol), col("_fps").as("fps_a"))
     val candidates = withFps
-      .select(col(idCol), col("fps_a"), explode(col("fps_a")).as("fp"))
+      .select(col(idCol), col("fps_a"), explode_outer(col("fps_a")).as("fp"))
       .join(index.inverted, Seq("fp"))
       .join(index.docSets, Seq("dup_of"))
     val shared = array_intersect(col("fps_a"), col("fps_b"))

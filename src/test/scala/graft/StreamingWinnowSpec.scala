@@ -76,6 +76,20 @@ class StreamingWinnowSpec extends SparkSpec {
     assert(idx2.inverted.count() > 0)
   }
 
+  test("plan: the flag path evaluates the selection kernel exactly once") {
+    val fps = Seq((1L, 10L), (2L, 10L)).toDF("id", "fp")
+    val idx = StreamingWinnow.fingerprintIndex(fps, maxDf = 20)
+    // a table scan, not a literal local relation — Catalyst constant-folds
+    // the kernel away entirely on a LocalRelation, leaving nothing to pin
+    val plan = StreamingWinnow.flagAgainstIndex(
+        graft.sources.Tables.documents(spark, Sf), idx)
+      .queryExecution.optimizedPlan.toString
+    // a second winnow_select would mean a pushed size() guard or an
+    // InferFiltersFromGenerate copy re-runs the kernel per row (the
+    // round-12 md5-storm failure mode, pinned for winnowFingerprints too)
+    assert("winnow_select".r.findAllIn(plan).length == 1, plan.take(2000))
+  }
+
   test("save → append → load roundtrips the merged fingerprint set") {
     val docs = graft.sources.Tables.documents(spark, Sf).filter(col("doc_id") < 40)
     val base = TextAnalysis.winnowFingerprints(docs)
