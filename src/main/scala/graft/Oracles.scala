@@ -671,6 +671,51 @@ private[graft] object Oracles {
         |SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "event_funnel" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM base),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |                            AND ts <= t1 + INTERVAL 24 HOURS THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |                            AND ts <= t2 + INTERVAL 24 HOURS THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |pu AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        |       FROM w3 GROUP BY user_id),
+        |s AS (SELECT count(t1) AS u1, count(t2) AS u2, count(t3) AS u3 FROM pu)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS step_idx, 'view' AS stage, u1 AS users,
+        |         CASE WHEN u1 > 0 THEN round(CAST(u1 AS DOUBLE) / u1, 6) END AS conv_from_first,
+        |         CAST(NULL AS DOUBLE) AS conv_from_prev FROM s
+        |  UNION ALL
+        |  SELECT CAST(2 AS INTEGER), 'click', u2,
+        |         CASE WHEN u1 > 0 THEN round(CAST(u2 AS DOUBLE) / u1, 6) END,
+        |         CASE WHEN u1 > 0 THEN round(CAST(u2 AS DOUBLE) / u1, 6) END FROM s
+        |  UNION ALL
+        |  SELECT CAST(3 AS INTEGER), 'purchase', u3,
+        |         CASE WHEN u1 > 0 THEN round(CAST(u3 AS DOUBLE) / u1, 6) END,
+        |         CASE WHEN u2 > 0 THEN round(CAST(u3 AS DOUBLE) / u2, 6) END FROM s)
+        |ORDER BY step_idx""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS u,
+        |         CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS INTEGER) AS m
+        |  FROM orders),
+        |f AS (SELECT u, m, min(m) OVER (PARTITION BY u) AS cm FROM m),
+        |r AS (SELECT DISTINCT u, cm, m - cm AS off FROM f),
+        |c AS (SELECT cm, off, count(*) AS users FROM r GROUP BY cm, off),
+        |cs AS (SELECT *, max(CASE WHEN off = 0 THEN users END)
+        |         OVER (PARTITION BY cm) AS csz FROM c)
+        |SELECT CAST((cm - (cm % 12)) / 12 AS INTEGER) AS cohort_year,
+        |       CAST(cm % 12 + 1 AS INTEGER) AS cohort_month,
+        |       off AS month_offset, users,
+        |       round(CAST(users AS DOUBLE) / csz, 6) AS retention
+        |FROM cs ORDER BY cohort_year, cohort_month, month_offset""".stripMargin,
+
     "date_parts_orders" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
         |       COUNT(*) AS n_orders,
@@ -759,6 +804,50 @@ private[graft] object Oracles {
         |FROM sh JOIN d USING (g)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "tfidf_top_terms" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS term
+        |      FROM t, unnest(range(1, len(toks))) u(i)
+        |      WHERE len(toks) >= 2),
+        |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM g GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |         round(tf * round(ln((nd + 1.0) / (df + 1.0)) + 1.0, 6), 6) AS score
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rnk,
+        |         term, tf, df, score FROM sc)
+        |SELECT doc_id, rnk, term, tf, df, score FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "sparse_similar_docs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS term
+        |      FROM t, unnest(range(1, len(toks) - 1)) u(i)
+        |      WHERE len(toks) >= 3),
+        |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM g GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |band AS (SELECT term, df FROM dfq, n WHERE df >= 2 AND df * 5 <= nd * 1),
+        |sc AS MATERIALIZED (
+        |  SELECT doc_id AS d, term,
+        |         round(tf * round(ln((nd + 1.0) / (df + 1.0)) + 1.0, 6), 6) AS score
+        |  FROM tf JOIN band USING (term) CROSS JOIN n),
+        |nr AS (SELECT d, sqrt(CAST(sum(CAST(score AS DECIMAL(18,6)) * CAST(score AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+        |       FROM sc GROUP BY 1),
+        |wt AS MATERIALIZED (SELECT d, term, CAST(round(score / nrm * 1000000, 0) AS BIGINT) AS u
+        |      FROM sc JOIN nr USING (d)),
+        |p AS (SELECT a.d AS da, b.d AS db, sum(a.u * b.u) AS dot, count(*) AS n_shared
+        |      FROM wt a JOIN wt b ON a.term = b.term AND a.d < b.d GROUP BY 1, 2),
+        |u2 AS (SELECT da AS doc_id, db AS nbr_id, dot, n_shared FROM p
+        |       UNION ALL SELECT db, da, dot, n_shared FROM p),
+        |r AS (SELECT doc_id,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY dot DESC, nbr_id) AS INTEGER) AS rnk,
+        |         nbr_id, n_shared, round(CAST(dot AS DOUBLE) / 1e12, 6) AS cos FROM u2)
+        |SELECT doc_id, rnk, nbr_id, n_shared, cos FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     "ngram_jaccard_pairs" ->
       """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

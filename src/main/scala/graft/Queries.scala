@@ -850,6 +850,21 @@ private[graft] object Queries {
     }),
 
 
+    "event_funnel" -> ((s, dir) => {
+      // ordered view→click→purchase conversion, each step within 24h of the
+      // previous: one user-keyed shuffle + stacked Windows (no extra
+      // exchange per step), driver-small stage summary
+      EventAnalytics.funnelSteps(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), withinHours = 24)
+    }),
+
+    "cohort_retention" -> ((s, dir) => {
+      // monthly cohorts of customers by first-order month over the 7-year
+      // orders history; integer month-index arithmetic replays exactly
+      EventAnalytics.cohortRetention(Tables.orders(s, dir),
+        userCol = "o_custkey", dateCol = "o_orderdate")
+    }),
+
     "topk_custom_operator" -> ((s, dir) => {
       // same semantics as topk_orders_per_priority, executed by the custom
       // heap-based TopKPerKey physical operator (no per-partition sort)
@@ -1417,6 +1432,21 @@ private[graft] object Queries {
         .orderBy(col("doc_id"))
     }),
 
+
+    "tfidf_top_terms" -> ((s, dir) => {
+      // distinctive bigram phrases per doc: tf·idf6 over word 2-grams,
+      // top-5 by (score DESC, term ASC) — idf quantized before the product
+      // so the ranking replays bit-for-bit
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), gramN = 2, k = 5)
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    "sparse_similar_docs" -> ((s, dir) => {
+      // lexical more-like-this: trigram tf-idf cosine via a df-cut
+      // inverted-index self-join, integer micro-unit dot products
+      TextAnalysis.sparseSimilarDocs(Tables.documents(s, dir), gramN = 3, k = 5)
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
 
     "line_dedup" -> ((s, dir) => {
       // corpus-level boilerplate-line removal: rebuild each doc as a shared

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-sequence analytics over an events table (event_id, ts, user_id,
+ * event_type, value, props — TESTDATA.md): ordered conversion funnels and
+ * cohort retention. The classic product-analytics pair, and — for a
+ * training-data pipeline — the shape of any "did ingest reach stage k
+ * within the window" audit over a pipeline-event log.
+ *
+ * Scale shape (both operators): ONE shuffle on the entity key, then every
+ * per-entity step is a Window over that same partitioning — Catalyst plans
+ * a single Exchange + Sort and stacks the Window operators on top of it
+ * (pinned in EventAnalyticsSpec), so the sequential "first B after A"
+ * dependency costs no extra shuffles. The per-entity state is k timestamps
+ * (funnel) or one month index (cohort), so no partition outgrows memory no
+ * matter how active one user is. Final aggregates reduce to stage/cohort
+ * cardinality — driver-small by construction.
+ *
+ * Determinism: all comparisons are on exact timestamps / integer month
+ * indexes; the only doubles are final ratio divisions, round(…, 6) — the
+ * repo-wide cross-engine convention.
+ */
+object EventAnalytics {
+
+  /**
+   * Ordered conversion funnel: for each user, stage 1 fires at the first
+   * `steps(0)` event; stage i fires at the first `steps(i-1)` event
+   * STRICTLY after stage i-1 and within `withinHours` of it. Output: one
+   * row per stage — (step_idx, stage, users, conv_from_first,
+   * conv_from_prev), ordered by step_idx.
+   *
+   * The strict-sequence semantics ("click after the view, purchase after
+   * that click") is what windowed conditional aggregation alone cannot
+   * express; chaining Windows over one user partitioning expresses it in
+   * a single pass.
+   */
+  def funnelSteps(events: DataFrame, steps: Seq[String], withinHours: Int,
+                  tsCol: String = "ts", userCol: String = "user_id",
+                  typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, s"funnelSteps: need >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "funnelSteps: steps must be distinct")
+    require(withinHours > 0, s"funnelSteps: withinHours must be positive, got $withinHours")
+
+    val w = Window.partitionBy(col(userCol))
+    // type-pruned scan: only funnel stages survive to the shuffle
+    val base = events.filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol), col(typeCol), col(tsCol))
+
+    // t1 = first stage-0 event; t_i = first stage-(i-1) event in
+    // (t_{i-1}, t_{i-1} + withinHours]. Each step is a Window over the SAME
+    // partitioning — one Exchange total.
+    val staged = steps.zipWithIndex.foldLeft(base) { case (df, (stage, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === stage
+        else col(typeCol) === stage &&
+          col(tsCol) > col(s"_t$i") &&
+          col(tsCol) <= col(s"_t$i") + expr(s"INTERVAL $withinHours HOURS")
+      df.withColumn(s"_t${i + 1}", min(when(cond, col(tsCol))).over(w))
+    }
+
+    val k = steps.size
+    // per-user stage timestamps are window-constants; max() just reads them
+    val perUser = staged.groupBy(col(userCol))
+      .agg(max(col("_t1")).as("_t1"),
+        (2 to k).map(i => max(col(s"_t$i")).as(s"_t$i")): _*)
+    // count() skips nulls → users reaching each stage; ONE driver-small row
+    val summary = perUser.agg(count(col("_t1")).as("u1"),
+      (2 to k).map(i => count(col(s"_t$i")).as(s"u$i")): _*)
+
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 6)).otherwise(lit(null).cast("double"))
+
+    val rows = steps.zipWithIndex.map { case (stage, i0) =>
+      val i = i0 + 1
+      struct(
+        lit(i).as("step_idx"),
+        lit(stage).as("stage"),
+        col(s"u$i").as("users"),
+        ratio(col(s"u$i"), col("u1")).as("conv_from_first"),
+        (if (i == 1) lit(null).cast("double")
+         else ratio(col(s"u$i"), col(s"u${i - 1}"))).as("conv_from_prev"))
+    }
+    summary.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.stage"), col("r.users"),
+        col("r.conv_from_first"), col("r.conv_from_prev"))
+      .orderBy(col("step_idx"))
+  }
+
+  /**
+   * Monthly cohort retention: cohort = calendar month of the entity's
+   * first fact; for every later month with activity, the share of the
+   * cohort still active. Month arithmetic is on the integer index
+   * `year*12 + (month-1)` — exact in any engine, no interval/timezone
+   * semantics to align. Output: (cohort_year, cohort_month, month_offset,
+   * users, retention), ordered.
+   *
+   * Offset 0 always exists for every cohort (the first fact itself), so
+   * the cohort-size Window lookup never misses.
+   */
+  def cohortRetention(facts: DataFrame, userCol: String, dateCol: String): DataFrame = {
+    val m = (year(col(dateCol)) * 12 + (month(col(dateCol)) - 1)).cast("int")
+    val wUser = Window.partitionBy(col("u"))
+    val active = facts.select(col(userCol).as("u"), m.as("m"))
+      .withColumn("cm", min(col("m")).over(wUser))
+      .select(col("u"), col("cm"), (col("m") - col("cm")).as("off"))
+      .distinct() // one row per (user, active month)
+    val counts = active.groupBy(col("cm"), col("off"))
+      .agg(count(lit(1)).as("users"))
+    val wCohort = Window.partitionBy(col("cm"))
+    counts
+      .withColumn("csz", max(when(col("off") === 0, col("users"))).over(wCohort))
+      .select(
+        floor(col("cm") / 12).cast("int").as("cohort_year"),
+        (col("cm") % 12 + 1).cast("int").as("cohort_month"),
+        col("off").as("month_offset"),
+        col("users"),
+        round(col("users").cast("double") / col("csz"), 6).as("retention"))
+      .orderBy(col("cohort_year"), col("cohort_month"), col("month_offset"))
+  }
+}

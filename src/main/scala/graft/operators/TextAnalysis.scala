@@ -1163,6 +1163,115 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document distinctive phrases: tf-idf over word `gramN`-gram terms,
+   * top-`k` per document by (score DESC, term ASC). The sparse-feature
+   * counterpart of the embedding paths — keyword/phrase extraction for
+   * curation triage and topical routing.
+   *
+   * idf uses the smooth sklearn form ln((N+1)/(df+1)) + 1, quantized to 6
+   * decimals BEFORE the tf product (ln is not correctly-rounded across
+   * engines; round6 of it is, everywhere off the measure-zero boundary),
+   * so score = round(tf · idf6, 6) replays bit-for-bit in DuckDB.
+   *
+   * Scale shape: one tokenize pass → (doc, term) counts (shuffle keyed on
+   * doc+term), a term-keyed df aggregate (second, smaller shuffle), a
+   * term-keyed join back, and a per-doc top-k Window — every stage keyed,
+   * nothing corpus-sized on the driver (N is a metadata-cheap count).
+   */
+  def tfIdfTopTerms(docs: DataFrame, gramN: Int = 2, k: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(gramN >= 1, s"tfIdfTopTerms: gramN must be >= 1, got $gramN")
+    require(k > 0, s"tfIdfTopTerms: k must be positive, got $k")
+    val nDocs = docs.count()
+    require(nDocs > 0, "tfIdfTopTerms: empty corpus")
+    val tf = docs.select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), gramN)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf6 = round(
+      log(lit(nDocs + 1.0) / (col("df") + lit(1)).cast("double")) + lit(1.0), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfq, "term")
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("tf") * idf6, 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /**
+   * Sparse "more-like-this": top-`k` nearest documents per document by
+   * cosine over L2-normalized word-`gramN`-gram tf-idf vectors, generated
+   * by an inverted-index equi-join on the term — the lexical counterpart
+   * of the dense ANN paths, and the standard retrieval-based dedup triage.
+   *
+   * Candidate control (the 100 TB discipline shared with ngramJaccardPairs):
+   * terms outside df ∈ [minDf, N·maxDfNum/maxDfDen] are cut BEFORE the
+   * self-join — integer-arithmetic bound (df·maxDfDen ≤ N·maxDfNum), so
+   * both engines apply the identical rule. On a real (large-vocab) corpus
+   * shared mid-df n-grams are rare, keeping candidate pairs near-linear;
+   * the join never goes all-pairs.
+   *
+   * Cross-engine parity (the round-12 tie discipline): scores quantized to
+   * the 6-grid; norms from an exact DECIMAL(18,6)² sum (order-independent)
+   * then one IEEE sqrt; normalized weights carried as INTEGER micro-units
+   * (round(w·1e6) — ≤1e6 each, so int64 dot products never overflow); the
+   * dot sum is exact int64; cosine = round(dot/1e12, 6). No
+   * summation-order-sensitive float aggregate anywhere.
+   *
+   * Returns (idCol, rnk, nbr_id, n_shared, cos); docs with no in-band
+   * terms have no rows. Shared frames are localCheckpoint'd — the
+   * fork-severing discipline — so the corpus tokenize runs once, not
+   * three times (norms + both self-join sides).
+   */
+  def sparseSimilarDocs(docs: DataFrame, gramN: Int = 3, k: Int = 5,
+                        minDf: Int = 2, maxDfNum: Int = 1, maxDfDen: Int = 5,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(gramN >= 1, s"sparseSimilarDocs: gramN must be >= 1, got $gramN")
+    require(k > 0, s"sparseSimilarDocs: k must be positive, got $k")
+    require(minDf >= 1, s"sparseSimilarDocs: minDf must be >= 1, got $minDf")
+    require(maxDfNum >= 1 && maxDfDen >= 1, "sparseSimilarDocs: df-cut fraction must be positive")
+    val nDocs = docs.count()
+    require(nDocs > 0, "sparseSimilarDocs: empty corpus")
+    val tf = docs.select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), gramN)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf &&
+        col("df") * lit(maxDfDen.toLong) <= lit(nDocs * maxDfNum))
+    val idf6 = round(
+      log(lit(nDocs + 1.0) / (col("df") + lit(1)).cast("double")) + lit(1.0), 6)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val sc = tf.join(dfq, "term")
+      .select(col(idCol).as("d"), col("term"),
+        round(col("tf") * idf6, 6).as("score"))
+      .localCheckpoint() // feeds norms AND the weight join — sever the fork
+    val nr = sc.groupBy(col("d"))
+      .agg(sqrt(sum(col("score").cast(dec) * col("score").cast(dec))
+        .cast("double")).as("nrm"))
+    val wts = sc.join(nr, "d")
+      .select(col("d"), col("term"),
+        round(col("score") / col("nrm") * lit(1e6), 0).cast("long").as("u"))
+      .localCheckpoint() // both self-join sides read the materialized frame
+    val pairs = wts.select(col("d").as("da"), col("term"), col("u").as("ua"))
+      .join(wts.select(col("d").as("db"), col("term"), col("u").as("ub")), "term")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(sum(col("ua") * col("ub")).as("dot"), count(lit(1)).as("n_shared"))
+    val both = pairs.select(col("da").as(idCol), col("db").as("nbr_id"),
+        col("dot"), col("n_shared"))
+      .unionAll(pairs.select(col("db").as(idCol), col("da").as("nbr_id"),
+        col("dot"), col("n_shared")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("dot").desc, col("nbr_id").asc)
+    both.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("nbr_id"), col("n_shared"),
+        round(col("dot").cast("double") / lit(1e12), 6).as("cos"))
+  }
+
+  /**
    * Shuffle-FREE decontamination via a broadcast Bloom filter: build one
    * Bloom filter over the benchmark's distinct `n`-grams (driver-side —
    * real benchmark suites are KB–MB of n-grams, bounded by construction),

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (u, t, at) => (u, t, ts(at)) }
+      .toDF("user_id", "event_type", "ts")
+
+  test("funnel: strict order within the per-step window") {
+    val events = ev(
+      // u1 converts fully: view → click (+2h) → purchase (+3h)
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 12:00:00"),
+      (1L, "purchase", "2024-01-01 15:00:00"),
+      // u2: click BEFORE the first view → not a conversion; no later click
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-01 10:00:00"),
+      // u3: click outside the 24h window
+      (3L, "view", "2024-01-01 10:00:00"),
+      (3L, "click", "2024-01-02 11:00:00"),
+      // u4: purchase before the qualifying click → stage 3 not reached
+      (4L, "view", "2024-01-01 10:00:00"),
+      (4L, "purchase", "2024-01-01 11:00:00"),
+      (4L, "click", "2024-01-01 12:00:00"))
+    val out = EventAnalytics.funnelSteps(events, Seq("view", "click", "purchase"), 24)
+      .collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+    // ratios: overall 1.0 / 0.5 / 0.25; step 2→3 = 0.5
+    assert(out(1).getDouble(3) === 0.5 && out(2).getDouble(3) === 0.25)
+    assert(out(0).isNullAt(4) && out(2).getDouble(4) === 0.5)
+  }
+
+  test("funnel: an event EXACTLY at the window bound counts; at t_prev it does not") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-02 10:00:00"), // exactly +24h → counts (<=)
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 10:00:00")) // same instant → strict > drops
+    val out = EventAnalytics.funnelSteps(events, Seq("view", "click"), 24).collect()
+    assert(out(1).getLong(2) === 1L)
+  }
+
+  test("funnel: the stacked per-step Windows cost ONE exchange") {
+    val events = ev((1L, "view", "2024-01-01 10:00:00"))
+    val plan = EventAnalytics.funnelSteps(events, Seq("view", "click", "purchase"), 24)
+      .queryExecution.executedPlan
+    // user-partition windows share one shuffle; the driver-small summary
+    // stages (single-row agg + explode) add no per-step exchanges
+    val userExchanges = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions > 1 => e
+    }
+    assert(userExchanges.size <= 2, s"expected <=2 wide exchanges, got:\n$plan")
+  }
+
+  test("cohort retention: month-index cohorts, offset-0 size, exact ratios") {
+    val facts = Seq(
+      (1L, "2024-01-05"), (1L, "2024-02-10"), (1L, "2024-02-11"), // dup month collapses
+      (2L, "2024-01-20"), (3L, "2024-01-31"),
+      (4L, "2023-12-31"), (4L, "2024-02-01") // year boundary: offset 2
+    ).map { case (u, d) => (u, java.sql.Date.valueOf(d)) }.toDF("u", "d")
+    val out = EventAnalytics.cohortRetention(facts, "u", "d")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (2023, 12, 0, 1L, 1.0), (2023, 12, 2, 1L, 1.0),
+      (2024, 1, 0, 3L, 1.0), (2024, 1, 1, 1L, round(1.0 / 3, 6))))
+  }
+
+  private def round(x: Double, n: Int): Double =
+    BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
