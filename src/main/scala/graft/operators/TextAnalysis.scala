@@ -1227,19 +1227,30 @@ object TextAnalysis {
    */
   def sparseSimilarDocs(docs: DataFrame, gramN: Int = 3, k: Int = 5,
                         minDf: Int = 2, maxDfNum: Int = 1, maxDfDen: Int = 5,
+                        maxDfAbs: Option[Int] = None,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(gramN >= 1, s"sparseSimilarDocs: gramN must be >= 1, got $gramN")
     require(k > 0, s"sparseSimilarDocs: k must be positive, got $k")
     require(minDf >= 1, s"sparseSimilarDocs: minDf must be >= 1, got $minDf")
     require(maxDfNum >= 1 && maxDfDen >= 1, "sparseSimilarDocs: df-cut fraction must be positive")
+    maxDfAbs.foreach(c => require(c >= minDf,
+      s"sparseSimilarDocs: maxDfAbs ($c) must be >= minDf ($minDf)"))
     val nDocs = docs.count()
     require(nDocs > 0, "sparseSimilarDocs: empty corpus")
     val tf = docs.select(col(idCol),
         explode(TextFunctions.shingles(col(textCol), gramN)).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // the RELATIVE cut (df ≤ N·maxDfNum/maxDfDen) tracks corpus growth; the
+    // optional ABSOLUTE cap bounds per-term join fan-out (≤ maxDfAbs² pairs
+    // per term) no matter how duplicate-heavy the corpus — the guard for
+    // adversarial duplication, where duplication inflates df and N together
+    // and a relative cut shifts nothing out of band (probe record: the 5×
+    // exact-replica corpus grows intermediate pairs ~25× under the relative
+    // cut alone)
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf &&
-        col("df") * lit(maxDfDen.toLong) <= lit(nDocs * maxDfNum))
+        col("df") * lit(maxDfDen.toLong) <= lit(nDocs * maxDfNum) &&
+        maxDfAbs.map(c => col("df") <= c).getOrElse(lit(true)))
     val idf6 = round(
       log(lit(nDocs + 1.0) / (col("df") + lit(1)).cast("double")) + lit(1.0), 6)
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)

@@ -74,6 +74,21 @@ class SparseTextSpec extends SparkSpec {
     assert(out((2L, 1L)) === s12 && out((3L, 1L)) === ((1L, s13._2)))
   }
 
+  test("maxDfAbs bounds per-term fan-out absolutely (duplicate-heavy corpus)") {
+    // 6 exact copies + 2 singletons: with a permissive relative cut the copy
+    // group's terms (df=6) generate 15 pairs; maxDfAbs=4 cuts them while the
+    // singleton pair (df=2) survives
+    val docs = ((1L to 6L).map(i => (i, "a b c d e")) ++
+      Seq((7L, "p q r s t"), (8L, "p q r s t"))).toDF("doc_id", "text")
+    val out = TextAnalysis.sparseSimilarDocs(docs, gramN = 3, k = 10,
+      minDf = 2, maxDfNum = 1, maxDfDen = 1, maxDfAbs = Some(4))
+      .select("doc_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((7L, 8L), (8L, 7L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sparseSimilarDocs(docs, minDf = 3, maxDfAbs = Some(2))
+    }
+  }
+
   test("plan: the candidate generator is a term equi-join, never cartesian") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     val plan = TextAnalysis.sparseSimilarDocs(docs, gramN = 3, k = 2,
