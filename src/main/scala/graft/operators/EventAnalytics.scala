@@ -104,7 +104,11 @@ object EventAnalytics {
   def cohortRetention(facts: DataFrame, userCol: String, dateCol: String): DataFrame = {
     val m = (year(col(dateCol)) * 12 + (month(col(dateCol)) - 1)).cast("int")
     val wUser = Window.partitionBy(col("u"))
-    val active = facts.select(col(userCol).as("u"), m.as("m"))
+    // null dates would yield NULL month_offset rows whose sort placement
+    // differs across engines (Spark NULLS FIRST vs DuckDB NULLS LAST) —
+    // a dateless fact carries no cohort signal, so drop it up front
+    val active = facts.filter(col(dateCol).isNotNull)
+      .select(col(userCol).as("u"), m.as("m"))
       .withColumn("cm", min(col("m")).over(wUser))
       .select(col("u"), col("cm"), (col("m") - col("cm")).as("off"))
       .distinct() // one row per (user, active month)

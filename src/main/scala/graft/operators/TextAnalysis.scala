@@ -1187,6 +1187,10 @@ object TextAnalysis {
     val tf = docs.select(col(idCol),
         explode(TextFunctions.shingles(col(textCol), gramN)).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      // feeds the df aggregate AND the join-back — sever the fork so the
+      // tokenize pass + (doc,term) shuffle run once (the oracle marks the
+      // same CTE AS MATERIALIZED for the same reason)
+      .localCheckpoint()
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf6 = round(
       log(lit(nDocs + 1.0) / (col("df") + lit(1)).cast("double")) + lit(1.0), 6)
@@ -1240,6 +1244,9 @@ object TextAnalysis {
     val tf = docs.select(col(idCol),
         explode(TextFunctions.shingles(col(textCol), gramN)).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      // feeds the df cut AND the weight join — sever the fork so the
+      // tokenize pass + (doc,term) shuffle run once
+      .localCheckpoint()
     // the RELATIVE cut (df ≤ N·maxDfNum/maxDfDen) tracks corpus growth; the
     // optional ABSOLUTE cap bounds per-term join fan-out (≤ maxDfAbs² pairs
     // per term) no matter how duplicate-heavy the corpus — the guard for
