@@ -1458,6 +1458,48 @@ private[graft] object Oracles {
         |SELECT k AS item, cnt, true AS bounds_ok
         |FROM c, t WHERE cnt > floor_cnt ORDER BY item""".stripMargin,
 
+    "cms_frequency" ->
+      """WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
+        |cells AS MATERIALIZED (
+        |  SELECT r, (o_custkey % 1000000007 * a + b) % 1000000007 % 64 AS c,
+        |         COUNT(*) AS n
+        |  FROM orders CROSS JOIN h GROUP BY 1, 2),
+        |ex AS MATERIALIZED (
+        |  SELECT o_custkey, COUNT(*) AS exact FROM orders GROUP BY 1),
+        |top AS MATERIALIZED (
+        |  SELECT o_custkey, exact FROM ex ORDER BY exact DESC, o_custkey LIMIT 20),
+        |probes AS (
+        |  SELECT top.o_custkey, h.r,
+        |         (top.o_custkey % 1000000007 * h.a + h.b) % 1000000007 % 64 AS c
+        |  FROM top CROSS JOIN h),
+        |est AS (
+        |  SELECT p.o_custkey, MIN(COALESCE(cells.n, 0)) AS est
+        |  FROM probes p LEFT JOIN cells ON cells.r = p.r AND cells.c = p.c
+        |  GROUP BY 1)
+        |SELECT t.o_custkey AS custkey, t.exact, e.est, e.est - t.exact AS overcount
+        |FROM top t JOIN est e USING (o_custkey) ORDER BY custkey""".stripMargin,
+
+    "cms_merge" ->
+      """WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
+        |cells AS MATERIALIZED (
+        |  SELECT r, (o_custkey % 1000000007 * a + b) % 1000000007 % 64 AS c,
+        |         COUNT(*) AS n
+        |  FROM orders CROSS JOIN h GROUP BY 1, 2),
+        |top AS MATERIALIZED (
+        |  SELECT o_custkey FROM (
+        |    SELECT o_custkey, COUNT(*) AS exact FROM orders GROUP BY 1)
+        |  ORDER BY exact DESC, o_custkey LIMIT 20),
+        |probes AS (
+        |  SELECT top.o_custkey, h.r,
+        |         (top.o_custkey % 1000000007 * h.a + h.b) % 1000000007 % 64 AS c
+        |  FROM top CROSS JOIN h),
+        |est AS (
+        |  SELECT p.o_custkey, MIN(COALESCE(cells.n, 0)) AS est
+        |  FROM probes p LEFT JOIN cells ON cells.r = p.r AND cells.c = p.c
+        |  GROUP BY 1)
+        |SELECT o_custkey AS custkey, est AS est_direct, est AS est_merged
+        |FROM est ORDER BY custkey""".stripMargin,
+
     "hll_daily_users" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "day",
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,

@@ -1342,6 +1342,45 @@ private[graft] object Queries {
         .orderBy(col("item"))
     }),
 
+    "cms_frequency" -> ((s, dir) => {
+      // count-min sketch (4×64 exact-int64 hash grid) over order custkeys;
+      // estimates for the top-20 exact keys, with the never-undercount
+      // overcount surfaced — the whole grid replays in DuckDB as plain
+      // integer arithmetic, so est (not just exact) is oracle-checked
+      val o = Tables.orders(s, dir)
+      val cells = Sketches.countMinCells(o, col("o_custkey"), depth = 4, width = 64)
+      val top = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("o_custkey").asc).limit(20)
+      Sketches.countMinEstimate(cells, top.select(col("o_custkey")), "o_custkey",
+          depth = 4, width = 64)
+        .join(broadcast(top), "o_custkey")
+        .select(col("o_custkey").as("custkey"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overcount"))
+        .orderBy(col("custkey"))
+    }),
+
+    "cms_merge" -> ((s, dir) => {
+      // the re-aggregation path: three per-slice sketches (orderkey mod 3)
+      // merged cell-wise ≡ one direct build — the merge law pinned
+      // cross-engine by emitting both estimates (the oracle computes the
+      // direct formula once and aliases it to both columns)
+      val o = Tables.orders(s, dir)
+      val slices = (0 until 3).map(i =>
+        Sketches.countMinCells(o.filter(col("o_orderkey") % 3 === i),
+          col("o_custkey"), depth = 4, width = 64))
+      val merged = Sketches.countMinMerge(slices)
+      val direct = Sketches.countMinCells(o, col("o_custkey"), depth = 4, width = 64)
+      val top = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("o_custkey").asc).limit(20)
+        .select(col("o_custkey"))
+      Sketches.countMinEstimate(direct, top, "o_custkey", 4, 64)
+        .withColumnRenamed("est", "est_direct")
+        .join(Sketches.countMinEstimate(merged, top, "o_custkey", 4, 64)
+          .withColumnRenamed("est", "est_merged"), "o_custkey")
+        .select(col("o_custkey").as("custkey"), col("est_direct"), col("est_merged"))
+        .orderBy(col("custkey"))
+    }),
+
     "hll_daily_users" -> ((s, dir) => {
       // mergeable per-day HLL sketch table; est_ok gates the estimate against
       // the exact per-day distinct (computed exactly Spark-side)

@@ -42,6 +42,77 @@ object Sketches {
       .agg(hllSketch(value, lgConfigK).as("sketch"))
       .withColumn("estimate", hll_sketch_estimate(col("sketch")))
 
+  /** Count-min row-hash multipliers/offsets: small fixed primes, so
+    * `(key % CmsMod) * a + b` stays far below 2^63 (exact int64 in any
+    * engine — the cross-engine replay requirement). Depth ≤ 8. */
+  private[graft] val CmsMod = 1000000007L
+  private[graft] val CmsA = Array(31L, 131L, 1031L, 8191L, 127L, 2053L, 257L, 4099L)
+  private[graft] val CmsB = Array(17L, 29L, 101L, 3L, 211L, 53L, 401L, 7L)
+
+  /** h_r(key): row `r`'s counter column for a NON-NEGATIVE int64 key —
+    * ((key mod M)·a_r + b_r) mod M mod width, every intermediate exact in
+    * int64 (plain `%`/`*`/`+`, so DuckDB replays it verbatim). */
+  private def cmsCol(key: Column, r: Int, width: Int): Column =
+    (key % CmsMod * CmsA(r) + CmsB(r)) % CmsMod % width
+
+  /**
+   * Count-min sketch (Cormode & Muthukrishnan 2005) over a non-negative
+   * int64 key column: a `depth`×`width` grid of counters where
+   * cell(r, c) = |{rows : h_r(key) = c}|; the point-frequency estimate
+   * `min_r cell(r, h_r(key))` NEVER undercounts, and overcounts by more
+   * than 2N/width with probability ≤ 2^-depth.
+   *
+   * Why it earns a place next to HLL/SpaceSaving: the sketch is
+   * CELL-WISE ADDITIVE — sketches built per partition / day / source
+   * merge by summing cells ([[countMinMerge]]) — so frequency questions
+   * over any later grouping re-aggregate KB-sized artifacts instead of
+   * re-scanning raw data, and the build itself is one narrow depth-way
+   * explode + ONE shuffle to `depth·width` bounded rows (map-side
+   * partial counts do the heavy combine).
+   *
+   * Returns (r, c, n) — only occupied cells; absent cells are zero.
+   */
+  def countMinCells(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= CmsA.length,
+      s"countMinCells: depth must be in [1, ${CmsA.length}], got $depth")
+    require(width >= 2, s"countMinCells: width must be >= 2, got $width")
+    val k = key.cast("long")
+    val rows = (0 until depth).map(r =>
+      struct(lit(r).as("r"), cmsCol(k, r, width).as("c")))
+    df.select(explode(array(rows: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge stored cell tables (the re-aggregation path): cell-wise sum —
+    * CMS(A ⊎ B) is exactly countMinCells over A ∪ B. */
+  def countMinMerge(cellTables: Seq[DataFrame]): DataFrame = {
+    require(cellTables.nonEmpty, "countMinMerge: need at least one cell table")
+    cellTables.reduce(_ unionAll _)
+      .groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
+  }
+
+  /**
+   * Point-frequency estimates for `keys` (a frame with distinct
+   * non-negative int64 `keyCol`) against a cell table: per key,
+   * min over rows of its cell's count (0 if the cell is absent). The
+   * cell table is `depth·width`-bounded → rides a broadcast; the keys
+   * frame never shuffles.
+   */
+  def countMinEstimate(cells: DataFrame, keys: DataFrame, keyCol: String,
+                       depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= CmsA.length,
+      s"countMinEstimate: depth must be in [1, ${CmsA.length}], got $depth")
+    val k = col(keyCol).cast("long")
+    val hashed = keys.select(col(keyCol),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"), cmsCol(k, r, width).as("c"))): _*)).as("rc"))
+      .select(col(keyCol), col("rc.r").as("r"), col("rc.c").as("c"))
+    hashed.join(broadcast(cells), Seq("r", "c"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
+
   /**
    * Heavy hitters via the SpaceSaving aggregate: items whose GUARANTEED
    * count (`count_min`) may still undercount, so candidates are verified
