@@ -671,6 +671,17 @@ private[graft] object Oracles {
         |SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, COUNT(*) AS cnt FROM seq
+        |      WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, cnt,
+        |       round(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY cur), 6) AS prob
+        |FROM c ORDER BY cur, nxt""".stripMargin,
+
     "event_funnel" ->
       """WITH base AS (
         |  SELECT user_id, event_type, ts FROM events

@@ -858,6 +858,13 @@ private[graft] object Queries {
         Seq("view", "click", "purchase"), withinHours = 24)
     }),
 
+    "event_transitions" -> ((s, dir) => {
+      // first-order Markov cur→next over per-user time-ordered sequences:
+      // one user-keyed shuffle, |types|²-bounded output, exact-count
+      // division on the 6-grid
+      EventAnalytics.transitionMatrix(Tables.events(s, dir))
+    }),
+
     "cohort_retention" -> ((s, dir) => {
       // monthly cohorts of customers by first-order month over the 7-year
       // orders history; integer month-index arithmetic replays exactly

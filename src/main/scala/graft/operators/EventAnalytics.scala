@@ -101,6 +101,37 @@ object EventAnalytics {
    * Offset 0 always exists for every cohort (the first fact itself), so
    * the cohort-size Window lookup never misses.
    */
+  /**
+   * First-order Markov transition matrix over each user's time-ordered
+   * event sequence: counts and row-normalized probabilities of
+   * cur → next. The third member of the event family (funnel = "did the
+   * path happen", retention = "did the user come back", transitions =
+   * "where do users go next") and the input of any next-event model.
+   *
+   * Determinism: the sequence order is (ts, tieCol) — `tieCol` must make
+   * the per-user order total (a unique event id), or same-timestamp
+   * neighbors would make lead() engine-dependent. prob is one IEEE
+   * division of two exact int64 counts, round(…, 6) — the repo-wide
+   * cross-engine convention.
+   *
+   * Scale shape: ONE user-keyed shuffle for the sequence Window, then an
+   * aggregate to the |types|²-bounded (cur, next) table; the
+   * row-normalizing Window runs over that tiny table, not the raw events.
+   */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts", typeCol: String = "event_type",
+                       tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val wCur = Window.partitionBy(col("cur"))
+    events.select(col(userCol), col(typeCol).as("cur"), col(tsCol), col(tieCol))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("cnt"))
+      .withColumn("prob",
+        round(col("cnt").cast("double") / sum(col("cnt")).over(wCur), 6))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
   def cohortRetention(facts: DataFrame, userCol: String, dateCol: String): DataFrame = {
     val m = (year(col(dateCol)) * 12 + (month(col(dateCol)) - 1)).cast("int")
     val wUser = Window.partitionBy(col("u"))

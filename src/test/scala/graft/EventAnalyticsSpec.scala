@@ -66,6 +66,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(wide === 1, s"expected exactly 1 wide exchange, got:\n$s")
   }
 
+  test("transition matrix: per-user sequences, tie-break by event id, row-normalized") {
+    val events = Seq(
+      // u1: view → click → view (ordered by ts)
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 11:00:00"),
+      (3L, 1L, "view", "2024-01-01 12:00:00"),
+      // u2: two SAME-timestamp events — order fixed by event_id (4 then 5)
+      (4L, 2L, "view", "2024-01-01 10:00:00"),
+      (5L, 2L, "click", "2024-01-01 10:00:00"),
+      // u3: single event → no transition
+      (6L, 3L, "view", "2024-01-01 10:00:00"))
+      .map { case (e, u, t, at) => (e, u, t, ts(at)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventAnalytics.transitionMatrix(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // transitions: u1 view→click, click→view; u2 view→click
+    assert(out.toSeq === Seq(
+      ("click", "view", 1L, 1.0),
+      ("view", "click", 2L, 1.0)))
+  }
+
   test("cohort retention: month-index cohorts, offset-0 size, exact ratios") {
     val facts = Seq(
       (1L, "2024-01-05"), (1L, "2024-02-10"), (1L, "2024-02-11"), // dup month collapses
