@@ -926,6 +926,38 @@ private[graft] object Fixtures {
        |SELECT id AS node, lbl AS label FROM l$iters ORDER BY node""".stripMargin
   }
 
+  /** Shared CTE chain for the entity-resolution oracles
+    * (`entity_match_pairs`, `entity_resolution`): the distinct part-name
+    * dictionary (whitespace-collapsed lower-trimmed names with counts and
+    * min-id reps), multi-key blocking (prefix-3 and '$'-prefixed
+    * suffix-3; names shorter than 3 block on themselves), the
+    * block-size-1000 coverage cap, and the distinct candidate pair set —
+    * the exact EntityResolution.fuzzyMatchPairs pipeline. Multiply
+    * referenced frames are AS MATERIALIZED (DuckDB re-inlines otherwise). */
+  def entityCandCtes: String =
+    """names AS MATERIALIZED (
+      |  SELECT regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g') AS nm,
+      |         COUNT(*) AS cnt, MIN(CAST(p_partkey AS BIGINT)) AS rep
+      |  FROM part
+      |  WHERE regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g') <> ''
+      |  GROUP BY 1),
+      |blk AS (
+      |  SELECT nm, cnt, rep, substr(nm, 1, 3) AS bk FROM names
+      |  UNION ALL
+      |  SELECT nm, cnt, rep,
+      |         '$' || CASE WHEN length(nm) >= 3
+      |                     THEN substr(nm, length(nm) - 2, 3) ELSE nm END AS bk
+      |  FROM names),
+      |capped AS MATERIALIZED (
+      |  SELECT nm, cnt, rep, bk FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY bk) AS bsz FROM blk)
+      |  WHERE bsz <= 1000),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.nm AS nm_a, b.nm AS nm_b,
+      |         a.cnt AS cnt_a, b.cnt AS cnt_b,
+      |         a.rep AS rep_a, b.rep AS rep_b
+      |  FROM capped a JOIN capped b ON a.bk = b.bk AND a.nm < b.nm)""".stripMargin
+
   /** Oracle for `trade_components`: the strong-1995-trade pair set
     * (>= 2 lineitems per (customer, supplier)) closed transitively with a
     * recursive CTE — min reachable id per node, the dup_clusters oracle

@@ -682,6 +682,27 @@ private[graft] object Oracles {
         |       round(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY cur), 6) AS prob
         |FROM c ORDER BY cur, nxt""".stripMargin,
 
+    "entity_match_pairs" ->
+      s"""WITH $entityCandCtes
+        |SELECT nm_a, nm_b, levenshtein(nm_a, nm_b) AS dist,
+        |       cnt_a, cnt_b, rep_a, rep_b
+        |FROM cand WHERE levenshtein(nm_a, nm_b) <= 3
+        |ORDER BY nm_a, nm_b""".stripMargin,
+
+    "entity_resolution" ->
+      s"""WITH RECURSIVE $entityCandCtes,
+        |p AS (SELECT rep_a AS a, rep_b AS b FROM cand
+        |      WHERE levenshtein(nm_a, nm_b) <= 3),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |lbl AS (SELECT id, MIN(r) AS entity FROM reach GROUP BY id)
+        |SELECT nm, COALESCE(lbl.entity, names.rep) AS entity, cnt
+        |FROM names LEFT JOIN lbl ON lbl.id = names.rep
+        |ORDER BY nm""".stripMargin,
+
     "event_funnel" ->
       """WITH base AS (
         |  SELECT user_id, event_type, ts FROM events

@@ -865,6 +865,25 @@ private[graft] object Queries {
       EventAnalytics.transitionMatrix(Tables.events(s, dir))
     }),
 
+    "entity_match_pairs" -> ((s, dir) => {
+      // fuzzy record linkage over the part-name vocabulary: one corpus
+      // groupBy to the distinct-name dictionary, then multi-key
+      // (prefix-3 + suffix-3) blocking and Levenshtein <= 3 on |V| rows;
+      // 96 pairs at every SF (vocab-bounded), full DuckDB replay
+      EntityResolution.fuzzyMatchPairs(Tables.part(s, dir),
+          idCol = "p_partkey", nameCol = "p_name")
+        .orderBy(col("nm_a"), col("nm_b"))
+    }),
+
+    "entity_resolution" -> ((s, dir) => {
+      // canonical entity per distinct name: transitive closure of the
+      // fuzzy-match graph (hash-min + pointer doubling over match reps),
+      // singletons keep their own rep; recursive-CTE oracle closure
+      EntityResolution.resolveEntities(Tables.part(s, dir),
+          idCol = "p_partkey", nameCol = "p_name")
+        .orderBy(col("nm"))
+    }),
+
     "cohort_retention" -> ((s, dir) => {
       // monthly cohorts of customers by first-order month over the 7-year
       // orders history; integer month-index arithmetic replays exactly

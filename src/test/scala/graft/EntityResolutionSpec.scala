@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EntityResolution
+
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, String)*) = rows.toDF("id", "name")
+
+  test("nameDictionary normalizes, counts, and takes min-id reps") {
+    val d = EntityResolution.nameDictionary(
+      df((3L, "  Cold   Anvil "), (1L, "cold anvil"), (2L, "Hot Gear"),
+        (4L, "   ")),
+      "id", "name")
+    val got = d.orderBy("nm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("cold anvil", 2L, 1L), ("hot gear", 1L, 2L)))
+  }
+
+  test("fuzzyMatchPairs: prefix block, suffix block, and nothing else") {
+    val d = df(
+      (1L, "cold anvil"), (2L, "old anvil"),   // suffix-blocked, dist 1
+      (3L, "cold bolt"),                        // prefix-blocks with 1, dist 4 (> 3)
+      (4L, "warm plate"), (5L, "warm plates"),  // prefix-blocked, dist 1
+      (6L, "zzz unrelated"))
+    val out = EntityResolution.fuzzyMatchPairs(d, "id", "name")
+      .orderBy("nm_a", "nm_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq === Seq(
+      ("cold anvil", "old anvil", 1),
+      ("warm plate", "warm plates", 1)))
+  }
+
+  test("fuzzyMatchPairs: pair caught by BOTH keys is emitted once") {
+    // same prefix-3 AND same suffix-3 → the distinct must collapse the
+    // duplicate candidate before the levenshtein filter
+    val d = df((1L, "maple red"), (2L, "maples red"))
+    val out = EntityResolution.fuzzyMatchPairs(d, "id", "name").collect()
+    assert(out.length === 1 && out.head.getAs[Int]("dist") === 1)
+  }
+
+  test("fuzzyMatchPairs: block-size cap drops the adversarial block whole") {
+    val bloat = (1L to 20L).map(i => (i, s"aaa filler $i"))
+    val d = df(bloat :+ (100L -> "zzz zok") :+ (101L -> "zzz zk"): _*)
+    val out = EntityResolution.fuzzyMatchPairs(d, "id", "name",
+      maxDist = 3, blockLen = 3, maxBlockSize = 10).collect()
+    // the 20-name "aaa" prefix block is dropped; the zzz pair survives
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("zzz zk", "zzz zok")))
+  }
+
+  test("resolveEntities: transitive closure + singletons keep their rep") {
+    val d = df(
+      (5L, "cold anvil"), (2L, "old anvil"), (9L, "bold anvil"),
+      // chain: cold↔old (1), old↔bold (1), cold↔bold (1) — one entity, rep 2
+      (7L, "lonely name"))
+    val out = EntityResolution.resolveEntities(d, "id", "name")
+      .orderBy("nm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("bold anvil", 2L, 1L), ("cold anvil", 2L, 1L),
+      ("lonely name", 7L, 1L), ("old anvil", 2L, 1L)))
+  }
+
+  test("resolveEntities: no matches → every name its own entity") {
+    val d = df((1L, "alpha one"), (2L, "beta two"), (3L, "gamma three"))
+    val out = EntityResolution.resolveEntities(d, "id", "name")
+      .orderBy("nm").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq ===
+      Seq(("alpha one", 1L), ("beta two", 2L), ("gamma three", 3L)))
+  }
+}
