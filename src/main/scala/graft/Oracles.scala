@@ -682,6 +682,18 @@ private[graft] object Oracles {
         |       round(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY cur), 6) AS prob
         |FROM c ORDER BY cur, nxt""".stripMargin,
 
+    "volume_anomalies" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt FROM events
+        |  GROUP BY 1),
+        |m AS (SELECT median(cnt) AS med FROM d),
+        |m2 AS (SELECT median(abs(cnt - med)) AS mad FROM d, m)
+        |SELECT day, cnt, med, mad,
+        |       CASE WHEN mad = 0 THEN NULL
+        |            ELSE round(abs(cnt - med) / mad, 6) END AS dev_score,
+        |       abs(cnt - med) > 3.0 * mad AS anomaly
+        |FROM d, m, m2 ORDER BY day""".stripMargin,
+
     "entity_match_pairs" ->
       s"""WITH $entityCandCtes
         |SELECT nm_a, nm_b, levenshtein(nm_a, nm_b) AS dist,

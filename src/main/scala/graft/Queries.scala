@@ -865,6 +865,13 @@ private[graft] object Queries {
       EventAnalytics.transitionMatrix(Tables.events(s, dir))
     }),
 
+    "volume_anomalies" -> ((s, dir) => {
+      // robust ingest monitoring: days whose event volume deviates > 3 MAD
+      // from the median; one corpus groupBy to the calendar-bounded daily
+      // frame, two 1-row aggregates broadcast back — exact .0/.5 medians
+      EventAnalytics.volumeAnomalies(Tables.events(s, dir), madK = 3.0)
+    }),
+
     "entity_match_pairs" -> ((s, dir) => {
       // fuzzy record linkage over the part-name vocabulary: one corpus
       // groupBy to the distinct-name dictionary, then multi-key

@@ -156,4 +156,43 @@ object EventAnalytics {
         round(col("users").cast("double") / col("csz"), 6).as("retention"))
       .orderBy(col("cohort_year"), col("cohort_month"), col("month_offset"))
   }
+
+  /**
+   * Robust daily-volume anomaly detection: flag days whose event count
+   * deviates from the corpus median by more than `madK` × MAD (median
+   * absolute deviation) — the monitoring primitive a pipeline runs over
+   * its own ingest log to catch feed outages and duplication storms.
+   * Median/MAD, not mean/stddev: one broken day cannot drag the baseline
+   * toward itself.
+   *
+   * Output: one row per day — (day, cnt, med, mad, dev_score, anomaly),
+   * dev_score = |cnt − med| / MAD rounded to 6 (NULL when MAD = 0, in
+   * which case ANY deviation flags — `|cnt − med| > k·0`).
+   *
+   * Scale shape: ONE corpus shuffle (map-side-combined groupBy to the
+   * calendar-bounded daily frame, localCheckpointed so the med / MAD /
+   * scoring consumers cannot fork the corpus scan), then two 1-row
+   * aggregates broadcast back over |days| rows. Exactness: counts are
+   * longs; exact-percentile medians of longs are .0/.5 halves (IEEE-
+   * exact), so every comparison replays bit-for-bit in DuckDB.
+   */
+  def volumeAnomalies(events: DataFrame, madK: Double = 3.0,
+                      tsCol: String = "ts"): DataFrame = {
+    require(madK > 0, s"volumeAnomalies: madK must be positive, got $madK")
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val med = daily.agg(percentile(col("cnt"), lit(0.5)).as("med"))
+    val scored = daily.crossJoin(broadcast(med))
+    val mad = scored
+      .agg(percentile(abs(col("cnt") - col("med")), lit(0.5)).as("mad"))
+    scored.crossJoin(broadcast(mad))
+      .select(col("day"), col("cnt"), col("med"), col("mad"),
+        when(col("mad") === 0, lit(null).cast("double"))
+          .otherwise(round(abs(col("cnt") - col("med")) / col("mad"), 6))
+          .as("dev_score"),
+        (abs(col("cnt") - col("med")) > lit(madK) * col("mad")).as("anomaly"))
+      .orderBy(col("day"))
+  }
 }

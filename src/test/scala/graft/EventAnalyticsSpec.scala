@@ -100,6 +100,33 @@ class EventAnalyticsSpec extends SparkSpec {
       (2024, 1, 0, 3L, 1.0), (2024, 1, 1, 1L, round(1.0 / 3, 6))))
   }
 
+  test("volume anomalies: MAD threshold flags only the outlier day") {
+    // per-day counts: 10,10,12,12,14,14,100 → med 12, |dev| = 2,2,0,0,2,2,88
+    // → MAD 2, threshold 3·2 = 6 → only the 100-count day flags
+    val counts = Seq(10, 10, 12, 12, 14, 14, 100)
+    val events = counts.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(i => (1L, "view", ts(f"2024-01-${d + 1}%02d 10:00:${i % 60}%02d")))
+    }.toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.volumeAnomalies(events).collect()
+    assert(out.count(_.getBoolean(5)) === 1)
+    val anom = out.find(_.getBoolean(5)).get
+    assert(anom.getLong(1) === 100L && anom.getDouble(2) === 12.0 &&
+      anom.getDouble(3) === 2.0 && anom.getDouble(4) === 44.0)
+    // a 2-off day is under the 6-count threshold
+    assert(out.filter(_.getLong(1) === 10L).forall(!_.getBoolean(5)))
+  }
+
+  test("volume anomalies: MAD = 0 → any deviation flags, score is null") {
+    val counts = Seq(5, 5, 5, 9)
+    val events = counts.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(i => (1L, "view", ts(f"2024-01-${d + 1}%02d 10:00:${i % 60}%02d")))
+    }.toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.volumeAnomalies(events).collect()
+    assert(out.forall(_.isNullAt(4)))
+    assert(out.filter(_.getLong(1) === 9L).forall(_.getBoolean(5)))
+    assert(out.filter(_.getLong(1) === 5L).forall(!_.getBoolean(5)))
+  }
+
   private def round(x: Double, n: Int): Double =
     BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
