@@ -39,6 +39,7 @@ private[graft] object DedupArtifacts {
   private val winnowFpsMemo = new BoundedMemo[DataFrame](8)
   private val winnowIndexMemo =
     new BoundedMemo[graft.streaming.StreamingWinnow.WinnowIndex](8)
+  private val entityIndexMemo = new BoundedMemo[DataFrame](8)
 
   /** `minhash_lsh_recall` inputs: the LSH pair set found at threshold
     * 0.999 on the corpus ∪ planted-exact-copy fixture, and the expected
@@ -100,6 +101,17 @@ private[graft] object DedupArtifacts {
   def winnowIndex(s: SparkSession, dir: String): graft.streaming.StreamingWinnow.WinnowIndex =
     winnowIndexMemo.get(dir) {
       graft.streaming.StreamingWinnow.fingerprintIndex(winnowBaseFps(s, dir))
+    }
+
+  /** `streaming_entity_flag` index: the space-tagged blocked dictionary of
+    * part names (one per corpus epoch — the deployment shape; the batch
+    * `entity_match_pairs` / `entity_resolution` entries stay honest full
+    * recomputes of dictionary + blocking). */
+  def entityIndex(s: SparkSession, dir: String): DataFrame =
+    entityIndexMemo.get(dir) {
+      graft.operators.EntityResolution
+        .blockedDictionary(Tables.part(s, dir), "p_partkey", "p_name")
+        .localCheckpoint()
     }
 
   /** `semantic_dedup_keep` input: the SemDeDup pair set on the planted-dup

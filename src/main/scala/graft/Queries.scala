@@ -865,6 +865,39 @@ private[graft] object Queries {
       EventAnalytics.transitionMatrix(Tables.events(s, dir))
     }),
 
+    "streaming_entity_flag" -> ((s, dir) => {
+      // streaming × entity resolution (the master-list serving path):
+      // first-char-dropped variants of the < 500 part names streamed in
+      // two real micro-batches against the STORED blocked dictionary.
+      // Stateless: two stream-static equi-joins (prefix space + suffix
+      // space with the prefix-mismatch arithmetic dedup), no state store;
+      // index from the per-JVM cache (one per corpus epoch). Oracle
+      // replays dictionary, blocking, cap, both joins, and the distances
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val idx = DedupArtifacts.entityIndex(s, dir)
+      val rows = Tables.part(s, dir).filter(col("p_partkey") < 500)
+        .select(col("p_partkey").cast("long"),
+          substring(regexp_replace(trim(lower(col("p_name"))), "\\s+", " "),
+            2, Int.MaxValue))
+        .as[(Long, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingEntity.flagAgainstIndex(
+        mem.toDF().toDF("id", "name"), idx)
+      val name = "sef_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name)(_
+        .select(col("id"), col("nm_in"), col("match_nm"), col("dist"),
+          col("rep"))
+        .orderBy(col("id"), col("match_nm")))
+    }),
+
     "volume_anomalies" -> ((s, dir) => {
       // robust ingest monitoring: days whose event volume deviates > 3 MAD
       // from the median; one corpus groupBy to the calendar-bounded daily

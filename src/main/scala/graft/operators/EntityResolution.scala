@@ -58,6 +58,35 @@ object EntityResolution {
   }
 
   /**
+   * The space-tagged blocked dictionary index for STREAM-side matching:
+   * (nm, cnt, rep, bk, space) with space 'p' (bk = prefix-`blockLen`) or
+   * 's' (bk = raw suffix-`blockLen`; the explicit space column replaces
+   * the '$' sentinel). Blocks larger than `maxBlockSize` within a key
+   * space are dropped whole — the same coverage cap as
+   * [[fuzzyMatchPairs]]. |V|·2 rows; callers cache it per corpus epoch
+   * (the StreamingPhashDedup.bandedIndex deployment shape).
+   */
+  def blockedDictionary(df: DataFrame, idCol: String, nameCol: String,
+                        blockLen: Int = 3,
+                        maxBlockSize: Int = 1000): DataFrame = {
+    require(blockLen >= 1,
+      s"blockedDictionary: blockLen must be >= 1, got $blockLen")
+    val names = nameDictionary(df, idCol, nameCol)
+    val pre = names
+      .withColumn("bk", substring(col("nm"), 1, blockLen))
+      .withColumn("space", lit("p"))
+    val suf = names
+      .withColumn("bk", substring(col("nm"), -blockLen, blockLen))
+      .withColumn("space", lit("s"))
+    pre.unionByName(suf)
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("space"), col("bk"))))
+      .filter(col("bsz") <= maxBlockSize)
+      .drop("bsz")
+  }
+
+  /**
    * Candidate pairs within `maxDist` edits: (nm_a, nm_b, dist, cnt_a,
    * cnt_b, rep_a, rep_b), nm_a < nm_b. A pair found by both blocking keys
    * is emitted once (distinct over the name pair BEFORE the levenshtein

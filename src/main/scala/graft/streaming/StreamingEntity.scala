@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming entity resolution: fuzzy-match incoming (id, name) records
+ * against a STORED name dictionary — the serving path of
+ * [[graft.operators.EntityResolution]] (new vendor/customer/source
+ * records flagged against the master list at ingest, the
+ * StreamingPhashDedup deployment shape).
+ *
+ * Stateless by construction: the dictionary index is a static frame
+ * (built once per corpus epoch via
+ * [[graft.operators.EntityResolution.blockedDictionary]], cached by the
+ * caller), and each micro-batch runs two stream-static EQUI-joins — the
+ * prefix-key space and the suffix-key space — so there is no streaming
+ * state store, no watermark, and exactly-once emission per
+ * (record, dictionary name) pair. A candidate caught by BOTH keys is
+ * emitted once by arithmetic, not by a stateful distinct: the suffix
+ * join excludes pairs whose prefix keys already agree (the
+ * StreamingWinnow minimum-shared-fingerprint idiom).
+ *
+ * Scale shape: per batch O(|batch| + matches) after the equi-joins; the
+ * dictionary side is |V|·2 rows (vocab-bounded) and broadcast-eligible.
+ */
+object StreamingEntity {
+
+  /**
+   * Flag a stream of (idCol, nameCol) rows against a blocked dictionary
+   * index (columns nm/cnt/rep/bk/space from `blockedDictionary` with the
+   * same `blockLen`). Emits (id, nm_in, match_nm, dist, rep) for every
+   * dictionary name within `maxDist` edits of the normalized incoming
+   * name — dist 0 is an exact hit, so the flagger doubles as the
+   * known-entity lookup.
+   */
+  def flagAgainstIndex(stream: DataFrame, idx: DataFrame,
+                       maxDist: Int = 3, blockLen: Int = 3,
+                       idCol: String = "id",
+                       nameCol: String = "name"): DataFrame = {
+    require(maxDist >= 0,
+      s"flagAgainstIndex: maxDist must be >= 0, got $maxDist")
+    val q = stream.select(col(idCol).cast("long").as("id"),
+        regexp_replace(trim(lower(col(nameCol))), "\\s+", " ").as("nm_in"))
+      .filter(col("nm_in") =!= "")
+      .withColumn("pk", substring(col("nm_in"), 1, blockLen))
+      .withColumn("sk", substring(col("nm_in"), -blockLen, blockLen))
+    val dict = idx.select(col("bk"), col("space"),
+      col("nm").as("match_nm"), col("rep"))
+    val j1 = q.join(dict.filter(col("space") === "p"),
+      col("pk") === col("bk"))
+    // prefix-mismatch filter = the arithmetic dedup: anything the prefix
+    // join already emitted is excluded here
+    val j2 = q.join(dict.filter(col("space") === "s"),
+        col("sk") === col("bk"))
+      .filter(substring(col("nm_in"), 1, blockLen)
+        =!= substring(col("match_nm"), 1, blockLen))
+    j1.unionByName(j2)
+      .withColumn("dist", levenshtein(col("nm_in"), col("match_nm")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id"), col("nm_in"), col("match_nm"), col("dist"),
+        col("rep"))
+  }
+}
