@@ -682,6 +682,21 @@ private[graft] object Oracles {
         |       round(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY cur), 6) AS prob
         |FROM c ORDER BY cur, nxt""".stripMargin,
 
+    "source_quality_floor" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS v
+        |  FROM documents),
+        |thr AS MATERIALIZED (
+        |  SELECT source, quantile_cont(v, 0.25) AS thr FROM t GROUP BY source)
+        |SELECT t.source, round(max(thr.thr), 6) AS thr,
+        |       COUNT(*) AS total_docs,
+        |       CAST(SUM(CASE WHEN v >= thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |       round(SUM(CASE WHEN v >= thr.thr THEN 1 ELSE 0 END)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS kept_ratio
+        |FROM t JOIN thr USING (source)
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
     "streaming_entity_flag" ->
       """WITH names AS MATERIALIZED (
         |  SELECT regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g') AS nm,

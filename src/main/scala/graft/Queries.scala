@@ -865,6 +865,22 @@ private[graft] object Queries {
       EventAnalytics.transitionMatrix(Tables.events(s, dir))
     }),
 
+    "source_quality_floor" -> ((s, dir) => {
+      // per-source p25 token-count floor via the weighted-histogram exact
+      // quantile (state ∝ distinct scores per group, not rows — the
+      // percentile-buffer-free scale path), thresholds broadcast back;
+      // DuckDB replays thr bit-for-bit with quantile_cont
+      val scored = Curation.quantileFloor(Tables.documents(s, dir),
+        "source", TextFunctions.tokenCount(col("text")), q = 0.25)
+      scored.groupBy(col("source"))
+        .agg(round(max(col("thr")), 6).as("thr"),
+          count(lit(1)).as("total_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
+        .withColumn("kept_ratio",
+          round(col("kept_docs").cast("double") / col("total_docs"), 6))
+        .orderBy(col("source"))
+    }),
+
     "streaming_entity_flag" -> ((s, dir) => {
       // streaming × entity resolution (the master-list serving path):
       // first-char-dropped variants of the < 500 part names streamed in

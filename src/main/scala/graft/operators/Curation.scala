@@ -604,4 +604,61 @@ object Curation {
           .when(col("fp_old") <=> col("fp_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /**
+   * Exact interpolated per-group quantiles from a WEIGHTED HISTOGRAM —
+   * the scale path for per-group quantile cuts. `percentile` buffers
+   * every group value in one aggregation state (memory ∝ group size, a
+   * non-starter when one source holds 10^10 docs); this computes the
+   * identical quantile_cont value with state ∝ DISTINCT scores per group:
+   * groupBy to the (group, score) histogram, one group-keyed window for
+   * cumulative counts, then the interpolation
+   * `v_lo + (h − ⌊h⌋)·(v_hi − v_lo)` at rank h = q·(n−1) via two
+   * conditional aggregates. Every step is exact-int / power-of-two-exact
+   * double arithmetic when scores are integers and q is a dyadic
+   * rational (0.25, 0.5, 0.75) — bit-equal to DuckDB's quantile_cont.
+   *
+   * Output: one row per group — (groupCol, thr).
+   */
+  def groupQuantile(df: DataFrame, groupCol: String, scoreCol: Column,
+                    q: Double): DataFrame = {
+    require(q >= 0 && q <= 1, s"groupQuantile: q must be in [0,1], got $q")
+    val hist = df.groupBy(col(groupCol), scoreCol.cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("v"))
+    val wAll = wOrd.rowsBetween(Long.MinValue, Long.MaxValue)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("h", lit(q) * (sum(col("cnt")).over(wAll) - 1))
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("cum") - col("cnt") < floor(col("h")) + 1 &&
+          floor(col("h")) + 1 <= col("cum"), col("v"))).as("vlo"),
+        max(when(col("cum") - col("cnt") < ceil(col("h")) + 1 &&
+          ceil(col("h")) + 1 <= col("cum"), col("v"))).as("vhi"),
+        max(col("h")).as("h"))
+      .select(col(groupCol),
+        (col("vlo") + (col("h") - floor(col("h"))) *
+          (col("vhi") - col("vlo"))).as("thr"))
+  }
+
+  /**
+   * Per-group quality floor: keep rows whose score is at or above their
+   * group's q-quantile — the per-source length/quality cut every corpus
+   * curation pipeline applies (a global floor over mixed sources throws
+   * away the short-document source wholesale; a per-source floor trims
+   * each source's own tail). Returns the input plus (thr, kept).
+   *
+   * Scale shape: [[groupQuantile]] reduces to |groups| thresholds
+   * (histogram-state, skew-safe), broadcast back over one narrow scan.
+   */
+  def quantileFloor(df: DataFrame, groupCol: String, scoreCol: Column,
+                    q: Double): DataFrame = {
+    val thr = groupQuantile(df, groupCol, scoreCol, q)
+    df.withColumn("_score", scoreCol.cast("double"))
+      .join(broadcast(thr), Seq(groupCol))
+      .withColumn("kept", col("_score") >= col("thr"))
+      .drop("_score")
+  }
 }

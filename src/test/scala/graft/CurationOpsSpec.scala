@@ -350,4 +350,32 @@ class CurationOpsSpec extends SparkSpec {
       TextAnalysis.noveltyScores(docs, shingleN = 0)
     }
   }
+
+  test("groupQuantile: interpolated quantiles from the weighted histogram") {
+    val df = Seq(
+      ("a", 1), ("a", 2), ("a", 3), ("a", 4), // q25: h=.75 → 1 + .75·(2−1)
+      ("b", 10),                              // singleton → itself
+      ("c", 1), ("c", 1), ("c", 2))           // weighted: q50 h=1 → rank 2 = 1
+    .toDF("g", "v")
+    def thr(q: Double) = Curation.groupQuantile(df, "g", col("v"), q)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val q25 = thr(0.25)
+    assert(q25("a") === 1.75 && q25("b") === 10.0)
+    val q50 = thr(0.5)
+    assert(q50("a") === 2.5 && q50("c") === 1.0)
+    // q = 1 → max; q = 0 → min
+    assert(thr(1.0)("a") === 4.0 && thr(0.0)("a") === 1.0)
+  }
+
+  test("quantileFloor: kept iff score >= the group's threshold") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 7))
+      .toDF("g", "v")
+    val out = Curation.quantileFloor(df, "g", col("v"), 0.25)
+      .select(col("g"), col("v"), col("kept")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getBoolean(2)))
+    // a-threshold 1.75: 1 dropped, 2/3/4 kept; b singleton kept
+    assert(out.toSet === Set(
+      ("a", 1, false), ("a", 2, true), ("a", 3, true), ("a", 4, true),
+      ("b", 7, true)))
+  }
 }
