@@ -682,6 +682,31 @@ private[graft] object Oracles {
         |       round(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY cur), 6) AS prob
         |FROM c ORDER BY cur, nxt""".stripMargin,
 
+    "kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+        |  FROM events),
+        |s AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |a AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM s)
+        |SELECT CAST(256 AS BIGINT) AS k, n, hk,
+        |       CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |            ELSE round(CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk, 6) END AS estimate,
+        |       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS true_distinct
+        |FROM a""".stripMargin,
+
+    "kmv_merge" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+        |  FROM events),
+        |s AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |a AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM s)
+        |SELECT CAST(256 AS BIGINT) AS k, n, hk,
+        |       CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |            ELSE round(CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk, 6) END AS merged_estimate,
+        |       CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |            ELSE round(CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk, 6) END AS direct_estimate
+        |FROM a""".stripMargin,
+
     "source_quality_floor" ->
       """WITH t AS (
         |  SELECT source,

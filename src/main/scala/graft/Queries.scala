@@ -865,6 +865,35 @@ private[graft] object Queries {
       EventAnalytics.transitionMatrix(Tables.events(s, dir))
     }),
 
+    "kmv_distinct" -> ((s, dir) => {
+      // KMV (k-minimum-values) distinct-count sketch over event users:
+      // k = 256 smallest distinct 52-bit md5-prefix hashes, estimate
+      // (k−1)·2^52 / h_(k) — the exact-arithmetic mergeable distinct
+      // counter next to HLL; the whole sketch + estimator replays in
+      // DuckDB, and the exact distinct count rides along for the error
+      val e = Tables.events(s, dir)
+      Sketches.kmvEstimate(Sketches.kmvSketch(e, col("user_id"), k = 256), 256)
+        .crossJoin(broadcast(
+          e.agg(countDistinct(col("user_id")).as("true_distinct"))))
+    }),
+
+    "kmv_merge" -> ((s, dir) => {
+      // the re-aggregation law: per-slice sketches (event_id mod 3)
+      // merged = the direct single-pass sketch; both estimates emitted,
+      // the oracle computes the direct formula once for both columns
+      val e = Tables.events(s, dir)
+      val slices = (0 until 3).map(i =>
+        Sketches.kmvSketch(e.filter(col("event_id") % 3 === i),
+          col("user_id"), k = 256))
+      val merged = Sketches.kmvEstimate(Sketches.kmvMerge(slices, 256), 256)
+        .select(col("k"), col("n"), col("hk"),
+          col("estimate").as("merged_estimate"))
+      val direct = Sketches.kmvEstimate(
+          Sketches.kmvSketch(e, col("user_id"), k = 256), 256)
+        .select(col("estimate").as("direct_estimate"))
+      merged.crossJoin(broadcast(direct))
+    }),
+
     "source_quality_floor" -> ((s, dir) => {
       // per-source p25 token-count floor via the weighted-histogram exact
       // quantile (state ∝ distinct scores per group, not rows — the

@@ -150,4 +150,51 @@ object Sketches {
         (col("count_min") <= col("cnt") && col("cnt") <= col("count_max"))
           .as("bounds_ok"))
   }
+
+  /** KMV hash: the first 13 hex digits of md5 as an exact int64 — uniform
+    * on [0, 2^52), identical in Spark (`conv`) and DuckDB
+    * (`CAST('0x'||… AS BIGINT)`), so the whole sketch replays. */
+  private def kmvHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast("long")
+
+  /** 2^52 — the kmvHash range, as an exact double for the estimator. */
+  private[graft] val KmvRange = 4503599627370496.0
+
+  /**
+   * KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al. 2002):
+   * the k smallest DISTINCT hash values of the key column. The third
+   * mergeable sketch next to HLL and count-min, and the one whose entire
+   * arithmetic is exact — build, merge, and estimate all replay in SQL,
+   * where HLL's register encoding does not.
+   *
+   * Scale shape: one hash-distinct shuffle (map-side combine collapses
+   * duplicates early), then a global TakeOrdered(k) — no full sort; the
+   * artifact is k int64s (KB-sized at k = 256), and sketches over any
+   * partitioning of the data merge by union + re-take ([[kmvMerge]]).
+   */
+  def kmvSketch(df: DataFrame, key: Column, k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmvSketch: k must be >= 2, got $k")
+    df.select(kmvHash(key).as("h")).distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** Merge KMV sketches built over disjoint (or overlapping — distinct
+    * collapses re-sightings) slices: union, dedup, keep the k smallest.
+    * The result is EXACTLY the sketch a single pass over the union would
+    * build — the law the spec pins. */
+  def kmvMerge(sketches: Seq[DataFrame], k: Int = 256): DataFrame = {
+    require(sketches.nonEmpty, "kmvMerge: need at least one sketch")
+    sketches.reduce(_ unionByName _).distinct().orderBy(col("h")).limit(k)
+  }
+
+  /**
+   * Distinct-count estimate from a KMV sketch: (k−1) · 2^52 / h_(k) when
+   * the sketch is full, else the EXACT count (fewer than k distinct
+   * values ⇒ every hash is in the sketch). Output: (k, n, hk, estimate).
+   */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(lit(k).cast("long").as("k"), col("n"), col("hk"),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(KmvRange) / col("hk"), 6))
+          .as("estimate"))
 }

@@ -140,4 +140,32 @@ class SketchesSpec extends SparkSpec {
     assert(bigRow.isDefined, "oversized item lost from the sketch")
     assert(bigRow.get.getLong(1) <= 5 && 5 <= bigRow.get.getLong(2))
   }
+
+  test("kmv: exact path below k, estimator within 3/sqrt(k) above it") {
+    // 100 distinct < k=256 → the sketch holds every hash, estimate exact
+    val small = (1L to 100L).toDF("id")
+    val exact = Sketches.kmvEstimate(
+      Sketches.kmvSketch(small, col("id"), 256), 256).head()
+    assert(exact.getLong(1) === 100L && exact.getDouble(3) === 100.0)
+    // 20,000 distinct → relative error within 3/sqrt(256) = 18.75%
+    val bigD = (1L to 20000L).toDF("id")
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvSketch(bigD, col("id"), 256), 256).head().getDouble(3)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.1875,
+      s"kmv estimate $est too far from 20000")
+  }
+
+  test("kmv merge law: sliced-and-merged == direct, overlap dedups") {
+    val ids = (1L to 5000L).toDF("id")
+    val slices = (0 until 4).map(i =>
+      Sketches.kmvSketch(ids.filter(col("id") % 4 === i), col("id"), 256))
+    val merged = Sketches.kmvMerge(slices, 256).collect().map(_.getLong(0)).sorted
+    val direct = Sketches.kmvSketch(ids, col("id"), 256)
+      .collect().map(_.getLong(0)).sorted
+    assert(merged.sameElements(direct))
+    // overlapping slices (same data twice) collapse to the same sketch
+    val dup = Sketches.kmvMerge(Seq(direct.toSeq.toDF("h"), direct.toSeq.toDF("h")), 256)
+      .collect().map(_.getLong(0)).sorted
+    assert(dup.sameElements(direct))
+  }
 }
