@@ -682,6 +682,33 @@ private[graft] object Oracles {
         |       round(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY cur), 6) AS prob
         |FROM c ORDER BY cur, nxt""".stripMargin,
 
+    "embedding_outliers" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |  WHERE len(embedding) = 64
+        |    AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+        |u AS MATERIALIZED (
+        |  SELECT vec_id, label, CAST(t.i - 1 AS INT) AS i,
+        |         CAST(round(round(e[CAST(t.i AS INT)], 6) * 1e6, 0) AS BIGINT) AS q
+        |  FROM v, range(1, 65) t(i)),
+        |n AS (SELECT label, COUNT(*) AS n FROM v GROUP BY label),
+        |c AS MATERIALIZED (
+        |  SELECT u.label, u.i,
+        |         CAST(floor((2.0 * SUM(u.q) + n.n) / (2.0 * n.n)) AS BIGINT) AS m
+        |  FROM u JOIN n USING (label) GROUP BY u.label, u.i, n.n),
+        |d AS (
+        |  SELECT u.vec_id, u.label,
+        |         CAST(SUM((u.q - c.m) * (u.q - c.m)) AS BIGINT) AS du
+        |  FROM u JOIN c ON c.label = u.label AND c.i = u.i
+        |  GROUP BY 1, 2),
+        |r AS (SELECT label, vec_id, du,
+        |        CAST(row_number() OVER (PARTITION BY label ORDER BY du DESC, vec_id) AS INT) AS rnk
+        |      FROM d)
+        |SELECT label, rnk, vec_id, du AS sq_dist_units,
+        |       CAST(du AS DOUBLE) / 1e12 AS sq_dist
+        |FROM r WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin,
+
     "kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h

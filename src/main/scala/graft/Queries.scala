@@ -865,6 +865,16 @@ private[graft] object Queries {
       EventAnalytics.transitionMatrix(Tables.events(s, dir))
     }),
 
+    "embedding_outliers" -> ((s, dir) => {
+      // mislabeled-example triage: top-5 farthest vectors (squared
+      // Euclidean, exact 1e-6-unit long arithmetic end to end) from each
+      // label's centroid; centroid mean via the tie-free floor formula,
+      // distances as in-row zip_with folds, top-k on the custom heap
+      // operator — the whole ranking replays integer-exactly in DuckDB
+      Similarity.labelOutliers(Tables.embeddings(s, dir))
+        .orderBy(col("label"), col("rnk"))
+    }),
+
     "kmv_distinct" -> ((s, dir) => {
       // KMV (k-minimum-values) distinct-count sketch over event users:
       // k = 256 smallest distinct 52-bit md5-prefix hashes, estimate

@@ -630,4 +630,63 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("cos"))
   }
 
+  /**
+   * Per-label embedding outliers: the `topK` vectors FARTHEST (squared
+   * Euclidean) from their label's centroid — the mislabeled-example /
+   * contamination triage every labeled embedding corpus runs before
+   * training. Output: (label, rnk, vec_id, sq_dist_units, sq_dist),
+   * rnk 1 = farthest.
+   *
+   * Exactness (the [[Pca]] long-units discipline end to end): values are
+   * 6-decimal-quantized and carried as EXACT 1e-6-unit int64s; the
+   * centroid is the half-up-rounded unit mean via the pure-floor formula
+   * `⌊(2Σq + n) / 2n⌋` (floor of an IEEE-identical double division — no
+   * engine-specific tie behavior); distances are plain long
+   * `Σ (q−m)²` (≤ d·(2·10⁷)² ≈ 2.6·10¹⁶ ≪ 2⁶³ for unit-scale
+   * embeddings), so every ranking comparison is integer-exact and the
+   * whole result replays in DuckDB.
+   *
+   * Scale shape: ONE corpus-×-d shuffle builds the (label, i) centroid
+   * grid (map-side partials); centroids collapse to |labels| ARRAY rows
+   * broadcast back; the distance is an in-row zip_with/aggregate fold
+   * over one narrow scan (no second wide shuffle); the final top-k runs
+   * on the custom heap-based [[graft.plans.TopK]] operator (no
+   * per-partition sort). The quantized corpus frame is persisted across
+   * its two necessary passes (centroid + distance — fork severing).
+   */
+  def labelOutliers(embs: DataFrame, dim: Int = 64, topK: Int = 5,
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    require(dim > 0, s"labelOutliers: dim must be > 0, got $dim")
+    require(topK >= 1, s"labelOutliers: topK must be >= 1, got $topK")
+    val clean = embs
+      .filter(VectorFunctions.isFiniteVec(col(vecCol)) &&
+        size(col(vecCol)) === dim)
+      .select(col("vec_id"), col(labelCol).as("label"),
+        transform(col(vecCol),
+          x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long"))
+          .as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPer = clean.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val cents = clean
+      .select(col("label"), posexplode(col("e")).as(Seq("i", "q")))
+      .groupBy(col("label"), col("i")).agg(sum(col("q")).as("s"))
+      .join(nPer, Seq("label"))
+      .select(col("label"), col("i"),
+        floor((lit(2.0) * col("s") + col("n")) / (lit(2.0) * col("n")))
+          .cast("long").as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("cent"))
+    val scored = clean.join(broadcast(cents), Seq("label"))
+      .withColumn("sq_dist_units",
+        aggregate(zip_with(col("e"), col("cent"),
+          (q, m) => (q - m) * (q - m)), lit(0L), (acc, x) => acc + x))
+      .select(col("label"), col("vec_id"), col("sq_dist_units"),
+        (col("sq_dist_units").cast("double") / lit(1e12)).as("sq_dist"))
+    graft.plans.TopK.perKey(scored, topK, Seq(col("label")),
+      Seq(col("sq_dist_units").desc, col("vec_id").asc))
+      .select(col("label"), col("rnk"), col("vec_id"),
+        col("sq_dist_units"), col("sq_dist"))
+  }
 }

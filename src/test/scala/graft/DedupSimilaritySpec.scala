@@ -454,4 +454,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(refined.count() == fixture.count())
     assert(n > 0)
   }
+
+  test("labelOutliers: planted far point ranks first, exact unit distances") {
+    // label 0: three vectors at the origin corner, one planted far away;
+    // label 1: two identical vectors (all distances 0 — ties break by id)
+    val rows = Seq(
+      (1L, 0, Array(0f, 0f)), (2L, 0, Array(0.5f, 0f)),
+      (3L, 0, Array(0f, 0.5f)), (4L, 0, Array(10f, 10f)),
+      (5L, 1, Array(1f, 1f)), (6L, 1, Array(1f, 1f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelOutliers(df, dim = 2, topK = 2)
+      .orderBy(col("label"), col("rnk")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // label-0 centroid (units): mean of (0, .5e6, 0, 10e6)=2.625e6 per axis
+    // → planted point distance (10e6-2.625e6)^2 * 2
+    val m = 2625000L
+    val d4 = 2 * (10000000L - m) * (10000000L - m)
+    assert(out.take(2).map(t => (t._3, t._4)).toSeq ===
+      Seq((4L, d4), (1L, 2 * m * m)))
+    // label 1: both at the centroid → distance 0, min id first
+    assert(out.drop(2).map(t => (t._3, t._4)).toSeq ===
+      Seq((5L, 0L), (6L, 0L)))
+  }
 }
