@@ -709,6 +709,22 @@ private[graft] object Oracles {
         |       CAST(du AS DOUBLE) / 1e12 AS sq_dist
         |FROM r WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin,
 
+    "streaming_kmv_daily" ->
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+        |  FROM events WHERE event_id % 11 = 0),
+        |d AS (SELECT DISTINCT window_start, h FROM e),
+        |r AS (SELECT window_start, h,
+        |        row_number() OVER (PARTITION BY window_start ORDER BY h) AS rn
+        |      FROM d),
+        |s AS (SELECT window_start, COUNT(*) AS n, MAX(h) AS hk
+        |      FROM r WHERE rn <= 64 GROUP BY window_start)
+        |SELECT window_start, n, hk,
+        |       CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+        |            ELSE round(CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk, 6) END AS estimate
+        |FROM s ORDER BY window_start""".stripMargin,
+
     "kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h

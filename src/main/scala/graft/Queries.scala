@@ -1809,6 +1809,36 @@ private[graft] object Queries {
     }),
 
 
+    "streaming_kmv_daily" -> ((s, dir) => {
+      // streaming cardinality: daily-window distinct-user KMV (k = 64)
+      // maintained in the state store by the custom kmv_kmin aggregate —
+      // k longs per window no matter the key cardinality. Two real
+      // micro-batches; the k-min set is associative, so the emitted
+      // per-day sketch equals one batch over the union, and DuckDB
+      // replays windows, minima, and both estimator branches (exact < k,
+      // (k−1)·2^52/h_k at k)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = Tables.events(s, dir)
+        .filter(col("event_id") % 11 === 0)
+        .select(col("ts"), col("user_id"))
+        .as[(java.sql.Timestamp, Long)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val out = graft.streaming.StreamingKmv.windowedDistinct(
+        mem.toDF().toDF("ts", "user_id"), col("user_id"), "1 day", k = 64)
+      val name = "skv_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name)(_
+        .select(col("window_start"), col("n"), col("hk"), col("estimate"))
+        .orderBy(col("window_start")))
+    }),
+
     "streaming_quality_score" -> ((s, dir) => {
       // the STREAMING quality-scoring path gated against the same full
       // DuckDB GD replay as quality_lr_scores: weights trained batch-side

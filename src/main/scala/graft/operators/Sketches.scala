@@ -154,7 +154,7 @@ object Sketches {
   /** KMV hash: the first 13 hex digits of md5 as an exact int64 — uniform
     * on [0, 2^52), identical in Spark (`conv`) and DuckDB
     * (`CAST('0x'||… AS BIGINT)`), so the whole sketch replays. */
-  private def kmvHash(key: Column): Column =
+  private[graft] def kmvHash(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast("long")
 
   /** 2^52 — the kmvHash range, as an exact double for the estimator. */

@@ -62,6 +62,7 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "geohash_encode" -> (exprs => GeohashEncode(exprs(0), exprs(1), exprs(2))),
     "space_saving_topk" -> (exprs => SpaceSavingTopK(exprs(0), exprs(1))),
+    "kmv_kmin" -> (exprs => KmvKMin(exprs(0), exprs(1))),
     "vec_dot" -> (exprs => VecDot(exprs(0), exprs(1))),
     "vec_norm2sq" -> (exprs => VecNorm2Sq(exprs(0))),
     "vec_cosine" -> (exprs => VecCosine(exprs(0), exprs(1))),

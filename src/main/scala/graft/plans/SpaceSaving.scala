@@ -128,6 +128,110 @@ case class SpaceSavingTopK(
 }
 
 /**
+ * KMV k-minimum-values buffer as a native Catalyst
+ * [[TypedImperativeAggregate]]: the k smallest DISTINCT int64 values of the
+ * child column (callers feed it a uniform hash — see
+ * [[graft.operators.Sketches.kmvSketch]]). The partial/merge/final contract
+ * makes the distinct-count sketch run map-side with O(k) state per
+ * partition/window — the streaming path's state-store buffer is k longs no
+ * matter how many distinct keys flow through (StreamingKmv), and the batch
+ * path shuffles O(partitions × k) instead of one row per distinct key.
+ * Exact by construction: the k-min SET is associative/commutative under
+ * merge, so batch/stream/any-partitioning all yield the identical array
+ * (the law SketchesSpec pins).
+ *
+ * Output: `array<long>` sorted ascending (h_(1) … h_(k)).
+ *
+ * SQL: `kmv_kmin(expr, k)` via [[GraftFunctions.register]] /
+ * [[GraftExtensions]].
+ */
+case class KmvKMin(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"kmv_kmin k must be a constant int, got $other")
+  }
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_kmin"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != LongType)
+      TypeCheckFailure(s"kmv_kmin expects an int64 hash, got ${child.dataType}")
+    else if (!kExpr.foldable || kExpr.dataType != IntegerType)
+      TypeCheckFailure("kmv_kmin k must be a constant int")
+    else TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    buf.mergeWith(other)
+    buf
+  }
+
+  override def eval(buf: KmvBuffer): Any =
+    new GenericArrayData(buf.values.toArray[Any]): ArrayData
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val vs = buf.values
+    out.writeInt(buf.k)
+    out.writeInt(vs.length)
+    vs.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new KmvBuffer(in.readInt())
+    var n = in.readInt()
+    while (n > 0) { b.add(in.readLong()); n -= 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): KmvKMin =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KmvKMin =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+/** k smallest distinct longs; O(log k) insert, no-op once a value is
+  * present or above the current k-th minimum on a full buffer. */
+final class KmvBuffer(val k: Int) {
+  private val set = mutable.TreeSet.empty[Long]
+
+  def values: Seq[Long] = set.toSeq // TreeSet iterates ascending
+
+  def add(h: Long): Unit =
+    if (set.size < k) { set.add(h); () }
+    else if (h < set.last && set.add(h)) { set.remove(set.last); () }
+
+  def mergeWith(other: KmvBuffer): Unit = other.values.foreach(add)
+}
+
+/**
  * Stream-summary state: item → (count upper bound, error). `byCount` mirrors
  * the map ordered by (count, item) so eviction of the minimum is O(log k);
  * per-row cost is O(log k) worst case, O(1) amortized on hits.

@@ -168,4 +168,52 @@ class SketchesSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(dup.sameElements(direct))
   }
+
+  test("kmv_kmin aggregate: map-side partials merge to the exact k-min set") {
+    graft.plans.GraftFunctions.register(spark)
+    val ids = (1L to 5000L).toDF("id").repartition(7) // force partial merges
+    val viaAgg = ids
+      .select(graft.operators.Sketches.kmvHash(col("id")).as("h"))
+      .agg(call_function("kmv_kmin", col("h"), lit(256)).as("mins"))
+      .head().getSeq[Long](0)
+    val direct = graft.operators.Sketches.kmvSketch(ids, col("id"), 256)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaAgg === direct) // both ascending, distinct, same minima
+  }
+
+  test("streaming kmv: two micro-batches == one batch over the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val rows = (1L to 600L).map(i =>
+      (Timestamp.valueOf(f"2024-01-${i % 3 + 1}%02d 10:00:00"), i % 97))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long)]
+    val out = graft.streaming.StreamingKmv.windowedDistinct(
+      mem.toDF().toDF("ts", "user_id"), col("user_id"), "1 day", k = 32)
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName("skmv_out").start()
+    val (b1, b2) = rows.splitAt(300)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    // stateful by design: one k-long buffer per window, not per key
+    assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal <= 3))
+    q.stop()
+    val got = spark.table("skmv_out")
+      .select("window_start", "n", "hk", "estimate").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1.getTime)
+    spark.catalog.dropTempView("skmv_out")
+    // batch equivalence per day
+    val batch = rows.toDF("ts", "user_id")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(call_function("kmv_kmin",
+        graft.operators.Sketches.kmvHash(col("user_id")), lit(32)).as("m"))
+      .select(col("w.start"), size(col("m")).cast("long"),
+        element_at(col("m"), -1))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1.getTime)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === batch.toSeq)
+    // 97 distinct keys per day > k=32: the sketch is full and estimates
+    got.foreach { t => assert(t._2 === 32L && t._4 > 0.0) }
+  }
 }
