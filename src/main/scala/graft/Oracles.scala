@@ -822,6 +822,25 @@ private[graft] object Oracles {
         |FROM cand WHERE levenshtein(nm_a, nm_b) <= 3
         |ORDER BY nm_a, nm_b""".stripMargin,
 
+    "entity_sorted_neighborhood" ->
+      """WITH names AS (
+        |  SELECT regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g') AS nm
+        |  FROM part
+        |  WHERE regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g') <> ''
+        |  GROUP BY 1),
+        |l AS MATERIALIZED (
+        |  SELECT nm AS nm_a,
+        |         lead(nm, 1) OVER (ORDER BY nm) AS nb1,
+        |         lead(nm, 2) OVER (ORDER BY nm) AS nb2
+        |  FROM names),
+        |u AS (
+        |  SELECT nm_a, nb1 AS nm_b, 1 AS gap FROM l WHERE nb1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT nm_a, nb2 AS nm_b, 2 AS gap FROM l WHERE nb2 IS NOT NULL)
+        |SELECT nm_a, nm_b, levenshtein(nm_a, nm_b) AS dist, gap
+        |FROM u WHERE levenshtein(nm_a, nm_b) <= 3
+        |ORDER BY nm_a, nm_b""".stripMargin,
+
     "entity_resolution" ->
       s"""WITH RECURSIVE $entityCandCtes,
         |p AS (SELECT rep_a AS a, rep_b AS b FROM cand

@@ -970,6 +970,15 @@ private[graft] object Queries {
         .orderBy(col("nm_a"), col("nm_b"))
     }),
 
+    "entity_sorted_neighborhood" -> ((s, dir) => {
+      // the complementary ER candidate generator: distinct names sorted,
+      // each compared to its next 2 lexicographic neighbors (no self-join
+      // at all — lead columns over one |V|-row sort), levenshtein <= 3
+      EntityResolution.sortedNeighborhoodPairs(Tables.part(s, dir),
+          idCol = "p_partkey", nameCol = "p_name", windowSize = 3)
+        .orderBy(col("nm_a"), col("nm_b"))
+    }),
+
     "entity_resolution" -> ((s, dir) => {
       // canonical entity per distinct name: transitive closure of the
       // fuzzy-match graph (hash-min + pointer doubling over match reps),

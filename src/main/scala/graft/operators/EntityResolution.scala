@@ -126,6 +126,44 @@ object EntityResolution {
   }
 
   /**
+   * Sorted-neighborhood record linkage (Hernández & Stolfo 1995), the
+   * complementary candidate generator to [[fuzzyMatchPairs]]' key
+   * blocking: sort the distinct names, compare each with its next
+   * `windowSize − 1` lexicographic neighbors, keep pairs within
+   * `maxDist` edits. Catches same-prefix clusters that straddle a
+   * blocking-key boundary; misses what key blocking catches (first-char
+   * typos jump far in sort order) — production pipelines run both and
+   * union, which is exactly composing this with [[fuzzyMatchPairs]].
+   *
+   * Output: (nm_a, nm_b, dist, gap) — gap = sort-order distance (1 =
+   * adjacent). Scale shape: the global sort runs on the |V|-row
+   * DICTIONARY (one corpus aggregation shuffle first, vocab ≪ corpus),
+   * and the window is `windowSize − 1` lead columns over one sort — no
+   * self-join at all, O(|V|·w) candidates.
+   */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, nameCol: String,
+                              windowSize: Int = 3,
+                              maxDist: Int = 3): DataFrame = {
+    require(windowSize >= 2,
+      s"sortedNeighborhoodPairs: windowSize must be >= 2, got $windowSize")
+    require(maxDist >= 1,
+      s"sortedNeighborhoodPairs: maxDist must be >= 1, got $maxDist")
+    val names = nameDictionary(df, idCol, nameCol)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("nm"))
+    val withLeads = (1 until windowSize).foldLeft(names) { (d, j) =>
+      d.withColumn(s"_nb$j", lead(col("nm"), j).over(w))
+    }
+    val pairs = (1 until windowSize).map(j =>
+      withLeads.filter(col(s"_nb$j").isNotNull)
+        .select(col("nm").as("nm_a"), col(s"_nb$j").as("nm_b"),
+          lit(j).as("gap")))
+    pairs.reduce(_ unionByName _)
+      .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("nm_a"), col("nm_b"), col("dist"), col("gap"))
+  }
+
+  /**
    * Canonical entity assignment: transitive closure of the fuzzy-match
    * graph. Every dictionary name maps to `entity` = the minimum rep id
    * reachable through matches (its own rep when unmatched — singletons

@@ -64,6 +64,25 @@ class EntityResolutionSpec extends SparkSpec {
       ("lonely name", 7L, 1L), ("old anvil", 2L, 1L)))
   }
 
+  test("sortedNeighborhood: window-bounded neighbor pairs with gaps") {
+    val d = df(
+      (1L, "cart one"), (2L, "cart onne"), (3L, "cart oone"),
+      (4L, "zz far away"))
+    // sorted: "cart one" < "cart onne" < "cart oone" < "zz far away"
+    val out = EntityResolution.sortedNeighborhoodPairs(d, "id", "name",
+        windowSize = 3)
+      .orderBy("nm_a", "nm_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq === Seq(
+      ("cart one", "cart onne", 1, 1),
+      ("cart one", "cart oone", 1, 2),
+      ("cart onne", "cart oone", 1, 1)))
+    // windowSize 2 drops the gap-2 pair
+    val w2 = EntityResolution.sortedNeighborhoodPairs(d, "id", "name",
+      windowSize = 2).collect()
+    assert(w2.length === 2)
+  }
+
   test("resolveEntities: no matches → every name its own entity") {
     val d = df((1L, "alpha one"), (2L, "beta two"), (3L, "gamma three"))
     val out = EntityResolution.resolveEntities(d, "id", "name")
