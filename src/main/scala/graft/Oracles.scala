@@ -682,6 +682,30 @@ private[graft] object Oracles {
         |       round(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY cur), 6) AS prob
         |FROM c ORDER BY cur, nxt""".stripMargin,
 
+    "event_dow_lift" ->
+      """WITH g AS (
+        |  SELECT event_type, isodow(ts) AS dow, COUNT(*) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, dow, nxy,
+        |        SUM(nxy) OVER (PARTITION BY event_type) AS nx,
+        |        SUM(nxy) OVER (PARTITION BY dow) AS ny,
+        |        SUM(nxy) OVER () AS n
+        |      FROM g)
+        |SELECT event_type, dow, nxy,
+        |       CAST(nxy * n AS DOUBLE) / CAST(nx * ny AS DOUBLE) AS lift
+        |FROM w ORDER BY event_type, dow""".stripMargin,
+
+    "source_dup_rates" ->
+      """WITH f AS (
+        |  SELECT source, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |         COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS total_docs,
+        |       COUNT(*) AS distinct_docs,
+        |       CAST(SUM(n) - COUNT(*) AS BIGINT) AS dup_docs,
+        |       round((SUM(n) - COUNT(*)) / CAST(SUM(n) AS DOUBLE), 6) AS dup_rate
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
     "embedding_outliers" ->
       """WITH v AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -865,6 +865,44 @@ private[graft] object Queries {
       EventAnalytics.transitionMatrix(Tables.events(s, dir))
     }),
 
+    "event_dow_lift" -> ((s, dir) => {
+      // association lift between event type and ISO day-of-week:
+      // lift = P(type, dow) / (P(type)·P(dow)) computed as the exact
+      // integer ratio (nxy·N)/(nx·ny) — one corpus shuffle to the
+      // |types|×7 grid, marginals as windows over that grid, a single
+      // IEEE division per cell (no rounding needed — operands exact)
+      val g = Tables.events(s, dir)
+        .groupBy(col("event_type"), (weekday(col("ts")) + 1).as("dow"))
+        .agg(count(lit(1)).as("nxy"))
+      val wx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val wy = org.apache.spark.sql.expressions.Window.partitionBy(col("dow"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      g.select(col("event_type"), col("dow"), col("nxy"),
+          ((col("nxy") * sum(col("nxy")).over(wAll)).cast("double") /
+            (sum(col("nxy")).over(wx) * sum(col("nxy")).over(wy))
+              .cast("double")).as("lift"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
+    "source_dup_rates" -> ((s, dir) => {
+      // governance roll-up: per-source exact-duplicate pressure — total
+      // docs, distinct normalized fingerprints, and the dup rate a
+      // curation run would reclaim; ONE groupBy(source, fp) + one
+      // source-keyed re-aggregate (both map-side-combined)
+      Tables.documents(s, dir)
+        .groupBy(col("source"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("total_docs"),
+          count(lit(1)).as("distinct_docs"),
+          (sum(col("n")) - count(lit(1))).as("dup_docs"))
+        .withColumn("dup_rate",
+          round(col("dup_docs").cast("double") / col("total_docs"), 6))
+        .orderBy(col("source"))
+    }),
+
     "embedding_outliers" -> ((s, dir) => {
       // mislabeled-example triage: top-5 farthest vectors (squared
       // Euclidean, exact 1e-6-unit long arithmetic end to end) from each
