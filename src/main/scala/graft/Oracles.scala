@@ -682,6 +682,36 @@ private[graft] object Oracles {
         |       round(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY cur), 6) AS prob
         |FROM c ORDER BY cur, nxt""".stripMargin,
 
+    "winsorize_balances" ->
+      """WITH hist AS (
+        |  SELECT c_nationkey AS g, CAST(c_acctbal AS DOUBLE) AS v, COUNT(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |w AS (SELECT g, v, cnt,
+        |        SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY g) AS n
+        |      FROM hist),
+        |h AS (SELECT g, v, cnt, cum,
+        |        CAST(0.05 AS DOUBLE) * (n - 1) AS h0,
+        |        CAST(0.95 AS DOUBLE) * (n - 1) AS h1
+        |      FROM w),
+        |t AS (SELECT g,
+        |        MAX(CASE WHEN cum - cnt < floor(h0) + 1 AND floor(h0) + 1 <= cum THEN v END) AS vlo0,
+        |        MAX(CASE WHEN cum - cnt < ceil(h0) + 1 AND ceil(h0) + 1 <= cum THEN v END) AS vhi0,
+        |        MAX(h0) AS h0,
+        |        MAX(CASE WHEN cum - cnt < floor(h1) + 1 AND floor(h1) + 1 <= cum THEN v END) AS vlo1,
+        |        MAX(CASE WHEN cum - cnt < ceil(h1) + 1 AND ceil(h1) + 1 <= cum THEN v END) AS vhi1,
+        |        MAX(h1) AS h1
+        |      FROM h GROUP BY g),
+        |b AS MATERIALIZED (
+        |  SELECT g, vlo0 + (h0 - floor(h0)) * (vhi0 - vlo0) AS lo,
+        |         vlo1 + (h1 - floor(h1)) * (vhi1 - vlo1) AS hi
+        |  FROM t)
+        |SELECT c.c_nationkey, COUNT(*) AS n, MAX(b.lo) AS lo, MAX(b.hi) AS hi,
+        |       CAST(SUM(CASE WHEN CAST(c.c_acctbal AS DOUBLE) < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |       CAST(SUM(CASE WHEN CAST(c.c_acctbal AS DOUBLE) > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM customer c JOIN b ON b.g = c.c_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "event_dow_lift" ->
       """WITH g AS (
         |  SELECT event_type, isodow(ts) AS dow, COUNT(*) AS nxy

@@ -865,6 +865,23 @@ private[graft] object Queries {
       EventAnalytics.transitionMatrix(Tables.events(s, dir))
     }),
 
+    "winsorize_balances" -> ((s, dir) => {
+      // per-nation p05/p95 winsorization of customer balances: both clip
+      // bounds from ONE weighted-histogram pass (groupQuantiles), pure
+      // IEEE comparisons on unrounded doubles; report rows/clip counts
+      // per nation — the heavy-tail normalization audit
+      val w = Curation.winsorize(Tables.customer(s, dir), "c_nationkey",
+        col("c_acctbal"), qLow = 0.05, qHigh = 0.95)
+      w.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+          sum(when(col("c_acctbal").cast("double") < col("lo"), 1L)
+            .otherwise(0L)).as("n_low"),
+          sum(when(col("c_acctbal").cast("double") > col("hi"), 1L)
+            .otherwise(0L)).as("n_high"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     "event_dow_lift" -> ((s, dir) => {
       // association lift between event type and ISO day-of-week:
       // lift = P(type, dow) / (P(type)·P(dow)) computed as the exact

@@ -621,26 +621,63 @@ object Curation {
    * Output: one row per group — (groupCol, thr).
    */
   def groupQuantile(df: DataFrame, groupCol: String, scoreCol: Column,
-                    q: Double): DataFrame = {
-    require(q >= 0 && q <= 1, s"groupQuantile: q must be in [0,1], got $q")
+                    q: Double): DataFrame =
+    groupQuantiles(df, groupCol, scoreCol, Seq(q))
+      .withColumnRenamed("thr_0", "thr")
+
+  /** Several quantiles of the same score in ONE histogram pass: output
+    * (groupCol, thr_0 … thr_{m−1}), one per entry of `qs` — the shape
+    * [[winsorize]] needs both clip bounds from. */
+  def groupQuantiles(df: DataFrame, groupCol: String, scoreCol: Column,
+                     qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "groupQuantiles: need at least one quantile")
+    qs.foreach(q => require(q >= 0 && q <= 1,
+      s"groupQuantiles: q must be in [0,1], got $q"))
     val hist = df.groupBy(col(groupCol), scoreCol.cast("double").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("v"))
     val wAll = wOrd.rowsBetween(Long.MinValue, Long.MaxValue)
-    hist
-      .withColumn("cum", sum(col("cnt")).over(wOrd))
-      .withColumn("h", lit(q) * (sum(col("cnt")).over(wAll) - 1))
-      .groupBy(col(groupCol))
-      .agg(
-        max(when(col("cum") - col("cnt") < floor(col("h")) + 1 &&
-          floor(col("h")) + 1 <= col("cum"), col("v"))).as("vlo"),
-        max(when(col("cum") - col("cnt") < ceil(col("h")) + 1 &&
-          ceil(col("h")) + 1 <= col("cum"), col("v"))).as("vhi"),
-        max(col("h")).as("h"))
-      .select(col(groupCol),
-        (col("vlo") + (col("h") - floor(col("h"))) *
-          (col("vhi") - col("vlo"))).as("thr"))
+    val withH = qs.zipWithIndex.foldLeft(
+      hist
+        .withColumn("cum", sum(col("cnt")).over(wOrd))
+        .withColumn("n", sum(col("cnt")).over(wAll))) {
+      case (d, (q, i)) => d.withColumn(s"h_$i", lit(q) * (col("n") - 1))
+    }
+    val aggs = qs.indices.flatMap { i =>
+      Seq(
+        max(when(col("cum") - col("cnt") < floor(col(s"h_$i")) + 1 &&
+          floor(col(s"h_$i")) + 1 <= col("cum"), col("v"))).as(s"vlo_$i"),
+        max(when(col("cum") - col("cnt") < ceil(col(s"h_$i")) + 1 &&
+          ceil(col(s"h_$i")) + 1 <= col("cum"), col("v"))).as(s"vhi_$i"),
+        max(col(s"h_$i")).as(s"h_$i"))
+    }
+    withH.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: qs.indices.map(i =>
+        (col(s"vlo_$i") + (col(s"h_$i") - floor(col(s"h_$i"))) *
+          (col(s"vhi_$i") - col(s"vlo_$i"))).as(s"thr_$i")): _*)
+  }
+
+  /**
+   * Per-group winsorization: clip each row's value to its group's
+   * [qLow, qHigh] quantile band — the outlier-robust normalization a
+   * pipeline applies to heavy-tailed numeric features before training.
+   * Returns the input plus (lo, hi, clipped). All comparisons are pure
+   * IEEE on unrounded doubles — the thresholds come from
+   * [[groupQuantiles]] (one histogram pass for both bounds), identical
+   * bit-for-bit in any engine replaying the same interpolation.
+   */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: Column,
+                qLow: Double, qHigh: Double): DataFrame = {
+    require(qLow < qHigh,
+      s"winsorize: qLow must be < qHigh, got $qLow >= $qHigh")
+    val thr = groupQuantiles(df, groupCol, valueCol, Seq(qLow, qHigh))
+      .select(col(groupCol), col("thr_0").as("lo"), col("thr_1").as("hi"))
+    df.withColumn("_v", valueCol.cast("double"))
+      .join(broadcast(thr), Seq(groupCol))
+      .withColumn("clipped", least(greatest(col("_v"), col("lo")), col("hi")))
+      .drop("_v")
   }
 
   /**

@@ -367,6 +367,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(thr(1.0)("a") === 4.0 && thr(0.0)("a") === 1.0)
   }
 
+  test("winsorize: clips to the per-group quantile band, one-pass bounds") {
+    val df = Seq(("a", -100.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("a", 4.0), ("a", 1000.0)).toDF("g", "v")
+    // n=6, q25 h=1.25 → 1+(.25)(2−1)=1.25; q75 h=3.75 → 3+.75·1=3.75
+    val out = Curation.winsorize(df, "g", col("v"), 0.25, 0.75)
+      .select(col("v"), col("lo"), col("hi"), col("clipped")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.forall(t => t._2 === 1.25 && t._3 === 3.75))
+    assert(out.head._4 === 1.25)  // -100 clipped up
+    assert(out.last._4 === 3.75)  // 1000 clipped down
+    assert(out(2)._4 === 2.0)     // in-band untouched
+  }
+
   test("quantileFloor: kept iff score >= the group's threshold") {
     val df = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 7))
       .toDF("g", "v")
