@@ -763,6 +763,19 @@ private[graft] object Oracles {
         |       CAST(du AS DOUBLE) / 1e12 AS sq_dist
         |FROM r WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin,
 
+    "streaming_anomaly_score" ->
+      """WITH s AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |         COUNT(*) AS cnt
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY 1),
+        |m AS (SELECT median(cnt) AS med FROM s),
+        |m2 AS (SELECT median(abs(cnt - med)) AS mad FROM s, m)
+        |SELECT window_start, cnt,
+        |       CASE WHEN mad = 0 THEN NULL
+        |            ELSE round(abs(cnt - med) / mad, 6) END AS dev_score,
+        |       abs(cnt - med) > CAST(3.0 AS DOUBLE) * mad AS anomaly
+        |FROM s, m, m2 ORDER BY window_start""".stripMargin,
+
     "streaming_kmv_daily" ->
       """WITH e AS (
         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,

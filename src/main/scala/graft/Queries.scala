@@ -1873,6 +1873,38 @@ private[graft] object Queries {
     }),
 
 
+    "streaming_anomaly_score" -> ((s, dir) => {
+      // streaming × monitoring: the sampled feed (event_id % 3) streamed
+      // in two real micro-batches into tumbling daily windows, each
+      // window scored against the batch-derived median/MAD baseline of
+      // the same feed (two literals riding the plan — no model state).
+      // Final per-day rows equal the batch verdict; oracle replays
+      // baseline derivation and scoring end to end
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val sample = Tables.events(s, dir).filter(col("event_id") % 3 === 0)
+      val base = EventAnalytics.volumeAnomalies(sample)
+        .select(col("med"), col("mad")).head()
+      val rows = sample.select(col("ts"), col("event_id"))
+        .as[(java.sql.Timestamp, Long)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val out = graft.streaming.StreamingAnomaly.scoreStream(
+        mem.toDF().toDF("ts", "event_id"),
+        med = base.getDouble(0), mad = base.getDouble(1))
+      val name = "sas_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name)(_
+        .select(col("window_start"), col("cnt"), col("dev_score"),
+          col("anomaly"))
+        .orderBy(col("window_start")))
+    }),
+
     "streaming_kmv_daily" -> ((s, dir) => {
       // streaming cardinality: daily-window distinct-user KMV (k = 64)
       // maintained in the state store by the custom kmv_kmin aggregate —

@@ -127,6 +127,34 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.filter(_.getLong(1) === 5L).forall(!_.getBoolean(5)))
   }
 
+  test("streaming anomaly score: two micro-batches, final day = batch verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    // counts per day: 10,10,12,12,14,14,100 (the batch fixture) → med 12,
+    // MAD 2, threshold 6 → only day 7 flags; rows split mid-day so one
+    // window accumulates across batches
+    val counts = Seq(10, 10, 12, 12, 14, 14, 100)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(i => (ts(f"2024-01-${d + 1}%02d 10:00:${i % 60}%02d"), i.toLong))
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long)]
+    val out = graft.streaming.StreamingAnomaly.scoreStream(
+      mem.toDF().toDF("ts", "event_id"), med = 12.0, mad = 2.0)
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName("sas_out").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sas_out").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2),
+        r.getBoolean(3)))
+    spark.catalog.dropTempView("sas_out")
+    assert(got.length === 7 && got.map(_._1).sum === counts.sum.toLong)
+    assert(got.count(_._3) === 1)
+    assert(got.find(_._3).get === ((100L, 44.0, true)))
+  }
+
   private def round(x: Double, n: Int): Double =
     BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
