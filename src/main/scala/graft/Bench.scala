@@ -21,7 +21,11 @@ case class BenchLexQuery(query_id: Long, terms: Seq[String])
  * seconds and the median total as ONE JSON line on stdout. Runs are
  * INTERLEAVED round-robin across queries (run 1 of every query, then run
  * 2, …) so one query's spread is not an artifact of the JVM/GC phase its
- * back-to-back minute landed in; the SQL cache is cleared before every
+ * back-to-back minute landed in, AND the within-round query order is a
+ * seeded random permutation per round, so a query's samples don't all
+ * land at the same position in the round (same GC phase, same neighbor
+ * residue) — position-correlated host contention averages out instead of
+ * shifting one query's median; the SQL cache is cleared before every
  * measurement so each is measured in isolation.
  *
  * Timing includes plan + execution (count() forces the full pipeline;
@@ -178,7 +182,19 @@ object Bench {
            catch { case _: Throwable => -1.0 })
       }
     }
-    (1 to runs).foreach(_ => measureRound(queryFns.indices))
+    // per-round ORDER permutation (round-13 verdict #3): interleaved
+    // rounds alone still run the queries in the SAME alphabetical order
+    // every round, so a query's samples all land at the same position in
+    // the round — the same GC phase, the same neighbors' page-cache /
+    // shuffle-dir residue — and a position-correlated contention source
+    // shows up as a correlated median shift on an untouched code path
+    // (pagerank_trade's r13 median doubled with a flat min). A seeded
+    // Fisher–Yates shuffle per round decorrelates position from query;
+    // the fixed seeds keep the protocol reproducible run-to-run.
+    (1 to runs).foreach { r =>
+      val order = new scala.util.Random(1234L + r).shuffle(queryFns.indices.toVector)
+      measureRound(order)
+    }
     // CONTENTION ROBUSTNESS (round-10 verdict #1/#3): entries whose max/min
     // exceeded 2× over the base rounds get `runs` EXTRA interleaved
     // measurements — a host-contention hit on one run of a heavy entry
@@ -193,7 +209,10 @@ object Bench {
     if (highSpread.nonEmpty) {
       System.err.println(s"[bench] extra runs for high-spread entries: " +
         highSpread.map(queryFns(_)._1).mkString(", "))
-      (1 to runs).foreach(_ => measureRound(highSpread))
+      (1 to runs).foreach { r =>
+        val order = new scala.util.Random(5678L + r).shuffle(highSpread.toVector)
+        measureRound(order)
+      }
     }
     val results = queryFns.zipWithIndex.map { case ((name, fn), i) =>
       // warm-plan second execution: one Dataset, counted twice; the second

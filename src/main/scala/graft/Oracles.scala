@@ -1074,14 +1074,21 @@ private[graft] object Oracles {
         |ORDER BY doc_id, rnk""".stripMargin,
 
     "sparse_similar_docs" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      """WITH reps AS MATERIALIZED (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM reps),
         |g AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS term
         |      FROM t, unnest(range(1, len(toks) - 1)) u(i)
         |      WHERE len(toks) >= 3),
         |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM g GROUP BY 1, 2),
         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS nd FROM documents),
-        |band AS (SELECT term, df FROM dfq, n WHERE df >= 2 AND df * 5 <= nd * 1),
+        |n AS (SELECT count(*) AS nd FROM reps),
+        |band AS (SELECT term, df FROM dfq, n
+        |         WHERE df >= 2 AND df * 5 <= nd * 1 AND df <= 100),
         |sc AS MATERIALIZED (
         |  SELECT doc_id AS d, term,
         |         round(tf * round(ln((nd + 1.0) / (df + 1.0)) + 1.0, 6), 6) AS score

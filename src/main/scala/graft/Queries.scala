@@ -1026,9 +1026,10 @@ private[graft] object Queries {
     }),
 
     "entity_sorted_neighborhood" -> ((s, dir) => {
-      // the complementary ER candidate generator: distinct names sorted,
-      // each compared to its next 2 lexicographic neighbors (no self-join
-      // at all — lead columns over one |V|-row sort), levenshtein <= 3
+      // the complementary ER candidate generator: distinct names in a
+      // DISTRIBUTED range-partitioned sort (global index = range offset +
+      // local row_number), each compared to its next 2 lexicographic
+      // neighbors via an equi-join on the index, levenshtein <= 3
       EntityResolution.sortedNeighborhoodPairs(Tables.part(s, dir),
           idCol = "p_partkey", nameCol = "p_name", windowSize = 3)
         .orderBy(col("nm_a"), col("nm_b"))
@@ -1667,8 +1668,16 @@ private[graft] object Queries {
 
     "sparse_similar_docs" -> ((s, dir) => {
       // lexical more-like-this: trigram tf-idf cosine via a df-cut
-      // inverted-index self-join, integer micro-unit dot products
-      TextAnalysis.sparseSimilarDocs(Tables.documents(s, dir), gramN = 3, k = 5)
+      // inverted-index self-join, integer micro-unit dot products.
+      // The duplicate-heavy-corpus composition: exact-collapse to
+      // representatives FIRST (LLM corpora are duplicate-heavy by default;
+      // a relative df cut alone shifts nothing out of band when
+      // duplication inflates df and N together), then bound residual
+      // per-term fan-out with the ABSOLUTE df cap — candidate pairs per
+      // term ≤ maxDfAbs² no matter the corpus shape.
+      val reps = Dedup.exactDedupKept(Tables.documents(s, dir))
+      TextAnalysis.sparseSimilarDocs(reps, gramN = 3, k = 5,
+          maxDfAbs = Some(100))
         .orderBy(col("doc_id"), col("rnk"))
     }),
 

@@ -633,7 +633,13 @@ object Curation {
     require(qs.nonEmpty, "groupQuantiles: need at least one quantile")
     qs.foreach(q => require(q >= 0 && q <= 1,
       s"groupQuantiles: q must be in [0,1], got $q"))
-    val hist = df.groupBy(col(groupCol), scoreCol.cast("double").as("v"))
+    // NULL scores carry no quantile signal and must not become a
+    // histogram bucket: a null `v` group would survive the groupBy and
+    // the NULLS-FIRST window order would shift every cumulative rank.
+    // percentile/quantile_cont ignore nulls; `n` below counts only
+    // non-null scores to match.
+    val hist = df.filter(scoreCol.isNotNull)
+      .groupBy(col(groupCol), scoreCol.cast("double").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("v"))

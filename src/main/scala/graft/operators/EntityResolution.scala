@@ -136,31 +136,60 @@ object EntityResolution {
    * union, which is exactly composing this with [[fuzzyMatchPairs]].
    *
    * Output: (nm_a, nm_b, dist, gap) — gap = sort-order distance (1 =
-   * adjacent). Scale shape: the global sort runs on the |V|-row
-   * DICTIONARY (one corpus aggregation shuffle first, vocab ≪ corpus),
-   * and the window is `windowSize − 1` lead columns over one sort — no
-   * self-join at all, O(|V|·w) candidates.
+   * adjacent).
+   *
+   * Scale shape — a DISTRIBUTED global sort, never a single-partition
+   * Window: the |V|-row dictionary is range-partitioned on the name, each
+   * row gets a global contiguous sort index as (rows in earlier ranges) +
+   * per-range row_number — the per-range offsets are a ≤P-row aggregate
+   * (P = numPartitions), prefix-summed on that tiny frame and broadcast
+   * back — and neighbor pairs come from an EQUI-JOIN on idx_b = idx_a +
+   * gap (gap ∈ [1, windowSize−1]). Every corpus-independent stage is
+   * |V|-parallel; no stage funnels the dictionary through one task. The
+   * index-join formulation also sidesteps the boundary-strip edge cases
+   * of per-partition leads (a range shorter than windowSize−1 rows would
+   * need neighbors from TWO ranges ahead; an equi-join on the global
+   * index cannot miss a pair by construction). O(|V|·w) candidates.
    */
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, nameCol: String,
                               windowSize: Int = 3,
-                              maxDist: Int = 3): DataFrame = {
+                              maxDist: Int = 3,
+                              numPartitions: Option[Int] = None): DataFrame = {
     require(windowSize >= 2,
       s"sortedNeighborhoodPairs: windowSize must be >= 2, got $windowSize")
     require(maxDist >= 1,
       s"sortedNeighborhoodPairs: maxDist must be >= 1, got $maxDist")
+    numPartitions.foreach(p => require(p >= 1,
+      s"sortedNeighborhoodPairs: numPartitions must be >= 1, got $p"))
     val names = nameDictionary(df, idCol, nameCol)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("nm"))
-    val withLeads = (1 until windowSize).foldLeft(names) { (d, j) =>
-      d.withColumn(s"_nb$j", lead(col("nm"), j).over(w))
-    }
-    val pairs = (1 until windowSize).map(j =>
-      withLeads.filter(col(s"_nb$j").isNotNull)
-        .select(col("nm").as("nm_a"), col(s"_nb$j").as("nm_b"),
-          lit(j).as("gap")))
-    pairs.reduce(_ unionByName _)
+    // pin the range partitioning (pid assignment feeds the offset
+    // aggregate AND the indexed frame — fork severing, and sampling-based
+    // range boundaries must not be recomputed differently per consumer)
+    val parted = numPartitions.map(p => names.repartitionByRange(p, col("nm")))
+      .getOrElse(names.repartitionByRange(col("nm")))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // rows per range → exclusive prefix sum: a ≤P-row frame, so the
+    // global Window here is bounded by construction, not corpus-sized
+    val wPid = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+      .rowsBetween(Long.MinValue, -1)
+    val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wPid), lit(0L)))
+      .select(col("pid"), col("off"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("nm"))
+    val indexed = parted.join(broadcast(offsets), Seq("pid"))
+      .withColumn("idx", col("off") + row_number().over(wLocal))
+      .select(col("nm"), col("idx"))
+      .localCheckpoint() // both join sides read the materialized index
+    val lhs = indexed.select(col("nm").as("nm_a"), col("idx"),
+        explode(sequence(lit(1), lit(windowSize - 1))).as("gap"))
+      .withColumn("idx_b", col("idx") + col("gap"))
+    lhs.join(indexed.select(col("nm").as("nm_b"), col("idx").as("idx_b")),
+        Seq("idx_b"))
       .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")))
       .filter(col("dist") <= maxDist)
-      .select(col("nm_a"), col("nm_b"), col("dist"), col("gap"))
+      .select(col("nm_a"), col("nm_b"), col("dist"), col("gap").cast("int").as("gap"))
   }
 
   /**

@@ -91,17 +91,6 @@ object EventAnalytics {
   }
 
   /**
-   * Monthly cohort retention: cohort = calendar month of the entity's
-   * first fact; for every later month with activity, the share of the
-   * cohort still active. Month arithmetic is on the integer index
-   * `year*12 + (month-1)` — exact in any engine, no interval/timezone
-   * semantics to align. Output: (cohort_year, cohort_month, month_offset,
-   * users, retention), ordered.
-   *
-   * Offset 0 always exists for every cohort (the first fact itself), so
-   * the cohort-size Window lookup never misses.
-   */
-  /**
    * First-order Markov transition matrix over each user's time-ordered
    * event sequence: counts and row-normalized probabilities of
    * cur → next. The third member of the event family (funnel = "did the
@@ -132,6 +121,17 @@ object EventAnalytics {
       .orderBy(col("cur"), col("nxt"))
   }
 
+  /**
+   * Monthly cohort retention: cohort = calendar month of the entity's
+   * first fact; for every later month with activity, the share of the
+   * cohort still active. Month arithmetic is on the integer index
+   * `year*12 + (month-1)` — exact in any engine, no interval/timezone
+   * semantics to align. Output: (cohort_year, cohort_month, month_offset,
+   * users, retention), ordered.
+   *
+   * Offset 0 always exists for every cohort (the first fact itself), so
+   * the cohort-size Window lookup never misses.
+   */
   def cohortRetention(facts: DataFrame, userCol: String, dateCol: String): DataFrame = {
     val m = (year(col(dateCol)) * 12 + (month(col(dateCol)) - 1)).cast("int")
     val wUser = Window.partitionBy(col("u"))

@@ -656,13 +656,14 @@ object Similarity {
    */
   def labelOutliers(embs: DataFrame, dim: Int = 64, topK: Int = 5,
                     vecCol: String = "embedding",
-                    labelCol: String = "label"): DataFrame = {
+                    labelCol: String = "label",
+                    idCol: String = "vec_id"): DataFrame = {
     require(dim > 0, s"labelOutliers: dim must be > 0, got $dim")
     require(topK >= 1, s"labelOutliers: topK must be >= 1, got $topK")
     val clean = embs
       .filter(VectorFunctions.isFiniteVec(col(vecCol)) &&
         size(col(vecCol)) === dim)
-      .select(col("vec_id"), col(labelCol).as("label"),
+      .select(col(idCol), col(labelCol).as("label"),
         transform(col(vecCol),
           x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long"))
           .as("e"))
@@ -682,11 +683,11 @@ object Similarity {
       .withColumn("sq_dist_units",
         aggregate(zip_with(col("e"), col("cent"),
           (q, m) => (q - m) * (q - m)), lit(0L), (acc, x) => acc + x))
-      .select(col("label"), col("vec_id"), col("sq_dist_units"),
+      .select(col("label"), col(idCol), col("sq_dist_units"),
         (col("sq_dist_units").cast("double") / lit(1e12)).as("sq_dist"))
     graft.plans.TopK.perKey(scored, topK, Seq(col("label")),
-      Seq(col("sq_dist_units").desc, col("vec_id").asc))
-      .select(col("label"), col("rnk"), col("vec_id"),
+      Seq(col("sq_dist_units").desc, col(idCol).asc))
+      .select(col("label"), col("rnk"), col(idCol),
         col("sq_dist_units"), col("sq_dist"))
   }
 }

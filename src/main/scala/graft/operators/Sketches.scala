@@ -49,11 +49,15 @@ object Sketches {
   private[graft] val CmsA = Array(31L, 131L, 1031L, 8191L, 127L, 2053L, 257L, 4099L)
   private[graft] val CmsB = Array(17L, 29L, 101L, 3L, 211L, 53L, 401L, 7L)
 
-  /** h_r(key): row `r`'s counter column for a NON-NEGATIVE int64 key —
-    * ((key mod M)·a_r + b_r) mod M mod width, every intermediate exact in
-    * int64 (plain `%`/`*`/`+`, so DuckDB replays it verbatim). */
+  /** h_r(key): row `r`'s counter column — ((key mod M)·a_r + b_r) mod M
+    * mod width, every intermediate exact in int64. Reductions use `pmod`
+    * so a NEGATIVE key still lands in [0, width) — plain `%` keeps the
+    * dividend's sign in Spark, which would build cells the estimate path
+    * never probes and silently return 0. For non-negative keys pmod ≡ %,
+    * so a plain-`%` SQL replay (the oracle convention) stays hash-equal;
+    * a negative-key replay must use ((x % M) + M) % M. */
   private def cmsCol(key: Column, r: Int, width: Int): Column =
-    (key % CmsMod * CmsA(r) + CmsB(r)) % CmsMod % width
+    pmod(pmod(key, lit(CmsMod)) * CmsA(r) + CmsB(r), lit(CmsMod)) % width
 
   /**
    * Count-min sketch (Cormode & Muthukrishnan 2005) over a non-negative

@@ -170,7 +170,14 @@ case class KmvKMin(
       TypeCheckFailure(s"kmv_kmin expects an int64 hash, got ${child.dataType}")
     else if (!kExpr.foldable || kExpr.dataType != IntegerType)
       TypeCheckFailure("kmv_kmin k must be a constant int")
-    else TypeCheckSuccess
+    else {
+      // k < 1 would build a KmvBuffer whose add() calls set.last on an
+      // empty TreeSet — reject at analysis time, not execution time
+      val kv = kExpr.eval(InternalRow.empty)
+      if (kv == null || kv.asInstanceOf[Int] < 1)
+        TypeCheckFailure(s"kmv_kmin k must be >= 1, got $kv")
+      else TypeCheckSuccess
+    }
   }
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)

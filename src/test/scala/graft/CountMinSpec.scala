@@ -29,6 +29,21 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("negative keys: cells land in [0, width) and estimates never undercount") {
+    // plain % keeps the dividend's sign in Spark — a negative key would
+    // build a cell the estimate path never probes and return a silent 0;
+    // pmod pins build and probe to the same non-negative cell
+    val df = Seq(-5L, -5L, -5L, -1000000009L, 7L).toDF("k")
+    val cells = Sketches.countMinCells(df, col("k"), depth = 2, width = 8)
+    val got = cells.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (_, c, _) => c >= 0 && c < 8 })
+    val est = Sketches.countMinEstimate(
+        cells, Seq(-5L, -1000000009L).toDF("k"), "k", depth = 2, width = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(est(-5L) >= 3L)            // never undercounts
+    assert(est(-1000000009L) >= 1L)
+  }
+
   test("estimate never undercounts, and equals exact when cells are private") {
     val keys = (1L to 40L)
     val data = keys.flatMap(k => Seq.fill((k % 5 + 1).toInt)(k)).toDF("k")

@@ -367,6 +367,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(thr(1.0)("a") === 4.0 && thr(0.0)("a") === 1.0)
   }
 
+  test("groupQuantile: NULL scores are ignored, not a histogram bucket") {
+    val clean = Seq(("a", Some(1)), ("a", Some(2)), ("a", Some(3)),
+      ("a", Some(4))).toDF("g", "v")
+    val withNulls = Seq(("a", Some(1)), ("a", None), ("a", Some(2)),
+      ("a", None), ("a", Some(3)), ("a", Some(4))).toDF("g", "v")
+    def thr(df: org.apache.spark.sql.DataFrame) =
+      Curation.groupQuantile(df, "g", col("v"), 0.25)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // quantile_cont semantics: nulls carry no signal — same threshold
+    assert(thr(withNulls) === thr(clean))
+    assert(thr(withNulls)("a") === 1.75)
+    // an all-null group contributes no threshold row at all
+    val allNull = Seq(("a", Some(1)), ("a", Some(2)), ("b", None))
+      .toDF("g", "v")
+    assert(thr(allNull).keySet === Set("a"))
+  }
+
   test("winsorize: clips to the per-group quantile band, one-pass bounds") {
     val df = Seq(("a", -100.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
       ("a", 4.0), ("a", 1000.0)).toDF("g", "v")

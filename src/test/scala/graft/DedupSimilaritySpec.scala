@@ -476,4 +476,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.drop(2).map(t => (t._3, t._4)).toSeq ===
       Seq((5L, 0L), (6L, 0L)))
   }
+
+  test("labelOutliers: idCol parameter works on a non-vec_id frame") {
+    val df = Seq(
+      (1L, 0, Array(0f, 0f)), (2L, 0, Array(0.5f, 0f)),
+      (3L, 0, Array(0f, 0.5f)), (4L, 0, Array(10f, 10f)))
+      .toDF("doc_id", "label", "embedding")
+    val out = Similarity.labelOutliers(df, dim = 2, topK = 1, idCol = "doc_id")
+    assert(out.columns.contains("doc_id"))
+    assert(out.select("doc_id").head().getLong(0) === 4L)
+  }
 }

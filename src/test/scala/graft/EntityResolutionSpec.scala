@@ -83,6 +83,28 @@ class EntityResolutionSpec extends SparkSpec {
     assert(w2.length === 2)
   }
 
+  test("sortedNeighborhood: multi-partition execution matches single-partition") {
+    // 26 names, forced across 5 range partitions — including ranges
+    // SHORTER than windowSize-1, the case a boundary-strip formulation
+    // would miss (a pair spanning two ranges ahead); the global-index
+    // equi-join must find every pair a 1-partition run finds
+    val names = ('a' to 'z').map(c => s"$c$c name x")
+    val d = df(names.zipWithIndex.map { case (n, i) => ((i + 1).toLong, n) }: _*)
+    def run(p: Int) = EntityResolution.sortedNeighborhoodPairs(
+        d, "id", "name", windowSize = 4, maxDist = 3,
+        numPartitions = Some(p))
+      .orderBy("nm_a", "nm_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .toSeq
+    val multi = run(5)
+    assert(multi === run(1))
+    // every adjacent pair within dist 3 exists: 25 gap-1 + 0 gap-2/3
+    // (distinct letters differ in 2 positions of an 9-char string → the
+    // gap-1 distance is 2; gap-2+ pairs still differ by 2 — all kept)
+    assert(multi.count(_._4 == 1) === 25)
+    assert(multi.size === 25 + 24 + 23)
+  }
+
   test("resolveEntities: no matches → every name its own entity") {
     val d = df((1L, "alpha one"), (2L, "beta two"), (3L, "gamma three"))
     val out = EntityResolution.resolveEntities(d, "id", "name")

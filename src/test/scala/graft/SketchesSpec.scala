@@ -181,6 +181,16 @@ class SketchesSpec extends SparkSpec {
     assert(viaAgg === direct) // both ascending, distinct, same minima
   }
 
+  test("kmv_kmin: k < 1 is an analysis-time error, not a runtime crash") {
+    graft.plans.GraftFunctions.register(spark)
+    val ids = (1L to 10L).toDF("id")
+      .select(graft.operators.Sketches.kmvHash(col("id")).as("h"))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      ids.agg(call_function("kmv_kmin", col("h"), lit(0)).as("m")).collect()
+    }
+    assert(ex.getMessage.contains("kmv_kmin k must be >= 1"))
+  }
+
   test("streaming kmv: two micro-batches == one batch over the union") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
