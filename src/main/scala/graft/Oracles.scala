@@ -870,6 +870,56 @@ private[graft] object Oracles {
         |FROM u WHERE levenshtein(nm_in, match_nm) <= 3
         |ORDER BY id, match_nm""".stripMargin,
 
+    "entity_index_flag" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g') AS nm,
+        |         MIN(CAST(p_partkey AS BIGINT)) AS rep
+        |  FROM part
+        |  WHERE regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g') <> ''
+        |  GROUP BY 1),
+        |mut AS MATERIALIZED (
+        |  SELECT 'x' || substr(regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g'), 2) AS nm,
+        |         MIN(CAST(p_partkey AS BIGINT) + 1000000) AS rep
+        |  FROM part
+        |  WHERE p_partkey % 37 = 0
+        |    AND 'x' || substr(regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g'), 2) <> ''
+        |  GROUP BY 1),
+        |blk AS (
+        |  SELECT nm, rep, substr(nm, 1, 3) AS bk, 'p' AS space FROM base
+        |  UNION ALL
+        |  SELECT nm, rep, substr(nm, length(nm) - 2, 3) AS bk, 's' AS space FROM base
+        |  UNION ALL
+        |  SELECT nm, rep, substr(nm, 1, 3) AS bk, 'p' AS space FROM mut
+        |  UNION ALL
+        |  SELECT nm, rep, substr(nm, length(nm) - 2, 3) AS bk, 's' AS space FROM mut),
+        |merged AS MATERIALIZED (
+        |  SELECT nm, bk, space, MIN(rep) AS rep FROM blk GROUP BY 1, 2, 3),
+        |idx AS MATERIALIZED (
+        |  SELECT nm, rep, bk, space FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY space, bk) AS bsz FROM merged)
+        |  WHERE bsz <= 1000),
+        |q AS MATERIALIZED (
+        |  SELECT id, nm_in, substr(nm_in, 1, 3) AS pk,
+        |         substr(nm_in, length(nm_in) - 2, 3) AS sk
+        |  FROM (
+        |    SELECT CAST(p_partkey AS BIGINT) AS id,
+        |           regexp_replace(trim(lower('x' || substr(
+        |             regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g'),
+        |             2))), '\s+', ' ', 'g') AS nm_in
+        |    FROM part WHERE p_partkey % 37 = 0)
+        |  WHERE nm_in <> ''),
+        |u AS (
+        |  SELECT id, nm_in, nm AS match_nm, rep
+        |  FROM q JOIN idx ON idx.space = 'p' AND q.pk = idx.bk
+        |  UNION ALL
+        |  SELECT id, nm_in, nm AS match_nm, rep
+        |  FROM q JOIN idx ON idx.space = 's' AND q.sk = idx.bk
+        |   AND substr(q.nm_in, 1, 3) <> substr(idx.nm, 1, 3))
+        |SELECT id, nm_in, match_nm,
+        |       levenshtein(nm_in, match_nm) AS dist, rep
+        |FROM u WHERE levenshtein(nm_in, match_nm) <= 3
+        |ORDER BY id, match_nm""".stripMargin,
+
     "volume_anomalies" ->
       """WITH d AS (
         |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt FROM events

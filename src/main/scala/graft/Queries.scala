@@ -1008,6 +1008,42 @@ private[graft] object Queries {
         .orderBy(col("id"), col("match_nm")))
     }),
 
+    "entity_index_flag" -> ((s, dir) => {
+      // persisted master-list lifecycle (the winnow_index_flag pattern
+      // over the entity dictionary): the part-name blocked dictionary
+      // SAVED range-partitioned by (space, block key), an ingest batch of
+      // first-char-x-mutated names (every 37th part, shifted reps)
+      // APPENDED as delta files, the merged set LOADED (duplicate rows
+      // merged, block cap over the whole set), then the same mutated
+      // names flagged against it. Two-chain visibility: each query hits
+      // its delta twin at dist 0 (append+load must work) AND its base
+      // original via the suffix space at dist 1 (save+load must work)
+      import graft.streaming.StreamingEntity
+      val tmp = java.nio.file.Files.createTempDirectory("graft_entity_idx").toString
+      val base = EntityResolution.spaceBlocked(Tables.part(s, dir),
+        "p_partkey", "p_name")
+      StreamingEntity.saveDictionary(base, tmp)
+      val norm = regexp_replace(trim(lower(col("p_name"))), "\\s+", " ")
+      val mutated = Tables.part(s, dir).filter(col("p_partkey") % 37 === 0)
+        .select((col("p_partkey") + 1000000L).as("pid"),
+          concat(lit("x"), substring(norm, 2, Int.MaxValue)).as("pname"))
+      StreamingEntity.appendDictionary(
+        EntityResolution.spaceBlocked(mutated, "pid", "pname"), tmp)
+      val idx = StreamingEntity.loadDictionary(s, tmp)
+      val queries = Tables.part(s, dir).filter(col("p_partkey") % 37 === 0)
+        .select(col("p_partkey").as("id"),
+          concat(lit("x"), substring(norm, 2, Int.MaxValue)).as("name"))
+      // flagAgainstIndex is stream-agnostic: the same stateless plan runs
+      // on a batch frame. Report-sized result → eager localCheckpoint
+      // severs it from the temp parquet, which is then deleted (the
+      // ann_*_build discipline)
+      val out = StreamingEntity.flagAgainstIndex(queries, idx)
+        .orderBy(col("id"), col("match_nm"))
+        .localCheckpoint()
+      Gates.deleteTree(tmp)
+      out
+    }),
+
     "volume_anomalies" -> ((s, dir) => {
       // robust ingest monitoring: days whose event volume deviates > 3 MAD
       // from the median; one corpus groupBy to the calendar-bounded daily

@@ -68,9 +68,22 @@ object EntityResolution {
    */
   def blockedDictionary(df: DataFrame, idCol: String, nameCol: String,
                         blockLen: Int = 3,
-                        maxBlockSize: Int = 1000): DataFrame = {
+                        maxBlockSize: Int = 1000): DataFrame =
+    capBlocks(spaceBlocked(df, idCol, nameCol, blockLen), maxBlockSize)
+
+  /**
+   * The UNCAPPED space-tagged blocked dictionary — the persistable unit
+   * of the dictionary lifecycle ([[graft.streaming.StreamingEntity]]
+   * save/append/load): (nm, cnt, rep, bk, space) with both key spaces,
+   * no block cap. The cap belongs at index-BUILD time over the whole
+   * loaded set ([[capBlocks]], the StreamingWinnow df-cut discipline), so
+   * delta-appended names participate in block-size suppression exactly
+   * as if the dictionary had been rebuilt.
+   */
+  def spaceBlocked(df: DataFrame, idCol: String, nameCol: String,
+                   blockLen: Int = 3): DataFrame = {
     require(blockLen >= 1,
-      s"blockedDictionary: blockLen must be >= 1, got $blockLen")
+      s"spaceBlocked: blockLen must be >= 1, got $blockLen")
     val names = nameDictionary(df, idCol, nameCol)
     val pre = names
       .withColumn("bk", substring(col("nm"), 1, blockLen))
@@ -79,6 +92,15 @@ object EntityResolution {
       .withColumn("bk", substring(col("nm"), -blockLen, blockLen))
       .withColumn("space", lit("s"))
     pre.unionByName(suf)
+  }
+
+  /** Drop whole blocks larger than `maxBlockSize` within a key space —
+    * the coverage cap shared by [[blockedDictionary]] and the
+    * load-time path of a persisted dictionary. Runs on |V|·2 rows. */
+  def capBlocks(blockedRows: DataFrame, maxBlockSize: Int): DataFrame = {
+    require(maxBlockSize >= 1,
+      s"capBlocks: maxBlockSize must be >= 1, got $maxBlockSize")
+    blockedRows
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("space"), col("bk"))))

@@ -27,6 +27,55 @@ import org.apache.spark.sql.functions._
 object StreamingEntity {
 
   /**
+   * Persist a blocked name dictionary as the on-disk master-list
+   * artifact: (nm, cnt, rep, bk, space) rows — the UNCAPPED
+   * [[graft.operators.EntityResolution.spaceBlocked]] output —
+   * range-partitioned and sorted by (space, bk), so a flag join's probe
+   * prunes row groups via parquet min/max stats on the block key. |V|·2
+   * rows regardless of corpus size; corpus text/ids are never needed
+   * again at flag time.
+   */
+  def saveDictionary(blockedRows: DataFrame, path: String): Unit =
+    blockedRows.select(col("nm"), col("cnt"), col("rep"),
+        col("bk"), col("space"))
+      .repartitionByRange(col("space"), col("bk"))
+      .sortWithinPartitions(col("space"), col("bk"), col("nm"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append an ingest batch's blocked dictionary rows as delta files
+    * with the same per-file sort (the BM25 segment-append discipline —
+    * no rewrite of existing files). A name present in both the stored
+    * set and a delta yields duplicate rows on disk; [[loadDictionary]]
+    * merges them (sum counts, min rep) and applies the block cap over
+    * the WHOLE merged set, so appends compose exactly as a rebuild. */
+  def appendDictionary(blockedRows: DataFrame, path: String): Unit =
+    blockedRows.select(col("nm"), col("cnt"), col("rep"),
+        col("bk"), col("space"))
+      .repartitionByRange(col("space"), col("bk"))
+      .sortWithinPartitions(col("space"), col("bk"), col("nm"))
+      .write.mode("append").parquet(path)
+
+  /**
+   * Load a stored dictionary back into the [[flagAgainstIndex]] index
+   * shape: merge duplicate (nm, bk, space) rows across base + deltas
+   * (counts are additive; the representative is the minimum id — the
+   * same aggregation a from-scratch
+   * [[graft.operators.EntityResolution.nameDictionary]] build performs),
+   * then the whole-block cap. `localCheckpoint`ed: in a stream-static
+   * join the static subplan re-executes per micro-batch, so without
+   * severing it each batch would re-pay the merge aggregation.
+   */
+  def loadDictionary(spark: org.apache.spark.sql.SparkSession,
+                     path: String, maxBlockSize: Int = 1000): DataFrame =
+    graft.operators.EntityResolution.capBlocks(
+        spark.read.parquet(path)
+          .groupBy(col("nm"), col("bk"), col("space"))
+          .agg(sum(col("cnt")).as("cnt"), min(col("rep")).as("rep")),
+        maxBlockSize)
+      .select(col("nm"), col("cnt"), col("rep"), col("bk"), col("space"))
+      .localCheckpoint()
+
+  /**
    * Flag a stream of (idCol, nameCol) rows against a blocked dictionary
    * index (columns nm/cnt/rep/bk/space from `blockedDictionary` with the
    * same `blockLen`). Emits (id, nm_in, match_nm, dist, rep) for every

@@ -57,4 +57,43 @@ class StreamingEntitySpec extends SparkSpec {
     assert(got.count(t => t._3 == "warm plate") === 1)
     assert(got.find(t => t._3 == "warm plate").get._4 === 0)
   }
+
+  test("persisted dictionary epochs: save, delta-append, reload, flag") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ent_spec").toString
+    try {
+      // epoch 1: base dictionary only
+      StreamingEntity.saveDictionary(
+        EntityResolution.spaceBlocked(dictRows.toDF("id", "name"), "id", "name"),
+        tmp)
+      def flagEpoch(idx: org.apache.spark.sql.DataFrame, qname: String) = {
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = StreamingEntity.flagAgainstIndex(
+            mem.toDF().toDF("id", "name"), idx)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(qname).start()
+        mem.addData(Seq((30L, "qold anvil"))); q.processAllAvailable()
+        q.stop()
+        val got = spark.table(qname).collect()
+          .map(r => (r.getString(2), r.getInt(3), r.getLong(4))).sorted.toSeq
+        spark.catalog.dropTempView(qname)
+        got
+      }
+      val e1 = flagEpoch(StreamingEntity.loadDictionary(spark, tmp), "ent_e1")
+      // suffix-space hits on the base names only
+      assert(e1 === Seq(("cold anvil", 1, 1L), ("old anvil", 1, 2L)))
+      // epoch 2: the ingest batch adds "qold anvil" itself (rep 100) and a
+      // duplicate "old anvil" row (rep 200) — reload must surface the new
+      // name at dist 0 and keep the MIN rep for the duplicate
+      StreamingEntity.appendDictionary(
+        EntityResolution.spaceBlocked(
+          Seq((100L, "qold anvil"), (200L, "old anvil")).toDF("id", "name"),
+          "id", "name"),
+        tmp)
+      val e2 = flagEpoch(StreamingEntity.loadDictionary(spark, tmp), "ent_e2")
+      assert(e2 === Seq(("cold anvil", 1, 1L), ("old anvil", 1, 2L),
+        ("qold anvil", 0, 100L)))
+    } finally Gates.deleteTree(tmp)
+  }
 }
