@@ -832,6 +832,20 @@ private[graft] object Oracles {
         |FROM t JOIN thr USING (source)
         |GROUP BY t.source ORDER BY t.source""".stripMargin,
 
+    "streaming_winsor_flag" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS v
+        |  FROM documents),
+        |thr AS MATERIALIZED (
+        |  SELECT source, quantile_cont(v, 0.25) AS lo, quantile_cont(v, 0.75) AS hi
+        |  FROM t GROUP BY source)
+        |SELECT doc_id, t.source, v, lo, hi,
+        |       least(greatest(v, lo), hi) AS clipped,
+        |       v >= lo AS kept
+        |FROM t JOIN thr USING (source)
+        |ORDER BY doc_id""".stripMargin,
+
     "streaming_entity_flag" ->
       """WITH names AS MATERIALIZED (
         |  SELECT regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g') AS nm,

@@ -2011,6 +2011,40 @@ private[graft] object Queries {
         .orderBy(col("doc_id")))
     }),
 
+    "streaming_winsor_flag" -> ((s, dir) => {
+      // streaming × curation thresholds: per-source [p25, p75] token-count
+      // bands derived batch-side via the weighted-histogram groupQuantiles
+      // (ONE pass for both bounds, state ∝ distinct scores), then the
+      // full corpus streamed through the stateless clip + floor flagger
+      // in two real micro-batches — stream-static |sources|-row broadcast
+      // join, no state store; streamed verdicts must hash-match the
+      // oracle's quantile_cont batch derivation
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val thr = Curation.groupQuantiles(Tables.documents(s, dir), "source",
+          TextFunctions.tokenCount(col("text")), Seq(0.25, 0.75))
+        .select(col("source"), col("thr_0").as("lo"), col("thr_1").as("hi"))
+        .localCheckpoint() // static side re-executes per micro-batch
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val out = graft.streaming.StreamingWinsor.flagStream(
+        mem.toDF().toDF("doc_id", "source", "text"), thr)
+      val name = "swf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name)(_
+        .select(col("doc_id"), col("source"), col("v"), col("lo"),
+          col("hi"), col("clipped"), col("kept"))
+        .orderBy(col("doc_id")))
+    }),
+
     "streaming_cluster_assign" -> ((s, dir) => {
       // the STREAMING clustering path gated against the same full DuckDB
       // k-means replay as embedding_clusters: centroids trained batch-side
