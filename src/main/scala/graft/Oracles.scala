@@ -792,6 +792,39 @@ private[graft] object Oracles {
         |            ELSE round(CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk, 6) END AS estimate
         |FROM s ORDER BY window_start""".stripMargin,
 
+    "streaming_cms_daily" ->
+      """WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
+        |e AS MATERIALIZED (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, user_id
+        |  FROM events WHERE event_id % 11 = 0),
+        |cells AS MATERIALIZED (
+        |  SELECT window_start, r,
+        |         (user_id % 1000000007 * a + b) % 1000000007 % 64 AS c,
+        |         COUNT(*) AS n
+        |  FROM e CROSS JOIN h GROUP BY 1, 2, 3),
+        |probes AS MATERIALIZED (
+        |  SELECT user_id FROM (SELECT DISTINCT user_id FROM e)
+        |  ORDER BY user_id LIMIT 20),
+        |pr AS (
+        |  SELECT p.user_id, h.r,
+        |         (p.user_id % 1000000007 * h.a + h.b) % 1000000007 % 64 AS c
+        |  FROM probes p CROSS JOIN h),
+        |wins AS (SELECT DISTINCT window_start FROM e),
+        |est AS (
+        |  SELECT w.window_start, pr.user_id, MIN(COALESCE(cells.n, 0)) AS est
+        |  FROM wins w CROSS JOIN pr
+        |  LEFT JOIN cells ON cells.window_start = w.window_start
+        |   AND cells.r = pr.r AND cells.c = pr.c
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT window_start, user_id, COUNT(*) AS exact
+        |       FROM e GROUP BY 1, 2)
+        |SELECT s.window_start, s.user_id, s.est,
+        |       COALESCE(ex.exact, 0) AS exact,
+        |       s.est >= COALESCE(ex.exact, 0) AS never_undercount
+        |FROM est s LEFT JOIN ex
+        |  ON ex.window_start = s.window_start AND ex.user_id = s.user_id
+        |ORDER BY s.window_start, s.user_id""".stripMargin,
+
     "kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h

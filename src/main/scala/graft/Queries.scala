@@ -1980,6 +1980,51 @@ private[graft] object Queries {
         .orderBy(col("window_start")))
     }),
 
+    "streaming_cms_daily" -> ((s, dir) => {
+      // streaming frequency: daily-window count-min grids (4×64, dense
+      // int64 cells) maintained in the state store by the custom cms_grid
+      // aggregate — depth·width longs per window no matter the key
+      // cardinality. Two real micro-batches; the grid is cell-wise
+      // additive, so the emitted per-day grid equals one batch build over
+      // the union, and DuckDB replays windows, cells, the 20-probe
+      // estimates, and the never-undercount law
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val feed = Tables.events(s, dir).filter(col("event_id") % 11 === 0)
+      val rows = feed.select(col("ts"), col("user_id"))
+        .as[(java.sql.Timestamp, Long)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val out = graft.streaming.StreamingCms.windowedGrid(
+        mem.toDF().toDF("ts", "user_id"), col("user_id"), "1 day",
+        depth = 4, width = 64)
+      val name = "scm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      // probe the stored grids batch-side: 20 smallest feed users, every
+      // (window × probe) estimate vs the exact per-day count
+      val probes = feed.select(col("user_id")).distinct()
+        .orderBy(col("user_id")).limit(20)
+      val exact = feed
+        .groupBy(date_trunc("day", col("ts")).as("window_start"),
+          col("user_id"))
+        .agg(count(lit(1)).as("exact"))
+      drainMemorySink(s, name) { grids =>
+        Sketches.gridEstimate(grids, probes, "user_id",
+            depth = 4, width = 64)
+          .join(exact, Seq("window_start", "user_id"), "left")
+          .select(col("window_start"), col("user_id"), col("est"),
+            coalesce(col("exact"), lit(0L)).as("exact"),
+            (col("est") >= coalesce(col("exact"), lit(0L)))
+              .as("never_undercount"))
+          .orderBy(col("window_start"), col("user_id"))
+      }
+    }),
+
     "streaming_quality_score" -> ((s, dir) => {
       // the STREAMING quality-scoring path gated against the same full
       // DuckDB GD replay as quality_lr_scores: weights trained batch-side

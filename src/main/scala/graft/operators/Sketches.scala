@@ -44,10 +44,12 @@ object Sketches {
 
   /** Count-min row-hash multipliers/offsets: small fixed primes, so
     * `(key % CmsMod) * a + b` stays far below 2^63 (exact int64 in any
-    * engine — the cross-engine replay requirement). Depth ≤ 8. */
-  private[graft] val CmsMod = 1000000007L
-  private[graft] val CmsA = Array(31L, 131L, 1031L, 8191L, 127L, 2053L, 257L, 4099L)
-  private[graft] val CmsB = Array(17L, 29L, 101L, 3L, 211L, 53L, 401L, 7L)
+    * engine — the cross-engine replay requirement). Depth ≤ 8. The single
+    * definition lives on [[graft.plans.CmsGrid]] so the streaming grid
+    * aggregate and these batch cell tables probe identically. */
+  private[graft] val CmsMod = graft.plans.CmsGrid.M
+  private[graft] val CmsA = graft.plans.CmsGrid.A
+  private[graft] val CmsB = graft.plans.CmsGrid.B
 
   /** h_r(key): row `r`'s counter column — ((key mod M)·a_r + b_r) mod M
     * mod width, every intermediate exact in int64. Reductions use `pmod`
@@ -115,6 +117,36 @@ object Sketches {
     hashed.join(broadcast(cells), Seq("r", "c"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
+
+  /**
+   * Point-frequency estimates against DENSE row-major grids — the probe
+   * path for [[graft.plans.CmsGrid]] / [[graft.streaming.StreamingCms]]
+   * artifacts: `grids` is any frame carrying a `gridCol` array (plus
+   * grouping columns, e.g. window_start), `keys` a frame of distinct
+   * int64 `keyCol` probes. Returns one row per (grid row × key) with
+   * `est = min_r grid[r·width + h_r(key)]` — the grid is dense, so a
+   * plain element_at probes it with no absent-cell coalesce. The probe
+   * side is |keys|·depth rows riding a broadcast; the grids frame never
+   * shuffles.
+   */
+  def gridEstimate(grids: DataFrame, keys: DataFrame, keyCol: String,
+                   depth: Int, width: Int,
+                   gridCol: String = "grid"): DataFrame = {
+    require(depth >= 1 && depth <= CmsA.length,
+      s"gridEstimate: depth must be in [1, ${CmsA.length}], got $depth")
+    require(width >= 2, s"gridEstimate: width must be >= 2, got $width")
+    val k = col(keyCol).cast("long")
+    val slots = keys.select(col(keyCol),
+        explode(array((0 until depth).map(r =>
+          (cmsCol(k, r, width) + lit(r.toLong * width) + lit(1))
+            .cast("int").as(s"s$r")): _*)).as("slot"))
+    val others = grids.columns.filter(_ != gridCol).map(col).toSeq
+    grids.crossJoin(broadcast(slots))
+      .select(others :+ col(keyCol) :+
+        element_at(col(gridCol), col("slot")).as("cell"): _*)
+      .groupBy(others :+ col(keyCol): _*)
+      .agg(min(col("cell")).as("est"))
   }
 
   /**

@@ -63,6 +63,7 @@ object GraftFunctions {
     "geohash_encode" -> (exprs => GeohashEncode(exprs(0), exprs(1), exprs(2))),
     "space_saving_topk" -> (exprs => SpaceSavingTopK(exprs(0), exprs(1))),
     "kmv_kmin" -> (exprs => KmvKMin(exprs(0), exprs(1))),
+    "cms_grid" -> (exprs => CmsGrid(exprs(0), exprs(1), exprs(2))),
     "vec_dot" -> (exprs => VecDot(exprs(0), exprs(1))),
     "vec_norm2sq" -> (exprs => VecNorm2Sq(exprs(0))),
     "vec_cosine" -> (exprs => VecCosine(exprs(0), exprs(1))),

@@ -224,6 +224,141 @@ case class KmvKMin(
     copy(child = newChildren(0), kExpr = newChildren(1))
 }
 
+/**
+ * Count-min grid (Cormode & Muthukrishnan 2005) as a native Catalyst
+ * [[TypedImperativeAggregate]] — the streaming-frequency member of the
+ * sketch family ([[SpaceSavingTopK]] = heavy hitters, [[KmvKMin]] =
+ * distinct count, this = point frequency). The buffer is the DENSE
+ * `depth`×`width` int64 cell grid (row-major), updated in O(depth) per
+ * row and merged CELL-WISE (the grid is additive), so Structured
+ * Streaming's aggregation state store carries `depth·width` longs per
+ * window regardless of key cardinality, and micro-batch partials merge
+ * into the stored grid exactly as a batch build over the union — the
+ * same associativity law SketchesSpec pins for [[KmvKMin]].
+ *
+ * The row hashes are EXACTLY [[graft.operators.Sketches]]' cmsCol
+ * arithmetic (((key pmod M)·a_r + b_r) pmod M mod width, every
+ * intermediate exact int64, floorMod for negative keys), so point
+ * estimates `min_r grid[r·width + h_r(key)]` replay verbatim in DuckDB
+ * SQL — never undercounting, over by > 2N/width with prob ≤ 2^-depth.
+ *
+ * Output: `array<long>` of length depth·width, row-major; absent cells
+ * are genuine zeros (dense), so `element_at(grid, r·width + c + 1)` is
+ * the estimate probe with no COALESCE needed.
+ *
+ * SQL: `cms_grid(expr, depth, width)` via [[GraftFunctions.register]] /
+ * [[GraftExtensions]].
+ */
+case class CmsGrid(
+    child: Expression,
+    depthExpr: Expression,
+    widthExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private lazy val depth: Int =
+    depthExpr.eval(InternalRow.empty).asInstanceOf[Int]
+  private lazy val width: Int =
+    widthExpr.eval(InternalRow.empty).asInstanceOf[Int]
+
+  override def children: Seq[Expression] = Seq(child, depthExpr, widthExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cms_grid"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != LongType)
+      TypeCheckFailure(s"cms_grid expects an int64 key, got ${child.dataType}")
+    else if (!depthExpr.foldable || depthExpr.dataType != IntegerType ||
+             !widthExpr.foldable || widthExpr.dataType != IntegerType)
+      TypeCheckFailure("cms_grid depth and width must be constant ints")
+    else {
+      val d = depthExpr.eval(InternalRow.empty)
+      val w = widthExpr.eval(InternalRow.empty)
+      if (d == null || w == null)
+        TypeCheckFailure("cms_grid depth and width must be non-null")
+      else {
+        val di = d.asInstanceOf[Int]; val wi = w.asInstanceOf[Int]
+        if (di < 1 || di > CmsGrid.A.length)
+          TypeCheckFailure(s"cms_grid depth must be in [1, ${CmsGrid.A.length}], got $di")
+        else if (wi < 2) TypeCheckFailure(s"cms_grid width must be >= 2, got $wi")
+        else if (di.toLong * wi > (1 << 20))
+          // the grid IS the per-group state — bound it explicitly
+          TypeCheckFailure(s"cms_grid depth*width must be <= 2^20, got ${di.toLong * wi}")
+        else TypeCheckSuccess
+      }
+    }
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val k = v.asInstanceOf[Long]
+      var r = 0
+      while (r < depth) {
+        buf(r * width + CmsGrid.cell(k, r, width)) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(x => x: Any)): ArrayData
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new Array[Long](n)
+    var i = 0
+    while (i < n) { b(i) = in.readLong(); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): CmsGrid =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CmsGrid =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), depthExpr = newChildren(1),
+      widthExpr = newChildren(2))
+}
+
+object CmsGrid {
+  /** Mirrors [[graft.operators.Sketches]]' CmsMod/CmsA/CmsB — the single
+    * hash family both the batch cell tables and this aggregate use, so
+    * grids and cell tables built either way probe identically. */
+  val M: Long = 1000000007L
+  val A: Array[Long] = Array(31L, 131L, 1031L, 8191L, 127L, 2053L, 257L, 4099L)
+  val B: Array[Long] = Array(17L, 29L, 101L, 3L, 211L, 53L, 401L, 7L)
+
+  /** h_r(key) ∈ [0, width): floorMod ≡ SQL pmod on every reduction. */
+  def cell(key: Long, r: Int, width: Int): Int =
+    (java.lang.Math.floorMod(
+      java.lang.Math.floorMod(key, M) * A(r) + B(r), M) % width).toInt
+}
+
 /** k smallest distinct longs; O(log k) insert, no-op once a value is
   * present or above the current k-th minimum on a full buffer. */
 final class KmvBuffer(val k: Int) {

@@ -226,4 +226,65 @@ class SketchesSpec extends SparkSpec {
     // 97 distinct keys per day > k=32: the sketch is full and estimates
     got.foreach { t => assert(t._2 === 32L && t._4 > 0.0) }
   }
+
+  test("streaming cms: two micro-batches == one batch, never undercounts") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val rows = (1L to 600L).map(i =>
+      (Timestamp.valueOf(f"2024-01-${i % 3 + 1}%02d 10:00:00"), i % 37))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long)]
+    val out = graft.streaming.StreamingCms.windowedGrid(
+      mem.toDF().toDF("ts", "user_id"), col("user_id"), "1 day",
+      depth = 3, width = 16)
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName("scms_out").start()
+    val (b1, b2) = rows.splitAt(300)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    // stateful by design: one grid per window, not per key
+    assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal <= 3))
+    q.stop()
+    val got = spark.table("scms_out").collect()
+      .map(r => (r.getTimestamp(0), r.getSeq[Long](1)))
+      .sortBy(_._1.getTime)
+    spark.catalog.dropTempView("scms_out")
+    // batch equivalence per day (cell-wise additive merge law)
+    val batch = rows.toDF("ts", "user_id")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(call_function("cms_grid", col("user_id"), lit(3), lit(16)).as("g"))
+      .select(col("w.start"), col("g"))
+      .collect().map(r => (r.getTimestamp(0), r.getSeq[Long](1)))
+      .sortBy(_._1.getTime)
+    assert(got.map(_._2) === batch.map(_._2))
+    assert(got.forall(_._2.length === 48))
+    // mass conservation per hash row, and never-undercount for every key
+    val perDay = rows
+      .groupBy(t => Timestamp.valueOf(t._1.toString.take(10) + " 00:00:00"))
+      .view.mapValues(_.map(_._2))
+    got.foreach { case (ts, grid) =>
+      val keys = perDay(ts)
+      (0 until 3).foreach { r =>
+        assert(grid.slice(r * 16, (r + 1) * 16).sum === keys.length.toLong)
+      }
+      keys.groupBy(identity).foreach { case (k, ks) =>
+        val est = (0 until 3).map(r =>
+          grid(r * 16 + graft.plans.CmsGrid.cell(k, r, 16))).min
+        assert(est >= ks.length.toLong)
+      }
+    }
+  }
+
+  test("cms_grid: bad depth/width are analysis-time errors") {
+    graft.plans.GraftFunctions.register(spark)
+    val ids = (1L to 10L).toDF("id")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      ids.agg(call_function("cms_grid", col("id"), lit(0), lit(16))).collect()
+    }
+    assert(e1.getMessage.contains("depth must be in"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      ids.agg(call_function("cms_grid", col("id"), lit(2), lit(1))).collect()
+    }
+    assert(e2.getMessage.contains("width must be >= 2"))
+  }
 }
