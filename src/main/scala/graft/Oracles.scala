@@ -792,6 +792,33 @@ private[graft] object Oracles {
         |            ELSE round(CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk, 6) END AS estimate
         |FROM s ORDER BY window_start""".stripMargin,
 
+    "streaming_daily_quantiles" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |         round(value, 2) AS v
+        |  FROM events WHERE event_id % 7 = 0 AND value IS NOT NULL),
+        |hist AS (SELECT window_start, v, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+        |w AS (SELECT window_start, v, cnt,
+        |        SUM(cnt) OVER (PARTITION BY window_start ORDER BY v) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY window_start) AS n
+        |      FROM hist),
+        |h AS (SELECT window_start, v, cnt, cum,
+        |        CAST(0.5 AS DOUBLE) * (n - 1) AS h0,
+        |        CAST(0.95 AS DOUBLE) * (n - 1) AS h1
+        |      FROM w),
+        |t AS (SELECT window_start,
+        |        MAX(CASE WHEN cum - cnt < floor(h0) + 1 AND floor(h0) + 1 <= cum THEN v END) AS vlo0,
+        |        MAX(CASE WHEN cum - cnt < ceil(h0) + 1 AND ceil(h0) + 1 <= cum THEN v END) AS vhi0,
+        |        MAX(h0) AS h0,
+        |        MAX(CASE WHEN cum - cnt < floor(h1) + 1 AND floor(h1) + 1 <= cum THEN v END) AS vlo1,
+        |        MAX(CASE WHEN cum - cnt < ceil(h1) + 1 AND ceil(h1) + 1 <= cum THEN v END) AS vhi1,
+        |        MAX(h1) AS h1
+        |      FROM h GROUP BY window_start)
+        |SELECT window_start,
+        |       vlo0 + (h0 - floor(h0)) * (vhi0 - vlo0) AS p50,
+        |       vlo1 + (h1 - floor(h1)) * (vhi1 - vlo1) AS p95
+        |FROM t ORDER BY window_start""".stripMargin,
+
     "streaming_cms_daily" ->
       """WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
         |e AS MATERIALIZED (

@@ -2025,6 +2025,40 @@ private[graft] object Queries {
       }
     }),
 
+    "streaming_daily_quantiles" -> ((s, dir) => {
+      // streaming quantiles — the fourth streaming-sketch cell (heavy
+      // hitters / distinct / frequency / THIS): per-day value histograms
+      // maintained by plain streaming aggregation (state = occupied
+      // quantization buckets per window, additive counts, NOT rows), then
+      // p50/p95 derived batch-side from the drained artifact via the
+      // exact histogram interpolation — no raw data touched twice. Two
+      // real micro-batches; DuckDB replays buckets + the interpolation
+      // term-for-term
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val feed = Tables.events(s, dir).filter(col("event_id") % 7 === 0)
+      val rows = feed.filter(col("value").isNotNull)
+        .select(col("ts"), col("value"))
+        .as[(java.sql.Timestamp, Double)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Double)]
+      val out = graft.streaming.StreamingHistogram.windowedHistogram(
+        mem.toDF().toDF("ts", "value"), col("value"), "1 day", scale = 2)
+      val name = "sdq_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name) { hist =>
+        Curation.histogramQuantiles(hist, "window_start", Seq(0.5, 0.95))
+          .select(col("window_start"), col("thr_0").as("p50"),
+            col("thr_1").as("p95"))
+          .orderBy(col("window_start"))
+      }
+    }),
+
     "streaming_quality_score" -> ((s, dir) => {
       // the STREAMING quality-scoring path gated against the same full
       // DuckDB GD replay as quality_lr_scores: weights trained batch-side

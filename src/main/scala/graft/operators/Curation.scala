@@ -630,9 +630,6 @@ object Curation {
     * [[winsorize]] needs both clip bounds from. */
   def groupQuantiles(df: DataFrame, groupCol: String, scoreCol: Column,
                      qs: Seq[Double]): DataFrame = {
-    require(qs.nonEmpty, "groupQuantiles: need at least one quantile")
-    qs.foreach(q => require(q >= 0 && q <= 1,
-      s"groupQuantiles: q must be in [0,1], got $q"))
     // NULL scores carry no quantile signal and must not become a
     // histogram bucket: a null `v` group would survive the groupBy and
     // the NULLS-FIRST window order would shift every cumulative rank.
@@ -641,6 +638,21 @@ object Curation {
     val hist = df.filter(scoreCol.isNotNull)
       .groupBy(col(groupCol), scoreCol.cast("double").as("v"))
       .agg(count(lit(1)).as("cnt"))
+    histogramQuantiles(hist, groupCol, qs)
+  }
+
+  /** The histogram→quantile math of [[groupQuantiles]], exposed for
+    * callers that ALREADY hold a (groupCol, v, cnt) weighted histogram —
+    * e.g. a drained [[graft.streaming.StreamingHistogram]] artifact,
+    * where the histogram is the streaming state and the quantile is
+    * derived from the stored cells without raw data. Same exactness:
+    * interpolation `v_lo + (h−⌊h⌋)(v_hi−v_lo)` at rank h = q·(n−1),
+    * bit-equal to quantile_cont. */
+  def histogramQuantiles(hist: DataFrame, groupCol: String,
+                         qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "histogramQuantiles: need at least one quantile")
+    qs.foreach(q => require(q >= 0 && q <= 1,
+      s"histogramQuantiles: q must be in [0,1], got $q"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("v"))
     val wAll = wOrd.rowsBetween(Long.MinValue, Long.MaxValue)
