@@ -792,6 +792,25 @@ private[graft] object Oracles {
         |            ELSE round(CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk, 6) END AS estimate
         |FROM s ORDER BY window_start""".stripMargin,
 
+    "streaming_asof_enrich" ->
+      """WITH iv AS MATERIALIZED (
+        |  SELECT o_custkey AS user_id, o_orderdate AS vfrom,
+        |         lead(o_orderdate) OVER (
+        |           PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS vto,
+        |         o_orderdate AS asof_ts, o_orderkey, o_totalprice
+        |  FROM orders),
+        |q AS MATERIALIZED (
+        |  SELECT event_id, user_id,
+        |         CAST(DATE '1995-01-01' + CAST(event_id % 2400 AS INT) AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_id % 13 = 0)
+        |SELECT q.event_id, q.user_id, q.ts, iv.asof_ts,
+        |       iv.o_orderkey, iv.o_totalprice
+        |FROM q LEFT JOIN iv
+        |  ON iv.user_id = q.user_id AND q.ts >= iv.vfrom
+        | AND (iv.vto IS NULL OR q.ts < iv.vto)
+        |ORDER BY q.event_id""".stripMargin,
+
     "streaming_daily_quantiles" ->
       """WITH e AS MATERIALIZED (
         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,

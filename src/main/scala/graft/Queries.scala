@@ -2025,6 +2025,44 @@ private[graft] object Queries {
       }
     }),
 
+    "streaming_asof_enrich" -> ((s, dir) => {
+      // streaming × temporal: latest-order attribution at ingest — each
+      // event enriched with its user's most recent order AS OF the event
+      // time. Stateless: the orders dimension is compiled batch-side into
+      // disjoint validity intervals (keyed lead Window, (date, orderkey)
+      // tie-break), each micro-batch runs one equi-join + interval
+      // residual. Event times are derived deterministically into the
+      // order-date range (1995–2001) so interval SELECTION is exercised,
+      // not just the open-ended last interval; oracle replays intervals
+      // and the join end to end
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val dim = Tables.orders(s, dir).select(col("o_custkey").as("user_id"),
+        col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+      val rows = Tables.events(s, dir).filter(col("event_id") % 13 === 0)
+        .select(col("event_id"), col("user_id"),
+          date_add(lit("1995-01-01").cast("date"),
+            (col("event_id") % 2400).cast("int")).cast("timestamp").as("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val out = graft.streaming.StreamJoins.enrichAsOfStatic(
+        mem.toDF().toDF("event_id", "user_id", "ts"), dim,
+        key = "user_id", dimTs = "o_orderdate", tieBreak = "o_orderkey",
+        payload = Seq("o_orderkey", "o_totalprice"))
+      val name = "sae_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name)(_
+        .select(col("event_id"), col("user_id"), col("ts"), col("asof_ts"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id")))
+    }),
+
     "streaming_daily_quantiles" -> ((s, dir) => {
       // streaming quantiles — the fourth streaming-sketch cell (heavy
       // hitters / distinct / frequency / THIS): per-day value histograms

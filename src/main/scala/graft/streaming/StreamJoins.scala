@@ -55,4 +55,52 @@ object StreamJoins {
    */
   def enrichStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /**
+   * Stream-static AS-OF enrichment: attach to every incoming event its
+   * key's most recent dimension row as of the event time — the streaming
+   * twin of [[graft.operators.Temporal.asofJoin]] (latest-known-price /
+   * latest-order attribution at ingest). STATELESS: the dimension is
+   * compiled batch-side into disjoint validity intervals (per key, sorted
+   * by (dimTs, tieBreak), `valid_to` = the next row's `valid_from` via
+   * one keyed `lead` Window — at equal timestamps the LAST row under
+   * `tieBreak` wins, deterministically), and each micro-batch runs ONE
+   * equi-join on the key with a residual interval filter — no state
+   * store, append-safe, and every event matches at most one interval by
+   * construction.
+   *
+   * The interval table is `localCheckpoint`ed (the static subplan
+   * re-executes per micro-batch) and broadcast when `broadcastDim` —
+   * right for dimension-sized tables; pass false to let the planner
+   * shuffle both sides on the key for a fact-sized "dimension".
+   *
+   * Returns the stream's columns + `asofOut` (the matched row's `dimTs`)
+   * + `payload`; unmatched events (timestamp before the key's first
+   * dimension row, or an unknown key) keep null enrichment (left join).
+   */
+  def enrichAsOfStatic(stream: DataFrame, dim: DataFrame, key: String,
+                       dimTs: String, tieBreak: String,
+                       payload: Seq[String],
+                       streamTs: String = "ts",
+                       asofOut: String = "asof_ts",
+                       broadcastDim: Boolean = true): DataFrame = {
+    require(payload.nonEmpty, "enrichAsOfStatic: payload must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(dimTs), col(tieBreak))
+    val iv = dim
+      .select((Seq(key, dimTs, tieBreak) ++ payload).distinct.map(col): _*)
+      .withColumn("__from", col(dimTs).cast("timestamp"))
+      .withColumn("__to", lead(col("__from"), 1).over(w))
+      .select(col(key).as("__k") +: col("__from") +: col("__to") +:
+        (col(dimTs).cast("timestamp").as(asofOut) +: payload.map(col)): _*)
+      .localCheckpoint()
+    val dimSide = if (broadcastDim) broadcast(iv) else iv
+    val streamCols = stream.columns.toSeq
+    stream.join(dimSide,
+        stream(key) === col("__k") && col(streamTs) >= col("__from") &&
+          (col("__to").isNull || col(streamTs) < col("__to")),
+        "left")
+      .select(streamCols.map(stream(_)) ++
+        (col(asofOut) +: payload.map(col)): _*)
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, when}
 
 import graft.streaming.StreamJoins
 
@@ -64,5 +65,55 @@ class StreamJoinsSpec extends SparkSpec {
       .select($"value", $"value2").collect()
       .map(x => (x.getDouble(0), x.getDouble(1))).toSet
     assert(out == Set((1.0, 9.0), (2.0, 8.0)))
+  }
+
+  test("stream-static as-of enrichment: stateless, equals batch asofJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // per-key price history: a's price changes at 10:00 and 12:00; b once
+    val dim = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 100.0),
+      (2L, ts("2024-03-01 12:00:00"), 150.0),
+      (3L, ts("2024-03-01 11:00:00"), 70.0))
+      .toDF("oid", "ots", "price")
+      .withColumn("key", when(col("oid") === 3L, "b").otherwise("a"))
+    val events = Seq(
+      (10L, "a", ts("2024-03-01 09:00:00")),  // before first → null
+      (11L, "a", ts("2024-03-01 10:30:00")),  // first interval → 100
+      (12L, "a", ts("2024-03-01 12:00:00")),  // boundary inclusive → 150
+      (13L, "b", ts("2024-03-01 23:00:00")),  // open interval → 70
+      (14L, "c", ts("2024-03-01 11:00:00"))) // unknown key → null
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamJoins.enrichAsOfStatic(
+        mem.toDF().toDF("event_id", "key", "ts"), dim,
+        key = "key", dimTs = "ots", tieBreak = "oid",
+        payload = Seq("oid", "price"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_out").start()
+    val (b1, b2) = events.splitAt(2)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0))
+    q.stop()
+    val got = spark.table("asof_out")
+      .select($"event_id", $"oid", $"price").orderBy($"event_id").collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2))))
+    spark.catalog.dropTempView("asof_out")
+    assert(got.toSeq === Seq(
+      (10L, None, None), (11L, Some(1L), Some(100.0)),
+      (12L, Some(2L), Some(150.0)), (13L, Some(3L), Some(70.0)),
+      (14L, None, None)))
+    // batch twin: Temporal.asofJoin over the same inputs agrees on price
+    val batch = graft.operators.Temporal.asofJoin(
+        events.toDF("event_id", "key", "ts"), dim,
+        key = "key", leftTs = "ts", rightTs = "ots",
+        rightPayload = Seq("price"))
+      .select($"event_id", $"price").orderBy($"event_id").collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+    assert(batch.toSeq === got.map(t => (t._1, t._3)).toSeq)
   }
 }
