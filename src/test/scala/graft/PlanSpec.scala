@@ -385,4 +385,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("as-of enrichment joins by broadcast HASH join on the key (range is residual)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dim = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 5.0))
+      .toDF("key", "ots", "price")
+    val stream = Seq((10L, 1L, Timestamp.valueOf("2024-06-01 00:00:00")))
+      .toDF("event_id", "key", "ts")
+    val plan = formattedPlan(graft.streaming.StreamJoins.enrichAsOfStatic(
+      stream, dim, key = "key", dimTs = "ots", tieBreak = "price",
+      payload = Seq("price")))
+    // the key equality must drive a hash join — a nested-loop join would
+    // scan every interval per event
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sorted-neighborhood pair generation: no corpus-sized single-partition window") {
+    import spark.implicits._
+    val d = ('a' to 'z').map(c => (c.toLong, s"$c$c word")).toDF("id", "name")
+    val out = graft.operators.EntityResolution.sortedNeighborhoodPairs(
+      d, "id", "name", numPartitions = Some(4))
+    val plan = formattedPlan(out)
+    // the final stage joins two localCheckpointed |V|-row index scans on
+    // the global index — an equi-join, never a partition-less Window sort
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.toLowerCase.contains("windowspecdefinition"), plan)
+  }
 }
