@@ -1065,6 +1065,30 @@ private[graft] object Oracles {
         |FROM names LEFT JOIN lbl ON lbl.id = names.rep
         |ORDER BY nm""".stripMargin,
 
+    "streaming_funnel_reach" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM base),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |                            AND ts <= t1 + INTERVAL 24 HOURS THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |                            AND ts <= t2 + INTERVAL 24 HOURS THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |pu AS MATERIALIZED (
+        |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        |  FROM w3 GROUP BY user_id)
+        |SELECT user_id, step_idx, stage, stage_ts FROM (
+        |  SELECT user_id, CAST(1 AS INTEGER) AS step_idx, 'view' AS stage,
+        |         t1 AS stage_ts FROM pu WHERE t1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, CAST(2 AS INTEGER), 'click', t2 FROM pu WHERE t2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, CAST(3 AS INTEGER), 'purchase', t3 FROM pu WHERE t3 IS NOT NULL)
+        |ORDER BY user_id, step_idx""".stripMargin,
+
     "event_funnel" ->
       """WITH base AS (
         |  SELECT user_id, event_type, ts FROM events

@@ -858,6 +858,39 @@ private[graft] object Queries {
         Seq("view", "click", "purchase"), withinHours = 24)
     }),
 
+    "streaming_funnel_reach" -> ((s, dir) => {
+      // funnel-at-ingest: per-user view→click→purchase stage reaches
+      // emitted AS THEY HAPPEN by the flatMapGroupsWithState funnel
+      // (state = 3 set-once timestamps per entered user, no event
+      // buffering). The feed is shipped in event-time order (the Kafka
+      // per-key ordering assumption) across two real micro-batches;
+      // emitted (user, stage, ts) rows must equal the batch funnel's
+      // per-user first-reach chain, replayed in DuckDB
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .orderBy(col("ts"))
+        .as[(Long, String, java.sql.Timestamp)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)]
+      val out = graft.streaming.StreamingFunnel.stageReaches(
+        mem.toDF().toDF("user_id", "event_type", "ts")
+          .as[graft.streaming.StreamingFunnel.FEv],
+        Seq("view", "click", "purchase"), withinHours = 24)
+      val name = "sfr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name)(_
+        .select(col("user_id"), col("step_idx"), col("stage"), col("stage_ts"))
+        .orderBy(col("user_id"), col("step_idx")))
+    }),
+
     "event_transitions" -> ((s, dir) => {
       // first-order Markov cur→next over per-user time-ordered sequences:
       // one user-keyed shuffle, |types|²-bounded output, exact-count

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming ordered-funnel progression via `flatMapGroupsWithState` — the
+ * incremental twin of [[graft.operators.EventAnalytics.funnelSteps]] (the
+ * [[StreamingSessions]] custom-state pattern applied to conversion
+ * tracking): per user, stage 1 fires at the first `steps(0)` event, stage
+ * i at the first `steps(i-1)` event STRICTLY after stage i−1 and within
+ * `withinHours` of it, and every stage-reach is emitted AS IT HAPPENS —
+ * the funnel-at-ingest audit ("did this pipeline run reach stage k?")
+ * instead of a nightly batch recompute.
+ *
+ * State per user is exactly k first-reach timestamps, SET-ONCE: under
+ * in-event-time-order delivery (Kafka per-key ordering, or any
+ * watermark-sorted feed) an event that could improve a first-reach has by
+ * definition already arrived, so a set timestamp is final and each
+ * (user, stage) emits exactly once — append-safe with no retraction.
+ * In-batch arrival order does not matter (events are sorted per trigger);
+ * cross-batch REGRESSIONS in event time follow at-arrival semantics, the
+ * same documented bound as [[StreamingSessions]]. Ties are safe under any
+ * order: every stage condition is strict (`ts > t_{i-1}`), so equal
+ * timestamps resolve identically to the batch min().
+ *
+ * Total state is k longs × users that ENTERED the funnel (stage-1
+ * reached) — the same per-user footprint as the batch operator's
+ * aggregation row, with no event buffering. A deployment that wants
+ * failed funnels expired can add an event-time timeout at
+ * `t_last + withinHours` (past it no further stage can fire); kept out
+ * here so streamed results equal the batch verdict exactly (batch keeps
+ * failed funnels failed — it never retries a later stage-1 event).
+ */
+object StreamingFunnel {
+
+  case class FEv(user_id: Long, event_type: String, ts: Timestamp)
+  case class StageReach(user_id: Long, step_idx: Int, stage: String,
+                        stage_ts: Timestamp)
+  case class FunnelState(reached: Seq[Long]) // epoch MICROS; 0 = unset
+
+  // java.sql.Timestamp.getTime is MILLIS — comparing on it would truncate
+  // the micro component the event feed carries and flip strict `>`
+  // comparisons at sub-milli gaps; carry exact micros end to end
+  private def toMicros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private def fromMicros(us: Long): Timestamp = {
+    val ts = new Timestamp(us / 1000)
+    ts.setNanos(((us % 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  private def updateUser(steps: IndexedSeq[String], withinUs: Long)(
+      uid: Long, evs: Iterator[FEv],
+      state: GroupState[FunnelState]): Iterator[StageReach] = {
+    val k = steps.size
+    val t = state.getOption.map(_.reached.toArray)
+      .getOrElse(Array.fill(k)(0L))
+    val out = Vector.newBuilder[StageReach]
+    evs.toArray.map(e => (toMicros(e.ts), e.event_type))
+      .sortBy(_._1).foreach { case (ts, tpe) =>
+        val i = steps.indexOf(tpe)
+        if (i >= 0 && t(i) == 0L) {
+          val fires =
+            if (i == 0) true
+            else t(i - 1) != 0L && ts > t(i - 1) && ts <= t(i - 1) + withinUs
+          if (fires) {
+            t(i) = ts
+            out += StageReach(uid, i + 1, steps(i), fromMicros(ts))
+          }
+        }
+      }
+    val res = out.result()
+    if (res.nonEmpty) state.update(FunnelState(t.toSeq))
+    res.iterator
+  }
+
+  /** Append-mode stream of stage-reach records, exactly one per
+    * (user, stage). `steps` must be distinct; events of other types are
+    * ignored (pre-filter for scan pruning — this method only sees what
+    * the caller ships). */
+  def stageReaches(events: Dataset[FEv], steps: Seq[String],
+                   withinHours: Int,
+                   watermarkDelay: String = "10 minutes"): Dataset[StageReach] = {
+    require(steps.size >= 2, s"stageReaches: need >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "stageReaches: steps must be distinct")
+    require(withinHours > 0, s"stageReaches: withinHours must be positive, got $withinHours")
+    implicit val outEnc = Encoders.product[StageReach]
+    implicit val stateEnc = Encoders.product[FunnelState]
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, StageReach](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateUser(steps.toIndexedSeq, withinHours * 3600000000L))
+  }
+}

@@ -40,6 +40,48 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(0).isNullAt(4) && out(2).getDouble(4) === 0.5)
   }
 
+  test("streaming funnel: in-order micro-batches emit each stage-reach exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingFunnel
+    // same fixture as the batch strict-order test, in event-time order
+    val rows = Seq(
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (4L, "view", ts("2024-01-01 10:00:00")),
+      (4L, "purchase", ts("2024-01-01 11:00:00")),
+      (1L, "click", ts("2024-01-01 12:00:00")),
+      (4L, "click", ts("2024-01-01 12:00:00")),
+      (1L, "purchase", ts("2024-01-01 15:00:00")),
+      (3L, "click", ts("2024-01-02 11:00:00")))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingFunnel.stageReaches(
+        mem.toDF().toDF("user_id", "event_type", "ts").as[StreamingFunnel.FEv],
+        Seq("view", "click", "purchase"), withinHours = 24)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sfun_out").start()
+    val (b1, b2) = rows.splitAt(6)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    // state = one FunnelState row per user that entered the funnel
+    assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal <= 4))
+    q.stop()
+    val got = spark.table("sfun_out")
+      .orderBy("user_id", "step_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    spark.catalog.dropTempView("sfun_out")
+    // u1 full funnel; u2 view only (pre-view click ignored); u3 view only
+    // (window miss); u4 view + click (purchase BEFORE the qualifying
+    // click never fires) — the batch operator's exact verdict: stage
+    // users 4 / 2 / 1
+    assert(got.toSeq === Seq(
+      (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+      (2L, 1, "view"), (3L, 1, "view"),
+      (4L, 1, "view"), (4L, 2, "click")))
+  }
+
   test("funnel: an event EXACTLY at the window bound counts; at t_prev it does not") {
     val events = ev(
       (1L, "view", "2024-01-01 10:00:00"),
