@@ -600,10 +600,11 @@ private[graft] object Fixtures {
     (p0 +: its).mkString(",\n")
   }
 
-  private def pcaCtes(dim: Int, iters: Int): String = {
+  private def pcaCtes(dim: Int, iters: Int,
+                      from: String = "embeddings"): String = {
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-       |  FROM embeddings
+       |  FROM $from
        |  WHERE len(embedding) = $dim
        |    AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
        |ncnt AS (SELECT COUNT(*) AS cnt FROM v),
@@ -622,6 +623,19 @@ private[graft] object Fixtures {
   /** Oracle for `pca_power_component`: the third power iterate (i, loading). */
   def pcaPowerComponentOracle: String =
     s"""${pcaCtes(64, 3)}
+       |SELECT i, pv AS loading FROM p3 ORDER BY i""".stripMargin
+
+  /** Oracle for `pca_moments_append`: the engine derives the component
+    * from MERGED persisted moment artifacts (base + the %37 shifted-id
+    * delta); integer moment sums are additive, so the merged derivation
+    * must equal a from-scratch power chain over the UNION — which is what
+    * this replays ([[pcaCtes]] with the union source). */
+  def pcaMomentsAppendOracle: String =
+    s"""${pcaCtes(64, 3,
+           from = """(SELECT vec_id, embedding FROM embeddings
+                     | UNION ALL
+                     | SELECT vec_id + 1000000, embedding FROM embeddings
+                     | WHERE vec_id % 37 = 0)""".stripMargin)}
        |SELECT i, pv AS loading FROM p3 ORDER BY i""".stripMargin
 
   /** Oracle for `pca_second_component`: Hotelling deflation replayed —

@@ -614,6 +614,8 @@ private[graft] object Oracles {
 
     "pca_power_component" -> pcaPowerComponentOracle,
 
+    "pca_moments_append" -> pcaMomentsAppendOracle,
+
     "pca_second_component" -> pcaSecondComponentOracle,
 
     "mmr_select" -> mmrSelectOracle,

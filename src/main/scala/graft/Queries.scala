@@ -705,6 +705,27 @@ private[graft] object Queries {
       Pca.topComponent(Tables.embeddings(s, dir), dim = 64, iters = 3)
     }),
 
+    "pca_moments_append" -> ((s, dir) => {
+      // incremental PCA lifecycle: the base corpus's EXACT integer moment
+      // sums SAVED as a (d²+d+1)-row artifact, a new-vector slice (every
+      // 37th, shifted ids) APPENDED as its own moment table, the merged
+      // table LOADED (cell-wise integer sum) and the top component derived
+      // from it — byte-identical to a from-scratch build over the union
+      // (integer moments are additive), which is what the oracle replays.
+      // PCA over a growing corpus re-scans only the NEW slice
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pca_mom").toString
+      Pca.saveMoments(Pca.rawMomentTable(Tables.embeddings(s, dir), 64), tmp)
+      val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 37 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Pca.appendMoments(Pca.rawMomentTable(delta, 64), tmp)
+      val (_, _, cov) = Pca.momentsFromTable(Pca.loadMoments(s, tmp), 64)
+      Gates.deleteTree(tmp)
+      val v = Pca.powerIteration(cov, 3)
+      import s.implicits._
+      v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq.toDF("i", "loading")
+        .orderBy(col("i"))
+    }),
+
     "ann_then_mmr" -> ((s, dir) => {
       // the documented mmrSelect contract made LOAD-BEARING: the pool is
       // an ANN SHORTLIST, never the corpus — IVF top-50 candidates for

@@ -187,6 +187,108 @@ object Pca {
     componentDf(embeds, v)
   }
 
+  /**
+   * The EXACT raw moments of [[moments]] as a mergeable TABLE — the
+   * persistable unit of an incremental-PCA lifecycle. Rows (i, j, s),
+   * all sums DECIMAL(38,0) exact integers:
+   *
+   *  - (-1, -1): the clean-vector count n
+   *  - (i, -1):  Σ q_i in 1e-6 units (the mean numerator)
+   *  - (i, j):   Σ q_i·q_j in 1e-12 units (the second-moment numerator)
+   *
+   * Integer sums are ADDITIVE across corpus slices, so moment tables
+   * built per batch/day/source merge by `groupBy(i, j).sum(s)`
+   * ([[loadMoments]]) and the merged table derives byte-identical
+   * moments to a from-scratch [[moments]] over the union — PCA over a
+   * growing 100 TB corpus updates by scanning only the NEW slice
+   * (d²+d+1 rows per artifact, KB-sized, the HLL/CMS re-aggregation
+   * story applied to covariance). Per-term products are exact in int64
+   * for unit-scale embeddings (|q|² ≤ 4·10¹⁴ ≪ 2⁶³); the DECIMAL(38,0)
+   * cast happens before the SUM, so slice sums never overflow long
+   * either.
+   */
+  def rawMomentTable(embeds: DataFrame, dim: Int,
+                     vecCol: String = "embedding"): DataFrame = {
+    require(dim > 0, s"Pca.rawMomentTable: dim must be > 0, got $dim")
+    val dec = DecimalType(38, 0)
+    val clean = cleanVectors(embeds, dim, vecCol)
+      .select(transform(col(vecCol),
+        x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long")).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = clean.select(lit(-1).as("i"), lit(-1).as("j"),
+      count(lit(1)).cast(dec).as("s"))
+    val means = clean.select(posexplode(col("e")).as(Seq("i", "xi")))
+      .groupBy(col("i")).agg(sum(col("xi").cast(dec)).as("s"))
+      .select(col("i"), lit(-1).as("j"), col("s"))
+    val pairs = clean
+      .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xj")).cast(dec)).as("s"))
+    // (d²+d+1)-row result — localCheckpoint severs it from the persisted
+    // scan so the cache can be released before the caller acts
+    val out = cnt.unionByName(means).unionByName(pairs).localCheckpoint()
+    clean.unpersist()
+    out
+  }
+
+  /** Persist a raw moment table ((d²+d+1) rows — KB-sized at any corpus
+    * scale), sorted by (i, j) for deterministic files. */
+  def saveMoments(table: DataFrame, path: String): Unit =
+    table.select(col("i"), col("j"), col("s"))
+      .coalesce(1).sortWithinPartitions(col("i"), col("j"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new slice's moment table as delta files (no rewrite);
+    * [[loadMoments]] merges duplicates by exact integer sum. */
+  def appendMoments(table: DataFrame, path: String): Unit =
+    table.select(col("i"), col("j"), col("s"))
+      .coalesce(1).sortWithinPartitions(col("i"), col("j"))
+      .write.mode("append").parquet(path)
+
+  /** Load base + deltas back into ONE merged moment table: the cell-wise
+    * integer sum — [[moments]] over the union, exactly. */
+  def loadMoments(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s"))
+
+  /**
+   * Derive (n, mean, cov) from a (merged) moment table — the same
+   * round12 divisions [[moments]] performs on its collected sums, so the
+   * derived covariance (and every downstream power iterate) is
+   * byte-identical to a from-scratch build over the same rows.
+   */
+  def momentsFromTable(table: DataFrame, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    require(dim > 0, s"Pca.momentsFromTable: dim must be > 0, got $dim")
+    val rows = table.collect() // (d²+d+1) rows, bounded by construction
+    def units(v: Any, scale: Int): Double = (v match {
+      case d: java.math.BigDecimal => new java.math.BigDecimal(d.unscaledValue(), scale)
+      case d: BigDecimal => new java.math.BigDecimal(d.underlying.unscaledValue(), scale)
+      case null => throw new IllegalStateException(
+        "Pca.momentsFromTable: merged DECIMAL(38,0) sum overflowed — the " +
+          "corpus magnitude/count exceeds the exact-moments range")
+    }).doubleValue
+    var n = -1L
+    rows.foreach { r =>
+      if (r.getInt(0) == -1 && r.getInt(1) == -1)
+        n = units(r.get(2), 0).toLong
+    }
+    require(n > 0, "Pca.momentsFromTable: missing or zero count row")
+    val mean = Array.ofDim[Double](dim)
+    rows.foreach { r =>
+      if (r.getInt(0) >= 0 && r.getInt(1) == -1)
+        mean(r.getInt(0)) = round12(units(r.get(2), 6) / n)
+    }
+    val cov = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      if (r.getInt(0) >= 0 && r.getInt(1) >= 0)
+        cov(r.getInt(0))(r.getInt(1)) =
+          round12(units(r.get(2), 12) / n - mean(r.getInt(0)) * mean(r.getInt(1)))
+    }
+    (n, mean, cov)
+  }
+
   private def componentDf(embeds: DataFrame, v: Array[Double]): DataFrame = {
     val spark = embeds.sparkSession
     import spark.implicits._

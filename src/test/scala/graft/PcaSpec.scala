@@ -129,4 +129,26 @@ class PcaSpec extends SparkSpec {
     // the projection must not be constant (there IS spread to find)
     assert(out.map(_.getDouble(1)).distinct.length > 1)
   }
+
+  test("moment tables: save + delta-append + merged load == from-scratch union") {
+    val extra = Seq(
+      (5L, Array(0.75f, -0.25f, 0.125f)),
+      (6L, Array(-1.0f, 0.5f, 0.25f))).toDF("vec_id", "embedding")
+    val union = toyVecs.unionByName(extra)
+    val tmp = java.nio.file.Files.createTempDirectory("pca_mom_spec").toString
+    try {
+      Pca.saveMoments(Pca.rawMomentTable(toyVecs, 3), tmp)
+      Pca.appendMoments(Pca.rawMomentTable(extra, 3), tmp)
+      val (nM, meanM, covM) = Pca.momentsFromTable(Pca.loadMoments(spark, tmp), 3)
+      val (nD, meanD, covD) = Pca.moments(union, 3)
+      // integer moment sums are additive → merged derivation is
+      // byte-identical to the from-scratch build over the union
+      assert(nM === nD)
+      assert(meanM.toSeq === meanD.toSeq)
+      assert(covM.map(_.toSeq).toSeq === covD.map(_.toSeq).toSeq)
+      // and so is every downstream power iterate
+      assert(Pca.powerIteration(covM, 3).toSeq ===
+        Pca.powerIteration(covD, 3).toSeq)
+    } finally Gates.deleteTree(tmp)
+  }
 }
