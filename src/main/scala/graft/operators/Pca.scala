@@ -203,9 +203,11 @@ object Pca {
    * growing 100 TB corpus updates by scanning only the NEW slice
    * (d²+d+1 rows per artifact, KB-sized, the HLL/CMS re-aggregation
    * story applied to covariance). Per-term products are exact in int64
-   * for unit-scale embeddings (|q|² ≤ 4·10¹⁴ ≪ 2⁶³); the DECIMAL(38,0)
-   * cast happens before the SUM, so slice sums never overflow long
-   * either.
+   * for unit-scale embeddings (|q|² ≤ 4·10¹⁴ ≪ 2⁶³); past [[moments]]'
+   * maxAbs bound the same exact unit terms multiply as decimals instead
+   * of wrapping, so the byte-identical-to-[[moments]] contract holds at
+   * any magnitude. The DECIMAL(38,0) cast happens before the SUM, so
+   * slice sums never overflow long either.
    */
   def rawMomentTable(embeds: DataFrame, dim: Int,
                      vecCol: String = "embedding"): DataFrame = {
@@ -215,6 +217,20 @@ object Pca {
       .select(transform(col(vecCol),
         x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long")).as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // [[moments]]' maxAbs guard applied to the per-TERM product: xi*xj is
+    // long arithmetic, exact only while maxAbs² stays clear of
+    // Long.MaxValue (silent wrap for |q| ≳ 3e9, i.e. |x| ≳ 3e3); past the
+    // bound, cast one operand to decimal BEFORE multiplying — identical
+    // exact values, any magnitude. Compared in doubles because maxAbs²
+    // itself overflows long exactly where the fallback is needed.
+    val maxAbsRow = clean.select(max(aggregate(col("e"), lit(0L),
+      (a, x) => greatest(a, abs(x))))).head()
+    val maxAbs = if (maxAbsRow.isNullAt(0)) 0L else maxAbsRow.getLong(0)
+    val termSafe = maxAbs == 0L ||
+      maxAbs.toDouble * maxAbs.toDouble < Long.MaxValue.toDouble / 2
+    val pairTerm: Column =
+      if (termSafe) (col("xi") * col("xj")).cast(dec)
+      else (col("xi").cast(DecimalType(30, 0)) * col("xj")).cast(dec)
     val cnt = clean.select(lit(-1).as("i"), lit(-1).as("j"),
       count(lit(1)).cast(dec).as("s"))
     val means = clean.select(posexplode(col("e")).as(Seq("i", "xi")))
@@ -224,7 +240,7 @@ object Pca {
       .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
       .groupBy(col("i"), col("j"))
-      .agg(sum((col("xi") * col("xj")).cast(dec)).as("s"))
+      .agg(sum(pairTerm).as("s"))
     // (d²+d+1)-row result — localCheckpoint severs it from the persisted
     // scan so the cache can be released before the caller acts
     val out = cnt.unionByName(means).unionByName(pairs).localCheckpoint()
@@ -269,6 +285,16 @@ object Pca {
         "Pca.momentsFromTable: merged DECIMAL(38,0) sum overflowed — the " +
           "corpus magnitude/count exceeds the exact-moments range")
     }).doubleValue
+    // diagnose dim mismatches (artifact built at a larger dim, or
+    // mixed-dim deltas appended to one path) instead of throwing a bare
+    // ArrayIndexOutOfBoundsException below
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      require(i < dim && j < dim,
+        s"Pca.momentsFromTable: moment row ($i, $j) out of range for dim=$dim" +
+          " — the artifact was built at a larger dimension, or mixed-dim" +
+          " deltas were appended to one path")
+    }
     var n = -1L
     rows.foreach { r =>
       if (r.getInt(0) == -1 && r.getInt(1) == -1)
@@ -276,10 +302,17 @@ object Pca {
     }
     require(n > 0, "Pca.momentsFromTable: missing or zero count row")
     val mean = Array.ofDim[Double](dim)
+    val meanSeen = Array.ofDim[Boolean](dim)
     rows.foreach { r =>
-      if (r.getInt(0) >= 0 && r.getInt(1) == -1)
+      if (r.getInt(0) >= 0 && r.getInt(1) == -1) {
         mean(r.getInt(0)) = round12(units(r.get(2), 6) / n)
+        meanSeen(r.getInt(0)) = true
+      }
     }
+    require(meanSeen.forall(identity),
+      s"Pca.momentsFromTable: mean rows missing for dims " +
+        s"${meanSeen.zipWithIndex.collect { case (false, i) => i }.mkString(",")}" +
+        s" — the artifact was built at a smaller dimension than dim=$dim")
     val cov = Array.ofDim[Double](dim, dim)
     rows.foreach { r =>
       if (r.getInt(0) >= 0 && r.getInt(1) >= 0)
@@ -367,19 +400,25 @@ object Pca {
    * One codegen scan, no shuffle — the 100 TB shape.
    */
   def project(embeds: DataFrame, component: Array[Double],
-              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val dim = component.length
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    cleanVectors(embeds, component.length, vecCol)
+      .select(col(idCol), projectionCol(component, vecCol).as("proj"))
+      .orderBy(col(idCol))
+
+  /** The [[project]] dot product as a bare COLUMN — stateless, so it
+    * drops straight into a streaming select ([[graft.streaming]] scoring
+    * twins): exact-decimal fold of round12(q_i·v6_i) terms, one codegen
+    * expression, no shuffle, no state. */
+  def projectionCol(component: Array[Double], vecCol: String = "embedding"): Column = {
+    require(component.nonEmpty, "Pca.projectionCol: empty component")
     val dec = DecimalType(30, 12)
     val v6 = component.map(round6)
     val compLit = array(v6.map(lit): _*)
     val terms = zip_with(col(vecCol), compLit,
       (x, w) => round(round(x.cast("double"), 6) * w, 12).cast(dec))
-    val proj = round(
+    round(
       aggregate(terms, lit(java.math.BigDecimal.ZERO).cast(dec),
         (acc, t) => (acc + t).cast(dec)).cast("double"), 12)
-    cleanVectors(embeds, dim, vecCol)
-      .select(col(idCol), proj.as("proj"))
-      .orderBy(col(idCol))
   }
 
   /** End-to-end: moments → power iteration → projection of the same corpus

@@ -126,9 +126,11 @@ object Sketches {
    * grouping columns, e.g. window_start), `keys` a frame of distinct
    * int64 `keyCol` probes. Returns one row per (grid row × key) with
    * `est = min_r grid[r·width + h_r(key)]` — the grid is dense, so a
-   * plain element_at probes it with no absent-cell coalesce. The probe
-   * side is |keys|·depth rows riding a broadcast; the grids frame never
-   * shuffles.
+   * plain element_at probes it with no absent-cell coalesce. Each probe
+   * carries its depth slot positions as an ARRAY, and the min is an
+   * `array_min(transform(...))` expression evaluated in place — one
+   * narrow codegen pass over grids × broadcast(probes), no per-key
+   * groupBy, so the grids frame genuinely never shuffles.
    */
   def gridEstimate(grids: DataFrame, keys: DataFrame, keyCol: String,
                    depth: Int, width: Int,
@@ -137,16 +139,15 @@ object Sketches {
       s"gridEstimate: depth must be in [1, ${CmsA.length}], got $depth")
     require(width >= 2, s"gridEstimate: width must be >= 2, got $width")
     val k = col(keyCol).cast("long")
-    val slots = keys.select(col(keyCol),
-        explode(array((0 until depth).map(r =>
-          (cmsCol(k, r, width) + lit(r.toLong * width) + lit(1))
-            .cast("int").as(s"s$r")): _*)).as("slot"))
+    val probes = keys.select(col(keyCol),
+      array((0 until depth).map(r =>
+        (cmsCol(k, r, width) + lit(r.toLong * width) + lit(1))
+          .cast("int")): _*).as("__slots"))
     val others = grids.columns.filter(_ != gridCol).map(col).toSeq
-    grids.crossJoin(broadcast(slots))
+    grids.crossJoin(broadcast(probes))
       .select(others :+ col(keyCol) :+
-        element_at(col(gridCol), col("slot")).as("cell"): _*)
-      .groupBy(others :+ col(keyCol): _*)
-      .agg(min(col("cell")).as("est"))
+        array_min(transform(col("__slots"),
+          s => element_at(col(gridCol), s))).as("est"): _*)
   }
 
   /**
@@ -233,4 +234,40 @@ object Sketches {
         when(col("n") < k, col("n").cast("double"))
           .otherwise(round(lit((k - 1).toDouble) * lit(KmvRange) / col("hk"), 6))
           .as("estimate"))
+
+  /**
+   * KMV SET ALGEBRA (the theta-sketch idea, Dasgupta et al. 2016, on the
+   * exact-arithmetic KMV substrate): intersection / union / Jaccard
+   * estimates for two key populations from their KB-sized sketches alone —
+   * no re-scan, no join of the raw sides. The union sketch
+   * U = k smallest of S_A ∪ S_B is EXACTLY the KMV sketch of A ∪ B
+   * (k-min commutes with union), so |A ∪ B| estimates by the standard
+   * estimator; within U every hash is known to be in A, in B, or both
+   * (a hash in U ∩ S_A IS a member of A — sketches are exact k-min sets,
+   * below-threshold membership is certain, not probabilistic), so the
+   * shared fraction ρ = |U ∩ S_A ∩ S_B| / |U| is the minwise Jaccard
+   * estimator and |A ∩ B| ≈ ρ · |A ∪ B|.
+   *
+   * All set operations are exact int64 semi-joins on k-row frames; the
+   * two divisions are the only IEEE steps (round6, small-integer
+   * operands) — the whole table replays in SQL. Output one row:
+   * (k, n_union, hk_union, shared, union_est, jaccard, inter_est).
+   */
+  def kmvSetEstimate(sketchA: DataFrame, sketchB: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"kmvSetEstimate: k must be >= 2, got $k")
+    val u = kmvMerge(Seq(sketchA, sketchB), k)
+    val shared = u
+      .join(broadcast(sketchA.select(col("h"))), Seq("h"), "left_semi")
+      .join(broadcast(sketchB.select(col("h"))), Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("shared"))
+    val est = kmvEstimate(u, k)
+      .select(col("k"), col("n").as("n_union"), col("hk").as("hk_union"),
+        col("estimate").as("union_est"))
+    est.crossJoin(broadcast(shared))
+      .select(col("k"), col("n_union"), col("hk_union"), col("shared"),
+        col("union_est"),
+        round(col("shared").cast("double") / col("n_union"), 6).as("jaccard"),
+        round(round(col("shared").cast("double") / col("n_union"), 6) *
+          col("union_est"), 6).as("inter_est"))
+  }
 }

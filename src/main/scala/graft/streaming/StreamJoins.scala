@@ -85,6 +85,13 @@ object StreamJoins {
                        asofOut: String = "asof_ts",
                        broadcastDim: Boolean = true): DataFrame = {
     require(payload.nonEmpty, "enrichAsOfStatic: payload must be non-empty")
+    // the enrichment columns land next to the stream's own — a stream that
+    // already carries asofOut or a payload name would make the output (and
+    // the unqualified references the join resolves) ambiguous; fail loudly
+    val collide = stream.columns.toSet.intersect((asofOut +: payload).toSet)
+    require(collide.isEmpty,
+      s"enrichAsOfStatic: stream already carries enrichment column(s) " +
+        s"${collide.mkString(",")} — rename them on one side first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(col(dimTs), col(tieBreak))
     val iv = dim
@@ -96,11 +103,14 @@ object StreamJoins {
       .localCheckpoint()
     val dimSide = if (broadcastDim) broadcast(iv) else iv
     val streamCols = stream.columns.toSeq
+    // every dimension-side reference dataset-qualified: a stream column
+    // named __from/__to/asof_ts (or a payload/streamTs name shared across
+    // sides) can no longer capture the resolution
     stream.join(dimSide,
-        stream(key) === col("__k") && col(streamTs) >= col("__from") &&
-          (col("__to").isNull || col(streamTs) < col("__to")),
+        stream(key) === dimSide("__k") && stream(streamTs) >= dimSide("__from") &&
+          (dimSide("__to").isNull || stream(streamTs) < dimSide("__to")),
         "left")
       .select(streamCols.map(stream(_)) ++
-        (col(asofOut) +: payload.map(col)): _*)
+        (dimSide(asofOut) +: payload.map(dimSide(_))): _*)
   }
 }

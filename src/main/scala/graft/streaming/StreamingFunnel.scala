@@ -28,11 +28,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *
  * Total state is k longs × users that ENTERED the funnel (stage-1
  * reached) — the same per-user footprint as the batch operator's
- * aggregation row, with no event buffering. A deployment that wants
- * failed funnels expired can add an event-time timeout at
- * `t_last + withinHours` (past it no further stage can fire); kept out
- * here so streamed results equal the batch verdict exactly (batch keeps
- * failed funnels failed — it never retries a later stage-1 event).
+ * aggregation row, with no event buffering. The opt-in
+ * `expireStalled` flag adds an event-time timeout at
+ * `t_lastReach + withinHours` (past it no further stage can fire, so
+ * dropping the state loses nothing a stalled funnel could still emit).
+ * It defaults OFF because expiry is a deliberate divergence from the
+ * batch verdict: once state is dropped, a LATER stage-1 event (which
+ * must carry ts > watermark > t_lastReach + withinHours to survive the
+ * watermark filter) re-enters the funnel and re-emits stage reaches,
+ * whereas batch pins each user to their FIRST stage-1 event forever —
+ * restart-after-quiescence semantics vs first-attempt-only semantics.
  */
 object StreamingFunnel {
 
@@ -52,9 +57,18 @@ object StreamingFunnel {
     ts
   }
 
-  private def updateUser(steps: IndexedSeq[String], withinUs: Long)(
+  private def updateUser(steps: IndexedSeq[String], withinUs: Long,
+                         expire: Boolean)(
       uid: Long, evs: Iterator[FEv],
       state: GroupState[FunnelState]): Iterator[StageReach] = {
+    if (expire && state.hasTimedOut) {
+      // watermark passed lastReach + within: no strict-within stage can
+      // fire anymore — drop the k-long row (the stalled funnel stays
+      // exactly as emitted; only re-entry by a genuinely-later stage-1
+      // event becomes possible, the documented divergence)
+      state.remove()
+      return Iterator.empty
+    }
     val k = steps.size
     val t = state.getOption.map(_.reached.toArray)
       .getOrElse(Array.fill(k)(0L))
@@ -74,26 +88,44 @@ object StreamingFunnel {
       }
     val res = out.result()
     if (res.nonEmpty) state.update(FunnelState(t.toSeq))
+    if (expire && state.exists) {
+      // reaches fill a prefix (stage i needs t(i-1) set), so the largest
+      // set timestamp IS the last reach; ceil micros→millis so the
+      // timeout never fires before the exact instant. A group that got
+      // DATA after its deadline passed never times out (Spark only fires
+      // timeouts for data-less groups) and setTimeoutTimestamp rejects
+      // timestamps at/behind the watermark — drop such state directly.
+      val deadlineMs = (t.max + withinUs + 999L) / 1000L
+      if (deadlineMs > state.getCurrentWatermarkMs()) state.setTimeoutTimestamp(deadlineMs)
+      else state.remove()
+    }
     res.iterator
   }
 
   /** Append-mode stream of stage-reach records, exactly one per
-    * (user, stage). `steps` must be distinct; events of other types are
-    * ignored (pre-filter for scan pruning — this method only sees what
-    * the caller ships). */
+    * (user, stage) while state lives. `steps` must be distinct; events of
+    * other types are ignored (pre-filter for scan pruning — this method
+    * only sees what the caller ships). `expireStalled` turns on the
+    * event-time timeout documented above (state dropped once the
+    * watermark passes lastReach + withinHours; funnels may then
+    * re-enter — keep it off when batch-verdict equality matters). */
   def stageReaches(events: Dataset[FEv], steps: Seq[String],
                    withinHours: Int,
-                   watermarkDelay: String = "10 minutes"): Dataset[StageReach] = {
+                   watermarkDelay: String = "10 minutes",
+                   expireStalled: Boolean = false): Dataset[StageReach] = {
     require(steps.size >= 2, s"stageReaches: need >= 2 steps, got ${steps.size}")
     require(steps.distinct.size == steps.size, "stageReaches: steps must be distinct")
     require(withinHours > 0, s"stageReaches: withinHours must be positive, got $withinHours")
     implicit val outEnc = Encoders.product[StageReach]
     implicit val stateEnc = Encoders.product[FunnelState]
+    val timeout =
+      if (expireStalled) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[FunnelState, StageReach](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        updateUser(steps.toIndexedSeq, withinHours * 3600000000L))
+        OutputMode.Append, timeout)(
+        updateUser(steps.toIndexedSeq, withinHours * 3600000000L, expireStalled))
   }
 }

@@ -82,6 +82,41 @@ class EventAnalyticsSpec extends SparkSpec {
       (4L, 1, "view"), (4L, 2, "click")))
   }
 
+  test("streaming funnel: expireStalled drops state past lastReach + within " +
+    "and allows re-entry; default keeps first-attempt-only semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingFunnel
+    // u1 views at 10:00 (within = 1h → stalled after 11:00); u9 events at
+    // 13:00/14:00 advance the watermark past the deadline; u1's second
+    // view at 15:00 then probes whether state survived
+    val b1 = Seq((1L, "view", ts("2024-01-01 10:00:00")))
+    val b2 = Seq((9L, "view", ts("2024-01-01 13:00:00")))
+    val b3 = Seq((1L, "view", ts("2024-01-01 15:00:00")),
+      (9L, "click", ts("2024-01-01 13:30:00")))
+    def run(expire: Boolean): Seq[(Long, Int)] = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Timestamp)]
+      val name = "sfexp_" + (if (expire) "on" else "off")
+      val q = StreamingFunnel.stageReaches(
+          mem.toDF().toDF("user_id", "event_type", "ts").as[StreamingFunnel.FEv],
+          Seq("view", "click"), withinHours = 1,
+          watermarkDelay = "0 seconds", expireStalled = expire)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      Seq(b1, b2, b3).foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table(name).orderBy("stage_ts", "user_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      spark.catalog.dropTempView(name)
+      got
+    }
+    // default: u1's 15:00 view is ignored (first-attempt-only, = batch)
+    assert(run(expire = false) === Seq((1L, 1), (9L, 1), (9L, 2)))
+    // expiry: u1's state was dropped once the watermark passed 11:00, so
+    // the 15:00 view re-enters and re-emits stage 1
+    assert(run(expire = true) === Seq((1L, 1), (9L, 1), (9L, 2), (1L, 1)))
+  }
+
   test("funnel: an event EXACTLY at the window bound counts; at t_prev it does not") {
     val events = ev(
       (1L, "view", "2024-01-01 10:00:00"),

@@ -151,4 +151,38 @@ class PcaSpec extends SparkSpec {
         Pca.powerIteration(covD, 3).toSeq)
     } finally Gates.deleteTree(tmp)
   }
+
+  test("rawMomentTable: past the long-product bound the terms multiply as " +
+    "decimals — byte-identical to moments, no silent wrap") {
+    // |q| up to 3.5e9 units → q² ≈ 1.2e19 > Long.MaxValue/2: the LongType
+    // product is unsafe, so both moments and rawMomentTable must take the
+    // decimal path and still agree exactly (spread kept ≤ ~1e3 so the
+    // derived covariance stays inside round12's compact-decimal range)
+    val big = Seq(
+      (1L, Array(2500.0f, 3400.0f)),
+      (2L, Array(3500.0f, 2600.0f)),
+      (3L, Array(3000.0f, 3050.0f))).toDF("vec_id", "embedding")
+    val (nT, meanT, covT) = Pca.momentsFromTable(Pca.rawMomentTable(big, 2), 2)
+    val (nD, meanD, covD) = Pca.moments(big, 2)
+    assert(nT === nD)
+    assert(meanT.toSeq === meanD.toSeq)
+    assert(covT.map(_.toSeq).toSeq === covD.map(_.toSeq).toSeq)
+    // sanity: the diagonal second moments are positive (a wrapped product
+    // would have gone hugely negative)
+    assert(covT(0)(0) > 0.0 && covT(1)(1) > 0.0)
+  }
+
+  test("momentsFromTable: dim mismatches fail with a diagnostic, not an " +
+    "ArrayIndexOutOfBoundsException") {
+    val table = Pca.rawMomentTable(toyVecs, 3).cache()
+    val tooSmall = intercept[IllegalArgumentException] {
+      Pca.momentsFromTable(table, 2)
+    }
+    assert(tooSmall.getMessage.contains("out of range for dim=2"))
+    val tooBig = intercept[IllegalArgumentException] {
+      Pca.momentsFromTable(table, 4)
+    }
+    assert(tooBig.getMessage.contains("mean rows missing"))
+    table.unpersist()
+  }
 }

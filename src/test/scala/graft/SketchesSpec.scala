@@ -275,6 +275,28 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("gridEstimate: in-expression min agrees with the sparse-cell " +
+    "estimator and costs no wide exchange") {
+    graft.plans.GraftFunctions.register(spark)
+    val keys = (1L to 500L).map(_ % 37).toDF("id")
+    val probes = (0L until 37L).toDF("id")
+    val est = graft.operators.Sketches.gridEstimate(
+      keys.agg(call_function("cms_grid", col("id"), lit(3), lit(16)).as("grid")),
+      probes, "id", depth = 3, width = 16)
+    // the dense-grid probe must equal the sparse cell-table estimator
+    val sparse = graft.operators.Sketches.countMinEstimate(
+      graft.operators.Sketches.countMinCells(keys, col("id"), 3, 16),
+      probes, "id", depth = 3, width = 16)
+    val got = est.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = sparse.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    // the doc's claim, pinned: the min runs as array_min(transform(...)) in
+    // place — no per-key groupBy, so no hash-partitioning exchange at all
+    val s = est.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"gridEstimate plan grew a wide exchange:\n$s")
+  }
+
   test("cms_grid: bad depth/width are analysis-time errors") {
     graft.plans.GraftFunctions.register(spark)
     val ids = (1L to 10L).toDF("id")

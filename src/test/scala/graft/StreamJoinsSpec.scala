@@ -116,4 +116,32 @@ class StreamJoinsSpec extends SparkSpec {
         if (x.isNullAt(1)) None else Some(x.getDouble(1))))
     assert(batch.toSeq === got.map(t => (t._1, t._3)).toSeq)
   }
+
+  test("as-of enrichment: colliding enrichment names fail loudly; the " +
+    "dimension side is dataset-qualified against stream-name capture") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dim = Seq((1L, ts("2024-03-01 10:00:00"), 100.0))
+      .toDF("oid", "ots", "price").withColumn("key", col("oid").cast("string"))
+    // stream already carries a payload name → require, not silent capture
+    val clash = Seq((10L, "1", ts("2024-03-01 11:00:00"), 7.0))
+      .toDF("event_id", "key", "ts", "price")
+    val e = intercept[IllegalArgumentException] {
+      StreamJoins.enrichAsOfStatic(clash, dim,
+        key = "key", dimTs = "ots", tieBreak = "oid", payload = Seq("oid", "price"))
+    }
+    assert(e.getMessage.contains("price"))
+    // a stream column that shadows an internal interval name must not
+    // capture the join-condition resolution (batch frames: same plan)
+    val shadow = Seq((10L, "1", ts("2024-03-01 11:00:00"), "keepme"))
+      .toDF("event_id", "key", "ts", "__to")
+    val out = StreamJoins.enrichAsOfStatic(shadow, dim,
+        key = "key", dimTs = "ots", tieBreak = "oid", payload = Seq("oid", "price"))
+      .collect()
+    assert(out.length === 1)
+    val row = out.head
+    assert(row.getString(row.fieldIndex("__to")) === "keepme")
+    assert(row.getDouble(row.fieldIndex("price")) === 100.0)
+    assert(row.getLong(row.fieldIndex("oid")) === 1L)
+  }
 }
