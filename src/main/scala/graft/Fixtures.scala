@@ -678,6 +678,41 @@ private[graft] object Fixtures {
        |FROM ex JOIN p6 p ON p.i = ex.i
        |GROUP BY ex.vec_id ORDER BY ex.vec_id""".stripMargin
 
+  /** Oracle for `streaming_pca_project`: the [[pcaProjectOracle]] replay
+    * restricted to the streamed id slice — the component still derives
+    * from the FULL corpus (the engine reloads the persisted full-corpus
+    * moment artifact before streaming). */
+  def streamingPcaProjectOracle: String =
+    s"""${pcaCtes(64, 3)},
+       |p6 AS (SELECT i, round(pv, 6) AS pv6 FROM p3)
+       |SELECT ex.vec_id,
+       |       round(CAST(SUM(CAST(round(ex.x * p.pv6, 12) AS DECIMAL(30,12))) AS DOUBLE), 12) AS proj
+       |FROM ex JOIN p6 p ON p.i = ex.i
+       |WHERE ex.vec_id % 5 = 0
+       |GROUP BY ex.vec_id ORDER BY ex.vec_id""".stripMargin
+
+  /** Oracle for `trending_decay`: the SAME driver-computed micro-unit
+    * weight table ([[operators.EventAnalytics.decayWeightsMicro]])
+    * embedded as VALUES — weights are shared data, not replayed math, so
+    * there is no cross-engine pow anywhere. */
+  def trendingDecayOracle: String = {
+    val wt = operators.EventAnalytics.decayWeightsMicro(7, 60)
+      .zipWithIndex.map { case (w, d) => s"($d, $w)" }.mkString(", ")
+    s"""WITH wt(age, w) AS (VALUES $wt),
+       |d AS MATERIALIZED (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS "day", COUNT(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |x AS (SELECT event_type, y,
+       |        date_diff('day', "day", (SELECT MAX("day") FROM d)) AS age
+       |      FROM d),
+       |a AS (SELECT x.event_type, CAST(SUM(x.y) AS BIGINT) AS raw_n,
+       |        CAST(SUM(CASE WHEN x.age <= 60 THEN x.y * wt.w ELSE 0 END) AS BIGINT) AS units
+       |      FROM x LEFT JOIN wt ON wt.age = x.age GROUP BY 1)
+       |SELECT event_type, raw_n,
+       |       round(CAST(units AS DOUBLE) / 1e6, 6) AS decayed
+       |FROM a ORDER BY decayed DESC, event_type""".stripMargin
+  }
+
   /** Oracle for `hits_trade`: both HITS iterations replayed — authority
     * raw sums from hub scores over out-edges, hub raw sums from authority
     * scores over in-edges, each L2-normalized

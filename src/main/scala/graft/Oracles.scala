@@ -2108,5 +2108,87 @@ private[graft] object Oracles {
         |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
         |       CAST(n_chars % 24 + 1 AS INT) AS width,
         |       CAST(n_chars % 8 + 1 AS INT) AS height
-        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin)
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
+
+    // bloom filter: the double-hashed bit SET replayed directly — packed
+    // 62-bit words in the engine are storage, membership is bit-set
+    // membership, mathematically identical
+    "bloom_membership" ->
+      """WITH mk AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 450000.0),
+        |bits AS MATERIALIZED (
+        |  SELECT DISTINCT (CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13)) AS BIGINT)
+        |       + i.i * CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 14, 13)) AS BIGINT)) % 3968 AS bit
+        |  FROM mk CROSS JOIN (VALUES (0), (1), (2)) i(i)),
+        |ph AS (
+        |  SELECT c_custkey,
+        |         (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13)) AS BIGINT)
+        |       + i.i * CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 14, 13)) AS BIGINT)) % 3968 AS bit
+        |  FROM customer CROSS JOIN (VALUES (0), (1), (2)) i(i)),
+        |hit AS (
+        |  SELECT c_custkey, MIN(CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 ELSE 0 END) AS h
+        |  FROM ph GROUP BY c_custkey)
+        |SELECT c_custkey, h = 1 AS bloom_hit,
+        |       CASE WHEN c_custkey IN (SELECT k FROM mk) THEN TRUE ELSE FALSE END AS is_member,
+        |       CASE WHEN c_custkey IN (SELECT k FROM mk) THEN h = 1 ELSE TRUE END AS no_false_negative
+        |FROM hit ORDER BY c_custkey""".stripMargin,
+
+    // bloom-pruned join: no false negatives + the join discards false
+    // positives ⇒ the result IS the plain join — which is the oracle
+    "bloom_pruned_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 7500.0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "kmv_jaccard" ->
+      """WITH ca AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'click'),
+        |cb AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'purchase'),
+        |sa AS MATERIALIZED (SELECT h FROM ca ORDER BY h LIMIT 256),
+        |sb AS MATERIALIZED (SELECT h FROM cb ORDER BY h LIMIT 256),
+        |u AS MATERIALIZED (
+        |  SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb))
+        |  ORDER BY h LIMIT 256),
+        |agg AS (SELECT COUNT(*) AS n_union, MAX(h) AS hk FROM u),
+        |sh AS (SELECT COUNT(*) AS shared FROM u
+        |       WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+        |tr AS (SELECT COUNT(*) AS true_inter FROM
+        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a
+        |  JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') b
+        |  USING (user_id))
+        |SELECT CAST(256 AS BIGINT) AS k, n_union, hk AS hk_union, shared,
+        |  CASE WHEN n_union < 256 THEN CAST(n_union AS DOUBLE)
+        |       ELSE round(CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk, 6) END AS union_est,
+        |  round(CAST(shared AS DOUBLE) / n_union, 6) AS jaccard,
+        |  round(round(CAST(shared AS DOUBLE) / n_union, 6) *
+        |    (CASE WHEN n_union < 256 THEN CAST(n_union AS DOUBLE)
+        |          ELSE round(CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk, 6) END), 6) AS inter_est,
+        |  true_inter
+        |FROM agg, sh, tr""".stripMargin,
+
+    "volume_trend" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS "day", COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type,
+        |        date_diff('day', (SELECT MIN("day") FROM d), "day") AS x, y
+        |      FROM d),
+        |a AS (SELECT event_type, COUNT(*) AS n_days,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM x GROUP BY 1)
+        |SELECT event_type, n_days, sy AS total,
+        |  CASE WHEN n_days * sxx = sx * sx THEN NULL
+        |       ELSE round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |                  / CAST(n_days * sxx - sx * sx AS DOUBLE), 6) END AS slope
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "trending_decay" -> Fixtures.trendingDecayOracle,
+
+    "streaming_pca_project" -> Fixtures.streamingPcaProjectOracle)
 }

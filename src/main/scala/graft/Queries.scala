@@ -2476,5 +2476,121 @@ private[graft] object Queries {
             col("embedding"), col("codes"), col("q_min"), col("q_scale")) <=
             col("q_scale") / 2 + lit(1e-9)).as("recon_ok"))
         .orderBy(col("vec_id"))
+    }),
+
+    "bloom_membership" -> ((s, dir) => {
+      // the MEMBERSHIP sketch cell: a bloom filter (m = 62·64 bits, k = 3
+      // — deliberately tight so false positives occur and are measured)
+      // built over customers holding a >450k order, probed by EVERY
+      // customer through the codegen'd dense-word predicate (zero-shuffle
+      // scan expression — the join-pruning hot path). Exact membership
+      // rides along: no_false_negative is the structural law, and the
+      // bloom_hit/is_member pair exposes the measured fpp. DuckDB replays
+      // the double-hashed bit set bit-for-bit
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+      val words = Bloom.denseWords(
+        Bloom.bloomWords(big, col("o_custkey"), 62 * 64, 3), 62 * 64)
+      val members = big.select(col("o_custkey").as("c_custkey")).distinct()
+        .withColumn("is_member", lit(true))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(broadcast(members), Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          Bloom.containsExpr(words, col("c_custkey"), 62 * 64, 3)
+            .as("bloom_hit"),
+          coalesce(col("is_member"), lit(false)).as("is_member"))
+        .withColumn("no_false_negative", !col("is_member") || col("bloom_hit"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "bloom_pruned_join" -> ((s, dir) => {
+      // bloom-pruned equi-join: per-nation order revenue for rich
+      // customers (acctbal > 7500 — a 24% dim) with the orders scan
+      // pre-filtered by the dim's bloom (m = 62·2048, k = 4, ~zero fpp at
+      // this fill) BEFORE the join. No false negatives + join discards
+      // false positives ⇒ the result is the PLAIN join's, which is
+      // exactly what the oracle replays — the bloom only moves work off
+      // the exchange
+      val dim = Tables.customer(s, dir).filter(col("c_acctbal") > 7500)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val fact = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_totalprice"))
+      Bloom.prunedJoin(fact, dim, "o_custkey", "c_custkey", 62 * 2048, 4)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          AggCore.exactSum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    "kmv_jaccard" -> ((s, dir) => {
+      // KMV set algebra (the theta-sketch idea on the exact-arithmetic
+      // substrate): click-users vs purchase-users — union, Jaccard and
+      // intersection estimated from two KB-sized sketches alone (k-min
+      // commutes with union; below-threshold membership is certain), the
+      // exact truth riding along for the error audit. Every set step is
+      // int64-exact, so sketches AND estimates replay in DuckDB
+      val e = Tables.events(s, dir)
+      val a = Sketches.kmvSketch(
+        e.filter(col("event_type") === "click"), col("user_id"), k = 256)
+      val b = Sketches.kmvSketch(
+        e.filter(col("event_type") === "purchase"), col("user_id"), k = 256)
+      val truth = e.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+        .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct(), Seq("user_id"), "inner")
+        .agg(count(lit(1)).as("true_inter"))
+      Sketches.kmvSetEstimate(a, b, 256).crossJoin(broadcast(truth))
+    }),
+
+    "volume_trend" -> ((s, dir) => {
+      // per-type OLS trend of daily volume: exact int64 sums feed the one
+      // rounded slope division — feed-health forecasting next to the
+      // MAD anomaly view
+      EventAnalytics.volumeTrend(Tables.events(s, dir))
+    }),
+
+    "trending_decay" -> ((s, dir) => {
+      // recency-weighted activity ranking: half-life-7d decayed counts
+      // from the SHARED driver-computed weight table (no cross-engine
+      // pow), summed as exact micro-units
+      EventAnalytics.decayedTypeScores(Tables.events(s, dir),
+        halfLifeDays = 7, maxAgeDays = 60)
+    }),
+
+    "streaming_pca_project" -> ((s, dir) => {
+      // PCA lifecycle completed to serving: moments persisted as the
+      // mergeable integer artifact, RELOADED, the component re-derived on
+      // the driver, and a stream of vectors scored through the STATELESS
+      // projection expression (literal-model shape — the exact-decimal
+      // fold drops into a streaming select with no state store). Streamed
+      // projections must hash-match the batch pca_project oracle
+      // restricted to the streamed ids
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pca_serve").toString
+      val component =
+        try {
+          Pca.saveMoments(Pca.rawMomentTable(Tables.embeddings(s, dir), 64), tmp)
+          val (_, _, cov) = Pca.momentsFromTable(Pca.loadMoments(s, tmp), 64)
+          Pca.powerIteration(cov, 3)
+        } finally Gates.deleteTree(tmp)
+      val rows = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val out = mem.toDF().toDF("vec_id", "embedding")
+        .filter(VectorFunctions.isFiniteVec(col("embedding")) &&
+          size(col("embedding")) === 64)
+        .select(col("vec_id"), Pca.projectionCol(component).as("proj"))
+      val name = "spp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name)(_
+        .select(col("vec_id"), col("proj"))
+        .orderBy(col("vec_id")))
     }))
 }

@@ -195,4 +195,92 @@ object EventAnalytics {
         (abs(col("cnt") - col("med")) > lit(madK) * col("mad")).as("anomaly"))
       .orderBy(col("day"))
   }
+
+  /**
+   * Per-type daily-volume TREND line: ordinary-least-squares slope of the
+   * daily event count over the day index — "is this feed growing,
+   * flat, or decaying", the forward-looking companion to
+   * [[volumeAnomalies]]' outlier view. slope =
+   * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = days since the corpus's
+   * first day, y = daily count — every sum an exact int64 (calendar-
+   * bounded magnitudes), so the single rounded division is the only IEEE
+   * step and the whole table replays in DuckDB.
+   *
+   * Scale shape: one map-side-combined groupBy to the |types|×|days|
+   * daily grid, a 1-row min-day broadcast, then a |types|-row aggregate.
+   * Output: (event_type, n_days, total, slope) — slope NULL when every
+   * observation sits on one day (zero denominator).
+   */
+  def volumeTrend(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    daily.crossJoin(broadcast(d0))
+      .select(col(typeCol), datediff(col("day"), col("d0")).cast("long").as("x"),
+        col("y"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col(typeCol), col("n_days"), col("sy").as("total"),
+        when(col("n_days") * col("sxx") === col("sx") * col("sx"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6)).as("slope"))
+      .orderBy(col(typeCol))
+  }
+
+  /** Exponential-decay weights as 1e-6-unit integers:
+    * w(d) = round6(0.5^(d / halfLife)) for day ages 0..maxAge — computed
+    * ONCE driver-side so the engine column expression and the SQL oracle
+    * consume the SAME literal numbers (no cross-engine pow). */
+  def decayWeightsMicro(halfLifeDays: Int, maxAgeDays: Int): IndexedSeq[Long] = {
+    require(halfLifeDays > 0, s"decayWeightsMicro: halfLifeDays must be positive, got $halfLifeDays")
+    require(maxAgeDays >= 0, s"decayWeightsMicro: maxAgeDays must be >= 0, got $maxAgeDays")
+    (0 to maxAgeDays).map { d =>
+      java.math.BigDecimal.valueOf(math.pow(0.5, d.toDouble / halfLifeDays))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    }
+  }
+
+  /**
+   * Time-decayed activity score per event type — "what is trending NOW":
+   * each day's count weighted by [[decayWeightsMicro]] (half-life decay
+   * against the corpus's LAST day; ages past `maxAgeDays` contribute
+   * zero), summed as exact integer micro-units. A recency-weighted
+   * ranking that a uniform count can't give, with none of `exp()`'s
+   * cross-engine hazard — the weight table is data, not math, on both
+   * sides.
+   *
+   * Scale shape: same one-shuffle daily grid as [[volumeTrend]], a 1-row
+   * max-day broadcast, |types|-row output (event_type, raw_n,
+   * decayed) ordered by decayed score descending.
+   */
+  def decayedTypeScores(events: DataFrame, halfLifeDays: Int = 7,
+                        maxAgeDays: Int = 60,
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts"): DataFrame = {
+    val w = decayWeightsMicro(halfLifeDays, maxAgeDays)
+    val arr = typedlit(w)
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val ref = daily.agg(max(col("day")).as("ref"))
+    daily.crossJoin(broadcast(ref))
+      .select(col(typeCol), col("y"),
+        datediff(col("ref"), col("day")).cast("int").as("age"))
+      .groupBy(col(typeCol))
+      .agg(sum(col("y")).as("raw_n"),
+        sum(when(col("age") <= maxAgeDays,
+          col("y") * element_at(arr, col("age") + 1)).otherwise(0L))
+          .as("units"))
+      .select(col(typeCol), col("raw_n"),
+        round(col("units").cast("double") / 1e6, 6).as("decayed"))
+      .orderBy(col("decayed").desc, col(typeCol))
+  }
 }

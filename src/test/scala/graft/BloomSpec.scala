@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bloom
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 62 * 8 // 496 bits — small enough to force collisions
+  private val K = 3
+
+  test("no false negatives: every inserted key probes true, both probe paths") {
+    val keys = (1L to 300L).toDF("id")
+    val filter = Bloom.bloomWords(keys, col("id"), M, K).cache()
+    val words = Bloom.denseWords(filter, M)
+    // dense-literal expression path
+    val exprMiss = keys.filter(!Bloom.containsExpr(words, col("id"), M, K)).count()
+    assert(exprMiss === 0L)
+    // words-table path
+    val tblMiss = Bloom.bloomContains(filter, keys, "id", M, K)
+      .filter(!col("bloom_hit")).count()
+    assert(tblMiss === 0L)
+    filter.unpersist()
+  }
+
+  test("both probe paths agree on non-members, and a small filter DOES " +
+    "false-positive (it is a bloom filter, not a hash set)") {
+    val inserted = (1L to 300L).toDF("id")
+    val filter = Bloom.bloomWords(inserted, col("id"), M, K).cache()
+    val words = Bloom.denseWords(filter, M)
+    val outside = (1000L to 1999L).toDF("id")
+    val viaExpr = outside.withColumn("hit", Bloom.containsExpr(words, col("id"), M, K))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val viaTable = Bloom.bloomContains(filter, outside, "id", M, K)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(viaExpr === viaTable)
+    // 300 keys × 3 hashes into 496 bits → fill ≈ 84%, fpp ≈ 0.6: the
+    // outside range must show false positives (collision behavior is the
+    // point of the structure) but not be all-true unless fill is total
+    val fp = viaExpr.values.count(identity)
+    assert(fp > 0, "expected false positives at 84% fill")
+  }
+
+  test("merge law: word-wise OR of slice filters == the union filter") {
+    val all = (1L to 400L).toDF("id")
+    val slices = (0 until 3).map(i =>
+      Bloom.bloomWords(all.filter(col("id") % 3 === i), col("id"), M, K))
+    val merged = Bloom.bloomMerge(slices)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val direct = Bloom.bloomWords(all, col("id"), M, K)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(merged.toSeq === direct.toSeq)
+  }
+
+  test("pruned join: result rows equal the plain join exactly, duplicates kept") {
+    // fact with duplicate rows AND duplicate keys; dim selective
+    val fact = Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"), (7L, "x"),
+      (9L, "y")).toDF("fk", "payload")
+    val dim = Seq((1L, "one"), (3L, "three")).toDF("dk", "name")
+    val got = Bloom.prunedJoin(fact, dim, "fk", "dk", M, K)
+      .select(col("fk"), col("payload"), col("name"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .select(col("fk"), col("payload"), col("name"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want.toSeq)
+    assert(got.count(_._1 == 1L) === 2, "duplicate fact rows must survive the prune")
+  }
+
+  test("the dense-literal probe is a pure scan predicate: no exchange " +
+    "before the filter, and it removes non-members pre-join") {
+    val inserted = (1L to 50L).toDF("id")
+    val bigM = 62 * 1024 // low fill → near-zero fpp for the prune assert
+    val words = Bloom.denseWords(
+      Bloom.bloomWords(inserted, col("id"), bigM, 4), bigM)
+    val fact = (1L to 5000L).toDF("fk")
+    val prunedCount = fact
+      .filter(Bloom.containsExpr(words, col("fk"), bigM, 4)).count()
+    // all 50 members survive; fpp at fill ~0.3% keeps stragglers rare
+    assert(prunedCount >= 50L && prunedCount < 100L,
+      s"expected ~50 survivors, got $prunedCount")
+    val plan = fact.filter(Bloom.containsExpr(words, col("fk"), bigM, 4))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bloom probe must be exchange-free:\n$plan")
+  }
+
+  test("parameter validation fails loudly") {
+    val df = (1L to 10L).toDF("id")
+    intercept[IllegalArgumentException] { Bloom.bloomWords(df, col("id"), 100, 3) }
+    intercept[IllegalArgumentException] { Bloom.bloomWords(df, col("id"), 62, 0) }
+    intercept[IllegalArgumentException] {
+      Bloom.containsExpr(Array.ofDim[Long](3), col("id"), 62 * 4, 3)
+    }
+  }
+}

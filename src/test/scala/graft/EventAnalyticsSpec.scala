@@ -232,6 +232,40 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.find(_._3).get === ((100L, 44.0, true)))
   }
 
+  test("volume trend: exact OLS slope on a linear ramp, null on one day") {
+    // 'up' ramps 2,4,6,8 over 4 days → slope exactly 2; 'one' sits on a
+    // single day → zero denominator → null slope
+    val events = (0 until 4).flatMap { d =>
+      (1 to 2 * (d + 1)).map(i =>
+        (1L, "up", ts(f"2024-02-${d + 1}%02d 08:00:${i % 60}%02d")))
+    } ++ Seq((1L, "one", ts("2024-02-01 09:00:00")),
+      (2L, "one", ts("2024-02-01 10:00:00")))
+    val out = EventAnalytics.volumeTrend(events.toDF("user_id", "event_type", "ts"))
+      .collect()
+    val one = out.find(_.getString(0) == "one").get
+    assert(one.getLong(1) === 1L && one.getLong(2) === 2L && one.isNullAt(3))
+    val up = out.find(_.getString(0) == "up").get
+    assert(up.getLong(1) === 4L && up.getLong(2) === 20L &&
+      up.getDouble(3) === 2.0)
+  }
+
+  test("decayed scores: shared weight table, exact micro-unit sums") {
+    // half-life 1 day: weights 1, 0.5, 0.25 — 'hot' has 10 events today,
+    // 'cold' 10 events two days ago: decayed 10.0 vs 2.5, flipping the
+    // raw-count tie
+    val events =
+      (1 to 10).map(i => (1L, "hot", ts(f"2024-02-03 08:00:${i % 60}%02d"))) ++
+      (1 to 10).map(i => (1L, "cold", ts(f"2024-02-01 08:00:${i % 60}%02d")))
+    val out = EventAnalytics.decayedTypeScores(events.toDF("user_id", "event_type", "ts"),
+        halfLifeDays = 1, maxAgeDays = 60)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("hot", 10L, 10.0), ("cold", 10L, 2.5)))
+    // the weight table itself: exact micro-units, halving per half-life
+    val w = EventAnalytics.decayWeightsMicro(7, 14)
+    assert(w(0) === 1000000L && w(7) === 500000L && w(14) === 250000L)
+    assert(w.sliding(2).forall { case Seq(a, b) => b < a })
+  }
+
   private def round(x: Double, n: Int): Double =
     BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

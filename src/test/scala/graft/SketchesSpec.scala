@@ -275,6 +275,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kmv set algebra: below k everything is exact; estimates track truth " +
+    "when full") {
+    import graft.operators.Sketches
+    // |A| = 60, |B| = 50, |A ∩ B| = 30 — both sketches under k=256, so
+    // union/intersection/jaccard come out EXACT (below-threshold
+    // membership is certain)
+    val a = Sketches.kmvSketch((1L to 60L).toDF("id"), col("id"), 256)
+    val b = Sketches.kmvSketch((31L to 80L).toDF("id"), col("id"), 256)
+    val r = Sketches.kmvSetEstimate(a, b, 256).collect().head
+    assert(r.getAs[Long]("n_union") === 80L)
+    assert(r.getAs[Long]("shared") === 30L)
+    assert(r.getAs[Double]("union_est") === 80.0)
+    assert(r.getAs[Double]("jaccard") === 0.375)
+    assert(r.getAs[Double]("inter_est") === 30.0)
+    // full sketches (k=64 over 500/500 with 250 shared): estimates land
+    // within the ~3/sqrt(k) relative band
+    val a2 = Sketches.kmvSketch((1L to 500L).toDF("id"), col("id"), 64)
+    val b2 = Sketches.kmvSketch((251L to 750L).toDF("id"), col("id"), 64)
+    val r2 = Sketches.kmvSetEstimate(a2, b2, 64).collect().head
+    assert(math.abs(r2.getAs[Double]("union_est") - 750.0) / 750.0 < 0.4)
+    assert(math.abs(r2.getAs[Double]("jaccard") - 1.0 / 3) < 0.2)
+  }
+
   test("gridEstimate: in-expression min agrees with the sparse-cell " +
     "estimator and costs no wide exchange") {
     graft.plans.GraftFunctions.register(spark)
