@@ -577,6 +577,20 @@ private[graft] object Fixtures {
        |       THEN 1 ELSE 0 END AS pred_label
        |FROM f, w3 WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  /** Oracle for `quality_calibration`: the [[qualityLrScoresOracle]]
+    * score replay binned into 0.002-wide buckets (score 1.0 clamps into bin 499) with
+    * exact-decimal per-bin mean scores. */
+  def qualityCalibrationOracle: String =
+    s"""${learnCtes(3)},
+       |sc AS (SELECT doc_id, y,
+       |  round(0.5 + 0.5 * ((b + w1 * x1 + w2 * x2 + w3 * x3) / (1.0 + abs(b + w1 * x1 + w2 * x2 + w3 * x3))), 6) AS score
+       |  FROM f, w3),
+       |bn AS (SELECT least(CAST(floor(score * 500) AS INT), 499) AS bin, y, score FROM sc)
+       |SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS positives,
+       |  round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_score,
+       |  round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
+       |FROM bn GROUP BY bin ORDER BY bin""".stripMargin
+
   /** Shared CTEs for the `pca_*` oracles: clean vectors → positional
     * explode with 6-decimal input quantization (products of 6-decimal
     * values are EXACT 12-decimal grid values, so the per-row round12 is

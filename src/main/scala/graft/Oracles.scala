@@ -2190,5 +2190,44 @@ private[graft] object Oracles {
 
     "trending_decay" -> Fixtures.trendingDecayOracle,
 
-    "streaming_pca_project" -> Fixtures.streamingPcaProjectOracle)
+    "streaming_pca_project" -> Fixtures.streamingPcaProjectOracle,
+
+    // two-chain lifecycle oracle: the UNION bit set (slices partition the
+    // big orders on o_orderkey parity, and word-wise OR == union build) —
+    // a broken save/append/load chain cannot match it
+    "bloom_index_flag" ->
+      """WITH mk AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 450000.0),
+        |bits AS MATERIALIZED (
+        |  SELECT DISTINCT (CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13)) AS BIGINT)
+        |       + i.i * CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 14, 13)) AS BIGINT)) % 7936 AS bit
+        |  FROM mk CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)),
+        |ph AS (
+        |  SELECT c_custkey,
+        |         (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13)) AS BIGINT)
+        |       + i.i * CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 14, 13)) AS BIGINT)) % 7936 AS bit
+        |  FROM customer CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)
+        |  WHERE c_custkey % 3 = 0)
+        |SELECT c_custkey,
+        |       MIN(CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 ELSE 0 END) = 1 AS bloom_hit
+        |FROM ph GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "streaming_bloom_flag" ->
+      """WITH mk AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 450000.0),
+        |bits AS MATERIALIZED (
+        |  SELECT DISTINCT (CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13)) AS BIGINT)
+        |       + i.i * CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 14, 13)) AS BIGINT)) % 3968 AS bit
+        |  FROM mk CROSS JOIN (VALUES (0), (1), (2)) i(i)),
+        |ph AS (
+        |  SELECT c_custkey,
+        |         (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13)) AS BIGINT)
+        |       + i.i * CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 14, 13)) AS BIGINT)) % 3968 AS bit
+        |  FROM customer CROSS JOIN (VALUES (0), (1), (2)) i(i)
+        |  WHERE c_custkey % 2 = 1)
+        |SELECT c_custkey,
+        |       MIN(CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 ELSE 0 END) = 1 AS bloom_hit
+        |FROM ph GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "quality_calibration" -> Fixtures.qualityCalibrationOracle)
 }

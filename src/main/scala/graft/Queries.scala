@@ -2592,5 +2592,67 @@ private[graft] object Queries {
       drainMemorySink(s, name)(_
         .select(col("vec_id"), col("proj"))
         .orderBy(col("vec_id")))
+    }),
+
+    "bloom_index_flag" -> ((s, dir) => {
+      // membership-index lifecycle (the winnow/BM25/moments discipline
+      // applied to the bloom artifact): slice-A filter SAVED, slice-B
+      // filter delta-APPENDED without rewriting the base, merged LOAD
+      // (bit-OR per word == the union build — the merge law at the
+      // storage boundary), then every 3rd customer flagged through the
+      // dense-literal scan predicate. The oracle replays the UNION bit
+      // set, so only a correct two-chain save/append/load matches
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_idx").toString
+      try {
+        val (m, k) = (62 * 128, 4)
+        val big = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+        Bloom.saveWords(Bloom.bloomWords(
+          big.filter(col("o_orderkey") % 2 === 0), col("o_custkey"), m, k), tmp)
+        Bloom.appendWords(Bloom.bloomWords(
+          big.filter(col("o_orderkey") % 2 === 1), col("o_custkey"), m, k), tmp)
+        val words = Bloom.denseWords(Bloom.loadWords(s, tmp), m)
+        Tables.customer(s, dir).filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"),
+            Bloom.containsExpr(words, col("c_custkey"), m, k).as("bloom_hit"))
+          .orderBy(col("c_custkey"))
+      } finally Gates.deleteTree(tmp)
+    }),
+
+    "streaming_bloom_flag" -> ((s, dir) => {
+      // membership at ingest: odd-keyed customers streamed in two real
+      // micro-batches through the dense-literal bloom predicate of the
+      // big-order filter — STATELESS (the filter rides the closure like
+      // a codebook; no state store, no join), the admission-control shape
+      // for "have we already ingested this key" at stream volume
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+      val words = Bloom.denseWords(
+        Bloom.bloomWords(big, col("o_custkey"), 62 * 64, 3), 62 * 64)
+      val rows = Tables.customer(s, dir).filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey")).as[Long].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val out = mem.toDF().toDF("c_custkey")
+        .select(col("c_custkey"),
+          Bloom.containsExpr(words, col("c_custkey"), 62 * 64, 3).as("bloom_hit"))
+      val name = "sbf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name)(_
+        .select(col("c_custkey"), col("bloom_hit"))
+        .orderBy(col("c_custkey")))
+    }),
+
+    "quality_calibration" -> ((s, dir) => {
+      // reliability audit of the learned quality scorer: 0.002-wide bins of
+      // the round-6 sigmoid scores vs the observed positive rate — the
+      // go/no-go check before a score becomes a keep-threshold; training,
+      // scoring, binning and the exact-decimal means all replay in DuckDB
+      Learn.calibrationTable(Tables.documents(s, dir), iters = 3, bins = 500)
     }))
 }

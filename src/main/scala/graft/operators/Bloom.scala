@@ -145,6 +145,30 @@ object Bloom {
       .agg((min(col("hit")) === 1).as("bloom_hit"))
   }
 
+  /** Persist a words table (≤ m/62 rows, KB-sized at any corpus scale),
+    * w-sorted for deterministic files — the shareable membership artifact
+    * of an ingest pipeline ("have we seen this key"), the
+    * winnow/BM25/moments lifecycle discipline applied to membership. */
+  def saveWords(filter: DataFrame, path: String): Unit =
+    filter.select(col("w"), col("bits"))
+      .coalesce(1).sortWithinPartitions(col("w"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new slice's words as delta files (no rewrite of the base);
+    * [[loadWords]] folds duplicates by word-wise OR. */
+  def appendWords(filter: DataFrame, path: String): Unit =
+    filter.select(col("w"), col("bits"))
+      .coalesce(1).sortWithinPartitions(col("w"))
+      .write.mode("append").parquet(path)
+
+  /** Load base + deltas back into ONE merged filter: bit-OR per word —
+    * exactly the filter a single build over the union would produce
+    * ([[bloomMerge]]'s law, applied at the storage boundary). */
+  def loadWords(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("w"))
+      .agg(call_function("bit_or", col("bits")).as("bits"))
+
   /**
    * Bloom-pruned equi-join: filter the FACT side down to bloom hits with
    * the codegen'd [[containsExpr]] predicate, then run the real join with

@@ -175,4 +175,34 @@ object Learn {
     val w = trainLinear(qualityFeatures(docs), Seq("x1", "x2", "x3"), "y", iters)
     scoreWith(docs, w).orderBy(col("doc_id"))
   }
+
+  /**
+   * Reliability (calibration) table of the learned scorer: scores binned
+   * into `bins` equal-width buckets (score 1.0 clamps into the top
+   * bucket), per bucket the count, positive count, exact-decimal mean
+   * score and observed positive rate — "when the model says 0.8, is it
+   * right 80% of the time", the go/no-go audit before a score becomes a
+   * curation keep-threshold.
+   *
+   * Determinism: scores are round-6 values, so the `floor(score·bins)`
+   * bucket index is the same IEEE product + floor on both engines; the
+   * mean sums those 6-decimal scores as DECIMAL(18,6) (exact, order-free)
+   * and rounds the one division — the whole table replays in DuckDB.
+   * Scale shape: train + one narrow scoring scan + one map-side-combined
+   * groupBy to ≤ `bins` rows.
+   */
+  def calibrationTable(docs: DataFrame, iters: Int, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationTable: bins must be >= 2, got $bins")
+    val w = trainLinear(qualityFeatures(docs), Seq("x1", "x2", "x3"), "y", iters)
+    scoreWith(docs, w)
+      .select(col("label"), col("score"),
+        least(floor(col("score") * bins).cast("int"), lit(bins - 1)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label")).cast("long").as("positives"),
+        round(sum(col("score").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 6).as("mean_score"),
+        round(sum(col("label")).cast("double") / count(lit(1)), 6).as("pos_rate"))
+      .orderBy(col("bin"))
+  }
 }

@@ -88,6 +88,23 @@ class BloomSpec extends SparkSpec {
       s"bloom probe must be exchange-free:\n$plan")
   }
 
+  test("lifecycle: save + delta-append + merged load == direct build over " +
+    "the union") {
+    val all = (1L to 400L).toDF("id")
+    val tmp = java.nio.file.Files.createTempDirectory("bloom_idx_spec").toString
+    try {
+      Bloom.saveWords(Bloom.bloomWords(
+        all.filter(col("id") <= 250), col("id"), M, K), tmp)
+      Bloom.appendWords(Bloom.bloomWords(
+        all.filter(col("id") > 250), col("id"), M, K), tmp)
+      val merged = Bloom.loadWords(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val direct = Bloom.bloomWords(all, col("id"), M, K)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(merged.toSeq === direct.toSeq)
+    } finally Gates.deleteTree(tmp)
+  }
+
   test("parameter validation fails loudly") {
     val df = (1L to 10L).toDF("id")
     intercept[IllegalArgumentException] { Bloom.bloomWords(df, col("id"), 100, 3) }

@@ -101,4 +101,34 @@ class LearnSpec extends SparkSpec {
       Learn.trainLinear(toyFeatures.filter(col("id") < 0), Seq("x1"), "y", 1)
     }
   }
+
+  test("calibration table: bins partition the scored corpus, rates and " +
+    "means are exact") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was a good day for this", "en", "s"),
+      (2L, "der hund lief schnell durch den park und bellte laut dabei", "de", "s"),
+      (3L, "the quick brown fox jumps over the lazy dog in the sun", "en", "s"),
+      (4L, "el gato negro duerme en la casa grande cerca del rio", "es", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val scored = Learn.scoreDocuments(docs, iters = 5).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val out = Learn.calibrationTable(docs, iters = 5, bins = 10).collect()
+    // bins partition: counts sum to the corpus, positives to the labels
+    assert(out.map(_.getLong(1)).sum === 4L)
+    assert(out.map(_.getLong(2)).sum === scored.count(_._1 == 1.0).toLong)
+    out.foreach { r =>
+      val bin = r.getInt(0)
+      val inBin = scored.filter(s => math.min(math.floor(s._2 * 10).toInt, 9) == bin)
+      assert(inBin.length.toLong === r.getLong(1))
+      // exact-decimal mean of the round-6 scores
+      val want = (inBin.map(s => BigDecimal(s._2)).sum / inBin.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === want)
+      assert(r.getDouble(4) ===
+        BigDecimal(inBin.count(_._1 == 1.0).toDouble / inBin.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    intercept[IllegalArgumentException] { Learn.calibrationTable(docs, 1, bins = 1) }
+  }
 }
