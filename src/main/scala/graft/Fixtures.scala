@@ -591,6 +591,28 @@ private[graft] object Fixtures {
        |  round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
        |FROM bn GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Oracle for `trigram_search`: trigram postings, needle-gram
+    * intersection, and the exact contains verify — gram list derived from
+    * the SAME needle string the engine query uses. */
+  def trigramSearchOracle(needle: String): String = {
+    val grams = needle.toLowerCase.sliding(3).toSeq.distinct
+    val vals = grams.map(g => s"('${g.replace("'", "''")}')").mkString(", ")
+    val lit = needle.toLowerCase.replace("'", "''")
+    s"""WITH g(gram) AS (VALUES $vals),
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |                               i -> substr(t, CAST(i AS INT), 3))) AS gram
+       |  FROM (SELECT doc_id, lower(text) AS t FROM documents) d),
+       |cand AS (
+       |  SELECT doc_id FROM p JOIN g USING (gram)
+       |  GROUP BY doc_id HAVING COUNT(DISTINCT gram) = ${grams.size})
+       |SELECT d.doc_id,
+       |       position('$lit' IN lower(d.text)) > 0 AS verified
+       |FROM documents d JOIN cand USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Shared CTEs for the `pca_*` oracles: clean vectors → positional
     * explode with 6-decimal input quantization (products of 6-decimal
     * values are EXACT 12-decimal grid values, so the per-row round12 is

@@ -2229,5 +2229,28 @@ private[graft] object Oracles {
         |       MIN(CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 ELSE 0 END) = 1 AS bloom_hit
         |FROM ph GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
-    "quality_calibration" -> Fixtures.qualityCalibrationOracle)
+    "quality_calibration" -> Fixtures.qualityCalibrationOracle,
+
+    "cms_join_size" ->
+      """WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
+        |ca AS MATERIALIZED (
+        |  SELECT r, (o_custkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM orders CROSS JOIN h GROUP BY 1, 2),
+        |cb AS MATERIALIZED (
+        |  SELECT r, (c_custkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM customer CROSS JOIN h WHERE c_acctbal > 7500.0 GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT ca.r, SUM(CAST(ca.n AS HUGEINT) * cb.n) AS ip
+        |  FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c GROUP BY ca.r),
+        |est AS (
+        |  SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est_join_size
+        |  FROM range(0, 4) t(r) LEFT JOIN ip ON ip.r = t.r),
+        |tr AS (SELECT COUNT(*) AS true_join_size
+        |       FROM orders JOIN customer ON o_custkey = c_custkey
+        |       WHERE c_acctbal > 7500.0)
+        |SELECT est_join_size, true_join_size,
+        |       est_join_size >= true_join_size AS never_undercount
+        |FROM est, tr""".stripMargin,
+
+    "trigram_search" -> Fixtures.trigramSearchOracle("sort table"))
 }

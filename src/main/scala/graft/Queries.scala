@@ -2654,5 +2654,36 @@ private[graft] object Queries {
       // go/no-go check before a score becomes a keep-threshold; training,
       // scoring, binning and the exact-decimal means all replay in DuckDB
       Learn.calibrationTable(Tables.documents(s, dir), iters = 3, bins = 500)
+    }),
+
+    "cms_join_size" -> ((s, dir) => {
+      // the AMS/CMS inner-product JOIN-SIZE estimator: |orders ⋈ rich
+      // customers| bounded from two KB-sized cell tables — min over hash
+      // rows of the cell-wise inner product never undercounts, the
+      // pre-join cardinality answer a 100 TB planner needs. Exact decimal
+      // interior, exact truth rides along; the whole derivation (both
+      // sketches, the inner products, the min, the law) replays in DuckDB
+      val (d, wdt) = (4, 4096)
+      val orders = Tables.orders(s, dir)
+      val rich = Tables.customer(s, dir).filter(col("c_acctbal") > 7500)
+      val est = Sketches.cmsJoinSize(
+        Sketches.countMinCells(orders, col("o_custkey"), d, wdt),
+        Sketches.countMinCells(rich, col("c_custkey"), d, wdt), d)
+      val truth = orders.join(rich,
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("true_join_size"))
+      est.crossJoin(broadcast(truth))
+        .withColumn("never_undercount",
+          col("est_join_size") >= col("true_join_size"))
+    }),
+
+    "trigram_search" -> ((s, dir) => {
+      // substring search through the character-trigram posting index
+      // (the pg_trgm shape): candidates must hold EVERY needle trigram
+      // (posting-intersection equi-join — the %needle% scan prune), then
+      // candidates alone re-read text for the exact verify. The
+      // verified=false rows ARE the measured false-candidate rate; the
+      // oracle replays postings, intersection and verify
+      Retrieval.substringSearch(Tables.documents(s, dir), "sort table")
     }))
 }

@@ -62,4 +62,52 @@ object Retrieval {
   /** The RRF contribution of one rank — exposed for spec assertions. */
   private[graft] def rrfTerm(rnk: Column, kRrf: Int): Column =
     lit(1.0) / (lit(kRrf.toDouble) + rnk.cast("double"))
+
+  /**
+   * Character-TRIGRAM posting pairs of `lower(textCol)` — the classic
+   * substring-search index (what pg_trgm / code-search engines build):
+   * distinct (id, gram) rows with ZERO shuffle — grams are deduplicated
+   * PER DOCUMENT in-row (`array_distinct` inside the codegen pipeline),
+   * and (id, gram) pairs across documents are distinct by id, so no
+   * corpus-wide distinct exchange is ever needed. Documents shorter than
+   * 3 chars contribute nothing. At 100 TB the posting table is
+   * gram-partitionable on write.
+   */
+  def trigramPostings(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val t = lower(col(textCol))
+    // sequence(1, n) DESCENDS when n < 1 — guard short texts explicitly
+    val grams = when(length(t) >= 3,
+      array_distinct(transform(sequence(lit(1), length(t) - 2),
+        i => call_function("substr", t, i, lit(3))))).otherwise(array())
+    docs.select(col(idCol), explode(grams).as("gram"))
+  }
+
+  /**
+   * Substring search through the trigram index: a document is a CANDIDATE
+   * iff its posting set contains EVERY trigram of the needle (a necessary
+   * condition for containment), and candidates alone are verified with an
+   * exact `contains` re-read — the filter-then-verify shape that lets a
+   * `%needle%` predicate prune a 100 TB scan down to the posting
+   * intersection instead of reading every row. Returns one row per
+   * candidate: (idCol, verified), ordered by id — the verified=false rows
+   * ARE the measured false-candidate rate.
+   */
+  def substringSearch(docs: DataFrame, needle: String,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(needle.length >= 3,
+      s"substringSearch: needle must be >= 3 chars, got '$needle'")
+    val grams = needle.toLowerCase.sliding(3).toSeq.distinct
+    val cands = trigramPostings(docs, idCol, textCol)
+      .filter(col("gram").isin(grams: _*))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("ng"))
+      .filter(col("ng") === grams.size)
+      .select(col(idCol))
+    docs.join(cands, Seq(idCol))
+      .select(col(idCol),
+        lower(col(textCol)).contains(lit(needle.toLowerCase)).as("verified"))
+      .orderBy(col(idCol))
+  }
 }

@@ -151,6 +151,40 @@ object Sketches {
   }
 
   /**
+   * JOIN-SIZE estimate from two count-min cell tables (the AMS/CMS
+   * inner-product estimator, Cormode & Muthukrishnan 2005 §4.2):
+   * |A ⋈ B| = Σ_k f_A(k)·f_B(k) ≤ Σ_c A[r,c]·B[r,c] for EVERY hash row r
+   * (collisions only add non-negative cross terms), so
+   * `min_r Σ_c A[r,c]·B[r,c]` NEVER undercounts the true join size — the
+   * estimate a 100 TB planner wants BEFORE committing to a join order,
+   * computed from two KB-sized artifacts instead of the join itself.
+   *
+   * Exactness: cell counts are int64; products/sums run as DECIMAL(38,0)
+   * (two 10-digit cells would overflow a long product at warehouse
+   * scale), min cast back to long — pure integer arithmetic, full SQL
+   * replay. Both tables must share depth/width/hash family. Absent rows
+   * (no co-occupied cells) contribute inner product 0, which is itself a
+   * valid never-undercounting estimate (it certifies an EMPTY join).
+   */
+  def cmsJoinSize(cellsA: DataFrame, cellsB: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= CmsA.length,
+      s"cmsJoinSize: depth must be in [1, ${CmsA.length}], got $depth")
+    val spark = cellsA.sparkSession
+    import spark.implicits._
+    val a = cellsA.select(col("r"), col("c"), col("n").as("na"))
+    val b = cellsB.select(col("r"), col("c"), col("n").as("nb"))
+    val ip = a.join(b, Seq("r", "c"))
+      .groupBy(col("r"))
+      .agg(sum(col("na").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+        col("nb")).as("ip"))
+    (0 until depth).toDF("r")
+      .join(ip, Seq("r"), "left")
+      .agg(min(coalesce(col("ip"), lit(0)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .cast("long").as("est_join_size"))
+  }
+
+  /**
    * Heavy hitters via the SpaceSaving aggregate: items whose GUARANTEED
    * count (`count_min`) may still undercount, so candidates are verified
    * against exact counts in [[verifiedHeavyHitters]]; every item with true

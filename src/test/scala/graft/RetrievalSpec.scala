@@ -57,4 +57,34 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Retrieval.rrfFuse(a, a, k = 0, idCol = "doc_id"))
     intercept[IllegalArgumentException](Retrieval.rrfFuse(a, a, k = 1, kRrf = 0, idCol = "doc_id"))
   }
+
+  test("trigram postings: sliding 3-grams, lowercased, short texts empty") {
+    val docs = Seq((1L, "AbCd"), (2L, "xy"), (3L, "aaaa"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.trigramPostings(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "abc"), (1L, "bcd"), (3L, "aaa")))
+  }
+
+  test("substring search: candidates need every gram, verify kills the " +
+    "false candidates, matches are complete") {
+    val docs = Seq(
+      (1L, "we sort tables daily"),          // contains 'sort table'
+      (2L, "sort now, fast table soon"),     // all grams, NOT contiguous
+      (3L, "nothing relevant here"),         // not a candidate
+      (4L, "SORT TABLE"),                    // case-insensitive match
+      (5L, "resort tableau"))                // superstring match
+      .toDF("doc_id", "text")
+    val out = Retrieval.substringSearch(docs, "sort table").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(!out.contains(3L), "doc 3 must not be a candidate")
+    assert(out(1L) && out(4L) && out(5L))
+    assert(!out(2L), "doc 2 is the measured false candidate")
+    // completeness: every exact match is present and verified
+    val truth = docs.collect()
+      .filter(_.getString(1).toLowerCase.contains("sort table"))
+      .map(_.getLong(0)).toSet
+    assert(truth.forall(id => out.getOrElse(id, false)))
+    intercept[IllegalArgumentException](Retrieval.substringSearch(docs, "ab"))
+  }
 }

@@ -298,6 +298,29 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("jaccard") - 1.0 / 3) < 0.2)
   }
 
+  test("cms join-size estimate: never undercounts at any width, exact " +
+    "when a hash row is collision-free") {
+    import graft.operators.Sketches
+    // A = 1..200 each once, B = 151..250 → true join size 50
+    val a = (1L to 200L).toDF("id")
+    val b = (151L to 250L).toDF("id")
+    def est(width: Int): Long = Sketches.cmsJoinSize(
+      Sketches.countMinCells(a, col("id"), 4, width),
+      Sketches.countMinCells(b, col("id"), 4, width), 4)
+      .collect().head.getLong(0)
+    // tight grid: collisions inflate, never deflate
+    assert(est(8) >= 50L)
+    // wide grid: some row is injective on 250 keys → exact
+    assert(est(65536) === 50L)
+    // disjoint sides → certified-empty estimate 0
+    val c = (1000L to 1100L).toDF("id")
+    val z = Sketches.cmsJoinSize(
+      Sketches.countMinCells(a, col("id"), 4, 65536),
+      Sketches.countMinCells(c, col("id"), 4, 65536), 4)
+      .collect().head.getLong(0)
+    assert(z === 0L)
+  }
+
   test("gridEstimate: in-expression min agrees with the sparse-cell " +
     "estimator and costs no wide exchange") {
     graft.plans.GraftFunctions.register(spark)
