@@ -93,6 +93,11 @@ object Bench {
       AnnArtifacts.lexicalAppendRoot(spark, sfDir)
       AnnArtifacts.lexicalCompactRoot(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[bench] lex warmup failed: $e") }
+    // and the per-JVM PCA component cache: streaming_pca_project measures
+    // the streaming projection path against the cached component (the
+    // moment-pass build cost stays pca_moments_append's number)
+    try PcaArtifacts.topComponent(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] pca warmup failed: $e") }
     // and the per-JVM funnel pipeline cache: curation_funnel_check measures
     // the pinned checks against the cached frames (curation_funnel itself
     // remains the full-recompute build entry) — without warming, the first

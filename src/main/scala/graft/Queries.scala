@@ -2564,15 +2564,14 @@ private[graft] object Queries {
       // fold drops into a streaming select with no state store). Streamed
       // projections must hash-match the batch pca_project oracle
       // restricted to the streamed ids
+      // Component from the per-JVM artifact cache ([[PcaArtifacts]] — the
+      // AnnArtifacts serve-vs-build discipline): the save→load→derive
+      // lifecycle runs INSIDE the cache builder once per JVM, so this
+      // entry's timed window is the streaming projection path; the
+      // moment-pass construction cost is pca_moments_append's number
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val tmp = java.nio.file.Files.createTempDirectory("graft_pca_serve").toString
-      val component =
-        try {
-          Pca.saveMoments(Pca.rawMomentTable(Tables.embeddings(s, dir), 64), tmp)
-          val (_, _, cov) = Pca.momentsFromTable(Pca.loadMoments(s, tmp), 64)
-          Pca.powerIteration(cov, 3)
-        } finally Gates.deleteTree(tmp)
+      val component = PcaArtifacts.topComponent(s, dir, dim = 64, iters = 3)
       val rows = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Seq[Float])].collect()

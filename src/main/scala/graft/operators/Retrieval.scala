@@ -67,20 +67,18 @@ object Retrieval {
    * Character-TRIGRAM posting pairs of `lower(textCol)` — the classic
    * substring-search index (what pg_trgm / code-search engines build):
    * distinct (id, gram) rows with ZERO shuffle — grams are deduplicated
-   * PER DOCUMENT in-row (`array_distinct` inside the codegen pipeline),
-   * and (id, gram) pairs across documents are distinct by id, so no
-   * corpus-wide distinct exchange is ever needed. Documents shorter than
-   * 3 chars contribute nothing. At 100 TB the posting table is
-   * gram-partitionable on write.
+   * PER DOCUMENT in-row by the codegen'd `char_grams` kernel (one pass +
+   * hash set; the HOF `transform` + `array_distinct` formulation costs
+   * O(len²) per row), and (id, gram) pairs across documents are distinct
+   * by id, so no corpus-wide distinct exchange is ever needed. Documents
+   * shorter than 3 chars contribute nothing. At 100 TB the posting table
+   * is gram-partitionable on write.
    */
   def trigramPostings(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val t = lower(col(textCol))
-    // sequence(1, n) DESCENDS when n < 1 — guard short texts explicitly
-    val grams = when(length(t) >= 3,
-      array_distinct(transform(sequence(lit(1), length(t) - 2),
-        i => call_function("substr", t, i, lit(3))))).otherwise(array())
-    docs.select(col(idCol), explode(grams).as("gram"))
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol),
+      explode(call_function("char_grams", col(textCol), lit(3))).as("gram"))
   }
 
   /**

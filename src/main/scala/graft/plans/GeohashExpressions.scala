@@ -72,6 +72,7 @@ object GraftFunctions {
     "vec_pq_encode" -> (exprs => VecPqEncode(exprs(0), exprs(1))),
     "vec_pq_cosine" -> (exprs => VecPqCosine(exprs(0), exprs(1), exprs(2))),
     "word_shingles" -> (exprs => WordShingles(exprs(0), exprs(1))),
+    "char_grams" -> (exprs => CharGrams(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs(0), exprs(1))),
     "simhash64" -> (exprs => SimHash64(exprs(0))),
     "image_dims" -> (exprs => ImageDims(exprs(0))),

@@ -111,6 +111,42 @@ object TextKernels {
   }
 
   /**
+   * DISTINCT character n-grams of `lower(text)` in first-occurrence order
+   * — one pass + hash set, replacing the O(len·n) per-row array build +
+   * O(len²) `array_distinct` of the HOF formulation (measured ~4× on the
+   * trigram posting scan). Code-point slicing (surrogate-aware slow path)
+   * matches SQL `substring` and DuckDB `substr` semantics; fewer than n
+   * code points → empty array. First-occurrence order is exactly what
+   * `array_distinct` preserves, so the replacement is value-identical.
+   */
+  def charGrams(text: UTF8String, n: Int): ArrayData = {
+    if (text == null || n <= 0) return new GenericArrayData(Array.empty[Any])
+    val s = text.toLowerCase.toString
+    val seen = new java.util.LinkedHashSet[String]()
+    val cpCount = s.codePointCount(0, s.length)
+    if (cpCount >= n) {
+      if (cpCount == s.length) {
+        // BMP-only fast path: code points == chars
+        var i = 0
+        while (i + n <= s.length) { seen.add(s.substring(i, i + n)); i += 1 }
+      } else {
+        var charIdx = 0
+        var cp = 0
+        while (cp + n <= cpCount) {
+          seen.add(s.substring(charIdx, s.offsetByCodePoints(charIdx, n)))
+          charIdx += Character.charCount(s.codePointAt(charIdx))
+          cp += 1
+        }
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /**
    * MinHash signature in one pass: each shingle is xxhash64'd ONCE; the
    * `numHashes` family members are xor-permutations by splitmix64 constants.
    * Empty input → all-null signature (matching `array_min(empty) = null` in
@@ -410,6 +446,30 @@ case class WordShingles(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (t, n) => s"graft.plans.TextKernels.shingles($t, $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `char_grams(text, n)` → array<string>: distinct character n-grams of
+  * lower(text), first-occurrence order ([[TextKernels.charGrams]]). */
+case class CharGrams(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(
+        s"$prettyName expects (string, int), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    TextKernels.charGrams(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.plans.TextKernels.charGrams($t, $n)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -210,6 +210,32 @@ class TextExprSpec extends SparkSpec {
     assert(!r.isNullAt(2))
   }
 
+  test("char_grams ≡ the HOF transform+array_distinct formulation, " +
+    "edge cases pinned") {
+    graft.plans.GraftFunctions.register(spark)
+    // value-identity on the documents table: same grams, same
+    // (first-occurrence) order as array_distinct over positional slices
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(200)
+    val t = lower(col("text"))
+    val hof = when(length(t) >= 3,
+      array_distinct(transform(sequence(lit(1), length(t) - 2),
+        i => call_function("substr", t, i, lit(3))))).otherwise(array())
+    val diff = docs.select(
+        call_function("char_grams", col("text"), lit(3)).as("k"), hof.as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(diff === 0L)
+    // edges: short text → empty; repeats dedup; case folds; non-ASCII cps
+    val r = spark.sql(
+      """SELECT char_grams('ab', 3) AS short, char_grams('aaaa', 3) AS rep,
+        |       char_grams('AbCd', 3) AS cased, char_grams('héllo', 3) AS uni
+        |""".stripMargin).head()
+    assert(r.getSeq[String](0).isEmpty)
+    assert(r.getSeq[String](1) == Seq("aaa"))
+    assert(r.getSeq[String](2) == Seq("abc", "bcd"))
+    assert(r.getSeq[String](3) == Seq("hél", "éll", "llo"))
+  }
+
   test("cdc chunks: partition cover, window edges, shift robustness") {
     import graft.plans.TextKernels
     import org.apache.spark.unsafe.types.UTF8String
