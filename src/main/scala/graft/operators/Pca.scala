@@ -107,29 +107,47 @@ object Pca {
             "decimal ceiling (sum returned null) — the corpus magnitude/count " +
             "exceeds the exact-moments range; pre-scale the embeddings")
       }).doubleValue
-      val meanSum: Column =
-        if (meanSafe) sum(col("xi")) else sum(col("xi").cast(DecimalType(30, 0)))
-      val meanRows = clean
-        .select(posexplode(col("e")).as(Seq("i", "xi")))
-        .groupBy(col("i")).agg(meanSum.as("s"))
-        .collect()
-      val mean = Array.ofDim[Double](dim)
-      meanRows.foreach(r => mean(r.getInt(0)) = round12(unitsToDouble(r.get(1), 6) / n))
-      val pairSum: Column =
-        if (pairSafe) sum(col("xi") * col("xj"))
-        else sum(col("xi").cast(DecimalType(30, 0)) * col("xj"))
-      val pairRows = clean
-        .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
-        .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
-        .groupBy(col("i"), col("j"))
-        .agg(pairSum.as("s"))
-        .collect()
-      val cov = Array.ofDim[Double](dim, dim)
-      pairRows.foreach { r =>
-        val s = unitsToDouble(r.get(2), 12) // exact Σ q_i q_j in 1e-12 units
-        cov(r.getInt(0))(r.getInt(1)) = round12(s / n - mean(r.getInt(0)) * mean(r.getInt(1)))
+      if (meanSafe && pairSafe) {
+        // long fast path as ONE aggregation: the moment_grid
+        // TypedImperativeAggregate carries [n, Σq_i, Σq_i·q_j (triangle)]
+        // as its buffer — same exact int64 sums as the posexplode²
+        // formulation (addition commutes), with none of the N·d² exploded
+        // rows (~5× the moment pass at d=64)
+        graft.plans.GraftFunctions.register(embeds.sparkSession)
+        val grid = clean.agg(call_function("moment_grid", col("e"), lit(dim))
+          .as("g")).head().getSeq[Long](0)
+        assert(grid(0) == n, s"moment_grid count ${grid(0)} != clean count $n")
+        val mean = Array.tabulate(dim)(i =>
+          round12(unitsToDouble(java.lang.Long.valueOf(grid(1 + i)), 6) / n))
+        val cov = Array.tabulate(dim, dim)((i, j) =>
+          round12(unitsToDouble(java.lang.Long.valueOf(grid(1 + dim + i * dim + j)), 12) / n -
+            mean(i) * mean(j)))
+        (n, mean, cov)
+      } else {
+        val meanSum: Column =
+          if (meanSafe) sum(col("xi")) else sum(col("xi").cast(DecimalType(30, 0)))
+        val meanRows = clean
+          .select(posexplode(col("e")).as(Seq("i", "xi")))
+          .groupBy(col("i")).agg(meanSum.as("s"))
+          .collect()
+        val mean = Array.ofDim[Double](dim)
+        meanRows.foreach(r => mean(r.getInt(0)) = round12(unitsToDouble(r.get(1), 6) / n))
+        val pairSum: Column =
+          if (pairSafe) sum(col("xi") * col("xj"))
+          else sum(col("xi").cast(DecimalType(30, 0)) * col("xj"))
+        val pairRows = clean
+          .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
+          .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
+          .groupBy(col("i"), col("j"))
+          .agg(pairSum.as("s"))
+          .collect()
+        val cov = Array.ofDim[Double](dim, dim)
+        pairRows.foreach { r =>
+          val s = unitsToDouble(r.get(2), 12) // exact Σ q_i q_j in 1e-12 units
+          cov(r.getInt(0))(r.getInt(1)) = round12(s / n - mean(r.getInt(0)) * mean(r.getInt(1)))
+        }
+        (n, mean, cov)
       }
-      (n, mean, cov)
     } finally clean.unpersist()
   }
 
@@ -226,24 +244,62 @@ object Pca {
     val maxAbsRow = clean.select(max(aggregate(col("e"), lit(0L),
       (a, x) => greatest(a, abs(x))))).head()
     val maxAbs = if (maxAbsRow.isNullAt(0)) 0L else maxAbsRow.getLong(0)
-    val termSafe = maxAbs == 0L ||
-      maxAbs.toDouble * maxAbs.toDouble < Long.MaxValue.toDouble / 2
-    val pairTerm: Column =
-      if (termSafe) (col("xi") * col("xj")).cast(dec)
-      else (col("xi").cast(DecimalType(30, 0)) * col("xj")).cast(dec)
-    val cnt = clean.select(lit(-1).as("i"), lit(-1).as("j"),
-      count(lit(1)).cast(dec).as("s"))
-    val means = clean.select(posexplode(col("e")).as(Seq("i", "xi")))
-      .groupBy(col("i")).agg(sum(col("xi").cast(dec)).as("s"))
-      .select(col("i"), lit(-1).as("j"), col("s"))
-    val pairs = clean
-      .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(pairTerm).as("s"))
-    // (d²+d+1)-row result — localCheckpoint severs it from the persisted
-    // scan so the cache can be released before the caller acts
-    val out = cnt.unionByName(means).unionByName(pairs).localCheckpoint()
+    val n = clean.count()
+    val meanSafe = maxAbs == 0L ||
+      n.toDouble * maxAbs.toDouble < Long.MaxValue.toDouble / 2
+    val pairSafe = maxAbs == 0L ||
+      n.toDouble * maxAbs.toDouble * maxAbs.toDouble < Long.MaxValue.toDouble / 2
+    val out = if (n > 0 && meanSafe && pairSafe) {
+      // long fast path: ONE moment_grid aggregation (the [[moments]]
+      // kernel), table rows materialized driver-side from the
+      // (d²+d+1)-cell result — same exact integer sums, none of the
+      // N·d² exploded rows
+      graft.plans.GraftFunctions.register(embeds.sparkSession)
+      val grid = clean.agg(call_function("moment_grid", col("e"), lit(dim))
+        .as("g")).head().getSeq[Long](0)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      def d38(v: Long) = new java.math.BigDecimal(v)
+      rows.add(org.apache.spark.sql.Row(-1, -1, d38(n)))
+      var i = 0
+      while (i < dim) {
+        rows.add(org.apache.spark.sql.Row(i, -1, d38(grid(1 + i)))); i += 1
+      }
+      i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          rows.add(org.apache.spark.sql.Row(i, j, d38(grid(1 + dim + i * dim + j))))
+          j += 1
+        }
+        i += 1
+      }
+      embeds.sparkSession.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("i",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("j",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("s", dec, nullable = true))))
+    } else {
+      val termSafe = maxAbs == 0L ||
+        maxAbs.toDouble * maxAbs.toDouble < Long.MaxValue.toDouble / 2
+      val pairTerm: Column =
+        if (termSafe) (col("xi") * col("xj")).cast(dec)
+        else (col("xi").cast(DecimalType(30, 0)) * col("xj")).cast(dec)
+      val cnt = clean.select(lit(-1).as("i"), lit(-1).as("j"),
+        count(lit(1)).cast(dec).as("s"))
+      val means = clean.select(posexplode(col("e")).as(Seq("i", "xi")))
+        .groupBy(col("i")).agg(sum(col("xi").cast(dec)).as("s"))
+        .select(col("i"), lit(-1).as("j"), col("s"))
+      val pairs = clean
+        .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(pairTerm).as("s"))
+      // (d²+d+1)-row result — localCheckpoint severs it from the persisted
+      // scan so the cache can be released before the caller acts
+      cnt.unionByName(means).unionByName(pairs).localCheckpoint()
+    }
     clean.unpersist()
     out
   }

@@ -359,6 +359,144 @@ object CmsGrid {
       java.lang.Math.floorMod(key, M) * A(r) + B(r), M) % width).toInt
 }
 
+/**
+ * `moment_grid(e, dim)` over rows carrying a length-`dim` array<long> of
+ * 1e-6-unit quantized values: ONE aggregation whose buffer IS the exact
+ * moment table — `[n, Σe_i (d cells), Σe_i·e_j (upper triangle,
+ * d(d+1)/2 cells)]` as int64 — replacing [[graft.operators.Pca]]'s
+ * N·d² posexplode² + hash aggregate with a tight per-row triple loop
+ * (and HALF the multiplies: the pair matrix is symmetric, so only j ≥ i
+ * is accumulated; eval mirrors). Identical exact values in any
+ * partitioning (int64 addition commutes), so the derived moments are
+ * byte-identical to the explode formulation.
+ *
+ * This is the LONG FAST PATH only: callers must enforce the
+ * maxAbs/pairSafe regime ([[graft.operators.Pca.moments]] does, with a
+ * decimal fallback) — per-term products and corpus sums must stay clear
+ * of Long.MaxValue. Buffer is 1 + d + d(d+1)/2 longs (~17 KB at d=64),
+ * shuffled once per partition — the map-side-combine shape with none of
+ * the exploded-row traffic. Rows that are null or of the wrong arity are
+ * ignored (the caller's clean filter owns that contract).
+ *
+ * Eval emits the FULL dense table as array<long>:
+ * `[n, mean sums (d), pair sums row-major (d²)]`.
+ */
+case class MomentGrid(
+    child: Expression,
+    dimExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private lazy val dim: Int =
+    dimExpr.eval(InternalRow.empty).asInstanceOf[Int]
+
+  override def children: Seq[Expression] = Seq(child, dimExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "moment_grid"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        if (!dimExpr.foldable || dimExpr.dataType != IntegerType)
+          TypeCheckFailure("moment_grid dim must be a constant int")
+        else {
+          val d = dimExpr.eval(InternalRow.empty)
+          if (d == null) TypeCheckFailure("moment_grid dim must be non-null")
+          else {
+            val di = d.asInstanceOf[Int]
+            if (di < 1 || di > 1024)
+              // the buffer is the per-group state — bound it explicitly
+              TypeCheckFailure(s"moment_grid dim must be in [1, 1024], got $di")
+            else TypeCheckSuccess
+          }
+        }
+      case t => TypeCheckFailure(s"moment_grid expects array<bigint>, got $t")
+    }
+  }
+
+  // buffer layout: [0] = n, [1..d] = mean sums, then the upper triangle
+  // row-major: (i, j ≥ i) at 1 + d + i*d - i*(i-1)/2 + (j - i)
+  private def triBase(i: Int): Int = 1 + dim + i * dim - i * (i - 1) / 2
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](1 + dim + dim * (dim + 1) / 2)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == dim) {
+        buf(0) += 1L
+        val e = new Array[Long](dim)
+        var i = 0
+        while (i < dim) { e(i) = arr.getLong(i); buf(1 + i) += e(i); i += 1 }
+        i = 0
+        while (i < dim) {
+          val ei = e(i)
+          val base = triBase(i) - i
+          var j = i
+          while (j < dim) { buf(base + j) += ei * e(j); j += 1 }
+          i += 1
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Any](1 + dim + dim * dim)
+    out(0) = buf(0)
+    var i = 0
+    while (i < dim) { out(1 + i) = buf(1 + i); i += 1 }
+    i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        out(1 + dim + i * dim + j) = buf(triBase(a) - a + b)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out): ArrayData
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new Array[Long](n)
+    var i = 0
+    while (i < n) { b(i) = in.readLong(); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): MomentGrid =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): MomentGrid =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), dimExpr = newChildren(1))
+}
+
 /** k smallest distinct longs; O(log k) insert, no-op once a value is
   * present or above the current k-th minimum on a full buffer. */
 final class KmvBuffer(val k: Int) {
