@@ -2655,6 +2655,52 @@ private[graft] object Queries {
       Learn.calibrationTable(Tables.documents(s, dir), iters = 3, bins = 500)
     }),
 
+    "streaming_bloom_daily" -> ((s, dir) => {
+      // the FIFTH streaming-sketch cell (membership): per-day bloom
+      // filters maintained in the state store by the bloom_agg aggregate
+      // — m/62 longs per window no matter the key cardinality. Two real
+      // micro-batches; word-wise OR is idempotent+associative, so the
+      // emitted filter equals one batch build over the union. The drained
+      // artifact is probed batch-side (20 smallest users, every window ×
+      // probe) via the containsColumn row expression, with the exact
+      // membership + no-false-negative law riding along — DuckDB replays
+      // the per-window bit sets end to end
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val (m, k) = (62 * 64, 3)
+      val feed = Tables.events(s, dir).filter(col("event_id") % 17 === 0)
+      val rows = feed.select(col("ts"), col("user_id"))
+        .as[(java.sql.Timestamp, Long)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val out = graft.streaming.StreamingBloom.windowedWords(
+        mem.toDF().toDF("ts", "user_id"), col("user_id"), "1 day", m, k)
+      val name = "sbd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      val probes = feed.select(col("user_id")).distinct()
+        .orderBy(col("user_id")).limit(20)
+      val exact = feed
+        .select(date_trunc("day", col("ts")).as("window_start"),
+          col("user_id")).distinct()
+        .withColumn("is_member", lit(true))
+      drainMemorySink(s, name) { grids =>
+        grids.crossJoin(broadcast(probes))
+          .select(col("window_start"), col("user_id"),
+            Bloom.containsColumn(col("words"), col("user_id"), m, k)
+              .as("bloom_hit"))
+          .join(exact, Seq("window_start", "user_id"), "left")
+          .select(col("window_start"), col("user_id"), col("bloom_hit"),
+            coalesce(col("is_member"), lit(false)).as("is_member"))
+          .withColumn("no_false_negative", !col("is_member") || col("bloom_hit"))
+          .orderBy(col("window_start"), col("user_id"))
+      }
+    }),
+
     "cms_join_size" -> ((s, dir) => {
       // the AMS/CMS inner-product JOIN-SIZE estimator: |orders ⋈ rich
       // customers| bounded from two KB-sized cell tables — min over hash

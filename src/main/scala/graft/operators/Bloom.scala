@@ -43,6 +43,21 @@ object Bloom {
   private[graft] def bitPos(key: Column, i: Int, mBits: Int): Column =
     pmod(md5Slice(key, 1) + lit(i.toLong) * md5Slice(key, 14), lit(mBits.toLong))
 
+  /** The JVM twin of [[bitPos]] for aggregate buffers
+    * ([[graft.plans.BloomWordsAgg]]): md5 of the key's DECIMAL string —
+    * exactly Spark's `md5(cast(key as string))` — sliced to the same two
+    * 52-bit hashes. Returns the numHashes bit positions. */
+  private[graft] def bitPositionsJvm(key: Long, mBits: Int,
+                                     numHashes: Int): Array[Int] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.lang.Long.toString(key).getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(13, 26), 16)
+    Array.tabulate(numHashes)(i =>
+      java.lang.Math.floorMod(h1 + i.toLong * h2, mBits.toLong).toInt)
+  }
+
   private def checkParams(mBits: Int, numHashes: Int, who: String): Unit = {
     require(mBits >= WordBits && mBits % WordBits == 0,
       s"$who: mBits must be a positive multiple of $WordBits, got $mBits")
@@ -108,10 +123,18 @@ object Bloom {
     checkParams(mBits, numHashes, "containsExpr")
     require(words.length == mBits / WordBits,
       s"containsExpr: ${words.length} words do not match mBits=$mBits")
-    val arr = typedlit(words.toSeq)
+    containsColumn(typedlit(words.toSeq), key, mBits, numHashes)
+  }
+
+  /** [[containsExpr]] generalized to ANY dense word-array COLUMN — e.g. a
+    * drained streaming [[graft.plans.BloomWordsAgg]] artifact probed
+    * batch-side: all-bits-set as a pure row expression, no join state. */
+  def containsColumn(words: Column, key: Column, mBits: Int,
+                     numHashes: Int): Column = {
+    checkParams(mBits, numHashes, "containsColumn")
     (0 until numHashes).map { i =>
       val bit = bitPos(key, i, mBits)
-      val word = element_at(arr, floor(bit / lit(WordBits)).cast("int") + 1)
+      val word = element_at(words, floor(bit / lit(WordBits)).cast("int") + 1)
       call_function("shiftright", word, (bit % WordBits).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)

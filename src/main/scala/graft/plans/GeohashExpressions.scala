@@ -65,6 +65,7 @@ object GraftFunctions {
     "kmv_kmin" -> (exprs => KmvKMin(exprs(0), exprs(1))),
     "cms_grid" -> (exprs => CmsGrid(exprs(0), exprs(1), exprs(2))),
     "moment_grid" -> (exprs => MomentGrid(exprs(0), exprs(1))),
+    "bloom_agg" -> (exprs => BloomWordsAgg(exprs(0), exprs(1), exprs(2))),
     "vec_dot" -> (exprs => VecDot(exprs(0), exprs(1))),
     "vec_norm2sq" -> (exprs => VecNorm2Sq(exprs(0))),
     "vec_cosine" -> (exprs => VecCosine(exprs(0), exprs(1))),

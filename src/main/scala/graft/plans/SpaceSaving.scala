@@ -360,6 +360,116 @@ object CmsGrid {
 }
 
 /**
+ * `bloom_agg(key, mBits, numHashes)` over an int64 key column: the dense
+ * m/62-word bloom filter AS an aggregation buffer — set-bits on update,
+ * word-wise OR on merge — so a bloom filter can live per GROUP (and, as
+ * streaming state, per WINDOW: the membership cell of the streaming
+ * sketch matrix next to SpaceSaving / kmv_kmin / cms_grid / histogram).
+ * State is mBits/62 longs per group regardless of key cardinality; the
+ * hash family is exactly [[graft.operators.Bloom]]'s double-hashed md5
+ * (JVM twin pinned value-identical in BloomSpec), so drained word arrays
+ * probe with the same [[graft.operators.Bloom.containsColumn]] predicate
+ * and replay bit-for-bit in DuckDB. Eval emits the dense array<long>.
+ */
+case class BloomWordsAgg(
+    child: Expression,
+    mBitsExpr: Expression,
+    numHashesExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private lazy val mBits: Int =
+    mBitsExpr.eval(InternalRow.empty).asInstanceOf[Int]
+  private lazy val numHashes: Int =
+    numHashesExpr.eval(InternalRow.empty).asInstanceOf[Int]
+
+  override def children: Seq[Expression] = Seq(child, mBitsExpr, numHashesExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bloom_agg"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != LongType)
+      TypeCheckFailure(s"bloom_agg expects an int64 key, got ${child.dataType}")
+    else if (!mBitsExpr.foldable || mBitsExpr.dataType != IntegerType ||
+             !numHashesExpr.foldable || numHashesExpr.dataType != IntegerType)
+      TypeCheckFailure("bloom_agg mBits and numHashes must be constant ints")
+    else {
+      val m = mBitsExpr.eval(InternalRow.empty)
+      val k = numHashesExpr.eval(InternalRow.empty)
+      if (m == null || k == null)
+        TypeCheckFailure("bloom_agg mBits and numHashes must be non-null")
+      else {
+        val mi = m.asInstanceOf[Int]; val ki = k.asInstanceOf[Int]
+        if (mi < 62 || mi % 62 != 0)
+          TypeCheckFailure(s"bloom_agg mBits must be a positive multiple of 62, got $mi")
+        else if (mi > (1 << 26))
+          // the word array IS the per-group state — bound it explicitly
+          TypeCheckFailure(s"bloom_agg mBits must be <= 2^26, got $mi")
+        else if (ki < 1 || ki > 8)
+          TypeCheckFailure(s"bloom_agg numHashes must be in [1, 8], got $ki")
+        else TypeCheckSuccess
+      }
+    }
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](mBits / 62)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bits = graft.operators.Bloom.bitPositionsJvm(
+        v.asInstanceOf[Long], mBits, numHashes)
+      var i = 0
+      while (i < bits.length) {
+        buf(bits(i) / 62) |= 1L << (bits(i) % 62)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(x => x: Any)): ArrayData
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new Array[Long](n)
+    var i = 0
+    while (i < n) { b(i) = in.readLong(); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): BloomWordsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BloomWordsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), mBitsExpr = newChildren(1),
+      numHashesExpr = newChildren(2))
+}
+
+/**
  * `moment_grid(e, dim)` over rows carrying a length-`dim` array<long> of
  * 1e-6-unit quantized values: ONE aggregation whose buffer IS the exact
  * moment table — `[n, Σe_i (d cells), Σe_i·e_j (upper triangle,

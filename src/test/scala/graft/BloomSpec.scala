@@ -105,6 +105,45 @@ class BloomSpec extends SparkSpec {
     } finally Gates.deleteTree(tmp)
   }
 
+  test("bloom_agg: dense buffer == the column-expression build, under any " +
+    "partitioning; streaming two micro-batches == one batch") {
+    graft.plans.GraftFunctions.register(spark)
+    val keys = (1L to 300L).toDF("id")
+    def dense(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(call_function("bloom_agg", col("id"), lit(M), lit(K)).as("w"))
+        .collect().head.getSeq[Long](0)
+    // the JVM md5 twin must build exactly the words the SQL path builds
+    val words = Bloom.denseWords(Bloom.bloomWords(keys, col("id"), M, K), M)
+    assert(dense(keys).toSeq === words.toSeq)
+    assert(dense(keys.repartition(7)).toSeq === words.toSeq)
+    // streaming: per-day filters across two micro-batches == batch build
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val rows = (1L to 300L).map(i =>
+      (Timestamp.valueOf(f"2024-01-${i % 2 + 1}%02d 10:00:00"), i))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long)]
+    val q = graft.streaming.StreamingBloom.windowedWords(
+        mem.toDF().toDF("ts", "id"), col("id"), "1 day", M, K)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sbw_out").start()
+    val (b1, b2) = rows.splitAt(150)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal <= 2))
+    q.stop()
+    val got = spark.table("sbw_out").collect()
+      .map(r => (r.getTimestamp(0), r.getSeq[Long](1))).sortBy(_._1.getTime)
+    spark.catalog.dropTempView("sbw_out")
+    val perDay = rows.groupBy(_._1).toSeq.sortBy(_._1.getTime)
+    assert(got.length === 2)
+    got.zip(perDay).foreach { case ((_, w), (_, dayRows)) =>
+      val want = Bloom.denseWords(Bloom.bloomWords(
+        dayRows.map(_._2).toDF("id"), col("id"), M, K), M)
+      assert(w.toSeq === want.toSeq)
+    }
+  }
+
   test("parameter validation fails loudly") {
     val df = (1L to 10L).toDF("id")
     intercept[IllegalArgumentException] { Bloom.bloomWords(df, col("id"), 100, 3) }
