@@ -1170,6 +1170,45 @@ private[graft] object Fixtures {
       |       CAST((cum - 1) // 512 AS BIGINT) AS seq_last
       |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
 
+  /** Oracle for `streaming_bpe_tokens`: the [[bpePackOracle]] chain
+    * (rank-0 merge argmax over the FULL corpus, leftmost-non-overlapping
+    * replace arithmetic per word) truncated at per-doc token counts and
+    * restricted to the streamed id slice. */
+  def streamingBpeTokensOracle: String =
+    """WITH w AS (
+      |  SELECT word, COUNT(*) AS freq FROM (
+      |    SELECT replace(unnest(regexp_split_to_array(trim(lower(text)), '\s+')),
+      |           chr(57344), '') AS word
+      |    FROM documents) t
+      |  WHERE word <> '' GROUP BY word),
+      |p AS (
+      |  SELECT substr(word, CAST(i AS INT), 1) AS l,
+      |         CASE WHEN i = length(word) THEN chr(57344)
+      |              ELSE substr(word, CAST(i AS INT) + 1, 1) END AS r,
+      |         freq
+      |  FROM (SELECT word, freq,
+      |               unnest(generate_series(1, CAST(length(word) AS BIGINT))) AS i
+      |        FROM w)),
+      |m1 AS (
+      |  SELECT l || r AS pat FROM (
+      |    SELECT l, r, SUM(freq) AS pf FROM p GROUP BY l, r
+      |    ORDER BY pf DESC, l ASC, r ASC LIMIT 1)),
+      |dw AS (
+      |  SELECT doc_id,
+      |         replace(unnest(regexp_split_to_array(trim(lower(text)), '\s+')),
+      |                 chr(57344), '') AS word
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |dn AS (
+      |  SELECT d.doc_id,
+      |         CAST(SUM(length(d.word) + 1
+      |           - (length(d.word || chr(57344))
+      |              - length(replace(d.word || chr(57344), m.pat, ''))) // 2
+      |         ) AS BIGINT) AS n_tokens
+      |  FROM dw d, m1 m WHERE d.word <> ''
+      |  GROUP BY d.doc_id)
+      |SELECT doc_id, n_tokens FROM dn WHERE n_tokens > 0
+      |ORDER BY doc_id""".stripMargin
+
   /** Oracle for `bpe_fertility`: the [[bpePackOracle]] train(1 merge) →
     * per-word subword-count replay, rolled up per language — fertility =
     * Σ subwords / Σ words, exact integer sums + one double division. */

@@ -2231,6 +2231,8 @@ private[graft] object Oracles {
 
     "quality_calibration" -> Fixtures.qualityCalibrationOracle,
 
+    "streaming_bpe_tokens" -> Fixtures.streamingBpeTokensOracle,
+
     // per-window bit sets replayed directly (packed words are storage;
     // membership is bit-set membership)
     "streaming_bloom_daily" ->

@@ -2655,6 +2655,43 @@ private[graft] object Queries {
       Learn.calibrationTable(Tables.documents(s, dir), iters = 3, bins = 500)
     }),
 
+    "streaming_bpe_tokens" -> ((s, dir) => {
+      // tokenize-at-ingest: the BPE model trained batch-side, persisted,
+      // RELOADED (the serving lifecycle), and a document stream counted
+      // through the codegen'd encode kernel — stateless literal-model
+      // scoring, the token-budget meter a training-data ingest runs on
+      // every batch. Single-merge model so the oracle replays the whole
+      // chain (the bpe_pack discipline); streamed counts must hash-match
+      // the batch derivation restricted to the streamed ids
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_serve").toString
+      val model =
+        try {
+          Bpe.saveBpeModel(s, Bpe.trainBpe(docs, numMerges = 1), tmp)
+          Bpe.loadBpeModel(s, tmp)
+        } finally Gates.deleteTree(tmp)
+      val rows = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val out = mem.toDF().toDF("doc_id", "text")
+        .select(col("doc_id"),
+          size(Bpe.encode(col("text"), model)).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val name = "sbt_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name)(_
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id")))
+    }),
+
     "streaming_bloom_daily" -> ((s, dir) => {
       // the FIFTH streaming-sketch cell (membership): per-day bloom
       // filters maintained in the state store by the bloom_agg aggregate
