@@ -2290,5 +2290,9 @@ private[graft] object Oracles {
         |       est_join_size >= true_join_size AS never_undercount
         |FROM est, tr""".stripMargin,
 
-    "trigram_search" -> Fixtures.trigramSearchOracle("sort table"))
+    "trigram_search" -> Fixtures.trigramSearchOracle("sort table"),
+
+    // lifecycle twin: same replay, different needle — slices partition on
+    // doc_id parity, so the loaded union IS the full posting table
+    "trigram_index_search" -> Fixtures.trigramSearchOracle("merge batch"))
 }

@@ -2759,6 +2759,28 @@ private[graft] object Queries {
           col("est_join_size") >= col("true_join_size"))
     }),
 
+    "trigram_index_search" -> ((s, dir) => {
+      // substring-index lifecycle: slice-A postings SAVED
+      // (gram-range-partitioned + gram-sorted — needle predicates prune
+      // partitions and row groups), slice-B postings delta-APPENDED, and
+      // the query answered FROM the artifact — candidate generation never
+      // rescans corpus text, only candidates re-read for the verify. The
+      // oracle replays postings + intersection + verify over the UNION,
+      // so only a correct save/append/load chain matches
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tri_idx").toString
+      try {
+        val docs = Tables.documents(s, dir)
+        Retrieval.saveTrigramIndex(
+          Retrieval.trigramPostings(docs.filter(col("doc_id") % 2 === 0)), tmp)
+        Retrieval.appendTrigramIndex(
+          Retrieval.trigramPostings(docs.filter(col("doc_id") % 2 === 1)), tmp)
+        // drain through a local copy so the temp index can be deleted
+        val out = Retrieval.searchTrigramIndex(s, tmp, docs, "merge batch")
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        s.createDataFrame(rows, out.schema)
+      } finally Gates.deleteTree(tmp)
+    }),
+
     "trigram_search" -> ((s, dir) => {
       // substring search through the character-trigram posting index
       // (the pg_trgm shape): candidates must hold EVERY needle trigram

@@ -93,19 +93,66 @@ object Retrieval {
    */
   def substringSearch(docs: DataFrame, needle: String,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text"): DataFrame =
+    verifyCandidates(docs,
+      candidatesFromPostings(trigramPostings(docs, idCol, textCol), needle, idCol),
+      needle, idCol, textCol)
+
+  /** Candidate ids holding EVERY trigram of `needle`, from a posting
+    * frame (freshly built or loaded from a persisted index). */
+  private def candidatesFromPostings(postings: DataFrame, needle: String,
+                                     idCol: String): DataFrame = {
     require(needle.length >= 3,
       s"substringSearch: needle must be >= 3 chars, got '$needle'")
     val grams = needle.toLowerCase.sliding(3).toSeq.distinct
-    val cands = trigramPostings(docs, idCol, textCol)
+    postings
       .filter(col("gram").isin(grams: _*))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("ng"))
       .filter(col("ng") === grams.size)
       .select(col(idCol))
+  }
+
+  private def verifyCandidates(docs: DataFrame, cands: DataFrame,
+                               needle: String, idCol: String,
+                               textCol: String): DataFrame =
     docs.join(cands, Seq(idCol))
       .select(col(idCol),
         lower(col(textCol)).contains(lit(needle.toLowerCase)).as("verified"))
       .orderBy(col(idCol))
-  }
+
+  /** Persist a posting table gram-range-partitioned and gram-sorted —
+    * needle-gram predicates prune partitions AND row groups on search,
+    * so a query touches ~numGrams slivers of the index, never the
+    * corpus. The winnow/BM25/bloom artifact discipline applied to
+    * substring search. */
+  def saveTrigramIndex(postings: DataFrame, path: String,
+                       partitions: Int = 8): Unit =
+    postings.repartitionByRange(partitions, col("gram"))
+      .sortWithinPartitions(col("gram"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new document slice's postings as delta files (no base
+    * rewrite) — (id, gram) pairs across slices are distinct as long as
+    * the slices are, so the loaded union needs no dedup. */
+  def appendTrigramIndex(postings: DataFrame, path: String,
+                         partitions: Int = 2): Unit =
+    postings.repartitionByRange(partitions, col("gram"))
+      .sortWithinPartitions(col("gram"))
+      .write.mode("append").parquet(path)
+
+  /**
+   * Substring search FROM the persisted index: candidate generation
+   * reads only the needle grams' slivers of the posting artifact
+   * (PushedFilters on the sorted gram column), then ONLY candidates
+   * re-read text for the exact verify — the repeated-query shape where
+   * the corpus text is never rescanned per query.
+   */
+  def searchTrigramIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, docs: DataFrame, needle: String,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    verifyCandidates(docs,
+      candidatesFromPostings(spark.read.parquet(path), needle, idCol),
+      needle, idCol, textCol)
 }

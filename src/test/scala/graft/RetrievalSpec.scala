@@ -58,6 +58,26 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Retrieval.rrfFuse(a, a, k = 1, kRrf = 0, idCol = "doc_id"))
   }
 
+  test("trigram index lifecycle: save + delta-append + search-from-artifact " +
+    "== direct search; gram predicates reach the index scan") {
+    val a = Seq((1L, "we sort tables daily"), (2L, "sort now, fast table soon"))
+    val b = Seq((3L, "nothing relevant here"), (4L, "SORT TABLE"))
+    val docs = (a ++ b).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("tri_idx_spec").toString
+    try {
+      Retrieval.saveTrigramIndex(Retrieval.trigramPostings(a.toDF("doc_id", "text")), tmp)
+      Retrieval.appendTrigramIndex(Retrieval.trigramPostings(b.toDF("doc_id", "text")), tmp)
+      val viaIndex = Retrieval.searchTrigramIndex(spark, tmp, docs, "sort table")
+      val direct = Retrieval.substringSearch(docs, "sort table")
+      assert(viaIndex.collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq ===
+        direct.collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq)
+      // the needle-gram filter must reach the parquet scan of the index
+      val plan = viaIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("gram"),
+        s"gram predicate not pushed into the index scan:\n$plan")
+    } finally Gates.deleteTree(tmp)
+  }
+
   test("trigram postings: sliding 3-grams, lowercased, short texts empty") {
     val docs = Seq((1L, "AbCd"), (2L, "xy"), (3L, "aaaa"))
       .toDF("doc_id", "text")
