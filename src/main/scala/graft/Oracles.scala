@@ -2290,6 +2290,20 @@ private[graft] object Oracles {
         |       est_join_size >= true_join_size AS never_undercount
         |FROM est, tr""".stripMargin,
 
+    "key_skew_profile" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+        |             COUNT(*) AS distinct_keys FROM c),
+        |r AS (SELECT user_id, cnt,
+        |        ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS rnk
+        |      FROM c)
+        |SELECT rnk, user_id, cnt,
+        |       round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+        |       total_rows, distinct_keys,
+        |       round(1.0 / distinct_keys, 6) AS uniform_share
+        |FROM r, t WHERE rnk <= 15 ORDER BY rnk""".stripMargin,
+
     "trigram_search" -> Fixtures.trigramSearchOracle("sort table"),
 
     // lifecycle twin: same replay, different needle — slices partition on

@@ -2759,6 +2759,14 @@ private[graft] object Queries {
           col("est_join_size") >= col("true_join_size"))
     }),
 
+    "key_skew_profile" -> ((s, dir) => {
+      // the pre-shuffle skew diagnostic: hottest event users with exact
+      // counts and corpus shares vs the uniform baseline — "should I salt
+      // this join". TakeOrdered top-k (per-partition heaps, no global
+      // sort), totals from the same localCheckpointed counts frame
+      Skew.keySkewProfile(Tables.events(s, dir), "user_id", topK = 15)
+    }),
+
     "trigram_index_search" -> ((s, dir) => {
       // substring-index lifecycle: slice-A postings SAVED
       // (gram-range-partitioned + gram-sorted — needle predicates prune

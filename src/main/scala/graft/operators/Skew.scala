@@ -35,4 +35,43 @@ object Skew {
     saltFact(fact, salt, factUniqueCols)
       .join(replicateDim(dim, salt), Seq(key, "_salt"))
       .drop("_salt")
+
+  /**
+   * Key-skew PROFILE — the "should I salt this join" diagnostic, run
+   * BEFORE committing to a shuffle on `key`: the top-`topK` hottest keys
+   * with their exact counts and corpus shares, plus the totals needed to
+   * read them (total rows, distinct keys, and the uniform-share
+   * baseline). A key whose share ≫ 1/distinct is the reducer that pins a
+   * 100 TB stage.
+   *
+   * Scale shape: ONE map-side-combined count per key, then
+   * `orderBy().limit(topK)` — Spark plans it as TakeOrdered: O(n log k)
+   * per-partition heaps merged on the driver, NO global sort and no
+   * single-partition Window anywhere (the rank is assigned on the
+   * already-k-row result); totals are a second 1-row aggregate of the
+   * same counts frame (localCheckpointed — the corpus scan must not
+   * fork). Shares are exact-integer ratios rounded once — full SQL
+   * replay.
+   *
+   * Output: (rnk, key, cnt, share, total_rows, distinct_keys,
+   * uniform_share) ordered by rank; ties break on the key ascending.
+   */
+  def keySkewProfile(df: DataFrame, key: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"keySkewProfile: topK must be >= 1, got $topK")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("distinct_keys"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col(key).asc)
+    counts
+      .orderBy(col("cnt").desc, col(key).asc).limit(topK)
+      .withColumn("rnk", row_number().over(w)) // k-row frame: bounded
+      .crossJoin(broadcast(totals))
+      .select(col("rnk"), col(key), col("cnt"),
+        round(col("cnt").cast("double") / col("total_rows"), 6).as("share"),
+        col("total_rows"), col("distinct_keys"),
+        round(lit(1.0) / col("distinct_keys"), 6).as("uniform_share"))
+      .orderBy(col("rnk"))
+  }
 }

@@ -57,4 +57,22 @@ class SkewBucketSpec extends SparkSpec {
       }
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
+
+  test("key skew profile: planted hot key ranks first with exact shares, " +
+    "top slice via TakeOrdered (no global sort)") {
+    // key 7 gets 60 of 100 rows; 40 keys get 1 each
+    val rows = Seq.fill(60)(7L) ++ (100L until 140L)
+    val df = rows.toDF("k")
+    val out = Skew.keySkewProfile(df, "k", topK = 3)
+    val got = out.collect()
+    assert(got.length === 3)
+    assert(got(0).getInt(0) === 1 && got(0).getLong(1) === 7L &&
+      got(0).getLong(2) === 60L && got(0).getDouble(3) === 0.6)
+    // ties among the 1-count keys break on the key ascending
+    assert(got(1).getLong(1) === 100L && got(2).getLong(1) === 101L)
+    assert(got(0).getLong(4) === 100L && got(0).getLong(5) === 41L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"),
+      s"top slice must be TakeOrdered, not a global sort:\n$plan")
+  }
 }
