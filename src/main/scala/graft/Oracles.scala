@@ -2290,6 +2290,26 @@ private[graft] object Oracles {
         |       est_join_size >= true_join_size AS never_undercount
         |FROM est, tr""".stripMargin,
 
+    "basket_brand_lift" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |t AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM b),
+        |m AS (SELECT it, COUNT(*) AS n_i FROM b GROUP BY it),
+        |kept AS (SELECT b.bk, b.it FROM b
+        |         JOIN (SELECT bk FROM b GROUP BY bk HAVING COUNT(*) <= 256) s
+        |           ON s.bk = b.bk),
+        |p AS (
+        |  SELECT x.it AS item_a, y.it AS item_b, COUNT(*) AS n_ab
+        |  FROM kept x JOIN kept y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, p.n_ab,
+        |       CAST(p.n_ab * t.n_baskets AS DOUBLE)
+        |         / CAST(ma.n_i * mb.n_i AS DOUBLE) AS lift
+        |FROM p JOIN m ma ON ma.it = p.item_a
+        |       JOIN m mb ON mb.it = p.item_b, t
+        |ORDER BY p.item_a, p.item_b""".stripMargin,
+
     "key_skew_profile" ->
       """WITH c AS MATERIALIZED (
         |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),

@@ -2759,6 +2759,18 @@ private[graft] object Queries {
           col("est_join_size") >= col("true_join_size"))
     }),
 
+    "basket_brand_lift" -> ((s, dir) => {
+      // market-basket association: which part BRANDS co-occur in an order
+      // beyond independence — (order, brand) distinct pairs, basket-keyed
+      // self-join (fan-out ≤ 25 brands), |brands|²-bounded output, exact
+      // integer lift operands with one unrounded IEEE division per pair
+      val items = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      EventAnalytics.basketLift(items, "l_orderkey", "p_brand")
+    }),
+
     "key_skew_profile" -> ((s, dir) => {
       // the pre-shuffle skew diagnostic: hottest event users with exact
       // counts and corpus shares vs the uniform baseline — "should I salt

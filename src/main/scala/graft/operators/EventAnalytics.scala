@@ -234,6 +234,55 @@ object EventAnalytics {
       .orderBy(col(typeCol))
   }
 
+  /**
+   * Market-basket association LIFT over (basket, item) rows: for every
+   * unordered item pair, `lift = (n_ab·N) / (n_a·n_b)` with n_x = baskets
+   * containing x, n_ab = baskets containing both, N = total baskets —
+   * lift > 1 means the pair co-occurs more than independence predicts
+   * (the "customers who bought X also bought Y" primitive, and for a
+   * training-data pipeline the "sources that co-occur in dup clusters"
+   * shape). Operands are exact integers, so the single IEEE division per
+   * pair replays with no rounding (the [[volumeTrend]]/dow-lift
+   * convention).
+   *
+   * Scale shape: ONE distinct shuffle to (basket, item) pairs
+   * (localCheckpointed — marginals, sizes and the self-join must not
+   * re-derive it), a basket-keyed self-join whose fan-out is bounded by
+   * `maxBasketSize` (oversized baskets drop WHOLE — the entity-blocking
+   * cap discipline; a single pathological basket cannot go quadratic),
+   * and |items|-row marginals broadcast back. Output ≤ |items|² rows:
+   * (item_a, item_b, n_ab, lift), item_a < item_b, ordered by the pair.
+   */
+  def basketLift(items: DataFrame, basketCol: String, itemCol: String,
+                 maxBasketSize: Int = 256): DataFrame = {
+    require(maxBasketSize >= 2,
+      s"basketLift: maxBasketSize must be >= 2, got $maxBasketSize")
+    val b = items.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct().localCheckpoint()
+    val total = b.select(col("bk")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val marg = b.groupBy(col("it")).agg(count(lit(1)).as("n_i"))
+    val kept = b.join(
+      b.groupBy(col("bk")).agg(count(lit(1)).as("sz"))
+        .filter(col("sz") <= maxBasketSize).select(col("bk")),
+      Seq("bk"))
+    val pairs = kept.as("x")
+      .join(kept.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("item_a"), col("y.it").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("it").as("item_a"), col("n_i").as("n_a"))),
+        Seq("item_a"))
+      .join(broadcast(marg.select(col("it").as("item_b"), col("n_i").as("n_b"))),
+        Seq("item_b"))
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        ((col("n_ab") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
   /** Exponential-decay weights as 1e-6-unit integers:
     * w(d) = round6(0.5^(d / halfLife)) for day ages 0..maxAge — computed
     * ONCE driver-side so the engine column expression and the SQL oracle

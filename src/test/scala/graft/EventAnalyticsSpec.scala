@@ -266,6 +266,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(w.sliding(2).forall { case Seq(a, b) => b < a })
   }
 
+  test("basket lift: exact co-occurrence ratios; oversized baskets drop " +
+    "whole; duplicate items collapse") {
+    // baskets: 1{a,b} 2{a,b} 3{a} 4{b,c} — n=4, a:3 b:3 c:1,
+    // ab:2 → lift 2·4/9; bc:1 → 4/3; ac:0 (absent)
+    val items = Seq(
+      (1L, "a"), (1L, "b"), (1L, "b"), // dup item collapses
+      (2L, "a"), (2L, "b"),
+      (3L, "a"),
+      (4L, "b"), (4L, "c")).toDF("bk", "it")
+    val out = EventAnalytics.basketLift(items, "bk", "it")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("a", "b", 2L, 2.0 * 4 / 9), ("b", "c", 1L, 4.0 / 3)))
+    // a 3-item basket past the cap contributes NO pairs but still counts
+    // in N and the marginals (it is a real basket; only its pair fan-out
+    // is refused)
+    val withBig = items.unionByName(
+      Seq((5L, "a"), (5L, "b"), (5L, "c")).toDF("bk", "it"))
+    val capped = EventAnalytics.basketLift(withBig, "bk", "it", maxBasketSize = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(capped.toSeq === Seq(("a", "b", 2L), ("b", "c", 1L)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.basketLift(items, "bk", "it", maxBasketSize = 1)
+    }
+  }
+
   private def round(x: Double, n: Int): Double =
     BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
