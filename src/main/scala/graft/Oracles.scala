@@ -2233,6 +2233,43 @@ private[graft] object Oracles {
 
     "streaming_bpe_tokens" -> Fixtures.streamingBpeTokensOracle,
 
+    // string-key twin of streaming_bloom_daily: md5 digests the RAW
+    // string (no cast), same double-hash bit family
+    "streaming_bloom_string" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |         event_type || '-' || CAST(user_id AS VARCHAR) AS skey
+        |  FROM events WHERE event_id % 23 = 0),
+        |bits AS MATERIALIZED (
+        |  SELECT DISTINCT window_start,
+        |         (CAST(('0x' || substr(md5(skey), 1, 13)) AS BIGINT)
+        |       + i.i * CAST(('0x' || substr(md5(skey), 14, 13)) AS BIGINT)) % 3968 AS bit
+        |  FROM e CROSS JOIN (VALUES (0), (1), (2)) i(i)),
+        |probes AS MATERIALIZED (
+        |  SELECT skey FROM (SELECT DISTINCT skey FROM e)
+        |  ORDER BY skey LIMIT 20),
+        |ph AS (
+        |  SELECT skey,
+        |         (CAST(('0x' || substr(md5(skey), 1, 13)) AS BIGINT)
+        |       + i.i * CAST(('0x' || substr(md5(skey), 14, 13)) AS BIGINT)) % 3968 AS bit
+        |  FROM probes CROSS JOIN (VALUES (0), (1), (2)) i(i)),
+        |wins AS (SELECT DISTINCT window_start FROM e),
+        |hit AS (
+        |  SELECT w.window_start, ph.skey,
+        |         MIN(CASE WHEN EXISTS (SELECT 1 FROM bits b
+        |                               WHERE b.window_start = w.window_start
+        |                                 AND b.bit = ph.bit)
+        |                  THEN 1 ELSE 0 END) AS h
+        |  FROM wins w CROSS JOIN ph GROUP BY 1, 2),
+        |mem AS (SELECT DISTINCT window_start, skey FROM e)
+        |SELECT hit.window_start, hit.skey, hit.h = 1 AS bloom_hit,
+        |       (mem.skey IS NOT NULL) AS is_member,
+        |       CASE WHEN mem.skey IS NOT NULL THEN hit.h = 1 ELSE TRUE END
+        |         AS no_false_negative
+        |FROM hit LEFT JOIN mem
+        |  ON mem.window_start = hit.window_start AND mem.skey = hit.skey
+        |ORDER BY hit.window_start, hit.skey""".stripMargin,
+
     // per-window bit sets replayed directly (packed words are storage;
     // membership is bit-set membership)
     "streaming_bloom_daily" ->
@@ -2290,6 +2327,10 @@ private[graft] object Oracles {
         |       est_join_size >= true_join_size AS never_undercount
         |FROM est, tr""".stripMargin,
 
+    // declared cap semantics (matches basketLift's scaladoc): marginals
+    // m and the total t count ALL baskets; only the pair counts p are
+    // restricted to kept (<= 256-item) baskets — lift is intentionally
+    // biased downward for items appearing in oversized baskets
     "basket_brand_lift" ->
       """WITH b AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS bk, p_brand AS it

@@ -2738,6 +2738,52 @@ private[graft] object Queries {
       }
     }),
 
+    "streaming_bloom_string" -> ((s, dir) => {
+      // bloom_agg's STRING-key form — the URL/doc-id shape streams with
+      // NO pre-hash: per-day filters over the composite "type-user" key
+      // maintained across two real micro-batches (the JVM md5 twin
+      // digests the raw UTF-8 bytes, value-identical to the SQL build —
+      // BloomSpec pin), drained word arrays probed batch-side through
+      // containsColumn with exact membership + the no-false-negative law
+      // riding along. DuckDB replays md5 over the raw string end to end
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val (m, k) = (62 * 64, 3)
+      val feed = Tables.events(s, dir).filter(col("event_id") % 23 === 0)
+        .select(col("ts"),
+          concat(col("event_type"), lit("-"),
+            col("user_id").cast("string")).as("skey"))
+      val rows = feed.as[(java.sql.Timestamp, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String)]
+      val out = graft.streaming.StreamingBloom.windowedWords(
+        mem.toDF().toDF("ts", "skey"), col("skey"), "1 day", m, k)
+      val name = "sbs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      val probes = feed.select(col("skey")).distinct()
+        .orderBy(col("skey")).limit(20)
+      val exact = feed
+        .select(date_trunc("day", col("ts")).as("window_start"),
+          col("skey")).distinct()
+        .withColumn("is_member", lit(true))
+      drainMemorySink(s, name) { grids =>
+        grids.crossJoin(broadcast(probes))
+          .select(col("window_start"), col("skey"),
+            Bloom.containsColumn(col("words"), col("skey"), m, k)
+              .as("bloom_hit"))
+          .join(exact, Seq("window_start", "skey"), "left")
+          .select(col("window_start"), col("skey"), col("bloom_hit"),
+            coalesce(col("is_member"), lit(false)).as("is_member"))
+          .withColumn("no_false_negative", !col("is_member") || col("bloom_hit"))
+          .orderBy(col("window_start"), col("skey"))
+      }
+    }),
+
     "cms_join_size" -> ((s, dir) => {
       // the AMS/CMS inner-product JOIN-SIZE estimator: |orders ⋈ rich
       // customers| bounded from two KB-sized cell tables — min over hash

@@ -43,20 +43,48 @@ object Bloom {
   private[graft] def bitPos(key: Column, i: Int, mBits: Int): Column =
     pmod(md5Slice(key, 1) + lit(i.toLong) * md5Slice(key, 14), lit(mBits.toLong))
 
+  /** One digest instance per thread — [[bitPositionsJvm]] runs in the
+    * [[graft.plans.BloomWordsAgg]] per-ROW update hot path, where a fresh
+    * `MessageDigest.getInstance` per key was a measurable constant. */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Hex digit `j` (0-indexed, high nibble first) of a 16-byte digest. */
+  @inline private def nibble(d: Array[Byte], j: Int): Long = {
+    val b = d(j >> 1) & 0xff
+    if ((j & 1) == 0) (b >>> 4).toLong else (b & 0xf).toLong
+  }
+
   /** The JVM twin of [[bitPos]] for aggregate buffers
-    * ([[graft.plans.BloomWordsAgg]]): md5 of the key's DECIMAL string —
-    * exactly Spark's `md5(cast(key as string))` — sliced to the same two
-    * 52-bit hashes. Returns the numHashes bit positions. */
-  private[graft] def bitPositionsJvm(key: Long, mBits: Int,
+    * ([[graft.plans.BloomWordsAgg]]): md5 of the key's STRING form —
+    * exactly Spark's `md5(cast(key as string))` (a long's decimal string,
+    * a string's raw UTF-8 bytes) — sliced to the same two 52-bit hashes
+    * by direct nibble indexing (no hex-string round trip; h = 13 hex
+    * digits = digest nibbles [13·slice, 13·slice+13)). Returns the
+    * numHashes bit positions. */
+  private[graft] def bitPositionsJvm(keyBytes: Array[Byte], mBits: Int,
                                      numHashes: Int): Array[Int] = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(java.lang.Long.toString(key).getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
-    val h1 = java.lang.Long.parseLong(hex.substring(0, 13), 16)
-    val h2 = java.lang.Long.parseLong(hex.substring(13, 26), 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(keyBytes)
+    var h1 = 0L
+    var h2 = 0L
+    var t = 0
+    while (t < 13) {
+      h1 = (h1 << 4) | nibble(d, t)
+      h2 = (h2 << 4) | nibble(d, 13 + t)
+      t += 1
+    }
     Array.tabulate(numHashes)(i =>
       java.lang.Math.floorMod(h1 + i.toLong * h2, mBits.toLong).toInt)
   }
+
+  /** [[bitPositionsJvm]] for an int64 key: hash the decimal string — the
+    * cast-to-string form [[bitPos]]'s SQL md5 sees. */
+  private[graft] def bitPositionsJvm(key: Long, mBits: Int,
+                                     numHashes: Int): Array[Int] =
+    bitPositionsJvm(java.lang.Long.toString(key)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8), mBits, numHashes)
 
   private def checkParams(mBits: Int, numHashes: Int, who: String): Unit = {
     require(mBits >= WordBits && mBits % WordBits == 0,
@@ -71,11 +99,14 @@ object Bloom {
    * duplication — re-sighted keys — before the shuffle), then a word
    * groupBy whose output is ≤ m/62 rows. Distinct (w, b) pairs make
    * `sum(1 << b)` EXACTLY the word's bit-OR — pure integer arithmetic,
-   * no bitwise aggregate needed on the replay side.
+   * no bitwise aggregate needed on the replay side. NULL keys are
+   * skipped (matching [[graft.plans.BloomWordsAgg]]'s update) — a null
+   * would otherwise hash to a null bit and poison [[denseWords]].
    */
   def bloomWords(df: DataFrame, key: Column, mBits: Int, numHashes: Int): DataFrame = {
     checkParams(mBits, numHashes, "bloomWords")
-    df.select(explode(array((0 until numHashes).map(i =>
+    df.filter(key.isNotNull)
+      .select(explode(array((0 until numHashes).map(i =>
         bitPos(key, i, mBits)): _*)).as("bit"))
       .distinct()
       .select(floor(col("bit") / lit(WordBits)).cast("long").as("w"),

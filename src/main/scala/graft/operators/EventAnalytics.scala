@@ -238,10 +238,18 @@ object EventAnalytics {
    * Market-basket association LIFT over (basket, item) rows: for every
    * unordered item pair, `lift = (n_ab·N) / (n_a·n_b)` with n_x = baskets
    * containing x, n_ab = baskets containing both, N = total baskets —
-   * lift > 1 means the pair co-occurs more than independence predicts
-   * (the "customers who bought X also bought Y" primitive, and for a
-   * training-data pipeline the "sources that co-occur in dup clusters"
-   * shape). Operands are exact integers, so the single IEEE division per
+   * lift > 1 means the pair co-occurs more than independence predicts.
+   * DECLARED SEMANTICS of the size cap: the marginals n_a/n_b and the
+   * total N count ALL baskets, while n_ab counts only kept (≤
+   * `maxBasketSize`) baskets — pairs whose items appear in oversized
+   * (dropped) baskets are therefore biased DOWNWARD relative to the pure
+   * independence formula. This is intentional: the cap bounds the
+   * quadratic pair fan-out, and under-reporting a hot pair is the safe
+   * direction for an association screen; the oracle replays the identical
+   * convention. (This is the "customers who bought X also bought Y"
+   * primitive, and for a training-data pipeline the "sources that
+   * co-occur in dup clusters" shape.)
+   * Operands are exact integers, so the single IEEE division per
    * pair replays with no rounding (the [[volumeTrend]]/dow-lift
    * convention).
    *

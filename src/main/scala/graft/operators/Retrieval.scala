@@ -104,7 +104,10 @@ object Retrieval {
                                      idCol: String): DataFrame = {
     require(needle.length >= 3,
       s"substringSearch: needle must be >= 3 chars, got '$needle'")
-    val grams = needle.toLowerCase.sliding(3).toSeq.distinct
+    // Locale.ROOT: char_grams and the DuckDB oracle lowercase
+    // locale-independently — the default-locale form would derive
+    // different grams under e.g. a Turkish JVM locale (dotless-I)
+    val grams = needle.toLowerCase(java.util.Locale.ROOT).sliding(3).toSeq.distinct
     postings
       .filter(col("gram").isin(grams: _*))
       .groupBy(col(idCol))
@@ -118,7 +121,8 @@ object Retrieval {
                                textCol: String): DataFrame =
     docs.join(cands, Seq(idCol))
       .select(col(idCol),
-        lower(col(textCol)).contains(lit(needle.toLowerCase)).as("verified"))
+        lower(col(textCol))
+          .contains(lit(needle.toLowerCase(java.util.Locale.ROOT))).as("verified"))
       .orderBy(col(idCol))
 
   /** Persist a posting table gram-range-partitioned and gram-sorted —

@@ -131,6 +131,13 @@ object Sketches {
    * `array_min(transform(...))` expression evaluated in place — one
    * narrow codegen pass over grids × broadcast(probes), no per-key
    * groupBy, so the grids frame genuinely never shuffles.
+   *
+   * PRECONDITION: one row per grid identity — `grids` must not carry two
+   * rows with identical non-grid columns (every producer here emits one
+   * grid per group/window by construction). The zero-shuffle rewrite has
+   * no regroup, so duplicate grid rows would emit duplicate estimate
+   * rows instead of min-merging them; merge grids first
+   * (e.g. [[countMinMerge]] on the cell form) if a source can re-emit.
    */
   def gridEstimate(grids: DataFrame, keys: DataFrame, keyCol: String,
                    depth: Int, width: Int,

@@ -360,7 +360,9 @@ object CmsGrid {
 }
 
 /**
- * `bloom_agg(key, mBits, numHashes)` over an int64 key column: the dense
+ * `bloom_agg(key, mBits, numHashes)` over an int64 OR string key column
+ * (strings — URLs, doc ids — are the common LLM-pipeline key and stream
+ * without a pre-hash; both forms hash `md5(cast(key as string))`): the dense
  * m/62-word bloom filter AS an aggregation buffer — set-bits on update,
  * word-wise OR on merge — so a bloom filter can live per GROUP (and, as
  * streaming state, per WINDOW: the membership cell of the streaming
@@ -391,8 +393,8 @@ case class BloomWordsAgg(
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (child.dataType != LongType)
-      TypeCheckFailure(s"bloom_agg expects an int64 key, got ${child.dataType}")
+    if (child.dataType != LongType && child.dataType != StringType)
+      TypeCheckFailure(s"bloom_agg expects an int64 or string key, got ${child.dataType}")
     else if (!mBitsExpr.foldable || mBitsExpr.dataType != IntegerType ||
              !numHashesExpr.foldable || numHashesExpr.dataType != IntegerType)
       TypeCheckFailure("bloom_agg mBits and numHashes must be constant ints")
@@ -418,11 +420,20 @@ case class BloomWordsAgg(
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](mBits / 62)
 
+  private lazy val keyIsString: Boolean = child.dataType == StringType
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val bits = graft.operators.Bloom.bitPositionsJvm(
-        v.asInstanceOf[Long], mBits, numHashes)
+      // the exact byte stream Spark's md5(cast(key as string)) digests:
+      // a string key's raw UTF-8 bytes, an int64 key's decimal string
+      val bits =
+        if (keyIsString)
+          graft.operators.Bloom.bitPositionsJvm(
+            v.asInstanceOf[UTF8String].getBytes, mBits, numHashes)
+        else
+          graft.operators.Bloom.bitPositionsJvm(
+            v.asInstanceOf[Long], mBits, numHashes)
       var i = 0
       while (i < bits.length) {
         buf(bits(i) / 62) |= 1L << (bits(i) % 62)

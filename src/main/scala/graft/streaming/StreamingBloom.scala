@@ -18,13 +18,24 @@ import org.apache.spark.sql.functions._
  * filter after N batches equals one batch-mode build over the union,
  * and any key probes the drained artifact later through
  * [[graft.operators.Bloom.containsColumn]] with the structural
- * no-false-negative guarantee intact. Watermark expires window state
- * past `window end + watermarkDelay`.
+ * no-false-negative guarantee intact.
+ *
+ * State lifetime: the watermark expires window state past `window end +
+ * watermarkDelay` ONLY in append/update output modes — in `complete`
+ * mode (what the gated demo and BloomSpec run, so every window's filter
+ * stays queryable in the sink) Structured Streaming retains all window
+ * state by definition, and the per-window m/62-long rows accumulate for
+ * as long as the query runs. A production deployment over unbounded
+ * time should run append mode (windows emit once, finalized, after the
+ * watermark passes) or persist drained filters via
+ * [[graft.operators.Bloom.saveWords]] and restart per retention epoch.
  */
 object StreamingBloom {
 
-  /** `events` needs an event-time `ts` column; emits per window
-    * `(window_start, words)` — the dense m/62-long word array. */
+  /** `events` needs an event-time `ts` column; `key` must be an int64 or
+    * string column (`bloom_agg`'s two key forms — URLs/doc-ids stream
+    * directly, no pre-hash); emits per window `(window_start, words)` —
+    * the dense m/62-long word array. */
   def windowedWords(events: DataFrame, key: Column,
                     windowDuration: String, mBits: Int, numHashes: Int,
                     watermarkDelay: String = "10 minutes"): DataFrame = {
@@ -36,7 +47,7 @@ object StreamingBloom {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDuration).as("w"))
-      .agg(call_function("bloom_agg", key.cast("long"), lit(mBits),
+      .agg(call_function("bloom_agg", key, lit(mBits),
         lit(numHashes)).as("words"))
       .select(col("w.start").as("window_start"), col("words"))
   }

@@ -144,6 +144,32 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("string-key bloom_agg: the JVM md5 twin == the SQL column build, " +
+    "and probes see no false negatives") {
+    graft.plans.GraftFunctions.register(spark)
+    val keys = (1L to 200L).map(i => s"https://host-${i % 7}/doc/$i").toDF("url")
+    val words = Bloom.denseWords(Bloom.bloomWords(keys, col("url"), M, K), M)
+    val agg = keys.agg(call_function("bloom_agg", col("url"), lit(M), lit(K)))
+      .collect().head.getSeq[Long](0)
+    assert(agg.toSeq === words.toSeq)
+    val miss = keys.filter(!Bloom.containsExpr(words, col("url"), M, K)).count()
+    assert(miss === 0L)
+  }
+
+  test("null keys are skipped identically by bloomWords and bloom_agg") {
+    graft.plans.GraftFunctions.register(spark)
+    val withNulls = Seq(Some(1L), None, Some(2L), None, Some(3L))
+      .toDF("id")
+    val viaSql = Bloom.denseWords(Bloom.bloomWords(withNulls, col("id"), M, K), M)
+    val viaAgg = withNulls
+      .agg(call_function("bloom_agg", col("id"), lit(M), lit(K)))
+      .collect().head.getSeq[Long](0)
+    val clean = Bloom.denseWords(Bloom.bloomWords(
+      Seq(1L, 2L, 3L).toDF("id"), col("id"), M, K), M)
+    assert(viaSql.toSeq === clean.toSeq)
+    assert(viaAgg.toSeq === clean.toSeq)
+  }
+
   test("parameter validation fails loudly") {
     val df = (1L to 10L).toDF("id")
     intercept[IllegalArgumentException] { Bloom.bloomWords(df, col("id"), 100, 3) }
