@@ -160,6 +160,29 @@ object Bench {
     }
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
 
+    // CONTENTION CANARY (round-15 verdict #1): a pinned, deterministic,
+    // single-partition CPU-bound count measured at the START and END of
+    // every interleaved round. The canary never changes with the query
+    // surface, reads no data, and shuffles nothing — host load (noisy
+    // neighbors, CPU steal) is the only thing that can move it — so its
+    // round-to-round drift separates environmental contention from plan
+    // regressions: four full round-15 runs of doc-only-changed code read
+    // total-MIN 147.5 → 183.6 s on host load alone, which a future round
+    // could misread as a >2× regression. `total_canary_norm_sec` =
+    // total_median · (CanaryNominalSec / canary median) is the
+    // contention-corrected headline reported BESIDE the raw one (never
+    // replacing it; SCALING.md carries the normalized cross-round series).
+    // pinned at the round-16 least-contended calibration reading (min of 8
+    // samples, local[8]); NEVER recalibrate silently — the constant only
+    // scales the normalized headline, and changing it breaks the series
+    val CanaryNominalSec = 0.43
+    def canaryOnce(): Double = time {
+      spark.range(0L, 200000000L, 1L, 1)
+        .filter(pmod(col("id") * 2654435761L, lit(9973L)) < 3L).count()
+    }
+    canaryOnce() // JIT/codegen warm — outside the recorded samples
+    var canarySamples = Vector.empty[Double]
+
     // optional subset for focused iteration: comma-separated query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -179,6 +202,7 @@ object Bench {
     val samples = Array.fill(queryFns.size)(Vector.empty[Double])
     def measureRound(idx: Seq[Int]): Unit = {
       System.gc()
+      canarySamples :+= r4(canaryOnce()) // contention reading at round start
       idx.foreach { i =>
         val fn = queryFns(i)._2
         spark.catalog.clearCache()
@@ -186,6 +210,7 @@ object Bench {
           (try time(fn(spark, sfDir).count())
            catch { case _: Throwable => -1.0 })
       }
+      canarySamples :+= r4(canaryOnce()) // and at round end
     }
     // per-round ORDER permutation (round-13 verdict #3): interleaved
     // rounds alone still run the queries in the SAME alphabetical order
@@ -320,9 +345,21 @@ object Bench {
     // phase inflates medians across the board; SCALING.md gates
     // regressions on it alongside the median total
     val totalMin = r4(results.map(_._3).filter(_ >= 0).sum)
+    // canary aggregation + the contention-corrected headline: the canary
+    // median measures THIS run's host-load level; dividing it out (scaled
+    // by the pinned nominal) yields a total comparable across rounds even
+    // when the host's background load drifts
+    val canaryMedian = if (canarySamples.isEmpty) -1.0 else r4(median(canarySamples))
+    val canaryMin = if (canarySamples.isEmpty) -1.0 else r4(canarySamples.min)
+    val totalNorm =
+      if (canaryMedian <= 0) -1.0
+      else r4(total * (CanaryNominalSec / canaryMedian))
+    val canaryJson = "{\"samples\":" +
+      canarySamples.mkString("[", ",", "]") +
+      s""","median":$canaryMedian,"min":$canaryMin,"nominal":$CanaryNominalSec}"""
     // the commit SHA makes the artifact self-identifying: a stale
     // bench_latest.json from a previous (e.g. failed) round is detectable
-    val line = s"""{"metric":"total_median_sec","value":$total,"unit":"sec","total_min_sec":$totalMin,"queries":$qs,"spread":$spread,"streaming":$streaming,"runs":$runs,"cpus":"$cpus","sf":"$sfDir","commit":"${BuildId.gitSha()}"}"""
+    val line = s"""{"metric":"total_median_sec","value":$total,"unit":"sec","total_min_sec":$totalMin,"total_canary_norm_sec":$totalNorm,"canary":$canaryJson,"queries":$qs,"spread":$spread,"streaming":$streaming,"runs":$runs,"cpus":"$cpus","sf":"$sfDir","commit":"${BuildId.gitSha()}"}"""
     println(line)
     // stdout gets truncated by some harnesses — also persist the full
     // per-query map as a file artifact (SPARK_GRAFT_BENCH_OUT overrides)
@@ -347,7 +384,7 @@ object Bench {
     val byCost = results.map { case (k, v, mn, _, _, _, _) => (k, v, mn) }
       .sortBy(-_._2)
     val budget = 1800
-    val head = s"""{"metric":"total_median_sec","value":${r4(total)},"unit":"sec","total_min_sec":$totalMin,"sf":"$sfName","runs":$runs,"commit":"${BuildId.gitSha()}","full":"$outPath""""
+    val head = s"""{"metric":"total_median_sec","value":${r4(total)},"unit":"sec","total_min_sec":$totalMin,"total_canary_norm_sec":$totalNorm,"canary":[$canaryMedian,$canaryMin],"sf":"$sfName","runs":$runs,"commit":"${BuildId.gitSha()}","full":"$outPath""""
     // each compact entry is [median, min]: the min is the
     // contention-robust statistic (round-12 verdict #5) so per-entry
     // round-over-round comparison doesn't ride host-contention noise
