@@ -142,6 +142,42 @@ private[graft] object AnnArtifacts {
 
   private val lexCompactMemo = scala.collection.mutable.Map[String, String]()
 
+  private val triAppendMemo = scala.collection.mutable.Map[String, String]()
+
+  private val triCompactMemo = scala.collection.mutable.Map[String, String]()
+
+  /** The documents corpus trigram-indexed as base + delta segments —
+    * [[graft.operators.Retrieval.saveTrigramIndex]] over doc_id % 2 = 0
+    * plus an [[graft.operators.Retrieval.appendTrigramIndex]] of the rest
+    * — the uncompacted source the compaction gate folds. Built at most
+    * once per JVM per dataset; `trigram_index_search` stays the honest
+    * full-rebuild entry. */
+  def trigramAppendRoot(s: SparkSession, dir: String): String = synchronized {
+    triAppendMemo.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.functions.col
+      val p = s"$root/${dirKey(dir)}_triapp"
+      val d = Tables.documents(s, dir)
+      graft.operators.Retrieval.saveTrigramIndex(
+        graft.operators.Retrieval.trigramPostings(d.filter(col("doc_id") % 2 === 0)), p)
+      graft.operators.Retrieval.appendTrigramIndex(
+        graft.operators.Retrieval.trigramPostings(d.filter(col("doc_id") % 2 === 1)), p)
+      p
+    })
+  }
+
+  /** Single-generation [[graft.operators.Retrieval.compactTrigramIndex]]
+    * rewrite of [[trigramAppendRoot]] — the artifact behind the compaction
+    * gate (`trigram_index_compact`): searching the compacted copy must
+    * answer row-identically to the uncompacted pile AND to the oracle's
+    * union replay. */
+  def trigramCompactRoot(s: SparkSession, dir: String): String = synchronized {
+    triCompactMemo.getOrElseUpdate(dir, {
+      val p = s"$root/${dirKey(dir)}_tricomp"
+      graft.operators.Retrieval.compactTrigramIndex(s, trigramAppendRoot(s, dir), p)
+      p
+    })
+  }
+
   /** Single-segment [[TextAnalysis.compactLexicalIndex]] rewrite of
     * [[lexicalAppendRoot]] — the artifact behind the compaction gate
     * (`bm25_compact_topk`): serving from the compacted copy must reproduce

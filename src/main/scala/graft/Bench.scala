@@ -92,6 +92,11 @@ object Bench {
       AnnArtifacts.lexicalRoot(spark, sfDir)
       AnnArtifacts.lexicalAppendRoot(spark, sfDir)
       AnnArtifacts.lexicalCompactRoot(spark, sfDir)
+      // trigram twin: trigram_index_compact measures serving from the
+      // compacted generation (trigram_index_search keeps the honest
+      // full save+append+search rebuild cost)
+      AnnArtifacts.trigramAppendRoot(spark, sfDir)
+      AnnArtifacts.trigramCompactRoot(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[bench] lex warmup failed: $e") }
     // and the per-JVM PCA component cache: streaming_pca_project measures
     // the streaming projection path against the cached component (the

@@ -2369,5 +2369,10 @@ private[graft] object Oracles {
 
     // lifecycle twin: same replay, different needle — slices partition on
     // doc_id parity, so the loaded union IS the full posting table
-    "trigram_index_search" -> Fixtures.trigramSearchOracle("merge batch"))
+    "trigram_index_search" -> Fixtures.trigramSearchOracle("merge batch"),
+
+    // compaction gate: the compacted generation must answer identically
+    // to the union replay (row-identity with the uncompacted search is
+    // additionally asserted inside the query itself)
+    "trigram_index_compact" -> Fixtures.trigramSearchOracle("stream merge"))
 }

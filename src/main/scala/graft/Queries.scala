@@ -2847,6 +2847,29 @@ private[graft] object Queries {
       } finally Gates.deleteTree(tmp)
     }),
 
+    "trigram_index_compact" -> ((s, dir) => {
+      // compaction closes the trigram-index lifecycle (save → append →
+      // COMPACT → search, the bm25_compact_topk discipline): the base +
+      // delta pile folded into a fresh gram-range-partitioned generation
+      // and the query answered FROM the compacted artifact (the pile and
+      // the fold are per-JVM artifacts, AnnArtifacts — the timed entry
+      // measures serving from the compacted generation; the one-time
+      // save/append/compact costs stay visible in trigram_index_search's
+      // honest rebuild). Row-identity with the uncompacted pile is
+      // asserted in-query; the oracle replays postings + intersection +
+      // verify over the union, so only a lossless fold matches
+      val docs = Tables.documents(s, dir)
+      val pre = Retrieval.searchTrigramIndex(s,
+          AnnArtifacts.trigramAppendRoot(s, dir), docs, "stream merge")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      val out = Retrieval.searchTrigramIndex(s,
+        AnnArtifacts.trigramCompactRoot(s, dir), docs, "stream merge")
+      val post = out.collect()
+      require(post.map(r => (r.getLong(0), r.getBoolean(1))).toSeq == pre,
+        "trigram_index_compact: compacted search diverged from uncompacted")
+      s.createDataFrame(java.util.Arrays.asList(post: _*), out.schema)
+    }),
+
     "trigram_search" -> ((s, dir) => {
       // substring search through the character-trigram posting index
       // (the pg_trgm shape): candidates must hold EVERY needle trigram

@@ -146,6 +146,37 @@ object Retrieval {
       .write.mode("append").parquet(path)
 
   /**
+   * Compact a trigram index: fold the base save plus accumulated
+   * delta-append files into a fresh gram-range-partitioned, gram-sorted
+   * GENERATION at `dst` — the [[graft.operators.TextAnalysis.compactLexicalIndex]]
+   * discipline applied to the substring index. Every [[appendTrigramIndex]]
+   * adds small files whose gram ranges overlap the base layout, so under
+   * continuous ingest each search pays a growing file listing and
+   * un-pruned row groups until compaction restores the one-generation
+   * range-partitioned layout. Posting rows are preserved VERBATIM
+   * (slices are distinct by construction — compaction is pure file-layout
+   * work, no dedup, no regroup), audited by an exact row-count match, so
+   * [[searchTrigramIndex]] against `dst` is row-identical to `src` by
+   * construction. Production shape: the rewrite lands at a fresh path and
+   * the serving pointer flips — crash-safe, the old generation stays
+   * readable throughout.
+   */
+  def compactTrigramIndex(spark: org.apache.spark.sql.SparkSession,
+                          src: String, dst: String,
+                          partitions: Int = 8): Unit = {
+    require(src != dst, "compactTrigramIndex: dst must be a fresh path")
+    spark.read.parquet(src)
+      .repartitionByRange(partitions, col("gram"))
+      .sortWithinPartitions(col("gram"))
+      .write.mode("overwrite").parquet(dst)
+    val nSrc = spark.read.parquet(src).count()
+    val nDst = spark.read.parquet(dst).count()
+    require(nSrc == nDst,
+      s"compactTrigramIndex: layout-only rewrite changed row count " +
+        s"($nSrc -> $nDst) — the source changed mid-compaction; re-run")
+  }
+
+  /**
    * Substring search FROM the persisted index: candidate generation
    * reads only the needle grams' slivers of the posting artifact
    * (PushedFilters on the sorted gram column), then ONLY candidates

@@ -78,6 +78,39 @@ class RetrievalSpec extends SparkSpec {
     } finally Gates.deleteTree(tmp)
   }
 
+  test("trigram compaction: fewer files, identical search, layout-only " +
+    "(row multiset preserved verbatim)") {
+    val a = Seq((1L, "we sort tables daily"), (2L, "sort now, fast table soon"))
+    val b = Seq((3L, "nothing relevant here"), (4L, "SORT TABLE"))
+    val c = Seq((5L, "resort tableau"))
+    val docs = (a ++ b ++ c).toDF("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("tri_cmp_spec").toString
+    val dst = src + "_gen2"
+    try {
+      Retrieval.saveTrigramIndex(Retrieval.trigramPostings(a.toDF("doc_id", "text")), src)
+      Retrieval.appendTrigramIndex(Retrieval.trigramPostings(b.toDF("doc_id", "text")), src)
+      Retrieval.appendTrigramIndex(Retrieval.trigramPostings(c.toDF("doc_id", "text")), src)
+      Retrieval.compactTrigramIndex(spark, src, dst)
+      def files(p: String) = new java.io.File(p).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files(dst) < files(src),
+        s"compaction must shrink the file pile: ${files(src)} -> ${files(dst)}")
+      // row multiset preserved verbatim
+      val rows = (p: String) => spark.read.parquet(p).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(rows(dst) === rows(src))
+      // identical search results through the compacted generation
+      val pre = Retrieval.searchTrigramIndex(spark, src, docs, "sort table")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      val post = Retrieval.searchTrigramIndex(spark, dst, docs, "sort table")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      assert(post === pre)
+      intercept[IllegalArgumentException] {
+        Retrieval.compactTrigramIndex(spark, src, src)
+      }
+    } finally { Gates.deleteTree(src); Gates.deleteTree(dst) }
+  }
+
   test("trigram postings: sliding 3-grams, lowercased, short texts empty") {
     val docs = Seq((1L, "AbCd"), (2L, "xy"), (3L, "aaaa"))
       .toDF("doc_id", "text")
