@@ -591,6 +591,42 @@ private[graft] object Fixtures {
        |  round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
        |FROM bn GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Oracle for `calibration_threshold`: the [[qualityCalibrationOracle]]
+    * bin table extended with suffix sums over occupied bins, round-6
+    * precision/recall, F1 from the round-6 operands, and the argmax-F1 /
+    * lowest-edge tie-break pick — the full decision replayed in SQL. */
+  def calibrationThresholdOracle: String =
+    s"""${learnCtes(3)},
+       |sc AS (SELECT doc_id, y,
+       |  round(0.5 + 0.5 * ((b + w1 * x1 + w2 * x2 + w3 * x3) / (1.0 + abs(b + w1 * x1 + w2 * x2 + w3 * x3))), 6) AS score
+       |  FROM f, w3),
+       |cal AS (
+       |  SELECT least(CAST(floor(score * 500) AS INT), 499) AS bin,
+       |         COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS positives
+       |  FROM sc GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(positives) AS BIGINT) AS total_pos FROM cal),
+       |cand AS (
+       |  SELECT bin, round(CAST(bin AS DOUBLE) / 500, 6) AS threshold,
+       |         CAST(SUM(n) OVER (ORDER BY bin DESC) AS BIGINT) AS kept,
+       |         CAST(SUM(positives) OVER (ORDER BY bin DESC) AS BIGINT) AS kept_pos
+       |  FROM cal),
+       |pr AS (
+       |  SELECT bin, threshold, kept, kept_pos,
+       |         round(CAST(kept_pos AS DOUBLE) / kept, 6) AS "precision",
+       |         round(CASE WHEN total_pos > 0
+       |                    THEN CAST(kept_pos AS DOUBLE) / total_pos
+       |                    ELSE 0.0 END, 6) AS recall
+       |  FROM cand, tot),
+       |f1t AS (
+       |  SELECT bin, threshold, "precision", recall,
+       |         CASE WHEN "precision" + recall > 0
+       |              THEN round(2.0 * "precision" * recall / ("precision" + recall), 6)
+       |              ELSE 0.0 END AS f1,
+       |         kept, kept_pos
+       |  FROM pr)
+       |SELECT bin, threshold, "precision", recall, f1, kept, kept_pos
+       |FROM f1t ORDER BY f1 DESC, bin ASC LIMIT 1""".stripMargin
+
   /** Oracle for `trigram_search`: trigram postings, needle-gram
     * intersection, and the exact contains verify — gram list derived from
     * the SAME needle string the engine query uses. */

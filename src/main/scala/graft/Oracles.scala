@@ -2231,6 +2231,8 @@ private[graft] object Oracles {
 
     "quality_calibration" -> Fixtures.qualityCalibrationOracle,
 
+    "calibration_threshold" -> Fixtures.calibrationThresholdOracle,
+
     "streaming_bpe_tokens" -> Fixtures.streamingBpeTokensOracle,
 
     // string-key twin of streaming_bloom_daily: md5 digests the RAW

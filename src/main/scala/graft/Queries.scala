@@ -2655,6 +2655,15 @@ private[graft] object Queries {
       Learn.calibrationTable(Tables.documents(s, dir), iters = 3, bins = 500)
     }),
 
+    "calibration_threshold" -> ((s, dir) => {
+      // the calibration table turned into a DECISION: argmax-F1 keep
+      // threshold over the occupied bin edges (ties to the lowest edge —
+      // keep more data at equal F1), precision/recall/F1 from round-6
+      // operands so the one-row pick replays in DuckDB — the go/no-go
+      // number the curation funnel consumes
+      Learn.calibrationThreshold(Tables.documents(s, dir), iters = 3, bins = 500)
+    }),
+
     "streaming_bpe_tokens" -> ((s, dir) => {
       // tokenize-at-ingest: the BPE model trained batch-side, persisted,
       // RELOADED (the serving lifecycle), and a document stream counted

@@ -205,4 +205,53 @@ object Learn {
         round(sum(col("label")).cast("double") / count(lit(1)), 6).as("pos_rate"))
       .orderBy(col("bin"))
   }
+
+  /**
+   * Keep-threshold PICK from the calibration table — the go/no-go number
+   * the curation funnel actually consumes: candidate thresholds are the
+   * occupied bins' lower edges `t_b = b/bins` (scores land in bin
+   * `floor(score·bins)`, so "keep score ≥ t_b" is EXACTLY "bin ≥ b" — an
+   * unoccupied edge selects the same kept set as the next occupied one
+   * and adds nothing). Per candidate, suffix sums over the ≤ bins-row
+   * table give kept / kept-positive counts, then
+   * `precision = round6(kept_pos/kept)`, `recall = round6(kept_pos/
+   * total_pos)`, `f1 = round6(2·p·r/(p+r))` — F1 computed from the
+   * ALREADY-round-6 operands (the quantize-before-multiply cross-engine
+   * discipline), and the pick is argmax F1 with ties to the LOWEST
+   * threshold (keep more data at equal F1). Returns ONE row: (bin,
+   * threshold, "precision", recall, f1, kept, kept_pos).
+   *
+   * Scale shape: everything corpus-sized is inside [[calibrationTable]]
+   * (train + one scoring scan + one map-side-combined groupBy); the
+   * suffix-sum window and the argmax run on the ≤ bins-row table —
+   * bounded by construction, the k-row-frame discipline of
+   * [[graft.operators.Skew.keySkewProfile]].
+   */
+  def calibrationThreshold(docs: DataFrame, iters: Int, bins: Int = 10): DataFrame = {
+    val cal = calibrationTable(docs, iters, bins)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = cal.agg(sum(col("positives")).cast("long").as("total_pos"))
+    cal
+      .withColumn("kept", sum(col("n")).over(w).cast("long"))
+      .withColumn("kept_pos", sum(col("positives")).over(w).cast("long"))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"),
+        round(col("bin").cast("double") / bins, 6).as("threshold"),
+        col("kept"), col("kept_pos"),
+        round(col("kept_pos").cast("double") / col("kept"), 6).as("precision"),
+        round(when(col("total_pos") > 0,
+          col("kept_pos").cast("double") / col("total_pos"))
+          .otherwise(0.0), 6).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          round(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6))
+          .otherwise(0.0))
+      .orderBy(col("f1").desc, col("bin").asc).limit(1)
+      .select(col("bin"), col("threshold"), col("precision"), col("recall"),
+        col("f1"), col("kept"), col("kept_pos"))
+  }
 }

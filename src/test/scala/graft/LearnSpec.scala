@@ -131,4 +131,41 @@ class LearnSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { Learn.calibrationTable(docs, 1, bins = 1) }
   }
+
+  test("calibration threshold: one row, argmax F1 over occupied bin edges, " +
+    "ties to the lowest edge, p/r/f1 arithmetic from round-6 operands") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was a good day for this", "en", "s"),
+      (2L, "der hund lief schnell durch den park und bellte laut dabei", "de", "s"),
+      (3L, "the quick brown fox jumps over the lazy dog in the sun", "en", "s"),
+      (4L, "el gato negro duerme en la casa grande cerca del rio", "es", "s"),
+      (5L, "a very fine day with many english stopwords in the text here", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val bins = 10
+    val cal = Learn.calibrationTable(docs, iters = 5, bins = bins).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val totalPos = cal.map(_._3).sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // manual candidate sweep over occupied bin edges
+    val cands = cal.map { case (b, _, _) =>
+      val kept = cal.filter(_._1 >= b)
+      val k = kept.map(_._2).sum; val kp = kept.map(_._3).sum
+      val p = r6(kp.toDouble / k)
+      val r = r6(if (totalPos > 0) kp.toDouble / totalPos else 0.0)
+      val f1 = if (p + r > 0) r6(2.0 * p * r / (p + r)) else 0.0
+      (b, p, r, f1, k, kp)
+    }
+    val want = cands.sortBy(c => (-c._4, c._1)).head
+    val got = Learn.calibrationThreshold(docs, iters = 5, bins = bins).collect()
+    assert(got.length === 1)
+    val g = got.head
+    assert(g.getInt(0) === want._1)
+    assert(g.getDouble(1) === r6(want._1.toDouble / bins))
+    assert(g.getDouble(2) === want._2) // precision
+    assert(g.getDouble(3) === want._3) // recall
+    assert(g.getDouble(4) === want._4) // f1
+    assert((g.getLong(5), g.getLong(6)) === ((want._5, want._6)))
+  }
 }
