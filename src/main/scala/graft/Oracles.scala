@@ -2353,6 +2353,78 @@ private[graft] object Oracles {
         |       JOIN m mb ON mb.it = p.item_b, t
         |ORDER BY p.item_a, p.item_b""".stripMargin,
 
+    // the full chooser derivation per scenario: CMS inner-product bound
+    // (never undercounts), rank-1 key share, exact counts, round-6
+    // selectivity, CASE over the same literal thresholds as the engine
+    // (broadcast <= 120 dim rows; salted >= 0.05 top share;
+    // bloom_pruned <= 0.5 selectivity; else plain)
+    "join_choice_decision" ->
+      """WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
+        |s1ca AS MATERIALIZED (
+        |  SELECT r, (l_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM lineitem CROSS JOIN h GROUP BY 1, 2),
+        |s1cb AS MATERIALIZED (
+        |  SELECT r, (s_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM supplier CROSS JOIN h GROUP BY 1, 2),
+        |s1ip AS (SELECT ca.r, SUM(CAST(ca.n AS HUGEINT) * cb.n) AS ip
+        |         FROM s1ca ca JOIN s1cb cb ON ca.r = cb.r AND ca.c = cb.c GROUP BY ca.r),
+        |s1est AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est
+        |          FROM range(0, 4) t(r) LEFT JOIN s1ip ip ON ip.r = t.r),
+        |s1f AS (SELECT COUNT(*) AS fact_rows FROM lineitem),
+        |s1d AS (SELECT COUNT(*) AS dim_rows FROM supplier),
+        |s1s AS (SELECT round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_share
+        |        FROM (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1)),
+        |s1 AS (SELECT 'lineitem_supplier' AS scenario, fact_rows, dim_rows, top_share,
+        |              est AS est_join_size,
+        |              round(CAST(est AS DOUBLE) / fact_rows, 6) AS est_selectivity
+        |       FROM s1f, s1d, s1s, s1est),
+        |s2ca AS MATERIALIZED (
+        |  SELECT r, (o_custkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM orders CROSS JOIN h GROUP BY 1, 2),
+        |s2cb AS MATERIALIZED (
+        |  SELECT r, (c_custkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM customer CROSS JOIN h WHERE c_acctbal > 7500.0 GROUP BY 1, 2),
+        |s2ip AS (SELECT ca.r, SUM(CAST(ca.n AS HUGEINT) * cb.n) AS ip
+        |         FROM s2ca ca JOIN s2cb cb ON ca.r = cb.r AND ca.c = cb.c GROUP BY ca.r),
+        |s2est AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est
+        |          FROM range(0, 4) t(r) LEFT JOIN s2ip ip ON ip.r = t.r),
+        |s2f AS (SELECT COUNT(*) AS fact_rows FROM orders),
+        |s2d AS (SELECT COUNT(*) AS dim_rows FROM customer WHERE c_acctbal > 7500.0),
+        |s2s AS (SELECT round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_share
+        |        FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1)),
+        |s2 AS (SELECT 'orders_rich_customer' AS scenario, fact_rows, dim_rows, top_share,
+        |              est AS est_join_size,
+        |              round(CAST(est AS DOUBLE) / fact_rows, 6) AS est_selectivity
+        |       FROM s2f, s2d, s2s, s2est),
+        |s3cb AS MATERIALIZED (
+        |  SELECT r, (c_custkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM customer CROSS JOIN h GROUP BY 1, 2),
+        |s3ip AS (SELECT ca.r, SUM(CAST(ca.n AS HUGEINT) * cb.n) AS ip
+        |         FROM s2ca ca JOIN s3cb cb ON ca.r = cb.r AND ca.c = cb.c GROUP BY ca.r),
+        |s3est AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est
+        |          FROM range(0, 4) t(r) LEFT JOIN s3ip ip ON ip.r = t.r),
+        |s3d AS (SELECT COUNT(*) AS dim_rows FROM customer),
+        |s3 AS (SELECT 'orders_customer' AS scenario, fact_rows, dim_rows, top_share,
+        |              est AS est_join_size,
+        |              round(CAST(est AS DOUBLE) / fact_rows, 6) AS est_selectivity
+        |       FROM s2f, s3d, s2s, s3est)
+        |SELECT scenario, fact_rows, dim_rows, top_share, est_join_size, est_selectivity,
+        |       CASE WHEN dim_rows <= 120 THEN 'broadcast'
+        |            WHEN top_share >= 0.05 THEN 'salted'
+        |            WHEN est_selectivity <= 0.5 THEN 'bloom_pruned'
+        |            ELSE 'plain' END AS strategy
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        |ORDER BY scenario""".stripMargin,
+
+    // chosen-strategy result identity: whatever the estimates select,
+    // the output is the plain join's — the oracle IS the plain join
+    "join_choice_exec" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 7500.0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     "key_skew_profile" ->
       """WITH c AS MATERIALIZED (
         |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),

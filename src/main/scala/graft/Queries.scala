@@ -2826,6 +2826,57 @@ private[graft] object Queries {
       EventAnalytics.basketLift(items, "l_orderkey", "p_brand")
     }),
 
+    "join_choice_decision" -> ((s, dir) => {
+      // the automatic join-strategy chooser's DECISION rows for three
+      // natural joins under one threshold set — the wiring of the two
+      // round-15 estimators (cmsJoinSize bound, keySkewProfile top share)
+      // into a pick: supplier is broadcastable, rich customers are a
+      // selective dim (bloom-prunable scan), the full customer dim is
+      // dense (plain). Every operand is an exact count or a round-6
+      // ratio, the CASE uses literal thresholds — DuckDB replays the
+      // entire derivation, sketches included, per scenario
+      val th = JoinPlanner.JoinThresholds(broadcastMaxDimRows = 120,
+        skewShareMin = 0.05, bloomSelectivityMax = 0.5)
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val ords = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      def d(nm: String, f: org.apache.spark.sql.DataFrame,
+            dm: org.apache.spark.sql.DataFrame, fk: String, dk: String) =
+        JoinPlanner.joinDecision(f, dm, fk, dk, th)
+          .withColumn("scenario", lit(nm))
+      d("lineitem_supplier", li, sup, "l_suppkey", "s_suppkey")
+        .unionByName(d("orders_rich_customer", ords,
+          cust.filter(col("c_acctbal") > 7500), "o_custkey", "c_custkey"))
+        .unionByName(d("orders_customer", ords, cust,
+          "o_custkey", "c_custkey"))
+        .select(col("scenario"), col("fact_rows"), col("dim_rows"),
+          col("top_share"), col("est_join_size"), col("est_selectivity"),
+          col("strategy"))
+        .orderBy(col("scenario"))
+    }),
+
+    "join_choice_exec" -> ((s, dir) => {
+      // the chooser END TO END: per-nation order revenue for rich
+      // customers through whatever strategy the estimates select (at
+      // sf0.01 the selective dim reads bloom_pruned; at a larger corpus
+      // the fixed-width sketch bound loosens and the pick degrades
+      // conservatively toward plain) — the result is the PLAIN join's
+      // by structural identity, which is exactly what the oracle replays
+      val th = JoinPlanner.JoinThresholds(broadcastMaxDimRows = 120,
+        skewShareMin = 0.05, bloomSelectivityMax = 0.5)
+      val rich = Tables.customer(s, dir).filter(col("c_acctbal") > 7500)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val fact = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_totalprice"))
+      JoinPlanner.chooseJoin(fact, rich, "o_custkey", "c_custkey", th)
+        .result
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          AggCore.exactSum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     "key_skew_profile" -> ((s, dir) => {
       // the pre-shuffle skew diagnostic: hottest event users with exact
       // counts and corpus shares vs the uniform baseline — "should I salt

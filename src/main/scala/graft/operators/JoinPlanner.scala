@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Estimate-before-you-shuffle JOIN PLANNING: the automatic strategy
+ * chooser that closes the loop between the planner DIAGNOSTICS
+ * ([[Sketches.cmsJoinSize]] — the CMS inner-product join-size bound;
+ * [[Skew.keySkewProfile]] — hot-key shares) and the REMEDIES
+ * ([[Skew.saltedJoin]], [[Bloom.prunedJoin]], broadcast). At 100 TB the
+ * wrong join strategy is the difference between minutes and hours — a
+ * skewed key pins one reducer, a selective dim read through a plain
+ * shuffle drags the whole fact table across the exchange, a
+ * broadcastable dim shuffled anyway pays two sorts — and the inputs
+ * needed to pick correctly are KB-sized artifacts (two CMS cell tables,
+ * a top-k skew profile, two row counts) that an ingest pipeline builds
+ * once per table and merges incrementally, never the join itself.
+ *
+ * Decision rule, in precedence order (first match wins):
+ *  1. `dim_rows ≤ broadcastMaxDimRows`      → '''broadcast''' (no
+ *     exchange at all beats every other remedy when the dim fits);
+ *  2. `top_share ≥ skewShareMin`            → '''salted''' (the hot
+ *     fact key would pin one reducer; spread it over `salt` partitions);
+ *  3. `est_selectivity ≤ bloomSelectivityMax` → '''bloom_pruned''' (most
+ *     fact rows have NO match — drop them with a codegen'd scan
+ *     predicate BEFORE the exchange);
+ *  4. otherwise                             → '''plain''' (the join is
+ *     dense and balanced; Spark's sort-merge + AQE is the right tool).
+ *
+ * `est_selectivity = round6(est_join_size / fact_rows)` — an UPPER bound
+ * on the matching-row fraction when dim keys are unique (the CMS
+ * inner-product never undercounts), so the bloom branch can only be
+ * chosen conservatively: a fixed-size sketch over a bigger corpus gives
+ * a looser bound, degrading gracefully toward 'plain', never toward a
+ * wrong prune. Every number in the decision row is an exact count or a
+ * round-6 ratio of exact counts — the whole derivation, CASE included,
+ * replays in DuckDB (the `join_choice_decision` gate).
+ *
+ * Chosen-strategy RESULT IDENTITY is structural, not statistical: all
+ * four strategies return exactly `fact ⋈ dim` (broadcast is a hint;
+ * salting is an equi-join refinement that drops its salt; the bloom
+ * prune has no false negatives and the join discards false positives) —
+ * so the chooser can never change answers, only costs (the
+ * `join_choice_exec` gate hash-matches the plain join's aggregate).
+ */
+object JoinPlanner {
+
+  /** Decision thresholds + remedy parameters. Defaults suit the test
+    * scale; a deployment tunes `broadcastMaxDimRows` to its broadcast
+    * memory budget and `skewShareMin` to its reducer-imbalance
+    * tolerance. `cmsDepth`/`cmsWidth` size the join-size sketch —
+    * bigger width = tighter selectivity bound = more bloom-prune
+    * opportunities detected. */
+  final case class JoinThresholds(
+      broadcastMaxDimRows: Long = 100000L,
+      skewShareMin: Double = 0.05,
+      bloomSelectivityMax: Double = 0.25,
+      salt: Int = 8,
+      bloomMBits: Int = 62 * 2048,
+      bloomNumHashes: Int = 4,
+      cmsDepth: Int = 4,
+      cmsWidth: Int = 4096) {
+    require(broadcastMaxDimRows >= 0, "broadcastMaxDimRows must be >= 0")
+    require(skewShareMin > 0.0 && skewShareMin <= 1.0,
+      s"skewShareMin must be in (0, 1], got $skewShareMin")
+    require(bloomSelectivityMax >= 0.0,
+      s"bloomSelectivityMax must be >= 0, got $bloomSelectivityMax")
+    require(salt >= 2, s"salt must be >= 2, got $salt")
+  }
+
+  /** The chosen plan: the decision inputs (exact counts + round-6
+    * ratios), the strategy, and the resulting joined frame. */
+  final case class JoinPlan(
+      strategy: String,
+      factRows: Long,
+      dimRows: Long,
+      topShare: Double,
+      estJoinSize: Long,
+      estSelectivity: Double,
+      result: DataFrame)
+
+  /**
+   * The decision ROW as a DataFrame — one row: (fact_rows, dim_rows,
+   * top_share, est_join_size, est_selectivity, strategy). Derivation:
+   * two exact counts, the rank-1 share from [[Skew.keySkewProfile]],
+   * the never-undercounting [[Sketches.cmsJoinSize]] bound from two
+   * `depth·width`-bounded cell tables, one round-6 division, one CASE
+   * over literal thresholds — fully SQL-replayable. The corpus-sized
+   * passes here (counts, CMS builds, the skew profile's one groupBy)
+   * are what a 100 TB deployment would maintain incrementally as
+   * mergeable per-ingest artifacts ([[Sketches.countMinMerge]]); the
+   * inline form exists so the gate can replay the whole chain.
+   */
+  def joinDecision(fact: DataFrame, dim: DataFrame, factKey: String,
+                   dimKey: String, th: JoinThresholds): DataFrame = {
+    val factRows = fact.agg(count(lit(1)).cast("long").as("fact_rows"))
+    val dimRows = dim.agg(count(lit(1)).cast("long").as("dim_rows"))
+    val top = Skew.keySkewProfile(fact, factKey, topK = 1)
+      .select(col("share").as("top_share"))
+    val est = Sketches.cmsJoinSize(
+      Sketches.countMinCells(fact, col(factKey), th.cmsDepth, th.cmsWidth),
+      Sketches.countMinCells(dim, col(dimKey), th.cmsDepth, th.cmsWidth),
+      th.cmsDepth)
+    factRows
+      .crossJoin(broadcast(dimRows))
+      .crossJoin(broadcast(top))
+      .crossJoin(broadcast(est))
+      .withColumn("est_selectivity",
+        round(col("est_join_size").cast("double") / col("fact_rows"), 6))
+      .withColumn("strategy",
+        when(col("dim_rows") <= th.broadcastMaxDimRows, "broadcast")
+          .when(col("top_share") >= th.skewShareMin, "salted")
+          .when(col("est_selectivity") <= th.bloomSelectivityMax, "bloom_pruned")
+          .otherwise("plain"))
+  }
+
+  /**
+   * Pick and RUN the strategy: inner equi-join `fact(factKey) =
+   * dim(dimKey)`, returned with the dim's key column dropped (the key
+   * survives once, as `factKey`) — the same rows under every strategy.
+   * The decision row is a bounded 1-row collect (the codebook-collect
+   * discipline: model-sized state driver-side, corpus-sized work
+   * distributed). `factSaltCols` seeds the deterministic salt when the
+   * salted branch fires (defaults to every fact column — stable across
+   * task retries, which `rand()` is not).
+   */
+  def chooseJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, th: JoinThresholds = JoinThresholds(),
+                 factSaltCols: Seq[String] = Nil): JoinPlan = {
+    require(factKey != dimKey,
+      s"chooseJoin: fact and dim key columns must be named differently " +
+        s"(both '$factKey') — rename one side first")
+    val rows = joinDecision(fact, dim, factKey, dimKey, th).collect()
+    require(rows.nonEmpty,
+      "chooseJoin: empty fact side — no decision row (nothing to join)")
+    val d = rows(0)
+    val strategy = d.getAs[String]("strategy")
+    val result = strategy match {
+      case "broadcast" =>
+        fact.join(broadcast(dim), fact(factKey) === dim(dimKey))
+          .drop(dim(dimKey))
+      case "salted" =>
+        val saltCols = if (factSaltCols.nonEmpty) factSaltCols
+                       else fact.columns.toSeq
+        Skew.saltedJoin(fact, dim.withColumnRenamed(dimKey, factKey),
+          factKey, th.salt, saltCols)
+      case "bloom_pruned" =>
+        Bloom.prunedJoin(fact, dim, factKey, dimKey,
+          th.bloomMBits, th.bloomNumHashes).drop(dimKey)
+      case _ =>
+        fact.join(dim, fact(factKey) === dim(dimKey)).drop(dim(dimKey))
+    }
+    JoinPlan(strategy,
+      d.getAs[Long]("fact_rows"), d.getAs[Long]("dim_rows"),
+      d.getAs[Double]("top_share"), d.getAs[Long]("est_join_size"),
+      d.getAs[Double]("est_selectivity"), result)
+  }
+}

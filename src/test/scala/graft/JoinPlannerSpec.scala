@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.JoinPlanner
+import graft.operators.JoinPlanner.JoinThresholds
+
+/** The chooser must pick the intended strategy per data shape AND return
+  * exactly the plain join's rows under every strategy (structural result
+  * identity — the chooser changes costs, never answers). */
+class JoinPlannerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // thresholds tuned so each fixture lands in a distinct branch
+  private val th = JoinThresholds(broadcastMaxDimRows = 10,
+    skewShareMin = 0.3, bloomSelectivityMax = 0.2, salt = 4,
+    bloomMBits = 62 * 64, bloomNumHashes = 3)
+
+  private def plainRows(fact: org.apache.spark.sql.DataFrame,
+                        dim: org.apache.spark.sql.DataFrame) =
+    fact.join(dim, fact("fk") === dim("dk"))
+      .select(col("fk"), col("payload"), col("name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+
+  private def chosenRows(p: JoinPlanner.JoinPlan) =
+    p.result.select(col("fk"), col("payload"), col("name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+
+  test("skewed fact key selects salted; result == plain join, duplicates kept") {
+    // key 1 carries 60% of the fact — the reducer-pinning shape
+    val fact = ((1 to 60).map(i => (1L, i.toLong)) ++
+      (1 to 40).map(i => (i.toLong + 1, 1000L + i))).toDF("fk", "payload")
+    val dim = (1L to 200L).map(k => (k, s"n$k")).toDF("dk", "name")
+    val plan = JoinPlanner.chooseJoin(fact, dim, "fk", "dk", th)
+    assert(plan.strategy === "salted")
+    assert(plan.topShare === 0.6)
+    assert(plan.factRows === 100L && plan.dimRows === 200L)
+    assert(chosenRows(plan) === plainRows(fact, dim))
+  }
+
+  test("selective dim selects bloom_pruned; result == plain join") {
+    val fact = (1L to 1000L).map(k => (k, k * 10)).toDF("fk", "payload")
+    val dim = (1L to 50L).map(k => (k, s"n$k")).toDF("dk", "name")
+    val plan = JoinPlanner.chooseJoin(fact, dim, "fk", "dk", th)
+    assert(plan.strategy === "bloom_pruned")
+    // CMS inner product never undercounts the true join size (50)
+    assert(plan.estJoinSize >= 50L)
+    assert(plan.estSelectivity <= th.bloomSelectivityMax)
+    assert(chosenRows(plan) === plainRows(fact, dim))
+  }
+
+  test("tiny dim selects broadcast; dense balanced join selects plain") {
+    val fact = (1L to 500L).map(k => (k, k)).toDF("fk", "payload")
+    val tiny = (1L to 5L).map(k => (k, s"n$k")).toDF("dk", "name")
+    val pb = JoinPlanner.chooseJoin(fact, tiny, "fk", "dk", th)
+    assert(pb.strategy === "broadcast")
+    assert(chosenRows(pb) === plainRows(fact, tiny))
+
+    val dense = (1L to 500L).map(k => (k, s"n$k")).toDF("dk", "name")
+    val pp = JoinPlanner.chooseJoin(fact, dense, "fk", "dk", th)
+    assert(pp.strategy === "plain")
+    assert(pp.estSelectivity >= 1.0) // every fact row matches
+    assert(chosenRows(pp) === plainRows(fact, dense))
+  }
+
+  test("decision row arithmetic: exact counts, round-6 ratios, " +
+    "precedence order (broadcast beats salted beats bloom)") {
+    val fact = ((1 to 9).map(_ => (1L, 0L)) :+ ((2L, 0L))).toDF("fk", "payload")
+    val tiny = Seq((1L, "x")).toDF("dk", "name")
+    // top share 0.9 AND dim of 1 row: broadcast must win by precedence
+    val p = JoinPlanner.chooseJoin(fact, tiny, "fk", "dk", th)
+    assert(p.strategy === "broadcast")
+    assert(p.topShare === 0.9)
+    val d = JoinPlanner.joinDecision(fact, tiny, "fk", "dk", th).collect()(0)
+    assert(d.getAs[Long]("fact_rows") === 10L)
+    assert(d.getAs[Long]("dim_rows") === 1L)
+    assert(d.getAs[String]("strategy") === "broadcast")
+  }
+
+  test("guards: same-named keys rejected, empty fact fails loudly") {
+    val f = Seq((1L, 2L)).toDF("k", "payload")
+    val d = Seq((1L, "x")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      JoinPlanner.chooseJoin(f, d, "k", "k", th)
+    }
+    intercept[IllegalArgumentException] {
+      JoinPlanner.chooseJoin(f.filter(col("k") < 0),
+        d.withColumnRenamed("k", "dk"), "k", "dk", th)
+    }
+  }
+}
