@@ -125,6 +125,17 @@ private[graft] object Oracles {
          |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS "avg"
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // retention sweep: the daily re-agg of the upserted-then-swept serving
+    // table must equal the raw aggregate under a plain cutoff WHERE — the
+    // sweep removed exactly the expired day partitions and nothing else
+    "view_retention" ->
+      s"""$ReadingsCte
+         |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "day", COUNT(*) AS "count",
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS "sum",
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS "avg"
+         |FROM r WHERE date_trunc('day', ts) >= DATE '2024-01-15'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "geo_history_avg" -> geoHistoryAvgOracle,
 
     "q1_agg" ->
@@ -1859,6 +1870,26 @@ private[graft] object Oracles {
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    // persisted-index lifecycle: save(even half) + append(odd half) + load
+    // must equal the ONE-SHOT build over the whole benchmark slice — the
+    // oracle replays the union set, never the halves
+    "decontaminate_index_count" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |           i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM tok WHERE len(w) >= 5),
+        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh, unnest(sh.s) AS u(g)
+        |  WHERE sh.doc_id % 97 <> 0 AND u.g IN (SELECT g FROM b))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "asof_within_tolerance" ->
       """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts, MAX(value) AS pvalue
@@ -2424,6 +2455,33 @@ private[graft] object Oracles {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_acctbal > 7500.0
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // capacity advisor: the byte accounting is a DEFINED per-type widths
+    // sum (8/4/2/1 fixed slots, strlen+4 strings, 4+4·len float arrays),
+    // so the oracle re-derives measurement AND advice in pure int64 —
+    // ceildiv spelled (n + d - 1) // d, clamped greatest/least
+    "size_advice" ->
+      """WITH m(label, rows, total_bytes) AS (
+        |  SELECT 'documents', COUNT(*),
+        |         CAST(SUM(8 + COALESCE(strlen(text), 0) + 4
+        |                    + COALESCE(strlen(lang), 0) + 4
+        |                    + COALESCE(strlen(source), 0) + 4 + 8) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lineitem', COUNT(*),
+        |         CAST(SUM(8 + 8 + 8 + 4 + 8 + 8 + 8 + 8
+        |                    + COALESCE(strlen(l_returnflag), 0) + 4
+        |                    + COALESCE(strlen(l_linestatus), 0) + 4 + 8) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'embeddings', COUNT(*),
+        |         CAST(SUM(8 + COALESCE(len(embedding), 0) * 4 + 4 + 4) AS BIGINT)
+        |  FROM embeddings)
+        |SELECT label, rows, total_bytes,
+        |       greatest(1, least(4096, (total_bytes + 16383) // 16384))
+        |         AS advised_shuffle_partitions,
+        |       greatest(1, (total_bytes + 65535) // 65536) AS advised_files
+        |FROM m ORDER BY label""".stripMargin,
 
     "key_skew_profile" ->
       """WITH c AS MATERIALIZED (

@@ -74,6 +74,37 @@ private[graft] object Queries {
         .orderBy(col("day"))
     }),
 
+    "view_retention" -> ((s, dir) => {
+      // serving-table retention lifecycle: hourly view upserted in two
+      // batches (first/second half of January — exercises the merge
+      // path, not just a single write), then retainFrom sweeps days
+      // before Jan 15 and the surviving table re-aggregates per day.
+      // The oracle recomputes the daily aggregate from raw readings
+      // with the cutoff as a plain WHERE — only a sweep that removed
+      // exactly the expired day partitions and nothing else matches
+      import graft.streaming.StreamingPipeline
+      val tmp = java.nio.file.Files.createTempDirectory("graft_view_ret").toString
+      try {
+        val view = AggCore.hourlyView(Tables.readings(s, dir))
+          .withColumn("window_day", to_date(col("window_start")))
+        StreamingPipeline.upsertBatch(
+          view.filter(col("window_day") < lit("2024-01-16")), tmp)
+        StreamingPipeline.upsertBatch(
+          view.filter(col("window_day") >= lit("2024-01-16")), tmp)
+        val removed = StreamingPipeline.retainFrom(s, tmp, "2024-01-15")
+        require(removed.forall(_ < "2024-01-15"),
+          s"retention removed an unexpired day: $removed")
+        val out = AggCore.reAgg(StreamingPipeline.servingView(s, tmp),
+            Seq(col("window_day").as("day")))
+          .select(col("day").cast("timestamp").as("day"),
+            col("count"), col("sum"), col("avg"))
+          .orderBy(col("day"))
+        // pin to a local relation (≤31 day rows) before the artifact dir
+        // goes away — the returned frame must not re-read the swept table
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally Gates.deleteTree(tmp)
+    }),
+
 
     // ------------------------------------------------ batch-relational (§2.13)
     "q1_agg" -> ((s, dir) => {
@@ -1839,6 +1870,29 @@ private[graft] object Queries {
         .orderBy(col("source"))
     }),
 
+    "decontaminate_index_count" -> ((s, dir) => {
+      // decontamination-index lifecycle: the benchmark slice's shingle
+      // set SAVED from its even half, the odd half delta-APPENDED (no
+      // base rewrite), the merged artifact loaded and applied to the
+      // training corpus. The oracle replays the union shingle set in one
+      // shot — only a correct save/append/load (distinct fold across
+      // base+deltas, width check green) matches decontaminate_count's law
+      val tmp = java.nio.file.Files.createTempDirectory("graft_decon_idx").toString
+      try {
+        val d = Tables.documents(s, dir)
+        val bench = d.filter(col("doc_id") % 97 === 0)
+        TextAnalysis.saveBenchmarkIndex(bench.filter(col("doc_id") % 2 === 0), 5, tmp)
+        TextAnalysis.appendBenchmarkIndex(bench.filter(col("doc_id") % 2 =!= 0), 5, tmp)
+        val out = TextAnalysis.decontaminateFromIndex(
+            d.filter(col("doc_id") % 97 =!= 0), tmp)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"))
+        // pin to a local relation (≤|sources| rows) before the index dir
+        // goes away — the returned frame must not re-read the artifact
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally Gates.deleteTree(tmp)
+    }),
+
     "asof_within_tolerance" -> ((s, dir) => {
       // as-of with a 6 h staleness bound: matches older than the tolerance
       // come back null (served-value freshness semantics)
@@ -2883,6 +2937,23 @@ private[graft] object Queries {
       // this join". TakeOrdered top-k (per-partition heaps, no global
       // sort), totals from the same localCheckpointed counts frame
       Skew.keySkewProfile(Tables.events(s, dir), "user_id", topK = 15)
+    }),
+
+    "size_advice" -> ((s, dir) => {
+      // the sizing half of the planning loop (join_choice picks the
+      // strategy; this sizes the exchange and the write): exact one-pass
+      // byte accounting per table → ceildiv'd into advised shuffle
+      // partitions and output files, all int64 arithmetic the oracle
+      // replays measurement-included. Targets scaled to the test corpus
+      // so the advice is off the clamp floor at both gate SFs
+      val t = Capacity.SizingTargets(
+        targetPartitionBytes = 16L << 10, targetFileBytes = 64L << 10,
+        minPartitions = 1, maxPartitions = 4096)
+      Capacity.sizeAdvice(Tables.documents(s, dir), "documents", t)
+        .unionByName(Capacity.sizeAdvice(Tables.lineitem(s, dir), "lineitem", t))
+        .unionByName(Capacity.sizeAdvice(
+          Tables.embeddings(s, dir), "embeddings", t))
+        .orderBy(col("label"))
     }),
 
     "trigram_index_search" -> ((s, dir) => {

@@ -1322,6 +1322,92 @@ object TextAnalysis {
   }
 
   /**
+   * Persisted benchmark-contamination index — the deployment shape of
+   * [[decontaminate]]: a benchmark suite is fixed and versioned (it
+   * changes when a new eval ships, not per corpus batch), so its
+   * distinct shingle set is built ONCE, persisted, delta-appended as
+   * suites are added, and every training-corpus scan joins against the
+   * artifact instead of re-shingling the benchmark texts — the
+   * BM25/winnow/bloom index-lifecycle discipline applied to
+   * decontamination. At 100 TB the train side is the scan; the index is
+   * the small, slowly-growing side the join wants pre-built.
+   *
+   * The artifact is self-describing: every row carries the shingle width
+   * `n`, and the loader fails loudly on a width mix — a silently
+   * mismatched width would make every membership test vacuously false
+   * (no 5-gram ever equals a 4-gram), i.e. "no contamination found"
+   * for the worst possible reason.
+   *
+   * Layout: distinct `(g, n)` rows range-partitioned and sorted by `g`
+   * (sorted runs encode compactly; parquet min/max footers make targeted
+   * gram probes sliver reads — the trigram-index discipline).
+   * [[appendBenchmarkIndex]] writes delta files WITHOUT rewriting the
+   * base; the loader's distinct() folds base/delta overlap, so
+   * save → append → load equals the one-shot build over the union (the
+   * merge law at the storage boundary, replayed by the lifecycle gate).
+   */
+  def saveBenchmarkIndex(benchmark: DataFrame, shingleN: Int, dir: String,
+                         numPartitions: Int = 4,
+                         idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeBenchmarkShingles(benchmark, shingleN, dir, numPartitions, textCol, "overwrite")
+
+  /** Add a new benchmark suite's shingles as delta files (no base
+    * rewrite) — see [[saveBenchmarkIndex]]. */
+  def appendBenchmarkIndex(benchmark: DataFrame, shingleN: Int, dir: String,
+                           numPartitions: Int = 4,
+                           idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeBenchmarkShingles(benchmark, shingleN, dir, numPartitions, textCol, "append")
+
+  private def writeBenchmarkShingles(benchmark: DataFrame, shingleN: Int,
+                                     dir: String, numPartitions: Int,
+                                     textCol: String, mode: String): Unit = {
+    require(shingleN >= 1, s"benchmark index: shingleN must be >= 1, got $shingleN")
+    benchmark
+      .select(explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN))).as("g"))
+      .distinct()
+      .withColumn("n", lit(shingleN))
+      .repartitionByRange(numPartitions, col("g"))
+      .sortWithinPartitions(col("g"))
+      .write.mode(mode).parquet(dir)
+  }
+
+  /** [[contamination]] against a persisted index: per training doc, the
+    * count of distinct shingles shared with the indexed benchmark set.
+    * The shingle width comes from the artifact itself (1-row bounded
+    * collect); a width mix across base+deltas aborts loudly. */
+  def contaminationFromIndex(train: DataFrame, indexDir: String,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val spark = train.sparkSession
+    val idx = spark.read.parquet(indexDir)
+    val widths = idx.select(col("n")).distinct().collect().map(_.getInt(0))
+    require(widths.length == 1,
+      s"benchmark index at $indexDir mixes shingle widths ${widths.sorted.mkString(",")} — " +
+        "rebuild the index; a width mix makes contamination tests vacuously false")
+    val n = widths.head
+    val b = idx.select(col("g")).distinct()
+    train
+      .select(col(idCol).as("train_id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("sh"))
+      .join(b, col("sh") === col("g"))
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+  }
+
+  /** [[decontaminate]] against a persisted index: drop every training doc
+    * sharing at least `minShared` distinct shingles with the indexed
+    * benchmark set. */
+  def decontaminateFromIndex(train: DataFrame, indexDir: String,
+                             minShared: Long = 1,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val flagged = contaminationFromIndex(train, indexDir, idCol, textCol)
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_id"))
+    train.join(flagged, train(idCol) === col("train_id"), "left_anti")
+  }
+
+  /**
    * Corpus-level line deduplication (the C4 / RefinedWeb boilerplate rule):
    * drop every line whose space-trimmed form appears in at least `minDocs`
    * DISTINCT documents, then reassemble each document's surviving lines in

@@ -300,4 +300,41 @@ object StreamingPipeline {
       hfs.delete(staging, true)
     }
   }
+
+  /**
+   * Retention sweep: drop every `window_day=D` partition with `D < minDay`
+   * (ISO `yyyy-MM-dd`; lexicographic order IS date order for that format).
+   * Completes the serving-table lifecycle — [[upsertBatch]] grows it,
+   * [[compact]] re-coalesces it, this bounds it: the reference keeps
+   * durable full history (the declared W5 divergence,
+   * `kafka-streams-pipeline` retains whatever the store holds), but at
+   * 100 TB an append-forever view store IS the storage bill, and day
+   * partitions are the natural expiry unit the layout already provides.
+   *
+   * Crash safety needs NO intent marker here, unlike the upsert's rename
+   * set: deletion converges by idempotence. Each day dir vanishes
+   * atomically from a reader's listing (the same per-day visibility
+   * contract as upsert's rename swap); an interrupted sweep leaves a
+   * subset of expired days that the next sweep removes. [[recover]] runs
+   * first so a pending upsert commit lands before expiry is evaluated —
+   * otherwise a staged-but-unswapped day could be resurrected by replay
+   * after this sweep deleted its live twin.
+   *
+   * O(expired days) filesystem calls, zero data reads, zero Spark jobs —
+   * the sweep never scans the table. Returns the removed day strings
+   * (sorted) so an operator log can audit what expired.
+   */
+  def retainFrom(spark: SparkSession, tableDir: String, minDay: String): Seq[String] = {
+    require(minDay.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"retainFrom: minDay must be yyyy-MM-dd, got '$minDay'")
+    val hfs = fileSystem(spark, tableDir)
+    recover(spark, tableDir)
+    val expired = hfs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .map(_.getPath.getName).filter(_.startsWith("window_day="))
+      .map(_.stripPrefix("window_day=")).filter(_ < minDay).sorted.toIndexedSeq
+    expired.foreach { d =>
+      hfs.delete(new org.apache.hadoop.fs.Path(tableDir, s"window_day=$d"), true)
+    }
+    expired
+  }
 }

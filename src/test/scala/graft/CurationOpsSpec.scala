@@ -332,6 +332,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(bloomKept.subsetOf(clean))     // FPs only shrink the kept set
   }
 
+  test("benchmark index lifecycle: save + append + load equals the " +
+    "one-shot build; width mix aborts loudly") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "xx alpha beta gamma delta epsilon yy"),   // hits suite A
+      (2L, "pp two three four five six qq"),          // hits suite B (the delta)
+      (3L, "totally unrelated words without overlap at all"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("decon_idx").toString
+    try {
+      TextAnalysis.saveBenchmarkIndex(bench.filter($"doc_id" === 100L), 5, dir)
+      TextAnalysis.appendBenchmarkIndex(bench.filter($"doc_id" === 101L), 5, dir)
+      val viaIndex = TextAnalysis.contaminationFromIndex(train, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oneShot = TextAnalysis.contamination(train, bench, shingleN = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaIndex == oneShot && viaIndex.keySet == Set(1L, 2L))
+      val kept = TextAnalysis.decontaminateFromIndex(train, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(3L))
+      // re-appending the SAME suite is a no-op on results (distinct fold)
+      TextAnalysis.appendBenchmarkIndex(bench.filter($"doc_id" === 101L), 5, dir)
+      assert(TextAnalysis.contaminationFromIndex(train, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == oneShot)
+      // width mix: a 4-gram delta against a 5-gram base must abort
+      TextAnalysis.appendBenchmarkIndex(bench.filter($"doc_id" === 101L), 4, dir)
+      val ex = intercept[IllegalArgumentException] {
+        TextAnalysis.contaminationFromIndex(train, dir).collect()
+      }
+      assert(ex.getMessage.contains("mixes shingle widths"))
+    } finally Gates.deleteTree(dir)
+  }
+
   test("noveltyScores: planted duplicate drives novelty to 0, unique doc to 1") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),          // 2 shingles, both shared with 2

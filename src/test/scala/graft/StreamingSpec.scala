@@ -241,4 +241,50 @@ class StreamingSpec extends SparkSpec {
       .orderBy($"key", $"window_start").collect()
     assert(again.length == 3 && again(1).getAs[Long]("count") == 5L)
   }
+
+  test("retainFrom drops exactly the expired day partitions, survives " +
+    "replay, and completes a pending upsert commit first") {
+    val dir = Files.createTempDirectory("serve5").toString
+    StreamingPipeline.upsertBatch(cell("a", "2024-01-01 00:00:00", 1L, 1.0), dir)
+    StreamingPipeline.upsertBatch(cell("b", "2024-01-02 00:00:00", 2L, 4.0), dir)
+    StreamingPipeline.upsertBatch(cell("c", "2024-01-03 00:00:00", 3L, 9.0), dir)
+
+    val removed = StreamingPipeline.retainFrom(spark, dir, "2024-01-03")
+    assert(removed == Seq("2024-01-01", "2024-01-02"))
+    val kept = StreamingPipeline.servingView(spark, dir).collect()
+    assert(kept.length == 1 && kept(0).getAs[String]("key") == "c")
+    assert(!new java.io.File(dir, "window_day=2024-01-01").exists())
+    assert(!new java.io.File(dir, "window_day=2024-01-02").exists())
+
+    // replay converges: second sweep finds nothing, removes nothing
+    assert(StreamingPipeline.retainFrom(spark, dir, "2024-01-03").isEmpty)
+    assert(StreamingPipeline.servingView(spark, dir).count() == 1)
+
+    // a pending upsert commit (intent published, day not yet swapped) for
+    // an EXPIRED day must land before expiry is evaluated — the replayed
+    // rename must not resurrect a day the sweep already judged
+    StreamingPipeline.upsertBatch(cell("d", "2024-01-02 05:00:00", 7L, 7.0), dir)
+    val fs = new java.io.File(dir)
+    val live = new java.io.File(fs, "window_day=2024-01-02")
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr); f.delete()
+    }
+    // reconstruct the mid-commit state: staged day present, live day gone,
+    // intent marker published
+    val staged = new java.io.File(fs, "_staging/window_day=2024-01-02")
+    staged.getParentFile.mkdirs()
+    assert(live.renameTo(staged))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_upsert_intent"), "2024-01-02\n")
+    val removed2 = StreamingPipeline.retainFrom(spark, dir, "2024-01-03")
+    assert(removed2 == Seq("2024-01-02"),
+      "recover() must complete the swap, then the sweep expires the day")
+    assert(!live.exists() && !new java.io.File(fs, "_staging").exists())
+    assert(StreamingPipeline.servingView(spark, dir).count() == 1)
+
+    // malformed cutoff is rejected loudly
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.retainFrom(spark, dir, "Jan 3, 2024")
+    }
+  }
 }
