@@ -86,6 +86,17 @@ private[graft] object Oracles {
          |  AND date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // h1 replayed against the key-sorted compacted serving table — the
+    // relaid layout must be content-neutral through the real read path
+    "view_keyed_history" ->
+      s"""$ReadingsCte
+         |SELECT date_trunc('hour', ts) AS window_start,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS "avg"
+         |FROM r
+         |WHERE ((key >= 'cl' AND key < 'cm') OR (key >= 'vi' AND key < 'vj'))
+         |  AND date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "h2_history_count_interval" ->
       s"""$ReadingsCte
          |SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS "count"

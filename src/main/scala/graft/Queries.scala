@@ -43,6 +43,26 @@ private[graft] object Queries {
       QueryBuilders.history(view, "avg", Seq("cl", "vi"), Jan05, Jan12)
     }),
 
+    "view_keyed_history" -> ((s, dir) => {
+      // h1 through the PERSISTED serving table after a key-sorted
+      // compaction: upsert → compact(sortByKey) → the F1/F2 prefix+time
+      // query against the relaid parquet (files key-range-disjoint per
+      // day, so the prefix predicate prunes whole files by min/max —
+      // StreamingSpec pins the layout; this gate pins that the relaid
+      // store still answers the reference query bit-for-bit)
+      import graft.streaming.StreamingPipeline
+      val tmp = java.nio.file.Files.createTempDirectory("graft_view_keyed").toString
+      try {
+        StreamingPipeline.upsertBatch(
+          AggCore.hourlyView(Tables.readings(s, dir))
+            .withColumn("window_day", to_date(col("window_start"))), tmp)
+        StreamingPipeline.compact(s, tmp, filesPerDay = 2, sortByKey = true)
+        val out = QueryBuilders.history(
+          StreamingPipeline.servingView(s, tmp), "avg", Seq("cl", "vi"), Jan05, Jan12)
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally Gates.deleteTree(tmp)
+    }),
+
     "h2_history_count_interval" -> ((s, dir) => {
       val view = AggCore.hourlyView(Tables.readings(s, dir))
       QueryBuilders.historyInterval(view, "count", Seq("purchase", "signup"), Jan30, "1week")

@@ -273,9 +273,24 @@ object StreamingPipeline {
    * footer-open cost dominates scans unless something re-coalesces. Run this
    * out-of-band (it contends only for the days it swaps, and the swap is the
    * same atomic rename readers already tolerate).
+   *
+   * `sortByKey = true` additionally lays each day's rows out in
+   * `(key, window_start)` range order — range-partitioned across the
+   * day's `filesPerDay` files and sorted within each — so the reference's
+   * primary read path (key-prefix ranges + time windows, the F1/F2
+   * predicates [[graft.operators.QueryBuilders]] pushes down) prunes at
+   * BOTH granularities: whole files by disjoint parquet min/max key
+   * spans, then row groups within the survivor. A micro-batch-maintained
+   * table can never keep this invariant online (each trigger appends its
+   * own key range); restoring it IS a compaction concern, at the moment
+   * the files are rewritten anyway — the same pairing as Delta's
+   * OPTIMIZE ... ZORDER, but 1-D here because key-prefix is the
+   * dominant predicate. Hash layout stays the default: it spreads
+   * hot-key upsert traffic, and not every table has a range read path.
    */
   def compact(spark: SparkSession, tableDir: String,
-              days: Seq[String] = Nil, filesPerDay: Int = 1): Unit = {
+              days: Seq[String] = Nil, filesPerDay: Int = 1,
+              sortByKey: Boolean = false): Unit = {
     val hfs = fileSystem(spark, tableDir)
     recover(spark, tableDir)
     val targetDays =
@@ -288,12 +303,19 @@ object StreamingPipeline {
       if (hfs.exists(staging)) hfs.delete(staging, true)
       // deterministic salt (no rand(): retry-safe) spreads each day across
       // exactly filesPerDay writer partitions
-      spark.read.parquet(tableDir)
+      val live = spark.read.parquet(tableDir)
         .filter(col("window_day").isin(targetDays: _*))
-        .withColumn("_salt", pmod(hash(col("key"), col("window_start")), lit(filesPerDay)))
-        .repartition(targetDays.length * filesPerDay, col("window_day"), col("_salt"))
-        .drop("_salt")
-        .write.mode("overwrite").partitionBy("window_day").parquet(staging.toString)
+      val relaid =
+        if (sortByKey)
+          live.repartitionByRange(targetDays.length * filesPerDay,
+              col("window_day"), col("key"), col("window_start"))
+            .sortWithinPartitions(col("window_day"), col("key"), col("window_start"))
+        else
+          live.withColumn("_salt",
+              pmod(hash(col("key"), col("window_start")), lit(filesPerDay)))
+            .repartition(targetDays.length * filesPerDay, col("window_day"), col("_salt"))
+            .drop("_salt")
+      relaid.write.mode("overwrite").partitionBy("window_day").parquet(staging.toString)
       writeIntent(hfs, tableDir, targetDays)
       swapDays(hfs, tableDir, targetDays)
       hfs.delete(intentPath(tableDir), false)

@@ -242,6 +242,42 @@ class StreamingSpec extends SparkSpec {
     assert(again.length == 3 && again(1).getAs[Long]("count") == 5L)
   }
 
+  test("compact(sortByKey) is content-neutral and lays each day out in " +
+    "disjoint per-file key ranges (the min/max pruning invariant)") {
+    val dir = Files.createTempDirectory("serve6").toString
+    // 26 keys across 2 days, several upserts → scrambled hash layout
+    ('a' to 'z').zipWithIndex.foreach { case (k, i) =>
+      val day = if (i % 2 == 0) "2024-01-01" else "2024-01-02"
+      StreamingPipeline.upsertBatch(
+        cell(s"${k}key", s"$day 0${i % 10}:00:00", i + 1L, i * 2.0), dir)
+    }
+    val before = StreamingPipeline.servingView(spark, dir)
+      .orderBy($"key", $"window_start").collect().toSeq
+
+    StreamingPipeline.compact(spark, dir, filesPerDay = 3, sortByKey = true)
+    val after = StreamingPipeline.servingView(spark, dir)
+      .orderBy($"key", $"window_start").collect().toSeq
+    assert(after == before, "keyed compaction must be content-neutral")
+
+    // per day: each parquet file's [min(key), max(key)] span must not
+    // overlap another file's interior — that is exactly what lets the
+    // key-prefix scan drop whole files on footer stats
+    Seq("2024-01-01", "2024-01-02").foreach { day =>
+      val files = new java.io.File(dir, s"window_day=$day").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+      assert(files.nonEmpty)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f).agg(min($"key"), max($"key")).head()
+        (r.getString(0), r.getString(1))
+      }.sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Seq((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2, s"day $day: file spans overlap ($hi1 > $lo2)")
+        case _ =>
+      }
+    }
+  }
+
   test("retainFrom drops exactly the expired day partitions, survives " +
     "replay, and completes a pending upsert commit first") {
     val dir = Files.createTempDirectory("serve5").toString
