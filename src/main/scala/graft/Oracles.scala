@@ -1881,6 +1881,23 @@ private[graft] object Oracles {
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    // streaming admission control: the drained evidence log aggregated to
+    // per-doc shared-gram counts must equal the batch contamination replay
+    // exactly — stream-static equi-join semantics, no FPs, no lost hits
+    "streaming_decon_flag" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |           i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM tok WHERE len(w) >= 5),
+        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0)
+        |SELECT sh.doc_id AS id, CAST(COUNT(DISTINCT u.g) AS BIGINT) AS n_shared
+        |FROM sh, unnest(sh.s) AS u(g)
+        |WHERE sh.doc_id % 97 <> 0 AND u.g IN (SELECT g FROM b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // persisted-index lifecycle: save(even half) + append(odd half) + load
     // must equal the ONE-SHOT build over the whole benchmark slice — the
     // oracle replays the union set, never the halves

@@ -1913,6 +1913,36 @@ private[graft] object Queries {
       } finally Gates.deleteTree(tmp)
     }),
 
+    "streaming_decon_flag" -> ((s, dir) => {
+      // streaming × decontamination (admission control at ingest): the
+      // training slice streamed in two real micro-batches against the
+      // per-JVM benchmark gram index (built once per corpus epoch through
+      // the full save/append/load lifecycle). Stateless: one stream-static
+      // equi-join per batch, (id, gram) evidence rows emitted exactly
+      // once by arithmetic — the drain aggregates them to per-doc
+      // n_shared, which the oracle replays exactly (no bloom FPs to
+      // excuse)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val (grams, n) = DedupArtifacts.deconGrams(s, dir)
+      val rows = Tables.documents(s, dir).filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingDecon.flagHits(
+        mem.toDF().toDF("doc_id", "text"), grams, n)
+      val name = "sdf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      drainMemorySink(s, name)(_
+        .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("id")))
+    }),
+
     "asof_within_tolerance" -> ((s, dir) => {
       // as-of with a 6 h staleness bound: matches older than the tolerance
       // come back null (served-value freshness semantics)

@@ -1371,21 +1371,30 @@ object TextAnalysis {
       .write.mode(mode).parquet(dir)
   }
 
-  /** [[contamination]] against a persisted index: per training doc, the
-    * count of distinct shingles shared with the indexed benchmark set.
-    * The shingle width comes from the artifact itself (1-row bounded
-    * collect); a width mix across base+deltas aborts loudly. */
-  def contaminationFromIndex(train: DataFrame, indexDir: String,
-                             idCol: String = "doc_id",
-                             textCol: String = "text"): DataFrame = {
-    val spark = train.sparkSession
+  /** Load a persisted benchmark index back into its probe shape: the
+    * distinct-gram frame (column `g`) plus the artifact's shingle width
+    * (1-row bounded collect); a width mix across base+deltas aborts
+    * loudly. The gram frame is NOT checkpointed here — batch callers use
+    * it once; a streaming caller ([[graft.streaming.StreamingDecon]])
+    * should `localCheckpoint` it so the static subplan isn't re-read
+    * every micro-batch. */
+  def loadBenchmarkIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String): (DataFrame, Int) = {
     val idx = spark.read.parquet(indexDir)
     val widths = idx.select(col("n")).distinct().collect().map(_.getInt(0))
     require(widths.length == 1,
       s"benchmark index at $indexDir mixes shingle widths ${widths.sorted.mkString(",")} — " +
         "rebuild the index; a width mix makes contamination tests vacuously false")
-    val n = widths.head
-    val b = idx.select(col("g")).distinct()
+    (idx.select(col("g")).distinct(), widths.head)
+  }
+
+  /** [[contamination]] against a persisted index: per training doc, the
+    * count of distinct shingles shared with the indexed benchmark set.
+    * The shingle width comes from the artifact itself. */
+  def contaminationFromIndex(train: DataFrame, indexDir: String,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val (b, n) = loadBenchmarkIndex(train.sparkSession, indexDir)
     train
       .select(col(idCol).as("train_id"),
         explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("sh"))
