@@ -2475,6 +2475,42 @@ private[graft] object Oracles {
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
         |ORDER BY scenario""".stripMargin,
 
+    // the complete planner row: the s1 sketch chain + exact byte
+    // accounting + ceildiv sizing, replayed end to end
+    "join_choice_sized" ->
+      """WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
+        |ca AS MATERIALIZED (
+        |  SELECT r, (l_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM lineitem CROSS JOIN h GROUP BY 1, 2),
+        |cb AS MATERIALIZED (
+        |  SELECT r, (s_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM supplier CROSS JOIN h GROUP BY 1, 2),
+        |ip AS (SELECT ca.r, SUM(CAST(ca.n AS HUGEINT) * cb.n) AS ip
+        |       FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c GROUP BY ca.r),
+        |e AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est
+        |      FROM range(0, 4) t(r) LEFT JOIN ip ON ip.r = t.r),
+        |f AS (SELECT COUNT(*) AS fact_rows,
+        |             CAST(SUM(68 + COALESCE(strlen(l_returnflag), 0) + 4
+        |                         + COALESCE(strlen(l_linestatus), 0) + 4) AS BIGINT)
+        |               AS fact_bytes
+        |      FROM lineitem),
+        |d AS (SELECT COUNT(*) AS dim_rows,
+        |             CAST(SUM(8 + COALESCE(strlen(s_name), 0) + 4 + 4 + 8) AS BIGINT)
+        |               AS dim_bytes
+        |      FROM supplier),
+        |s AS (SELECT round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_share
+        |      FROM (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1))
+        |SELECT fact_rows, dim_rows, top_share, est AS est_join_size,
+        |       round(CAST(est AS DOUBLE) / fact_rows, 6) AS est_selectivity,
+        |       CASE WHEN dim_rows <= 120 THEN 'broadcast'
+        |            WHEN top_share >= 0.05 THEN 'salted'
+        |            WHEN round(CAST(est AS DOUBLE) / fact_rows, 6) <= 0.5 THEN 'bloom_pruned'
+        |            ELSE 'plain' END AS strategy,
+        |       fact_bytes, dim_bytes,
+        |       greatest(1, least(4096, (fact_bytes + dim_bytes + 65535) // 65536))
+        |         AS advised_shuffle_partitions
+        |FROM f, d, s, e""".stripMargin,
+
     // chosen-strategy result identity: whatever the estimates select,
     // the output is the plain join's — the oracle IS the plain join
     "join_choice_exec" ->

@@ -2989,6 +2989,24 @@ private[graft] object Queries {
       Skew.keySkewProfile(Tables.events(s, dir), "user_id", topK = 15)
     }),
 
+    "join_choice_sized" -> ((s, dir) => {
+      // the COMPLETE planner row: strategy (sketch estimates + CASE) and
+      // exchange sizing (exact byte accounting + ceildiv) from one call —
+      // what a 100 TB run submits as its join conf. Target scaled to the
+      // test corpus so the advised count is off the clamp floor
+      val th = JoinPlanner.JoinThresholds(broadcastMaxDimRows = 120,
+        skewShareMin = 0.05, bloomSelectivityMax = 0.5)
+      val t = Capacity.SizingTargets(
+        targetPartitionBytes = 64L << 10, targetFileBytes = 256L << 10,
+        minPartitions = 1, maxPartitions = 4096)
+      JoinPlanner.sizedJoinDecision(Tables.lineitem(s, dir),
+          Tables.supplier(s, dir), "l_suppkey", "s_suppkey", th, t)
+        .select(col("fact_rows"), col("dim_rows"), col("top_share"),
+          col("est_join_size"), col("est_selectivity"), col("strategy"),
+          col("fact_bytes"), col("dim_bytes"),
+          col("advised_shuffle_partitions"))
+    }),
+
     "size_advice" -> ((s, dir) => {
       // the sizing half of the planning loop (join_choice picks the
       // strategy; this sizes the exchange and the write): exact one-pass

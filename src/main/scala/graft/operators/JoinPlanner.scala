@@ -116,6 +116,36 @@ object JoinPlanner {
   }
 
   /**
+   * [[joinDecision]] extended with the exchange-sizing half
+   * ([[Capacity]]): exact byte accounting of both join inputs plus the
+   * advised partition count for the join's shuffle exchange —
+   * `clamp(ceildiv(fact_bytes + dim_bytes, targetPartitionBytes))`, the
+   * initial count AQE can only coalesce DOWN from (a too-small static
+   * `spark.sql.shuffle.partitions` is unfixable at runtime; a sized one
+   * costs nothing). When the strategy is 'broadcast' no exchange runs
+   * and `dim_bytes` is instead the payload the driver must hold — the
+   * number to check against the broadcast memory budget. Everything
+   * added is int64 arithmetic on exact sums, so the gate replays
+   * sketches, byte accounting and ceildiv in one chain.
+   */
+  def sizedJoinDecision(fact: DataFrame, dim: DataFrame, factKey: String,
+                        dimKey: String, th: JoinThresholds,
+                        t: Capacity.SizingTargets = Capacity.SizingTargets()): DataFrame = {
+    val fb = fact.agg(
+      coalesce(sum(Capacity.rowBytes(fact)), lit(0L)).as("fact_bytes"))
+    val db = dim.agg(
+      coalesce(sum(Capacity.rowBytes(dim)), lit(0L)).as("dim_bytes"))
+    joinDecision(fact, dim, factKey, dimKey, th)
+      .crossJoin(broadcast(fb))
+      .crossJoin(broadcast(db))
+      .withColumn("advised_shuffle_partitions",
+        greatest(lit(t.minPartitions.toLong), least(lit(t.maxPartitions.toLong),
+          call_function("div",
+            col("fact_bytes") + col("dim_bytes") + lit(t.targetPartitionBytes - 1L),
+            lit(t.targetPartitionBytes)))))
+  }
+
+  /**
    * Pick and RUN the strategy: inner equi-join `fact(factKey) =
    * dim(dimKey)`, returned with the dim's key column dropped (the key
    * survives once, as `factKey`) — the same rows under every strategy.

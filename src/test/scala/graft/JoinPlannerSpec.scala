@@ -79,6 +79,29 @@ class JoinPlannerSpec extends SparkSpec {
     assert(d.getAs[String]("strategy") === "broadcast")
   }
 
+  test("sizedJoinDecision: exact byte accounting and clamped ceildiv sizing " +
+    "on top of the same decision row") {
+    import graft.operators.Capacity.SizingTargets
+    // fact rows: 8 (fk) + 8 (payload) = 16 bytes × 100 = 1600
+    val fact = (1L to 100L).map(k => (k, k * 10)).toDF("fk", "payload")
+    // dim rows: 8 (dk) + strlen + 4 = variable; "n1".."n20"
+    val dim = (1L to 20L).map(k => (k, s"n$k")).toDF("dk", "name")
+    val dimBytes = (1L to 20L).map(k => 8L + s"n$k".length + 4L).sum
+    val t = SizingTargets(targetPartitionBytes = 512L, targetFileBytes = 1024L,
+      minPartitions = 1, maxPartitions = 3)
+    val r = JoinPlanner.sizedJoinDecision(fact, dim, "fk", "dk", th, t).collect()(0)
+    assert(r.getAs[Long]("fact_bytes") === 1600L)
+    assert(r.getAs[Long]("dim_bytes") === dimBytes)
+    // ceil((1600 + 291) / 512) = 4, clamped to maxPartitions 3
+    assert(dimBytes === 291L)
+    assert(r.getAs[Long]("advised_shuffle_partitions") === 3L)
+    // the decision half is unchanged
+    assert(r.getAs[Long]("fact_rows") === 100L)
+    assert(r.getAs[String]("strategy") ===
+      JoinPlanner.joinDecision(fact, dim, "fk", "dk", th)
+        .collect()(0).getAs[String]("strategy"))
+  }
+
   test("guards: same-named keys rejected, empty fact fails loudly") {
     val f = Seq((1L, 2L)).toDF("k", "payload")
     val d = Seq((1L, "x")).toDF("k", "name")
