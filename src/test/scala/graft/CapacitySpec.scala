@@ -59,6 +59,22 @@ class CapacitySpec extends SparkSpec {
     assert(r4.getAs[Long]("advised_files") == 1L)
   }
 
+  test("the advice is actionable: writing with advised_files yields exactly " +
+    "that many parquet files") {
+    val df = (1L to 400L).map(k => (k, "x" * 100)).toDF("id", "s")
+    val t = SizingTargets(targetPartitionBytes = 8L << 10, targetFileBytes = 16L << 10)
+    val advised = Capacity.sizeAdvice(df, "t", t)
+      .collect()(0).getAs[Long]("advised_files").toInt
+    assert(advised > 1) // the fixture is sized to be off the floor
+    val dir = java.nio.file.Files.createTempDirectory("cap_files").toString
+    try {
+      df.repartition(advised).write.mode("overwrite").parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == advised)
+    } finally Gates.deleteTree(dir)
+  }
+
   test("sizeAdvice never shuffles: one partial/final aggregate, no exchange " +
     "wider than a single-row gather") {
     val df = Seq.fill(8)((1L, "xy")).toDF("id", "s")

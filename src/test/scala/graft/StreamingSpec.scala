@@ -276,6 +276,17 @@ class StreamingSpec extends SparkSpec {
         case _ =>
       }
     }
+
+    // the F1 prefix predicate reaches the relaid store's parquet scan as
+    // sargable key ranges — the pushdown that consumes those footer stats
+    val scanned = graft.operators.QueryBuilders.history(
+      StreamingPipeline.servingView(spark, dir), "count", Seq("m"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime,
+      java.sql.Timestamp.valueOf("2024-01-03 00:00:00").getTime)
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(key,m") && plan.contains("LessThan(key,n"),
+      s"prefix range must push into the store scan:\n$plan")
   }
 
   test("retainFrom drops exactly the expired day partitions, survives " +
