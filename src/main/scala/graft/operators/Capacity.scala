@@ -59,7 +59,9 @@ object Capacity {
   def rowBytes(df: DataFrame): Column = {
     def width(f: StructField): Column = f.dataType match {
       case LongType | DoubleType | TimestampType | TimestampNTZType => lit(8L)
-      case _: DecimalType => lit(8L)
+      // compact decimals ride the 8-byte slot; precision > 18 stores a
+      // 16-byte unscaled value out-of-line (UnsafeRow layout)
+      case d: DecimalType => if (d.precision <= 18) lit(8L) else lit(16L)
       case IntegerType | FloatType | DateType => lit(4L)
       case ShortType => lit(2L)
       case BooleanType | ByteType => lit(1L)

@@ -20,6 +20,14 @@ class CapacitySpec extends SparkSpec {
     assert(out == Seq(21L, 37L))
   }
 
+  test("rowBytes: wide decimals account 16 bytes, compact ones 8") {
+    val df = Seq(1).toDF("x").select(
+      lit(BigDecimal(1)).cast("decimal(18,2)").as("c"),
+      lit(BigDecimal(1)).cast("decimal(38,10)").as("w"))
+    val rb = df.select(Capacity.rowBytes(df).as("rb")).head().getLong(0)
+    assert(rb == 8L + 16L)
+  }
+
   test("rowBytes rejects unsupported column types loudly") {
     val df = Seq((1L, Map("a" -> 1))).toDF("id", "m")
     val ex = intercept[IllegalArgumentException] { Capacity.rowBytes(df) }
