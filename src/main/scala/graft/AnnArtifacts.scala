@@ -41,13 +41,7 @@ private[graft] object AnnArtifacts {
   private lazy val root: String =
     Files.createTempDirectory("graft_ann_artifacts").toString
 
-  /** Collision-free per-dataset path key (String.hashCode collides;
-    * md5 over the dir string does not, for any realistic set of dirs). */
-  private def dirKey(dir: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))
-    d.map(b => f"${b & 0xff}%02x").mkString
-  }
+  private def dirKey(dir: String): String = DirKeys.key(dir)
 
   private val centsMemo =
     scala.collection.mutable.Map[String, Array[(Int, Array[Float])]]()

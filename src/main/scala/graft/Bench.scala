@@ -153,6 +153,8 @@ object Bench {
       MediaArtifacts.pngBandedIndex(spark, sfDir)
       MediaArtifacts.plantedImageRecords(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[bench] media warmup failed: $e") }
+    try ViewArtifacts.keyedStoreDir(spark, sfDir) // view_keyed_history serves reads
+    catch { case e: Throwable => System.err.println(s"[bench] view warmup failed: $e") }
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()

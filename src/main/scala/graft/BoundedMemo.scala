@@ -15,6 +15,19 @@ package graft
  * frames lose their last reference here; their localCheckpoint blocks are
  * reclaimed by Spark's ContextCleaner once unreachable.
  */
+/** Collision-free per-dataset path key shared by the per-JVM artifact
+  * caches ([[AnnArtifacts]], [[ViewArtifacts]]) — `String.hashCode`
+  * collides; md5 over the dir string does not, for any realistic set of
+  * dirs. One definition so a keying change cannot silently diverge
+  * between caches. */
+private[graft] object DirKeys {
+  def key(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
+}
+
 private[graft] final class BoundedMemo[V](cap: Int) {
   require(cap >= 1, s"BoundedMemo: cap must be >= 1, got $cap")
   private val entries = scala.collection.mutable.LinkedHashMap[String, V]()

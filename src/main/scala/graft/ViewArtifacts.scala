@@ -22,19 +22,13 @@ private[graft] object ViewArtifacts {
   private lazy val root: String =
     Files.createTempDirectory("graft_view_artifacts").toString
 
-  private def dirKey(dir: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))
-    d.map(b => f"${b & 0xff}%02x").mkString
-  }
-
   private val keyedMemo = scala.collection.mutable.Map[String, String]()
 
   /** The hourly serving table for `dir`, upserted once and key-sorted
     * compacted (filesPerDay = 2) — built on first touch, reused after. */
   def keyedStoreDir(s: SparkSession, dir: String): String = synchronized {
     keyedMemo.getOrElseUpdate(dir, {
-      val p = s"$root/${dirKey(dir)}_keyed"
+      val p = s"$root/${DirKeys.key(dir)}_keyed"
       StreamingPipeline.upsertBatch(
         AggCore.hourlyView(Tables.readings(s, dir))
           .withColumn("window_day", to_date(col("window_start"))), p)

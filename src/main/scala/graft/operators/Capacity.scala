@@ -90,22 +90,29 @@ object Capacity {
     * `max(1, ceildiv(total_bytes, targetFileBytes))` — ceildiv written as
     * `(n + d - 1) div d`, pure int64 arithmetic on the exact byte total
     * (no FP division whose rounding could differ across engines). */
+  /** Exact int64 ceiling division as a Column: `(n + d - 1) div d`
+    * (IntegralDivide — no FP rounding to diverge across engines). The ONE
+    * spelling of the sizing arithmetic; [[JoinPlanner.sizedJoinDecision]]
+    * reuses it so the two gated derivations cannot drift. */
+  def ceilDiv(n: Column, d: Long): Column =
+    call_function("div", n + lit(d - 1L), lit(d))
+
+  /** `clamp(ceildiv(bytes, targetPartitionBytes))` — the advised exchange
+    * partition count for a stage moving `bytes`. */
+  def advisedPartitions(bytes: Column, t: SizingTargets): Column =
+    greatest(lit(t.minPartitions.toLong), least(lit(t.maxPartitions.toLong),
+      ceilDiv(bytes, t.targetPartitionBytes)))
+
   def sizeAdvice(df: DataFrame, label: String,
-                 t: SizingTargets = SizingTargets()): DataFrame = {
-    val minP = lit(t.minPartitions.toLong)
-    val maxP = lit(t.maxPartitions.toLong)
-    def ceilDiv(n: Column, d: Long): Column =
-      call_function("div", n + lit(d - 1L), lit(d)) // IntegralDivide: exact int64
+                 t: SizingTargets = SizingTargets()): DataFrame =
     df.agg(count(lit(1)).as("rows"),
         coalesce(sum(rowBytes(df)), lit(0L)).as("total_bytes"))
       .select(
         lit(label).as("label"),
         col("rows"),
         col("total_bytes"),
-        greatest(minP, least(maxP,
-          ceilDiv(col("total_bytes"), t.targetPartitionBytes)))
+        advisedPartitions(col("total_bytes"), t)
           .as("advised_shuffle_partitions"),
         greatest(lit(1L), ceilDiv(col("total_bytes"), t.targetFileBytes))
           .as("advised_files"))
-  }
 }

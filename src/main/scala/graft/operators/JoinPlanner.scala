@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -92,6 +92,21 @@ object JoinPlanner {
    * mergeable per-ingest artifacts ([[Sketches.countMinMerge]]); the
    * inline form exists so the gate can replay the whole chain.
    */
+  /** The CMS cell build casts its key to long ([[Sketches.countMinCells]]);
+    * a string key would cast to NULL, never equi-join in the inner
+    * product, and collapse the bound to 0 — flipping the never-undercount
+    * guarantee into a guaranteed undercount that force-picks
+    * 'bloom_pruned' for every string-keyed join. String keys (URLs,
+    * doc ids) are therefore xxhash64'd first: hash collisions can only
+    * MERGE distinct keys into one cell, which inflates the inner product —
+    * the bound stays an upper bound, degrading toward 'plain', never
+    * toward a wrong prune. */
+  private def sketchKey(df: DataFrame, key: String): Column =
+    df.schema(key).dataType match {
+      case org.apache.spark.sql.types.StringType => xxhash64(col(key))
+      case _ => col(key)
+    }
+
   def joinDecision(fact: DataFrame, dim: DataFrame, factKey: String,
                    dimKey: String, th: JoinThresholds): DataFrame = {
     val factRows = fact.agg(count(lit(1)).cast("long").as("fact_rows"))
@@ -99,8 +114,8 @@ object JoinPlanner {
     val top = Skew.keySkewProfile(fact, factKey, topK = 1)
       .select(col("share").as("top_share"))
     val est = Sketches.cmsJoinSize(
-      Sketches.countMinCells(fact, col(factKey), th.cmsDepth, th.cmsWidth),
-      Sketches.countMinCells(dim, col(dimKey), th.cmsDepth, th.cmsWidth),
+      Sketches.countMinCells(fact, sketchKey(fact, factKey), th.cmsDepth, th.cmsWidth),
+      Sketches.countMinCells(dim, sketchKey(dim, dimKey), th.cmsDepth, th.cmsWidth),
       th.cmsDepth)
     factRows
       .crossJoin(broadcast(dimRows))
@@ -139,10 +154,7 @@ object JoinPlanner {
       .crossJoin(broadcast(fb))
       .crossJoin(broadcast(db))
       .withColumn("advised_shuffle_partitions",
-        greatest(lit(t.minPartitions.toLong), least(lit(t.maxPartitions.toLong),
-          call_function("div",
-            col("fact_bytes") + col("dim_bytes") + lit(t.targetPartitionBytes - 1L),
-            lit(t.targetPartitionBytes)))))
+        Capacity.advisedPartitions(col("fact_bytes") + col("dim_bytes"), t))
   }
 
   /**
@@ -161,6 +173,18 @@ object JoinPlanner {
     require(factKey != dimKey,
       s"chooseJoin: fact and dim key columns must be named differently " +
         s"(both '$factKey') — rename one side first")
+    // schema identity across strategies needs the key names to be unique
+    // across BOTH sides: the bloom branch drops dimKey by NAME (it would
+    // take a same-named fact column with it), and the salted branch
+    // renames dimKey→factKey (ambiguous if dim already has a factKey
+    // column). Fail loudly instead of letting the picked strategy decide
+    // whether the schema survives.
+    require(!fact.columns.contains(dimKey),
+      s"chooseJoin: fact already has a column named '$dimKey' (the dim key) — " +
+        "rename it first; strategy branches would otherwise diverge in schema")
+    require(!dim.columns.contains(factKey),
+      s"chooseJoin: dim already has a column named '$factKey' (the fact key) — " +
+        "rename it first; strategy branches would otherwise diverge in schema")
     val rows = joinDecision(fact, dim, factKey, dimKey, th).collect()
     require(rows.nonEmpty,
       "chooseJoin: empty fact side — no decision row (nothing to join)")

@@ -228,7 +228,10 @@ object Learn {
    * [[graft.operators.Skew.keySkewProfile]].
    */
   def calibrationThreshold(docs: DataFrame, iters: Int, bins: Int = 10): DataFrame = {
-    val cal = calibrationTable(docs, iters, bins)
+    // materialize the <=bins-row table ONCE: totals and the suffix-sum
+    // window both read it, and without severing the lineage each branch
+    // would re-run the corpus-sized train+score scan behind it
+    val cal = calibrationTable(docs, iters, bins).localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("bin").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

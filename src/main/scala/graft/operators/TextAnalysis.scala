@@ -1382,10 +1382,15 @@ object TextAnalysis {
                          indexDir: String): (DataFrame, Int) = {
     val idx = spark.read.parquet(indexDir)
     val widths = idx.select(col("n")).distinct().collect().map(_.getInt(0))
-    require(widths.length == 1,
+    require(widths.length <= 1,
       s"benchmark index at $indexDir mixes shingle widths ${widths.sorted.mkString(",")} — " +
         "rebuild the index; a width mix makes contamination tests vacuously false")
-    (idx.select(col("g")).distinct(), widths.head)
+    // a legitimately empty index (every benchmark text shorter than the
+    // shingle width) carries no width row: return the empty gram set with
+    // a placeholder width — zero grams share nothing at ANY width, so
+    // contamination is empty and decontaminate keeps everything
+    if (widths.isEmpty) (idx.select(col("g")).limit(0), 1)
+    else (idx.select(col("g")).distinct(), widths.head)
   }
 
   /** [[contamination]] against a persisted index: per training doc, the

@@ -301,21 +301,33 @@ object StreamingPipeline {
     if (targetDays.nonEmpty) {
       val staging = stagingPath(tableDir)
       if (hfs.exists(staging)) hfs.delete(staging, true)
-      // deterministic salt (no rand(): retry-safe) spreads each day across
-      // exactly filesPerDay writer partitions
       val live = spark.read.parquet(tableDir)
         .filter(col("window_day").isin(targetDays: _*))
-      val relaid =
-        if (sortByKey)
-          live.repartitionByRange(targetDays.length * filesPerDay,
-              col("window_day"), col("key"), col("window_start"))
-            .sortWithinPartitions(col("window_day"), col("key"), col("window_start"))
-        else
-          live.withColumn("_salt",
-              pmod(hash(col("key"), col("window_start")), lit(filesPerDay)))
-            .repartition(targetDays.length * filesPerDay, col("window_day"), col("_salt"))
-            .drop("_salt")
-      relaid.write.mode("overwrite").partitionBy("window_day").parquet(staging.toString)
+      if (sortByKey) {
+        // one range-partitioned write PER DAY: a global range over
+        // (day, key) would sample boundaries by row VOLUME, so a skewed
+        // day could absorb every boundary and starve its neighbors of
+        // the filesPerDay contract. Per-day jobs keep the guarantee
+        // exact; the day loop is bounded by retention (the same
+        // O(days) the swap already walks), and compaction is the
+        // out-of-band path where a job per day is the normal shape.
+        targetDays.foreach { d =>
+          live.filter(col("window_day") === lit(d))
+            .drop("window_day") // implied by the directory, as partitionBy writes it
+            .repartitionByRange(filesPerDay, col("key"), col("window_start"))
+            .sortWithinPartitions(col("key"), col("window_start"))
+            .write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(staging, s"window_day=$d").toString)
+        }
+      } else {
+        // deterministic salt (no rand(): retry-safe) spreads each day
+        // across exactly filesPerDay writer partitions
+        live.withColumn("_salt",
+            pmod(hash(col("key"), col("window_start")), lit(filesPerDay)))
+          .repartition(targetDays.length * filesPerDay, col("window_day"), col("_salt"))
+          .drop("_salt")
+          .write.mode("overwrite").partitionBy("window_day").parquet(staging.toString)
+      }
       writeIntent(hfs, tableDir, targetDays)
       swapDays(hfs, tableDir, targetDays)
       hfs.delete(intentPath(tableDir), false)

@@ -366,6 +366,19 @@ class CurationOpsSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains("mixes shingle widths"))
     } finally Gates.deleteTree(dir)
+
+    // a legitimately EMPTY index (every benchmark text shorter than the
+    // width) is not an error: zero grams, zero contamination, keep all
+    val dir2 = java.nio.file.Files.createTempDirectory("decon_idx_empty").toString
+    try {
+      TextAnalysis.saveBenchmarkIndex(
+        Seq((1L, "too short")).toDF("doc_id", "text"), 5, dir2)
+      val (g, _) = TextAnalysis.loadBenchmarkIndex(spark, dir2)
+      assert(g.count() == 0L)
+      assert(TextAnalysis.contaminationFromIndex(train, dir2).count() == 0L)
+      assert(TextAnalysis.decontaminateFromIndex(train, dir2).count() ==
+        train.count())
+    } finally Gates.deleteTree(dir2)
   }
 
   test("noveltyScores: planted duplicate drives novelty to 0, unique doc to 1") {

@@ -113,4 +113,48 @@ class JoinPlannerSpec extends SparkSpec {
         d.withColumnRenamed("k", "dk"), "k", "dk", th)
     }
   }
+
+  test("schema identity guards: a cross-side key-name collision is rejected " +
+    "loudly instead of letting the picked strategy decide the schema") {
+    // fact carries a column named like the dim key → the bloom branch's
+    // name-based drop would take it; dim carrying the fact key name would
+    // make the salted rename ambiguous
+    val f = Seq((1L, 2L, 3L)).toDF("fk", "payload", "dk")
+    val d = Seq((1L, "x")).toDF("dk", "name")
+    val ex = intercept[IllegalArgumentException] {
+      JoinPlanner.chooseJoin(f, d, "fk", "dk", th)
+    }
+    assert(ex.getMessage.contains("diverge in schema"))
+    val d2 = Seq((1L, "x", 9L)).toDF("dk2", "name", "fk")
+    val ex2 = intercept[IllegalArgumentException] {
+      JoinPlanner.chooseJoin(f.drop("dk"), d2, "fk", "dk2", th)
+    }
+    assert(ex2.getMessage.contains("diverge in schema"))
+  }
+
+  test("string join keys: the CMS bound stays an upper bound (keys hashed, " +
+    "never cast to NULL) and a dense string join is NOT mis-picked as bloom") {
+    // 1:1 dense join on string keys — before the sketchKey hash, the cast
+    // to long nulled every key, collapsed the bound to 0 and force-picked
+    // bloom_pruned for exactly this shape
+    val fact = (1 to 300).map(i => (s"url$i", i.toLong)).toDF("fk", "payload")
+    val dim = (1 to 300).map(i => (s"url$i", s"n$i")).toDF("dk", "name")
+    val dense = th.copy(broadcastMaxDimRows = 10, skewShareMin = 0.3,
+      bloomSelectivityMax = 0.2)
+    val row = JoinPlanner.joinDecision(fact, dim, "fk", "dk", dense).collect()(0)
+    assert(row.getAs[Long]("est_join_size") >= 300L,
+      "CMS bound must never undercount the true join size")
+    assert(row.getAs[String]("strategy") === "plain")
+    // and the chosen join still returns exactly the plain join's rows
+    val plan = JoinPlanner.chooseJoin(fact, dim, "fk", "dk", dense)
+    assert(chosenRows2(plan) === fact.join(dim, fact("fk") === dim("dk"))
+      .select(col("fk"), col("payload"), col("name"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq)
+  }
+
+  private def chosenRows2(p: JoinPlanner.JoinPlan) =
+    p.result.select(col("fk"), col("payload"), col("name"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
 }

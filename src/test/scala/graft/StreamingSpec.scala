@@ -277,6 +277,26 @@ class StreamingSpec extends SparkSpec {
       }
     }
 
+    // day-volume skew must not starve a day of its filesPerDay contract:
+    // ranges are sampled PER DAY, not globally, so a 24x-heavier neighbor
+    // cannot absorb every boundary
+    val skewDir = Files.createTempDirectory("serve6s").toString
+    ('a' to 'x').foreach { k => // day 1: 24 cells
+      StreamingPipeline.upsertBatch(
+        cell(s"${k}k", "2024-02-01 00:00:00", 1L, 1.0), skewDir)
+    }
+    Seq("aa", "bb", "cc").foreach { k => // day 2: 3 cells
+      StreamingPipeline.upsertBatch(
+        cell(k, "2024-02-02 00:00:00", 1L, 1.0), skewDir)
+    }
+    StreamingPipeline.compact(spark, skewDir, filesPerDay = 2, sortByKey = true)
+    Seq("2024-02-01", "2024-02-02").foreach { day =>
+      val n = new java.io.File(skewDir, s"window_day=$day").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(n == 2, s"day $day must hold exactly filesPerDay files, got $n")
+    }
+    assert(StreamingPipeline.servingView(spark, skewDir).count() == 27L)
+
     // the F1 prefix predicate reaches the relaid store's parquet scan as
     // sargable key ranges — the pushdown that consumes those footer stats
     val scanned = graft.operators.QueryBuilders.history(
