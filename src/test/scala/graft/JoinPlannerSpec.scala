@@ -157,4 +157,37 @@ class JoinPlannerSpec extends SparkSpec {
     p.result.select(col("fk"), col("payload"), col("name"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
       .sorted.toSeq
+
+  test("law sweep: on seeded irregular corpora every pick preserves result " +
+    "identity and the join-size bound never undercounts") {
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 5).foreach { trial =>
+      val nFact = 200 + rnd.nextInt(800)
+      val nDim = 5 + rnd.nextInt(400)
+      val hotShare = rnd.nextDouble() * 0.8
+      val nHot = (nFact * hotShare).toInt
+      val fact = ((1 to nHot).map(i => (1L, i.toLong)) ++
+        (1 to (nFact - nHot)).map(i =>
+          (1L + rnd.nextInt(nDim * 2).toLong, 10000L + i)))
+        .toDF("fk", "payload")
+      val dim = (1L to nDim.toLong).map(k => (k, s"n$k")).toDF("dk", "name")
+      val thr = JoinThresholds(
+        broadcastMaxDimRows = rnd.nextInt(50).toLong,
+        skewShareMin = 0.05 + rnd.nextDouble() * 0.5,
+        bloomSelectivityMax = rnd.nextDouble(),
+        salt = 2 + rnd.nextInt(6), bloomMBits = 62 * 32, bloomNumHashes = 3)
+      val plan = JoinPlanner.chooseJoin(fact, dim, "fk", "dk", thr)
+      val plain = fact.join(dim, fact("fk") === dim("dk"))
+        .select(col("fk"), col("payload"), col("name"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+      val chosen = plan.result.select(col("fk"), col("payload"), col("name"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+      assert(chosen === plain,
+        s"trial $trial (${plan.strategy}): result identity broken")
+      assert(plan.estJoinSize >= plain.size,
+        s"trial $trial: CMS bound ${plan.estJoinSize} < true ${plain.size}")
+    }
+  }
 }
