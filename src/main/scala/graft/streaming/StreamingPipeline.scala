@@ -199,7 +199,16 @@ object StreamingPipeline {
             case _: org.apache.spark.sql.AnalysisException => // first batch: no table yet
               changed.limit(0)
           }
+        // one writer partition per touched day: without this, every
+        // shuffle task holding a day's rows writes its own file into the
+        // day dir — up to spark.sql.shuffle.partitions files PER DAY PER
+        // TRIGGER, the small-file swarm [[compact]] exists to clean up.
+        // A day's merge as one task is safe here because the rows are
+        // AGGREGATED CELLS (bounded by |keys|·24 per day, not raw event
+        // volume); a deployment with very wide days re-spreads via
+        // compact(filesPerDay = k) out-of-band.
         existing.union(changed)
+          .repartition(col("window_day"))
           .write.mode("overwrite").partitionBy("window_day").parquet(staging.toString)
         writeIntent(hfs, tableDir, days.map(_.toString).toIndexedSeq)
         swapDays(hfs, tableDir, days.map(_.toString).toIndexedSeq)
