@@ -1348,14 +1348,17 @@ object TextAnalysis {
    */
   def saveBenchmarkIndex(benchmark: DataFrame, shingleN: Int, dir: String,
                          numPartitions: Int = 4,
-                         idCol: String = "doc_id", textCol: String = "text"): Unit =
+                         textCol: String = "text"): Unit =
     writeBenchmarkShingles(benchmark, shingleN, dir, numPartitions, textCol, "overwrite")
 
   /** Add a new benchmark suite's shingles as delta files (no base
-    * rewrite) — see [[saveBenchmarkIndex]]. */
+    * rewrite) — see [[saveBenchmarkIndex]]. The artifact is a distinct
+    * GRAM set with no per-doc keying (contamination only asks "is this
+    * gram benchmarked", never "by which doc"), which is also why no id
+    * column appears in these signatures. */
   def appendBenchmarkIndex(benchmark: DataFrame, shingleN: Int, dir: String,
                            numPartitions: Int = 4,
-                           idCol: String = "doc_id", textCol: String = "text"): Unit =
+                           textCol: String = "text"): Unit =
     writeBenchmarkShingles(benchmark, shingleN, dir, numPartitions, textCol, "append")
 
   private def writeBenchmarkShingles(benchmark: DataFrame, shingleN: Int,
@@ -1379,34 +1382,48 @@ object TextAnalysis {
     * should `localCheckpoint` it so the static subplan isn't re-read
     * every micro-batch. */
   def loadBenchmarkIndex(spark: org.apache.spark.sql.SparkSession,
-                         indexDir: String): (DataFrame, Int) = {
+                         indexDir: String): (DataFrame, Int) =
+    // a legitimately empty index (every benchmark text shorter than the
+    // shingle width) carries no width row: return the empty gram set with
+    // a placeholder width — zero grams share nothing at ANY width, so
+    // contamination is empty and decontaminate keeps everything
+    loadBenchmarkIndexOpt(spark, indexDir).getOrElse(
+      (spark.read.parquet(indexDir).select(col("g")).limit(0), 1))
+
+  /** [[loadBenchmarkIndex]] with emptiness made explicit (None = the
+    * artifact holds no grams) so probe paths can skip corpus work for a
+    * guaranteed-empty result instead of shingling against nothing. */
+  private[graft] def loadBenchmarkIndexOpt(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[(DataFrame, Int)] = {
     val idx = spark.read.parquet(indexDir)
     val widths = idx.select(col("n")).distinct().collect().map(_.getInt(0))
     require(widths.length <= 1,
       s"benchmark index at $indexDir mixes shingle widths ${widths.sorted.mkString(",")} — " +
         "rebuild the index; a width mix makes contamination tests vacuously false")
-    // a legitimately empty index (every benchmark text shorter than the
-    // shingle width) carries no width row: return the empty gram set with
-    // a placeholder width — zero grams share nothing at ANY width, so
-    // contamination is empty and decontaminate keeps everything
-    if (widths.isEmpty) (idx.select(col("g")).limit(0), 1)
-    else (idx.select(col("g")).distinct(), widths.head)
+    widths.headOption.map(n => (idx.select(col("g")).distinct(), n))
   }
 
   /** [[contamination]] against a persisted index: per training doc, the
     * count of distinct shingles shared with the indexed benchmark set.
-    * The shingle width comes from the artifact itself. */
+    * The shingle width comes from the artifact itself. An EMPTY index
+    * short-circuits to the empty report — no shingle explosion of the
+    * training corpus for a join against zero grams. */
   def contaminationFromIndex(train: DataFrame, indexDir: String,
                              idCol: String = "doc_id",
-                             textCol: String = "text"): DataFrame = {
-    val (b, n) = loadBenchmarkIndex(train.sparkSession, indexDir)
-    train
-      .select(col(idCol).as("train_id"),
-        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("sh"))
-      .join(b, col("sh") === col("g"))
-      .groupBy(col("train_id"))
-      .agg(countDistinct(col("g")).as("n_shared"))
-  }
+                             textCol: String = "text"): DataFrame =
+    loadBenchmarkIndexOpt(train.sparkSession, indexDir) match {
+      case None =>
+        train.select(col(idCol).as("train_id")).limit(0)
+          .withColumn("n_shared", lit(0L))
+      case Some((b, n)) =>
+        train
+          .select(col(idCol).as("train_id"),
+            explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("sh"))
+          .join(b, col("sh") === col("g"))
+          .groupBy(col("train_id"))
+          .agg(countDistinct(col("g")).as("n_shared"))
+    }
 
   /** [[decontaminate]] against a persisted index: drop every training doc
     * sharing at least `minShared` distinct shingles with the indexed

@@ -172,8 +172,22 @@ object StreamingPipeline {
    * A crash before (2) leaves the live table untouched (orphan staging is
    * dropped on the next call); a crash after (2) is completed by [[recover]]
    * — day renames are idempotent, so any replay converges.
+   *
+   * `writersPerDay` spreads each staged day's merge write over up to
+   * that many writer tasks (deterministic `(key, window_start)` hash
+   * salt — retry-safe, never `rand()`; hash partitioning may collide a
+   * few (day, salt) combos, so the spread is an upper bound, uniform in
+   * expectation). The default 1 keeps the one-file-per-day
+   * layout that serves best; a deployment whose days are genuinely wide
+   * (|keys|·24 cells approaching a single task's comfortable write, e.g.
+   * precision-6 geohash over a dense region) raises it so the staged
+   * write itself parallelizes — out-of-band [[compact]] fixes file
+   * COUNT, but only this spreads the per-trigger merge write.
    */
-  def upsertBatch(batch: DataFrame, tableDir: String): Unit = {
+  def upsertBatch(batch: DataFrame, tableDir: String,
+                  writersPerDay: Int = 1): Unit = {
+    require(writersPerDay >= 1,
+      s"upsertBatch: writersPerDay must be >= 1, got $writersPerDay")
     val spark = batch.sparkSession
     val cols = Seq("key", "window_start", "window_end", "count", "sum", "avg", "window_day")
       .map(col)
@@ -199,16 +213,25 @@ object StreamingPipeline {
             case _: org.apache.spark.sql.AnalysisException => // first batch: no table yet
               changed.limit(0)
           }
-        // one writer partition per touched day: without this, every
-        // shuffle task holding a day's rows writes its own file into the
-        // day dir — up to spark.sql.shuffle.partitions files PER DAY PER
-        // TRIGGER, the small-file swarm [[compact]] exists to clean up.
-        // A day's merge as one task is safe here because the rows are
-        // AGGREGATED CELLS (bounded by |keys|·24 per day, not raw event
-        // volume); a deployment with very wide days re-spreads via
-        // compact(filesPerDay = k) out-of-band.
-        existing.union(changed)
-          .repartition(col("window_day"))
+        // writersPerDay writer partitions per touched day (default 1):
+        // without pinning, every shuffle task holding a day's rows writes
+        // its own file into the day dir — up to
+        // spark.sql.shuffle.partitions files PER DAY PER TRIGGER, the
+        // small-file swarm [[compact]] exists to clean up. One task per
+        // day is safe at the default because the rows are AGGREGATED
+        // CELLS (bounded by |keys|·24 per day, not raw event volume);
+        // wide-day deployments raise writersPerDay to spread the staged
+        // write itself (see the scaladoc).
+        val staged =
+          if (writersPerDay == 1)
+            existing.union(changed).repartition(col("window_day"))
+          else
+            existing.union(changed)
+              .withColumn("_w",
+                pmod(hash(col("key"), col("window_start")), lit(writersPerDay)))
+              .repartition(days.length * writersPerDay, col("window_day"), col("_w"))
+              .drop("_w")
+        staged
           .write.mode("overwrite").partitionBy("window_day").parquet(staging.toString)
         writeIntent(hfs, tableDir, days.map(_.toString).toIndexedSeq)
         swapDays(hfs, tableDir, days.map(_.toString).toIndexedSeq)
@@ -268,9 +291,22 @@ object StreamingPipeline {
   }
 
   /** Load the serving table for querying (the batch view the reference's
-    * REST layer reads; feeds [[graft.operators.QueryBuilders]]). */
-  def servingView(spark: SparkSession, tableDir: String): DataFrame =
+    * REST layer reads; feeds [[graft.operators.QueryBuilders]]). A table
+    * whose every day partition was expired by [[retainFrom]] has no
+    * parquet files left, and a bare `spark.read.parquet` surfaces that as
+    * an unrelated-looking schema-inference error — check first and fail
+    * with the actual cause. */
+  def servingView(spark: SparkSession, tableDir: String): DataFrame = {
+    val hfs = fileSystem(spark, tableDir)
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    if (hfs.exists(p) &&
+        !hfs.listStatus(p).exists(_.getPath.getName.startsWith("window_day=")))
+      throw new IllegalStateException(
+        s"servingView: $tableDir has no day partitions — every window_day " +
+          "was expired by retainFrom (or nothing was ever upserted); " +
+          "re-ingest or widen retention before serving")
     spark.read.parquet(tableDir)
+  }
 
   /**
    * Compact the serving table's day partitions: rewrite each listed day (or
@@ -366,6 +402,13 @@ object StreamingPipeline {
    * O(expired days) filesystem calls, zero data reads, zero Spark jobs —
    * the sweep never scans the table. Returns the removed day strings
    * (sorted) so an operator log can audit what expired.
+   *
+   * A sweep may legitimately expire EVERY remaining day (a paused
+   * ingest older than the retention horizon); the table dir then holds
+   * no parquet files and [[servingView]] fails with an explicit
+   * no-day-partitions error (not a schema-inference one) until the next
+   * upsert repopulates it. Callers that must keep serving an empty
+   * window should check the returned list against the pre-sweep day set.
    */
   def retainFrom(spark: SparkSession, tableDir: String, minDay: String): Seq[String] = {
     require(minDay.matches("\\d{4}-\\d{2}-\\d{2}"),

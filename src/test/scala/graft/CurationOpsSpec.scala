@@ -375,7 +375,12 @@ class CurationOpsSpec extends SparkSpec {
         Seq((1L, "too short")).toDF("doc_id", "text"), 5, dir2)
       val (g, _) = TextAnalysis.loadBenchmarkIndex(spark, dir2)
       assert(g.count() == 0L)
-      assert(TextAnalysis.contaminationFromIndex(train, dir2).count() == 0L)
+      val viaEmpty = TextAnalysis.contaminationFromIndex(train, dir2)
+      assert(viaEmpty.count() == 0L)
+      assert(viaEmpty.columns.toSeq == Seq("train_id", "n_shared"))
+      // the empty-index probe short-circuits: no shingle explosion of the
+      // training corpus just to join against zero grams
+      assert(!viaEmpty.queryExecution.optimizedPlan.toString.contains("Generate"))
       assert(TextAnalysis.decontaminateFromIndex(train, dir2).count() ==
         train.count())
     } finally Gates.deleteTree(dir2)

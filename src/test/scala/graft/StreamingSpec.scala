@@ -354,4 +354,53 @@ class StreamingSpec extends SparkSpec {
       StreamingPipeline.retainFrom(spark, dir, "Jan 3, 2024")
     }
   }
+
+  test("a fully-expired table fails servingView with the retention cause, " +
+    "not a schema-inference error, and recovers on the next upsert") {
+    val dir = Files.createTempDirectory("serve6").toString
+    StreamingPipeline.upsertBatch(cell("a", "2024-01-01 00:00:00", 1L, 1.0), dir)
+    StreamingPipeline.upsertBatch(cell("b", "2024-01-02 00:00:00", 2L, 4.0), dir)
+    val removed = StreamingPipeline.retainFrom(spark, dir, "2025-01-01")
+    assert(removed == Seq("2024-01-01", "2024-01-02"))
+    val e = intercept[IllegalStateException] {
+      StreamingPipeline.servingView(spark, dir)
+    }
+    assert(e.getMessage.contains("no day partitions"))
+    // the table dir is still a live upsert target: the next trigger repopulates
+    StreamingPipeline.upsertBatch(cell("c", "2025-06-01 00:00:00", 3L, 9.0), dir)
+    assert(StreamingPipeline.servingView(spark, dir).count() == 1)
+  }
+
+  test("upsertBatch(writersPerDay > 1) spreads each day over that many " +
+    "files and stays content-identical to the default") {
+    val wide = (0 until 40).map { i =>
+      (s"k$i", "2024-01-01 00:00:00", "2024-01-01 01:00:00", 1L, i.toDouble, i.toDouble)
+    }.toDF("key", "ws", "we", "count", "sum", "avg")
+      .select($"key", to_timestamp($"ws").as("window_start"),
+        to_timestamp($"we").as("window_end"), $"count", $"sum", $"avg",
+        to_date(to_timestamp($"ws")).as("window_day"))
+    val d1 = Files.createTempDirectory("serve7a").toString
+    val d4 = Files.createTempDirectory("serve7b").toString
+    StreamingPipeline.upsertBatch(wide, d1)
+    StreamingPipeline.upsertBatch(wide, d4, writersPerDay = 4)
+    def rows(d: String) = StreamingPipeline.servingView(spark, d)
+      .orderBy($"key").collect().map(_.toString).toSeq
+    assert(rows(d1) == rows(d4))
+    def parquets(d: String) = new java.io.File(d, "window_day=2024-01-01")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquets(d1) == 1)
+    // hash partitioning on (day, salt) can collide combos into one
+    // partition — the contract is "spread across UP TO writersPerDay
+    // writers", not an exact file count
+    assert(parquets(d4) >= 2 && parquets(d4) <= 4)
+    // a revision through the salted path still replaces in place
+    StreamingPipeline.upsertBatch(cell("k3", "2024-01-01 00:00:00", 9L, 90.0),
+      d4, writersPerDay = 4)
+    val revised = StreamingPipeline.servingView(spark, d4)
+      .filter($"key" === "k3").collect()
+    assert(revised.length == 1 && revised(0).getAs[Long]("count") == 9L)
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.upsertBatch(wide, d4, writersPerDay = 0)
+    }
+  }
 }
