@@ -125,6 +125,65 @@ private[graft] object Gates {
     }),
 
 
+    "band_index_append" -> ((s, dir) => {
+      // the PERSISTED band-index lifecycle under continuous ingest
+      // (round-17 task #3): base half saved, second half delta-appended
+      // (no rewrite), the pile compacted into a fresh generation, and an
+      // ingest batch of exact copies (every 37th doc, shifted ids) probed
+      // against BOTH generations. Recall contract = the
+      // incremental_dedup_recall oracle: the stored union must find every
+      // exact cross-pair with jaccard >= 0.95 (n_exact is DuckDB-checked,
+      // n_missed = 0), and compaction_consistent pins that the fold
+      // changed nothing a probe can see
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_band_idx").toString
+      try {
+        val corpus = Tables.documents(s, dir)
+        val newBatch = corpus.filter(col("doc_id") % 37 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        Dedup.saveBandIndex(
+          Dedup.buildBandIndex(corpus.filter(col("doc_id") % 2 === 0)), s"$tmp/idx")
+        Dedup.appendBandIndex(
+          Dedup.buildBandIndex(corpus.filter(col("doc_id") % 2 === 1)), s"$tmp/idx")
+        Dedup.compactBandIndex(s, s"$tmp/idx", s"$tmp/gen2")
+        def probe(path: String) = Dedup.nearDupsAgainstIndex(
+            newBatch, Dedup.loadBandIndex(s, path), corpus, threshold = 0.95)
+          .select(col("new_id"), col("corpus_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val pre = probe(s"$tmp/idx")
+        val post = probe(s"$tmp/gen2")
+        // found pairs are local (collected) — the temp index can vanish
+        val found = post.toSeq.map { case (a, b) => (a, b, 1) }
+          .toDF("new_id", "corpus_id", "hit")
+        // exact ground truth, the incremental_dedup_recall derivation:
+        // inverted-index candidate join + size-ratio cull + exact Jaccard
+        val sh = (d: DataFrame, id: String, shc: String) => d.select(
+          col("doc_id").as(id),
+          array_distinct(TextFunctions.shingles(col("text"), 3)).as(shc))
+          .filter(size(col(shc)) > 0)
+        val shn = sh(newBatch, "na", "sa")
+        val shc2 = sh(corpus, "nb", "sb")
+        val candPairs = shn.select(col("na"), explode(col("sa")).as("g"))
+          .join(shc2.select(col("nb"), explode(col("sb")).as("g")), "g")
+          .select(col("na"), col("nb")).distinct()
+        val exact = candPairs
+          .join(shn, "na").join(shc2, "nb")
+          .filter(least(size(col("sa")), size(col("sb"))).cast("double") /
+            greatest(size(col("sa")), size(col("sb"))).cast("double") >= 0.95)
+          .withColumn("inter",
+            size(array_intersect(col("sa"), col("sb"))).cast("double"))
+          .withColumn("jac", col("inter") /
+            (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
+          .filter(col("jac") >= 0.95)
+          .select(col("na"), col("nb"))
+        exact.join(found,
+            col("na") === col("new_id") && col("nb") === col("corpus_id"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            count(when(col("hit").isNull, 1)).as("n_missed"))
+          .withColumn("compaction_consistent", lit(pre == post))
+      } finally deleteTree(tmp)
+    }),
+
     "embedding_near_dup_recall" -> ((s, dir) => {
       // SRP-LSH near-dup pairs vs EXACT all-pairs cosine ≥ 0.95 on a bounded
       // slice (≤500 vectors at any sf) — n_exact is a true DuckDB oracle
@@ -651,6 +710,27 @@ private[graft] object Gates {
         |  FROM f)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_missed
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+
+    // same exact-recall contract as incremental_dedup_recall, probed
+    // through the persisted save -> append -> compact index lifecycle;
+    // compaction_consistent is a Spark-side structural pin (pre == post)
+    "band_index_append" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> array_to_string(w[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |newb AS (SELECT doc_id + 1000000 AS doc_id, s FROM sh WHERE doc_id % 37 = 0),
+        |p AS (
+        |  SELECT a.doc_id AS na, b.doc_id AS nb,
+        |         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+        |  FROM newb a, sh b)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_missed,
+        |       true AS compaction_consistent
+        |FROM p
+        |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.95""".stripMargin,
 
     "incremental_dedup_recall" ->
       """WITH sh AS (

@@ -2475,6 +2475,71 @@ private[graft] object Oracles {
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
         |ORDER BY scenario""".stripMargin,
 
+    // the artifact-fed planner's merge law: the Spark side decides from
+    // persisted save+append sketch bundles; this replays every scenario
+    // ONE-SHOT from the raw tables (CMS chains for both dims, exact
+    // hot-key share, 16-byte-row accounting on the 2-col projections,
+    // CASE over each scenario's literal thresholds, ceildiv sizing) —
+    // a hash match proves decision-from-merged-deltas == one-shot
+    "join_profile_decision" ->
+      """WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
+        |fc AS MATERIALIZED (
+        |  SELECT r, (l_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM lineitem CROSS JOIN h GROUP BY 1, 2),
+        |dc AS MATERIALIZED (
+        |  SELECT r, (s_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM supplier CROSS JOIN h GROUP BY 1, 2),
+        |rc AS MATERIALIZED (
+        |  SELECT r, (s_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM supplier CROSS JOIN h WHERE s_acctbal > 5000.0 GROUP BY 1, 2),
+        |ipd AS (SELECT fc.r, SUM(CAST(fc.n AS HUGEINT) * dc.n) AS ip
+        |        FROM fc JOIN dc ON fc.r = dc.r AND fc.c = dc.c GROUP BY fc.r),
+        |ipr AS (SELECT fc.r, SUM(CAST(fc.n AS HUGEINT) * rc.n) AS ip
+        |        FROM fc JOIN rc ON fc.r = rc.r AND fc.c = rc.c GROUP BY fc.r),
+        |ed AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est
+        |       FROM range(0, 4) t(r) LEFT JOIN ipd ip ON ip.r = t.r),
+        |er AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est
+        |       FROM range(0, 4) t(r) LEFT JOIN ipr ip ON ip.r = t.r),
+        |f AS (SELECT COUNT(*) AS fact_rows,
+        |             CAST(16 * COUNT(*) AS BIGINT) AS fact_bytes FROM lineitem),
+        |d AS (SELECT COUNT(*) AS dim_rows,
+        |             CAST(16 * COUNT(*) AS BIGINT) AS dim_bytes FROM supplier),
+        |rr AS (SELECT COUNT(*) AS dim_rows, CAST(16 * COUNT(*) AS BIGINT) AS dim_bytes
+        |       FROM supplier WHERE s_acctbal > 5000.0),
+        |ts AS (SELECT round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_share
+        |       FROM (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1)),
+        |base AS (
+        |  SELECT 'pick_broadcast' AS scenario, f.fact_rows, d.dim_rows, ts.top_share,
+        |         ed.est AS est_join_size,
+        |         round(CAST(ed.est AS DOUBLE) / f.fact_rows, 6) AS est_selectivity,
+        |         CAST(2000 AS BIGINT) AS bmax, CAST(0.9 AS DOUBLE) AS smin,
+        |         CAST(0.001 AS DOUBLE) AS selmax, f.fact_bytes, d.dim_bytes
+        |  FROM f, d, ts, ed
+        |  UNION ALL
+        |  SELECT 'pick_salted', f.fact_rows, d.dim_rows, ts.top_share, ed.est,
+        |         round(CAST(ed.est AS DOUBLE) / f.fact_rows, 6),
+        |         0, 0.009, 0.9, f.fact_bytes, d.dim_bytes
+        |  FROM f, d, ts, ed
+        |  UNION ALL
+        |  SELECT 'pick_bloom', f.fact_rows, rr.dim_rows, ts.top_share, er.est,
+        |         round(CAST(er.est AS DOUBLE) / f.fact_rows, 6),
+        |         0, 0.9, 0.9, f.fact_bytes, rr.dim_bytes
+        |  FROM f, rr, ts, er
+        |  UNION ALL
+        |  SELECT 'pick_plain', f.fact_rows, d.dim_rows, ts.top_share, ed.est,
+        |         round(CAST(ed.est AS DOUBLE) / f.fact_rows, 6),
+        |         0, 0.9, 0.001, f.fact_bytes, d.dim_bytes
+        |  FROM f, d, ts, ed)
+        |SELECT scenario, fact_rows, dim_rows, top_share, est_join_size, est_selectivity,
+        |       CASE WHEN dim_rows <= bmax THEN 'broadcast'
+        |            WHEN top_share >= smin THEN 'salted'
+        |            WHEN est_selectivity <= selmax THEN 'bloom_pruned'
+        |            ELSE 'plain' END AS strategy,
+        |       fact_bytes, dim_bytes,
+        |       greatest(1, least(4096, (fact_bytes + dim_bytes + 65535) // 65536))
+        |         AS advised_shuffle_partitions
+        |FROM base ORDER BY scenario""".stripMargin,
+
     // the complete planner row: the s1 sketch chain + exact byte
     // accounting + ceildiv sizing, replayed end to end
     "join_choice_sized" ->

@@ -2977,6 +2977,69 @@ private[graft] object Queries {
         .orderBy(col("c_nationkey"))
     }),
 
+    "join_profile_decision" -> ((s, dir) => {
+      // the planner fed by PERSISTED per-table sketch bundles — the
+      // lifecycle that closes the round-16 chooser: fact (lineitem,
+      // narrow 2-col projection) profiled as save + 2 delta-appends over
+      // an l_orderkey % 3 partition, two dims (supplier, rich supplier)
+      // each as save + 1 append, then FOUR decisions from the merged
+      // artifacts alone — same profiles, different thresholds, one per
+      // strategy branch — with zero passes over fact or dim at decision
+      // time (JoinPlannerSpec pins the no-scan property). The bundles
+      // merge EXACTLY (cells cell-wise, stats row-wise, topK = 4096 >=
+      // the supplier key domain at every gate sf so the hot-key count is
+      // exact), so the DuckDB oracle replaying each scenario ONE-SHOT
+      // from the raw tables proves the merge law: decision-from-deltas
+      // == decision-from-one-shot, sketch chain, byte accounting, CASE
+      // and ceildiv sizing included
+      val tmp = java.nio.file.Files.createTempDirectory("graft_join_prof").toString
+      try {
+        val fact = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
+        val rich = dim.filter(col("s_acctbal") > 5000.0)
+        val p = JoinPlanner.ProfileParams(depth = 4, width = 4096, topK = 4096)
+        JoinPlanner.saveTableProfile(
+          fact.filter(col("l_orderkey") % 3 === 0), "l_suppkey", s"$tmp/fact", p)
+        JoinPlanner.appendTableProfile(
+          fact.filter(col("l_orderkey") % 3 === 1), "l_suppkey", s"$tmp/fact", p)
+        JoinPlanner.appendTableProfile(
+          fact.filter(col("l_orderkey") % 3 === 2), "l_suppkey", s"$tmp/fact", p)
+        JoinPlanner.saveTableProfile(
+          dim.filter(col("s_suppkey") % 2 === 0), "s_suppkey", s"$tmp/dim", p)
+        JoinPlanner.appendTableProfile(
+          dim.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", s"$tmp/dim", p)
+        JoinPlanner.saveTableProfile(
+          rich.filter(col("s_suppkey") % 2 === 0), "s_suppkey", s"$tmp/rich", p)
+        JoinPlanner.appendTableProfile(
+          rich.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", s"$tmp/rich", p)
+        val t = Capacity.SizingTargets(
+          targetPartitionBytes = 64L << 10, targetFileBytes = 256L << 10,
+          minPartitions = 1, maxPartitions = 4096)
+        def dcs(nm: String, dimPath: String, th: JoinPlanner.JoinThresholds) =
+          JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact", dimPath, th, t)
+            .withColumn("scenario", lit(nm))
+        val out = dcs("pick_broadcast", s"$tmp/dim",
+            JoinPlanner.JoinThresholds(broadcastMaxDimRows = 2000,
+              skewShareMin = 0.9, bloomSelectivityMax = 0.001))
+          .unionByName(dcs("pick_salted", s"$tmp/dim",
+            JoinPlanner.JoinThresholds(broadcastMaxDimRows = 0,
+              skewShareMin = 0.009, bloomSelectivityMax = 0.9)))
+          .unionByName(dcs("pick_bloom", s"$tmp/rich",
+            JoinPlanner.JoinThresholds(broadcastMaxDimRows = 0,
+              skewShareMin = 0.9, bloomSelectivityMax = 0.9)))
+          .unionByName(dcs("pick_plain", s"$tmp/dim",
+            JoinPlanner.JoinThresholds(broadcastMaxDimRows = 0,
+              skewShareMin = 0.9, bloomSelectivityMax = 0.001)))
+          .select(col("scenario"), col("fact_rows"), col("dim_rows"),
+            col("top_share"), col("est_join_size"), col("est_selectivity"),
+            col("strategy"), col("fact_bytes"), col("dim_bytes"),
+            col("advised_shuffle_partitions"))
+          .orderBy(col("scenario"))
+        // materialize before the artifact dirs vanish (lifecycle rule)
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally Gates.deleteTree(tmp)
+    }),
+
     "key_skew_profile" -> ((s, dir) => {
       // the pre-shuffle skew diagnostic: hottest event users with exact
       // counts and corpus shares vs the uniform baseline — "should I salt

@@ -209,6 +209,49 @@ object Dedup {
     spark.read.parquet(path)
 
   /**
+   * Append an ingest batch's band rows as delta files under the same
+   * `band=` partition layout (no base rewrite — the segment-append
+   * discipline shared with [[graft.operators.Retrieval.appendTrigramIndex]]
+   * and [[graft.streaming.StreamingWinnow.appendFingerprints]]): admitted
+   * batches join the index they were just probed against, so
+   * [[nearDupsAgainstIndex]] admission control keeps working under
+   * continuous ingest without whole-index rebuilds. Band rows across
+   * batches are distinct as long as the batches' doc ids are, so the
+   * loaded union needs no dedup. Build the batch's rows with
+   * [[buildBandIndex]] using the SAME shingleN/bands/rowsPerBand as the
+   * base — banding parameters are baked into the hash values; a mix
+   * silently probes nothing.
+   */
+  def appendBandIndex(index: DataFrame, path: String): Unit =
+    index.repartition(col("band")).sortWithinPartitions(col("bh"))
+      .write.mode("append").partitionBy("band").parquet(path)
+
+  /**
+   * Compact a band index: fold the base save plus accumulated delta
+   * files into a fresh one-generation layout at `dst` — per band
+   * partition, `bh`-sorted files whose parquet min/max stats prune probe
+   * row groups again (each append lands unsorted RELATIVE to the base's
+   * runs, so under continuous ingest probes pay a growing file listing
+   * and overlapping stat ranges until a fold restores the layout). Rows
+   * are preserved VERBATIM (batches are id-distinct by construction —
+   * compaction is file-layout work, no dedup), audited by an exact
+   * row-count match; probing `dst` is row-identical to probing the pile.
+   * Production shape: fresh path + serving-pointer flip, crash-safe.
+   */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       src: String, dst: String): Unit = {
+    require(src != dst, "compactBandIndex: dst must be a fresh path")
+    val pile = spark.read.parquet(src)
+    pile.repartition(col("band")).sortWithinPartitions(col("bh"))
+      .write.mode("overwrite").partitionBy("band").parquet(dst)
+    val nSrc = pile.count()
+    val nDst = spark.read.parquet(dst).count()
+    require(nSrc == nDst,
+      s"compactBandIndex: layout-only rewrite changed row count " +
+        s"($nSrc -> $nDst) — the source changed mid-compaction; re-run")
+  }
+
+  /**
    * Near-dup pairs (new_id, corpus_id, jaccard) between a NEW batch and an
    * already-indexed corpus. Candidates come from the band equi-join
    * (new-batch bands × stored index); only candidate ids re-shingle their

@@ -157,6 +157,208 @@ object JoinPlanner {
         Capacity.advisedPartitions(col("fact_bytes") + col("dim_bytes"), t))
   }
 
+  /** Sketch-bundle shape: CMS grid dimensions plus the breadth of the
+    * per-slice hot-key candidate list. `topK` bounds the topk component at
+    * `topK` rows PER APPENDED SLICE (KB-sized at any setting); the merged
+    * top-1 count is exact whenever the table's hottest key ranks within
+    * every slice's top-`topK` (always true when `topK` >= the per-slice
+    * distinct-key count), and a LOWER bound otherwise — see
+    * [[joinDecisionFromProfiles]] for the degrade direction. */
+  final case class ProfileParams(depth: Int = 4, width: Int = 4096,
+                                 topK: Int = 64) {
+    require(topK >= 1, s"ProfileParams: topK must be >= 1, got $topK")
+  }
+
+  /**
+   * Persist the per-table sketch BUNDLE the planner decides from — the
+   * artifact an ingest pipeline maintains per table so that every later
+   * join decision costs zero corpus passes:
+   *
+   *  - `cells/`  — the CMS cell table ([[Sketches.countMinCells]], string
+   *    keys xxhash64'd exactly as [[joinDecision]] does) feeding the
+   *    never-undercounting join-size bound;
+   *  - `topk/`   — this slice's `topK` hottest sketch-keys with EXACT
+   *    counts (TakeOrdered — per-partition heaps, no global sort),
+   *    feeding the salted-join trigger;
+   *  - `stats/`  — one row: exact row count + [[Capacity.rowBytes]]
+   *    total + the sketch shape, feeding sizing and load-time shape
+   *    validation.
+   *
+   * Every component is MERGEABLE by construction: cells sum cell-wise
+   * ([[Sketches.countMinMerge]] — CMS(A ⊎ B) is exactly the one-shot
+   * sketch of A ∪ B), stats sum row-wise, and topk counts sum per key
+   * (exactness precondition on [[ProfileParams.topK]]). So
+   * [[appendTableProfile]] just adds delta files — no base rewrite, no
+   * read-modify-write — and the loader folds the pile.
+   *
+   * Three narrow map-side-combined passes over the slice, each shuffling
+   * rows bounded by the sketch shape (depth·width cells / topK keys /
+   * 1 stat row), never by the slice.
+   */
+  def saveTableProfile(df: DataFrame, key: String, path: String,
+                       p: ProfileParams = ProfileParams()): Unit =
+    writeTableProfile(df, key, path, p, "overwrite")
+
+  /** Add an ingest slice's profile as delta files (no base rewrite) —
+    * the bundle must be written with the SAME depth/width as the base
+    * ([[loadTableProfile]] validates; a shape mix cannot merge). */
+  def appendTableProfile(df: DataFrame, key: String, path: String,
+                         p: ProfileParams = ProfileParams()): Unit =
+    writeTableProfile(df, key, path, p, "append")
+
+  private def writeTableProfile(df: DataFrame, key: String, path: String,
+                                p: ProfileParams, mode: String): Unit = {
+    val k = sketchKey(df, key)
+    Sketches.countMinCells(df, k, p.depth, p.width)
+      .write.mode(mode).parquet(s"$path/cells")
+    df.select(k.as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("k").asc).limit(p.topK)
+      .write.mode(mode).parquet(s"$path/topk")
+    df.agg(count(lit(1)).as("rows"),
+        coalesce(sum(Capacity.rowBytes(df)), lit(0L)).as("bytes"))
+      .select(col("rows"), col("bytes"), lit(p.depth).as("depth"),
+        lit(p.width).as("width"), lit(p.topK).as("top_k"))
+      .write.mode(mode).parquet(s"$path/stats")
+  }
+
+  /** A loaded (still-lazy) profile: merged cell table, raw per-slice topk
+    * rows, 1-row summed stats frame, and the validated sketch shape. */
+  final case class TableProfile(cells: DataFrame, topk: DataFrame,
+                                stats: DataFrame, depth: Int, width: Int)
+
+  /** Load a profile bundle, folding accumulated deltas: cells via
+    * [[Sketches.countMinMerge]] (cell-wise sum), stats by summing slice
+    * rows. The sketch shape is validated across slices (bounded collect
+    * over the slice-count-sized stats table); a depth/width mix aborts —
+    * sketches of different shapes share no hash family to merge under. */
+  def loadTableProfile(spark: org.apache.spark.sql.SparkSession,
+                       path: String): TableProfile = {
+    val st = spark.read.parquet(s"$path/stats")
+    val shapes = st.select(col("depth"), col("width")).distinct().collect()
+    require(shapes.length == 1,
+      s"table profile at $path mixes sketch shapes " +
+        shapes.map(r => s"${r.getInt(0)}x${r.getInt(1)}").sorted.mkString(",") +
+        " — rebuild with one ProfileParams; mixed-shape cells cannot merge")
+    TableProfile(
+      Sketches.countMinMerge(Seq(spark.read.parquet(s"$path/cells"))),
+      spark.read.parquet(s"$path/topk"),
+      st.agg(sum(col("rows")).as("rows"), sum(col("bytes")).as("bytes")),
+      shapes(0).getInt(0), shapes(0).getInt(1))
+  }
+
+  /**
+   * The COMPLETE planner row from two persisted bundles alone — the
+   * [[sizedJoinDecision]] columns (strategy + exchange sizing) with ZERO
+   * passes over fact or dim: every input is a KB-sized artifact read
+   * (depth·width cells, slices·topK hot keys, slice stats). This is the
+   * deployment shape the inline [[joinDecision]] exists to gate: ingest
+   * maintains each table's bundle incrementally ([[appendTableProfile]]
+   * per batch), and join planning — including planning the SAME join
+   * repeatedly under different thresholds or against many candidate dims
+   * — never touches the data again.
+   *
+   * MERGE LAW (the `join_profile_decision` gate replays it): because
+   * cells, stats, and (under the [[ProfileParams.topK]] precondition)
+   * the top-1 count all merge exactly, the decision row from a profile
+   * built as save + N delta-appends over a partition of the table is
+   * IDENTICAL to [[sizedJoinDecision]] run one-shot over the whole
+   * table. When the precondition fails (a slice whose top-`topK` list
+   * misses the global hottest key), the merged top count is a lower
+   * bound, so `top_share` can only sink — the decision degrades from
+   * 'salted' toward 'bloom_pruned'/'plain', never conversely; and since
+   * every strategy returns identical rows ([[chooseJoin]]'s structural
+   * identity), a degraded decision costs time, never correctness.
+   */
+  def joinDecisionFromProfiles(spark: org.apache.spark.sql.SparkSession,
+                               factPath: String, dimPath: String,
+                               th: JoinThresholds,
+                               t: Capacity.SizingTargets = Capacity.SizingTargets()): DataFrame = {
+    val f = loadTableProfile(spark, factPath)
+    val d = loadTableProfile(spark, dimPath)
+    require(f.depth == d.depth && f.width == d.width,
+      s"joinDecisionFromProfiles: sketch shapes differ (fact ${f.depth}x${f.width}, " +
+        s"dim ${d.depth}x${d.width}) — the inner product needs one hash family")
+    val est = Sketches.cmsJoinSize(f.cells, d.cells, f.depth)
+    val top = f.topk
+      .groupBy(col("k")).agg(sum(col("cnt")).as("cnt"))
+      .agg(coalesce(max(col("cnt")), lit(0L)).as("top_cnt"))
+    f.stats.select(col("rows").as("fact_rows"), col("bytes").as("fact_bytes"))
+      .crossJoin(broadcast(
+        d.stats.select(col("rows").as("dim_rows"), col("bytes").as("dim_bytes"))))
+      .crossJoin(broadcast(top))
+      .crossJoin(broadcast(est))
+      .withColumn("top_share",
+        round(col("top_cnt").cast("double") / col("fact_rows"), 6))
+      .withColumn("est_selectivity",
+        round(col("est_join_size").cast("double") / col("fact_rows"), 6))
+      .withColumn("strategy",
+        when(col("dim_rows") <= th.broadcastMaxDimRows, "broadcast")
+          .when(col("top_share") >= th.skewShareMin, "salted")
+          .when(col("est_selectivity") <= th.bloomSelectivityMax, "bloom_pruned")
+          .otherwise("plain"))
+      .withColumn("advised_shuffle_partitions",
+        Capacity.advisedPartitions(col("fact_bytes") + col("dim_bytes"), t))
+      .select(col("fact_rows"), col("dim_rows"), col("top_share"),
+        col("est_join_size"), col("est_selectivity"), col("strategy"),
+        col("fact_bytes"), col("dim_bytes"), col("advised_shuffle_partitions"))
+  }
+
+  /**
+   * [[chooseJoin]] fed by persisted bundles: the decision comes from
+   * [[joinDecisionFromProfiles]] (zero corpus passes — the 1-row collect
+   * reads artifacts only), then the chosen strategy runs on the actual
+   * frames. The strategies' structural result identity is unchanged; only
+   * the decision inputs moved from inline scans to artifacts, so a stale
+   * bundle can mis-cost a join but never corrupt it.
+   */
+  def chooseJoinFromProfiles(fact: DataFrame, dim: DataFrame,
+                             factKey: String, dimKey: String,
+                             factProfile: String, dimProfile: String,
+                             th: JoinThresholds = JoinThresholds(),
+                             factSaltCols: Seq[String] = Nil): JoinPlan = {
+    require(factKey != dimKey,
+      s"chooseJoinFromProfiles: fact and dim key columns must be named " +
+        s"differently (both '$factKey') — rename one side first")
+    require(!fact.columns.contains(dimKey) && !dim.columns.contains(factKey),
+      "chooseJoinFromProfiles: key names must be unique across both sides " +
+        "(see chooseJoin) — rename first; strategy branches would otherwise " +
+        "diverge in schema")
+    val rows = joinDecisionFromProfiles(fact.sparkSession,
+      factProfile, dimProfile, th).collect()
+    require(rows.nonEmpty && rows(0).getAs[Long]("fact_rows") > 0L,
+      "chooseJoinFromProfiles: empty fact profile — nothing to join")
+    val dcs = rows(0)
+    val strategy = dcs.getAs[String]("strategy")
+    val result = runStrategy(fact, dim, factKey, dimKey, th, factSaltCols, strategy)
+    JoinPlan(strategy,
+      dcs.getAs[Long]("fact_rows"), dcs.getAs[Long]("dim_rows"),
+      dcs.getAs[Double]("top_share"), dcs.getAs[Long]("est_join_size"),
+      dcs.getAs[Double]("est_selectivity"), result)
+  }
+
+  /** The one strategy-dispatch implementation shared by [[chooseJoin]]
+    * and [[chooseJoinFromProfiles]] — result identity across strategies
+    * is proven once, here. */
+  private def runStrategy(fact: DataFrame, dim: DataFrame, factKey: String,
+                          dimKey: String, th: JoinThresholds,
+                          factSaltCols: Seq[String], strategy: String): DataFrame =
+    strategy match {
+      case "broadcast" =>
+        fact.join(broadcast(dim), fact(factKey) === dim(dimKey))
+          .drop(dim(dimKey))
+      case "salted" =>
+        val saltCols = if (factSaltCols.nonEmpty) factSaltCols
+                       else fact.columns.toSeq
+        Skew.saltedJoin(fact, dim.withColumnRenamed(dimKey, factKey),
+          factKey, th.salt, saltCols)
+      case "bloom_pruned" =>
+        Bloom.prunedJoin(fact, dim, factKey, dimKey,
+          th.bloomMBits, th.bloomNumHashes).drop(dimKey)
+      case _ =>
+        fact.join(dim, fact(factKey) === dim(dimKey)).drop(dim(dimKey))
+    }
+
   /**
    * Pick and RUN the strategy: inner equi-join `fact(factKey) =
    * dim(dimKey)`, returned with the dim's key column dropped (the key
@@ -164,8 +366,16 @@ object JoinPlanner {
    * The decision row is a bounded 1-row collect (the codebook-collect
    * discipline: model-sized state driver-side, corpus-sized work
    * distributed). `factSaltCols` seeds the deterministic salt when the
-   * salted branch fires (defaults to every fact column — stable across
-   * task retries, which `rand()` is not).
+   * salted branch fires (stable across task retries, which `rand()` is
+   * not). The default — every fact column — is the always-correct
+   * fallback, but it hashes the ENTIRE row per row: on a wide fact table
+   * (long strings, arrays) that is a second full-row pass just to derive
+   * one salt byte. Pass a narrow, stable column subset (an id column, or
+   * the join key plus a timestamp) whenever one exists — ANY subset
+   * yields a correct join (the salt only spreads rows; the equi-join
+   * condition is unchanged), and a subset that distinguishes the hot
+   * key's rows spreads them just as uniformly at a fraction of the
+   * hashing cost.
    */
   def chooseJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, th: JoinThresholds = JoinThresholds(),
@@ -190,21 +400,7 @@ object JoinPlanner {
       "chooseJoin: empty fact side — no decision row (nothing to join)")
     val d = rows(0)
     val strategy = d.getAs[String]("strategy")
-    val result = strategy match {
-      case "broadcast" =>
-        fact.join(broadcast(dim), fact(factKey) === dim(dimKey))
-          .drop(dim(dimKey))
-      case "salted" =>
-        val saltCols = if (factSaltCols.nonEmpty) factSaltCols
-                       else fact.columns.toSeq
-        Skew.saltedJoin(fact, dim.withColumnRenamed(dimKey, factKey),
-          factKey, th.salt, saltCols)
-      case "bloom_pruned" =>
-        Bloom.prunedJoin(fact, dim, factKey, dimKey,
-          th.bloomMBits, th.bloomNumHashes).drop(dimKey)
-      case _ =>
-        fact.join(dim, fact(factKey) === dim(dimKey)).drop(dim(dimKey))
-    }
+    val result = runStrategy(fact, dim, factKey, dimKey, th, factSaltCols, strategy)
     JoinPlan(strategy,
       d.getAs[Long]("fact_rows"), d.getAs[Long]("dim_rows"),
       d.getAs[Double]("top_share"), d.getAs[Long]("est_join_size"),

@@ -190,4 +190,133 @@ class JoinPlannerSpec extends SparkSpec {
         s"trial $trial: CMS bound ${plan.estJoinSize} < true ${plain.size}")
     }
   }
+
+  // ---------------------------------------------- persisted profile bundles
+
+  private def withTmp[A](f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_profile").toString
+    try f(tmp) finally Gates.deleteTree(tmp)
+  }
+
+  test("merge law: decision from save + delta-appended profiles equals the " +
+    "one-shot sizedJoinDecision row exactly") {
+    withTmp { tmp =>
+      val rnd = new scala.util.Random(42L)
+      val fact = (1 to 600).map { i =>
+        (1L + rnd.nextInt(30).toLong, i.toLong) }.toDF("fk", "payload")
+      val dim = (1L to 40L).map(k => (k, s"n$k")).toDF("dk", "name")
+      // topK = 64 >= 30 distinct fact keys per slice -> exact merge always
+      val p = JoinPlanner.ProfileParams(depth = 4, width = 256, topK = 64)
+      JoinPlanner.saveTableProfile(fact.filter($"payload" % 3 === 0), "fk",
+        s"$tmp/fact", p)
+      JoinPlanner.appendTableProfile(fact.filter($"payload" % 3 === 1), "fk",
+        s"$tmp/fact", p)
+      JoinPlanner.appendTableProfile(fact.filter($"payload" % 3 === 2), "fk",
+        s"$tmp/fact", p)
+      JoinPlanner.saveTableProfile(dim.filter($"dk" % 2 === 0), "dk",
+        s"$tmp/dim", p)
+      JoinPlanner.appendTableProfile(dim.filter($"dk" % 2 === 1), "dk",
+        s"$tmp/dim", p)
+      val thr = JoinThresholds(broadcastMaxDimRows = 10, skewShareMin = 0.04,
+        bloomSelectivityMax = 0.2, cmsDepth = 4, cmsWidth = 256)
+      val fromArtifacts = JoinPlanner.joinDecisionFromProfiles(spark,
+        s"$tmp/fact", s"$tmp/dim", thr).collect()
+      val oneShot = JoinPlanner.sizedJoinDecision(fact, dim, "fk", "dk", thr)
+        .collect()
+      assert(fromArtifacts.length == 1 && oneShot.length == 1)
+      assert(fromArtifacts(0).toSeq === oneShot(0).toSeq,
+        s"merge law broken: artifact row ${fromArtifacts(0)} vs one-shot ${oneShot(0)}")
+    }
+  }
+
+  test("the artifact decision path launches no scan of fact or dim — every " +
+    "relation it reads lives under the profile roots") {
+    withTmp { tmp =>
+      val factDir = s"$tmp/data/fact"
+      val dimDir = s"$tmp/data/dim"
+      (1 to 200).map(i => (1L + i % 20, i.toLong)).toDF("fk", "payload")
+        .write.parquet(factDir)
+      (1L to 40L).map(k => (k, s"n$k")).toDF("dk", "name")
+        .write.parquet(dimDir)
+      val fact = spark.read.parquet(factDir)
+      val dim = spark.read.parquet(dimDir)
+      val p = JoinPlanner.ProfileParams(depth = 4, width = 256, topK = 64)
+      JoinPlanner.saveTableProfile(fact, "fk", s"$tmp/prof/fact", p)
+      JoinPlanner.saveTableProfile(dim, "dk", s"$tmp/prof/dim", p)
+      val decision = JoinPlanner.joinDecisionFromProfiles(spark,
+        s"$tmp/prof/fact", s"$tmp/prof/dim", th)
+      val scanned = decision.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      assert(scanned.nonEmpty)
+      assert(scanned.forall(_.contains("/prof/")),
+        s"decision plan reads outside the profile roots: $scanned")
+      assert(!scanned.exists(s => s.contains("/data/fact") || s.contains("/data/dim")),
+        s"decision plan scans fact/dim: $scanned")
+      // and the decision itself is the inline one
+      val inline = JoinPlanner.joinDecision(fact, dim, "fk", "dk", th).collect()(0)
+      val art = decision.collect()(0)
+      Seq("fact_rows", "dim_rows", "top_share", "est_join_size",
+        "est_selectivity", "strategy").foreach { c =>
+        assert(art.getAs[Any](c) == inline.getAs[Any](c), s"column $c diverged")
+      }
+    }
+  }
+
+  test("topK undercoverage degrades toward plain (never toward salted) and " +
+    "a sketch-shape mix aborts loudly") {
+    withTmp { tmp =>
+      // slice A's hot key is 1, slice B's is 2; with topK = 1 each slice
+      // records only its own hot key, so the merged top count undercounts
+      // the true global top — share sinks, the salted pick degrades away
+      val sliceA = ((1 to 50).map(i => (1L, i.toLong)) ++
+        (1 to 30).map(i => (2L, 100L + i))).toDF("fk", "payload")
+      val sliceB = ((1 to 50).map(i => (2L, 200L + i)) ++
+        (1 to 30).map(i => (1L, 300L + i))).toDF("fk", "payload")
+      val dim = (1L to 40L).map(k => (k, s"n$k")).toDF("dk", "name")
+      val p1 = JoinPlanner.ProfileParams(depth = 4, width = 256, topK = 1)
+      JoinPlanner.saveTableProfile(sliceA, "fk", s"$tmp/fact", p1)
+      JoinPlanner.appendTableProfile(sliceB, "fk", s"$tmp/fact", p1)
+      JoinPlanner.saveTableProfile(dim, "dk", s"$tmp/dim", p1)
+      val thr = JoinThresholds(broadcastMaxDimRows = 10, skewShareMin = 0.5,
+        bloomSelectivityMax = 0.001, cmsDepth = 4, cmsWidth = 256)
+      // truth: key 1 and key 2 each hold 80/160 = 0.5 -> one-shot salts
+      val oneShot = JoinPlanner.joinDecision(
+        sliceA.union(sliceB), dim, "fk", "dk", thr).collect()(0)
+      assert(oneShot.getAs[String]("strategy") == "salted")
+      val merged = JoinPlanner.joinDecisionFromProfiles(spark,
+        s"$tmp/fact", s"$tmp/dim", thr).collect()(0)
+      assert(merged.getAs[Double]("top_share") <
+        oneShot.getAs[Double]("top_share"))
+      assert(merged.getAs[String]("strategy") == "plain")
+      // appending under a different sketch shape cannot merge
+      JoinPlanner.appendTableProfile(sliceB, "fk", s"$tmp/fact",
+        JoinPlanner.ProfileParams(depth = 2, width = 64, topK = 1))
+      val ex = intercept[IllegalArgumentException] {
+        JoinPlanner.loadTableProfile(spark, s"$tmp/fact")
+      }
+      assert(ex.getMessage.contains("mixes sketch shapes"))
+    }
+  }
+
+  test("chooseJoinFromProfiles: decision from artifacts, execution on the " +
+    "frames, result identical to the plain join") {
+    withTmp { tmp =>
+      val fact = ((1 to 60).map(i => (1L, i.toLong)) ++
+        (1 to 40).map(i => (i.toLong + 1, 1000L + i))).toDF("fk", "payload")
+      val dim = (1L to 200L).map(k => (k, s"n$k")).toDF("dk", "name")
+      val p = JoinPlanner.ProfileParams(depth = 4, width = 4096, topK = 256)
+      JoinPlanner.saveTableProfile(fact, "fk", s"$tmp/fact", p)
+      JoinPlanner.saveTableProfile(dim, "dk", s"$tmp/dim", p)
+      val plan = JoinPlanner.chooseJoinFromProfiles(fact, dim, "fk", "dk",
+        s"$tmp/fact", s"$tmp/dim", th, factSaltCols = Seq("fk", "payload"))
+      assert(plan.strategy == "salted" && plan.topShare == 0.6)
+      assert(chosenRows(plan) === plainRows(fact, dim))
+    }
+  }
 }
