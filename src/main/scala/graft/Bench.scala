@@ -97,6 +97,14 @@ object Bench {
       // full save+append+search rebuild cost)
       AnnArtifacts.trigramAppendRoot(spark, sfDir)
       AnnArtifacts.trigramCompactRoot(spark, sfDir)
+      // winnow + benchmark-shingle compaction twins: the *_compact
+      // entries measure flagging/decontaminating FROM the compacted
+      // generation (winnow_index_flag / decontaminate_index_count keep
+      // the honest per-run save+append rebuild costs)
+      AnnArtifacts.winnowIdxAppendRoot(spark, sfDir)
+      AnnArtifacts.winnowIdxCompactRoot(spark, sfDir)
+      AnnArtifacts.benchIdxAppendRoot(spark, sfDir)
+      AnnArtifacts.benchIdxCompactRoot(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[bench] lex warmup failed: $e") }
     // and the per-JVM PCA component cache: streaming_pca_project measures
     // the streaming projection path against the cached component (the

@@ -618,6 +618,9 @@ private[graft] object Oracles {
     "streaming_phash_flag" -> streamingPhashFlagOracle,
     "streaming_winnow_flag" -> streamingWinnowFlagOracle,
     "winnow_index_flag" -> winnowIndexFlagOracle,
+    // compaction is layout-only (row-count audited), so flagging from the
+    // compacted generation must reproduce the same merged-corpus replay
+    "winnow_index_compact" -> winnowIndexFlagOracle,
     "winnow_spans" -> winnowSpansOracle,
 
     "audio_ahash" -> audioAhashOracle,
@@ -1901,6 +1904,26 @@ private[graft] object Oracles {
     // persisted-index lifecycle: save(even half) + append(odd half) + load
     // must equal the ONE-SHOT build over the whole benchmark slice — the
     // oracle replays the union set, never the halves
+    // the distinct-folded compacted generation must decontaminate
+    // identically to the union-replayed pile (same law as
+    // decontaminate_index_count — compaction changes layout, not grams)
+    "decon_index_compact" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |           i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM tok WHERE len(w) >= 5),
+        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh, unnest(sh.s) AS u(g)
+        |  WHERE sh.doc_id % 97 <> 0 AND u.g IN (SELECT g FROM b))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "decontaminate_index_count" ->
       """WITH tok AS (
         |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS w

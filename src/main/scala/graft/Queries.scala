@@ -726,6 +726,24 @@ private[graft] object Queries {
       out
     }),
 
+    "winnow_index_compact" -> ((s, dir) => {
+      // compaction closes the winnow decontamination-index lifecycle
+      // (save → append → COMPACT → flag): the base+delta pile folded
+      // into a fresh fp-range-partitioned generation (per-JVM artifact —
+      // winnow_index_flag keeps the honest per-run save+append rebuild)
+      // and the SAME ingest batch flagged against an index built from
+      // the compacted copy. The oracle replays the full merged-corpus
+      // flag derivation, so only a lossless fold matches; the rewrite
+      // itself is row-count audited at compaction time
+      import graft.streaming.StreamingWinnow
+      val idx = StreamingWinnow.fingerprintIndex(
+        StreamingWinnow.loadFingerprints(s, AnnArtifacts.winnowIdxCompactRoot(s, dir)))
+      StreamingWinnow.flagAgainstIndex(
+          Fixtures.nearDupCopies(
+            Tables.documents(s, dir).filter(col("doc_id") < 500)), idx)
+        .orderBy(col("doc_id"), col("dup_of"))
+    }),
+
     "winnow_spans" -> ((s, dir) => {
       // the MOSS report's REGIONS: per qualifying near-dup pair, maximal
       // runs of consecutive a-side selections shared with the b side
@@ -1907,6 +1925,23 @@ private[graft] object Queries {
         // goes away — the returned frame must not re-read the artifact
         s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
       } finally Gates.deleteTree(tmp)
+    }),
+
+    "decon_index_compact" -> ((s, dir) => {
+      // compaction closes the benchmark-shingle index lifecycle: the
+      // even/odd save+append pile folded ONCE per JVM into a distinct
+      // gram-range generation (smaller than the pile; the loader's
+      // distinct() becomes a no-op) and the training corpus
+      // decontaminated FROM the compacted artifact. Same oracle law as
+      // decontaminate_index_count — that entry keeps the honest per-run
+      // save+append rebuild; this one's timed window is the probe from
+      // the compacted generation
+      val d = Tables.documents(s, dir)
+      TextAnalysis.decontaminateFromIndex(
+          d.filter(col("doc_id") % 97 =!= 0),
+          AnnArtifacts.benchIdxCompactRoot(s, dir))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
     }),
 
     "streaming_decon_flag" -> ((s, dir) => {

@@ -1374,6 +1374,40 @@ object TextAnalysis {
       .write.mode(mode).parquet(dir)
   }
 
+  /**
+   * Compact a benchmark index: fold the base [[saveBenchmarkIndex]] plus
+   * accumulated [[appendBenchmarkIndex]] delta files into a fresh
+   * DISTINCT gram-range-partitioned generation at `dst`. Unlike the
+   * verbatim-row compactors (trigram/winnow/band — their slices are
+   * disjoint by construction), benchmark suites OVERLAP in grams (two
+   * suites share boilerplate), and the loader's `distinct()` pays for
+   * that overlap on every probe — the fold dedups once at rewrite time,
+   * so the compacted artifact is smaller than the pile AND the load-time
+   * distinct becomes a no-op pass over already-unique rows. Audited:
+   * `dst`'s row count must equal `src`'s distinct gram count, and the
+   * width mix check aborts exactly as the loader would.
+   */
+  def compactBenchmarkIndex(spark: org.apache.spark.sql.SparkSession,
+                            src: String, dst: String,
+                            numPartitions: Int = 4): Unit = {
+    require(src != dst, "compactBenchmarkIndex: dst must be a fresh path")
+    val idx = spark.read.parquet(src)
+    val widths = idx.select(col("n")).distinct().collect().map(_.getInt(0))
+    require(widths.length == 1,
+      s"compactBenchmarkIndex: index at $src holds " +
+        (if (widths.isEmpty) "no grams" else s"mixed widths ${widths.sorted.mkString(",")}") +
+        " — nothing well-formed to fold")
+    idx.select(col("g"), col("n")).distinct()
+      .repartitionByRange(numPartitions, col("g"))
+      .sortWithinPartitions(col("g"))
+      .write.mode("overwrite").parquet(dst)
+    val nSrc = idx.select(col("g")).distinct().count()
+    val nDst = spark.read.parquet(dst).count()
+    require(nSrc == nDst,
+      s"compactBenchmarkIndex: distinct fold changed gram count " +
+        s"($nSrc -> $nDst) — the source changed mid-compaction; re-run")
+  }
+
   /** Load a persisted benchmark index back into its probe shape: the
     * distinct-gram frame (column `g`) plus the artifact's shingle width
     * (1-row bounded collect); a width mix across base+deltas aborts

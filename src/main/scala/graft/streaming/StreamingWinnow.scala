@@ -97,6 +97,34 @@ object StreamingWinnow {
     spark.read.parquet(path)
 
   /**
+   * Compact a fingerprint artifact: fold the base [[saveFingerprints]]
+   * plus accumulated [[appendFingerprints]] delta files into a fresh
+   * fp-range-partitioned, fp-sorted generation at `dst` (the
+   * [[graft.operators.Retrieval.compactTrigramIndex]] discipline).
+   * Every append lands files whose fp ranges overlap the base layout,
+   * so under continuous ingest a flag join's probe pays a growing file
+   * listing and un-pruned row groups until a fold restores the
+   * one-generation range layout. Rows are preserved VERBATIM (the df
+   * cut happens at [[fingerprintIndex]] build, not here — compaction is
+   * pure file-layout work), audited by an exact row-count match, so an
+   * index built from `dst` is identical to one built from `src` by
+   * construction. Production shape: fresh path + serving-pointer flip;
+   * the old generation stays readable throughout.
+   */
+  def compactFingerprints(spark: org.apache.spark.sql.SparkSession,
+                          src: String, dst: String): Unit = {
+    require(src != dst, "compactFingerprints: dst must be a fresh path")
+    spark.read.parquet(src)
+      .repartitionByRange(col("fp")).sortWithinPartitions(col("fp"))
+      .write.mode("overwrite").parquet(dst)
+    val nSrc = spark.read.parquet(src).count()
+    val nDst = spark.read.parquet(dst).count()
+    require(nSrc == nDst,
+      s"compactFingerprints: layout-only rewrite changed row count " +
+        s"($nSrc -> $nDst) — the source changed mid-compaction; re-run")
+  }
+
+  /**
    * Flag a stream of (idCol, textCol) documents against a prebuilt
    * [[WinnowIndex]]. Returns (idCol, dup_of, n_shared) — one row per
    * (incoming, stored) pair sharing >= minShared distinct KEPT

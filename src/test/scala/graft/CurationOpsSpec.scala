@@ -359,12 +359,33 @@ class CurationOpsSpec extends SparkSpec {
       TextAnalysis.appendBenchmarkIndex(bench.filter($"doc_id" === 101L), 5, dir)
       assert(TextAnalysis.contaminationFromIndex(train, dir)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == oneShot)
+      // compaction: the distinct fold dedups base/delta overlap, keeps
+      // contamination results identical, and the generation carries
+      // exactly the pile's distinct grams
+      val gen2 = java.nio.file.Files.createTempDirectory("decon_idx_gen2").toString
+      try {
+        TextAnalysis.compactBenchmarkIndex(spark, dir, gen2)
+        assert(TextAnalysis.contaminationFromIndex(train, gen2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == oneShot)
+        val pile = spark.read.parquet(dir)
+        val gen = spark.read.parquet(gen2)
+        assert(gen.count() == pile.select($"g").distinct().count())
+        assert(gen.count() == gen.distinct().count())
+      } finally Gates.deleteTree(gen2)
       // width mix: a 4-gram delta against a 5-gram base must abort
       TextAnalysis.appendBenchmarkIndex(bench.filter($"doc_id" === 101L), 4, dir)
       val ex = intercept[IllegalArgumentException] {
         TextAnalysis.contaminationFromIndex(train, dir).collect()
       }
       assert(ex.getMessage.contains("mixes shingle widths"))
+      // and the compactor refuses the malformed pile just like the loader
+      val gen3 = java.nio.file.Files.createTempDirectory("decon_idx_gen3").toString
+      try {
+        val ex2 = intercept[IllegalArgumentException] {
+          TextAnalysis.compactBenchmarkIndex(spark, dir, gen3)
+        }
+        assert(ex2.getMessage.contains("mixed widths"))
+      } finally Gates.deleteTree(gen3)
     } finally Gates.deleteTree(dir)
 
     // a legitimately EMPTY index (every benchmark text shorter than the

@@ -113,6 +113,22 @@ class StreamingWinnowSpec extends SparkSpec {
     val idxDirect = StreamingWinnow.fingerprintIndex(base.union(batch), maxDf = 20)
     assert(idx.inverted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       idxDirect.inverted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+
+    // compaction: a fresh one-generation fold preserves rows VERBATIM
+    // (multiplicity included — the df cut happens at index build, not here)
+    val gen2 = java.nio.file.Files.createTempDirectory("winnow_idx_gen2").toString
+    StreamingWinnow.compactFingerprints(spark, tmp, gen2)
+    def bag(p: String) = StreamingWinnow.loadFingerprints(spark, p)
+      .groupBy(col("id"), col("fp")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bag(gen2) == bag(tmp))
+    // and one generation = exactly one fp-sorted file set, fewer files
+    def parquets(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquets(gen2) <= parquets(tmp))
+    intercept[IllegalArgumentException] {
+      StreamingWinnow.compactFingerprints(spark, tmp, tmp)
+    }
   }
 
   test("validation") {
