@@ -2356,6 +2356,43 @@ private[graft] object Oracles {
 
     // per-window bit sets replayed directly (packed words are storage;
     // membership is bit-set membership)
+    // append-mode twin of streaming_bloom_daily (feed % 19): finalized
+    // once-per-window emission must carry the same per-day bit sets as
+    // the one-shot batch build this replays
+    "streaming_bloom_append" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, user_id
+        |  FROM events WHERE event_id % 19 = 0),
+        |bits AS MATERIALIZED (
+        |  SELECT DISTINCT window_start,
+        |         (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |       + i.i * CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 14, 13)) AS BIGINT)) % 3968 AS bit
+        |  FROM e CROSS JOIN (VALUES (0), (1), (2)) i(i)),
+        |probes AS MATERIALIZED (
+        |  SELECT user_id FROM (SELECT DISTINCT user_id FROM e)
+        |  ORDER BY user_id LIMIT 20),
+        |ph AS (
+        |  SELECT user_id,
+        |         (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |       + i.i * CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 14, 13)) AS BIGINT)) % 3968 AS bit
+        |  FROM probes CROSS JOIN (VALUES (0), (1), (2)) i(i)),
+        |wins AS (SELECT DISTINCT window_start FROM e),
+        |hit AS (
+        |  SELECT w.window_start, ph.user_id,
+        |         MIN(CASE WHEN EXISTS (SELECT 1 FROM bits b
+        |                               WHERE b.window_start = w.window_start
+        |                                 AND b.bit = ph.bit)
+        |                  THEN 1 ELSE 0 END) AS h
+        |  FROM wins w CROSS JOIN ph GROUP BY 1, 2),
+        |mem AS (SELECT DISTINCT window_start, user_id FROM e)
+        |SELECT hit.window_start, hit.user_id, hit.h = 1 AS bloom_hit,
+        |       (mem.user_id IS NOT NULL) AS is_member,
+        |       CASE WHEN mem.user_id IS NOT NULL THEN hit.h = 1 ELSE TRUE END
+        |         AS no_false_negative
+        |FROM hit LEFT JOIN mem
+        |  ON mem.window_start = hit.window_start AND mem.user_id = hit.user_id
+        |ORDER BY hit.window_start, hit.user_id""".stripMargin,
+
     "streaming_bloom_daily" ->
       """WITH e AS MATERIALIZED (
         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, user_id

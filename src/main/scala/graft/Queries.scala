@@ -2882,6 +2882,61 @@ private[graft] object Queries {
       }
     }),
 
+    "streaming_bloom_append" -> ((s, dir) => {
+      // the production output mode for unbounded time (the round-16
+      // StreamingBloom caveat, closed): APPEND mode emits each daily
+      // filter ONCE, finalized, after the watermark passes its window
+      // end — and the state store then EVICTS it, so state stays bounded
+      // by open windows instead of total history (BloomSpec pins
+      // numRowsTotal after the drain). Real events stream in event-time
+      // order over two micro-batches; two sentinel batches (far-future
+      // rows whose own window never emits) advance the watermark and
+      // flush every real window. The drained artifacts are probed
+      // batch-side exactly like streaming_bloom_daily — finalized-once
+      // filters must carry the same bit sets as a one-shot batch build,
+      // which the oracle replays bit for bit
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val (m, k) = (62 * 64, 3)
+      val feed = Tables.events(s, dir).filter(col("event_id") % 19 === 0)
+      val rows = feed.select(col("ts"), col("user_id"))
+        .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+      val maxMs = rows.last._1.getTime
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val out = graft.streaming.StreamingBloom.windowedWords(
+        mem.toDF().toDF("ts", "user_id"), col("user_id"), "1 day", m, k)
+      val name = "sba_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // one far-future sentinel advances the watermark past every real
+      // window; the engine's watermark-advance follow-up batch flushes
+      // them (the sentinel's own window stays open and never emits)
+      mem.addData((new java.sql.Timestamp(maxMs + 48L * 3600 * 1000), -1L))
+      q.processAllAvailable()
+      q.stop()
+      val probes = feed.select(col("user_id")).distinct()
+        .orderBy(col("user_id")).limit(20)
+      val exact = feed
+        .select(date_trunc("day", col("ts")).as("window_start"),
+          col("user_id")).distinct()
+        .withColumn("is_member", lit(true))
+      drainMemorySink(s, name) { grids =>
+        grids.crossJoin(broadcast(probes))
+          .select(col("window_start"), col("user_id"),
+            Bloom.containsColumn(col("words"), col("user_id"), m, k)
+              .as("bloom_hit"))
+          .join(exact, Seq("window_start", "user_id"), "left")
+          .select(col("window_start"), col("user_id"), col("bloom_hit"),
+            coalesce(col("is_member"), lit(false)).as("is_member"))
+          .withColumn("no_false_negative", !col("is_member") || col("bloom_hit"))
+          .orderBy(col("window_start"), col("user_id"))
+      }
+    }),
+
     "streaming_bloom_string" -> ((s, dir) => {
       // bloom_agg's STRING-key form — the URL/doc-id shape streams with
       // NO pre-hash: per-day filters over the composite "type-user" key

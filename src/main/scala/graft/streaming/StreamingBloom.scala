@@ -22,12 +22,15 @@ import org.apache.spark.sql.functions._
  *
  * State lifetime: the watermark expires window state past `window end +
  * watermarkDelay` ONLY in append/update output modes — in `complete`
- * mode (what the gated demo and BloomSpec run, so every window's filter
- * stays queryable in the sink) Structured Streaming retains all window
- * state by definition, and the per-window m/62-long rows accumulate for
- * as long as the query runs. A production deployment over unbounded
- * time should run append mode (windows emit once, finalized, after the
- * watermark passes) or persist drained filters via
+ * mode (what the `streaming_bloom_daily` demo runs, so every window's
+ * filter stays queryable in the sink) Structured Streaming retains all
+ * window state by definition, and the per-window m/62-long rows
+ * accumulate for as long as the query runs. The production mode over
+ * unbounded time is APPEND — each window emits once, finalized, after
+ * the watermark passes its end, and the store then EVICTS it, bounding
+ * state by open windows instead of total history — demonstrated by the
+ * `streaming_bloom_append` gate and pinned by BloomSpec's
+ * bounded-state assertion; alternatively persist drained filters via
  * [[graft.operators.Bloom.saveWords]] and restart per retention epoch.
  */
 object StreamingBloom {

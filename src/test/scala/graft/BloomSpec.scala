@@ -144,6 +144,50 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("append mode: each window finalizes exactly once after the watermark " +
+    "passes its end, words equal the batch build, and emitted state drains") {
+    graft.plans.GraftFunctions.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val rows = (1L to 300L).map(i =>
+      (Timestamp.valueOf(f"2024-01-${i % 2 + 1}%02d 10:00:00"), i))
+      .sortBy(_._1.getTime) // event-time order across batches: append mode
+                            // DROPS rows behind the watermark by design
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long)]
+    val q = graft.streaming.StreamingBloom.windowedWords(
+        mem.toDF().toDF("ts", "id"), col("id"), "1 day", M, K)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sba_out").start()
+    val (b1, b2) = rows.splitAt(150)
+    mem.addData(b1); q.processAllAvailable()
+    // watermark (day-1 10:00 - 10min) trails every window end: nothing final
+    assert(spark.table("sba_out").count() == 0)
+    // b2's day-2 rows advance the watermark past day 1's end; the engine's
+    // watermark-advance follow-up batch flushes day 1 — finalized, once
+    mem.addData(b2); q.processAllAvailable()
+    assert(spark.table("sba_out").count() == 1)
+    // a far-future sentinel (its own window never emits) flushes day 2
+    mem.addData((Timestamp.valueOf("2024-01-05 00:00:00"), 999L))
+    q.processAllAvailable()
+    // bounded state: both real windows emitted AND evicted — only the
+    // open sentinel window remains in the store
+    val lastState = q.recentProgress.flatMap(_.stateOperators).last
+    assert(lastState.numRowsTotal <= 1,
+      s"state not drained: ${lastState.numRowsTotal} rows")
+    q.stop()
+    val got = spark.table("sba_out").collect()
+      .map(r => (r.getTimestamp(0), r.getSeq[Long](1))).sortBy(_._1.getTime)
+    spark.catalog.dropTempView("sba_out")
+    val perDay = rows.groupBy(_._1).toSeq.sortBy(_._1.getTime)
+    assert(got.length === 2, s"each real window must emit exactly once, got ${got.length}")
+    got.zip(perDay).foreach { case ((_, w), (_, dayRows)) =>
+      val want = Bloom.denseWords(Bloom.bloomWords(
+        dayRows.map(_._2).toDF("id"), col("id"), M, K), M)
+      assert(w.toSeq === want.toSeq)
+    }
+  }
+
   test("string-key bloom_agg: the JVM md5 twin == the SQL column build, " +
     "and probes see no false negatives") {
     graft.plans.GraftFunctions.register(spark)
