@@ -119,6 +119,38 @@ private[graft] object AnnArtifacts {
     })
   }
 
+  private val driftMemo = scala.collection.mutable.Map[String, (String, Boolean)]()
+
+  /** IVF-PQ maintenance under append drift — the `ann_recluster_recall`
+    * artifact: the full-corpus index persisted, a drifted ingest clump
+    * ([[Fixtures.annDriftClump]] — 256 copies of 4 vectors, guaranteed to
+    * pile into stale lists) appended via [[Similarity.ivfPqEncode]], then
+    * [[Similarity.maintainIvfPq]] detects the oversized list and
+    * re-clusters into a fresh generation from the grown corpus. Returns
+    * (servingPath, fired) — fired must be true on this fixture; the gate
+    * asserts it through the hash. */
+  def ivfPqDriftRoots(s: SparkSession, dir: String): (String, Boolean) = synchronized {
+    driftMemo.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.functions.col
+      val p1 = s"$root/${dirKey(dir)}_anndrift"
+      val p2 = s"$root/${dirKey(dir)}_annreclus"
+      val e = Tables.embeddings(s, dir)
+      val clump = Fixtures.annDriftClump(e)
+      Similarity.saveIvfPq(e, p1, nlist = Nlist, m = M, ksub = Ksub,
+        kmeansIters = Iters)
+      val loaded = Similarity.loadIvfPq(s, p1)
+      Similarity.ivfPqEncode(clump, loaded.centroids, loaded.books)
+        .select(col("cid"), col("pq_codes"), col("list_id"))
+        .repartition(col("list_id"))
+        .write.mode("append").partitionBy("list_id").parquet(s"$p1/encoded")
+      val grown = e.select(col("vec_id"), col("embedding")).union(clump)
+      val fired = Similarity.maintainIvfPq(s, p1, p2, grown,
+        oversizeFactor = 2.0, nlist = Nlist, m = M, ksub = Ksub,
+        kmeansIters = Iters)
+      (if (fired) p2 else p1, fired)
+    })
+  }
+
   private val lexMemo = scala.collection.mutable.Map[String, String]()
 
   /** Persisted BM25 postings index ([[TextAnalysis.saveLexicalIndex]]

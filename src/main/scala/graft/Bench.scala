@@ -82,6 +82,10 @@ object Bench {
     try {
       AnnArtifacts.artifactRoot(spark, sfDir)
       AnnArtifacts.ivfPqAppendRoot(spark, sfDir)
+      // drift-maintenance artifact: ann_recluster_recall measures serving
+      // + the recall math from the re-clustered generation; the one-time
+      // append + recluster build happens here
+      AnnArtifacts.ivfPqDriftRoots(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[bench] ann warmup failed: $e") }
     // same for the persisted BM25 postings artifacts: the index/append/
     // compact serve entries measure serving, not the one-time lazy builds —

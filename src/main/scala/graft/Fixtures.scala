@@ -1667,6 +1667,17 @@ private[graft] object Fixtures {
     embs.select(col("vec_id"), col("embedding"))
       .union(embs.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
 
+  /** ANN append-drift ingest batch: 256 exact copies of vector 0 under
+    * distinct ids (2_000_000 + j). Encoded against a stale quantizer the
+    * whole clump lands in ONE list (identical vectors share an
+    * assignment), pushing it past any reasonable oversize factor — the
+    * deterministic trigger for
+    * [[graft.operators.Similarity.maintainIvfPq]]. */
+  def annDriftClump(embs: DataFrame): DataFrame =
+    embs.filter(col("vec_id") === 0)
+      .select(col("embedding"), explode(sequence(lit(0L), lit(255L))).as("j"))
+      .select((lit(2000000L) + col("j")).as("vec_id"), col("embedding"))
+
   /** DuckDB replay of the windowed-Gear CDC cut positions + chunk spans
     * over a `(doc_id, text)` relation named `src`: the 256-entry gear
     * table is recomputed from the published splitmix64 function at

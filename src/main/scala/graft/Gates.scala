@@ -446,6 +446,42 @@ private[graft] object Gates {
       Seq((8L, recall >= 0.25, nDup)).toDF("n_queries", "recall_ok", "n_dup_exact")
     }),
 
+    "ann_recluster_recall" -> ((s, dir) => {
+      // ANN list maintenance under append drift (round-17 task #5): a
+      // drifted ingest clump appended against stale quantizers piles
+      // into one list; maintainIvfPq must detect it (reclustered = the
+      // fired flag, asserted through the hash) and the re-clustered
+      // generation must still serve — recall@5 on clump-untouched
+      // queries vs the exact baseline over the SAME grown corpus >= the
+      // ann_ivfpq_recall floor, and planted duplicates of base vectors
+      // (shifted ids, external-client convention) must come back at
+      // rank 1 / cos 1.0 — the sharp availability property a wrong
+      // re-encode or lost row cannot fake
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val grown = e.select(col("vec_id"), col("embedding"))
+        .union(Fixtures.annDriftClump(e))
+      val (path, fired) = AnnArtifacts.ivfPqDriftRoots(s, dir)
+      val idx = Similarity.loadIvfPq(s, path)
+      val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      val brute = Similarity.bruteForceTopK(grown, q, k = 5)
+        .select(col("qid"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hits = Similarity.ivfPqQuery(idx.encoded, idx.centroids, idx.books,
+          grown, q, k = 5, nprobe = 8, shortlist = 50)
+        .select(col("qid"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = brute.count(hits.contains).toDouble / brute.size
+      val dupQ = e.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+      val nCos1 = Similarity.ivfPqQuery(idx.encoded, idx.centroids, idx.books,
+          grown, dupQ, k = 1, nprobe = 8, shortlist = 50)
+        .filter(col("rnk") === 1 && col("cos") === 1.0)
+        .count()
+      Seq((8L, fired, recall >= 0.25, nCos1))
+        .toDF("n_queries", "reclustered", "post_ok", "n_cos1_top1")
+    }),
+
     // ---------------- ANN build-vs-serve split (round-6 verdict #1): the
     // `*_build` entries retrain + persist on EVERY call (the honest index-
     // build cost, deliberately NOT cached); the `*_serve` entries answer a
@@ -625,6 +661,14 @@ private[graft] object Gates {
     "ann_ivfpq_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok,
         |       CAST(COUNT(*) AS BIGINT) AS n_dup_exact
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+
+    // maintenance-fired + post-recluster floor are engine-side booleans;
+    // the duplicate-availability count is the sharp per-query property
+    // (every planted duplicate answered at rank 1 / cos 1.0)
+    "ann_recluster_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS reclustered,
+        |       true AS post_ok, CAST(COUNT(*) AS BIGINT) AS n_cos1_top1
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
 
     // build gates: artifact row counts — the code/assignment table must

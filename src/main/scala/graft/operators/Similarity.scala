@@ -234,6 +234,68 @@ object Similarity {
       Quantization.readPqBooks(spark, path),
       spark.read.parquet(s"$path/encoded"))
 
+  /**
+   * LIST-BALANCE drift stats of a persisted IVF-PQ artifact — the
+   * maintenance trigger for an index grown by [[ivfPqEncode]] appends:
+   * appended vectors are assigned by quantizers trained on an OLDER
+   * corpus snapshot, so a drifted ingest distribution piles into a few
+   * lists, and an oversized list is a probe-cost blowup (every query
+   * probing it ADC-scores the whole pile) AND a recall risk (its
+   * centroid no longer represents its members). One row:
+   * `(n_lists, n_codes, max_list_rows, balanced_target, n_oversized)`
+   * where `balanced_target = ceil(n_codes / n_lists)` and a list is
+   * oversized when its row count exceeds `oversizeFactor ×` that target.
+   * Reads ONLY the artifact (per-list counts off the partition layout —
+   * one KB-bounded aggregate), never the corpus.
+   */
+  def ivfPqListStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                     oversizeFactor: Double = 2.0): DataFrame = {
+    require(oversizeFactor > 1.0,
+      s"ivfPqListStats: oversizeFactor must be > 1, got $oversizeFactor")
+    val nLists = readCentroids(spark, path).length
+    // per-list counts are bounded by nlist rows — the codebook-collect
+    // discipline: model-sized state driver-side, corpus never touched
+    val counts = spark.read.parquet(s"$path/encoded")
+      .groupBy(col("list_id")).agg(count(lit(1)).as("cnt"))
+      .collect().map(_.getLong(1))
+    val nCodes = counts.sum
+    val target = if (nCodes == 0L) 0L else (nCodes + nLists - 1) / nLists
+    import spark.implicits._
+    Seq((nLists.toLong, nCodes,
+        if (counts.isEmpty) 0L else counts.max, target,
+        counts.count(_ > oversizeFactor * target).toLong))
+      .toDF("n_lists", "n_codes", "max_list_rows", "balanced_target",
+        "n_oversized")
+  }
+
+  /**
+   * Index MAINTENANCE under append drift: when [[ivfPqListStats]] finds
+   * any oversized list, retrain both quantizers from the CURRENT corpus
+   * and write a fresh generation at `dst` (re-clustering re-balances
+   * every list at once — re-splitting single lists would leave the PQ
+   * codebooks trained on the stale distribution too); otherwise do
+   * nothing. Returns whether the rewrite ran. The production cadence:
+   * ingest appends via [[ivfPqEncode]] (cheap, no retraining), this runs
+   * out-of-band, and the serving pointer flips to `dst` when it reports
+   * true — the old generation stays readable throughout, and a recall
+   * gate (`ann_recluster_recall`) should pass before the flip.
+   */
+  def maintainIvfPq(spark: org.apache.spark.sql.SparkSession,
+                    src: String, dst: String, corpus: DataFrame,
+                    oversizeFactor: Double = 2.0,
+                    nlist: Int = 16, m: Int = 8, ksub: Int = 32,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    kmeansIters: Int = 0): Boolean = {
+    require(src != dst, "maintainIvfPq: dst must be a fresh path")
+    val oversized = ivfPqListStats(spark, src, oversizeFactor)
+      .collect()(0).getAs[Long]("n_oversized")
+    if (oversized == 0L) false
+    else {
+      saveIvfPq(corpus, dst, nlist, m, ksub, idCol, vecCol, kmeansIters)
+      true
+    }
+  }
+
   /** Query a PRE-ENCODED (possibly [[loadIvfPq]]-restored) IVF-PQ index —
     * the serving path: probe `nprobe` lists (partition-pruned on the stored
     * layout), ADC-score their codes, exact-re-rank the shortlist against

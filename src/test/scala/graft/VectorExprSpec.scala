@@ -215,6 +215,48 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqListStats + maintainIvfPq: balanced index reports no oversize " +
+    "and is left alone; a drifted clump fires the recluster") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, Sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_drift").toString
+    try {
+      Similarity.saveIvfPq(e, s"$dir/idx", nlist = 8, m = 8, ksub = 16)
+      val pre = Similarity.ivfPqListStats(spark, s"$dir/idx", oversizeFactor = 4.0)
+        .collect()(0)
+      assert(pre.getAs[Long]("n_lists") == 8L)
+      assert(pre.getAs[Long]("n_codes") == e.count())
+      assert(pre.getAs[Long]("n_oversized") == 0L,
+        s"random corpus should not trip a 4x oversize factor: $pre")
+      // below threshold: maintenance is a no-op, dst untouched
+      assert(!Similarity.maintainIvfPq(spark, s"$dir/idx", s"$dir/gen2", e,
+        oversizeFactor = 4.0, nlist = 8, m = 8, ksub = 16))
+      assert(!new java.io.File(s"$dir/gen2").exists())
+      // drifted ingest: 256 copies of one vector encoded with the STALE
+      // quantizers pile into a single list -> an oversized list appears
+      val clump = Fixtures.annDriftClump(e)
+      val loaded = Similarity.loadIvfPq(spark, s"$dir/idx")
+      Similarity.ivfPqEncode(clump, loaded.centroids, loaded.books)
+        .select(col("cid"), col("pq_codes"), col("list_id"))
+        .write.mode("append").partitionBy("list_id").parquet(s"$dir/idx/encoded")
+      val post = Similarity.ivfPqListStats(spark, s"$dir/idx", oversizeFactor = 2.0)
+        .collect()(0)
+      assert(post.getAs[Long]("n_codes") == e.count() + 256L)
+      assert(post.getAs[Long]("n_oversized") >= 1L, s"clump must overfill a list: $post")
+      val grown = e.select(col("vec_id"), col("embedding")).union(clump)
+      assert(Similarity.maintainIvfPq(spark, s"$dir/idx", s"$dir/gen2", grown,
+        oversizeFactor = 2.0, nlist = 8, m = 8, ksub = 16))
+      // the fresh generation carries every grown-corpus vector
+      assert(spark.read.parquet(s"$dir/gen2/encoded").count() == e.count() + 256L)
+      intercept[IllegalArgumentException] {
+        Similarity.maintainIvfPq(spark, s"$dir/idx", s"$dir/idx", grown)
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("bounded-Lloyd refinement: deterministic, partition-independent, recall non-inferior") {
     import graft.operators.{Quantization, Similarity}
     val e = Tables.embeddings(spark, Sf)
