@@ -208,18 +208,23 @@ object JoinPlanner {
 
   private def writeTableProfile(df: DataFrame, key: String, path: String,
                                 p: ProfileParams, mode: String): Unit = {
-    val k = sketchKey(df, key)
-    Sketches.countMinCells(df, k, p.depth, p.width)
-      .write.mode(mode).parquet(s"$path/cells")
-    df.select(k.as("k"))
-      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("k").asc).limit(p.topK)
-      .write.mode(mode).parquet(s"$path/topk")
-    df.agg(count(lit(1)).as("rows"),
-        coalesce(sum(Capacity.rowBytes(df)), lit(0L)).as("bytes"))
-      .select(col("rows"), col("bytes"), lit(p.depth).as("depth"),
-        lit(p.width).as("width"), lit(p.topK).as("top_k"))
-      .write.mode(mode).parquet(s"$path/stats")
+    // three bundle components, one slice scan: the cells/topk/stats
+    // derivations would each re-read the ingest batch otherwise
+    val slice = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val k = sketchKey(slice, key)
+      Sketches.countMinCells(slice, k, p.depth, p.width)
+        .write.mode(mode).parquet(s"$path/cells")
+      slice.select(k.as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("k").asc).limit(p.topK)
+        .write.mode(mode).parquet(s"$path/topk")
+      slice.agg(count(lit(1)).as("rows"),
+          coalesce(sum(Capacity.rowBytes(slice)), lit(0L)).as("bytes"))
+        .select(col("rows"), col("bytes"), lit(p.depth).as("depth"),
+          lit(p.width).as("width"), lit(p.topK).as("top_k"))
+        .write.mode(mode).parquet(s"$path/stats")
+    } finally slice.unpersist()
   }
 
   /** A loaded (still-lazy) profile: merged cell table, raw per-slice topk
