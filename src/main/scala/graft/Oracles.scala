@@ -2600,6 +2600,54 @@ private[graft] object Oracles {
         |         AS advised_shuffle_partitions
         |FROM base ORDER BY scenario""".stripMargin,
 
+    // distinct-key advice from the bundle's KMV component: md5 k-min
+    // chain + exact row/byte stats replayed one-shot — equality proves
+    // the save+append k-min fold (k-min commutes with union)
+    "profile_distinct_advice" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+        |  FROM supplier),
+        |s AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |a AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM s),
+        |st AS (SELECT COUNT(*) AS nr, CAST(16 * COUNT(*) AS BIGINT) AS bytes FROM supplier)
+        |SELECT st.nr AS "rows", st.bytes, CAST(64 AS BIGINT) AS k, a.n, a.hk,
+        |       CASE WHEN a.n < 64 THEN CAST(a.n AS DOUBLE)
+        |            ELSE round(CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / a.hk, 6) END
+        |         AS estimate
+        |FROM st, a""".stripMargin,
+
+    // the streamed-bundle merge law: the decision row from a bundle
+    // maintained by foreachBatch delta-appends must equal this one-shot
+    // replay of the same sized planner chain over the raw tables
+    "streaming_profile_decision" ->
+      """WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
+        |fc AS MATERIALIZED (
+        |  SELECT r, (l_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM lineitem CROSS JOIN h GROUP BY 1, 2),
+        |dc AS MATERIALIZED (
+        |  SELECT r, (s_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+        |  FROM supplier CROSS JOIN h GROUP BY 1, 2),
+        |ip AS (SELECT fc.r, SUM(CAST(fc.n AS HUGEINT) * dc.n) AS ip
+        |       FROM fc JOIN dc ON fc.r = dc.r AND fc.c = dc.c GROUP BY fc.r),
+        |e AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est
+        |      FROM range(0, 4) t(r) LEFT JOIN ip ON ip.r = t.r),
+        |f AS (SELECT COUNT(*) AS fact_rows,
+        |             CAST(16 * COUNT(*) AS BIGINT) AS fact_bytes FROM lineitem),
+        |d AS (SELECT COUNT(*) AS dim_rows,
+        |             CAST(16 * COUNT(*) AS BIGINT) AS dim_bytes FROM supplier),
+        |ts AS (SELECT round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_share
+        |       FROM (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1))
+        |SELECT f.fact_rows, d.dim_rows, ts.top_share, e.est AS est_join_size,
+        |       round(CAST(e.est AS DOUBLE) / f.fact_rows, 6) AS est_selectivity,
+        |       CASE WHEN d.dim_rows <= 2000 THEN 'broadcast'
+        |            WHEN ts.top_share >= 0.9 THEN 'salted'
+        |            WHEN round(CAST(e.est AS DOUBLE) / f.fact_rows, 6) <= 0.001 THEN 'bloom_pruned'
+        |            ELSE 'plain' END AS strategy,
+        |       f.fact_bytes, d.dim_bytes,
+        |       greatest(1, least(4096, (f.fact_bytes + d.dim_bytes + 65535) // 65536))
+        |         AS advised_shuffle_partitions
+        |FROM f, d, ts, e""".stripMargin,
+
     // the complete planner row: the s1 sketch chain + exact byte
     // accounting + ceildiv sizing, replayed end to end
     "join_choice_sized" ->

@@ -3081,7 +3081,9 @@ private[graft] object Queries {
       // exact), so the DuckDB oracle replaying each scenario ONE-SHOT
       // from the raw tables proves the merge law: decision-from-deltas
       // == decision-from-one-shot, sketch chain, byte accounting, CASE
-      // and ceildiv sizing included
+      // and ceildiv sizing included. (Two fact slices here — the spec's
+      // merge-law test covers 3-slice folds; each extra slice is 4 more
+      // artifact writes of pure per-run overhead)
       val tmp = java.nio.file.Files.createTempDirectory("graft_join_prof").toString
       try {
         val fact = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
@@ -3089,11 +3091,9 @@ private[graft] object Queries {
         val rich = dim.filter(col("s_acctbal") > 5000.0)
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096, topK = 4096)
         JoinPlanner.saveTableProfile(
-          fact.filter(col("l_orderkey") % 3 === 0), "l_suppkey", s"$tmp/fact", p)
+          fact.filter(col("l_orderkey") % 2 === 0), "l_suppkey", s"$tmp/fact", p)
         JoinPlanner.appendTableProfile(
-          fact.filter(col("l_orderkey") % 3 === 1), "l_suppkey", s"$tmp/fact", p)
-        JoinPlanner.appendTableProfile(
-          fact.filter(col("l_orderkey") % 3 === 2), "l_suppkey", s"$tmp/fact", p)
+          fact.filter(col("l_orderkey") % 2 =!= 0), "l_suppkey", s"$tmp/fact", p)
         JoinPlanner.saveTableProfile(
           dim.filter(col("s_suppkey") % 2 === 0), "s_suppkey", s"$tmp/dim", p)
         JoinPlanner.appendTableProfile(
@@ -3126,6 +3126,82 @@ private[graft] object Queries {
             col("advised_shuffle_partitions"))
           .orderBy(col("scenario"))
         // materialize before the artifact dirs vanish (lifecycle rule)
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally Gates.deleteTree(tmp)
+    }),
+
+    "profile_distinct_advice" -> ((s, dir) => {
+      // the aggregation-planner twin of the join decision: distinct-key
+      // advice (is the groupBy output broadcastable / collectable?) from
+      // the persisted bundle's KMV component alone — built as save +
+      // delta-append over the dim's halves, folded at load by k-min
+      // merge (EXACTLY the one-shot sketch: k-min commutes with union),
+      // estimated by the exact-arithmetic KMV estimator. kmvK = 64 sits
+      // below the supplier key domain at sf0.01 (estimator branch) and
+      // above it at sf0.001 (exact branch), so both estimator branches
+      // gate across the verify SFs; the oracle replays the md5 k-min
+      // chain plus the exact row/byte stats one-shot from the raw table
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dist_prof").toString
+      try {
+        val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
+        val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
+          topK = 4096, kmvK = 64)
+        JoinPlanner.saveTableProfile(
+          dim.filter(col("s_suppkey") % 2 === 0), "s_suppkey", tmp, p)
+        JoinPlanner.appendTableProfile(
+          dim.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", tmp, p)
+        val out = JoinPlanner.profileDistinctAdvice(s, tmp)
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally Gates.deleteTree(tmp)
+    }),
+
+    "streaming_profile_decision" -> ((s, dir) => {
+      // the deployment shape of the artifact-fed planner: INGEST
+      // maintains the fact table's sketch bundle — each micro-batch
+      // delta-appends cells/topk/kmv/stats via foreachBatch (guarded by
+      // a per-batchId marker so an at-least-once replay cannot
+      // double-count; the same marker pattern works on any DFS) — and
+      // join planning later reads only the streamed artifacts. The
+      // decision row from the two-batch streamed bundle must equal the
+      // one-shot DuckDB replay over the raw tables: the merge law, now
+      // across the streaming boundary
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_prof").toString
+      try {
+        val fact = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        val rows = fact.as[(Long, Long)].collect()
+        val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
+          topK = 4096, kmvK = 256)
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long)]
+        val q = mem.toDF().toDF("l_orderkey", "l_suppkey")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val marker = new java.io.File(s"$tmp/fact/_batch_$id")
+            if (!marker.exists()) {
+              JoinPlanner.appendTableProfile(batch, "l_suppkey", s"$tmp/fact", p)
+              marker.createNewFile()
+              ()
+            }
+          }
+          .start()
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+        q.stop()
+        val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
+        JoinPlanner.saveTableProfile(
+          dim.filter(col("s_suppkey") % 2 === 0), "s_suppkey", s"$tmp/dim", p)
+        JoinPlanner.appendTableProfile(
+          dim.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", s"$tmp/dim", p)
+        val t = Capacity.SizingTargets(
+          targetPartitionBytes = 64L << 10, targetFileBytes = 256L << 10,
+          minPartitions = 1, maxPartitions = 4096)
+        val out = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact",
+          s"$tmp/dim",
+          JoinPlanner.JoinThresholds(broadcastMaxDimRows = 2000,
+            skewShareMin = 0.9, bloomSelectivityMax = 0.001), t)
         s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
       } finally Gates.deleteTree(tmp)
     }),

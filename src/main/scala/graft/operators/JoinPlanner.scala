@@ -165,8 +165,9 @@ object JoinPlanner {
     * distinct-key count), and a LOWER bound otherwise — see
     * [[joinDecisionFromProfiles]] for the degrade direction. */
   final case class ProfileParams(depth: Int = 4, width: Int = 4096,
-                                 topK: Int = 64) {
+                                 topK: Int = 64, kmvK: Int = 256) {
     require(topK >= 1, s"ProfileParams: topK must be >= 1, got $topK")
+    require(kmvK >= 2, s"ProfileParams: kmvK must be >= 2, got $kmvK")
   }
 
   /**
@@ -219,37 +220,75 @@ object JoinPlanner {
         .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("k").asc).limit(p.topK)
         .write.mode(mode).parquet(s"$path/topk")
+      // the 4th mergeable component: the slice's KMV distinct-count
+      // sketch over the SAME sketch key (k-min commutes with union, so
+      // the loader's kmvMerge over slices IS the one-shot sketch — the
+      // pinned SketchLawsSpec law; string keys ride the xxhash64 first,
+      // where a collision can only merge two keys = undercount by at
+      // most the 2^-64 collision mass)
+      Sketches.kmvSketch(slice.select(k.as("k")), col("k"), p.kmvK)
+        .write.mode(mode).parquet(s"$path/kmv")
       slice.agg(count(lit(1)).as("rows"),
           coalesce(sum(Capacity.rowBytes(slice)), lit(0L)).as("bytes"))
         .select(col("rows"), col("bytes"), lit(p.depth).as("depth"),
-          lit(p.width).as("width"), lit(p.topK).as("top_k"))
+          lit(p.width).as("width"), lit(p.topK).as("top_k"),
+          lit(p.kmvK).as("kmv_k"))
         .write.mode(mode).parquet(s"$path/stats")
     } finally slice.unpersist()
   }
 
   /** A loaded (still-lazy) profile: merged cell table, raw per-slice topk
-    * rows, 1-row summed stats frame, and the validated sketch shape. */
+    * rows, the folded KMV distinct sketch, 1-row summed stats frame, and
+    * the validated sketch shape. */
   final case class TableProfile(cells: DataFrame, topk: DataFrame,
-                                stats: DataFrame, depth: Int, width: Int)
+                                kmv: DataFrame, stats: DataFrame,
+                                depth: Int, width: Int, kmvK: Int)
 
   /** Load a profile bundle, folding accumulated deltas: cells via
-    * [[Sketches.countMinMerge]] (cell-wise sum), stats by summing slice
-    * rows. The sketch shape is validated across slices (bounded collect
-    * over the slice-count-sized stats table); a depth/width mix aborts —
-    * sketches of different shapes share no hash family to merge under. */
+    * [[Sketches.countMinMerge]] (cell-wise sum), the KMV component via
+    * [[Sketches.kmvMerge]] (k-min of the union — exactly the one-shot
+    * sketch), stats by summing slice rows. The sketch shape is validated
+    * across slices (bounded collect over the slice-count-sized stats
+    * table); a depth/width/kmvK mix aborts — sketches of different
+    * shapes share no hash family or k-floor to merge under. */
   def loadTableProfile(spark: org.apache.spark.sql.SparkSession,
                        path: String): TableProfile = {
     val st = spark.read.parquet(s"$path/stats")
-    val shapes = st.select(col("depth"), col("width")).distinct().collect()
+    val shapes = st.select(col("depth"), col("width"), col("kmv_k"))
+      .distinct().collect()
     require(shapes.length == 1,
       s"table profile at $path mixes sketch shapes " +
-        shapes.map(r => s"${r.getInt(0)}x${r.getInt(1)}").sorted.mkString(",") +
-        " — rebuild with one ProfileParams; mixed-shape cells cannot merge")
+        shapes.map(r => s"${r.getInt(0)}x${r.getInt(1)}/k${r.getInt(2)}")
+          .sorted.mkString(",") +
+        " — rebuild with one ProfileParams; mixed-shape sketches cannot merge")
+    val kmvK = shapes(0).getInt(2)
     TableProfile(
       Sketches.countMinMerge(Seq(spark.read.parquet(s"$path/cells"))),
       spark.read.parquet(s"$path/topk"),
+      Sketches.kmvMerge(Seq(spark.read.parquet(s"$path/kmv")), kmvK),
       st.agg(sum(col("rows")).as("rows"), sum(col("bytes")).as("bytes")),
-      shapes(0).getInt(0), shapes(0).getInt(1))
+      shapes(0).getInt(0), shapes(0).getInt(1), kmvK)
+  }
+
+  /**
+   * DISTINCT-KEY advice from a persisted bundle alone — the aggregation
+   * planner's twin of [[joinDecisionFromProfiles]]: before committing to
+   * a `groupBy(key)` over a 100 TB table, the two artifact-derivable
+   * numbers that size it are the exchange volume (exact byte total) and
+   * the OUTPUT cardinality (the KMV distinct estimate — whether the
+   * grouped result is broadcastable, driver-collectable, or itself a
+   * big table). One row: `(rows, bytes, k, n, hk, estimate)` — the
+   * [[Sketches.kmvEstimate]] columns joined with the exact stats; the
+   * whole derivation (md5 k-min chain included) replays in SQL, and the
+   * merge law holds exactly (k-min commutes with union), so advice from
+   * merged deltas equals advice from a one-shot scan.
+   */
+  def profileDistinctAdvice(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame = {
+    val prof = loadTableProfile(spark, path)
+    prof.stats.crossJoin(broadcast(Sketches.kmvEstimate(prof.kmv, prof.kmvK)))
+      .select(col("rows"), col("bytes"), col("k"), col("n"), col("hk"),
+        col("estimate"))
   }
 
   /**

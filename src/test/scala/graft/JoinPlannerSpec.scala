@@ -226,6 +226,18 @@ class JoinPlannerSpec extends SparkSpec {
       assert(fromArtifacts.length == 1 && oneShot.length == 1)
       assert(fromArtifacts(0).toSeq === oneShot(0).toSeq,
         s"merge law broken: artifact row ${fromArtifacts(0)} vs one-shot ${oneShot(0)}")
+      // and the KMV component folds exactly too: distinct advice from the
+      // merged deltas == the one-shot sketch over the whole fact
+      val advice = graft.operators.JoinPlanner
+        .profileDistinctAdvice(spark, s"$tmp/fact").collect()(0)
+      val direct = graft.operators.Sketches.kmvEstimate(
+        graft.operators.Sketches.kmvSketch(
+          fact.select($"fk".as("k")), col("k"), 256), 256).collect()(0)
+      assert(advice.getAs[Long]("rows") == 600L)
+      Seq("k", "n", "hk", "estimate").foreach { c =>
+        assert(advice.getAs[Any](c) == direct.getAs[Any](c),
+          s"kmv component diverged on $c")
+      }
     }
   }
 
