@@ -2616,6 +2616,34 @@ private[graft] object Oracles {
         |         AS estimate
         |FROM st, a""".stripMargin,
 
+    // key-overlap from two bundles' KMV components: md5 k-min sets of
+    // both key columns, the k-min union sketch, certain below-threshold
+    // membership, and the exact-arithmetic estimator chain — replayed
+    // one-shot, proving the save+append fold AND the set algebra
+    "profile_overlap_advice" ->
+      """WITH ca AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+        |  FROM orders),
+        |cb AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+        |  FROM customer),
+        |sa AS MATERIALIZED (SELECT h FROM ca ORDER BY h LIMIT 256),
+        |sb AS MATERIALIZED (SELECT h FROM cb ORDER BY h LIMIT 256),
+        |u AS MATERIALIZED (
+        |  SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb))
+        |  ORDER BY h LIMIT 256),
+        |agg AS (SELECT COUNT(*) AS n_union, MAX(h) AS hk FROM u),
+        |sh AS (SELECT COUNT(*) AS shared FROM u
+        |       WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
+        |SELECT CAST(256 AS BIGINT) AS k, n_union, hk AS hk_union, shared,
+        |  CASE WHEN n_union < 256 THEN CAST(n_union AS DOUBLE)
+        |       ELSE round(CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk, 6) END AS union_est,
+        |  round(CAST(shared AS DOUBLE) / n_union, 6) AS jaccard,
+        |  round(round(CAST(shared AS DOUBLE) / n_union, 6) *
+        |    (CASE WHEN n_union < 256 THEN CAST(n_union AS DOUBLE)
+        |          ELSE round(CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk, 6) END), 6) AS inter_est
+        |FROM agg, sh""".stripMargin,
+
     // the streamed-bundle merge law: the decision row from a bundle
     // maintained by foreachBatch delta-appends must equal this one-shot
     // replay of the same sized planner chain over the raw tables

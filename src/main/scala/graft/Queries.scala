@@ -3206,6 +3206,35 @@ private[graft] object Queries {
       } finally Gates.deleteTree(tmp)
     }),
 
+    "profile_overlap_advice" -> ((s, dir) => {
+      // the bundle's third planner signal: key-set overlap between the
+      // orders FK and the customer PK estimated from the two persisted
+      // KMV components alone (k-min set algebra — union sketch = k-min
+      // of the union, below-threshold membership certain), the
+      // referential-health check a 100 TB feed runs per epoch without
+      // joining anything. Both bundles built save + delta-append; the
+      // oracle replays the md5 k-min sets and every set/estimator step
+      // one-shot from the raw tables — merge law + set algebra in one
+      // hash match
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ovl_prof").toString
+      try {
+        val fact = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+        val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
+          topK = 4096, kmvK = 256)
+        JoinPlanner.saveTableProfile(
+          fact.filter(col("o_orderkey") % 2 === 0), "o_custkey", s"$tmp/fact", p)
+        JoinPlanner.appendTableProfile(
+          fact.filter(col("o_orderkey") % 2 =!= 0), "o_custkey", s"$tmp/fact", p)
+        JoinPlanner.saveTableProfile(
+          dim.filter(col("c_custkey") % 2 === 0), "c_custkey", s"$tmp/dim", p)
+        JoinPlanner.appendTableProfile(
+          dim.filter(col("c_custkey") % 2 =!= 0), "c_custkey", s"$tmp/dim", p)
+        val out = JoinPlanner.profileOverlapAdvice(s, s"$tmp/fact", s"$tmp/dim")
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally Gates.deleteTree(tmp)
+    }),
+
     "key_skew_profile" -> ((s, dir) => {
       // the pre-shuffle skew diagnostic: hottest event users with exact
       // counts and corpus shares vs the uniform baseline — "should I salt

@@ -349,6 +349,28 @@ object JoinPlanner {
   }
 
   /**
+   * KEY-OVERLAP advice from two persisted bundles — the third planner
+   * signal the KMV component unlocks ([[Sketches.kmvSetEstimate]], the
+   * theta-sketch set algebra on the exact-replay substrate): estimated
+   * union size, Jaccard, and intersection of two tables' key sets with
+   * zero corpus passes. The referential-health read: a fact profiled on
+   * its FK against its dim's PK should show `inter_est ≈` the fact's
+   * distinct count — a Jaccard collapse between ingest epochs means
+   * orphaned fact keys (a broken upstream feed) caught from KB-sized
+   * artifacts BEFORE any join runs and reports empty. Both bundles must
+   * share `kmvK` (k-min sets of different k have no common floor).
+   */
+  def profileOverlapAdvice(spark: org.apache.spark.sql.SparkSession,
+                           pathA: String, pathB: String): DataFrame = {
+    val a = loadTableProfile(spark, pathA)
+    val b = loadTableProfile(spark, pathB)
+    require(a.kmvK == b.kmvK,
+      s"profileOverlapAdvice: kmvK differs (${a.kmvK} vs ${b.kmvK}) — " +
+        "k-min sets of different k cannot intersect soundly; rebuild one side")
+    Sketches.kmvSetEstimate(a.kmv, b.kmv, a.kmvK)
+  }
+
+  /**
    * [[chooseJoin]] fed by persisted bundles: the decision comes from
    * [[joinDecisionFromProfiles]] (zero corpus passes — the 1-row collect
    * reads artifacts only), then the chosen strategy runs on the actual
