@@ -25,6 +25,41 @@ private[graft] object Oracles {
   // engines agree bit-for-bit; the final round(…,6) absorbs double-summation
   // order; constants fold as arithmetic ((1.2 + 1.0), not 2.2) so the
   // decimal literals round to the same doubles the operator computes.
+  /** One-shot sized-planner replay over the quarter-slice lineitem fact
+    * vs the supplier dim (broadcast thresholds) — shared by the
+    * streamed-maintenance and compaction gates: both must reproduce the
+    * decision a fresh one-shot scan would make. */
+  private val QuarterProfileDecisionSql: String =
+    """WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
+      |li AS MATERIALIZED (
+      |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 4 = 0),
+      |fc AS MATERIALIZED (
+      |  SELECT r, (l_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+      |  FROM li CROSS JOIN h GROUP BY 1, 2),
+      |dc AS MATERIALIZED (
+      |  SELECT r, (s_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
+      |  FROM supplier CROSS JOIN h GROUP BY 1, 2),
+      |ip AS (SELECT fc.r, SUM(CAST(fc.n AS HUGEINT) * dc.n) AS ip
+      |       FROM fc JOIN dc ON fc.r = dc.r AND fc.c = dc.c GROUP BY fc.r),
+      |e AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est
+      |      FROM range(0, 4) t(r) LEFT JOIN ip ON ip.r = t.r),
+      |f AS (SELECT COUNT(*) AS fact_rows,
+      |             CAST(16 * COUNT(*) AS BIGINT) AS fact_bytes FROM li),
+      |d AS (SELECT COUNT(*) AS dim_rows,
+      |             CAST(16 * COUNT(*) AS BIGINT) AS dim_bytes FROM supplier),
+      |ts AS (SELECT round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_share
+      |       FROM (SELECT l_suppkey, COUNT(*) AS cnt FROM li GROUP BY 1))
+      |SELECT f.fact_rows, d.dim_rows, ts.top_share, e.est AS est_join_size,
+      |       round(CAST(e.est AS DOUBLE) / f.fact_rows, 6) AS est_selectivity,
+      |       CASE WHEN d.dim_rows <= 2000 THEN 'broadcast'
+      |            WHEN ts.top_share >= 0.9 THEN 'salted'
+      |            WHEN round(CAST(e.est AS DOUBLE) / f.fact_rows, 6) <= 0.001 THEN 'bloom_pruned'
+      |            ELSE 'plain' END AS strategy,
+      |       f.fact_bytes, d.dim_bytes,
+      |       greatest(1, least(4096, (f.fact_bytes + d.dim_bytes + 65535) // 65536))
+      |         AS advised_shuffle_partitions
+      |FROM f, d, ts, e""".stripMargin
+
   private val Bm25Sql: String =
     """WITH tk AS (
       |  SELECT doc_id, token FROM (
@@ -2647,36 +2682,12 @@ private[graft] object Oracles {
     // the streamed-bundle merge law: the decision row from a bundle
     // maintained by foreachBatch delta-appends must equal this one-shot
     // replay of the same sized planner chain over the raw tables
-    "streaming_profile_decision" ->
-      """WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
-        |li AS MATERIALIZED (
-        |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 4 = 0),
-        |fc AS MATERIALIZED (
-        |  SELECT r, (l_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
-        |  FROM li CROSS JOIN h GROUP BY 1, 2),
-        |dc AS MATERIALIZED (
-        |  SELECT r, (s_suppkey % 1000000007 * a + b) % 1000000007 % 4096 AS c, COUNT(*) AS n
-        |  FROM supplier CROSS JOIN h GROUP BY 1, 2),
-        |ip AS (SELECT fc.r, SUM(CAST(fc.n AS HUGEINT) * dc.n) AS ip
-        |       FROM fc JOIN dc ON fc.r = dc.r AND fc.c = dc.c GROUP BY fc.r),
-        |e AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est
-        |      FROM range(0, 4) t(r) LEFT JOIN ip ON ip.r = t.r),
-        |f AS (SELECT COUNT(*) AS fact_rows,
-        |             CAST(16 * COUNT(*) AS BIGINT) AS fact_bytes FROM li),
-        |d AS (SELECT COUNT(*) AS dim_rows,
-        |             CAST(16 * COUNT(*) AS BIGINT) AS dim_bytes FROM supplier),
-        |ts AS (SELECT round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_share
-        |       FROM (SELECT l_suppkey, COUNT(*) AS cnt FROM li GROUP BY 1))
-        |SELECT f.fact_rows, d.dim_rows, ts.top_share, e.est AS est_join_size,
-        |       round(CAST(e.est AS DOUBLE) / f.fact_rows, 6) AS est_selectivity,
-        |       CASE WHEN d.dim_rows <= 2000 THEN 'broadcast'
-        |            WHEN ts.top_share >= 0.9 THEN 'salted'
-        |            WHEN round(CAST(e.est AS DOUBLE) / f.fact_rows, 6) <= 0.001 THEN 'bloom_pruned'
-        |            ELSE 'plain' END AS strategy,
-        |       f.fact_bytes, d.dim_bytes,
-        |       greatest(1, least(4096, (f.fact_bytes + d.dim_bytes + 65535) // 65536))
-        |         AS advised_shuffle_partitions
-        |FROM f, d, ts, e""".stripMargin,
+    "streaming_profile_decision" -> QuarterProfileDecisionSql,
+
+    // same fixture, same one-shot replay — here proving the COMPACTED
+    // generation (merged cells/topk/kmv/stats folded to one file set)
+    // decides identically to the pile it replaced
+    "profile_compact_decision" -> QuarterProfileDecisionSql,
 
     // the complete planner row: the s1 sketch chain + exact byte
     // accounting + ceildiv sizing, replayed end to end

@@ -3212,6 +3212,50 @@ private[graft] object Queries {
       } finally Gates.deleteTree(tmp)
     }),
 
+    "profile_compact_decision" -> ((s, dir) => {
+      // bundle compaction closes the planner-artifact lifecycle: under
+      // per-micro-batch maintenance the pile grows one file set per
+      // trigger while its information content stays fixed-size —
+      // compactTableProfile folds it to ONE merged generation (summed
+      // cells grid, truncated merged topk, k-min kmv, one stats row;
+      // rows/bytes audit). Decisions from the compacted generation are
+      // pile-identical UNCONDITIONALLY (every decision input is the
+      // merged value), asserted in-query; the oracle is the same
+      // one-shot quarter-slice replay the streamed gate uses
+      val tmp = java.nio.file.Files.createTempDirectory("graft_comp_prof").toString
+      try {
+        val fact = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
+        val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
+          topK = 4096, kmvK = 256)
+        JoinPlanner.saveTableProfile(
+          fact.filter(col("l_suppkey") % 2 === 0), "l_suppkey", s"$tmp/fact", p)
+        JoinPlanner.appendTableProfile(
+          fact.filter(col("l_suppkey") % 2 =!= 0), "l_suppkey", s"$tmp/fact", p)
+        JoinPlanner.saveTableProfile(
+          dim.filter(col("s_suppkey") % 2 === 0), "s_suppkey", s"$tmp/dim", p)
+        JoinPlanner.appendTableProfile(
+          dim.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", s"$tmp/dim", p)
+        JoinPlanner.compactTableProfile(s, s"$tmp/fact", s"$tmp/fact2")
+        JoinPlanner.compactTableProfile(s, s"$tmp/dim", s"$tmp/dim2")
+        val th = JoinPlanner.JoinThresholds(broadcastMaxDimRows = 2000,
+          skewShareMin = 0.9, bloomSelectivityMax = 0.001)
+        val t = Capacity.SizingTargets(
+          targetPartitionBytes = 64L << 10, targetFileBytes = 256L << 10,
+          minPartitions = 1, maxPartitions = 4096)
+        val pile = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact",
+          s"$tmp/dim", th, t).collect()
+        val out = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact2",
+          s"$tmp/dim2", th, t)
+        val post = out.collect()
+        require(pile.map(_.toSeq).toSeq == post.map(_.toSeq).toSeq,
+          "profile_compact_decision: compacted decision diverged from the pile")
+        s.createDataFrame(java.util.Arrays.asList(post: _*), out.schema)
+      } finally Gates.deleteTree(tmp)
+    }),
+
     "profile_overlap_advice" -> ((s, dir) => {
       // the bundle's third planner signal: key-set overlap between the
       // orders FK and the customer PK estimated from the two persisted

@@ -254,20 +254,67 @@ object JoinPlanner {
   def loadTableProfile(spark: org.apache.spark.sql.SparkSession,
                        path: String): TableProfile = {
     val st = spark.read.parquet(s"$path/stats")
-    val shapes = st.select(col("depth"), col("width"), col("kmv_k"))
+    val shapes = st.select(col("depth"), col("width"), col("top_k"), col("kmv_k"))
       .distinct().collect()
     require(shapes.length == 1,
       s"table profile at $path mixes sketch shapes " +
-        shapes.map(r => s"${r.getInt(0)}x${r.getInt(1)}/k${r.getInt(2)}")
+        shapes.map(r => s"${r.getInt(0)}x${r.getInt(1)}/t${r.getInt(2)}/k${r.getInt(3)}")
           .sorted.mkString(",") +
         " — rebuild with one ProfileParams; mixed-shape sketches cannot merge")
-    val kmvK = shapes(0).getInt(2)
+    val kmvK = shapes(0).getInt(3)
     TableProfile(
       Sketches.countMinMerge(Seq(spark.read.parquet(s"$path/cells"))),
       spark.read.parquet(s"$path/topk"),
       Sketches.kmvMerge(Seq(spark.read.parquet(s"$path/kmv")), kmvK),
       st.agg(sum(col("rows")).as("rows"), sum(col("bytes")).as("bytes")),
       shapes(0).getInt(0), shapes(0).getInt(1), kmvK)
+  }
+
+  /**
+   * Compact a profile bundle: fold the save + delta pile into ONE merged
+   * generation at `dst`. The bundle is the one artifact family whose
+   * compaction IS its merge semantics: cells collapse to the summed grid
+   * (≤ depth·width rows forever after), kmv to the k-min of the union
+   * (exactly the one-shot sketch), stats to one summed row, and topk to
+   * the merged per-key sums truncated back to `topK`. Under per-micro-
+   * batch maintenance ([[appendTableProfile]] from `foreachBatch`) the
+   * pile otherwise grows one file set per trigger — unbounded listing
+   * cost for an artifact whose information content is fixed-size.
+   *
+   * Decision preservation: every decision input derives from the MERGED
+   * components, so a decision from `dst` equals a decision from the
+   * loaded pile UNCONDITIONALLY — the merged top-1 count survives any
+   * topK ≥ 1 truncation. (Future appends after compaction re-enter the
+   * standing topK-coverage precondition, exactly as appends to a fresh
+   * save do.) Audited: summed rows/bytes must match the pile's.
+   */
+  def compactTableProfile(spark: org.apache.spark.sql.SparkSession,
+                          src: String, dst: String): Unit = {
+    require(src != dst, "compactTableProfile: dst must be a fresh path")
+    val st = spark.read.parquet(s"$src/stats")
+    val shapes = st.select(col("depth"), col("width"), col("top_k"), col("kmv_k"))
+      .distinct().collect()
+    require(shapes.length == 1,
+      s"compactTableProfile: profile at $src mixes sketch shapes — " +
+        "nothing well-formed to fold")
+    val (depth, width, topK, kmvK) =
+      (shapes(0).getInt(0), shapes(0).getInt(1), shapes(0).getInt(2), shapes(0).getInt(3))
+    val prof = loadTableProfile(spark, src)
+    prof.cells.write.mode("overwrite").parquet(s"$dst/cells")
+    prof.topk.groupBy(col("k")).agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("k").asc).limit(topK)
+      .write.mode("overwrite").parquet(s"$dst/topk")
+    prof.kmv.write.mode("overwrite").parquet(s"$dst/kmv")
+    prof.stats
+      .select(col("rows"), col("bytes"), lit(depth).as("depth"),
+        lit(width).as("width"), lit(topK).as("top_k"), lit(kmvK).as("kmv_k"))
+      .write.mode("overwrite").parquet(s"$dst/stats")
+    val pre = prof.stats.collect()(0)
+    val post = loadTableProfile(spark, dst).stats.collect()(0)
+    require(pre.getAs[Long]("rows") == post.getAs[Long]("rows") &&
+        pre.getAs[Long]("bytes") == post.getAs[Long]("bytes"),
+      s"compactTableProfile: summed stats changed ($pre -> $post) — " +
+        "the source changed mid-compaction; re-run")
   }
 
   /**

@@ -316,6 +316,52 @@ class JoinPlannerSpec extends SparkSpec {
     }
   }
 
+  test("compactTableProfile: one merged generation, decision-identical to " +
+    "the pile, fewer files; guards fire") {
+    withTmp { tmp =>
+      val rnd = new scala.util.Random(7L)
+      val fact = (1 to 400).map { i =>
+        (1L + rnd.nextInt(25).toLong, i.toLong) }.toDF("fk", "payload")
+      val dim = (1L to 40L).map(k => (k, s"n$k")).toDF("dk", "name")
+      val p = JoinPlanner.ProfileParams(depth = 4, width = 256, topK = 64,
+        kmvK = 32)
+      JoinPlanner.saveTableProfile(fact.filter($"payload" % 3 === 0), "fk",
+        s"$tmp/fact", p)
+      JoinPlanner.appendTableProfile(fact.filter($"payload" % 3 === 1), "fk",
+        s"$tmp/fact", p)
+      JoinPlanner.appendTableProfile(fact.filter($"payload" % 3 === 2), "fk",
+        s"$tmp/fact", p)
+      JoinPlanner.saveTableProfile(dim, "dk", s"$tmp/dim", p)
+      JoinPlanner.compactTableProfile(spark, s"$tmp/fact", s"$tmp/fact2")
+      val thr = JoinThresholds(broadcastMaxDimRows = 10, skewShareMin = 0.04,
+        bloomSelectivityMax = 0.2, cmsDepth = 4, cmsWidth = 256)
+      def dcs(path: String) = JoinPlanner
+        .joinDecisionFromProfiles(spark, path, s"$tmp/dim", thr).collect()(0)
+      assert(dcs(s"$tmp/fact2").toSeq === dcs(s"$tmp/fact").toSeq)
+      // and the distinct/overlap advice survive the fold too
+      assert(JoinPlanner.profileDistinctAdvice(spark, s"$tmp/fact2")
+        .collect()(0).toSeq ===
+        JoinPlanner.profileDistinctAdvice(spark, s"$tmp/fact").collect()(0).toSeq)
+      def parquets(p2: String) = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(p2)).count(_.getName.endsWith(".parquet"))
+      }
+      assert(parquets(s"$tmp/fact2") < parquets(s"$tmp/fact"),
+        "the fold must shrink the file pile")
+      intercept[IllegalArgumentException] {
+        JoinPlanner.compactTableProfile(spark, s"$tmp/fact", s"$tmp/fact")
+      }
+      // kmvK mismatch across bundles aborts the overlap advice
+      JoinPlanner.saveTableProfile(dim, "dk", s"$tmp/dim8",
+        JoinPlanner.ProfileParams(depth = 4, width = 256, topK = 64, kmvK = 8))
+      val ex = intercept[IllegalArgumentException] {
+        JoinPlanner.profileOverlapAdvice(spark, s"$tmp/fact", s"$tmp/dim8")
+      }
+      assert(ex.getMessage.contains("kmvK differs"))
+    }
+  }
+
   test("chooseJoinFromProfiles: decision from artifacts, execution on the " +
     "frames, result identical to the plain join") {
     withTmp { tmp =>
