@@ -1,0 +1,108 @@
+package graft
+
+import scala.io.Source
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Capacity, JoinPlanner}
+import graft.serving.PlanServer
+import graft.sources.Tables
+
+/** The `/api/plan` endpoints must answer from the registered persisted
+  * bundles ROW-IDENTICALLY to the library calls they wrap (decision,
+  * distinct advice, overlap), wear the reference `Message` envelope, and
+  * turn malformed input — unknown tables, bad thresholds, mixed sketch
+  * shapes — into 400 `ErrorMessage`s, never 500s. Every answer derives
+  * from KB-sized artifacts: no endpoint touches a corpus. */
+class PlanServerSpec extends SparkSpec {
+
+  private def get(url: String): (Int, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = Source.fromInputStream(is, "UTF-8").mkString
+    (code, body)
+  }
+
+  private def withServer(f: (Int, String, String) => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft_planserve").toString
+    val factPath = s"$root/lineitem"
+    val dimPath = s"$root/supplier"
+    try {
+      val p = JoinPlanner.ProfileParams(depth = 4, width = 1024,
+        topK = 2048, kmvK = 64)
+      val fact = Tables.lineitem(spark, Sf)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      JoinPlanner.saveTableProfile(
+        fact.filter(col("l_orderkey") % 2 === 0), "l_suppkey", factPath, p)
+      JoinPlanner.appendTableProfile(
+        fact.filter(col("l_orderkey") % 2 =!= 0), "l_suppkey", factPath, p)
+      JoinPlanner.saveTableProfile(
+        Tables.supplier(spark, Sf).select(col("s_suppkey"), col("s_acctbal")),
+        "s_suppkey", dimPath, p)
+      val srv = new PlanServer(spark,
+        Map("lineitem" -> factPath, "supplier" -> dimPath))
+      val port = srv.start()
+      try f(port, factPath, dimPath) finally srv.stop()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
+  test("join/distinct/overlap endpoints answer row-identically to the " +
+    "library calls, from artifacts only") {
+    withServer { (port, factPath, dimPath) =>
+      val th = JoinPlanner.JoinThresholds(broadcastMaxDimRows = 2000,
+        skewShareMin = 0.9, bloomSelectivityMax = 0.001)
+      val t = Capacity.SizingTargets(targetPartitionBytes = 65536L)
+      val want = JoinPlanner
+        .joinDecisionFromProfiles(spark, factPath, dimPath, th, t).collect()(0)
+      val (c1, b1) = get(s"http://localhost:$port/api/plan/join?" +
+        "fact=lineitem&dim=supplier&broadcastMaxDimRows=2000&" +
+        "skewShareMin=0.9&bloomSelectivityMax=0.001&targetPartitionBytes=65536")
+      assert(c1 == 200, b1)
+      assert(b1.contains("\"columns\":[\"fact_rows\",\"dim_rows\",\"top_share\"," +
+        "\"est_join_size\",\"est_selectivity\",\"strategy\",\"fact_bytes\"," +
+        "\"dim_bytes\",\"advised_shuffle_partitions\"]"))
+      assert(b1.contains(s""""${want.getString(5)}""""), s"strategy missing: $b1")
+      assert(b1.contains(s"[${want.getLong(0)},${want.getLong(1)},"),
+        s"counts mismatch: $b1 vs $want")
+      assert(b1.contains(s",${want.getLong(8)}]"), s"sizing mismatch: $b1")
+      assert(b1.contains("\"metadata\":{\"metric\":\"plan\"}"))
+
+      val wantD = JoinPlanner.profileDistinctAdvice(spark, factPath).collect()(0)
+      val (c2, b2) = get(s"http://localhost:$port/api/plan/distinct?table=lineitem")
+      assert(c2 == 200)
+      assert(b2.contains(s"[${wantD.getLong(0)},${wantD.getLong(1)},${wantD.getLong(2)}," +
+        s"${wantD.getLong(3)},${wantD.getLong(4)},"), s"distinct mismatch: $b2 vs $wantD")
+
+      val wantO = JoinPlanner.profileOverlapAdvice(spark, factPath, dimPath)
+        .collect()(0)
+      val (c3, b3) = get(s"http://localhost:$port/api/plan/overlap?a=lineitem&b=supplier")
+      assert(c3 == 200)
+      assert(b3.contains(s"[${wantO.getLong(0)},${wantO.getLong(1)}," +
+        s"${wantO.getLong(2)},${wantO.getLong(3)},"), s"overlap mismatch: $b3 vs $wantO")
+    }
+  }
+
+  test("malformed input is a 400 ErrorMessage, never a 500") {
+    withServer { (port, _, _) =>
+      val cases = Seq(
+        s"http://localhost:$port/api/plan/join?fact=lineitem&dim=nope",
+        s"http://localhost:$port/api/plan/join?fact=lineitem",
+        s"http://localhost:$port/api/plan/join?fact=lineitem&dim=supplier&skewShareMin=zero",
+        s"http://localhost:$port/api/plan/join?fact=lineitem&dim=supplier&broadcastMaxDimRows=-3",
+        s"http://localhost:$port/api/plan/distinct?table=unknown",
+        s"http://localhost:$port/api/plan/overlap?a=lineitem")
+      cases.foreach { u =>
+        val (code, body) = get(u)
+        assert(code == 400, s"$u -> $code $body")
+        assert(body.contains("\"errorMessage\""), body)
+      }
+      val (nf, _) = get(s"http://localhost:$port/api/plan/nosuch?x=1")
+      assert(nf == 404)
+    }
+  }
+}
