@@ -362,6 +362,57 @@ class JoinPlannerSpec extends SparkSpec {
     }
   }
 
+  test("profile law sweep: on seeded irregular corpora and slice counts, " +
+    "save+append (+compact) decisions and advice equal the one-shot forms") {
+    val rnd = new scala.util.Random(20260817L)
+    (1 to 4).foreach { trial =>
+      withTmp { tmp =>
+        val nKeys = 5 + rnd.nextInt(40)
+        val nFact = 200 + rnd.nextInt(600)
+        val slices = 2 + rnd.nextInt(3)
+        val hot = (1 to (50 + rnd.nextInt(200))).map(i => (1L, 100000L + i))
+        val fact = (hot ++ (1 to nFact).map(i =>
+          (1L + rnd.nextInt(nKeys).toLong, i.toLong))).toDF("fk", "payload")
+        val dim = (1L to (2L + rnd.nextInt(60))).map(k => (k, s"n$k"))
+          .toDF("dk", "name")
+        // topK >= per-slice distinct keys -> the merge law holds exactly
+        val p = JoinPlanner.ProfileParams(depth = 4, width = 128,
+          topK = 64, kmvK = 16)
+        (0 until slices).foreach { i =>
+          val sl = fact.filter($"payload" % slices === i)
+          if (i == 0) JoinPlanner.saveTableProfile(sl, "fk", s"$tmp/fact", p)
+          else JoinPlanner.appendTableProfile(sl, "fk", s"$tmp/fact", p)
+        }
+        JoinPlanner.saveTableProfile(dim, "dk", s"$tmp/dim", p)
+        val thr = JoinThresholds(
+          broadcastMaxDimRows = rnd.nextInt(50).toLong,
+          skewShareMin = 0.05 + rnd.nextDouble() * 0.5,
+          bloomSelectivityMax = rnd.nextDouble(),
+          cmsDepth = 4, cmsWidth = 128)
+        val fromArtifacts = JoinPlanner.joinDecisionFromProfiles(spark,
+          s"$tmp/fact", s"$tmp/dim", thr).collect()(0)
+        val oneShot = JoinPlanner.sizedJoinDecision(fact, dim, "fk", "dk", thr)
+          .collect()(0)
+        assert(fromArtifacts.toSeq === oneShot.toSeq,
+          s"trial $trial ($slices slices): merge law broken")
+        // compaction preserves the decision and both advice forms
+        JoinPlanner.compactTableProfile(spark, s"$tmp/fact", s"$tmp/fact2")
+        assert(JoinPlanner.joinDecisionFromProfiles(spark, s"$tmp/fact2",
+          s"$tmp/dim", thr).collect()(0).toSeq === fromArtifacts.toSeq,
+          s"trial $trial: compaction changed the decision")
+        val direct = graft.operators.Sketches.kmvEstimate(
+          graft.operators.Sketches.kmvSketch(
+            fact.select($"fk".as("k")), col("k"), 16), 16).collect()(0)
+        val advice = JoinPlanner.profileDistinctAdvice(spark, s"$tmp/fact2")
+          .collect()(0)
+        Seq("k", "n", "hk", "estimate").foreach { c =>
+          assert(advice.getAs[Any](c) == direct.getAs[Any](c),
+            s"trial $trial: distinct advice diverged on $c")
+        }
+      }
+    }
+  }
+
   test("chooseJoinFromProfiles: decision from artifacts, execution on the " +
     "frames, result identical to the plain join") {
     withTmp { tmp =>
