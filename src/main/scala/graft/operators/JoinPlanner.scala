@@ -418,6 +418,28 @@ object JoinPlanner {
   }
 
   /**
+   * APPLY the advised exchange sizing ([[sizedJoinDecision]] /
+   * [[joinDecisionFromProfiles]]'s `advised_shuffle_partitions`) to a
+   * plain equi-join: both sides are hash-repartitioned on their keys to
+   * exactly `advised` partitions, which satisfies the join's
+   * distribution requirement — Spark reuses the two explicit exchanges
+   * instead of inserting its own at the static
+   * `spark.sql.shuffle.partitions` (the one global knob the advice
+   * exists to override per-stage; an explicit numPartitions is also
+   * exempt from AQE coalescing, which can only shrink counts anyway —
+   * the advice guards the too-SMALL direction AQE cannot fix). Result
+   * rows are the plain join's; only the exchange width changes.
+   */
+  def advisedExchangeJoin(fact: DataFrame, dim: DataFrame,
+                          factKey: String, dimKey: String,
+                          advised: Int): DataFrame = {
+    require(advised >= 1, s"advisedExchangeJoin: advised must be >= 1, got $advised")
+    val f = fact.repartition(advised, col(factKey))
+    val d = dim.repartition(advised, col(dimKey))
+    f.join(d, f(factKey) === d(dimKey)).drop(d(dimKey))
+  }
+
+  /**
    * [[chooseJoin]] fed by persisted bundles: the decision comes from
    * [[joinDecisionFromProfiles]] (zero corpus passes — the 1-row collect
    * reads artifacts only), then the chosen strategy runs on the actual

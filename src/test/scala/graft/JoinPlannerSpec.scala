@@ -413,6 +413,35 @@ class JoinPlannerSpec extends SparkSpec {
     }
   }
 
+  test("advisedExchangeJoin: the advised width IS the join's partitioning, " +
+    "rows identical to the plain join") {
+    withTmp { tmp =>
+      val fact = (1 to 300).map(i => (1L + i % 20, i.toLong)).toDF("fk", "payload")
+      val dim = (1L to 40L).map(k => (k, s"n$k")).toDF("dk", "name")
+      val p = JoinPlanner.ProfileParams(depth = 4, width = 256, topK = 64,
+        kmvK = 16)
+      JoinPlanner.saveTableProfile(fact, "fk", s"$tmp/fact", p)
+      JoinPlanner.saveTableProfile(dim, "dk", s"$tmp/dim", p)
+      // tiny target -> an advised count the static conf would never pick
+      val t = graft.operators.Capacity.SizingTargets(targetPartitionBytes = 512L,
+        targetFileBytes = 4096L, minPartitions = 1, maxPartitions = 64)
+      val advised = JoinPlanner.joinDecisionFromProfiles(spark,
+          s"$tmp/fact", s"$tmp/dim", th, t)
+        .collect()(0).getAs[Long]("advised_shuffle_partitions").toInt
+      assert(advised > 4, s"fixture should advise above the test conf, got $advised")
+      val joined = JoinPlanner.advisedExchangeJoin(fact, dim, "fk", "dk", advised)
+      assert(joined.rdd.getNumPartitions == advised,
+        "the advised width must survive into the join's output partitioning")
+      val got = joined.select(col("fk"), col("payload"), col("name"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+      assert(got === plainRows(fact, dim))
+      intercept[IllegalArgumentException] {
+        JoinPlanner.advisedExchangeJoin(fact, dim, "fk", "dk", 0)
+      }
+    }
+  }
+
   test("chooseJoinFromProfiles: decision from artifacts, execution on the " +
     "frames, result identical to the plain join") {
     withTmp { tmp =>
