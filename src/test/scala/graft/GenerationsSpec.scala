@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Generations
+
+/** The serving-generation pointer: monotone crash-atomic flips, a reader
+  * can never observe an unpublished generation, and pruning never touches
+  * what the pointer names. */
+class GenerationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withTmp[A](f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gen").toString
+    try f(tmp) finally Gates.deleteTree(tmp)
+  }
+
+  private def writeGen(path: String, v: Long): Unit =
+    Seq((v, s"payload$v")).toDF("v", "s").write.mode("overwrite").parquet(path)
+
+  private def readV(path: String): Long =
+    spark.read.parquet(path).select(col("v")).head().getLong(0)
+
+  test("advance publishes, resolve serves, a second advance flips while the " +
+    "old generation stays readable") {
+    withTmp { root =>
+      intercept[IllegalStateException] { Generations.resolve(spark, root) }
+      assert(Generations.current(spark, root).isEmpty)
+      val g1 = Generations.advance(spark, root)(writeGen(_, 1L))
+      assert(Generations.current(spark, root) === Some("gen-00000001"))
+      assert(Generations.resolve(spark, root) === g1)
+      assert(readV(Generations.resolve(spark, root)) === 1L)
+      val g2 = Generations.advance(spark, root)(writeGen(_, 2L))
+      assert(Generations.current(spark, root) === Some("gen-00000002"))
+      assert(readV(Generations.resolve(spark, root)) === 2L)
+      assert(readV(g1) === 1L, "superseded generation must stay readable")
+      assert(g2 === Generations.resolve(spark, root))
+    }
+  }
+
+  test("crash between build and publish keeps serving the old generation; " +
+    "a later advance skips the orphaned sequence") {
+    withTmp { root =>
+      Generations.advance(spark, root)(writeGen(_, 1L))
+      // simulate the crash: the new generation is fully built but the
+      // pointer rename never ran
+      writeGen(s"$root/gen-00000002", 99L)
+      assert(readV(Generations.resolve(spark, root)) === 1L,
+        "an unpublished generation must be invisible to readers")
+      // a stale pointer staging file is equally invisible
+      java.nio.file.Files.createDirectories(java.nio.file.Path.of(s"$root/_ptr"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$root/_ptr/.ptr-00000099.tmp"), "gen-00000002\n")
+      assert(readV(Generations.resolve(spark, root)) === 1L)
+      // recovery: the next advance allocates PAST the orphan (never
+      // re-publishing a half-built dir under a racing reader)
+      val g3 = Generations.advance(spark, root)(writeGen(_, 3L))
+      assert(g3.endsWith("gen-00000003"))
+      assert(readV(Generations.resolve(spark, root)) === 3L)
+    }
+  }
+
+  test("publish guards: missing dir and malformed names fail loudly; " +
+    "explicit publish of a prebuilt generation works") {
+    withTmp { root =>
+      intercept[IllegalArgumentException] {
+        Generations.publish(spark, root, "gen-00000001")
+      }
+      intercept[IllegalArgumentException] {
+        Generations.publish(spark, root, "../../etc")
+      }
+      writeGen(s"$root/gen-00000001", 7L)
+      Generations.publish(spark, root, "gen-00000001")
+      assert(readV(Generations.resolve(spark, root)) === 7L)
+    }
+  }
+
+  test("pruneSuperseded removes old generations, orphans and old pointers " +
+    "but never the serving generation; resolve still works after") {
+    withTmp { root =>
+      Generations.advance(spark, root)(writeGen(_, 1L))
+      Generations.advance(spark, root)(writeGen(_, 2L))
+      writeGen(s"$root/gen-00000003", 99L) // crash orphan
+      val removed = Generations.pruneSuperseded(spark, root)
+      assert(removed.toSet === Set("gen-00000001", "gen-00000003"))
+      assert(readV(Generations.resolve(spark, root)) === 2L)
+      // idempotent
+      assert(Generations.pruneSuperseded(spark, root).isEmpty)
+      // pointer dir holds exactly the current pointer
+      val ptrs = new java.io.File(s"$root/_ptr").listFiles().map(_.getName)
+        .filterNot(_.startsWith(".")) // hadoop local-fs .crc sidecars
+      assert(ptrs.toSeq === Seq("ptr-00000002"))
+      // deleting the serving generation out from under the pointer is the
+      // one unrecoverable tamper — resolve names the failure
+      Gates.deleteTree(s"$root/gen-00000002")
+      val ex = intercept[IllegalStateException] {
+        Generations.resolve(spark, root)
+      }
+      assert(ex.getMessage.contains("gone"))
+    }
+  }
+}
