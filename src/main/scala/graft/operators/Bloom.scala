@@ -224,6 +224,39 @@ object Bloom {
       .agg(call_function("bit_or", col("bits")).as("bits"))
 
   /**
+   * Compact a words artifact: fold the base [[saveWords]] plus accumulated
+   * [[appendWords]] delta files into ONE merged generation at `dst` —
+   * the fold IS the merge semantics (word-wise bit-OR, [[loadWords]]'s
+   * law), so the compacted artifact holds ≤ m/62 rows forever after no
+   * matter how many slices were appended. Under per-trigger membership
+   * maintenance the pile otherwise grows one file set per batch for an
+   * artifact whose information content is fixed-size (the
+   * [[JoinPlanner.compactTableProfile]] shape). Audited: the merged word
+   * set of `dst` must checksum-match the merged pile (xor of per-row
+   * hashes — order-free, overflow-free under ANSI), so a source changing
+   * mid-compaction fails loudly. Production shape: fresh path +
+   * [[Generations]] pointer flip; the old generation stays readable.
+   */
+  def compactWords(spark: org.apache.spark.sql.SparkSession,
+                   src: String, dst: String): Unit = {
+    require(src != dst, "compactWords: dst must be a fresh path")
+    loadWords(spark, src)
+      .coalesce(1).sortWithinPartitions(col("w"))
+      .write.mode("overwrite").parquet(dst)
+    def chk(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(call_function("bit_xor", xxhash64(col("w"), col("bits"))),
+          lit(0L)).as("x")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val pre = chk(loadWords(spark, src))
+    val post = chk(spark.read.parquet(dst))
+    require(pre == post,
+      s"compactWords: merged word set changed ($pre -> $post) — the source " +
+        "changed mid-compaction; re-run")
+  }
+
+  /**
    * Bloom-pruned equi-join: filter the FACT side down to bloom hits with
    * the codegen'd [[containsExpr]] predicate, then run the real join with
    * `dim`. The result is EXACTLY `fact ⋈ dim` — no false negatives means

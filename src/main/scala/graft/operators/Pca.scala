@@ -326,6 +326,40 @@ object Pca {
       .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s"))
 
   /**
+   * Compact a moments artifact: fold the base [[saveMoments]] plus
+   * accumulated [[appendMoments]] delta files into ONE merged generation
+   * at `dst` — the fold IS the merge semantics (cell-wise exact integer
+   * sum, [[loadMoments]]'s law), so the compacted artifact holds
+   * (d²+d+1) rows forever after no matter how many slices were appended
+   * (under per-trigger incremental-PCA maintenance the pile otherwise
+   * grows one file set per batch). [[momentsFromTable]] over `dst` is
+   * byte-identical to the pile's by construction. Audited: the merged
+   * cell set of `dst` must checksum-match the merged pile (xor of
+   * per-row hashes over the exact decimal cells — order-free), so a
+   * source changing mid-compaction fails loudly. Production shape:
+   * fresh path + [[Generations]] pointer flip.
+   */
+  def compactMoments(spark: org.apache.spark.sql.SparkSession,
+                     src: String, dst: String): Unit = {
+    require(src != dst, "compactMoments: dst must be a fresh path")
+    loadMoments(spark, src)
+      .coalesce(1).sortWithinPartitions(col("i"), col("j"))
+      .write.mode("overwrite").parquet(dst)
+    def chk(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(call_function("bit_xor",
+          xxhash64(col("i"), col("j"), col("s").cast("string"))), lit(0L)).as("x"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val pre = chk(loadMoments(spark, src))
+    val post = chk(spark.read.parquet(dst))
+    require(pre == post,
+      s"compactMoments: merged cell set changed ($pre -> $post) — the " +
+        "source changed mid-compaction; re-run")
+  }
+
+  /**
    * Derive (n, mean, cov) from a (merged) moment table — the same
    * round12 divisions [[moments]] performs on its collected sums, so the
    * derived covariance (and every downstream power iterate) is

@@ -76,6 +76,47 @@ object StreamingEntity {
       .localCheckpoint()
 
   /**
+   * Compact a dictionary artifact: fold the base [[saveDictionary]] plus
+   * accumulated [[appendDictionary]] delta files into ONE merged
+   * generation at `dst` — the fold IS the duplicate-(nm, bk, space)
+   * merge [[loadDictionary]] performs (counts sum, representative =
+   * minimum id), written back UNCAPPED with the standard (space, bk)
+   * range layout, so the artifact stays |V|·2 rows forever after no
+   * matter how many ingest batches were appended. The whole-block cap
+   * still applies at load time over the merged set, so an index built
+   * from `dst` equals one built from the pile by construction. Audited:
+   * the merged row set of `dst` must checksum-match the merged pile
+   * (xor of per-row hashes — order-free), failing loudly if the source
+   * changed mid-compaction. Production shape: fresh path +
+   * [[graft.operators.Generations]] pointer flip.
+   */
+  def compactDictionary(spark: org.apache.spark.sql.SparkSession,
+                        src: String, dst: String): Unit = {
+    require(src != dst, "compactDictionary: dst must be a fresh path")
+    def merged(path: String): DataFrame =
+      spark.read.parquet(path)
+        .groupBy(col("nm"), col("bk"), col("space"))
+        .agg(sum(col("cnt")).as("cnt"), min(col("rep")).as("rep"))
+        .select(col("nm"), col("cnt"), col("rep"), col("bk"), col("space"))
+    merged(src)
+      .repartitionByRange(col("space"), col("bk"))
+      .sortWithinPartitions(col("space"), col("bk"), col("nm"))
+      .write.mode("overwrite").parquet(dst)
+    def chk(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(call_function("bit_xor",
+          xxhash64(col("nm"), col("bk"), col("space"), col("cnt"), col("rep"))),
+          lit(0L)).as("x")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val pre = chk(merged(src))
+    val post = chk(spark.read.parquet(dst))
+    require(pre == post,
+      s"compactDictionary: merged dictionary changed ($pre -> $post) — the " +
+        "source changed mid-compaction; re-run")
+  }
+
+  /**
    * Flag a stream of (idCol, nameCol) rows against a blocked dictionary
    * index (columns nm/cnt/rep/bk/space from `blockedDictionary` with the
    * same `blockLen`). Emits (id, nm_in, match_nm, dist, rep) for every

@@ -105,6 +105,34 @@ class BloomSpec extends SparkSpec {
     } finally Gates.deleteTree(tmp)
   }
 
+  test("compactWords: the fold IS the bit-OR merge — one generation, " +
+    "load-identical to the pile, fewer files; guards fire") {
+    val all = (1L to 400L).toDF("id")
+    val tmp = java.nio.file.Files.createTempDirectory("bloom_cmp_spec").toString
+    try {
+      Bloom.saveWords(Bloom.bloomWords(
+        all.filter(col("id") <= 150), col("id"), M, K), s"$tmp/pile")
+      Bloom.appendWords(Bloom.bloomWords(
+        all.filter(col("id") > 150 && col("id") <= 300), col("id"), M, K), s"$tmp/pile")
+      Bloom.appendWords(Bloom.bloomWords(
+        all.filter(col("id") > 300), col("id"), M, K), s"$tmp/pile")
+      Bloom.compactWords(spark, s"$tmp/pile", s"$tmp/gen2")
+      def rows(p: String) = Bloom.loadWords(spark, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(rows(s"$tmp/gen2") === rows(s"$tmp/pile"))
+      def parquets(p: String) = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+      }
+      assert(parquets(s"$tmp/gen2") < parquets(s"$tmp/pile"),
+        "the fold must shrink the file pile")
+      intercept[IllegalArgumentException] {
+        Bloom.compactWords(spark, s"$tmp/pile", s"$tmp/pile")
+      }
+    } finally Gates.deleteTree(tmp)
+  }
+
   test("bloom_agg: dense buffer == the column-expression build, under any " +
     "partitioning; streaming two micro-batches == one batch") {
     graft.plans.GraftFunctions.register(spark)

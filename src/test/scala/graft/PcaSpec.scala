@@ -152,6 +152,36 @@ class PcaSpec extends SparkSpec {
     } finally Gates.deleteTree(tmp)
   }
 
+  test("compactMoments: the fold IS the cell-wise sum — one generation, " +
+    "derivation byte-identical to the pile, fewer files; guards fire") {
+    val extra = Seq(
+      (5L, Array(0.75f, -0.25f, 0.125f)),
+      (6L, Array(-1.0f, 0.5f, 0.25f))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("pca_cmp_spec").toString
+    try {
+      Pca.saveMoments(Pca.rawMomentTable(toyVecs, 3), s"$tmp/pile")
+      Pca.appendMoments(Pca.rawMomentTable(extra, 3), s"$tmp/pile")
+      Pca.compactMoments(spark, s"$tmp/pile", s"$tmp/gen2")
+      val (nP, meanP, covP) = Pca.momentsFromTable(Pca.loadMoments(spark, s"$tmp/pile"), 3)
+      val (nC, meanC, covC) = Pca.momentsFromTable(Pca.loadMoments(spark, s"$tmp/gen2"), 3)
+      assert(nC === nP)
+      assert(meanC.toSeq === meanP.toSeq)
+      assert(covC.map(_.toSeq).toSeq === covP.map(_.toSeq).toSeq)
+      // the compacted generation is already one cell set — (d²+d+1) rows
+      assert(spark.read.parquet(s"$tmp/gen2").count() === (9 + 3 + 1).toLong)
+      def parquets(p: String) = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+      }
+      assert(parquets(s"$tmp/gen2") < parquets(s"$tmp/pile"),
+        "the fold must shrink the file pile")
+      intercept[IllegalArgumentException] {
+        Pca.compactMoments(spark, s"$tmp/pile", s"$tmp/pile")
+      }
+    } finally Gates.deleteTree(tmp)
+  }
+
   test("rawMomentTable: past the long-product bound the terms multiply as " +
     "decimals — byte-identical to moments, no silent wrap") {
     // |q| up to 3.5e9 units → q² ≈ 1.2e19 > Long.MaxValue/2: the LongType
