@@ -144,9 +144,9 @@ private[graft] object AnnArtifacts {
         .repartition(col("list_id"))
         .write.mode("append").partitionBy("list_id").parquet(s"$p1/encoded")
       val grown = e.select(col("vec_id"), col("embedding")).union(clump)
+      // geometry (nlist/m/ksub) is derived from the p1 artifact itself
       val fired = Similarity.maintainIvfPq(s, p1, p2, grown,
-        oversizeFactor = 2.0, nlist = Nlist, m = M, ksub = Ksub,
-        kmeansIters = Iters)
+        oversizeFactor = 2.0, kmeansIters = Iters)
       (if (fired) p2 else p1, fired)
     })
   }

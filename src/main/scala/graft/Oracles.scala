@@ -57,7 +57,8 @@ private[graft] object Oracles {
       |            ELSE 'plain' END AS strategy,
       |       f.fact_bytes, d.dim_bytes,
       |       greatest(1, least(4096, (f.fact_bytes + d.dim_bytes + 65535) // 65536))
-      |         AS advised_shuffle_partitions
+      |         AS advised_shuffle_partitions,
+      |       (SELECT COUNT(DISTINCT l_suppkey) FROM li) <= 4096 AS top_share_exact
       |FROM f, d, ts, e""".stripMargin
 
   private val Bm25Sql: String =
@@ -2632,7 +2633,8 @@ private[graft] object Oracles {
         |            ELSE 'plain' END AS strategy,
         |       fact_bytes, dim_bytes,
         |       greatest(1, least(4096, (fact_bytes + dim_bytes + 65535) // 65536))
-        |         AS advised_shuffle_partitions
+        |         AS advised_shuffle_partitions,
+        |       (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) <= 4096 AS top_share_exact
         |FROM base ORDER BY scenario""".stripMargin,
 
     // distinct-key advice from the bundle's KMV component: md5 k-min

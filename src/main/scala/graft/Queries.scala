@@ -2889,9 +2889,9 @@ private[graft] object Queries {
       // end — and the state store then EVICTS it, so state stays bounded
       // by open windows instead of total history (BloomSpec pins
       // numRowsTotal after the drain). Real events stream in event-time
-      // order over two micro-batches; two sentinel batches (far-future
-      // rows whose own window never emits) advance the watermark and
-      // flush every real window. The drained artifacts are probed
+      // order over two micro-batches; ONE sentinel batch (a far-future
+      // row whose own window never emits) advances the watermark and
+      // flushes every real window. The drained artifacts are probed
       // batch-side exactly like streaming_bloom_daily — finalized-once
       // filters must carry the same bit sets as a one-shot batch build,
       // which the oracle replays bit for bit
@@ -2901,6 +2901,9 @@ private[graft] object Queries {
       val feed = Tables.events(s, dir).filter(col("event_id") % 19 === 0)
       val rows = feed.select(col("ts"), col("user_id"))
         .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+      require(rows.nonEmpty,
+        "streaming_bloom_append: empty event feed slice at this sf — " +
+          "widen the event_id filter")
       val maxMs = rows.last._1.getTime
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long)]
@@ -3123,7 +3126,7 @@ private[graft] object Queries {
           .select(col("scenario"), col("fact_rows"), col("dim_rows"),
             col("top_share"), col("est_join_size"), col("est_selectivity"),
             col("strategy"), col("fact_bytes"), col("dim_bytes"),
-            col("advised_shuffle_partitions"))
+            col("advised_shuffle_partitions"), col("top_share_exact"))
           .orderBy(col("scenario"))
         // materialize before the artifact dirs vanish (lifecycle rule)
         s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
@@ -3158,13 +3161,14 @@ private[graft] object Queries {
     "streaming_profile_decision" -> ((s, dir) => {
       // the deployment shape of the artifact-fed planner: INGEST
       // maintains the fact table's sketch bundle — each micro-batch
-      // delta-appends cells/topk/kmv/stats via foreachBatch (guarded by
-      // a per-batchId marker so an at-least-once replay cannot
-      // double-count; the same marker pattern works on any DFS) — and
-      // join planning later reads only the streamed artifacts. The
-      // decision row from the two-batch streamed bundle must equal the
-      // one-shot DuckDB replay over the raw tables: the merge law, now
-      // across the streaming boundary
+      // delta-appends one atomically-published SLICE via foreachBatch,
+      // named by the batch id, so an at-least-once replay is a committed
+      // no-op (the slice-dir rename IS the exactly-once marker; no side
+      // files, no append-then-mark double-count window) — and join
+      // planning later reads only the streamed artifacts. The decision
+      // row from the two-batch streamed bundle must equal the one-shot
+      // DuckDB replay over the raw tables: the merge law, now across the
+      // streaming boundary
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_prof").toString
@@ -3184,12 +3188,8 @@ private[graft] object Queries {
         val q = mem.toDF().toDF("l_orderkey", "l_suppkey")
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-            val marker = new java.io.File(s"$tmp/fact/_batch_$id")
-            if (!marker.exists()) {
-              JoinPlanner.appendTableProfile(batch, "l_suppkey", s"$tmp/fact", p)
-              marker.createNewFile()
-              ()
-            }
+            JoinPlanner.appendTableProfile(batch, "l_suppkey", s"$tmp/fact", p,
+              sliceId = s"batch-$id")
           }
           .start()
         val (b1, b2) = rows.splitAt(rows.length / 2)

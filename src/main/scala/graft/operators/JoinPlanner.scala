@@ -70,7 +70,9 @@ object JoinPlanner {
   }
 
   /** The chosen plan: the decision inputs (exact counts + round-6
-    * ratios), the strategy, and the resulting joined frame. */
+    * ratios), the strategy, the advised exchange width (applied to the
+    * plain/salted branches — see [[chooseJoin]]), and the resulting
+    * joined frame. */
   final case class JoinPlan(
       strategy: String,
       factRows: Long,
@@ -78,6 +80,7 @@ object JoinPlanner {
       topShare: Double,
       estJoinSize: Long,
       estSelectivity: Double,
+      advisedShufflePartitions: Long,
       result: DataFrame)
 
   /**
@@ -189,127 +192,227 @@ object JoinPlanner {
    * ([[Sketches.countMinMerge]] — CMS(A ⊎ B) is exactly the one-shot
    * sketch of A ∪ B), stats sum row-wise, and topk counts sum per key
    * (exactness precondition on [[ProfileParams.topK]]). So
-   * [[appendTableProfile]] just adds delta files — no base rewrite, no
+   * [[appendTableProfile]] just adds a delta SLICE — no base rewrite, no
    * read-modify-write — and the loader folds the pile.
+   *
+   * ATOMIC SLICE PUBLISH: each slice's four components are written
+   * together under `path/_staging/<sliceId>` and committed by ONE
+   * directory rename to `path/slices/<sliceId>` (the
+   * [[graft.streaming.StreamingPipeline.upsertBatch]] stage→rename
+   * discipline). A crash mid-write leaves only staging — the loader
+   * never sees a bundle whose cells include a slice its stats/topk do
+   * not, so decisions can never silently mix slice populations. The
+   * rename also makes appends IDEMPOTENT under a caller-chosen
+   * `sliceId`: re-publishing a committed slice is a no-op, which is the
+   * exactly-once contract a `foreachBatch` maintainer needs under
+   * at-least-once replays (pass `sliceId = s"batch-$id"` — no side
+   * marker files, the commit IS the marker).
    *
    * Three narrow map-side-combined passes over the slice, each shuffling
    * rows bounded by the sketch shape (depth·width cells / topK keys /
-   * 1 stat row), never by the slice.
+   * 1 stat row), never by the slice. The stats row also records whether
+   * the slice's topk component covers EVERY key of the slice
+   * (`top_covered` — distinct sketch keys ≤ topK): the bundle-recorded
+   * form of the [[joinDecisionFromProfiles]] exactness precondition,
+   * surfaced there as `top_share_exact`.
    */
   def saveTableProfile(df: DataFrame, key: String, path: String,
-                       p: ProfileParams = ProfileParams()): Unit =
-    writeTableProfile(df, key, path, p, "overwrite")
+                       p: ProfileParams = ProfileParams()): Unit = {
+    val hfs = bundleFs(df.sparkSession, path)
+    hfs.delete(new org.apache.hadoop.fs.Path(path), true)
+    writeSlice(df, key, path, p, "base")
+  }
 
-  /** Add an ingest slice's profile as delta files (no base rewrite) —
-    * the bundle must be written with the SAME depth/width as the base
-    * ([[loadTableProfile]] validates; a shape mix cannot merge). */
+  /** Add an ingest slice's profile as an atomically-published slice dir
+    * (no base rewrite) — the bundle must be written with the SAME
+    * depth/width as the base ([[loadTableProfile]] validates; a shape mix
+    * cannot merge). `sliceId` names the commit: a replay under the same
+    * id is a no-op (exactly-once maintenance under at-least-once
+    * delivery); the default fresh id gives plain always-append semantics. */
   def appendTableProfile(df: DataFrame, key: String, path: String,
-                         p: ProfileParams = ProfileParams()): Unit =
-    writeTableProfile(df, key, path, p, "append")
+                         p: ProfileParams = ProfileParams(),
+                         sliceId: String = ""): Unit = {
+    val id = if (sliceId.isEmpty)
+      java.util.UUID.randomUUID().toString else sliceId
+    writeSlice(df, key, path, p, id)
+  }
 
-  private def writeTableProfile(df: DataFrame, key: String, path: String,
-                                p: ProfileParams, mode: String): Unit = {
-    // three bundle components, one slice scan: the cells/topk/stats
+  private def bundleFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed slice dirs of a bundle (staging is invisible by layout). */
+  private def sliceDirs(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Seq[String] = {
+    val hfs = bundleFs(spark, path)
+    val slices = new org.apache.hadoop.fs.Path(path, "slices")
+    if (!hfs.exists(slices)) Seq.empty
+    else hfs.listStatus(slices).toIndexedSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** One slice: four component writes under staging, one rename to
+    * commit. Returns false when the slice id was already committed (the
+    * idempotent-replay no-op). */
+  private def writeSlice(df: DataFrame, key: String, path: String,
+                         p: ProfileParams, sliceId: String): Boolean = {
+    require(sliceId.matches("[A-Za-z0-9._-]+"),
+      s"profile sliceId must be a plain dir name, got '$sliceId'")
+    val spark = df.sparkSession
+    val hfs = bundleFs(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path, s"slices/$sliceId")
+    if (hfs.exists(target)) return false // committed by a previous attempt
+    val stage = new org.apache.hadoop.fs.Path(path, s"_staging/$sliceId")
+    if (hfs.exists(stage)) hfs.delete(stage, true) // torn previous attempt
+    // four bundle components, one slice scan: the cells/topk/kmv/stats
     // derivations would each re-read the ingest batch otherwise
     val slice = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val k = sketchKey(slice, key)
       Sketches.countMinCells(slice, k, p.depth, p.width)
-        .write.mode(mode).parquet(s"$path/cells")
-      slice.select(k.as("k"))
+        .write.mode("overwrite").parquet(s"$stage/cells")
+      // the grouped counts feed BOTH the topk component and the exact
+      // per-slice coverage bit; distinct-key-sized, cached for the reuse
+      val grouped = slice.select(k.as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("k").asc).limit(p.topK)
-        .write.mode(mode).parquet(s"$path/topk")
-      // the 4th mergeable component: the slice's KMV distinct-count
-      // sketch over the SAME sketch key (k-min commutes with union, so
-      // the loader's kmvMerge over slices IS the one-shot sketch — the
-      // pinned SketchLawsSpec law; string keys ride the xxhash64 first,
-      // where a collision can only merge two keys = undercount by at
-      // most the 2^-64 collision mass)
-      Sketches.kmvSketch(slice.select(k.as("k")), col("k"), p.kmvK)
-        .write.mode(mode).parquet(s"$path/kmv")
-      slice.agg(count(lit(1)).as("rows"),
-          coalesce(sum(Capacity.rowBytes(slice)), lit(0L)).as("bytes"))
-        .select(col("rows"), col("bytes"), lit(p.depth).as("depth"),
-          lit(p.width).as("width"), lit(p.topK).as("top_k"),
-          lit(p.kmvK).as("kmv_k"))
-        .write.mode(mode).parquet(s"$path/stats")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        grouped.orderBy(col("cnt").desc, col("k").asc).limit(p.topK)
+          .write.mode("overwrite").parquet(s"$stage/topk")
+        val distinctKeys = grouped.count()
+        // the 4th mergeable component: the slice's KMV distinct-count
+        // sketch over the SAME sketch key (k-min commutes with union, so
+        // the loader's kmvMerge over slices IS the one-shot sketch — the
+        // pinned SketchLawsSpec law; string keys ride the xxhash64 first,
+        // where a collision can only merge two keys = undercount by at
+        // most the 2^-64 collision mass)
+        Sketches.kmvSketch(slice.select(k.as("k")), col("k"), p.kmvK)
+          .write.mode("overwrite").parquet(s"$stage/kmv")
+        slice.agg(count(lit(1)).as("rows"),
+            coalesce(sum(Capacity.rowBytes(slice)), lit(0L)).as("bytes"))
+          .select(col("rows"), col("bytes"), lit(p.depth).as("depth"),
+            lit(p.width).as("width"), lit(p.topK).as("top_k"),
+            lit(p.kmvK).as("kmv_k"),
+            lit(distinctKeys <= p.topK).as("top_covered"))
+          .write.mode("overwrite").parquet(s"$stage/stats")
+      } finally grouped.unpersist()
     } finally slice.unpersist()
+    commitSlice(hfs, path, stage, target)
+  }
+
+  /** The commit point: parent mkdirs + atomic dir rename; a target that
+    * appeared meanwhile (replay race) wins and staging is dropped. */
+  private def commitSlice(hfs: org.apache.hadoop.fs.FileSystem, path: String,
+                          stage: org.apache.hadoop.fs.Path,
+                          target: org.apache.hadoop.fs.Path): Boolean = {
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(path, "slices"))
+    if (hfs.exists(target)) { hfs.delete(stage, true); false }
+    else if (!hfs.rename(stage, target))
+      throw new java.io.IOException(
+        s"profile slice commit $stage -> $target failed")
+    else true
   }
 
   /** A loaded (still-lazy) profile: merged cell table, raw per-slice topk
-    * rows, the folded KMV distinct sketch, 1-row summed stats frame, and
-    * the validated sketch shape. */
+    * rows, the folded KMV distinct sketch, 1-row summed stats frame, the
+    * validated sketch shape, and whether EVERY committed slice's topk
+    * covered its key set (`topCovered` — the recorded exactness
+    * precondition of the merged top-1 count). */
   final case class TableProfile(cells: DataFrame, topk: DataFrame,
                                 kmv: DataFrame, stats: DataFrame,
-                                depth: Int, width: Int, kmvK: Int)
+                                depth: Int, width: Int, topK: Int,
+                                kmvK: Int, topCovered: Boolean)
 
-  /** Load a profile bundle, folding accumulated deltas: cells via
+  /** Load a profile bundle, folding accumulated slices: cells via
     * [[Sketches.countMinMerge]] (cell-wise sum), the KMV component via
     * [[Sketches.kmvMerge]] (k-min of the union — exactly the one-shot
-    * sketch), stats by summing slice rows. The sketch shape is validated
+    * sketch), stats by summing slice rows. Only COMMITTED slices are
+    * read (an interrupted append's staging dir is invisible), and each
+    * committed slice carries all four components by construction — the
+    * torn-bundle state cannot be observed. The sketch shape is validated
     * across slices (bounded collect over the slice-count-sized stats
     * table); a depth/width/kmvK mix aborts — sketches of different
     * shapes share no hash family or k-floor to merge under. */
   def loadTableProfile(spark: org.apache.spark.sql.SparkSession,
                        path: String): TableProfile = {
-    val st = spark.read.parquet(s"$path/stats")
-    val shapes = st.select(col("depth"), col("width"), col("top_k"), col("kmv_k"))
-      .distinct().collect()
+    val dirs = sliceDirs(spark, path)
+    require(dirs.nonEmpty,
+      s"no committed profile slices at $path — saveTableProfile first " +
+        "(an interrupted write leaves only invisible staging)")
+    def component(sub: String): DataFrame =
+      spark.read.parquet(dirs.map(d => s"$d/$sub"): _*)
+    val st = component("stats")
+    // one bounded collect (a row per slice): shape validation + coverage
+    val rows = st.select(col("depth"), col("width"), col("top_k"),
+      col("kmv_k"), col("top_covered")).collect()
+    val shapes = rows.map(r =>
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).distinct
     require(shapes.length == 1,
       s"table profile at $path mixes sketch shapes " +
-        shapes.map(r => s"${r.getInt(0)}x${r.getInt(1)}/t${r.getInt(2)}/k${r.getInt(3)}")
+        shapes.map { case (d, w, t, k) => s"${d}x$w/t$t/k$k" }
           .sorted.mkString(",") +
         " — rebuild with one ProfileParams; mixed-shape sketches cannot merge")
-    val kmvK = shapes(0).getInt(3)
+    val (depth, width, topK, kmvK) = shapes(0)
     TableProfile(
-      Sketches.countMinMerge(Seq(spark.read.parquet(s"$path/cells"))),
-      spark.read.parquet(s"$path/topk"),
-      Sketches.kmvMerge(Seq(spark.read.parquet(s"$path/kmv")), kmvK),
+      Sketches.countMinMerge(Seq(component("cells"))),
+      component("topk"),
+      Sketches.kmvMerge(Seq(component("kmv")), kmvK),
       st.agg(sum(col("rows")).as("rows"), sum(col("bytes")).as("bytes")),
-      shapes(0).getInt(0), shapes(0).getInt(1), kmvK)
+      depth, width, topK, kmvK, rows.forall(_.getBoolean(4)))
   }
 
   /**
-   * Compact a profile bundle: fold the save + delta pile into ONE merged
-   * generation at `dst`. The bundle is the one artifact family whose
-   * compaction IS its merge semantics: cells collapse to the summed grid
-   * (≤ depth·width rows forever after), kmv to the k-min of the union
-   * (exactly the one-shot sketch), stats to one summed row, and topk to
-   * the merged per-key sums truncated back to `topK`. Under per-micro-
-   * batch maintenance ([[appendTableProfile]] from `foreachBatch`) the
-   * pile otherwise grows one file set per trigger — unbounded listing
-   * cost for an artifact whose information content is fixed-size.
+   * Compact a profile bundle: fold the slice pile into ONE merged slice
+   * at `dst` (committed through the same staged atomic publish as every
+   * append). The bundle is the one artifact family whose compaction IS
+   * its merge semantics: cells collapse to the summed grid (≤ depth·width
+   * rows forever after), kmv to the k-min of the union (exactly the
+   * one-shot sketch), stats to one summed row, and topk to the merged
+   * per-key sums truncated back to `topK`. Under per-micro-batch
+   * maintenance ([[appendTableProfile]] from `foreachBatch`) the pile
+   * otherwise grows one slice per trigger — unbounded listing cost for
+   * an artifact whose information content is fixed-size.
    *
    * Decision preservation: every decision input derives from the MERGED
    * components, so a decision from `dst` equals a decision from the
    * loaded pile UNCONDITIONALLY — the merged top-1 count survives any
-   * topK ≥ 1 truncation. (Future appends after compaction re-enter the
-   * standing topK-coverage precondition, exactly as appends to a fresh
-   * save do.) Audited: summed rows/bytes must match the pile's.
+   * topK ≥ 1 truncation. The folded slice's `top_covered` records
+   * whether the merged counts stayed exhaustive (all sources covered AND
+   * the merged key set survived re-truncation), so `top_share_exact`
+   * keeps meaning truth across fold generations. Audited: summed
+   * rows/bytes must match the pile's. Production shape: `dst` under a
+   * [[Generations]] root, published by pointer flip.
    */
   def compactTableProfile(spark: org.apache.spark.sql.SparkSession,
                           src: String, dst: String): Unit = {
     require(src != dst, "compactTableProfile: dst must be a fresh path")
-    val st = spark.read.parquet(s"$src/stats")
-    val shapes = st.select(col("depth"), col("width"), col("top_k"), col("kmv_k"))
-      .distinct().collect()
-    require(shapes.length == 1,
-      s"compactTableProfile: profile at $src mixes sketch shapes — " +
-        "nothing well-formed to fold")
-    val (depth, width, topK, kmvK) =
-      (shapes(0).getInt(0), shapes(0).getInt(1), shapes(0).getInt(2), shapes(0).getInt(3))
-    val prof = loadTableProfile(spark, src)
-    prof.cells.write.mode("overwrite").parquet(s"$dst/cells")
-    prof.topk.groupBy(col("k")).agg(sum(col("cnt")).as("cnt"))
-      .orderBy(col("cnt").desc, col("k").asc).limit(topK)
-      .write.mode("overwrite").parquet(s"$dst/topk")
-    prof.kmv.write.mode("overwrite").parquet(s"$dst/kmv")
-    prof.stats
-      .select(col("rows"), col("bytes"), lit(depth).as("depth"),
-        lit(width).as("width"), lit(topK).as("top_k"), lit(kmvK).as("kmv_k"))
-      .write.mode("overwrite").parquet(s"$dst/stats")
+    val prof = loadTableProfile(spark, src) // validates shape, one stats read
+    val hfs = bundleFs(spark, dst)
+    val target = new org.apache.hadoop.fs.Path(dst, "slices/base")
+    require(!hfs.exists(target),
+      s"compactTableProfile: $dst already holds a committed base slice — " +
+        "fold into a fresh generation path")
+    val stage = new org.apache.hadoop.fs.Path(dst, "_staging/base")
+    if (hfs.exists(stage)) hfs.delete(stage, true)
     val pre = prof.stats.collect()(0)
+    prof.cells.write.mode("overwrite").parquet(s"$stage/cells")
+    val mergedTopk = prof.topk.groupBy(col("k")).agg(sum(col("cnt")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      mergedTopk.orderBy(col("cnt").desc, col("k").asc).limit(prof.topK)
+        .write.mode("overwrite").parquet(s"$stage/topk")
+      val mergedKeys = mergedTopk.count()
+      prof.kmv.write.mode("overwrite").parquet(s"$stage/kmv")
+      prof.stats
+        .select(col("rows"), col("bytes"), lit(prof.depth).as("depth"),
+          lit(prof.width).as("width"), lit(prof.topK).as("top_k"),
+          lit(prof.kmvK).as("kmv_k"),
+          lit(prof.topCovered && mergedKeys <= prof.topK).as("top_covered"))
+        .write.mode("overwrite").parquet(s"$stage/stats")
+    } finally mergedTopk.unpersist()
+    commitSlice(hfs, dst, stage, target)
     val post = loadTableProfile(spark, dst).stats.collect()(0)
     require(pre.getAs[Long]("rows") == post.getAs[Long]("rows") &&
         pre.getAs[Long]("bytes") == post.getAs[Long]("bytes"),
@@ -360,6 +463,19 @@ object JoinPlanner {
    * 'salted' toward 'bloom_pruned'/'plain', never conversely; and since
    * every strategy returns identical rows ([[chooseJoin]]'s structural
    * identity), a degraded decision costs time, never correctness.
+   *
+   * The precondition is RECORDED, not just documented: `top_share_exact`
+   * carries the AND of the fact bundle's per-slice `top_covered` bits
+   * (each slice's topk held its ENTIRE key set — the sufficient condition
+   * a maintainer can actually check per ingest batch), so a consumer can
+   * tell an exact `top_share` from a lower bound without touching the
+   * corpus. One caveat for STRING join keys: the topk component counts
+   * xxhash64 sketch keys, while an inline [[joinDecision]] profiles raw
+   * keys — a 2⁻⁶⁴-probability hash collision merging two raw keys could
+   * OVERSTATE the artifact's top_share (the one direction the
+   * degrades-toward-plain law does not cover). Astronomically rare, and
+   * bounded by strategy result identity either way; noted because the
+   * law above is otherwise unconditional.
    */
   def joinDecisionFromProfiles(spark: org.apache.spark.sql.SparkSession,
                                factPath: String, dimPath: String,
@@ -390,10 +506,31 @@ object JoinPlanner {
           .otherwise("plain"))
       .withColumn("advised_shuffle_partitions",
         Capacity.advisedPartitions(col("fact_bytes") + col("dim_bytes"), t))
+      .withColumn("top_share_exact", lit(f.topCovered))
       .select(col("fact_rows"), col("dim_rows"), col("top_share"),
         col("est_join_size"), col("est_selectivity"), col("strategy"),
-        col("fact_bytes"), col("dim_bytes"), col("advised_shuffle_partitions"))
+        col("fact_bytes"), col("dim_bytes"), col("advised_shuffle_partitions"),
+        col("top_share_exact"))
   }
+
+  /**
+   * WRITE/EXCHANGE sizing advice from a persisted bundle alone — the
+   * fourth artifact-derivable planner answer ([[Capacity.sizeAdvice]]'s
+   * columns with zero corpus passes): the summed exact stats rows give
+   * the table's row count and byte total, and the same clamped-ceildiv
+   * int64 arithmetic turns them into the advised shuffle-partition count
+   * and output-file count for any stage that moves or writes the table.
+   * One row: `(rows, bytes, advised_shuffle_partitions, advised_files)`.
+   */
+  def profileSizeAdvice(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        t: Capacity.SizingTargets = Capacity.SizingTargets()): DataFrame =
+    loadTableProfile(spark, path).stats
+      .select(col("rows"), col("bytes"),
+        Capacity.advisedPartitions(col("bytes"), t)
+          .as("advised_shuffle_partitions"),
+        greatest(lit(1L), Capacity.ceilDiv(col("bytes"), t.targetFileBytes))
+          .as("advised_files"))
 
   /**
    * KEY-OVERLAP advice from two persisted bundles — the third planner
@@ -443,15 +580,19 @@ object JoinPlanner {
    * [[chooseJoin]] fed by persisted bundles: the decision comes from
    * [[joinDecisionFromProfiles]] (zero corpus passes — the 1-row collect
    * reads artifacts only), then the chosen strategy runs on the actual
-   * frames. The strategies' structural result identity is unchanged; only
-   * the decision inputs moved from inline scans to artifacts, so a stale
-   * bundle can mis-cost a join but never corrupt it.
+   * frames, with the decision row's `advised_shuffle_partitions` applied
+   * to the exchange-bearing branches (see [[chooseJoin]] — the advice is
+   * computed AND used, never just reported). The strategies' structural
+   * result identity is unchanged; only the decision inputs moved from
+   * inline scans to artifacts, so a stale bundle can mis-cost a join but
+   * never corrupt it.
    */
   def chooseJoinFromProfiles(fact: DataFrame, dim: DataFrame,
                              factKey: String, dimKey: String,
                              factProfile: String, dimProfile: String,
                              th: JoinThresholds = JoinThresholds(),
-                             factSaltCols: Seq[String] = Nil): JoinPlan = {
+                             factSaltCols: Seq[String] = Nil,
+                             t: Capacity.SizingTargets = Capacity.SizingTargets()): JoinPlan = {
     require(factKey != dimKey,
       s"chooseJoinFromProfiles: fact and dim key columns must be named " +
         s"differently (both '$factKey') — rename one side first")
@@ -460,24 +601,33 @@ object JoinPlanner {
         "(see chooseJoin) — rename first; strategy branches would otherwise " +
         "diverge in schema")
     val rows = joinDecisionFromProfiles(fact.sparkSession,
-      factProfile, dimProfile, th).collect()
+      factProfile, dimProfile, th, t).collect()
     require(rows.nonEmpty && rows(0).getAs[Long]("fact_rows") > 0L,
       "chooseJoinFromProfiles: empty fact profile — nothing to join")
     val dcs = rows(0)
     val strategy = dcs.getAs[String]("strategy")
-    val result = runStrategy(fact, dim, factKey, dimKey, th, factSaltCols, strategy)
+    val advised = dcs.getAs[Long]("advised_shuffle_partitions")
+    val result = runStrategy(fact, dim, factKey, dimKey, th, factSaltCols,
+      strategy, advised.toInt)
     JoinPlan(strategy,
       dcs.getAs[Long]("fact_rows"), dcs.getAs[Long]("dim_rows"),
       dcs.getAs[Double]("top_share"), dcs.getAs[Long]("est_join_size"),
-      dcs.getAs[Double]("est_selectivity"), result)
+      dcs.getAs[Double]("est_selectivity"), advised, result)
   }
 
   /** The one strategy-dispatch implementation shared by [[chooseJoin]]
     * and [[chooseJoinFromProfiles]] — result identity across strategies
-    * is proven once, here. */
+    * is proven once, here. The exchange-bearing branches run at the
+    * ADVISED width the decision row already computed: plain through
+    * [[advisedExchangeJoin]], salted through [[Skew.saltedJoin]]'s sized
+    * exchanges. Broadcast runs no exchange; the bloom branch keeps the
+    * static conf deliberately — its post-prune exchange volume is far
+    * below the full-input bytes the advice was derived from (that is the
+    * point of the prune), so applying the advice there would oversize. */
   private def runStrategy(fact: DataFrame, dim: DataFrame, factKey: String,
                           dimKey: String, th: JoinThresholds,
-                          factSaltCols: Seq[String], strategy: String): DataFrame =
+                          factSaltCols: Seq[String], strategy: String,
+                          advised: Int): DataFrame =
     strategy match {
       case "broadcast" =>
         fact.join(broadcast(dim), fact(factKey) === dim(dimKey))
@@ -486,12 +636,12 @@ object JoinPlanner {
         val saltCols = if (factSaltCols.nonEmpty) factSaltCols
                        else fact.columns.toSeq
         Skew.saltedJoin(fact, dim.withColumnRenamed(dimKey, factKey),
-          factKey, th.salt, saltCols)
+          factKey, th.salt, saltCols, Some(advised))
       case "bloom_pruned" =>
         Bloom.prunedJoin(fact, dim, factKey, dimKey,
           th.bloomMBits, th.bloomNumHashes).drop(dimKey)
       case _ =>
-        fact.join(dim, fact(factKey) === dim(dimKey)).drop(dim(dimKey))
+        advisedExchangeJoin(fact, dim, factKey, dimKey, advised)
     }
 
   /**
@@ -511,10 +661,19 @@ object JoinPlanner {
    * condition is unchanged), and a subset that distinguishes the hot
    * key's rows spreads them just as uniformly at a fraction of the
    * hashing cost.
+   *
+   * The decision is the SIZED row ([[sizedJoinDecision]] — one extra
+   * narrow byte-accounting aggregate per side), and its
+   * `advised_shuffle_partitions` is APPLIED to the chosen plan's
+   * exchange-bearing branches (plain via [[advisedExchangeJoin]], salted
+   * via [[Skew.saltedJoin]]'s sized exchanges) — the one static knob the
+   * planner exists to override is actually overridden, per stage, with
+   * the number it computed. `t` tunes the target partition size.
    */
   def chooseJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, th: JoinThresholds = JoinThresholds(),
-                 factSaltCols: Seq[String] = Nil): JoinPlan = {
+                 factSaltCols: Seq[String] = Nil,
+                 t: Capacity.SizingTargets = Capacity.SizingTargets()): JoinPlan = {
     require(factKey != dimKey,
       s"chooseJoin: fact and dim key columns must be named differently " +
         s"(both '$factKey') — rename one side first")
@@ -530,15 +689,17 @@ object JoinPlanner {
     require(!dim.columns.contains(factKey),
       s"chooseJoin: dim already has a column named '$factKey' (the fact key) — " +
         "rename it first; strategy branches would otherwise diverge in schema")
-    val rows = joinDecision(fact, dim, factKey, dimKey, th).collect()
+    val rows = sizedJoinDecision(fact, dim, factKey, dimKey, th, t).collect()
     require(rows.nonEmpty,
       "chooseJoin: empty fact side — no decision row (nothing to join)")
     val d = rows(0)
     val strategy = d.getAs[String]("strategy")
-    val result = runStrategy(fact, dim, factKey, dimKey, th, factSaltCols, strategy)
+    val advised = d.getAs[Long]("advised_shuffle_partitions")
+    val result = runStrategy(fact, dim, factKey, dimKey, th, factSaltCols,
+      strategy, advised.toInt)
     JoinPlan(strategy,
       d.getAs[Long]("fact_rows"), d.getAs[Long]("dim_rows"),
       d.getAs[Double]("top_share"), d.getAs[Long]("est_join_size"),
-      d.getAs[Double]("est_selectivity"), result)
+      d.getAs[Double]("est_selectivity"), advised, result)
   }
 }

@@ -274,16 +274,21 @@ object Similarity {
    * and write a fresh generation at `dst` (re-clustering re-balances
    * every list at once — re-splitting single lists would leave the PQ
    * codebooks trained on the stale distribution too); otherwise do
-   * nothing. Returns whether the rewrite ran. The production cadence:
-   * ingest appends via [[ivfPqEncode]] (cheap, no retraining), this runs
-   * out-of-band, and the serving pointer flips to `dst` when it reports
-   * true — the old generation stays readable throughout, and a recall
-   * gate (`ann_recluster_recall`) should pass before the flip.
+   * nothing. Returns whether the rewrite ran. The fresh generation's
+   * GEOMETRY (nlist, m, ksub) is READ FROM the `src` artifact itself —
+   * centroid count and stored codebook shape — never trusted from caller
+   * defaults: maintenance must hand the serving pointer an index shaped
+   * like the one being maintained, or a parameter-omitting call would
+   * silently flip serving onto different geometry. The production
+   * cadence: ingest appends via [[ivfPqEncode]] (cheap, no retraining),
+   * this runs out-of-band, and the serving pointer flips to `dst`
+   * ([[Generations.advance]]) when it reports true — the old generation
+   * stays readable throughout, and a recall gate
+   * (`ann_recluster_recall`) should pass before the flip.
    */
   def maintainIvfPq(spark: org.apache.spark.sql.SparkSession,
                     src: String, dst: String, corpus: DataFrame,
                     oversizeFactor: Double = 2.0,
-                    nlist: Int = 16, m: Int = 8, ksub: Int = 32,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     kmeansIters: Int = 0): Boolean = {
     require(src != dst, "maintainIvfPq: dst must be a fresh path")
@@ -291,7 +296,10 @@ object Similarity {
       .collect()(0).getAs[Long]("n_oversized")
     if (oversized == 0L) false
     else {
-      saveIvfPq(corpus, dst, nlist, m, ksub, idCol, vecCol, kmeansIters)
+      val nlist = readCentroids(spark, src).length
+      val books = Quantization.readPqBooks(spark, src)
+      saveIvfPq(corpus, dst, nlist, books.m, books.books.head.length,
+        idCol, vecCol, kmeansIters)
       true
     }
   }

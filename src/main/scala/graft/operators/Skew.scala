@@ -28,13 +28,28 @@ object Skew {
   /**
    * Salted equi-join: `fact ⋈ dim ON fact(key)=dim(key)` with the hot-key
    * rows spread over `salt` partitions. Result = plain inner join result
-   * (the `_salt` column is dropped).
+   * (the `_salt` column is dropped). `numPartitions` additionally sizes
+   * the join's exchange explicitly (the [[JoinPlanner.advisedExchangeJoin]]
+   * discipline applied to the salted shape: both sides hash-repartition
+   * on `(key, _salt)` to exactly that width, which satisfies the join's
+   * distribution requirement, so Spark reuses the sized exchanges instead
+   * of inserting its own at the static `spark.sql.shuffle.partitions`);
+   * None keeps the static conf. Either way the result rows are identical.
    */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int,
-                 factUniqueCols: Seq[String]): DataFrame =
-    saltFact(fact, salt, factUniqueCols)
-      .join(replicateDim(dim, salt), Seq(key, "_salt"))
-      .drop("_salt")
+                 factUniqueCols: Seq[String],
+                 numPartitions: Option[Int] = None): DataFrame = {
+    require(numPartitions.forall(_ >= 1),
+      s"saltedJoin: numPartitions must be >= 1, got $numPartitions")
+    val f0 = saltFact(fact, salt, factUniqueCols)
+    val d0 = replicateDim(dim, salt)
+    val (f, d) = numPartitions match {
+      case Some(n) => (f0.repartition(n, col(key), col("_salt")),
+        d0.repartition(n, col(key), col("_salt")))
+      case None => (f0, d0)
+    }
+    f.join(d, Seq(key, "_salt")).drop("_salt")
+  }
 
   /**
    * Key-skew PROFILE — the "should I salt this join" diagnostic, run

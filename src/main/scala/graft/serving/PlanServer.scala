@@ -25,7 +25,7 @@ import graft.operators.{Capacity, JoinPlanner}
  *       [&skewShareMin=..][&bloomSelectivityMax=..][&targetPartitionBytes=..]
  *     → the full sized decision row (`fact_rows, dim_rows, top_share,
  *       est_join_size, est_selectivity, strategy, fact_bytes, dim_bytes,
- *       advised_shuffle_partitions`) — row-identical to
+ *       advised_shuffle_partitions, top_share_exact`) — row-identical to
  *       [[JoinPlanner.joinDecisionFromProfiles]] (spec-pinned).
  *   GET /api/plan/distinct?table=t1
  *     → [[JoinPlanner.profileDistinctAdvice]]'s row (`rows, bytes, k, n,
@@ -34,13 +34,19 @@ import graft.operators.{Capacity, JoinPlanner}
  *     → [[JoinPlanner.profileOverlapAdvice]]'s row (`k, n_union,
  *       hk_union, shared, union_est, jaccard, inter_est`) — the
  *       referential-health check.
+ *   GET /api/plan/size?table=t1[&targetPartitionBytes=..][&targetFileBytes=..]
+ *     → [[JoinPlanner.profileSizeAdvice]]'s row (`rows, bytes,
+ *       advised_shuffle_partitions, advised_files`) — exchange/write
+ *       sizing, the fourth planner question the bundle answers.
  *
  * Malformed input is a 400 with the `ErrorMessage` shape, never a 500:
  * unknown table names (the registry IS the deployment contract),
  * missing parameters, non-positive or non-numeric thresholds. Mixed
  * sketch shapes between two bundles surface as the library's
  * IllegalArgumentException → 400 (a deployment error, not a server
- * fault).
+ * fault). True 500s return a GENERIC body — exception text can carry
+ * filesystem paths and class names, which a server bound on all
+ * interfaces must not leak; the throwable is logged server-side instead.
  *
  * Bundles are KB-sized, but the decision is re-derived per request from
  * the CURRENT pile (one tiny Spark job over artifact files) — so a
@@ -73,13 +79,18 @@ class PlanServer(spark: SparkSession, profiles: Map[String, String],
         case "join"     => respond(ex, 200, join(params))
         case "distinct" => respond(ex, 200, distinct(params))
         case "overlap"  => respond(ex, 200, overlap(params))
+        case "size"     => respond(ex, 200, size(params))
         case _          => respond(ex, 404, errorJson("not found", 404))
       }
     } catch {
       case QueryError(msg, code) => respond(ex, code, errorJson(msg, code))
       // library-level shape/registry violations are caller errors
       case e: IllegalArgumentException => respond(ex, 400, errorJson(e.getMessage, 400))
-      case t: Throwable => respond(ex, 500, errorJson(t.toString, 500))
+      case t: Throwable =>
+        // log server-side, answer generically: exception text carries
+        // paths/class names a public-facing 500 must not leak
+        System.err.println(s"[planserver] 500 on ${ex.getRequestURI}: $t")
+        respond(ex, 500, errorJson("internal error", 500))
     }
   }
 
@@ -122,10 +133,23 @@ class PlanServer(spark: SparkSession, profiles: Map[String, String],
     messageJson(
       Seq("fact_rows", "dim_rows", "top_share", "est_join_size",
         "est_selectivity", "strategy", "fact_bytes", "dim_bytes",
-        "advised_shuffle_partitions"),
+        "advised_shuffle_partitions", "top_share_exact"),
       Seq(s"[${r.getLong(0)},${r.getLong(1)},${numJson(r.get(2))}," +
         s"${r.getLong(3)},${numJson(r.get(4))},${"\"" + r.getString(5) + "\""}," +
-        s"${r.getLong(6)},${r.getLong(7)},${r.getLong(8)}]"))
+        s"${r.getLong(6)},${r.getLong(7)},${r.getLong(8)},${r.getBoolean(9)}]"))
+  }
+
+  private def size(params: Map[String, String]): String = {
+    val path = profilePath(params, "table")
+    val t = Capacity.SizingTargets(
+      targetPartitionBytes = positiveLong(params, "targetPartitionBytes", 128L << 20)
+        .max(1L),
+      targetFileBytes = positiveLong(params, "targetFileBytes", 512L << 20)
+        .max(1L))
+    val r = JoinPlanner.profileSizeAdvice(spark, path, t).collect()(0)
+    messageJson(
+      Seq("rows", "bytes", "advised_shuffle_partitions", "advised_files"),
+      Seq(s"[${r.getLong(0)},${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}]"))
   }
 
   private def distinct(params: Map[String, String]): String = {

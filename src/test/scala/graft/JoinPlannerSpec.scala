@@ -219,13 +219,17 @@ class JoinPlannerSpec extends SparkSpec {
         s"$tmp/dim", p)
       val thr = JoinThresholds(broadcastMaxDimRows = 10, skewShareMin = 0.04,
         bloomSelectivityMax = 0.2, cmsDepth = 4, cmsWidth = 256)
-      val fromArtifacts = JoinPlanner.joinDecisionFromProfiles(spark,
+      val full = JoinPlanner.joinDecisionFromProfiles(spark,
         s"$tmp/fact", s"$tmp/dim", thr).collect()
+      val fromArtifacts = JoinPlanner.joinDecisionFromProfiles(spark,
+        s"$tmp/fact", s"$tmp/dim", thr).drop("top_share_exact").collect()
       val oneShot = JoinPlanner.sizedJoinDecision(fact, dim, "fk", "dk", thr)
         .collect()
       assert(fromArtifacts.length == 1 && oneShot.length == 1)
       assert(fromArtifacts(0).toSeq === oneShot(0).toSeq,
         s"merge law broken: artifact row ${fromArtifacts(0)} vs one-shot ${oneShot(0)}")
+      // topK covered every slice's key set -> the exactness bit is recorded
+      assert(full(0).getAs[Boolean]("top_share_exact"))
       // and the KMV component folds exactly too: distinct advice from the
       // merged deltas == the one-shot sketch over the whole fact
       val advice = graft.operators.JoinPlanner
@@ -306,6 +310,10 @@ class JoinPlannerSpec extends SparkSpec {
       assert(merged.getAs[Double]("top_share") <
         oneShot.getAs[Double]("top_share"))
       assert(merged.getAs[String]("strategy") == "plain")
+      // ... and the decision row RECORDS that its top_share is a lower
+      // bound: each slice holds 2 distinct keys > topK = 1, so the
+      // coverage bit is off exactly when the documented degrade happens
+      assert(!merged.getAs[Boolean]("top_share_exact"))
       // appending under a different sketch shape cannot merge
       JoinPlanner.appendTableProfile(sliceB, "fk", s"$tmp/fact",
         JoinPlanner.ProfileParams(depth = 2, width = 64, topK = 1))
@@ -390,7 +398,7 @@ class JoinPlannerSpec extends SparkSpec {
           bloomSelectivityMax = rnd.nextDouble(),
           cmsDepth = 4, cmsWidth = 128)
         val fromArtifacts = JoinPlanner.joinDecisionFromProfiles(spark,
-          s"$tmp/fact", s"$tmp/dim", thr).collect()(0)
+          s"$tmp/fact", s"$tmp/dim", thr).drop("top_share_exact").collect()(0)
         val oneShot = JoinPlanner.sizedJoinDecision(fact, dim, "fk", "dk", thr)
           .collect()(0)
         assert(fromArtifacts.toSeq === oneShot.toSeq,
@@ -398,7 +406,8 @@ class JoinPlannerSpec extends SparkSpec {
         // compaction preserves the decision and both advice forms
         JoinPlanner.compactTableProfile(spark, s"$tmp/fact", s"$tmp/fact2")
         assert(JoinPlanner.joinDecisionFromProfiles(spark, s"$tmp/fact2",
-          s"$tmp/dim", thr).collect()(0).toSeq === fromArtifacts.toSeq,
+          s"$tmp/dim", thr).drop("top_share_exact").collect()(0).toSeq ===
+          fromArtifacts.toSeq,
           s"trial $trial: compaction changed the decision")
         val direct = graft.operators.Sketches.kmvEstimate(
           graft.operators.Sketches.kmvSketch(
@@ -439,6 +448,78 @@ class JoinPlannerSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         JoinPlanner.advisedExchangeJoin(fact, dim, "fk", "dk", 0)
       }
+    }
+  }
+
+  test("atomic slice publish: a torn write (staging only) is invisible to " +
+    "the loader, and a replayed sliceId is a committed no-op") {
+    withTmp { tmp =>
+      val fact = (1 to 200).map(i => (1L + i % 10, i.toLong)).toDF("fk", "payload")
+      val p = JoinPlanner.ProfileParams(depth = 4, width = 256, topK = 64,
+        kmvK = 16)
+      JoinPlanner.saveTableProfile(fact.filter($"payload" % 2 === 0), "fk",
+        s"$tmp/fact", p)
+      JoinPlanner.appendTableProfile(fact.filter($"payload" % 2 === 1), "fk",
+        s"$tmp/fact", p, sliceId = "batch-1")
+      val before = JoinPlanner.profileDistinctAdvice(spark, s"$tmp/fact")
+        .collect()(0).toSeq
+      // simulate the crash the round-17 layout could not survive: a slice
+      // whose cells landed but whose stats never did — under the staged
+      // publish it sits in _staging and the loader must not see it
+      val orphan = s"$tmp/fact/_staging/batch-2"
+      fact.limit(5).select($"fk".as("k"), lit(1L).as("cnt"))
+        .write.parquet(s"$orphan/cells")
+      assert(JoinPlanner.profileDistinctAdvice(spark, s"$tmp/fact")
+        .collect()(0).toSeq === before,
+        "a torn (uncommitted) slice changed the loaded bundle")
+      // replaying an already-committed sliceId must not double-count —
+      // the exactly-once contract a foreachBatch maintainer leans on
+      JoinPlanner.appendTableProfile(fact.filter($"payload" % 2 === 1), "fk",
+        s"$tmp/fact", p, sliceId = "batch-1")
+      assert(JoinPlanner.profileDistinctAdvice(spark, s"$tmp/fact")
+        .collect()(0).toSeq === before,
+        "an at-least-once replay double-counted a slice")
+      val slices = new java.io.File(s"$tmp/fact/slices").listFiles()
+        .map(_.getName).filterNot(_.startsWith(".")).sorted
+      assert(slices.toSeq === Seq("base", "batch-1"))
+    }
+  }
+
+  test("the dispatch APPLIES the advised exchange width: plain and salted " +
+    "picks run at advised_shuffle_partitions, rows identical to plain") {
+    withTmp { tmp =>
+      val dim = (1L to 40L).map(k => (k, s"n$k")).toDF("dk", "name")
+      val p = JoinPlanner.ProfileParams(depth = 4, width = 256, topK = 256)
+      // tiny target -> an advised count the 4-partition test conf would
+      // never produce on its own
+      val t = graft.operators.Capacity.SizingTargets(targetPartitionBytes = 512L,
+        targetFileBytes = 4096L, minPartitions = 1, maxPartitions = 64)
+      // plain pick
+      val balanced = (1 to 300).map(i => (1L + i % 20, i.toLong)).toDF("fk", "payload")
+      JoinPlanner.saveTableProfile(balanced, "fk", s"$tmp/fact", p)
+      JoinPlanner.saveTableProfile(dim, "dk", s"$tmp/dim", p)
+      val thPlain = JoinThresholds(broadcastMaxDimRows = 10, skewShareMin = 0.9,
+        bloomSelectivityMax = 0.001)
+      val plan = JoinPlanner.chooseJoinFromProfiles(balanced, dim, "fk", "dk",
+        s"$tmp/fact", s"$tmp/dim", thPlain, t = t)
+      assert(plan.strategy === "plain")
+      assert(plan.advisedShufflePartitions > 4,
+        s"fixture must advise above the test conf, got ${plan.advisedShufflePartitions}")
+      assert(plan.result.rdd.getNumPartitions === plan.advisedShufflePartitions,
+        "the plain branch must run at the advised width")
+      assert(chosenRows(plan) === plainRows(balanced, dim))
+      // salted pick (inline chooser — same dispatch)
+      val skewed = ((1 to 200).map(i => (1L, i.toLong)) ++
+        (1 to 100).map(i => (i.toLong + 1, 1000L + i))).toDF("fk", "payload")
+      val thSalt = JoinThresholds(broadcastMaxDimRows = 10, skewShareMin = 0.3,
+        bloomSelectivityMax = 0.001, salt = 4)
+      val sp = JoinPlanner.chooseJoin(skewed, dim, "fk", "dk", thSalt,
+        factSaltCols = Seq("fk", "payload"), t = t)
+      assert(sp.strategy === "salted")
+      assert(sp.advisedShufflePartitions > 4)
+      assert(sp.result.rdd.getNumPartitions === sp.advisedShufflePartitions,
+        "the salted branch must run at the advised width")
+      assert(chosenRows(sp) === plainRows(skewed, dim))
     }
   }
 

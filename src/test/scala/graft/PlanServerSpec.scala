@@ -65,12 +65,26 @@ class PlanServerSpec extends SparkSpec {
       assert(c1 == 200, b1)
       assert(b1.contains("\"columns\":[\"fact_rows\",\"dim_rows\",\"top_share\"," +
         "\"est_join_size\",\"est_selectivity\",\"strategy\",\"fact_bytes\"," +
-        "\"dim_bytes\",\"advised_shuffle_partitions\"]"))
+        "\"dim_bytes\",\"advised_shuffle_partitions\",\"top_share_exact\"]"))
       assert(b1.contains(s""""${want.getString(5)}""""), s"strategy missing: $b1")
       assert(b1.contains(s"[${want.getLong(0)},${want.getLong(1)},"),
         s"counts mismatch: $b1 vs $want")
-      assert(b1.contains(s",${want.getLong(8)}]"), s"sizing mismatch: $b1")
+      assert(b1.contains(s",${want.getLong(8)},${want.getBoolean(9)}]"),
+        s"sizing/exactness mismatch: $b1")
       assert(b1.contains("\"metadata\":{\"metric\":\"plan\"}"))
+
+      // the fourth planner question: write/exchange sizing from the stats
+      // component alone, row-identical to profileSizeAdvice
+      val tS = Capacity.SizingTargets(targetPartitionBytes = 65536L,
+        targetFileBytes = 262144L)
+      val wantS = JoinPlanner.profileSizeAdvice(spark, factPath, tS).collect()(0)
+      val (c4, b4) = get(s"http://localhost:$port/api/plan/size?table=lineitem&" +
+        "targetPartitionBytes=65536&targetFileBytes=262144")
+      assert(c4 == 200, b4)
+      assert(b4.contains("\"columns\":[\"rows\",\"bytes\"," +
+        "\"advised_shuffle_partitions\",\"advised_files\"]"))
+      assert(b4.contains(s"[${wantS.getLong(0)},${wantS.getLong(1)}," +
+        s"${wantS.getLong(2)},${wantS.getLong(3)}]"), s"size mismatch: $b4 vs $wantS")
 
       val wantD = JoinPlanner.profileDistinctAdvice(spark, factPath).collect()(0)
       val (c2, b2) = get(s"http://localhost:$port/api/plan/distinct?table=lineitem")
@@ -95,6 +109,8 @@ class PlanServerSpec extends SparkSpec {
         s"http://localhost:$port/api/plan/join?fact=lineitem&dim=supplier&skewShareMin=zero",
         s"http://localhost:$port/api/plan/join?fact=lineitem&dim=supplier&broadcastMaxDimRows=-3",
         s"http://localhost:$port/api/plan/distinct?table=unknown",
+        s"http://localhost:$port/api/plan/size?table=unknown",
+        s"http://localhost:$port/api/plan/size?table=lineitem&targetFileBytes=-1",
         s"http://localhost:$port/api/plan/overlap?a=lineitem")
       cases.foreach { u =>
         val (code, body) = get(u)
@@ -104,5 +120,31 @@ class PlanServerSpec extends SparkSpec {
       val (nf, _) = get(s"http://localhost:$port/api/plan/nosuch?x=1")
       assert(nf == 404)
     }
+  }
+
+  test("a true 500 answers generically — no exception text, class names or " +
+    "filesystem paths leak to the client") {
+    // register a path whose bundle is DELETED under the running server:
+    // the loader's require (an IllegalArgumentException) is a 400, so
+    // break it deeper — a slices dir whose stats component is unreadable
+    // garbage surfaces as a runtime failure, the 500 shape
+    val root = java.nio.file.Files.createTempDirectory("graft_planserve5").toString
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(s"$root/bundle/slices/base/stats"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$root/bundle/slices/base/stats/part-0.parquet"),
+        "not parquet at all")
+      val srv = new PlanServer(spark, Map("broken" -> s"$root/bundle"))
+      val port = srv.start()
+      try {
+        val (code, body) = get(
+          s"http://localhost:$port/api/plan/distinct?table=broken")
+        assert(code == 500, s"$code $body")
+        assert(body == """{"errorMessage":"internal error","errorCode":500}""",
+          s"500 body must be generic: $body")
+        assert(!body.contains(root), "filesystem path leaked")
+      } finally srv.stop()
+    } finally Gates.deleteTree(root)
   }
 }

@@ -230,7 +230,7 @@ class VectorExprSpec extends SparkSpec {
         s"random corpus should not trip a 4x oversize factor: $pre")
       // below threshold: maintenance is a no-op, dst untouched
       assert(!Similarity.maintainIvfPq(spark, s"$dir/idx", s"$dir/gen2", e,
-        oversizeFactor = 4.0, nlist = 8, m = 8, ksub = 16))
+        oversizeFactor = 4.0))
       assert(!new java.io.File(s"$dir/gen2").exists())
       // drifted ingest: 256 copies of one vector encoded with the STALE
       // quantizers pile into a single list -> an oversized list appears
@@ -245,9 +245,16 @@ class VectorExprSpec extends SparkSpec {
       assert(post.getAs[Long]("n_oversized") >= 1L, s"clump must overfill a list: $post")
       val grown = e.select(col("vec_id"), col("embedding")).union(clump)
       assert(Similarity.maintainIvfPq(spark, s"$dir/idx", s"$dir/gen2", grown,
-        oversizeFactor = 2.0, nlist = 8, m = 8, ksub = 16))
-      // the fresh generation carries every grown-corpus vector
+        oversizeFactor = 2.0))
+      // the fresh generation carries every grown-corpus vector AND the
+      // geometry of the artifact being maintained (nlist/m/ksub read from
+      // src, never caller defaults — a default-shaped rebuild would flip
+      // serving onto a different index shape)
       assert(spark.read.parquet(s"$dir/gen2/encoded").count() == e.count() + 256L)
+      assert(spark.read.parquet(s"$dir/gen2/centroids").count() == 8L)
+      val g2books = spark.read.parquet(s"$dir/gen2/books")
+      assert(g2books.select(countDistinct(col("m_idx"))).head().getLong(0) == 8L)
+      assert(g2books.select(countDistinct(col("k_idx"))).head().getLong(0) == 16L)
       intercept[IllegalArgumentException] {
         Similarity.maintainIvfPq(spark, s"$dir/idx", s"$dir/idx", grown)
       }
