@@ -184,6 +184,93 @@ private[graft] object Gates {
       } finally deleteTree(tmp)
     }),
 
+    "ingest_lifecycle_capstone" -> ((s, dir) => {
+      // the END-TO-END ingest arc the per-family gates prove piecewise,
+      // composed over one [[graft.operators.Generations]] root: gen-1 =
+      // the even-doc band index published under the root; STREAMED
+      // ingest (two real micro-batches of the odd docs) bands each batch
+      // in-flight and delta-appends INTO the serving generation (resolved
+      // through the pointer, never a raw path); maintenance folds the
+      // pile into gen-2 with compactBandIndex and FLIPS the pointer via
+      // advance(); admission-control probes serve through resolve()
+      // before and after the flip. Contract: the served pairs are
+      // IDENTICAL across the flip (asserted in-query), the generation
+      // provably changed, and recall against the exact ground truth is
+      // total — the incremental_dedup_recall oracle, now across
+      // streaming + compaction + pointer-flip boundaries at once.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("graft_capstone").toString
+      try {
+        val corpus = Tables.documents(s, dir)
+        val newBatch = corpus.filter(col("doc_id") % 37 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val root = s"$tmp/band"
+        Generations.advance(s, root) { dst =>
+          Dedup.saveBandIndex(
+            Dedup.buildBandIndex(corpus.filter(col("doc_id") % 2 === 0)), dst)
+        }
+        val rows = corpus.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = mem.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Dedup.appendBandIndex(Dedup.buildBandIndex(batch),
+              Generations.resolve(s, root))
+          }
+          .start()
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+        q.stop()
+        def probe() = Dedup.nearDupsAgainstIndex(
+            newBatch, Dedup.loadBandIndex(s, Generations.resolve(s, root)),
+            corpus, threshold = 0.95)
+          .select(col("new_id"), col("corpus_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val pre = probe()
+        val g1 = Generations.resolve(s, root)
+        val g2 = Generations.advance(s, root) { dst =>
+          Dedup.compactBandIndex(s, g1, dst)
+        }
+        val post = probe()
+        require(pre == post,
+          "ingest_lifecycle_capstone: the flipped generation serves " +
+            "different pairs than the pile it replaced")
+        val found = post.toSeq.map { case (a, b) => (a, b, 1) }
+          .toDF("new_id", "corpus_id", "hit")
+        // exact ground truth — the incremental_dedup_recall derivation
+        val sh = (d: DataFrame, id: String, shc: String) => d.select(
+          col("doc_id").as(id),
+          array_distinct(TextFunctions.shingles(col("text"), 3)).as(shc))
+          .filter(size(col(shc)) > 0)
+        val shn = sh(newBatch, "na", "sa")
+        val shc2 = sh(corpus, "nb", "sb")
+        val candPairs = shn.select(col("na"), explode(col("sa")).as("g"))
+          .join(shc2.select(col("nb"), explode(col("sb")).as("g")), "g")
+          .select(col("na"), col("nb")).distinct()
+        val exact = candPairs
+          .join(shn, "na").join(shc2, "nb")
+          .filter(least(size(col("sa")), size(col("sb"))).cast("double") /
+            greatest(size(col("sa")), size(col("sb"))).cast("double") >= 0.95)
+          .withColumn("inter",
+            size(array_intersect(col("sa"), col("sb"))).cast("double"))
+          .withColumn("jac", col("inter") /
+            (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
+          .filter(col("jac") >= 0.95)
+          .select(col("na"), col("nb"))
+        exact.join(found,
+            col("na") === col("new_id") && col("nb") === col("corpus_id"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            count(when(col("hit").isNull, 1)).as("n_missed"))
+          .withColumn("flip_changed_generation",
+            lit(g2 != g1 && Generations.resolve(s, root) == g2))
+          .withColumn("served_identical", lit(true))
+      } finally deleteTree(tmp)
+    }),
+
     "embedding_near_dup_recall" -> ((s, dir) => {
       // SRP-LSH near-dup pairs vs EXACT all-pairs cosine ≥ 0.95 on a bounded
       // slice (≤500 vectors at any sf) — n_exact is a true DuckDB oracle
@@ -773,6 +860,27 @@ private[graft] object Gates {
         |  FROM newb a, sh b)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_missed,
         |       true AS compaction_consistent
+        |FROM p
+        |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.95""".stripMargin,
+
+    // the capstone arc: same exact-recall contract as band_index_append,
+    // now served through streamed appends + compaction + the Generations
+    // pointer flip; the flip booleans are in-query structural pins
+    "ingest_lifecycle_capstone" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> array_to_string(w[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |newb AS (SELECT doc_id + 1000000 AS doc_id, s FROM sh WHERE doc_id % 37 = 0),
+        |p AS (
+        |  SELECT a.doc_id AS na, b.doc_id AS nb,
+        |         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+        |  FROM newb a, sh b)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_missed,
+        |       true AS flip_changed_generation, true AS served_identical
         |FROM p
         |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.95""".stripMargin,
 

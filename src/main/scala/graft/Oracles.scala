@@ -61,6 +61,80 @@ private[graft] object Oracles {
       |       (SELECT COUNT(DISTINCT l_suppkey) FROM li) <= 4096 AS top_share_exact
       |FROM f, d, ts, e""".stripMargin
 
+  /** The merged-dictionary flag derivation (save+append pile ≡ compacted
+    * fold — both gates must reproduce it): normalize, block in prefix and
+    * suffix spaces, merge duplicate (nm, bk, space) rows with MIN rep,
+    * whole-block cap, two-space candidate join, Levenshtein cut. */
+  private val EntityIndexFlagSql: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g') AS nm,
+      |         MIN(CAST(p_partkey AS BIGINT)) AS rep
+      |  FROM part
+      |  WHERE regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g') <> ''
+      |  GROUP BY 1),
+      |mut AS MATERIALIZED (
+      |  SELECT 'x' || substr(regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g'), 2) AS nm,
+      |         MIN(CAST(p_partkey AS BIGINT) + 1000000) AS rep
+      |  FROM part
+      |  WHERE p_partkey % 37 = 0
+      |    AND 'x' || substr(regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g'), 2) <> ''
+      |  GROUP BY 1),
+      |blk AS (
+      |  SELECT nm, rep, substr(nm, 1, 3) AS bk, 'p' AS space FROM base
+      |  UNION ALL
+      |  SELECT nm, rep, substr(nm, length(nm) - 2, 3) AS bk, 's' AS space FROM base
+      |  UNION ALL
+      |  SELECT nm, rep, substr(nm, 1, 3) AS bk, 'p' AS space FROM mut
+      |  UNION ALL
+      |  SELECT nm, rep, substr(nm, length(nm) - 2, 3) AS bk, 's' AS space FROM mut),
+      |merged AS MATERIALIZED (
+      |  SELECT nm, bk, space, MIN(rep) AS rep FROM blk GROUP BY 1, 2, 3),
+      |idx AS MATERIALIZED (
+      |  SELECT nm, rep, bk, space FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY space, bk) AS bsz FROM merged)
+      |  WHERE bsz <= 1000),
+      |q AS MATERIALIZED (
+      |  SELECT id, nm_in, substr(nm_in, 1, 3) AS pk,
+      |         substr(nm_in, length(nm_in) - 2, 3) AS sk
+      |  FROM (
+      |    SELECT CAST(p_partkey AS BIGINT) AS id,
+      |           regexp_replace(trim(lower('x' || substr(
+      |             regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g'),
+      |             2))), '\s+', ' ', 'g') AS nm_in
+      |    FROM part WHERE p_partkey % 37 = 0)
+      |  WHERE nm_in <> ''),
+      |u AS (
+      |  SELECT id, nm_in, nm AS match_nm, rep
+      |  FROM q JOIN idx ON idx.space = 'p' AND q.pk = idx.bk
+      |  UNION ALL
+      |  SELECT id, nm_in, nm AS match_nm, rep
+      |  FROM q JOIN idx ON idx.space = 's' AND q.sk = idx.bk
+      |   AND substr(q.nm_in, 1, 3) <> substr(idx.nm, 1, 3))
+      |SELECT id, nm_in, match_nm,
+      |       levenshtein(nm_in, match_nm) AS dist, rep
+      |FROM u WHERE levenshtein(nm_in, match_nm) <= 3
+      |ORDER BY id, match_nm""".stripMargin
+
+  /** The union-bit-set membership probe (save+append pile ≡ compacted
+    * fold — bit-OR is the merge in both): md5-derived double hashing
+    * over the big-order custkeys, every 3rd customer probed. */
+  private val BloomIndexFlagSql: String =
+    """WITH mk AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 450000.0),
+      |bits AS MATERIALIZED (
+      |  SELECT DISTINCT (CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13)) AS BIGINT)
+      |       + i.i * CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 14, 13)) AS BIGINT)) % 7936 AS bit
+      |  FROM mk CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)),
+      |ph AS (
+      |  SELECT c_custkey,
+      |         (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13)) AS BIGINT)
+      |       + i.i * CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 14, 13)) AS BIGINT)) % 7936 AS bit
+      |  FROM customer CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)
+      |  WHERE c_custkey % 3 = 0)
+      |SELECT c_custkey,
+      |       MIN(CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 ELSE 0 END) = 1 AS bloom_hit
+      |FROM ph GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
   private val Bm25Sql: String =
     """WITH tk AS (
       |  SELECT doc_id, token FROM (
@@ -1026,55 +1100,12 @@ private[graft] object Oracles {
         |FROM u WHERE levenshtein(nm_in, match_nm) <= 3
         |ORDER BY id, match_nm""".stripMargin,
 
-    "entity_index_flag" ->
-      """WITH base AS MATERIALIZED (
-        |  SELECT regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g') AS nm,
-        |         MIN(CAST(p_partkey AS BIGINT)) AS rep
-        |  FROM part
-        |  WHERE regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g') <> ''
-        |  GROUP BY 1),
-        |mut AS MATERIALIZED (
-        |  SELECT 'x' || substr(regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g'), 2) AS nm,
-        |         MIN(CAST(p_partkey AS BIGINT) + 1000000) AS rep
-        |  FROM part
-        |  WHERE p_partkey % 37 = 0
-        |    AND 'x' || substr(regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g'), 2) <> ''
-        |  GROUP BY 1),
-        |blk AS (
-        |  SELECT nm, rep, substr(nm, 1, 3) AS bk, 'p' AS space FROM base
-        |  UNION ALL
-        |  SELECT nm, rep, substr(nm, length(nm) - 2, 3) AS bk, 's' AS space FROM base
-        |  UNION ALL
-        |  SELECT nm, rep, substr(nm, 1, 3) AS bk, 'p' AS space FROM mut
-        |  UNION ALL
-        |  SELECT nm, rep, substr(nm, length(nm) - 2, 3) AS bk, 's' AS space FROM mut),
-        |merged AS MATERIALIZED (
-        |  SELECT nm, bk, space, MIN(rep) AS rep FROM blk GROUP BY 1, 2, 3),
-        |idx AS MATERIALIZED (
-        |  SELECT nm, rep, bk, space FROM (
-        |    SELECT *, COUNT(*) OVER (PARTITION BY space, bk) AS bsz FROM merged)
-        |  WHERE bsz <= 1000),
-        |q AS MATERIALIZED (
-        |  SELECT id, nm_in, substr(nm_in, 1, 3) AS pk,
-        |         substr(nm_in, length(nm_in) - 2, 3) AS sk
-        |  FROM (
-        |    SELECT CAST(p_partkey AS BIGINT) AS id,
-        |           regexp_replace(trim(lower('x' || substr(
-        |             regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g'),
-        |             2))), '\s+', ' ', 'g') AS nm_in
-        |    FROM part WHERE p_partkey % 37 = 0)
-        |  WHERE nm_in <> ''),
-        |u AS (
-        |  SELECT id, nm_in, nm AS match_nm, rep
-        |  FROM q JOIN idx ON idx.space = 'p' AND q.pk = idx.bk
-        |  UNION ALL
-        |  SELECT id, nm_in, nm AS match_nm, rep
-        |  FROM q JOIN idx ON idx.space = 's' AND q.sk = idx.bk
-        |   AND substr(q.nm_in, 1, 3) <> substr(idx.nm, 1, 3))
-        |SELECT id, nm_in, match_nm,
-        |       levenshtein(nm_in, match_nm) AS dist, rep
-        |FROM u WHERE levenshtein(nm_in, match_nm) <= 3
-        |ORDER BY id, match_nm""".stripMargin,
+    "entity_index_flag" -> EntityIndexFlagSql,
+
+    // same merged-corpus flag derivation, served from the COMPACTED
+    // generation: only a lossless duplicate-key fold (summed counts, min
+    // rep) can reproduce it
+    "entity_dict_compact" -> EntityIndexFlagSql,
 
     "volume_anomalies" ->
       """WITH d AS (
@@ -2313,22 +2344,36 @@ private[graft] object Oracles {
     // two-chain lifecycle oracle: the UNION bit set (slices partition the
     // big orders on o_orderkey parity, and word-wise OR == union build) —
     // a broken save/append/load chain cannot match it
-    "bloom_index_flag" ->
-      """WITH mk AS MATERIALIZED (
-        |  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 450000.0),
-        |bits AS MATERIALIZED (
-        |  SELECT DISTINCT (CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13)) AS BIGINT)
-        |       + i.i * CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 14, 13)) AS BIGINT)) % 7936 AS bit
-        |  FROM mk CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)),
-        |ph AS (
-        |  SELECT c_custkey,
-        |         (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13)) AS BIGINT)
-        |       + i.i * CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 14, 13)) AS BIGINT)) % 7936 AS bit
-        |  FROM customer CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)
-        |  WHERE c_custkey % 3 = 0)
-        |SELECT c_custkey,
-        |       MIN(CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 ELSE 0 END) = 1 AS bloom_hit
-        |FROM ph GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "bloom_index_flag" -> BloomIndexFlagSql,
+
+    // same union bit set, probed from the COMPACTED generation: only a
+    // lossless word-wise bit-OR fold can reproduce it
+    "bloom_words_compact" -> BloomIndexFlagSql,
+
+    // same union-derivation contract as pca_moments_append, derived from
+    // the COMPACTED generation: integer moments are additive, so only a
+    // lossless cell-wise fold reproduces every power iterate
+    "pca_moments_compact" -> pcaMomentsAppendOracle,
+
+    // sizing from the bundle's summed stats alone: byte accounting +
+    // clamped ceildiv replayed one-shot from the raw table — equality
+    // proves the stats merge across save+append
+    "profile_size_advice" ->
+      """WITH st AS (SELECT COUNT(*) AS nr,
+        |  CAST(16 * COUNT(*) AS BIGINT) AS bytes FROM supplier)
+        |SELECT st.nr AS "rows", st.bytes,
+        |       greatest(1, least(4096, (st.bytes + 16383) // 16384))
+        |         AS advised_shuffle_partitions,
+        |       greatest(1, (st.bytes + 65535) // 65536) AS advised_files
+        |FROM st""".stripMargin,
+
+    // the generation-flip gate: the decision served THROUGH the flipped
+    // pointer must still equal the one-shot replay (fold + flip changed
+    // nothing a consumer can see); the flip booleans are engine-side
+    // structural pins asserted in-query
+    "profile_generation_flip" ->
+      (s"SELECT q.*, true AS generation_changed, true AS decision_identical " +
+        s"FROM ($QuarterProfileDecisionSql) q"),
 
     "streaming_bloom_flag" ->
       """WITH mk AS MATERIALIZED (

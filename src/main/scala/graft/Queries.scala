@@ -791,6 +791,31 @@ private[graft] object Queries {
         .orderBy(col("i"))
     }),
 
+    "pca_moments_compact" -> ((s, dir) => {
+      // compaction closes the incremental-PCA lifecycle (save → append →
+      // COMPACT → derive): the base+delta moment pile folded into ONE
+      // (d²+d+1)-row generation — the fold IS the cell-wise exact
+      // integer sum loadMoments performs, under a checksum audit — and
+      // the top component derived from the FOLD. Integer moments are
+      // additive, so the derivation is byte-identical to the
+      // from-scratch union build the oracle replays; a fold that
+      // corrupted one cell diverges in every downstream iterate
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pca_cmp").toString
+      try {
+        Pca.saveMoments(Pca.rawMomentTable(Tables.embeddings(s, dir), 64),
+          s"$tmp/pile")
+        val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 37 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        Pca.appendMoments(Pca.rawMomentTable(delta, 64), s"$tmp/pile")
+        Pca.compactMoments(s, s"$tmp/pile", s"$tmp/gen2")
+        val (_, _, cov) = Pca.momentsFromTable(Pca.loadMoments(s, s"$tmp/gen2"), 64)
+        val v = Pca.powerIteration(cov, 3)
+        import s.implicits._
+        v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq.toDF("i", "loading")
+          .orderBy(col("i"))
+      } finally Gates.deleteTree(tmp)
+    }),
+
     "ann_then_mmr" -> ((s, dir) => {
       // the documented mmrSelect contract made LOAD-BEARING: the pool is
       // an ANN SHORTLIST, never the corpus — IVF top-50 candidates for
@@ -1161,6 +1186,38 @@ private[graft] object Queries {
         .localCheckpoint()
       Gates.deleteTree(tmp)
       out
+    }),
+
+    "entity_dict_compact" -> ((s, dir) => {
+      // compaction closes the entity master-list lifecycle (save →
+      // append → COMPACT → flag, the winnow_index_compact discipline):
+      // the base+delta pile folded into ONE merged generation (duplicate
+      // (nm, bk, space) rows merged — summed counts, min rep — under a
+      // checksum audit) and the SAME mutated ingest batch flagged
+      // against an index built from the fold. The oracle replays the
+      // full merged-corpus flag derivation, so only a lossless fold
+      // matches; compaction itself is a per-run rebuild (honest cost)
+      import graft.streaming.StreamingEntity
+      val tmp = java.nio.file.Files.createTempDirectory("graft_entity_cmp").toString
+      try {
+        val base = EntityResolution.spaceBlocked(Tables.part(s, dir),
+          "p_partkey", "p_name")
+        StreamingEntity.saveDictionary(base, s"$tmp/pile")
+        val norm = regexp_replace(trim(lower(col("p_name"))), "\\s+", " ")
+        val mutated = Tables.part(s, dir).filter(col("p_partkey") % 37 === 0)
+          .select((col("p_partkey") + 1000000L).as("pid"),
+            concat(lit("x"), substring(norm, 2, Int.MaxValue)).as("pname"))
+        StreamingEntity.appendDictionary(
+          EntityResolution.spaceBlocked(mutated, "pid", "pname"), s"$tmp/pile")
+        StreamingEntity.compactDictionary(s, s"$tmp/pile", s"$tmp/gen2")
+        val idx = StreamingEntity.loadDictionary(s, s"$tmp/gen2")
+        val queries = Tables.part(s, dir).filter(col("p_partkey") % 37 === 0)
+          .select(col("p_partkey").as("id"),
+            concat(lit("x"), substring(norm, 2, Int.MaxValue)).as("name"))
+        StreamingEntity.flagAgainstIndex(queries, idx)
+          .orderBy(col("id"), col("match_nm"))
+          .localCheckpoint()
+      } finally Gates.deleteTree(tmp)
     }),
 
     "volume_anomalies" -> ((s, dir) => {
@@ -2752,6 +2809,33 @@ private[graft] object Queries {
       } finally Gates.deleteTree(tmp)
     }),
 
+    "bloom_words_compact" -> ((s, dir) => {
+      // compaction closes the membership-artifact lifecycle (save →
+      // append → COMPACT → probe): the base+delta word pile folded into
+      // ONE merged generation — the fold IS the word-wise bit-OR
+      // loadWords performs, under a checksum audit — and every 3rd
+      // customer probed through the dense-literal predicate built from
+      // the FOLD. The oracle replays the union bit set, so a fold that
+      // lost or flipped one bit fails the hash
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_cmp").toString
+      try {
+        val (m, k) = (62 * 128, 4)
+        val big = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+        Bloom.saveWords(Bloom.bloomWords(
+          big.filter(col("o_orderkey") % 2 === 0), col("o_custkey"), m, k),
+          s"$tmp/pile")
+        Bloom.appendWords(Bloom.bloomWords(
+          big.filter(col("o_orderkey") % 2 === 1), col("o_custkey"), m, k),
+          s"$tmp/pile")
+        Bloom.compactWords(s, s"$tmp/pile", s"$tmp/gen2")
+        val words = Bloom.denseWords(Bloom.loadWords(s, s"$tmp/gen2"), m)
+        Tables.customer(s, dir).filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"),
+            Bloom.containsExpr(words, col("c_custkey"), m, k).as("bloom_hit"))
+          .orderBy(col("c_custkey"))
+      } finally Gates.deleteTree(tmp)
+    }),
+
     "streaming_bloom_flag" -> ((s, dir) => {
       // membership at ingest: odd-keyed customers streamed in two real
       // micro-batches through the dense-literal bloom predicate of the
@@ -3282,6 +3366,87 @@ private[graft] object Queries {
           dim.filter(col("c_custkey") % 2 =!= 0), "c_custkey", s"$tmp/dim", p)
         val out = JoinPlanner.profileOverlapAdvice(s, s"$tmp/fact", s"$tmp/dim")
         s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally Gates.deleteTree(tmp)
+    }),
+
+    "profile_size_advice" -> ((s, dir) => {
+      // the FOURTH artifact-derivable planner answer (join strategy,
+      // distinct cardinality, key overlap — and now write/exchange
+      // sizing): rows + exact byte total from the bundle's summed stats
+      // component alone, turned into the advised shuffle-partition and
+      // output-file counts by the same clamped int64 ceildiv as
+      // Capacity.sizeAdvice — zero corpus passes at advice time. Built
+      // save + delta-append over the supplier halves so the oracle's
+      // one-shot byte-accounting replay also proves the stats merge law
+      val tmp = java.nio.file.Files.createTempDirectory("graft_size_prof").toString
+      try {
+        val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
+        val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
+          topK = 4096, kmvK = 256)
+        JoinPlanner.saveTableProfile(
+          dim.filter(col("s_suppkey") % 2 === 0), "s_suppkey", tmp, p)
+        JoinPlanner.appendTableProfile(
+          dim.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", tmp, p)
+        val t = Capacity.SizingTargets(
+          targetPartitionBytes = 16L << 10, targetFileBytes = 64L << 10,
+          minPartitions = 1, maxPartitions = 4096)
+        val out = JoinPlanner.profileSizeAdvice(s, tmp, t)
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally Gates.deleteTree(tmp)
+    }),
+
+    "profile_generation_flip" -> ((s, dir) => {
+      // the SERVING-GENERATION pointer closing every compaction family's
+      // "production shape: pointer flip" note, gated on the bundle family
+      // (the one whose decisions replay fully in SQL): gen-1 = the
+      // save+append pile published under a Generations root, the sized
+      // decision served THROUGH resolve(); maintenance folds the pile
+      // into gen-2 via advance(compactTableProfile) — build first, then
+      // the crash-atomic pointer commit — and the decision re-served
+      // through the flipped pointer must be row-identical (asserted
+      // in-query; the oracle replays the one-shot decision, so a fold or
+      // flip that changed anything a consumer can see fails the hash).
+      // The crash window itself — a generation built but unpublished
+      // keeps serving the old one — is GenerationsSpec's pin.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gen_flip").toString
+      try {
+        val fact = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
+        val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
+          topK = 4096, kmvK = 256)
+        val root = s"$tmp/factgen"
+        Generations.advance(s, root) { dst =>
+          JoinPlanner.saveTableProfile(
+            fact.filter(col("l_suppkey") % 2 === 0), "l_suppkey", dst, p)
+          JoinPlanner.appendTableProfile(
+            fact.filter(col("l_suppkey") % 2 =!= 0), "l_suppkey", dst, p)
+        }
+        JoinPlanner.saveTableProfile(dim, "s_suppkey", s"$tmp/dim", p)
+        val th = JoinPlanner.JoinThresholds(broadcastMaxDimRows = 2000,
+          skewShareMin = 0.9, bloomSelectivityMax = 0.001)
+        val t = Capacity.SizingTargets(
+          targetPartitionBytes = 64L << 10, targetFileBytes = 256L << 10,
+          minPartitions = 1, maxPartitions = 4096)
+        def decide() = JoinPlanner.joinDecisionFromProfiles(s,
+          Generations.resolve(s, root), s"$tmp/dim", th, t)
+        val pre = decide().collect()
+        val g1 = Generations.resolve(s, root)
+        val g2 = Generations.advance(s, root) { dst =>
+          JoinPlanner.compactTableProfile(s, g1, dst)
+        }
+        val out = decide()
+        val post = out.collect()
+        require(pre.map(_.toSeq).toSeq == post.map(_.toSeq).toSeq,
+          "profile_generation_flip: the flipped generation serves a " +
+            "different decision than the pile it replaced")
+        val flipped = s.createDataFrame(java.util.Arrays.asList(post: _*), out.schema)
+          .withColumn("generation_changed", lit(g2 != g1 &&
+            Generations.resolve(s, root) == g2))
+          .withColumn("decision_identical", lit(true))
+        s.createDataFrame(
+          java.util.Arrays.asList(flipped.collect(): _*), flipped.schema)
       } finally Gates.deleteTree(tmp)
     }),
 
