@@ -244,6 +244,10 @@ object Dedup {
     val pile = spark.read.parquet(src)
     pile.repartition(col("band")).sortWithinPartitions(col("bh"))
       .write.mode("overwrite").partitionBy("band").parquet(dst)
+    // the source count is DELIBERATELY taken AFTER the dst write (not
+    // reused from the rewrite): re-listing src here is what detects an
+    // append landing mid-compaction — a pre-write count would compare
+    // the rewrite against its own input and always pass
     val nSrc = pile.count()
     val nDst = spark.read.parquet(dst).count()
     require(nSrc == nDst,

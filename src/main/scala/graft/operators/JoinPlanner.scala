@@ -585,7 +585,10 @@ object JoinPlanner {
    * computed AND used, never just reported). The strategies' structural
    * result identity is unchanged; only the decision inputs moved from
    * inline scans to artifacts, so a stale bundle can mis-cost a join but
-   * never corrupt it.
+   * never corrupt it. As with [[chooseJoin]], pass a narrow
+   * `factSaltCols` subset when the salted branch can fire — the
+   * always-correct default hashes every fact column per row to derive
+   * one salt byte.
    */
   def chooseJoinFromProfiles(fact: DataFrame, dim: DataFrame,
                              factKey: String, dimKey: String,

@@ -75,6 +75,37 @@ class GenerationsSpec extends SparkSpec {
     }
   }
 
+  test("a second family serves through the pointer: BM25 index built, " +
+    "appended, compacted and flipped — answers identical across the flip") {
+    // the resolver composes with every load/serve path that takes an
+    // artifact path; the gates pin the band-index and bundle families,
+    // this pins the lexical one (save -> append INTO the serving
+    // generation -> compactLexicalIndex fold -> advance/flip)
+    import graft.operators.TextAnalysis
+    import graft.sources.Tables
+    withTmp { root =>
+      val docs = Tables.documents(spark, Sf)
+      Generations.advance(spark, root) { dst =>
+        TextAnalysis.saveLexicalIndex(
+          docs.filter(col("doc_id") % 2 === 0), dst, nBuckets = 8)
+      }
+      TextAnalysis.appendLexicalIndex(
+        docs.filter(col("doc_id") % 2 === 1), Generations.resolve(spark, root))
+      def serve() = TextAnalysis.bm25QueryIndex(spark,
+          Generations.resolve(spark, root), Seq("vector", "stream"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val pre = serve()
+      assert(pre.nonEmpty)
+      val g1 = Generations.resolve(spark, root)
+      val g2 = Generations.advance(spark, root) { dst =>
+        TextAnalysis.compactLexicalIndex(spark, g1, dst)
+      }
+      assert(g2 != g1 && Generations.resolve(spark, root) == g2)
+      assert(serve() === pre,
+        "the flipped lexical generation serves different answers")
+    }
+  }
+
   test("pruneSuperseded removes old generations, orphans and old pointers " +
     "but never the serving generation; resolve still works after") {
     withTmp { root =>
