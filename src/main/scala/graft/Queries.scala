@@ -3329,13 +3329,21 @@ private[graft] object Queries {
         val t = Capacity.SizingTargets(
           targetPartitionBytes = 64L << 10, targetFileBytes = 256L << 10,
           minPartitions = 1, maxPartitions = 4096)
-        val pile = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact",
+        val pileFull = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact",
           s"$tmp/dim", th, t).collect()
+        val pile = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact",
+          s"$tmp/dim", th, t).drop("top_share_exact").collect()
         val out = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact2",
           s"$tmp/dim2", th, t)
         val post = out.collect()
-        require(pile.map(_.toSeq).toSeq == post.map(_.toSeq).toSeq,
+        val postNum = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact2",
+          s"$tmp/dim2", th, t).drop("top_share_exact").collect()
+        // numbers fold-invariant; the coverage marker may only degrade
+        require(pile.map(_.toSeq).toSeq == postNum.map(_.toSeq).toSeq,
           "profile_compact_decision: compacted decision diverged from the pile")
+        require(pileFull(0).getAs[Boolean]("top_share_exact") ||
+            !post(0).getAs[Boolean]("top_share_exact"),
+          "profile_compact_decision: the fold UPGRADED the coverage marker")
         s.createDataFrame(java.util.Arrays.asList(post: _*), out.schema)
       } finally Gates.deleteTree(tmp)
     }),
@@ -3431,16 +3439,23 @@ private[graft] object Queries {
           minPartitions = 1, maxPartitions = 4096)
         def decide() = JoinPlanner.joinDecisionFromProfiles(s,
           Generations.resolve(s, root), s"$tmp/dim", th, t)
-        val pre = decide().collect()
+        val pre = decide().drop("top_share_exact").collect()
+        val preCov = decide().collect()(0).getAs[Boolean]("top_share_exact")
         val g1 = Generations.resolve(s, root)
         val g2 = Generations.advance(s, root) { dst =>
           JoinPlanner.compactTableProfile(s, g1, dst)
         }
         val out = decide()
         val post = out.collect()
-        require(pre.map(_.toSeq).toSeq == post.map(_.toSeq).toSeq,
+        // every decision NUMBER is fold-invariant; the coverage marker may
+        // only DEGRADE (a fold over more keys than topK cannot promise
+        // exactness under future appends — compactTableProfile scaladoc)
+        require(pre.map(_.toSeq).toSeq ==
+            decide().drop("top_share_exact").collect().map(_.toSeq).toSeq,
           "profile_generation_flip: the flipped generation serves a " +
             "different decision than the pile it replaced")
+        require(preCov || !post(0).getAs[Boolean]("top_share_exact"),
+          "profile_generation_flip: the fold UPGRADED the coverage marker")
         val flipped = s.createDataFrame(java.util.Arrays.asList(post: _*), out.schema)
           .withColumn("generation_changed", lit(g2 != g1 &&
             Generations.resolve(s, root) == g2))

@@ -375,15 +375,19 @@ object JoinPlanner {
    * otherwise grows one slice per trigger — unbounded listing cost for
    * an artifact whose information content is fixed-size.
    *
-   * Decision preservation: every decision input derives from the MERGED
+   * Decision preservation: every decision NUMBER derives from the MERGED
    * components, so a decision from `dst` equals a decision from the
    * loaded pile UNCONDITIONALLY — the merged top-1 count survives any
-   * topK ≥ 1 truncation. The folded slice's `top_covered` records
-   * whether the merged counts stayed exhaustive (all sources covered AND
-   * the merged key set survived re-truncation), so `top_share_exact`
-   * keeps meaning truth across fold generations. Audited: summed
-   * rows/bytes must match the pile's. Production shape: `dst` under a
-   * [[Generations]] root, published by pointer flip.
+   * topK ≥ 1 truncation. The `top_share_exact` marker is the one field
+   * that can move, and only DOWNWARD: the folded slice's `top_covered`
+   * requires all sources covered AND the merged key set to survive
+   * re-truncation (a truncated-but-exact topk cannot promise exactness
+   * under FUTURE appends — a later slice's hot key may have been cut
+   * from the fold, which is exactly what the per-slice bit exists to
+   * catch), so a fold over more distinct keys than `topK` degrades the
+   * marker from exact to conservative while changing no number.
+   * Audited: summed rows/bytes must match the pile's. Production shape:
+   * `dst` under a [[Generations]] root, published by pointer flip.
    */
   def compactTableProfile(spark: org.apache.spark.sql.SparkSession,
                           src: String, dst: String): Unit = {

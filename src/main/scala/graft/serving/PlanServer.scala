@@ -8,7 +8,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 
 import graft.operators.QueryBuilders.QueryError
-import graft.operators.{Capacity, JoinPlanner}
+import graft.operators.{Capacity, Generations, JoinPlanner}
 
 /**
  * REST planning over persisted table-profile bundles — the serving face
@@ -53,6 +53,12 @@ import graft.operators.{Capacity, JoinPlanner}
  * bundle delta appended by ingest between two requests is visible
  * immediately, the same growing-artifact contract as the lexical
  * server. Nothing corpus-sized is ever read or cached.
+ *
+ * A registered path may be a [[Generations]] ROOT instead of a raw
+ * bundle: the serving generation is resolved per request, so an
+ * out-of-band `compact → advance` pointer flip is served immediately
+ * with no restart — the deployment shape where maintenance and serving
+ * never coordinate beyond the pointer.
  */
 class PlanServer(spark: SparkSession, profiles: Map[String, String],
                  port: Int = 0) {
@@ -97,9 +103,17 @@ class PlanServer(spark: SparkSession, profiles: Map[String, String],
   private def profilePath(params: Map[String, String], name: String): String = {
     val t = params.getOrElse(name,
       throw QueryError(s"Missing parameter: $name"))
-    profiles.getOrElse(t,
+    val registered = profiles.getOrElse(t,
       throw QueryError(s"Unknown table '$t'; registered: " +
         profiles.keys.toSeq.sorted.mkString(", ")))
+    // a registered path may be a Generations ROOT rather than a raw
+    // bundle: resolve the serving generation PER REQUEST, so an
+    // out-of-band compact→advance flip is picked up immediately without
+    // a server restart (the same growing-artifact contract as the
+    // per-request delta fold — two driver-side FS calls, no Spark job)
+    if (Generations.current(spark, registered).isDefined)
+      Generations.resolve(spark, registered)
+    else registered
   }
 
   private def positiveDouble(params: Map[String, String], name: String,

@@ -360,6 +360,29 @@ class JoinPlannerSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         JoinPlanner.compactTableProfile(spark, s"$tmp/fact", s"$tmp/fact")
       }
+      // coverage degrade under fold: two slices each COVERED (15 and 15
+      // distinct keys, disjoint, topK = 16) merge to 30 > topK — the fold
+      // keeps every decision number but must mark its topk truncated
+      // (a future append's hot key could have been cut), so the recorded
+      // exactness flips true -> false, never the reverse
+      val sliceA2 = (1 to 60).map(i => (1L + i % 15, i.toLong)).toDF("fk", "payload")
+      val sliceB2 = (1 to 60).map(i => (100L + i % 15, 900L + i)).toDF("fk", "payload")
+      val p16 = JoinPlanner.ProfileParams(depth = 4, width = 256, topK = 16,
+        kmvK = 32)
+      JoinPlanner.saveTableProfile(sliceA2, "fk", s"$tmp/fcov", p16)
+      JoinPlanner.appendTableProfile(sliceB2, "fk", s"$tmp/fcov", p16)
+      JoinPlanner.saveTableProfile(dim, "dk", s"$tmp/dcov", p16)
+      assert(JoinPlanner.loadTableProfile(spark, s"$tmp/fcov").topCovered)
+      JoinPlanner.compactTableProfile(spark, s"$tmp/fcov", s"$tmp/fcov2")
+      assert(!JoinPlanner.loadTableProfile(spark, s"$tmp/fcov2").topCovered,
+        "a fold that truncated the merged key set must degrade coverage")
+      val thc = JoinThresholds(broadcastMaxDimRows = 10, skewShareMin = 0.9,
+        bloomSelectivityMax = 0.001, cmsDepth = 4, cmsWidth = 256)
+      assert(JoinPlanner.joinDecisionFromProfiles(spark, s"$tmp/fcov2",
+          s"$tmp/dcov", thc).drop("top_share_exact").collect()(0).toSeq ===
+        JoinPlanner.joinDecisionFromProfiles(spark, s"$tmp/fcov",
+          s"$tmp/dcov", thc).drop("top_share_exact").collect()(0).toSeq,
+        "the coverage degrade must not move any decision number")
       // kmvK mismatch across bundles aborts the overlap advice
       JoinPlanner.saveTableProfile(dim, "dk", s"$tmp/dim8",
         JoinPlanner.ProfileParams(depth = 4, width = 256, topK = 64, kmvK = 8))
