@@ -68,7 +68,11 @@ class RestServer(viewProvider: () => DataFrame, port: Int) {
       }
     } catch {
       case QueryError(msg, code) => respond(ex, code, errorJson(msg, code))
-      case t: Throwable          => respond(ex, 500, errorJson(t.toString, 500))
+      case t: Throwable          =>
+        // log server-side, answer generically: exception text carries
+        // paths/class names a public-facing 500 must not leak
+        System.err.println(s"[serving] 500 on ${ex.getRequestURI}: $t")
+        respond(ex, 500, errorJson("internal error", 500))
     }
   }
 

@@ -47,20 +47,41 @@ import graft.operators.{Retrieval, Similarity, TextAnalysis}
  * does not match the index (`width` of the coarse quantizer — scoring a
  * wrong-dim vector would silently truncate the dot product instead).
  *
- * The ANN quantizers (centroids + codebooks) load ONCE at construction —
- * they are the index artifact's driver/broadcast-small state; the code
- * table and float corpus stay DataFrames. Artifacts are immutable per
- * deployment (compaction/rebuild writes a fresh path and the pointer
- * flips), so per-request re-listing buys nothing here; the lexical path
- * re-reads by path inside the query call and so serves appended segments
- * immediately (same growing-index contract as the streaming server).
+ * The lexical and ANN paths may each be a [[graft.operators.Generations]]
+ * ROOT instead of a raw artifact: the serving generation resolves per
+ * request, so an out-of-band maintenance flip ([[Similarity.maintainIvfPq]]
+ * recluster → `advance`, or a lexical `compactLexicalIndex` fold → flip)
+ * is served immediately with no restart. The ANN quantizers (centroids +
+ * codebooks) are the index artifact's driver/broadcast-small state —
+ * collected ONCE PER GENERATION (memoized on the resolved path: requests
+ * pay two FS calls, and the collect re-runs exactly when the pointer
+ * moves); the code table and float corpus stay DataFrames. A raw
+ * (pointer-less) path behaves as before: immutable per deployment,
+ * loaded once. The lexical path re-reads by path inside the query call
+ * and so serves appended segments immediately (same growing-index
+ * contract as the streaming server).
  */
 class RetrievalServer(spark: SparkSession, lexicalPath: String,
                       ivfPqPath: String, corpusPath: String, port: Int = 0,
                       qualityModelPath: Option[String] = None) {
 
-  private val index = Similarity.loadIvfPq(spark, ivfPqPath)
-  private val dim = index.centroids.head._2.length
+  private def resolved(p: String): String =
+    if (graft.operators.Generations.current(spark, p).isDefined)
+      graft.operators.Generations.resolve(spark, p)
+    else p
+
+  @volatile private var annMemo: (String, Similarity.IvfPqIndex) = _
+  private def index: Similarity.IvfPqIndex = {
+    val p = resolved(ivfPqPath)
+    val m = annMemo
+    if (m != null && m._1 == p) m._2
+    else {
+      val idx = Similarity.loadIvfPq(spark, p)
+      annMemo = (p, idx)
+      idx
+    }
+  }
+  private def dim = index.centroids.head._2.length
   private def corpus: DataFrame = spark.read.parquet(corpusPath)
   // trained classifier weights: model-sized, loaded once per deployment
   // (the artifact is immutable; retraining writes a fresh path)
@@ -93,7 +114,11 @@ class RetrievalServer(spark: SparkSession, lexicalPath: String,
       }
     } catch {
       case QueryError(msg, code) => respond(ex, code, errorJson(msg, code))
-      case t: Throwable          => respond(ex, 500, errorJson(t.toString, 500))
+      case t: Throwable          =>
+        // log server-side, answer generically: exception text carries
+        // paths/class names a public-facing 500 must not leak
+        System.err.println(s"[serving] 500 on ${ex.getRequestURI}: $t")
+        respond(ex, 500, errorJson("internal error", 500))
     }
   }
 
@@ -110,7 +135,7 @@ class RetrievalServer(spark: SparkSession, lexicalPath: String,
       .map(_.trim).filter(_.nonEmpty)
     if (terms.isEmpty) throw QueryError("Missing or empty terms")
     val k = positiveInt(params, "k", 10)
-    val rows = TextAnalysis.bm25QueryIndex(spark, lexicalPath, terms, k)
+    val rows = TextAnalysis.bm25QueryIndex(spark, resolved(lexicalPath), terms, k)
       .collect().map(r => s"[${r.getLong(0)},${numJson(r.get(1))}]")
     messageJson(Seq("doc_id", "score"), rows.toSeq)
   }
@@ -150,7 +175,7 @@ class RetrievalServer(spark: SparkSession, lexicalPath: String,
     val nprobe = positiveInt(params, "nprobe", 8)
     import spark.implicits._
     val lex = Retrieval.ranked(
-        TextAnalysis.bm25QueryIndex(spark, lexicalPath, terms, depth),
+        TextAnalysis.bm25QueryIndex(spark, resolved(lexicalPath), terms, depth),
         "doc_id", "score")
       .select(col("doc_id"), col("rnk"))
     val q = Seq((0L, vec)).toDF("vec_id", "embedding")

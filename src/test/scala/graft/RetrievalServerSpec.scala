@@ -77,6 +77,47 @@ class RetrievalServerSpec extends SparkSpec {
     }
   }
 
+  test("Generations roots resolve per request: an ANN maintenance flip " +
+    "under the running server re-loads the quantizers, no restart") {
+    import graft.operators.Generations
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_retr_gen").toString
+    try {
+      val e = Tables.embeddings(spark, Sf)
+      e.write.mode("overwrite").parquet(s"$root/corpus")
+      TextAnalysis.saveLexicalIndex(
+        Tables.documents(spark, Sf).limit(50), s"$root/lex", nBuckets = 8)
+      // gen-1: index over HALF the corpus — vec_id 3 is absent (odd)
+      Generations.advance(spark, s"$root/anngen") { dst =>
+        Similarity.saveIvfPq(e.filter(col("vec_id") % 2 === 0), dst,
+          nlist = 8, m = 8, ksub = 16, kmeansIters = 1)
+      }
+      val srv = new RetrievalServer(spark, s"$root/lex", s"$root/anngen",
+        s"$root/corpus")
+      val port = srv.start()
+      try {
+        val qvec = e.filter(col("vec_id") === 3).head().getSeq[Float](1)
+        def top1(): String = {
+          val (code, body) = get(s"http://localhost:$port/api/retrieve/ann" +
+            s"?vector=${qvec.mkString(",")}&k=1&nprobe=8")
+          assert(code == 200, body)
+          body
+        }
+        // gen-1 cannot answer with the odd vector itself
+        assert(!top1().contains("[1,3,1.0]"))
+        // maintenance publishes gen-2 over the FULL corpus while the
+        // server runs: the per-generation memo must reload on the flip
+        // and the self-duplicate now comes back at rank 1 / cos 1.0
+        Generations.advance(spark, s"$root/anngen") { dst =>
+          Similarity.saveIvfPq(e, dst, nlist = 8, m = 8, ksub = 16,
+            kmeansIters = 1)
+        }
+        assert(top1().contains("[1,3,1.0]"),
+          "the flipped ANN generation was not picked up by the running server")
+      } finally srv.stop()
+    } finally Gates.deleteTree(root)
+  }
+
   test("malformed input is a 400 ErrorMessage, unknown paths 404 — never a 500") {
     withServer { (port, _, _) =>
       val cases = Seq(
