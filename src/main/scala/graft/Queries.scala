@@ -3329,19 +3329,20 @@ private[graft] object Queries {
         val t = Capacity.SizingTargets(
           targetPartitionBytes = 64L << 10, targetFileBytes = 256L << 10,
           minPartitions = 1, maxPartitions = 4096)
-        val pileFull = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact",
-          s"$tmp/dim", th, t).collect()
         val pile = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact",
-          s"$tmp/dim", th, t).drop("top_share_exact").collect()
+          s"$tmp/dim", th, t).collect()
         val out = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact2",
           s"$tmp/dim2", th, t)
         val post = out.collect()
-        val postNum = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact2",
-          s"$tmp/dim2", th, t).drop("top_share_exact").collect()
         // numbers fold-invariant; the coverage marker may only degrade
-        require(pile.map(_.toSeq).toSeq == postNum.map(_.toSeq).toSeq,
+        // (compactTableProfile scaladoc) — one collect per side, the
+        // marker column sliced out driver-side
+        val iCov = out.schema.fieldIndex("top_share_exact")
+        def nums(rs: Array[org.apache.spark.sql.Row]) =
+          rs.map(_.toSeq.patch(iCov, Nil, 1)).toSeq
+        require(nums(pile) == nums(post),
           "profile_compact_decision: compacted decision diverged from the pile")
-        require(pileFull(0).getAs[Boolean]("top_share_exact") ||
+        require(pile(0).getAs[Boolean]("top_share_exact") ||
             !post(0).getAs[Boolean]("top_share_exact"),
           "profile_compact_decision: the fold UPGRADED the coverage marker")
         s.createDataFrame(java.util.Arrays.asList(post: _*), out.schema)
@@ -3439,8 +3440,7 @@ private[graft] object Queries {
           minPartitions = 1, maxPartitions = 4096)
         def decide() = JoinPlanner.joinDecisionFromProfiles(s,
           Generations.resolve(s, root), s"$tmp/dim", th, t)
-        val pre = decide().drop("top_share_exact").collect()
-        val preCov = decide().collect()(0).getAs[Boolean]("top_share_exact")
+        val pre = decide().collect()
         val g1 = Generations.resolve(s, root)
         val g2 = Generations.advance(s, root) { dst =>
           JoinPlanner.compactTableProfile(s, g1, dst)
@@ -3449,12 +3449,16 @@ private[graft] object Queries {
         val post = out.collect()
         // every decision NUMBER is fold-invariant; the coverage marker may
         // only DEGRADE (a fold over more keys than topK cannot promise
-        // exactness under future appends — compactTableProfile scaladoc)
-        require(pre.map(_.toSeq).toSeq ==
-            decide().drop("top_share_exact").collect().map(_.toSeq).toSeq,
+        // exactness under future appends — compactTableProfile scaladoc).
+        // One collect per side; the marker column sliced out driver-side
+        val iCov = out.schema.fieldIndex("top_share_exact")
+        def nums(rs: Array[org.apache.spark.sql.Row]) =
+          rs.map(_.toSeq.patch(iCov, Nil, 1)).toSeq
+        require(nums(pre) == nums(post),
           "profile_generation_flip: the flipped generation serves a " +
             "different decision than the pile it replaced")
-        require(preCov || !post(0).getAs[Boolean]("top_share_exact"),
+        require(pre(0).getAs[Boolean]("top_share_exact") ||
+            !post(0).getAs[Boolean]("top_share_exact"),
           "profile_generation_flip: the fold UPGRADED the coverage marker")
         val flipped = s.createDataFrame(java.util.Arrays.asList(post: _*), out.schema)
           .withColumn("generation_changed", lit(g2 != g1 &&
