@@ -2086,6 +2086,16 @@ private[graft] object Oracles {
       """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, true AS est_ok
         |FROM events""".stripMargin,
 
+    // the sketch-register store: save + overlapping-day append + compact
+    // must serve the same per-day registers a one-shot build produces —
+    // the exact per-day distincts are the DuckDB-checked values, est_ok
+    // the ±5% gate a dropped-slice fold cannot pass
+    "hll_sketch_lifecycle" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "day",
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       true AS est_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

@@ -1794,6 +1794,41 @@ private[graft] object Queries {
         .orderBy(col("day"))
     }),
 
+    "hll_sketch_lifecycle" -> ((s, dir) => {
+      // the distinct-count registers' STORE (save → append → COMPACT →
+      // serve — sketch-family lifecycle parity with CMS/KMV bundles,
+      // bloom words and moments): per-day user sketches over the even
+      // event half SAVED, the odd half's day sketches delta-APPENDED
+      // (every day appears in BOTH slices, so the fold must union
+      // registers, not keep rows), the pile folded to one row per day
+      // (checksum-audited) and SERVED from the fold — per-day estimates
+      // within ±5% of the exact distincts the oracle computes. A fold
+      // that dropped a slice's registers undercounts and flips est_ok
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hll_idx").toString
+      try {
+        val ev = Tables.events(s, dir).select(
+          date_trunc("day", col("ts")).as("day"), col("user_id"),
+          col("event_id"))
+        def sk(d: org.apache.spark.sql.DataFrame) =
+          Sketches.distinctSketchTable(d, Seq(col("day")),
+            col("user_id").cast("string"))
+        Sketches.saveSketchTable(sk(ev.filter(col("event_id") % 2 === 0)),
+          s"$tmp/pile", Seq("day"))
+        Sketches.appendSketchTable(sk(ev.filter(col("event_id") % 2 === 1)),
+          s"$tmp/pile", Seq("day"))
+        Sketches.compactSketchTable(s, s"$tmp/pile", s"$tmp/gen2", Seq("day"))
+        val served = Sketches.loadSketchTable(s, s"$tmp/gen2", Seq("day"))
+        val exact = ev.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        val out = served.join(exact, "day")
+          .select(col("day"), col("n_exact"),
+            (abs(col("estimate") - col("n_exact")) <=
+              col("n_exact").cast("double") * 0.05).as("est_ok"))
+          .orderBy(col("day"))
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally Gates.deleteTree(tmp)
+    }),
+
     "hll_union_total" -> ((s, dir) => {
       // re-aggregation path: union the stored per-day sketches into a total
       // distinct estimate — no second pass over raw rows

@@ -42,6 +42,82 @@ object Sketches {
       .agg(hllSketch(value, lgConfigK).as("sketch"))
       .withColumn("estimate", hll_sketch_estimate(col("sketch")))
 
+  /**
+   * Persist a per-group sketch table ([[distinctSketchTable]] layout minus
+   * the derived estimate — binary sketches only, re-estimated at load so a
+   * stale stored estimate can never disagree with the merged registers).
+   * Range-laid by the group columns for pruned group lookups. The HLL
+   * artifact completes sketch-family lifecycle parity: CMS cells and KMV
+   * ride the profile bundle, bloom words and SpaceSaving drains have their
+   * own stores — this is the distinct-count registers' store.
+   */
+  def saveSketchTable(table: DataFrame, path: String,
+                      groupCols: Seq[String]): Unit =
+    writeSketchTable(table, path, groupCols, "overwrite")
+
+  /** Append an ingest slice's per-group sketches as delta rows (no base
+    * rewrite); [[loadSketchTable]] folds duplicates by register union —
+    * the HLL merge law, applied at the storage boundary. The slice must be
+    * sketched at the SAME lgConfigK (DataSketches unions adopt the
+    * smallest k seen, silently coarsening the estimate — keep one k per
+    * artifact). */
+  def appendSketchTable(table: DataFrame, path: String,
+                        groupCols: Seq[String]): Unit =
+    writeSketchTable(table, path, groupCols, "append")
+
+  private def writeSketchTable(table: DataFrame, path: String,
+                               groupCols: Seq[String], mode: String): Unit = {
+    require(groupCols.nonEmpty, "sketch table: need at least one group column")
+    table.select((groupCols.map(col) :+ col("sketch")): _*)
+      .repartitionByRange(groupCols.map(col): _*)
+      .sortWithinPartitions(groupCols.map(col): _*)
+      .write.mode(mode).parquet(path)
+  }
+
+  /** Load base + deltas back into ONE sketch row per group: register
+    * union per group (`hll_union_agg` — exactly the sketch a one-shot
+    * build over the union of the slices produces), estimate re-derived
+    * from the merged registers. */
+  def loadSketchTable(spark: org.apache.spark.sql.SparkSession, path: String,
+                      groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+      .withColumn("estimate", hll_sketch_estimate(col("sketch")))
+
+  /**
+   * Compact a sketch-table artifact: fold the base + delta pile into ONE
+   * row per group at `dst` — the fold IS the register union
+   * [[loadSketchTable]] performs, so the compacted artifact holds |groups|
+   * rows forever after no matter how many slices were appended (under
+   * per-trigger maintenance the pile otherwise grows one file set per
+   * batch). Audited: the per-group ESTIMATES of `dst` must checksum-match
+   * the merged pile's (register unions are associative/idempotent, so the
+   * folded sketch estimates identically; comparing estimates rather than
+   * sketch bytes tolerates representation differences the estimate cannot
+   * see). Production shape: fresh path + [[Generations]] pointer flip.
+   */
+  def compactSketchTable(spark: org.apache.spark.sql.SparkSession,
+                         src: String, dst: String,
+                         groupCols: Seq[String]): Unit = {
+    require(src != dst, "compactSketchTable: dst must be a fresh path")
+    writeSketchTable(loadSketchTable(spark, src, groupCols), dst, groupCols,
+      "overwrite")
+    def chk(df: DataFrame): (Long, Long) = {
+      val cs = groupCols.map(c => col(c).cast("string")) :+
+        col("estimate").cast("string")
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(call_function("bit_xor", xxhash64(cs: _*)), lit(0L)).as("x"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val pre = chk(loadSketchTable(spark, src, groupCols))
+    val post = chk(loadSketchTable(spark, dst, groupCols))
+    require(pre == post,
+      s"compactSketchTable: merged estimates changed ($pre -> $post) — the " +
+        "source changed mid-compaction; re-run")
+  }
+
   /** Count-min row-hash multipliers/offsets: small fixed primes, so
     * `(key % CmsMod) * a + b` stays far below 2^63 (exact int64 in any
     * engine — the cross-engine replay requirement). Depth ≤ 8. The single

@@ -124,6 +124,39 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(merged - exactTotal) / exactTotal <= 0.05)
   }
 
+  test("HLL sketch-table lifecycle: save + overlapping-day append + compact " +
+    "serves register-union-identical estimates; guards fire") {
+    val ev = Tables.events(spark, Sf).select(
+      date_trunc("day", col("ts")).as("day"), col("user_id"), col("event_id"))
+    def sk(d: org.apache.spark.sql.DataFrame) =
+      Sketches.distinctSketchTable(d, Seq(col("day")),
+        col("user_id").cast("string"))
+    val tmp = java.nio.file.Files.createTempDirectory("hll_idx_spec").toString
+    try {
+      Sketches.saveSketchTable(sk(ev.filter(col("event_id") % 2 === 0)),
+        s"$tmp/pile", Seq("day"))
+      Sketches.appendSketchTable(sk(ev.filter(col("event_id") % 2 === 1)),
+        s"$tmp/pile", Seq("day"))
+      // the loaded pile's per-day estimates == a one-shot build's (register
+      // union over overlapping-day slices IS the union sketch)
+      def ests(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("day").cast("string"), col("estimate"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      val direct = ests(sk(ev))
+      assert(ests(Sketches.loadSketchTable(spark, s"$tmp/pile", Seq("day")))
+        === direct)
+      Sketches.compactSketchTable(spark, s"$tmp/pile", s"$tmp/gen2", Seq("day"))
+      assert(ests(Sketches.loadSketchTable(spark, s"$tmp/gen2", Seq("day")))
+        === direct, "compacted registers diverged from the pile")
+      // the fold holds one row per day on disk
+      assert(spark.read.parquet(s"$tmp/gen2").count() ===
+        ev.select(col("day")).distinct().count())
+      intercept[IllegalArgumentException] {
+        Sketches.compactSketchTable(spark, s"$tmp/pile", s"$tmp/pile", Seq("day"))
+      }
+    } finally Gates.deleteTree(tmp)
+  }
+
   test("items past writeUTF's 64 KiB limit survive partial serialization") {
     graft.plans.GraftFunctions.register(spark)
     // 70k chars > 65535 UTF-8 bytes: DataOutputStream.writeUTF would throw
