@@ -130,4 +130,26 @@ class GenerationsSpec extends SparkSpec {
       assert(ex.getMessage.contains("gone"))
     }
   }
+
+  test("the lifecycle keeps cycling after a prune: advance allocates past " +
+    "pruned history and roots are independent") {
+    withTmp { tmp =>
+      val a = s"$tmp/rootA"
+      val b = s"$tmp/rootB"
+      Generations.advance(spark, a)(writeGen(_, 1L))
+      Generations.advance(spark, a)(writeGen(_, 2L))
+      Generations.pruneSuperseded(spark, a)
+      // post-prune advance: next name continues the monotone sequence
+      // (never re-using a pruned slot a stale reader might still name)
+      val g3 = Generations.advance(spark, a)(writeGen(_, 3L))
+      assert(g3.endsWith("gen-00000003"))
+      assert(readV(Generations.resolve(spark, a)) === 3L)
+      assert(Generations.pruneSuperseded(spark, a) === Seq("gen-00000002"))
+      // a sibling root has its own sequence and pointer
+      Generations.advance(spark, b)(writeGen(_, 9L))
+      assert(Generations.current(spark, b) === Some("gen-00000001"))
+      assert(readV(Generations.resolve(spark, a)) === 3L)
+      assert(readV(Generations.resolve(spark, b)) === 9L)
+    }
+  }
 }
