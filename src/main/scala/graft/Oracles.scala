@@ -60,6 +60,11 @@ private[graft] object Oracles {
       |         AS advised_shuffle_partitions,
       |       (SELECT COUNT(DISTINCT l_suppkey) FROM li) <= 4096 AS top_share_exact
       |FROM f, d, ts, e""".stripMargin
+  // ^ top_share_exact replays the GLOBAL distinct count; the engine records
+  //   the AND over slices of PER-SLICE coverage. Equivalent exactly when
+  //   global distinct <= topK (then every slice's is too) — the gates
+  //   assert that precondition via Gates.assertTopCovered, so a larger sf
+  //   fails the require with an actionable message, never a hash mismatch.
 
   /** The merged-dictionary flag derivation (save+append pile ≡ compacted
     * fold — both gates must reproduce it): normalize, block in prefix and
@@ -185,6 +190,48 @@ private[graft] object Oracles {
       |      FROM sc)
       |SELECT query_id, doc_id, score, rnk FROM r
       |WHERE rnk <= 10 ORDER BY query_id ASC, rnk ASC""".stripMargin
+
+  // Two one-shot replays of the batch-BM25 formula (same per-term
+  // arithmetic as Bm25BatchSql, two queries, k=10), one per served EPOCH
+  // of the streamed generation-flip gate: epoch 0 over the quarter slice
+  // (gen-1's corpus, doc_id % 4 = 0), epoch 1 over the half slice
+  // (gen-2's, doc_id % 2 = 0). A stream that kept serving the
+  // construction-time generation after the flip would reproduce epoch 0's
+  // rows twice and fail the hash.
+  private val Bm25GenFlipSql: String = {
+    def epochSql(epoch: Int, pred: String) =
+      s"""SELECT CAST($epoch AS INT) AS epoch, query_id, doc_id, score, rnk FROM (
+         |  WITH tk AS (
+         |    SELECT doc_id, token FROM (
+         |      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+         |      FROM documents WHERE $pred) WHERE token <> ''),
+         |  perdoc AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+         |  stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM perdoc),
+         |  q(query_id, token) AS (VALUES
+         |    (CAST(1 AS BIGINT), 'vector'), (CAST(1 AS BIGINT), 'stream'), (CAST(1 AS BIGINT), 'hash'),
+         |    (CAST(2 AS BIGINT), 'data'),   (CAST(2 AS BIGINT), 'merge')),
+         |  tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
+         |         WHERE token IN ('vector', 'stream', 'hash', 'data', 'merge')
+         |         GROUP BY 1, 2),
+         |  dfq AS (SELECT token, COUNT(*) AS dfq FROM tf GROUP BY 1),
+         |  s AS (
+         |    SELECT q.query_id, tf.doc_id,
+         |           ln((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)
+         |             * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
+         |    FROM tf JOIN q USING (token) JOIN dfq USING (token)
+         |         JOIN perdoc USING (doc_id) CROSS JOIN stats),
+         |  sc AS (SELECT query_id, doc_id, round(SUM(s), 6) AS score
+         |         FROM s GROUP BY 1, 2),
+         |  r AS (SELECT query_id, doc_id, score,
+         |               CAST(row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+         |        FROM sc)
+         |  SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10)""".stripMargin
+    s"""${epochSql(0, "doc_id % 4 = 0")}
+       |UNION ALL
+       |${epochSql(1, "doc_id % 2 = 0")}
+       |ORDER BY epoch ASC, query_id ASC, rnk ASC""".stripMargin
+  }
 
   def all: Map[String, String] = Map(
     "h1_history_avg" ->
@@ -633,6 +680,9 @@ private[graft] object Oracles {
     // compaction preserves every serving-visible sum → same oracle again
     "bm25_compact_topk" -> Bm25Sql,
     "bm25_batch_topk" -> Bm25BatchSql,
+    // generation-aware streamed serving: epoch 0 = gen-1 (even docs),
+    // epoch 1 = gen-2 (all docs) — both epochs' scores replayed one-shot
+    "streaming_bm25_generation_flip" -> Bm25GenFlipSql,
 
     // commit-record audit of the two-segment append artifact: expected row
     // counts replay from the corpus (postings rows = Σ per-doc distinct
@@ -2691,6 +2741,9 @@ private[graft] object Oracles {
         |         AS advised_shuffle_partitions,
         |       (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) <= 4096 AS top_share_exact
         |FROM base ORDER BY scenario""".stripMargin,
+    // ^ same top_share_exact parity precondition as QuarterProfileDecisionSql:
+    //   the gate asserts global distinct <= topK (Gates.assertTopCovered)
+    //   so the global replay provably equals the engine's per-slice AND.
 
     // distinct-key advice from the bundle's KMV component: md5 k-min
     // chain + exact row/byte stats replayed one-shot — equality proves

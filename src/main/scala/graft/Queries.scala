@@ -3212,6 +3212,8 @@ private[graft] object Queries {
         val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
         val rich = dim.filter(col("s_acctbal") > 5000.0)
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096, topK = 4096)
+        // oracle-parity precondition for the top_share_exact column
+        Gates.assertTopCovered(fact, "l_suppkey", p.topK, "join_profile_decision")
         JoinPlanner.saveTableProfile(
           fact.filter(col("l_orderkey") % 2 === 0), "l_suppkey", s"$tmp/fact", p)
         JoinPlanner.appendTableProfile(
@@ -3302,6 +3304,8 @@ private[graft] object Queries {
         val rows = fact.as[(Long, Long)].collect()
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
           topK = 4096, kmvK = 256)
+        // oracle-parity precondition for the top_share_exact column
+        Gates.assertTopCovered(fact, "l_suppkey", p.topK, "streaming_profile_decision")
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Long)]
         val q = mem.toDF().toDF("l_orderkey", "l_suppkey")
@@ -3349,6 +3353,8 @@ private[graft] object Queries {
         val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
           topK = 4096, kmvK = 256)
+        // oracle-parity precondition for the top_share_exact column
+        Gates.assertTopCovered(fact, "l_suppkey", p.topK, "profile_compact_decision")
         JoinPlanner.saveTableProfile(
           fact.filter(col("l_suppkey") % 2 === 0), "l_suppkey", s"$tmp/fact", p)
         JoinPlanner.appendTableProfile(
@@ -3460,6 +3466,8 @@ private[graft] object Queries {
         val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
           topK = 4096, kmvK = 256)
+        // oracle-parity precondition for the top_share_exact column
+        Gates.assertTopCovered(fact, "l_suppkey", p.topK, "profile_generation_flip")
         val root = s"$tmp/factgen"
         Generations.advance(s, root) { dst =>
           JoinPlanner.saveTableProfile(
@@ -3501,6 +3509,69 @@ private[graft] object Queries {
           .withColumn("decision_identical", lit(true))
         s.createDataFrame(
           java.util.Arrays.asList(flipped.collect(): _*), flipped.schema)
+      } finally Gates.deleteTree(tmp)
+    }),
+
+    "streaming_bm25_generation_flip" -> ((s, dir) => {
+      // generation-aware STREAMED serving — the half of the serving story
+      // the REST servers already had (per-request resolution) brought to
+      // the running stream: a BM25 query stream served from a Generations
+      // ROOT re-resolves the pointer per micro-batch, so a maintenance
+      // flip landing BETWEEN two epochs is served by the second with no
+      // restart. gen-1 = index over the quarter slice (doc_id % 4 = 0);
+      // epoch 0 answers must be row-identical to gen-1's batch path;
+      // out-of-band maintenance publishes gen-2 (the half slice — more
+      // docs, every idf/avgdl moves); epoch 1 must be row-identical to
+      // gen-2's batch path. The oracle replays BOTH epochs' BM25
+      // formulas one-shot in SQL over the matching corpus slices — the
+      // hash IS the row-identity proof for both epochs (the SQL replay
+      // equals the engine's batch path, itself pinned by bm25_batch_topk;
+      // the in-engine streamed≡batch identity across a flip is
+      // StreamingLexicalSpec's pin), so a stream that kept serving the
+      // construction-time generation fails the hash. (Slices rather than
+      // even/all: the flip proof only needs the two generations to
+      // DIFFER; indexing half the corpus volume keeps the gate's two
+      // index builds off the expensive-entry list.)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lexflip").toString
+      try {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val root = s"$tmp/lexgen"
+        Generations.advance(s, root) { dst =>
+          TextAnalysis.saveLexicalIndex(docs.filter(col("doc_id") % 4 === 0),
+            dst, nBuckets = 8)
+        }
+        val qs = Seq((1L, Seq("vector", "stream", "hash")),
+          (2L, Seq("data", "merge")))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[String])]
+        val epochs = scala.collection.mutable.ArrayBuffer
+          .empty[Array[org.apache.spark.sql.Row]]
+        val q = graft.streaming.StreamingLexicalServing.serveBm25FromRoot(
+          mem.toDF().toDF("query_id", "terms"), root, k = 10) { (ans, _) =>
+          epochs += ans.collect()
+        }
+        try {
+          mem.addData(qs: _*); q.processAllAvailable()
+          val g2 = Generations.advance(s, root) { dst =>
+            TextAnalysis.saveLexicalIndex(docs.filter(col("doc_id") % 2 === 0),
+              dst, nBuckets = 8)
+          }
+          mem.addData(qs: _*); q.processAllAvailable()
+          require(epochs.length == 2,
+            s"streaming_bm25_generation_flip: expected 2 served epochs, " +
+              s"got ${epochs.length}")
+          require(epochs(0).map(_.toSeq).toSet != epochs(1).map(_.toSeq).toSet,
+            "streaming_bm25_generation_flip: gen-2 indexes twice the docs " +
+              "— identical epoch answers mean the flip was not served")
+          require(Generations.resolve(s, root) == g2,
+            "streaming_bm25_generation_flip: pointer did not land on gen-2")
+        } finally q.stop()
+        epochs.zipWithIndex.flatMap { case (ans, i) =>
+          ans.map(r => (i, r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        }.toSeq.toDF("epoch", "query_id", "doc_id", "score", "rnk")
+          .orderBy(col("epoch"), col("query_id"), col("rnk"))
       } finally Gates.deleteTree(tmp)
     }),
 

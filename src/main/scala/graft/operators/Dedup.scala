@@ -236,7 +236,9 @@ object Dedup {
    * are preserved VERBATIM (batches are id-distinct by construction —
    * compaction is file-layout work, no dedup), audited by an exact
    * row-count match; probing `dst` is row-identical to probing the pile.
-   * Production shape: fresh path + serving-pointer flip, crash-safe.
+   * Production shape: a fresh generation published by the crash-atomic
+   * [[Generations.advance]] pointer flip (the ingest_lifecycle_capstone
+   * gate composes exactly that arc).
    */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        src: String, dst: String): Unit = {

@@ -61,17 +61,23 @@ object Generations {
   private def listSeqs(hfs: org.apache.hadoop.fs.FileSystem,
                        dir: org.apache.hadoop.fs.Path,
                        re: scala.util.matching.Regex): Seq[(Long, String)] =
-    if (!hfs.exists(dir)) Seq.empty
-    else hfs.listStatus(dir).toIndexedSeq.map(_.getPath.getName).collect {
+    // one round-trip: a missing dir surfaces as FileNotFoundException from
+    // the listing itself — probing exists() first would double the FS calls
+    // on every serve-path resolution
+    try hfs.listStatus(dir).toIndexedSeq.map(_.getPath.getName).collect {
       case n @ re(d) => (d.toLong, n)
     }.sortBy(_._1)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
 
   /** The committed current generation NAME (e.g. `gen-00000007`), or None
     * when nothing was ever published. Reads the HIGHEST-sequence pointer
     * file — `.tmp` staging files and any half-built generation dirs are
     * invisible by construction. */
-  def current(spark: SparkSession, root: String): Option[String] = {
-    val hfs = fs(spark, root)
+  def current(spark: SparkSession, root: String): Option[String] =
+    readCurrent(fs(spark, root), root)
+
+  private def readCurrent(hfs: org.apache.hadoop.fs.FileSystem,
+                          root: String): Option[String] =
     listSeqs(hfs, ptrPath(root), PtrRe).lastOption.map { case (_, name) =>
       val in = hfs.open(new org.apache.hadoop.fs.Path(ptrPath(root), name))
       val gen =
@@ -82,23 +88,38 @@ object Generations {
         "the pointer dir was tampered with; republish")
       gen
     }
-  }
 
   /** The full path of the generation currently SERVING — what every
     * load/serve call takes in place of a raw artifact path
     * (`Dedup.loadBandIndex(s, Generations.resolve(s, root))` and its
     * siblings). Fails loudly when nothing was published, or when the
     * pointed-to generation dir was deleted out from under the pointer. */
-  def resolve(spark: SparkSession, root: String): String = {
-    val gen = current(spark, root).getOrElse(throw new IllegalStateException(
+  def resolve(spark: SparkSession, root: String): String =
+    resolveIfPublished(spark, root).getOrElse(throw new IllegalStateException(
       s"Generations: no generation published at $root — " +
         "advance() (or publish()) one before serving"))
-    val p = new org.apache.hadoop.fs.Path(root, gen)
-    if (!fs(spark, root).exists(p))
-      throw new IllegalStateException(
-        s"Generations: pointer at $root names $gen but the directory is " +
-          "gone — a prune deleted the serving generation; republish")
-    p.toString
+
+  /** The serve-path entry point for a path that MAY be a generations root:
+    * `Some(servingGenerationPath)` when a pointer is published, `None` when
+    * the path was never published under (a raw artifact path — serve it
+    * as-is). One pointer-dir listing + one short read + one existence
+    * check for the published case, a single listing for the raw case —
+    * cheaper per request than `current()` + `resolve()` (which re-reads
+    * the pointer), and what [[graft.serving.PlanServer]] /
+    * [[graft.serving.RetrievalServer]] and the generation-aware streamed
+    * scorers call per request / per micro-batch. Still fails loudly on a
+    * DANGLING pointer (file names a generation whose dir is gone): that is
+    * a broken root, not a raw path. */
+  def resolveIfPublished(spark: SparkSession, root: String): Option[String] = {
+    val hfs = fs(spark, root)
+    readCurrent(hfs, root).map { gen =>
+      val p = new org.apache.hadoop.fs.Path(root, gen)
+      if (!hfs.exists(p))
+        throw new IllegalStateException(
+          s"Generations: pointer at $root names $gen but the directory is " +
+            "gone — a prune deleted the serving generation; republish")
+      p.toString
+    }
   }
 
   /** Allocate the next unused generation name (`gen-%08d`, one above the

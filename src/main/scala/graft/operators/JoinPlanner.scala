@@ -215,11 +215,17 @@ object JoinPlanner {
    * (`top_covered` — distinct sketch keys ≤ topK): the bundle-recorded
    * form of the [[joinDecisionFromProfiles]] exactness precondition,
    * surfaced there as `top_share_exact`.
+   *
+   * Re-saving resets the bundle by deleting only the bundle's OWN layout
+   * (`slices/` and `_staging/`) — never the whole target path, so a path
+   * mistakenly pointed at a [[Generations]] root or a directory holding
+   * unrelated files cannot be silently wiped by a profile save.
    */
   def saveTableProfile(df: DataFrame, key: String, path: String,
                        p: ProfileParams = ProfileParams()): Unit = {
     val hfs = bundleFs(df.sparkSession, path)
-    hfs.delete(new org.apache.hadoop.fs.Path(path), true)
+    hfs.delete(new org.apache.hadoop.fs.Path(path, "slices"), true)
+    hfs.delete(new org.apache.hadoop.fs.Path(path, "_staging"), true)
     writeSlice(df, key, path, p, "base")
   }
 
@@ -258,8 +264,15 @@ object JoinPlanner {
     * idempotent-replay no-op). */
   private def writeSlice(df: DataFrame, key: String, path: String,
                          p: ProfileParams, sliceId: String): Boolean = {
-    require(sliceId.matches("[A-Za-z0-9._-]+"),
-      s"profile sliceId must be a plain dir name, got '$sliceId'")
+    // first char must be alphanumeric: a '.'-prefixed name would COMMIT but
+    // be invisible to sliceDirs (silent population mix — exactly what the
+    // atomic publish exists to prevent), '_' collides with staging, and a
+    // bare '.'/'..' would resolve the target to the bundle root itself
+    require(sliceId.matches("[A-Za-z0-9][A-Za-z0-9._-]*") &&
+        sliceId != "." && sliceId != "..",
+      s"profile sliceId must start alphanumeric ([A-Za-z0-9][A-Za-z0-9._-]*), " +
+        s"got '$sliceId' — a dot- or underscore-prefixed name would commit " +
+        "but never be loaded")
     val spark = df.sparkSession
     val hfs = bundleFs(spark, path)
     val target = new org.apache.hadoop.fs.Path(path, s"slices/$sliceId")

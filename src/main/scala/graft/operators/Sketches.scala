@@ -58,17 +58,47 @@ object Sketches {
   /** Append an ingest slice's per-group sketches as delta rows (no base
     * rewrite); [[loadSketchTable]] folds duplicates by register union —
     * the HLL merge law, applied at the storage boundary. The slice must be
-    * sketched at the SAME lgConfigK (DataSketches unions adopt the
-    * smallest k seen, silently coarsening the estimate — keep one k per
-    * artifact). */
+    * sketched at the SAME lgConfigK: the loader unions with
+    * `allowDifferentLgConfigK = false`, so a shape mix fails EVERY
+    * subsequent load loudly — and to keep one bad write from poisoning
+    * the artifact until then, the append itself validates the slice's
+    * lgConfigK against the stored rows and rejects a mismatch at the
+    * boundary (inline with the write — no extra pass, the same
+    * shape-per-slice discipline as the profile bundle's depth/width). */
   def appendSketchTable(table: DataFrame, path: String,
                         groupCols: Seq[String]): Unit =
     writeSketchTable(table, path, groupCols, "append")
 
+  /** lgConfigK of one stored sketch row (byte 3 of the DataSketches HLL
+    * preamble — spec-pinned against sketches built at known k), or None
+    * when the artifact doesn't exist / holds no rows yet. */
+  private def storedLgK(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Option[Byte] =
+    scala.util.Try {
+      spark.read.parquet(path).select(col("sketch")).limit(1).collect()
+        .headOption.flatMap(r => Option(r.getAs[Array[Byte]](0))).map(_(3))
+    }.toOption.flatten
+
   private def writeSketchTable(table: DataFrame, path: String,
                                groupCols: Seq[String], mode: String): Unit = {
     require(groupCols.nonEmpty, "sketch table: need at least one group column")
-    table.select((groupCols.map(col) :+ col("sketch")): _*)
+    val out = table.select((groupCols.map(col) :+ col("sketch")): _*)
+    // append-boundary shape check: every written sketch must carry the
+    // artifact's lgConfigK (preamble byte 3) — checked inline with the
+    // write so a wrong-k slice aborts THIS append instead of failing
+    // every future load of an already-poisoned artifact
+    val checked = if (mode != "append") out else
+      storedLgK(out.sparkSession, path).fold(out) { k =>
+        out.withColumn("sketch",
+          when(substring(col("sketch"), 4, 1) === lit(Array(k)), col("sketch"))
+            .otherwise(raise_error(concat(
+              lit(s"appendSketchTable: slice sketched at lgConfigK 0x"),
+              hex(substring(col("sketch"), 4, 1)),
+              lit(f" but the artifact at $path holds lgConfigK 0x$k%02X — " +
+                "rebuild the slice at the artifact's k (one k per artifact)")))
+              .cast("binary")))
+      }
+    checked
       .repartitionByRange(groupCols.map(col): _*)
       .sortWithinPartitions(groupCols.map(col): _*)
       .write.mode(mode).parquet(path)

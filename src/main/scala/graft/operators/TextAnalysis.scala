@@ -640,8 +640,10 @@ object TextAnalysis {
    * compaction just coalesces the small files appends accumulate). Serving
    * from `dst` is row-identical to serving from `src` by construction
    * (the serve paths only ever consume the SUMS — gate-pinned). Production
-   * shape: compaction writes a fresh artifact and the serving pointer flips
-   * to it; the pointer flip is the deployment's concern, not the engine's.
+   * shape: compaction writes a fresh generation and the serving pointer
+   * flips to it crash-atomically via [[Generations.advance]]
+   * (`advance(s, root)(dst => compactLexicalIndex(s, src, dst))`); the
+   * serve paths resolve the pointer per request / per micro-batch.
    */
   def compactLexicalIndex(spark: SparkSession, src: String, dst: String): Unit = {
     require(src != dst, "compactLexicalIndex: dst must be a fresh path")

@@ -110,10 +110,9 @@ class PlanServer(spark: SparkSession, profiles: Map[String, String],
     // bundle: resolve the serving generation PER REQUEST, so an
     // out-of-band compact→advance flip is picked up immediately without
     // a server restart (the same growing-artifact contract as the
-    // per-request delta fold — two driver-side FS calls, no Spark job)
-    if (Generations.current(spark, registered).isDefined)
-      Generations.resolve(spark, registered)
-    else registered
+    // per-request delta fold — at most three driver-side FS metadata
+    // calls via resolveIfPublished, one for a raw path, never a Spark job)
+    Generations.resolveIfPublished(spark, registered).getOrElse(registered)
   }
 
   private def positiveDouble(params: Map[String, String], name: String,

@@ -54,8 +54,10 @@ import graft.operators.{Retrieval, Similarity, TextAnalysis}
  * is served immediately with no restart. The ANN quantizers (centroids +
  * codebooks) are the index artifact's driver/broadcast-small state —
  * collected ONCE PER GENERATION (memoized on the resolved path: requests
- * pay two FS calls, and the collect re-runs exactly when the pointer
- * moves); the code table and float corpus stay DataFrames. A raw
+ * pay at most three FS metadata calls via
+ * [[graft.operators.Generations.resolveIfPublished]], and the collect
+ * re-runs exactly when the pointer moves); the code table and float
+ * corpus stay DataFrames. A raw
  * (pointer-less) path behaves as before: immutable per deployment,
  * loaded once. The lexical path re-reads by path inside the query call
  * and so serves appended segments immediately (same growing-index
@@ -66,9 +68,7 @@ class RetrievalServer(spark: SparkSession, lexicalPath: String,
                       qualityModelPath: Option[String] = None) {
 
   private def resolved(p: String): String =
-    if (graft.operators.Generations.current(spark, p).isDefined)
-      graft.operators.Generations.resolve(spark, p)
-    else p
+    graft.operators.Generations.resolveIfPublished(spark, p).getOrElse(p)
 
   @volatile private var annMemo: (String, Similarity.IvfPqIndex) = _
   private def index: Similarity.IvfPqIndex = {
@@ -86,6 +86,13 @@ class RetrievalServer(spark: SparkSession, lexicalPath: String,
   // trained classifier weights: model-sized, loaded once per deployment
   // (the artifact is immutable; retraining writes a fresh path)
   private val qualityWeights = qualityModelPath.map(p => graft.operators.Learn.loadModel(spark, p))
+
+  // fail-fast startup contract: resolve + load the ANN index once at
+  // construction, so a missing or corrupt IVF-PQ artifact aborts the
+  // deployment HERE instead of surfacing as opaque generic-500 bodies at
+  // query time (the 500 handler deliberately hides exception text). The
+  // per-generation memo above still reloads exactly when the pointer flips.
+  index
 
   private var server: HttpServer = _
 

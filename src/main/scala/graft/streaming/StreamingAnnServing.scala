@@ -131,4 +131,69 @@ object StreamingAnnServing {
       }
       .start()
   }
+
+  /**
+   * [[serveIvfPqFromPath]] for a [[graft.operators.Generations]] ROOT (or a
+   * raw index path — a pointer-less root serves as-is): the serving
+   * generation is RE-RESOLVED inside every micro-batch, so an out-of-band
+   * maintenance flip ([[Similarity.maintainIvfPq]] recluster →
+   * `Generations.advance`) is served from the NEXT epoch with no stream
+   * restart — the streamed twin of [[graft.serving.RetrievalServer]]'s
+   * per-request resolution, closing the gap where a running stream kept
+   * answering from the generation it was constructed over.
+   *
+   * Unlike the fixed-path variant, the quantizers canNOT be plan literals
+   * loaded once: a reclustered generation carries RETRAINED centroids and
+   * codebooks, so they are memoized PER RESOLVED GENERATION (model-sized
+   * driver state; the reload — two small collects — runs exactly when the
+   * pointer moves, same discipline as the RetrievalServer's per-generation
+   * memo). Within a generation, epochs still pay only the per-batch query
+   * cost: resolution is at most three driver-side FS metadata calls
+   * ([[graft.operators.Generations.resolveIfPublished]]), never a Spark
+   * job. Construction fails FAST on an unpublished root or a
+   * missing/corrupt initial generation (quantizer loads + schema probes),
+   * and the growing-index contract of [[serveIvfPqFromPath]] carries over:
+   * codes/corpus appended WITHIN a generation are visible next epoch too.
+   */
+  def serveIvfPqFromRoot(queryStream: DataFrame, indexRoot: String,
+                         corpusPath: String, k: Int, nprobe: Int = 4, shortlist: Int = 20,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         excludeSelf: Boolean = false)
+                        (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark0 = queryStream.sparkSession
+    def resolved(): String =
+      graft.operators.Generations.resolveIfPublished(spark0, indexRoot)
+        .getOrElse(indexRoot)
+    // per-generation quantizer memo (single-threaded within a stream: one
+    // micro-batch runs at a time, so a plain volatile pair suffices)
+    @volatile var memo: (String, Array[(Int, Array[Float])], Quantization.PqCodebooks) = null
+    def quantizers(path: String) = {
+      val m = memo
+      if (m != null && m._1 == path) (m._2, m._3)
+      else {
+        val cents = Similarity.readCentroids(spark0, path)
+        val books = Quantization.readPqBooks(spark0, path)
+        memo = (path, cents, books)
+        (cents, books)
+      }
+    }
+    // fail-fast construction: resolve + load the initial generation's
+    // quantizers and footer-probe the code table + corpus now, instead of
+    // letting the deployment look healthy until epoch 0 dies in foreachBatch
+    val p0 = resolved()
+    quantizers(p0)
+    spark0.read.parquet(s"$p0/encoded").schema
+    spark0.read.parquet(corpusPath).schema
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        val p = resolved()
+        val (cents, books) = quantizers(p)
+        val enc = batch.sparkSession.read.parquet(s"$p/encoded")
+        val corpus = batch.sparkSession.read.parquet(corpusPath)
+        sink(Similarity.ivfPqQuery(enc, cents, books,
+          corpus, batch.toDF(), k, nprobe, shortlist, idCol, vecCol, excludeSelf), epochId)
+      }
+      .start()
+  }
 }

@@ -108,7 +108,8 @@ object StreamingWinnow {
    * cut happens at [[fingerprintIndex]] build, not here — compaction is
    * pure file-layout work), audited by an exact row-count match, so an
    * index built from `dst` is identical to one built from `src` by
-   * construction. Production shape: fresh path + serving-pointer flip;
+   * construction. Production shape: a fresh generation published by the
+   * crash-atomic [[graft.operators.Generations.advance]] pointer flip;
    * the old generation stays readable throughout.
    */
   def compactFingerprints(spark: org.apache.spark.sql.SparkSession,

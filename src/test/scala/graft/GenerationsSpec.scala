@@ -131,6 +131,29 @@ class GenerationsSpec extends SparkSpec {
     }
   }
 
+  test("resolveIfPublished: one-listing serve-path entry — None for a raw " +
+    "path, the serving generation for a root, loud on a dangling pointer") {
+    withTmp { root =>
+      // never published (and not even a directory): a raw path, serve as-is
+      assert(Generations.resolveIfPublished(spark, root).isEmpty)
+      // a plain artifact dir with data but no pointer is equally raw
+      writeGen(s"$root/plain", 7L)
+      assert(Generations.resolveIfPublished(spark, s"$root/plain").isEmpty)
+      val g1 = Generations.advance(spark, root)(writeGen(_, 1L))
+      assert(Generations.resolveIfPublished(spark, root) === Some(g1))
+      val g2 = Generations.advance(spark, root)(writeGen(_, 2L))
+      assert(Generations.resolveIfPublished(spark, root) === Some(g2))
+      assert(readV(Generations.resolveIfPublished(spark, root).get) === 2L)
+      // a dangling pointer is a BROKEN root, not a raw path — it must not
+      // silently degrade to serving the root dir itself
+      Gates.deleteTree(g2)
+      val ex = intercept[IllegalStateException] {
+        Generations.resolveIfPublished(spark, root)
+      }
+      assert(ex.getMessage.contains("gone"))
+    }
+  }
+
   test("the lifecycle keeps cycling after a prune: advance allocates past " +
     "pruned history and roots are independent") {
     withTmp { tmp =>

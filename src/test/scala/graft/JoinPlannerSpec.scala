@@ -508,6 +508,47 @@ class JoinPlannerSpec extends SparkSpec {
     }
   }
 
+  test("sliceId hygiene: a name sliceDirs would skip (or that escapes the " +
+    "slices dir) is rejected; re-save resets only the bundle's own layout") {
+    withTmp { tmp =>
+      val fact = (1 to 100).map(i => (1L + i % 5, i.toLong)).toDF("fk", "payload")
+      val p = JoinPlanner.ProfileParams(depth = 4, width = 256, topK = 64,
+        kmvK = 16)
+      JoinPlanner.saveTableProfile(fact, "fk", s"$tmp/fact", p)
+      val before = JoinPlanner.profileDistinctAdvice(spark, s"$tmp/fact")
+        .collect()(0).toSeq
+      // every id here would either commit invisibly ('.'-prefixed skipped
+      // by sliceDirs, '_'-prefixed collides with staging) or resolve the
+      // target outside slices/ ('.', '..', a path separator) — all must
+      // fail the append loudly BEFORE anything is written
+      for (bad <- Seq(".foo", "_foo", ".", "..", "a/b", "-x"))
+        intercept[IllegalArgumentException] {
+          JoinPlanner.appendTableProfile(fact, "fk", s"$tmp/fact", p,
+            sliceId = bad)
+        }
+      assert(JoinPlanner.profileDistinctAdvice(spark, s"$tmp/fact")
+        .collect()(0).toSeq === before,
+        "a rejected sliceId changed the bundle")
+      // re-save resets slices/ + _staging/ ONLY: a neighbor file and a
+      // Generations pointer dir at the same path survive the save
+      val foreign = java.nio.file.Path.of(s"$tmp/fact/keepme.txt")
+      java.nio.file.Files.writeString(foreign, "not a bundle component")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(s"$tmp/fact/_ptr"))
+      JoinPlanner.saveTableProfile(fact.filter($"payload" % 2 === 0), "fk",
+        s"$tmp/fact", p)
+      assert(java.nio.file.Files.exists(foreign),
+        "saveTableProfile wiped a non-bundle neighbor file")
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Path.of(s"$tmp/fact/_ptr")),
+        "saveTableProfile wiped a non-bundle neighbor dir")
+      // and the reset bundle reflects only the new base slice
+      val slices = new java.io.File(s"$tmp/fact/slices").listFiles()
+        .map(_.getName).filterNot(_.startsWith(".")).sorted
+      assert(slices.toSeq === Seq("base"))
+    }
+  }
+
   test("the dispatch APPLIES the advised exchange width: plain and salted " +
     "picks run at advised_shuffle_partitions, rows identical to plain") {
     withTmp { tmp =>

@@ -157,6 +157,40 @@ class SketchesSpec extends SparkSpec {
     } finally Gates.deleteTree(tmp)
   }
 
+  test("sketch-table append rejects a wrong-lgConfigK slice at the boundary " +
+    "(preamble byte 3 pins the k); the artifact stays loadable") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i => (i % 3, i.toLong)).toDF("g", "v")
+    // the byte-3 pin the boundary check relies on: a sketch built at k
+    // carries k at serialized offset 3, across list/set/hll modes
+    for (k <- Seq(10, 12); n <- Seq(5, 300)) {
+      val skb = rows.limit(n).agg(Sketches.hllSketch(col("v").cast("string"), k))
+        .head().getAs[Array[Byte]](0)
+      assert(skb(3) === k.toByte, s"lgConfigK byte at k=$k, n=$n")
+    }
+    def sk(k: Int) = Sketches.distinctSketchTable(
+      rows, Seq(col("g")), col("v").cast("string"), lgConfigK = k)
+    val tmp = java.nio.file.Files.createTempDirectory("hll_kchk_spec").toString
+    try {
+      Sketches.saveSketchTable(sk(12), s"$tmp/pile", Seq("g"))
+      // same-k append commits; the pile still loads and estimates exactly
+      Sketches.appendSketchTable(sk(12), s"$tmp/pile", Seq("g"))
+      // a wrong-k slice is rejected BY THE APPEND, not by some later load
+      val e = intercept[Exception] {
+        Sketches.appendSketchTable(sk(10), s"$tmp/pile", Seq("g"))
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+      assert(msgs.contains("lgConfigK"), s"unexpected failure: $msgs")
+      // the failed write never committed: the artifact still loads and its
+      // per-group estimates are exact on this small domain
+      val est = Sketches.loadSketchTable(spark, s"$tmp/pile", Seq("g"))
+        .select(col("g"), col("estimate")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(est === Map(0 -> 100L, 1 -> 100L, 2 -> 100L))
+    } finally Gates.deleteTree(tmp)
+  }
+
   test("items past writeUTF's 64 KiB limit survive partial serialization") {
     graft.plans.GraftFunctions.register(spark)
     // 70k chars > 65535 UTF-8 bytes: DataOutputStream.writeUTF would throw

@@ -69,6 +69,74 @@ class StreamingLexicalSpec extends SparkSpec {
     }
   }
 
+  test("a Generations flip between micro-batches is served next epoch: " +
+    "epoch 0 from gen-1, epoch 1 from gen-2, no restart; raw paths still work") {
+    import graft.operators.Generations
+    val docsA = Seq(
+      (1L, "spark scan spark merge"), (2L, "scan filter join"),
+      (3L, "merge merge merge scan")).toDF("doc_id", "text")
+    val docsAll = Seq(
+      (1L, "spark scan spark merge"), (2L, "scan filter join"),
+      (3L, "merge merge merge scan"), (4L, "spark spark spark"),
+      (5L, "zebra spark row")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_genflip").toString
+    try {
+      val root = s"$dir/lexgen"
+      val g1 = Generations.advance(spark, root) { dst =>
+        TextAnalysis.saveLexicalIndex(docsA, dst, nBuckets = 8)
+      }
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[LexQuery]
+      val epochs = scala.collection.mutable.ArrayBuffer.empty[Set[Seq[Any]]]
+      val q = StreamingLexicalServing.serveBm25FromRoot(stream.toDF(), root, k = 3) {
+        (ans, _) => epochs += ans.collect().map(_.toSeq).toSet
+      }
+      try {
+        val qs = Seq(LexQuery(1L, Seq("spark")))
+        def batchOn(path: String) = TextAnalysis.bm25QueryIndexBatch(spark,
+          path, qs.toDF("query_id", "terms"), k = 3).collect().map(_.toSeq).toSet
+        val expected0 = batchOn(g1)
+        stream.addData(qs: _*)
+        q.processAllAvailable()
+        assert(epochs.size == 1 && epochs(0) == expected0 && expected0.nonEmpty)
+        // out-of-band maintenance publishes a new generation (more docs,
+        // different idf/avgdl — every score moves); the running stream
+        // must serve it on the NEXT epoch through the flipped pointer
+        val g2 = Generations.advance(spark, root) { dst =>
+          TextAnalysis.saveLexicalIndex(docsAll, dst, nBuckets = 8)
+        }
+        val expected1 = batchOn(g2)
+        stream.addData(qs: _*)
+        q.processAllAvailable()
+        assert(epochs.size == 2 && epochs(1) == expected1)
+        assert(epochs(1) != expected0,
+          "gen-2 indexes two more spark docs — identical answers mean the " +
+            "flip was not served")
+        // doc 4 (gen-2 only) must now be a hit
+        assert(epochs(1).exists(_(1) == 4L))
+      } finally q.stop()
+      // a RAW index path through the root entry point serves as-is
+      val rawDir = s"$dir/raw"
+      TextAnalysis.saveLexicalIndex(docsA, rawDir, nBuckets = 8)
+      val stream2 = MemoryStream[LexQuery]
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[Seq[Any]]]
+      val q2 = StreamingLexicalServing.serveBm25FromRoot(stream2.toDF(), rawDir, k = 3) {
+        (ans, _) => got += ans.collect().map(_.toSeq).toSet
+      }
+      try {
+        val qs = Seq(LexQuery(9L, Seq("merge")))
+        val exp = TextAnalysis.bm25QueryIndexBatch(spark, rawDir,
+          qs.toDF("query_id", "terms"), k = 3).collect().map(_.toSeq).toSet
+        stream2.addData(qs: _*)
+        q2.processAllAvailable()
+        assert(got.size == 1 && got(0) == exp && exp.nonEmpty)
+      } finally q2.stop()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("torn segment (data landed, commit record missing) is flagged and refuses to serve") {
     val docs = Seq(
       (1L, "spark scan spark merge"), (2L, "scan filter join"),
