@@ -212,11 +212,14 @@ private[graft] object Gates {
       // through the pointer, never a raw path); maintenance folds the
       // pile into gen-2 with compactBandIndex and FLIPS the pointer via
       // advance(); admission-control probes serve through resolve()
-      // before and after the flip. Contract: the served pairs are
-      // IDENTICAL across the flip (asserted in-query), the generation
-      // provably changed, and recall against the exact ground truth is
-      // total — the incremental_dedup_recall oracle, now across
-      // streaming + compaction + pointer-flip boundaries at once.
+      // before and after the flip; RETENTION then prunes the superseded
+      // generation and stale pointers. Contract: the served pairs are
+      // IDENTICAL across the flip AND the prune (asserted in-query), the
+      // generation provably changed, post-prune storage is bounded to
+      // exactly the serving generation (dirs and pointers counted), and
+      // recall against the exact ground truth is total — the
+      // incremental_dedup_recall oracle, now across streaming +
+      // compaction + pointer-flip + retention boundaries at once.
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val tmp = java.nio.file.Files.createTempDirectory("graft_capstone").toString
@@ -258,6 +261,30 @@ private[graft] object Gates {
         require(pre == post,
           "ingest_lifecycle_capstone: the flipped generation serves " +
             "different pairs than the pile it replaced")
+        // retention closes the arc — the last lifecycle verb: prune the
+        // superseded generation + stale pointers, then prove the served
+        // answers are untouched, the pointer still lands on gen-2, and
+        // storage is bounded to EXACTLY the serving generation (one gen
+        // dir, one pointer file left — counted, not assumed)
+        val removed = Generations.pruneSuperseded(s, root)
+        require(removed == Seq(g1.split('/').last),
+          s"ingest_lifecycle_capstone: prune removed $removed, expected " +
+            s"exactly the superseded ${g1.split('/').last}")
+        val hfs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val gensLeft = hfs.listStatus(new org.apache.hadoop.fs.Path(root))
+          .count(_.getPath.getName.startsWith("gen-"))
+        val ptrsLeft = hfs.listStatus(new org.apache.hadoop.fs.Path(root, "_ptr"))
+          .count(_.getPath.getName.matches("ptr-\\d{8}"))
+        require(gensLeft == 1 && ptrsLeft == 1,
+          s"ingest_lifecycle_capstone: prune left $gensLeft generation dirs " +
+            s"and $ptrsLeft pointers — storage is not bounded to the " +
+            "serving generation")
+        require(Generations.resolve(s, root) == g2,
+          "ingest_lifecycle_capstone: prune moved the serving pointer")
+        require(probe() == post,
+          "ingest_lifecycle_capstone: pruning superseded generations " +
+            "changed the served pairs")
         val found = post.toSeq.map { case (a, b) => (a, b, 1) }
           .toDF("new_id", "corpus_id", "hit")
         // exact ground truth — the incremental_dedup_recall derivation
@@ -287,6 +314,83 @@ private[graft] object Gates {
           .withColumn("flip_changed_generation",
             lit(g2 != g1 && Generations.resolve(s, root) == g2))
           .withColumn("served_identical", lit(true))
+          .withColumn("prune_bounded_storage", lit(true))
+          .withColumn("served_identical_after_prune", lit(true))
+      } finally deleteTree(tmp)
+    }),
+
+    "retrieval_lifecycle_capstone" -> ((s, dir) => {
+      // the lexical-serving END-TO-END arc — what ingest_lifecycle_capstone
+      // is for the band index, driven through the REST surface: gen-1 =
+      // BM25 index over the quarter corpus published under a Generations
+      // root and served by a live RetrievalServer (phase 0); ingest
+      // APPENDS a segment into the serving generation (phase 1 — the
+      // per-request path re-read makes it searchable with no restart);
+      // maintenance folds the two-segment pile into gen-2 via
+      // advance(compactLexicalIndex) (phase 2 — compaction+flip must be
+      // serving-invisible, asserted in-query); retention prunes the
+      // superseded generation (phase 3 — still identical, pointer still
+      // on gen-2). The oracle replays phase 0 over the quarter corpus and
+      // phases 1-3 over the half corpus one-shot in SQL, so every HTTP
+      // answer along the arc is value-pinned, not just shape-pinned.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_retr_cap").toString
+      try {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val root = s"$tmp/lexgen"
+        Generations.advance(s, root) { dst =>
+          TextAnalysis.saveLexicalIndex(docs.filter(col("doc_id") % 4 === 0),
+            dst, nBuckets = 8)
+        }
+        // the server contract requires an ANN deployment alongside; a
+        // bounded-slice index keeps it cheap — it is not under test here
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 64)
+        e.write.mode("overwrite").parquet(s"$tmp/corpus")
+        Similarity.saveIvfPq(e, s"$tmp/ivfpq", nlist = 4, m = 8, ksub = 16)
+        val srv = new graft.serving.RetrievalServer(s, root, s"$tmp/ivfpq",
+          s"$tmp/corpus")
+        val port = srv.start()
+        try {
+          def ask(): Seq[(Long, Double)] = {
+            val conn = new java.net.URL(s"http://localhost:$port/api/retrieve/" +
+                "lexical?terms=vector,stream,hash&k=10").openConnection()
+              .asInstanceOf[java.net.HttpURLConnection]
+            require(conn.getResponseCode == 200,
+              s"retrieval_lifecycle_capstone: HTTP ${conn.getResponseCode}")
+            val body = scala.io.Source.fromInputStream(conn.getInputStream).mkString
+            val data = body.split("\"data\":\\[")(1).split("\\],\"metadata\"")(0)
+            if (data.isEmpty) Seq.empty
+            else data.stripPrefix("[").stripSuffix("]").split("\\],\\[").toSeq
+              .map { r => val Array(a, b) = r.split(","); (a.toLong, b.toDouble) }
+          }
+          val p0 = ask()
+          TextAnalysis.appendLexicalIndex(docs.filter(col("doc_id") % 4 === 2),
+            Generations.resolve(s, root))
+          val p1 = ask()
+          require(p1 != p0,
+            "retrieval_lifecycle_capstone: the appended segment is not " +
+              "being served — the per-request re-read broke")
+          val g1 = Generations.resolve(s, root)
+          val g2 = Generations.advance(s, root) { dst =>
+            TextAnalysis.compactLexicalIndex(s, g1, dst)
+          }
+          val p2 = ask()
+          require(p2 == p1,
+            "retrieval_lifecycle_capstone: compaction + pointer flip " +
+              "changed the served answers")
+          Generations.pruneSuperseded(s, root)
+          val p3 = ask()
+          require(p3 == p1,
+            "retrieval_lifecycle_capstone: pruning the superseded " +
+              "generation changed the served answers")
+          require(Generations.resolve(s, root) == g2,
+            "retrieval_lifecycle_capstone: prune moved the serving pointer")
+          import s.implicits._
+          Seq(0 -> p0, 1 -> p1, 2 -> p2, 3 -> p3)
+            .flatMap { case (ph, rows) =>
+              rows.map(r => (ph, r._1, r._2)) }
+            .toDF("phase", "doc_id", "score")
+            .orderBy(col("phase"), col("score").desc, col("doc_id"))
+        } finally srv.stop()
       } finally deleteTree(tmp)
     }),
 
@@ -724,7 +828,43 @@ private[graft] object Gates {
           "quality_monotone", "nonempty")
     }))
 
+  // One phase of the retrieval capstone's lexical answers: the Bm25Sql
+  // arithmetic (three fixed terms, top-10 by row_number) over a corpus
+  // SLICE — phase 0 serves gen-1 (quarter corpus), phases 1-3 serve the
+  // appended/compacted/pruned half corpus and must be row-identical.
+  private def retrievalCapstonePhaseSql(pred: String): String =
+    s"""WITH tk AS (
+       |    SELECT doc_id, token FROM (
+       |      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |      FROM documents WHERE $pred) WHERE token <> ''),
+       |  perdoc AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+       |  stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM perdoc),
+       |  tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
+       |         WHERE token IN ('vector', 'stream', 'hash') GROUP BY 1, 2),
+       |  dfq AS (SELECT token, COUNT(*) AS dfq FROM tf GROUP BY 1),
+       |  s AS (
+       |    SELECT tf.doc_id,
+       |           ln((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)
+       |             * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
+       |    FROM tf JOIN dfq USING (token) JOIN perdoc USING (doc_id) CROSS JOIN stats),
+       |  sc AS (SELECT doc_id, round(SUM(s), 6) AS score FROM s GROUP BY 1),
+       |  r AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
+       |  SELECT doc_id, score FROM r WHERE rnk <= 10""".stripMargin
+
   def oracles: Map[String, String] = Map(
+
+    // the REST lexical-serving arc: phase 0 = gen-1 (quarter corpus);
+    // phases 1-3 = append/compact+flip/prune, all serving the half corpus
+    // — the compaction/flip/prune invisibility is ALSO hash-checked here
+    // (three identical phase blocks), on top of the in-query requires
+    "retrieval_lifecycle_capstone" ->
+      s"""SELECT CAST(0 AS INT) AS phase, doc_id, score
+         |FROM (${retrievalCapstonePhaseSql("doc_id % 4 = 0")})
+         |UNION ALL
+         |SELECT ph.p AS phase, doc_id, score
+         |FROM (${retrievalCapstonePhaseSql("doc_id % 2 = 0")})
+         |CROSS JOIN (VALUES (CAST(1 AS INT)), (CAST(2 AS INT)), (CAST(3 AS INT))) ph(p)
+         |ORDER BY phase ASC, score DESC, doc_id ASC""".stripMargin,
     "contamination_check" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
@@ -884,7 +1024,8 @@ private[graft] object Gates {
 
     // the capstone arc: same exact-recall contract as band_index_append,
     // now served through streamed appends + compaction + the Generations
-    // pointer flip; the flip booleans are in-query structural pins
+    // pointer flip + the retention prune; the flip/prune booleans are
+    // in-query structural pins
     "ingest_lifecycle_capstone" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -899,7 +1040,8 @@ private[graft] object Gates {
         |         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
         |  FROM newb a, sh b)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_missed,
-        |       true AS flip_changed_generation, true AS served_identical
+        |       true AS flip_changed_generation, true AS served_identical,
+        |       true AS prune_bounded_storage, true AS served_identical_after_prune
         |FROM p
         |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.95""".stripMargin,
 
