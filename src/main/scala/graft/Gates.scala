@@ -35,25 +35,6 @@ private[graft] object Gates {
     }
   }
 
-  /** `top_share_exact` ORACLE-PARITY guard for the profile-bundle gates:
-    * the engine records the AND over slices of per-slice topk coverage,
-    * while the DuckDB oracle replays the GLOBAL distinct count — the two
-    * conditions are provably equivalent exactly when the global key set
-    * is covered (global distinct ≤ topK ⇒ every slice's is). Asserting
-    * that here means a larger scale factor fails THIS require with an
-    * actionable message (raise `ProfileParams.topK`) instead of a silent
-    * engine-right/oracle-wrong hash mismatch. One distinct-count job over
-    * the fixture-sized gate slice. */
-  private[graft] def assertTopCovered(fact: DataFrame, key: String,
-                                      topK: Int, gate: String): Unit = {
-    val d = fact.select(countDistinct(col(key))).head().getLong(0)
-    require(d <= topK,
-      s"$gate: global distinct $key = $d exceeds topK = $topK — the " +
-        "per-slice coverage marker and the oracle's global-distinct replay " +
-        "are only equivalent when the global key set is covered; raise " +
-        "ProfileParams.topK for this scale factor")
-  }
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ------------------------------- approximate-vs-exact recall gates (M6)

@@ -29,8 +29,19 @@ private[graft] object Oracles {
     * vs the supplier dim (broadcast thresholds) — shared by the
     * streamed-maintenance and compaction gates: both must reproduce the
     * decision a fresh one-shot scan would make. */
-  private val QuarterProfileDecisionSql: String =
-    """WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
+  /** The quarter-slice profile-decision replay, parameterized by the
+    * `top_share_exact` derivation — the ONE column whose value depends on
+    * how the gate sliced the bundle. Pile-serving gates replay the
+    * engine's exact quantity (AND over slices of per-slice distinct ≤
+    * topK, i.e. MAX per-slice distinct ≤ topK); compacted-serving gates
+    * replay the fold's re-derived marker, which equals the GLOBAL
+    * distinct ≤ topK (when the global set is covered every slice is too,
+    * and the fold re-checks merged keys ≤ topK). The 5× probe data
+    * (5000 suppliers, covered 2500-key l_suppkey-parity slices) is
+    * exactly where the two quantities diverge — each gate's oracle must
+    * replay ITS serving artifact's marker, not a proxy. */
+  private def quarterProfileDecisionSql(topShareExactSql: String): String =
+    s"""WITH h(r, a, b) AS (VALUES (0,31,17),(1,131,29),(2,1031,101),(3,8191,3)),
       |li AS MATERIALIZED (
       |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 4 = 0),
       |fc AS MATERIALIZED (
@@ -58,13 +69,21 @@ private[graft] object Oracles {
       |       f.fact_bytes, d.dim_bytes,
       |       greatest(1, least(4096, (f.fact_bytes + d.dim_bytes + 65535) // 65536))
       |         AS advised_shuffle_partitions,
-      |       (SELECT COUNT(DISTINCT l_suppkey) FROM li) <= 4096 AS top_share_exact
+      |       ($topShareExactSql) AS top_share_exact
       |FROM f, d, ts, e""".stripMargin
-  // ^ top_share_exact replays the GLOBAL distinct count; the engine records
-  //   the AND over slices of PER-SLICE coverage. Equivalent exactly when
-  //   global distinct <= topK (then every slice's is too) — the gates
-  //   assert that precondition via Gates.assertTopCovered, so a larger sf
-  //   fails the require with an actionable message, never a hash mismatch.
+
+  /** [[quarterProfileDecisionSql]] marker for a PILE-serving gate whose
+    * slices partition `li` by `sliceExpr`: the engine's exact quantity —
+    * every slice's distinct key set covered by topK. */
+  private def pileTopShareExactSql(sliceExpr: String): String =
+    s"(SELECT MAX(c) FROM (SELECT COUNT(DISTINCT l_suppkey) AS c " +
+      s"FROM li GROUP BY $sliceExpr)) <= 4096"
+
+  /** [[quarterProfileDecisionSql]] marker for a COMPACTED-serving gate:
+    * the fold re-derives coverage over the MERGED key set, which (given
+    * covered slices) is the global distinct count. */
+  private val CompactedTopShareExactSql: String =
+    "(SELECT COUNT(DISTINCT l_suppkey) FROM li) <= 4096"
 
   /** The merged-dictionary flag derivation (save+append pile ≡ compacted
     * fold — both gates must reproduce it): normalize, block in prefix and
@@ -777,6 +796,16 @@ private[graft] object Oracles {
 
     "streaming_phash_flag" -> streamingPhashFlagOracle,
     "streaming_winnow_flag" -> streamingWinnowFlagOracle,
+    // generation-aware streamed admission: epoch 0 flags against gen-1
+    // (even docs' fingerprints), epoch 1 against gen-2 (full corpus) —
+    // both epochs' winnow chains replayed over the matching stored slice
+    "streaming_winnow_generation_flip" ->
+      s"""SELECT CAST(0 AS INT) AS epoch, doc_id, dup_of, n_shared
+         |FROM (${winnowFlagOracle("SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0")})
+         |UNION ALL
+         |SELECT CAST(1 AS INT) AS epoch, doc_id, dup_of, n_shared
+         |FROM (${winnowFlagOracle("SELECT doc_id, text FROM documents")})
+         |ORDER BY epoch ASC, doc_id ASC, dup_of ASC""".stripMargin,
     "winnow_index_flag" -> winnowIndexFlagOracle,
     // compaction is layout-only (row-count audited), so flagging from the
     // compacted generation must reproduce the same merged-corpus replay
@@ -2433,7 +2462,7 @@ private[graft] object Oracles {
     // structural pins asserted in-query
     "profile_generation_flip" ->
       (s"SELECT q.*, true AS generation_changed, true AS decision_identical " +
-        s"FROM ($QuarterProfileDecisionSql) q"),
+        s"FROM (${quarterProfileDecisionSql(CompactedTopShareExactSql)}) q"),
 
     "streaming_bloom_flag" ->
       """WITH mk AS MATERIALIZED (
@@ -2739,11 +2768,14 @@ private[graft] object Oracles {
         |       fact_bytes, dim_bytes,
         |       greatest(1, least(4096, (fact_bytes + dim_bytes + 65535) // 65536))
         |         AS advised_shuffle_partitions,
-        |       (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) <= 4096 AS top_share_exact
+        |       (SELECT MAX(c) FROM (SELECT COUNT(DISTINCT l_suppkey) AS c
+        |        FROM lineitem GROUP BY l_orderkey % 2)) <= 4096 AS top_share_exact
         |FROM base ORDER BY scenario""".stripMargin,
-    // ^ same top_share_exact parity precondition as QuarterProfileDecisionSql:
-    //   the gate asserts global distinct <= topK (Gates.assertTopCovered)
-    //   so the global replay provably equals the engine's per-slice AND.
+    // ^ top_share_exact replays the ENGINE's exact quantity for a
+    //   pile-serving gate: the AND over the gate's l_orderkey-parity
+    //   slices of per-slice distinct ≤ topK (= MAX per-slice ≤ topK) —
+    //   never the global-distinct proxy, which diverges exactly when
+    //   every slice is covered but the global key set is not.
 
     // distinct-key advice from the bundle's KMV component: md5 k-min
     // chain + exact row/byte stats replayed one-shot — equality proves
@@ -2792,12 +2824,17 @@ private[graft] object Oracles {
     // the streamed-bundle merge law: the decision row from a bundle
     // maintained by foreachBatch delta-appends must equal this one-shot
     // replay of the same sized planner chain over the raw tables
-    "streaming_profile_decision" -> QuarterProfileDecisionSql,
+    // pile-serving: slices are the l_orderkey-parity batches the gate
+    // streams, so the marker replays per-slice coverage AND-folded
+    "streaming_profile_decision" ->
+      quarterProfileDecisionSql(pileTopShareExactSql("l_orderkey % 2")),
 
     // same fixture, same one-shot replay — here proving the COMPACTED
     // generation (merged cells/topk/kmv/stats folded to one file set)
-    // decides identically to the pile it replaced
-    "profile_compact_decision" -> QuarterProfileDecisionSql,
+    // decides identically to the pile it replaced; the marker replays the
+    // fold's re-derived (merged-set) coverage
+    "profile_compact_decision" ->
+      quarterProfileDecisionSql(CompactedTopShareExactSql),
 
     // the complete planner row: the s1 sketch chain + exact byte
     // accounting + ceildiv sizing, replayed end to end

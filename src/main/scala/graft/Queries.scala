@@ -2593,6 +2593,62 @@ private[graft] object Queries {
         .orderBy(col("doc_id"), col("dup_of")))
     }),
 
+    "streaming_winnow_generation_flip" -> ((s, dir) => {
+      // generation-aware streamed DECONTAMINATION admission — the third
+      // streamed family served through the Generations pointer (BM25 and
+      // ANN are the other two): gen-1 = the even docs' winnow fingerprints
+      // published under a root; the 75%-prefix probe batch streamed
+      // through flagStreamFromRoot flags against gen-1 (epoch 0);
+      // out-of-band maintenance publishes gen-2 (the full corpus —
+      // more stored originals, df cut over the merged set) and the SAME
+      // probe batch re-streamed must flag against gen-2 (epoch 1), the
+      // WinnowIndex rebuilt exactly once at the flip. The oracle replays
+      // both epochs' full winnow chains over the matching stored slices.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("graft_winflip").toString
+      try {
+        val docs = Tables.documents(s, dir)
+        def fps(d: org.apache.spark.sql.DataFrame) =
+          TextAnalysis.winnowFingerprints(d)
+            .select(col("doc_id").as("id"), col("fp"))
+        val root = s"$tmp/wingen"
+        Generations.advance(s, root) { dst =>
+          graft.streaming.StreamingWinnow.saveFingerprints(
+            fps(docs.filter(col("doc_id") % 2 === 0)), dst)
+        }
+        val rows = Fixtures.nearDupCopies(docs.filter(col("doc_id") < 500))
+          .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val epochs = scala.collection.mutable.ArrayBuffer
+          .empty[Array[org.apache.spark.sql.Row]]
+        val q = graft.streaming.StreamingWinnow.flagStreamFromRoot(
+          mem.toDF().toDF("doc_id", "text"), root) { (ans, _) =>
+          epochs += ans.collect()
+        }
+        try {
+          mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
+          val g2 = Generations.advance(s, root) { dst =>
+            graft.streaming.StreamingWinnow.saveFingerprints(fps(docs), dst)
+          }
+          mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
+          require(epochs.length == 2,
+            s"streaming_winnow_generation_flip: expected 2 epochs, got " +
+              s"${epochs.length}")
+          require(epochs(0).map(_.toSeq).toSet != epochs(1).map(_.toSeq).toSet,
+            "streaming_winnow_generation_flip: gen-2 stores twice the " +
+              "corpus — identical flags mean the flip was not served")
+          require(Generations.resolve(s, root) == g2,
+            "streaming_winnow_generation_flip: pointer did not land on gen-2")
+        } finally q.stop()
+        epochs.zipWithIndex.flatMap { case (ans, i) =>
+          ans.map(r => (i, r.getLong(0), r.getLong(1), r.getLong(2)))
+        }.toSeq.toDF("epoch", "doc_id", "dup_of", "n_shared")
+          .orderBy(col("epoch"), col("doc_id"), col("dup_of"))
+      } finally Gates.deleteTree(tmp)
+    }),
+
     "multimodal_frame_sample" -> ((s, dir) => {
       // frame-index sampling is pure metadata arithmetic → exactly
       // oracle-able even though frame DECODE sits behind the labeled stub
@@ -3212,8 +3268,6 @@ private[graft] object Queries {
         val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
         val rich = dim.filter(col("s_acctbal") > 5000.0)
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096, topK = 4096)
-        // oracle-parity precondition for the top_share_exact column
-        Gates.assertTopCovered(fact, "l_suppkey", p.topK, "join_profile_decision")
         JoinPlanner.saveTableProfile(
           fact.filter(col("l_orderkey") % 2 === 0), "l_suppkey", s"$tmp/fact", p)
         JoinPlanner.appendTableProfile(
@@ -3304,8 +3358,6 @@ private[graft] object Queries {
         val rows = fact.as[(Long, Long)].collect()
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
           topK = 4096, kmvK = 256)
-        // oracle-parity precondition for the top_share_exact column
-        Gates.assertTopCovered(fact, "l_suppkey", p.topK, "streaming_profile_decision")
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Long)]
         val q = mem.toDF().toDF("l_orderkey", "l_suppkey")
@@ -3315,7 +3367,11 @@ private[graft] object Queries {
               sliceId = s"batch-$id")
           }
           .start()
-        val (b1, b2) = rows.splitAt(rows.length / 2)
+        // batches sliced by l_orderkey PARITY (not positional halves): the
+        // per-slice topk coverage bits feed top_share_exact, so the slice
+        // partition must be SQL-expressible for the oracle to replay the
+        // engine's exact quantity (per-slice distinct ≤ topK, AND-folded)
+        val (b1, b2) = rows.partition(_._1 % 2 == 0)
         mem.addData(b1.toIndexedSeq); q.processAllAvailable()
         mem.addData(b2.toIndexedSeq); q.processAllAvailable()
         q.stop()
@@ -3353,8 +3409,6 @@ private[graft] object Queries {
         val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
           topK = 4096, kmvK = 256)
-        // oracle-parity precondition for the top_share_exact column
-        Gates.assertTopCovered(fact, "l_suppkey", p.topK, "profile_compact_decision")
         JoinPlanner.saveTableProfile(
           fact.filter(col("l_suppkey") % 2 === 0), "l_suppkey", s"$tmp/fact", p)
         JoinPlanner.appendTableProfile(
@@ -3466,8 +3520,6 @@ private[graft] object Queries {
         val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
           topK = 4096, kmvK = 256)
-        // oracle-parity precondition for the top_share_exact column
-        Gates.assertTopCovered(fact, "l_suppkey", p.topK, "profile_generation_flip")
         val root = s"$tmp/factgen"
         Generations.advance(s, root) { dst =>
           JoinPlanner.saveTableProfile(

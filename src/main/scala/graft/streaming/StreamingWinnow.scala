@@ -173,4 +173,57 @@ object StreamingWinnow {
         size(shared).cast("long").as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /**
+   * Generation-aware streamed admission flagging — [[flagAgainstIndex]]
+   * served from a [[graft.operators.Generations]] ROOT (or a raw
+   * fingerprint path): the serving generation is re-resolved inside every
+   * micro-batch (driver-side FS metadata only), and the [[WinnowIndex]] is
+   * rebuilt ONCE PER GENERATION (memoized on the resolved path — the df
+   * aggregation + array collection is corpus-epoch work, paid exactly when
+   * the pointer moves, never per epoch), so an out-of-band
+   * `compactFingerprints → Generations.advance` flip is served from the
+   * NEXT micro-batch with no stream restart — the decontamination twin of
+   * [[StreamingLexicalServing.serveBm25FromRoot]] /
+   * [[StreamingAnnServing.serveIvfPqFromRoot]].
+   *
+   * WITHIN a generation the index is a SNAPSHOT by design (the
+   * `localCheckpoint` in [[fingerprintIndex]] severs it): fingerprints
+   * appended into the serving generation become visible at the next flip,
+   * not the next epoch — the deployment cadence where ingest appends
+   * continuously and maintenance periodically folds + flips. Construction
+   * fails fast on an unpublished root or unreadable fingerprints (the
+   * initial generation's index is built eagerly).
+   */
+  def flagStreamFromRoot(stream: DataFrame, root: String, maxDf: Int = 20,
+                         k: Int = 8, w: Int = 4, minShared: Long = 2,
+                         idCol: String = "doc_id", textCol: String = "text")
+                        (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark0 = stream.sparkSession
+    def resolved(): String =
+      graft.operators.Generations.resolveIfPublished(spark0, root)
+        .getOrElse(root)
+    // single-threaded within a stream (one micro-batch at a time), so a
+    // plain volatile pair is the whole memo
+    @volatile var memo: (String, WinnowIndex) = null
+    def indexFor(path: String): WinnowIndex = {
+      val m = memo
+      if (m != null && m._1 == path) m._2
+      else {
+        val idx = fingerprintIndex(loadFingerprints(spark0, path), maxDf)
+        memo = (path, idx)
+        idx
+      }
+    }
+    indexFor(resolved())
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epochId: Long) =>
+        sink(flagAgainstIndex(batch.toDF(), indexFor(resolved()),
+          k, w, minShared, idCol, textCol), epochId)
+      }
+      .start()
+  }
 }

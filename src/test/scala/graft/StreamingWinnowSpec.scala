@@ -63,6 +63,66 @@ class StreamingWinnowSpec extends SparkSpec {
     assert(origs.size >= 25, s"only ${origs.size} copies matched their original")
   }
 
+  test("a Generations flip between micro-batches rebinds the index: epoch 0 " +
+    "flags against gen-1, epoch 1 against gen-2, no restart; raw path serves") {
+    import graft.operators.Generations
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    def fps(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.winnowFingerprints(d).select(col("doc_id").as("id"), col("fp"))
+    val dir = java.nio.file.Files.createTempDirectory("winflip_spec").toString
+    try {
+      val root = s"$dir/wingen"
+      Generations.advance(spark, root) { dst =>
+        StreamingWinnow.saveFingerprints(fps(docs.filter(col("doc_id") < 30)), dst)
+      }
+      val probes = Fixtures.nearDupCopies(docs.filter(col("doc_id") < 60))
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      // batch-path expectations per generation
+      def expect(stored: org.apache.spark.sql.DataFrame) =
+        StreamingWinnow.flagAgainstIndex(
+            Fixtures.nearDupCopies(docs.filter(col("doc_id") < 60)),
+            StreamingWinnow.fingerprintIndex(fps(stored)))
+          .collect().map(_.toSeq).toSet
+      val e0 = expect(docs.filter(col("doc_id") < 30))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val epochs = scala.collection.mutable.ArrayBuffer.empty[Set[Seq[Any]]]
+      val q = StreamingWinnow.flagStreamFromRoot(
+        mem.toDF().toDF("doc_id", "text"), root) { (ans, _) =>
+        epochs += ans.collect().map(_.toSeq).toSet
+      }
+      try {
+        mem.addData(probes.toIndexedSeq: _*); q.processAllAvailable()
+        Generations.advance(spark, root) { dst =>
+          StreamingWinnow.saveFingerprints(fps(docs.filter(col("doc_id") < 60)), dst)
+        }
+        val e1 = expect(docs.filter(col("doc_id") < 60))
+        mem.addData(probes.toIndexedSeq: _*); q.processAllAvailable()
+        assert(epochs.length == 2)
+        assert(epochs(0) == e0 && e0.nonEmpty,
+          "epoch 0 must flag against the generation serving at construction")
+        assert(epochs(1) == e1,
+          "the epoch after the flip must flag against the new generation")
+        assert(e1 != e0, "gen-2 stores more docs; flags must differ")
+      } finally q.stop()
+      // a RAW fingerprint path through the root entry point serves as-is
+      val raw = s"$dir/raw"
+      StreamingWinnow.saveFingerprints(fps(docs.filter(col("doc_id") < 30)), raw)
+      val mem2 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[Seq[Any]]]
+      val q2 = StreamingWinnow.flagStreamFromRoot(
+        mem2.toDF().toDF("doc_id", "text"), raw) { (ans, _) =>
+        got += ans.collect().map(_.toSeq).toSet
+      }
+      try {
+        mem2.addData(probes.toIndexedSeq: _*); q2.processAllAvailable()
+        assert(got.length == 1 && got(0) == e0)
+      } finally q2.stop()
+    } finally Gates.deleteTree(dir)
+  }
+
   test("df cut: a fingerprint shared by more than maxDf stored docs is dropped") {
     val docs = (1L to 5L).map(i => (i, "the common boilerplate sentence here"))
       .toDF("doc_id", "text")
