@@ -2047,6 +2047,36 @@ private[graft] object Oracles {
         |WHERE sh.doc_id % 97 <> 0 AND u.g IN (SELECT g FROM b)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // generation-aware streamed admission: epoch 0 flags against the
+    // gen-1 suite (%97), epoch 1 against the flipped gen-2 union suite
+    // (%97 ∪ %89); training stream excludes both suites' docs. The same
+    // contamination aggregate, replayed per epoch per suite.
+    "streaming_decon_generation_flip" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |           i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM tok WHERE len(w) >= 5),
+        |b1 AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |b2 AS (SELECT DISTINCT unnest(s) AS g FROM sh
+        |       WHERE doc_id % 97 = 0 OR doc_id % 89 = 0),
+        |train AS (SELECT doc_id, s FROM sh
+        |          WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0)
+        |SELECT CAST(0 AS INT) AS epoch, train.doc_id AS id,
+        |       CAST(COUNT(DISTINCT u.g) AS BIGINT) AS n_shared
+        |FROM train, unnest(train.s) AS u(g)
+        |WHERE u.g IN (SELECT g FROM b1)
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(1 AS INT) AS epoch, train.doc_id AS id,
+        |       CAST(COUNT(DISTINCT u.g) AS BIGINT) AS n_shared
+        |FROM train, unnest(train.s) AS u(g)
+        |WHERE u.g IN (SELECT g FROM b2)
+        |GROUP BY 2
+        |ORDER BY epoch, id""".stripMargin,
+
     // persisted-index lifecycle: save(even half) + append(odd half) + load
     // must equal the ONE-SHOT build over the whole benchmark slice — the
     // oracle replays the union set, never the halves

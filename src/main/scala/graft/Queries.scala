@@ -2066,6 +2066,63 @@ private[graft] object Queries {
         .orderBy(col("id")))
     }),
 
+    "streaming_decon_generation_flip" -> ((s, dir) => {
+      // generation-aware streamed admission control — the FOURTH streamed
+      // family served through the Generations pointer (BM25, ANN, winnow
+      // are the others): gen-1 = the %97 eval suite's gram index
+      // published under a root; the training stream's epoch-0 verdicts
+      // come from gen-1; a NEW SUITE ships as gen-2 (the %97 ∪ %89
+      // union, built fresh under advance() so the change is attributable
+      // to the pointer move alone — the per-epoch path re-read would
+      // also pick up in-generation appends, gated separately by
+      // decontaminate_index_count); epoch 1 must flag against the union.
+      // The oracle replays both epochs' contamination aggregates over
+      // the matching suites.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("graft_deconflip").toString
+      try {
+        val docs = Tables.documents(s, dir)
+        val root = s"$tmp/bench"
+        Generations.advance(s, root) { dst =>
+          TextAnalysis.saveBenchmarkIndex(
+            docs.filter(col("doc_id") % 97 === 0), shingleN = 5, dst)
+        }
+        val rows = docs
+          .filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val epochs = scala.collection.mutable.ArrayBuffer
+          .empty[Array[org.apache.spark.sql.Row]]
+        val q = graft.streaming.StreamingDecon.flagStreamFromRoot(
+          mem.toDF().toDF("doc_id", "text"), root) { (ans, _) =>
+          epochs += ans.collect()
+        }
+        try {
+          mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
+          val g2 = Generations.advance(s, root) { dst =>
+            TextAnalysis.saveBenchmarkIndex(
+              docs.filter(col("doc_id") % 97 === 0 || col("doc_id") % 89 === 0),
+              shingleN = 5, dst)
+          }
+          mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
+          require(epochs.length == 2,
+            s"streaming_decon_generation_flip: expected 2 epochs, got " +
+              s"${epochs.length}")
+          require(epochs(0).map(_.toSeq).toSet != epochs(1).map(_.toSeq).toSet,
+            "streaming_decon_generation_flip: gen-2 indexes a strictly " +
+              "larger suite — identical verdicts mean the flip was not served")
+          require(Generations.resolve(s, root) == g2,
+            "streaming_decon_generation_flip: pointer did not land on gen-2")
+        } finally q.stop()
+        epochs.zipWithIndex.flatMap { case (ans, i) =>
+          ans.map(r => (i, r.getLong(0), r.getLong(1)))
+        }.toSeq.toDF("epoch", "id", "n_shared")
+          .orderBy(col("epoch"), col("id"))
+      } finally Gates.deleteTree(tmp)
+    }),
+
     "asof_within_tolerance" -> ((s, dir) => {
       // as-of with a 6 h staleness bound: matches older than the tolerance
       // come back null (served-value freshness semantics)

@@ -99,4 +99,51 @@ object StreamingPhashDedup {
         TextFunctions.hamming64(col("ha"), col("hb")).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /**
+   * Generation-aware streamed flagging — [[flagAgainstIndex]] served from
+   * a [[graft.operators.Generations]] ROOT (or a raw path) holding
+   * persisted perceptual hashes (a plain `(idCol, hashCol)` parquet —
+   * [[Multimodal.imagePerceptualHashes]] output written as the corpus
+   * epoch's hash artifact): each micro-batch resolves the serving
+   * generation, and the [[bandedIndex]] is rebuilt ONCE PER GENERATION
+   * (memoized on the resolved path — the band-explode + bucket-count
+   * aggregation is corpus-epoch work, paid exactly when the pointer
+   * moves), so a maintenance flip to a re-hashed corpus is served from
+   * the next epoch with no stream restart — the multimodal member of the
+   * generation-aware streamed-serving family (BM25 / ANN / winnow /
+   * decon are the others). Within a generation the index is a snapshot
+   * by design (the `localCheckpoint` severs it); hashes appended into
+   * the serving generation become visible at the next flip.
+   */
+  def flagStreamFromRoot(stream: Dataset[MediaRecord], root: String,
+                         bands: Int = 4, maxHamming: Int = 3,
+                         maxBucketSize: Int = 100000,
+                         idCol: String = "media_id", hashCol: String = "phash")
+                        (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark0 = stream.sparkSession
+    def resolved(): String =
+      graft.operators.Generations.resolveIfPublished(spark0, root)
+        .getOrElse(root)
+    @volatile var memo: (String, DataFrame) = null
+    def indexFor(path: String): DataFrame = {
+      val m = memo
+      if (m != null && m._1 == path) m._2
+      else {
+        val idx = bandedIndex(spark0.read.parquet(path),
+          bands, maxBucketSize, idCol, hashCol)
+        memo = (path, idx)
+        idx
+      }
+    }
+    indexFor(resolved()) // fail fast + warm the initial generation
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[MediaRecord], epochId: Long) =>
+        sink(flagAgainstIndex(batch, indexFor(resolved()), bands, maxHamming),
+          epochId)
+      }
+      .start()
+  }
 }

@@ -156,4 +156,62 @@ class StreamingDedupSpec extends SparkSpec {
     // every planted copy within 3 bits of its original is flagged
     assert(expect.exists { case (p, o, _) => p - 600000L == o })
   }
+
+  test("phash Generations flip between micro-batches rebinds the banded " +
+    "index: epoch 0 flags against gen-1, epoch 1 against gen-2, no restart") {
+    import graft.operators.{Generations, Multimodal}
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val media = Multimodal.syntheticMedia(
+      Tables.documents(spark, Sf).filter(col("doc_id") < 120))
+    def hashes(d: org.apache.spark.sql.Dataset[Multimodal.MediaRecord]) =
+      Multimodal.imagePerceptualHashes(d)
+        .filter(col("container") === "png")
+        .select(col("media_id"), col("phash"))
+    val planted = Multimodal.plantImageNearDups(media).collect()
+    assert(planted.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("phash_genflip").toString
+    try {
+      val root = s"$dir/phgen"
+      // gen-1: hash artifact over half the PLANTED ORIGINALS (copies are
+      // planted every 6th id, so an even/odd split would be a no-op —
+      // the %12 split leaves the %12==6 originals knowable only to gen-2)
+      Generations.advance(spark, root) { dst =>
+        hashes(media.filter(col("media_id") % 12 === 0))
+          .write.mode("overwrite").parquet(dst)
+      }
+      def expect(stored: org.apache.spark.sql.DataFrame) =
+        graft.streaming.StreamingPhashDedup.flagAgainstIndex(
+            planted.toIndexedSeq.toDS(),
+            graft.streaming.StreamingPhashDedup.bandedIndex(stored))
+          .collect().map(_.toSeq).toSet
+      val e0 = expect(hashes(media.filter(col("media_id") % 12 === 0)))
+      val mem = MemoryStream[Multimodal.MediaRecord]
+      val epochs = scala.collection.mutable.ArrayBuffer.empty[Set[Seq[Any]]]
+      val q = graft.streaming.StreamingPhashDedup.flagStreamFromRoot(
+        mem.toDS(), root) { (ans, _) =>
+        epochs += ans.collect().map(_.toSeq).toSet
+      }
+      try {
+        mem.addData(planted.toIndexedSeq: _*); q.processAllAvailable()
+        // maintenance re-hashes the FULL corpus into gen-2 and flips
+        Generations.advance(spark, root) { dst =>
+          hashes(media).write.mode("overwrite").parquet(dst)
+        }
+        val e1 = expect(hashes(media))
+        mem.addData(planted.toIndexedSeq: _*); q.processAllAvailable()
+        assert(epochs.length == 2)
+        assert(epochs(0) == e0 && e0.nonEmpty,
+          "epoch 0 must flag against the generation serving at construction")
+        assert(epochs(1) == e1,
+          "the epoch after the flip must flag against the new generation")
+        assert(e1 != e0,
+          "gen-2 stores all the hashes; the flag sets must differ")
+        // the %12==6 originals are only knowable to gen-2
+        assert(epochs(1).exists(r => r(1).asInstanceOf[Long] % 12 == 6))
+        assert(epochs(0).forall(r => r(1).asInstanceOf[Long] % 12 == 0))
+      } finally q.stop()
+    } finally Gates.deleteTree(dir)
+  }
 }
