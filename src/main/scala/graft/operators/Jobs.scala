@@ -1,0 +1,51 @@
+package graft.operators
+
+/**
+ * Driver-side fan-out for INDEPENDENT Spark actions — the component writes
+ * of one artifact. Each thunk runs on its own thread; all are awaited, and
+ * the first failure is rethrown after every job has settled (no orphan
+ * write racing a caller's `finally unpersist`).
+ *
+ * Why this exists: a bundle/index save is several SKETCH-SIZED component
+ * writes over one shared persisted input. Run serially, each pays full
+ * job-scheduling + output-commit latency — the dominant term of a write
+ * whose data is KBs — so an artifact save costs jobs × latency of wall
+ * time. Spark schedules concurrent jobs from separate threads against the
+ * same session safely (each action carries its own execution id; writes
+ * target disjoint directories), so overlapping them collapses that serial
+ * latency without changing what lands on disk. At cluster scale the same
+ * holds: the components are bounded by the sketch shape, not the corpus,
+ * and share the one materialized cache of the slice.
+ *
+ * Contract for callers: fan out ONLY order-free writes. A component with a
+ * WRITE-ORDER contract (a stats row doubling as the segment's commit
+ * record, e.g. [[TextAnalysis]] lexical segments) stays OUTSIDE the
+ * fan-out, written after the fan-out returns. Inputs shared by several
+ * thunks must be persisted AND materialized before the call — concurrent
+ * first-actions on an unmaterialized cache would compute it repeatedly.
+ */
+private[graft] object Jobs {
+  def concurrently(jobs: (() => Unit)*): Unit = {
+    require(jobs.nonEmpty, "Jobs.concurrently: no jobs")
+    if (jobs.length == 1) { jobs.head(); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(jobs.length)
+    try {
+      val futs = jobs.map { j =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = j()
+        })
+      }
+      // await ALL before surfacing the first failure: a caller's finally
+      // block (unpersist, staging cleanup) must not run under a still-live
+      // sibling write
+      val firstErr = futs.flatMap { f =>
+        try { f.get(); None }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Some(Option(e.getCause).getOrElse(e): Throwable)
+        }
+      }.headOption
+      firstErr.foreach(e => throw e)
+    } finally pool.shutdown()
+  }
+}

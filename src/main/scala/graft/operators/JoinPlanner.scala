@@ -208,9 +208,13 @@ object JoinPlanner {
    * at-least-once replays (pass `sliceId = s"batch-$id"` — no side
    * marker files, the commit IS the marker).
    *
-   * Three narrow map-side-combined passes over the slice, each shuffling
-   * rows bounded by the sketch shape (depth·width cells / topK keys /
-   * 1 stat row), never by the slice. The stats row also records whether
+   * Narrow map-side-combined passes over the ONE materialized slice
+   * cache, each shuffling rows bounded by the sketch shape (depth·width
+   * cells / topK keys / 1 stat row), never by the slice — and the four
+   * component writes run CONCURRENTLY ([[Jobs.concurrently]]): they are
+   * order-free (atomicity is the commit rename below), so the serial
+   * job-scheduling latency of four sketch-sized writes collapses to the
+   * slowest one. The stats row also records whether
    * the slice's topk component covers EVERY key of the slice
    * (`top_covered` — distinct sketch keys ≤ topK): the bundle-recorded
    * form of the [[joinDecisionFromProfiles]] exactness precondition,
@@ -284,32 +288,38 @@ object JoinPlanner {
     val slice = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val k = sketchKey(slice, key)
-      Sketches.countMinCells(slice, k, p.depth, p.width)
-        .write.mode("overwrite").parquet(s"$stage/cells")
       // the grouped counts feed BOTH the topk component and the exact
       // per-slice coverage bit; distinct-key-sized, cached for the reuse
       val grouped = slice.select(k.as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        grouped.orderBy(col("cnt").desc, col("k").asc).limit(p.topK)
-          .write.mode("overwrite").parquet(s"$stage/topk")
+        // ONE sequential pass materializes both caches (computing grouped
+        // scans the slice) and yields the coverage bit's input; the four
+        // component writes then fan out concurrently over the caches
+        // ([[Jobs.concurrently]]) — order-free by design, the slice's
+        // atomicity is the commitSlice rename, not any write order
         val distinctKeys = grouped.count()
-        // the 4th mergeable component: the slice's KMV distinct-count
-        // sketch over the SAME sketch key (k-min commutes with union, so
-        // the loader's kmvMerge over slices IS the one-shot sketch — the
-        // pinned SketchLawsSpec law; string keys ride the xxhash64 first,
-        // where a collision can only merge two keys = undercount by at
-        // most the 2^-64 collision mass)
-        Sketches.kmvSketch(slice.select(k.as("k")), col("k"), p.kmvK)
-          .write.mode("overwrite").parquet(s"$stage/kmv")
-        slice.agg(count(lit(1)).as("rows"),
-            coalesce(sum(Capacity.rowBytes(slice)), lit(0L)).as("bytes"))
-          .select(col("rows"), col("bytes"), lit(p.depth).as("depth"),
-            lit(p.width).as("width"), lit(p.topK).as("top_k"),
-            lit(p.kmvK).as("kmv_k"),
-            lit(distinctKeys <= p.topK).as("top_covered"))
-          .write.mode("overwrite").parquet(s"$stage/stats")
+        Jobs.concurrently(
+          () => Sketches.countMinCells(slice, k, p.depth, p.width)
+            .write.mode("overwrite").parquet(s"$stage/cells"),
+          () => grouped.orderBy(col("cnt").desc, col("k").asc).limit(p.topK)
+            .write.mode("overwrite").parquet(s"$stage/topk"),
+          // the 4th mergeable component: the slice's KMV distinct-count
+          // sketch over the SAME sketch key (k-min commutes with union, so
+          // the loader's kmvMerge over slices IS the one-shot sketch — the
+          // pinned SketchLawsSpec law; string keys ride the xxhash64 first,
+          // where a collision can only merge two keys = undercount by at
+          // most the 2^-64 collision mass)
+          () => Sketches.kmvSketch(slice.select(k.as("k")), col("k"), p.kmvK)
+            .write.mode("overwrite").parquet(s"$stage/kmv"),
+          () => slice.agg(count(lit(1)).as("rows"),
+              coalesce(sum(Capacity.rowBytes(slice)), lit(0L)).as("bytes"))
+            .select(col("rows"), col("bytes"), lit(p.depth).as("depth"),
+              lit(p.width).as("width"), lit(p.topK).as("top_k"),
+              lit(p.kmvK).as("kmv_k"),
+              lit(distinctKeys <= p.topK).as("top_covered"))
+            .write.mode("overwrite").parquet(s"$stage/stats"))
       } finally grouped.unpersist()
     } finally slice.unpersist()
     commitSlice(hfs, path, stage, target)
@@ -414,20 +424,25 @@ object JoinPlanner {
     val stage = new org.apache.hadoop.fs.Path(dst, "_staging/base")
     if (hfs.exists(stage)) hfs.delete(stage, true)
     val pre = prof.stats.collect()(0)
-    prof.cells.write.mode("overwrite").parquet(s"$stage/cells")
     val mergedTopk = prof.topk.groupBy(col("k")).agg(sum(col("cnt")).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      mergedTopk.orderBy(col("cnt").desc, col("k").asc).limit(prof.topK)
-        .write.mode("overwrite").parquet(s"$stage/topk")
+      // materialize the merged-topk cache (and the coverage re-check's
+      // input) sequentially, then fan the four fold writes out — same
+      // order-free discipline as [[writeSlice]]: the fold's atomicity is
+      // the commit rename, so the components need no write order
       val mergedKeys = mergedTopk.count()
-      prof.kmv.write.mode("overwrite").parquet(s"$stage/kmv")
-      prof.stats
-        .select(col("rows"), col("bytes"), lit(prof.depth).as("depth"),
-          lit(prof.width).as("width"), lit(prof.topK).as("top_k"),
-          lit(prof.kmvK).as("kmv_k"),
-          lit(prof.topCovered && mergedKeys <= prof.topK).as("top_covered"))
-        .write.mode("overwrite").parquet(s"$stage/stats")
+      Jobs.concurrently(
+        () => prof.cells.write.mode("overwrite").parquet(s"$stage/cells"),
+        () => mergedTopk.orderBy(col("cnt").desc, col("k").asc).limit(prof.topK)
+          .write.mode("overwrite").parquet(s"$stage/topk"),
+        () => prof.kmv.write.mode("overwrite").parquet(s"$stage/kmv"),
+        () => prof.stats
+          .select(col("rows"), col("bytes"), lit(prof.depth).as("depth"),
+            lit(prof.width).as("width"), lit(prof.topK).as("top_k"),
+            lit(prof.kmvK).as("kmv_k"),
+            lit(prof.topCovered && mergedKeys <= prof.topK).as("top_covered"))
+          .write.mode("overwrite").parquet(s"$stage/stats"))
     } finally mergedTopk.unpersist()
     commitSlice(hfs, dst, stage, target)
     val post = loadTableProfile(spark, dst).stats.collect()(0)

@@ -203,16 +203,20 @@ object Similarity {
   def saveIvfPqWith(index: IvfIndex, books: Quantization.PqCodebooks,
                     path: String): Unit = {
     val spark = index.assigned.sparkSession
-    index.assigned.select(col("cid"), col("list_id"),
-        VectorFunctions.pqEncode(col("cv"), Quantization.pqBooksLiteral(books)).as("pq_codes"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/encoded")
     import spark.implicits._
-    index.centroids.toSeq.toDF("list_id", "centroid")
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    books.books.zipWithIndex
-      .flatMap { case (book, mi) => book.zipWithIndex.map { case (c, ki) => (mi, ki, c) } }
-      .toDF("m_idx", "k_idx", "centroid")
-      .write.mode("overwrite").parquet(s"$path/books")
+    // three order-free component writes to disjoint dirs (the quantizer
+    // tables are driver-local literals) — fan out ([[Jobs.concurrently]])
+    // so the two tiny writes ride inside the encoded table's wall time
+    Jobs.concurrently(
+      () => index.assigned.select(col("cid"), col("list_id"),
+          VectorFunctions.pqEncode(col("cv"), Quantization.pqBooksLiteral(books)).as("pq_codes"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/encoded"),
+      () => index.centroids.toSeq.toDF("list_id", "centroid")
+        .write.mode("overwrite").parquet(s"$path/centroids"),
+      () => books.books.zipWithIndex
+        .flatMap { case (book, mi) => book.zipWithIndex.map { case (c, ki) => (mi, ki, c) } }
+        .toDF("m_idx", "k_idx", "centroid")
+        .write.mode("overwrite").parquet(s"$path/books"))
   }
 
   /** Read + validate the coarse-centroid table of a persisted IVF / IVF-PQ
@@ -587,11 +591,12 @@ object Similarity {
     * joins prune partitions) + the centroid table alongside. */
   def saveIvfIndex(index: IvfIndex, path: String): Unit = {
     val spark = index.assigned.sparkSession
-    index.assigned.write.mode("overwrite")
-      .partitionBy("list_id").parquet(s"$path/assigned")
     import spark.implicits._
-    index.centroids.toSeq.toDF("list_id", "centroid")
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    Jobs.concurrently( // order-free, disjoint dirs — see [[saveIvfPqWith]]
+      () => index.assigned.write.mode("overwrite")
+        .partitionBy("list_id").parquet(s"$path/assigned"),
+      () => index.centroids.toSeq.toDF("list_id", "centroid")
+        .write.mode("overwrite").parquet(s"$path/centroids"))
   }
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {

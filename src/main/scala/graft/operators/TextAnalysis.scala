@@ -554,15 +554,24 @@ object TextAnalysis {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val bucket = pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int")
-        tf.join(dl.select(col("doc_id"), col("dl")), "doc_id")
-          .withColumn("bucket", bucket)
-          .repartition(col("bucket")).sortWithinPartitions(col("token"))
-          .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
         val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfq"))
-        dfq.withColumn("bucket", bucket)
-          .repartition(col("bucket")).sortWithinPartitions(col("token"))
-          .write.mode(mode).partitionBy("bucket").parquet(s"$path/termstats")
-        // commit record, written last: corpus scalars + the row counts the
+        // materialize BOTH caches in one sequential pass (computing dl
+        // scans tf) so the concurrent writers below are pure cache
+        // readers — racing first-actions would tokenize the corpus twice
+        dl.count()
+        // the two DATA writes are order-free (the stats commit record
+        // below is what makes a segment visible to the audit) — fan them
+        // out concurrently over the materialized tf/dl caches
+        Jobs.concurrently(
+          () => tf.join(dl.select(col("doc_id"), col("dl")), "doc_id")
+            .withColumn("bucket", bucket)
+            .repartition(col("bucket")).sortWithinPartitions(col("token"))
+            .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings"),
+          () => dfq.withColumn("bucket", bucket)
+            .repartition(col("bucket")).sortWithinPartitions(col("token"))
+            .write.mode(mode).partitionBy("bucket").parquet(s"$path/termstats"))
+        // commit record, written last (NOT in the fan-out — the write-order
+        // contract IS the crash story): corpus scalars + the row counts the
         // two writes above must have produced (n_post per doc sums to the
         // postings rows; dfq rows are the termstats rows)
         dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
@@ -667,22 +676,29 @@ object TextAnalysis {
     }
     val nBuckets = spark.read.parquet(s"$src/stats")
       .agg(max(col("n_buckets"))).head().getInt(0)
-    spark.read.parquet(s"$src/postings")
-      .repartition(col("bucket")).sortWithinPartitions(col("token"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/postings")
-    spark.read.parquet(s"$src/termstats")
-      .groupBy(col("bucket"), col("token")).agg(sum(col("dfq")).as("dfq"))
-      .select(col("token"), col("dfq"), col("bucket")) // canonical column order
-      .repartition(col("bucket")).sortWithinPartitions(col("token"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/termstats")
+    // the two table rewrites read disjoint source dirs and write disjoint
+    // destination dirs — order-free (the stats commit record below is
+    // written last, same contract as [[writeLexicalSegment]])
+    Jobs.concurrently(
+      () => spark.read.parquet(s"$src/postings")
+        .repartition(col("bucket")).sortWithinPartitions(col("token"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/postings"),
+      () => spark.read.parquet(s"$src/termstats")
+        .groupBy(col("bucket"), col("token")).agg(sum(col("dfq")).as("dfq"))
+        .select(col("token"), col("dfq"), col("bucket")) // canonical column order
+        .repartition(col("bucket")).sortWithinPartitions(col("token"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/termstats"))
     // the compacted commit record: BOTH audit counts are taken from the
     // rewritten tables themselves (postings rows are preserved verbatim,
     // termstats rows merge per term), so the record matches what actually
     // landed — and compaction doubles as the MIGRATION path for
     // pre-audit-schema artifacts (see [[lexicalAuditability]]), whose stats
     // carry no counts to sum
-    val nPostings = spark.read.parquet(s"$dst/postings").count()
-    val nTerms = spark.read.parquet(s"$dst/termstats").count()
+    var nPostings = 0L
+    var nTerms = 0L // visibility: Jobs.concurrently awaits via Future.get
+    Jobs.concurrently(
+      () => nPostings = spark.read.parquet(s"$dst/postings").count(),
+      () => nTerms = spark.read.parquet(s"$dst/termstats").count())
     spark.read.parquet(s"$src/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .withColumn("n_postings", lit(nPostings))
