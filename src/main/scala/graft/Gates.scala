@@ -813,24 +813,11 @@ private[graft] object Gates {
   // arithmetic (three fixed terms, top-10 by row_number) over a corpus
   // SLICE — phase 0 serves gen-1 (quarter corpus), phases 1-3 serve the
   // appended/compacted/pruned half corpus and must be row-identical.
+  // one BM25 oracle core for the whole surface — the phase replay derives
+  // from [[Oracles.bm25SingleQuerySql]] so the k1/b constants, tokenizer
+  // and rounding live in exactly one place
   private def retrievalCapstonePhaseSql(pred: String): String =
-    s"""WITH tk AS (
-       |    SELECT doc_id, token FROM (
-       |      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
-       |      FROM documents WHERE $pred) WHERE token <> ''),
-       |  perdoc AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
-       |  stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM perdoc),
-       |  tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
-       |         WHERE token IN ('vector', 'stream', 'hash') GROUP BY 1, 2),
-       |  dfq AS (SELECT token, COUNT(*) AS dfq FROM tf GROUP BY 1),
-       |  s AS (
-       |    SELECT tf.doc_id,
-       |           ln((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)
-       |             * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
-       |    FROM tf JOIN dfq USING (token) JOIN perdoc USING (doc_id) CROSS JOIN stats),
-       |  sc AS (SELECT doc_id, round(SUM(s), 6) AS score FROM s GROUP BY 1),
-       |  r AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
-       |  SELECT doc_id, score FROM r WHERE rnk <= 10""".stripMargin
+    Oracles.bm25SingleQuerySql(pred, Seq("vector", "stream", "hash"), 10)
 
   def oracles: Map[String, String] = Map(
 

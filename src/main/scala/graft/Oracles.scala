@@ -159,56 +159,87 @@ private[graft] object Oracles {
       |       MIN(CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 ELSE 0 END) = 1 AS bloom_hit
       |FROM ph GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
-  private val Bm25Sql: String =
-    """WITH tk AS (
-      |  SELECT doc_id, token FROM (
-      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-      |    FROM documents) WHERE token <> ''),
-      |perdoc AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
-      |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM perdoc),
-      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
-      |       WHERE token IN ('vector', 'stream', 'hash') GROUP BY 1, 2),
-      |dfq AS (SELECT token, COUNT(*) AS dfq FROM tf GROUP BY 1),
-      |s AS (
-      |  SELECT tf.doc_id,
-      |         ln((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)
-      |           * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
-      |  FROM tf JOIN dfq USING (token) JOIN perdoc USING (doc_id) CROSS JOIN stats)
-      |SELECT doc_id, round(SUM(s), 6) AS score
-      |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  /**
+   * The ONE BM25 oracle scoring core (k1=1.2, b=0.75, the engine's ln-idf
+   * formula, round(SUM, 6)) — every BM25 gate's SQL derives from the two
+   * builders below so the constants/tokenizer live in exactly one place
+   * (`pred` slices the corpus for generation/phase replays; empty = whole
+   * table). Single-query shape: `(doc_id, score)`, rnk-cut to `k`, no
+   * final ORDER BY (callers append their own deterministic one).
+   */
+  private[graft] def bm25SingleQuerySql(pred: String, terms: Seq[String],
+                                        k: Int): String = {
+    val corpus = if (pred.isEmpty) "documents" else s"documents WHERE $pred"
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |    FROM $corpus) WHERE token <> ''),
+       |perdoc AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM perdoc),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
+       |       WHERE token IN ($termList) GROUP BY 1, 2),
+       |dfq AS (SELECT token, COUNT(*) AS dfq FROM tf GROUP BY 1),
+       |s AS (
+       |  SELECT tf.doc_id,
+       |         ln((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)
+       |           * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
+       |  FROM tf JOIN dfq USING (token) JOIN perdoc USING (doc_id) CROSS JOIN stats),
+       |sc AS (SELECT doc_id, round(SUM(s), 6) AS score FROM s GROUP BY 1),
+       |r AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
+       |SELECT doc_id, score FROM r WHERE rnk <= $k""".stripMargin
+  }
 
-  // Batch BM25: three queries scored over the union of their terms with the
-  // same per-term arithmetic as Bm25Sql, per-query top-10 by row_number.
-  // Types cast to the Spark result's schema (query_id/doc_id BIGINT, rnk INT).
+  /** Batch shape of the same core: `queries` scored over the union of
+    * their terms, per-query top-`k` by row_number — output
+    * `(query_id BIGINT, doc_id, score, rnk INT)` matching the Spark
+    * result's schema, no final ORDER BY (callers append one). */
+  private[graft] def bm25BatchQuerySql(pred: String,
+                                       queries: Seq[(Int, Seq[String])],
+                                       k: Int): String = {
+    val corpus = if (pred.isEmpty) "documents" else s"documents WHERE $pred"
+    val qValues = queries.flatMap { case (qid, ts) =>
+      ts.map(t => s"(CAST($qid AS BIGINT), '$t')")
+    }.mkString(", ")
+    val termList = queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |    FROM $corpus) WHERE token <> ''),
+       |perdoc AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM perdoc),
+       |q(query_id, token) AS (VALUES $qValues),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
+       |       WHERE token IN ($termList)
+       |       GROUP BY 1, 2),
+       |dfq AS (SELECT token, COUNT(*) AS dfq FROM tf GROUP BY 1),
+       |s AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         ln((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)
+       |           * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
+       |  FROM tf JOIN q USING (token) JOIN dfq USING (token)
+       |       JOIN perdoc USING (doc_id) CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id, round(SUM(s), 6) AS score
+       |       FROM s GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score,
+       |             CAST(row_number() OVER (PARTITION BY query_id
+       |               ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+       |      FROM sc)
+       |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
+  private val Bm25Sql: String =
+    s"""${bm25SingleQuerySql("", Seq("vector", "stream", "hash"), 20)}
+       |ORDER BY score DESC, doc_id ASC""".stripMargin
+
+  // Batch BM25: three queries scored with the same per-term arithmetic,
+  // per-query top-10.
   private val Bm25BatchSql: String =
-    """WITH tk AS (
-      |  SELECT doc_id, token FROM (
-      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-      |    FROM documents) WHERE token <> ''),
-      |perdoc AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
-      |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM perdoc),
-      |q(query_id, token) AS (VALUES
-      |  (CAST(1 AS BIGINT), 'vector'), (CAST(1 AS BIGINT), 'stream'), (CAST(1 AS BIGINT), 'hash'),
-      |  (CAST(2 AS BIGINT), 'data'),   (CAST(2 AS BIGINT), 'merge'),
-      |  (CAST(3 AS BIGINT), 'window'), (CAST(3 AS BIGINT), 'stream')),
-      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
-      |       WHERE token IN ('vector', 'stream', 'hash', 'data', 'merge', 'window')
-      |       GROUP BY 1, 2),
-      |dfq AS (SELECT token, COUNT(*) AS dfq FROM tf GROUP BY 1),
-      |s AS (
-      |  SELECT q.query_id, tf.doc_id,
-      |         ln((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)
-      |           * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
-      |  FROM tf JOIN q USING (token) JOIN dfq USING (token)
-      |       JOIN perdoc USING (doc_id) CROSS JOIN stats),
-      |sc AS (SELECT query_id, doc_id, round(SUM(s), 6) AS score
-      |       FROM s GROUP BY 1, 2),
-      |r AS (SELECT query_id, doc_id, score,
-      |             CAST(row_number() OVER (PARTITION BY query_id
-      |               ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
-      |      FROM sc)
-      |SELECT query_id, doc_id, score, rnk FROM r
-      |WHERE rnk <= 10 ORDER BY query_id ASC, rnk ASC""".stripMargin
+    s"""${bm25BatchQuerySql("", Seq(
+        1 -> Seq("vector", "stream", "hash"),
+        2 -> Seq("data", "merge"),
+        3 -> Seq("window", "stream")), 10)}
+       |ORDER BY query_id ASC, rnk ASC""".stripMargin
 
   // Two one-shot replays of the batch-BM25 formula (same per-term
   // arithmetic as Bm25BatchSql, two queries, k=10), one per served EPOCH
@@ -220,32 +251,9 @@ private[graft] object Oracles {
   private val Bm25GenFlipSql: String = {
     def epochSql(epoch: Int, pred: String) =
       s"""SELECT CAST($epoch AS INT) AS epoch, query_id, doc_id, score, rnk FROM (
-         |  WITH tk AS (
-         |    SELECT doc_id, token FROM (
-         |      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
-         |      FROM documents WHERE $pred) WHERE token <> ''),
-         |  perdoc AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
-         |  stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM perdoc),
-         |  q(query_id, token) AS (VALUES
-         |    (CAST(1 AS BIGINT), 'vector'), (CAST(1 AS BIGINT), 'stream'), (CAST(1 AS BIGINT), 'hash'),
-         |    (CAST(2 AS BIGINT), 'data'),   (CAST(2 AS BIGINT), 'merge')),
-         |  tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
-         |         WHERE token IN ('vector', 'stream', 'hash', 'data', 'merge')
-         |         GROUP BY 1, 2),
-         |  dfq AS (SELECT token, COUNT(*) AS dfq FROM tf GROUP BY 1),
-         |  s AS (
-         |    SELECT q.query_id, tf.doc_id,
-         |           ln((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)
-         |             * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
-         |    FROM tf JOIN q USING (token) JOIN dfq USING (token)
-         |         JOIN perdoc USING (doc_id) CROSS JOIN stats),
-         |  sc AS (SELECT query_id, doc_id, round(SUM(s), 6) AS score
-         |         FROM s GROUP BY 1, 2),
-         |  r AS (SELECT query_id, doc_id, score,
-         |               CAST(row_number() OVER (PARTITION BY query_id
-         |                 ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
-         |        FROM sc)
-         |  SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10)""".stripMargin
+         |${bm25BatchQuerySql(pred,
+             Seq(1 -> Seq("vector", "stream", "hash"), 2 -> Seq("data", "merge")),
+             10)})""".stripMargin
     s"""${epochSql(0, "doc_id % 4 = 0")}
        |UNION ALL
        |${epochSql(1, "doc_id % 2 = 0")}
@@ -699,8 +707,9 @@ private[graft] object Oracles {
     // compaction preserves every serving-visible sum → same oracle again
     "bm25_compact_topk" -> Bm25Sql,
     "bm25_batch_topk" -> Bm25BatchSql,
-    // generation-aware streamed serving: epoch 0 = gen-1 (even docs),
-    // epoch 1 = gen-2 (all docs) — both epochs' scores replayed one-shot
+    // generation-aware streamed serving: epoch 0 = gen-1 (quarter slice,
+    // doc_id % 4 = 0), epoch 1 = gen-2 (half slice, doc_id % 2 = 0) —
+    // both epochs' scores replayed one-shot (see Bm25GenFlipSql)
     "streaming_bm25_generation_flip" -> Bm25GenFlipSql,
 
     // commit-record audit of the two-segment append artifact: expected row
@@ -2857,7 +2866,9 @@ private[graft] object Oracles {
     // pile-serving: slices are the l_orderkey-parity batches the gate
     // streams, so the marker replays per-slice coverage AND-folded
     "streaming_profile_decision" ->
-      quarterProfileDecisionSql(pileTopShareExactSql("l_orderkey % 2")),
+      // % 8, not parity: the quarter feed (l_orderkey % 4 = 0) is all
+      // even, so the gate slices by the %8 residues {0, 4}
+      quarterProfileDecisionSql(pileTopShareExactSql("l_orderkey % 8")),
 
     // same fixture, same one-shot replay — here proving the COMPACTED
     // generation (merged cells/topk/kmv/stats folded to one file set)

@@ -3424,11 +3424,14 @@ private[graft] object Queries {
               sliceId = s"batch-$id")
           }
           .start()
-        // batches sliced by l_orderkey PARITY (not positional halves): the
+        // batches sliced by l_orderkey % 8 (not positional halves): the
         // per-slice topk coverage bits feed top_share_exact, so the slice
         // partition must be SQL-expressible for the oracle to replay the
-        // engine's exact quantity (per-slice distinct ≤ topK, AND-folded)
-        val (b1, b2) = rows.partition(_._1 % 2 == 0)
+        // engine's exact quantity (per-slice distinct ≤ topK, AND-folded).
+        // NOT parity: the feed is already %4-filtered (all even), so a
+        // parity split would leave batch 2 empty and the two-slice merge
+        // law vacuous — %8 bisects the %4 residues into {0, 4}
+        val (b1, b2) = rows.partition(_._1 % 8 == 0)
         mem.addData(b1.toIndexedSeq); q.processAllAvailable()
         mem.addData(b2.toIndexedSeq); q.processAllAvailable()
         q.stop()

@@ -37,14 +37,27 @@ private[graft] object Jobs {
       }
       // await ALL before surfacing the first failure: a caller's finally
       // block (unpersist, staging cleanup) must not run under a still-live
-      // sibling write
+      // sibling write. That includes a driver-thread INTERRUPT while
+      // blocked in get(): remember it, keep settling the remaining
+      // futures, and restore the interrupt status afterwards — returning
+      // early would be exactly the orphan-write race this contract exists
+      // to prevent
+      var interrupted = false
       val firstErr = futs.flatMap { f =>
-        try { f.get(); None }
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            Some(Option(e.getCause).getOrElse(e): Throwable)
+        var res: Option[Throwable] = None
+        var settled = false
+        while (!settled) {
+          try { f.get(); settled = true }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              res = Some(Option(e.getCause).getOrElse(e): Throwable)
+              settled = true
+            case _: InterruptedException => interrupted = true
+          }
         }
+        res
       }.headOption
+      if (interrupted) Thread.currentThread().interrupt()
       firstErr.foreach(e => throw e)
     } finally pool.shutdown()
   }

@@ -74,10 +74,18 @@ object Sketches {
     * when the artifact doesn't exist / holds no rows yet. */
   private def storedLgK(spark: org.apache.spark.sql.SparkSession,
                         path: String): Option[Byte] =
-    scala.util.Try {
+    try {
       spark.read.parquet(path).select(col("sketch")).limit(1).collect()
         .headOption.flatMap(r => Option(r.getAs[Array[Byte]](0))).map(_(3))
-    }.toOption.flatten
+    } catch {
+      // ONLY a missing artifact maps to None (the first append creates
+      // it); any OTHER read failure — corrupt footer, permissions, a
+      // concurrent delete — must propagate, not silently disable the
+      // shape guard and let a wrong-k slice commit
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).contains("PATH_NOT_FOUND") ||
+            e.getMessage.contains("Path does not exist") => None
+    }
 
   private def writeSketchTable(table: DataFrame, path: String,
                                groupCols: Seq[String], mode: String): Unit = {
