@@ -251,12 +251,9 @@ private[graft] object Gates {
         require(removed == Seq(g1.split('/').last),
           s"ingest_lifecycle_capstone: prune removed $removed, expected " +
             s"exactly the superseded ${g1.split('/').last}")
-        val hfs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val gensLeft = hfs.listStatus(new org.apache.hadoop.fs.Path(root))
-          .count(_.getPath.getName.startsWith("gen-"))
-        val ptrsLeft = hfs.listStatus(new org.apache.hadoop.fs.Path(root, "_ptr"))
-          .count(_.getPath.getName.matches("ptr-\\d{8}"))
+        // counted via Generations' own accessor — the gen-/ptr- layout
+        // literals live in exactly one place
+        val (gensLeft, ptrsLeft) = Generations.storageCounts(s, root)
         require(gensLeft == 1 && ptrsLeft == 1,
           s"ingest_lifecycle_capstone: prune left $gensLeft generation dirs " +
             s"and $ptrsLeft pointers — storage is not bounded to the " +
@@ -335,13 +332,19 @@ private[graft] object Gates {
             val conn = new java.net.URL(s"http://localhost:$port/api/retrieve/" +
                 "lexical?terms=vector,stream,hash&k=10").openConnection()
               .asInstanceOf[java.net.HttpURLConnection]
-            require(conn.getResponseCode == 200,
-              s"retrieval_lifecycle_capstone: HTTP ${conn.getResponseCode}")
-            val body = scala.io.Source.fromInputStream(conn.getInputStream).mkString
-            val data = body.split("\"data\":\\[")(1).split("\\],\"metadata\"")(0)
-            if (data.isEmpty) Seq.empty
-            else data.stripPrefix("[").stripSuffix("]").split("\\],\\[").toSeq
-              .map { r => val Array(a, b) = r.split(","); (a.toLong, b.toDouble) }
+            try {
+              require(conn.getResponseCode == 200,
+                s"retrieval_lifecycle_capstone: HTTP ${conn.getResponseCode}")
+              val in = conn.getInputStream
+              val body = try scala.io.Source.fromInputStream(in).mkString
+                finally in.close()
+              // deliberately brittle envelope split: the gate pins the
+              // exact Message shape RestServerSpec pins byte-for-byte
+              val data = body.split("\"data\":\\[")(1).split("\\],\"metadata\"")(0)
+              if (data.isEmpty) Seq.empty
+              else data.stripPrefix("[").stripSuffix("]").split("\\],\\[").toSeq
+                .map { r => val Array(a, b) = r.split(","); (a.toLong, b.toDouble) }
+            } finally conn.disconnect()
           }
           val p0 = ask()
           TextAnalysis.appendLexicalIndex(docs.filter(col("doc_id") % 4 === 2),

@@ -185,6 +185,52 @@ object Generations {
    * out-of-band, only once no reader still holds the old generation's
    * file handles (the deployment's grace-period concern).
    */
+  /**
+   * A per-generation ARTIFACT MEMO — the serve-path discipline every
+   * generation-aware reader shares (REST servers per request, streamed
+   * scorers per micro-batch): resolve the serving generation
+   * ([[resolveIfPublished]]; a pointer-less root serves as-is) and
+   * rebuild the driver-held artifact exactly when the resolved path
+   * changes. [[GenerationMemo.current]] returns `(resolvedPath,
+   * artifact)` from ONE resolution, so a caller that also reads tables
+   * by path can never mix two generations within an epoch. A single
+   * volatile pair is the whole state: serve paths are single-threaded
+   * per stream/server by construction, and a concurrent caller would at
+   * worst reload the same generation twice, never serve a stale one.
+   * Construction WARMS the memo — an unpublished root or unreadable
+   * initial generation fails the deployment at construction, not in
+   * epoch 0 (the fail-fast contract all four call sites had hand-rolled
+   * before this helper).
+   */
+  final class GenerationMemo[A] private[Generations] (
+      spark: SparkSession, root: String, load: String => A) {
+    @volatile private var memo: (String, A) = _
+    def current(): (String, A) = {
+      val p = resolveIfPublished(spark, root).getOrElse(root)
+      val m = memo
+      if (m != null && m._1 == p) (p, m._2)
+      else { val a = load(p); memo = (p, a); (p, a) }
+    }
+    def artifact(): A = current()._2
+    current()
+  }
+
+  /** Build (and warm) a [[GenerationMemo]] over `root`. */
+  def artifactMemo[A](spark: SparkSession, root: String)
+                     (load: String => A): GenerationMemo[A] =
+    new GenerationMemo(spark, root, load)
+
+  /** Bounded-storage observables for gates/monitors: committed
+    * generation-dir count and committed pointer-file count under `root`
+    * — so callers assert retention without re-stating the `gen-`/`ptr-`
+    * layout literals this object owns. */
+  private[graft] def storageCounts(spark: SparkSession,
+                                   root: String): (Int, Int) = {
+    val hfs = fs(spark, root)
+    (listSeqs(hfs, new org.apache.hadoop.fs.Path(root), GenRe).size,
+      listSeqs(hfs, ptrPath(root), PtrRe).size)
+  }
+
   def pruneSuperseded(spark: SparkSession, root: String): Seq[String] = {
     val hfs = fs(spark, root)
     val cur = current(spark, root).getOrElse(throw new IllegalStateException(

@@ -43,7 +43,7 @@ private[graft] object Jobs {
       // early would be exactly the orphan-write race this contract exists
       // to prevent
       var interrupted = false
-      val firstErr = futs.flatMap { f =>
+      val errs = futs.flatMap { f =>
         var res: Option[Throwable] = None
         var settled = false
         while (!settled) {
@@ -56,9 +56,14 @@ private[graft] object Jobs {
           }
         }
         res
-      }.headOption
+      }
       if (interrupted) Thread.currentThread().interrupt()
-      firstErr.foreach(e => throw e)
+      // surface the first failure with the siblings' causes attached —
+      // a multi-component write failure must not hide its root cause
+      errs.headOption.foreach { first =>
+        errs.drop(1).foreach(first.addSuppressed)
+        throw first
+      }
     } finally pool.shutdown()
   }
 }

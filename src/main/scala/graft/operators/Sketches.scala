@@ -73,19 +73,24 @@ object Sketches {
     * preamble — spec-pinned against sketches built at known k), or None
     * when the artifact doesn't exist / holds no rows yet. */
   private def storedLgK(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Option[Byte] =
-    try {
-      spark.read.parquet(path).select(col("sketch")).limit(1).collect()
-        .headOption.flatMap(r => Option(r.getAs[Array[Byte]](0))).map(_(3))
-    } catch {
-      // ONLY a missing artifact maps to None (the first append creates
-      // it); any OTHER read failure — corrupt footer, permissions, a
-      // concurrent delete — must propagate, not silently disable the
-      // shape guard and let a wrong-k slice commit
-      case e: org.apache.spark.sql.AnalysisException
-          if Option(e.getCondition).contains("PATH_NOT_FOUND") ||
-            e.getMessage.contains("Path does not exist") => None
-    }
+                        path: String): Option[Byte] = {
+    // ONLY a missing/empty artifact maps to None (the first append
+    // creates it) — checked via the filesystem, not by classifying read
+    // exceptions, so a corrupt footer / permission failure still
+    // propagates instead of silently disabling the shape guard, and the
+    // bootstrap path doesn't depend on Spark's error-condition strings
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(hp) ||
+        !hfs.listStatus(hp).exists(s => s.isFile && s.getLen > 0)) None
+    else
+      // first NON-NULL sketch (a null-sketch row must not disable the
+      // check); one k per artifact is the documented contract — an
+      // already-mixed pile still fails loudly at load
+      spark.read.parquet(path).select(col("sketch"))
+        .filter(col("sketch").isNotNull).limit(1).collect()
+        .headOption.map(_.getAs[Array[Byte]](0)(3))
+  }
 
   private def writeSketchTable(table: DataFrame, path: String,
                                groupCols: Seq[String], mode: String): Unit = {
@@ -98,7 +103,12 @@ object Sketches {
     val checked = if (mode != "append") out else
       storedLgK(out.sparkSession, path).fold(out) { k =>
         out.withColumn("sketch",
-          when(substring(col("sketch"), 4, 1) === lit(Array(k)), col("sketch"))
+          // null first: substring(NULL) === ... is NULL, which would fall
+          // into the mismatch branch with a nonsense 0x<null> message
+          when(col("sketch").isNull, raise_error(lit(
+              s"appendSketchTable: NULL sketch in the appended slice at " +
+                s"$path — every row must carry a sketch")).cast("binary"))
+            .when(substring(col("sketch"), 4, 1) === lit(Array(k)), col("sketch"))
             .otherwise(raise_error(concat(
               lit(s"appendSketchTable: slice sketched at lgConfigK 0x"),
               hex(substring(col("sketch"), 4, 1)),

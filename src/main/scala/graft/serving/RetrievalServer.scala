@@ -70,29 +70,20 @@ class RetrievalServer(spark: SparkSession, lexicalPath: String,
   private def resolved(p: String): String =
     graft.operators.Generations.resolveIfPublished(spark, p).getOrElse(p)
 
-  @volatile private var annMemo: (String, Similarity.IvfPqIndex) = _
-  private def index: Similarity.IvfPqIndex = {
-    val p = resolved(ivfPqPath)
-    val m = annMemo
-    if (m != null && m._1 == p) m._2
-    else {
-      val idx = Similarity.loadIvfPq(spark, p)
-      annMemo = (p, idx)
-      idx
-    }
-  }
+  // per-generation ANN index memo — the shared
+  // [[graft.operators.Generations.artifactMemo]] discipline; its
+  // construction warm IS the fail-fast startup contract (a missing or
+  // corrupt IVF-PQ artifact aborts the deployment here instead of
+  // surfacing as opaque generic-500 bodies at query time), and it
+  // reloads exactly when the pointer flips
+  private val annMemo = graft.operators.Generations.artifactMemo(
+    spark, ivfPqPath)(p => Similarity.loadIvfPq(spark, p))
+  private def index: Similarity.IvfPqIndex = annMemo.artifact()
   private def dim = index.centroids.head._2.length
   private def corpus: DataFrame = spark.read.parquet(corpusPath)
   // trained classifier weights: model-sized, loaded once per deployment
   // (the artifact is immutable; retraining writes a fresh path)
   private val qualityWeights = qualityModelPath.map(p => graft.operators.Learn.loadModel(spark, p))
-
-  // fail-fast startup contract: resolve + load the ANN index once at
-  // construction, so a missing or corrupt IVF-PQ artifact aborts the
-  // deployment HERE instead of surfacing as opaque generic-500 bodies at
-  // query time (the 500 handler deliberately hides exception text). The
-  // per-generation memo above still reloads exactly when the pointer flips.
-  index
 
   private var server: HttpServer = _
 

@@ -161,34 +161,25 @@ object StreamingAnnServing {
                          excludeSelf: Boolean = false)
                         (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark0 = queryStream.sparkSession
-    def resolved(): String =
-      graft.operators.Generations.resolveIfPublished(spark0, indexRoot)
-        .getOrElse(indexRoot)
-    // per-generation quantizer memo (single-threaded within a stream: one
-    // micro-batch runs at a time, so a plain volatile pair suffices)
-    @volatile var memo: (String, Array[(Int, Array[Float])], Quantization.PqCodebooks) = null
-    def quantizers(path: String) = {
-      val m = memo
-      if (m != null && m._1 == path) (m._2, m._3)
-      else {
-        val cents = Similarity.readCentroids(spark0, path)
-        val books = Quantization.readPqBooks(spark0, path)
-        memo = (path, cents, books)
-        (cents, books)
-      }
-    }
-    // fail-fast construction: resolve + load the initial generation's
-    // quantizers and footer-probe the code table + corpus now, instead of
-    // letting the deployment look healthy until epoch 0 dies in foreachBatch
-    val p0 = resolved()
-    quantizers(p0)
+    // per-generation quantizer memo — the shared
+    // [[graft.operators.Generations.artifactMemo]] discipline; its
+    // construction warm loads the initial generation's quantizers
+    // (fail-fast), and current() below hands back path + quantizers from
+    // ONE resolution so an epoch can never read gen-A's code table with
+    // gen-B's centroids
+    val memo = graft.operators.Generations.artifactMemo(spark0, indexRoot)(
+      path => (Similarity.readCentroids(spark0, path),
+        Quantization.readPqBooks(spark0, path)))
+    // fail-fast construction, continued: footer-probe the code table +
+    // corpus now, instead of letting the deployment look healthy until
+    // epoch 0 dies in foreachBatch
+    val p0 = memo.current()._1
     spark0.read.parquet(s"$p0/encoded").schema
     spark0.read.parquet(corpusPath).schema
     queryStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
-        val p = resolved()
-        val (cents, books) = quantizers(p)
+        val (p, (cents, books)) = memo.current()
         val enc = batch.sparkSession.read.parquet(s"$p/encoded")
         val corpus = batch.sparkSession.read.parquet(corpusPath)
         sink(Similarity.ivfPqQuery(enc, cents, books,

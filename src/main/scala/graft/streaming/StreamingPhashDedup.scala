@@ -122,26 +122,16 @@ object StreamingPhashDedup {
                          idCol: String = "media_id", hashCol: String = "phash")
                         (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark0 = stream.sparkSession
-    def resolved(): String =
-      graft.operators.Generations.resolveIfPublished(spark0, root)
-        .getOrElse(root)
-    @volatile var memo: (String, DataFrame) = null
-    def indexFor(path: String): DataFrame = {
-      val m = memo
-      if (m != null && m._1 == path) m._2
-      else {
-        val idx = bandedIndex(spark0.read.parquet(path),
-          bands, maxBucketSize, idCol, hashCol)
-        memo = (path, idx)
-        idx
-      }
-    }
-    indexFor(resolved()) // fail fast + warm the initial generation
+    // per-generation index memo (warmed = fail-fast at construction) —
+    // the shared [[graft.operators.Generations.artifactMemo]] discipline
+    val memo = graft.operators.Generations.artifactMemo(
+      stream.sparkSession, root)(path =>
+      bandedIndex(stream.sparkSession.read.parquet(path),
+        bands, maxBucketSize, idCol, hashCol))
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[MediaRecord], epochId: Long) =>
-        sink(flagAgainstIndex(batch, indexFor(resolved()), bands, maxHamming),
+        sink(flagAgainstIndex(batch, memo.artifact(), bands, maxHamming),
           epochId)
       }
       .start()

@@ -201,27 +201,16 @@ object StreamingWinnow {
                         (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark0 = stream.sparkSession
-    def resolved(): String =
-      graft.operators.Generations.resolveIfPublished(spark0, root)
-        .getOrElse(root)
-    // single-threaded within a stream (one micro-batch at a time), so a
-    // plain volatile pair is the whole memo
-    @volatile var memo: (String, WinnowIndex) = null
-    def indexFor(path: String): WinnowIndex = {
-      val m = memo
-      if (m != null && m._1 == path) m._2
-      else {
-        val idx = fingerprintIndex(loadFingerprints(spark0, path), maxDf)
-        memo = (path, idx)
-        idx
-      }
-    }
-    indexFor(resolved())
+    // per-generation WinnowIndex memo (warmed = fail-fast at
+    // construction) — the shared
+    // [[graft.operators.Generations.artifactMemo]] discipline
+    val memo = graft.operators.Generations.artifactMemo(spark0, root)(
+      path => fingerprintIndex(loadFingerprints(spark0, path), maxDf))
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        epochId: Long) =>
-        sink(flagAgainstIndex(batch.toDF(), indexFor(resolved()),
+        sink(flagAgainstIndex(batch.toDF(), memo.artifact(),
           k, w, minShared, idCol, textCol), epochId)
       }
       .start()
