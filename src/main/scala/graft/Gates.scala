@@ -35,6 +35,37 @@ private[graft] object Gates {
     }
   }
 
+  /**
+   * Start a streaming gate's query with a feed-volume-derived STATE
+   * partition count (optimization guide §2.2/§2.5: derive partitioning
+   * from input size instead of a constant tuned for either local mode or
+   * the cluster). A stateful plan takes its shuffle-partition count from
+   * `spark.sql.shuffle.partitions` at stream start (the StreamExecution
+   * clones the session then; AQE is disabled for stateful workloads, so
+   * nothing coalesces it later), which makes the session-wide value —
+   * sized for the batch surface — wrong at BOTH scales: at fixture volume
+   * every micro-batch pays `partitions × (state-store commit + task
+   * schedule)` for KBs of state; at warehouse volume a static count
+   * undersizes the state shuffle. `ceil(feedRows /
+   * SPARK_GRAFT_STATE_ROWS_PER_PARTITION)` (default 64Ki rows/partition,
+   * clamped to [1, 4096]) sizes it from the gate's actual feed — the same
+   * derive-from-volume rule [[graft.operators.Capacity.advisedPartitions]]
+   * applies to batch exchanges. Results are partition-count independent:
+   * every streaming gate's state aggregate is exact or mergeable by
+   * construction (the law each gate pins against its oracle). The conf is
+   * restored as soon as `start` returns — the stream keeps the cloned
+   * value; the gate's batch probes keep the session's.
+   */
+  private[graft] def startSized[Q](s: SparkSession, feedRows: Long)(start: => Q): Q = {
+    val perPart = sys.env.get("SPARK_GRAFT_STATE_ROWS_PER_PARTITION")
+      .map(_.toLong).filter(_ > 0).getOrElse(65536L)
+    val n = math.max(1L, math.min(4096L, (feedRows + perPart - 1) / perPart))
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try start finally s.conf.set(key, prev)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ------------------------------- approximate-vs-exact recall gates (M6)
@@ -217,13 +248,14 @@ private[graft] object Gates {
           .select(col("doc_id"), col("text")).as[(Long, String)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String)]
-        val q = mem.toDF().toDF("doc_id", "text")
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            Dedup.appendBandIndex(Dedup.buildBandIndex(batch),
-              Generations.resolve(s, root))
-          }
-          .start()
+        val q = startSized(s, rows.length)(
+          mem.toDF().toDF("doc_id", "text")
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              Dedup.appendBandIndex(Dedup.buildBandIndex(batch),
+                Generations.resolve(s, root))
+            }
+            .start())
         val (b1, b2) = rows.splitAt(rows.length / 2)
         mem.addData(b1.toIndexedSeq); q.processAllAvailable()
         mem.addData(b2.toIndexedSeq); q.processAllAvailable()
@@ -315,15 +347,20 @@ private[graft] object Gates {
       try {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val root = s"$tmp/lexgen"
-        Generations.advance(s, root) { dst =>
-          TextAnalysis.saveLexicalIndex(docs.filter(col("doc_id") % 4 === 0),
-            dst, nBuckets = 8)
-        }
-        // the server contract requires an ANN deployment alongside; a
-        // bounded-slice index keeps it cheap — it is not under test here
-        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 64)
-        e.write.mode("overwrite").parquet(s"$tmp/corpus")
-        Similarity.saveIvfPq(e, s"$tmp/ivfpq", nlist = 4, m = 8, ksub = 16)
+        // gen-1 lexical build and the ANN-deployment artifacts (required
+        // by the server contract, not under test here) are INDEPENDENT
+        // writes to disjoint paths — fan them out (guide §2.6: overlap
+        // independent jobs) instead of serializing phase-0 setup
+        Jobs.concurrently(
+          () => Generations.advance(s, root) { dst =>
+            TextAnalysis.saveLexicalIndex(docs.filter(col("doc_id") % 4 === 0),
+              dst, nBuckets = 8)
+          },
+          () => {
+            val e = Tables.embeddings(s, dir).filter(col("vec_id") < 64)
+            e.write.mode("overwrite").parquet(s"$tmp/corpus")
+            Similarity.saveIvfPq(e, s"$tmp/ivfpq", nlist = 4, m = 8, ksub = 16)
+          })
         val srv = new graft.serving.RetrievalServer(s, root, s"$tmp/ivfpq",
           s"$tmp/corpus")
         val port = srv.start()

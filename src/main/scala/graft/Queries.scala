@@ -27,6 +27,11 @@ private[graft] object Queries {
     * are micro-batch-fixture-sized by construction, so the collect is
     * bounded; the returned frame is a local-relation copy, independent of
     * the dropped view. */
+  /** Feed-volume-derived state partitioning for the streaming gates —
+    * see [[Gates.startSized]] for the full contract. */
+  private def startSized[Q](s: SparkSession, feedRows: Long)(start: => Q): Q =
+    Gates.startSized(s, feedRows)(start)
+
   private def drainMemorySink(s: SparkSession, name: String)
                              (shape: DataFrame => DataFrame): DataFrame = {
     val out = shape(s.table(name))
@@ -101,12 +106,18 @@ private[graft] object Queries {
       import graft.streaming.StreamingPipeline
       val tmp = java.nio.file.Files.createTempDirectory("graft_view_ret").toString
       try {
+        // both upsert halves filter the SAME aggregated view — persist it
+        // so the events scan + hourly aggregation runs once, not once per
+        // batch (the upsert path itself caches only its own batch)
         val view = AggCore.hourlyView(Tables.readings(s, dir))
           .withColumn("window_day", to_date(col("window_start")))
-        StreamingPipeline.upsertBatch(
-          view.filter(col("window_day") < lit("2024-01-16")), tmp)
-        StreamingPipeline.upsertBatch(
-          view.filter(col("window_day") >= lit("2024-01-16")), tmp)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          StreamingPipeline.upsertBatch(
+            view.filter(col("window_day") < lit("2024-01-16")), tmp)
+          StreamingPipeline.upsertBatch(
+            view.filter(col("window_day") >= lit("2024-01-16")), tmp)
+        } finally view.unpersist()
         val removed = StreamingPipeline.retainFrom(s, tmp, "2024-01-15")
         require(removed.forall(_ < "2024-01-15"),
           s"retention removed an unexpired day: $removed")
@@ -991,8 +1002,9 @@ private[graft] object Queries {
           .as[graft.streaming.StreamingFunnel.FEv],
         Seq("view", "click", "purchase"), withinHours = 24)
       val name = "sfr_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
+      val q = startSized(s, rows.length)(
+        out.writeStream.outputMode("append").format("memory")
+          .queryName(name).start())
       val (b1, b2) = rows.splitAt(rows.length / 2)
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       mem.addData(b2.toIndexedSeq); q.processAllAvailable()
@@ -2095,10 +2107,11 @@ private[graft] object Queries {
           .MemoryStream[(Long, String)]
         val epochs = scala.collection.mutable.ArrayBuffer
           .empty[Array[org.apache.spark.sql.Row]]
-        val q = graft.streaming.StreamingDecon.flagStreamFromRoot(
-          mem.toDF().toDF("doc_id", "text"), root) { (ans, _) =>
-          epochs += ans.collect()
-        }
+        val q = startSized(s, rows.length)(
+          graft.streaming.StreamingDecon.flagStreamFromRoot(
+            mem.toDF().toDF("doc_id", "text"), root) { (ans, _) =>
+            epochs += ans.collect()
+          })
         try {
           mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
           val g2 = Generations.advance(s, root) { dst =>
@@ -2242,8 +2255,9 @@ private[graft] object Queries {
       val out = graft.streaming.StreamingHeavyHitters.windowedTopK(
         mem.toDF().toDF("ts", "k"), col("k"), "1 hour", capacity = 64)
       val name = "shh_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.outputMode("complete").format("memory")
-        .queryName(name).start()
+      val q = startSized(s, rows.length)(
+        out.writeStream.outputMode("complete").format("memory")
+          .queryName(name).start())
       val (b1, b2) = rows.splitAt(rows.length / 2)
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       mem.addData(b2.toIndexedSeq); q.processAllAvailable()
@@ -2276,8 +2290,9 @@ private[graft] object Queries {
         mem.toDF().toDF("ts", "event_id"),
         med = base.getDouble(0), mad = base.getDouble(1))
       val name = "sas_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.outputMode("complete").format("memory")
-        .queryName(name).start()
+      val q = startSized(s, rows.length)(
+        out.writeStream.outputMode("complete").format("memory")
+          .queryName(name).start())
       val (b1, b2) = rows.splitAt(rows.length / 2)
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       mem.addData(b2.toIndexedSeq); q.processAllAvailable()
@@ -2307,8 +2322,9 @@ private[graft] object Queries {
       val out = graft.streaming.StreamingKmv.windowedDistinct(
         mem.toDF().toDF("ts", "user_id"), col("user_id"), "1 day", k = 64)
       val name = "skv_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.outputMode("complete").format("memory")
-        .queryName(name).start()
+      val q = startSized(s, rows.length)(
+        out.writeStream.outputMode("complete").format("memory")
+          .queryName(name).start())
       val (b1, b2) = rows.splitAt(rows.length / 2)
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       mem.addData(b2.toIndexedSeq); q.processAllAvailable()
@@ -2337,8 +2353,9 @@ private[graft] object Queries {
         mem.toDF().toDF("ts", "user_id"), col("user_id"), "1 day",
         depth = 4, width = 64)
       val name = "scm_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.outputMode("complete").format("memory")
-        .queryName(name).start()
+      val q = startSized(s, rows.length)(
+        out.writeStream.outputMode("complete").format("memory")
+          .queryName(name).start())
       val (b1, b2) = rows.splitAt(rows.length / 2)
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       mem.addData(b2.toIndexedSeq); q.processAllAvailable()
@@ -2421,8 +2438,9 @@ private[graft] object Queries {
       val out = graft.streaming.StreamingHistogram.windowedHistogram(
         mem.toDF().toDF("ts", "value"), col("value"), "1 day", scale = 2)
       val name = "sdq_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.outputMode("complete").format("memory")
-        .queryName(name).start()
+      val q = startSized(s, rows.length)(
+        out.writeStream.outputMode("complete").format("memory")
+          .queryName(name).start())
       val (b1, b2) = rows.splitAt(rows.length / 2)
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       mem.addData(b2.toIndexedSeq); q.processAllAvailable()
@@ -2680,6 +2698,9 @@ private[graft] object Queries {
           .MemoryStream[(Long, String)]
         val epochs = scala.collection.mutable.ArrayBuffer
           .empty[Array[org.apache.spark.sql.Row]]
+        // NOT startSized: each epoch joins the batch against the
+        // fingerprint index (corpus-fingerprint-sized) — feed-sized
+        // partitioning serializes the index side (measured 1.19× here)
         val q = graft.streaming.StreamingWinnow.flagStreamFromRoot(
           mem.toDF().toDF("doc_id", "text"), root) { (ans, _) =>
           epochs += ans.collect()
@@ -3089,8 +3110,9 @@ private[graft] object Queries {
       val out = graft.streaming.StreamingBloom.windowedWords(
         mem.toDF().toDF("ts", "user_id"), col("user_id"), "1 day", m, k)
       val name = "sbd_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.outputMode("complete").format("memory")
-        .queryName(name).start()
+      val q = startSized(s, rows.length)(
+        out.writeStream.outputMode("complete").format("memory")
+          .queryName(name).start())
       val (b1, b2) = rows.splitAt(rows.length / 2)
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       mem.addData(b2.toIndexedSeq); q.processAllAvailable()
@@ -3142,8 +3164,9 @@ private[graft] object Queries {
       val out = graft.streaming.StreamingBloom.windowedWords(
         mem.toDF().toDF("ts", "user_id"), col("user_id"), "1 day", m, k)
       val name = "sba_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
+      val q = startSized(s, rows.length)(
+        out.writeStream.outputMode("append").format("memory")
+          .queryName(name).start())
       val (b1, b2) = rows.splitAt(rows.length / 2)
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       mem.addData(b2.toIndexedSeq); q.processAllAvailable()
@@ -3193,8 +3216,9 @@ private[graft] object Queries {
       val out = graft.streaming.StreamingBloom.windowedWords(
         mem.toDF().toDF("ts", "skey"), col("skey"), "1 day", m, k)
       val name = "sbs_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.outputMode("complete").format("memory")
-        .queryName(name).start()
+      val q = startSized(s, rows.length)(
+        out.writeStream.outputMode("complete").format("memory")
+          .queryName(name).start())
       val (b1, b2) = rows.splitAt(rows.length / 2)
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
       mem.addData(b2.toIndexedSeq); q.processAllAvailable()
@@ -3325,23 +3349,41 @@ private[graft] object Queries {
         val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
         val rich = dim.filter(col("s_acctbal") > 5000.0)
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096, topK = 4096)
-        JoinPlanner.saveTableProfile(
-          fact.filter(col("l_orderkey") % 2 === 0), "l_suppkey", s"$tmp/fact", p)
-        JoinPlanner.appendTableProfile(
-          fact.filter(col("l_orderkey") % 2 =!= 0), "l_suppkey", s"$tmp/fact", p)
-        JoinPlanner.saveTableProfile(
-          dim.filter(col("s_suppkey") % 2 === 0), "s_suppkey", s"$tmp/dim", p)
-        JoinPlanner.appendTableProfile(
-          dim.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", s"$tmp/dim", p)
-        JoinPlanner.saveTableProfile(
-          rich.filter(col("s_suppkey") % 2 === 0), "s_suppkey", s"$tmp/rich", p)
-        JoinPlanner.appendTableProfile(
-          rich.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", s"$tmp/rich", p)
+        // three INDEPENDENT bundles (disjoint paths); each chain is
+        // save-then-append internally, but the chains fan out (guide
+        // §2.6) — the lifecycle latency is the slowest chain, not the sum
+        Jobs.concurrently(
+          () => {
+            JoinPlanner.saveTableProfile(
+              fact.filter(col("l_orderkey") % 2 === 0), "l_suppkey", s"$tmp/fact", p)
+            JoinPlanner.appendTableProfile(
+              fact.filter(col("l_orderkey") % 2 =!= 0), "l_suppkey", s"$tmp/fact", p)
+          },
+          () => {
+            JoinPlanner.saveTableProfile(
+              dim.filter(col("s_suppkey") % 2 === 0), "s_suppkey", s"$tmp/dim", p)
+            JoinPlanner.appendTableProfile(
+              dim.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", s"$tmp/dim", p)
+          },
+          () => {
+            JoinPlanner.saveTableProfile(
+              rich.filter(col("s_suppkey") % 2 === 0), "s_suppkey", s"$tmp/rich", p)
+            JoinPlanner.appendTableProfile(
+              rich.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", s"$tmp/rich", p)
+          })
         val t = Capacity.SizingTargets(
           targetPartitionBytes = 64L << 10, targetFileBytes = 256L << 10,
           minPartitions = 1, maxPartitions = 4096)
+        // load each bundle ONCE for the four threshold scenarios (the
+        // profile-reuse overload): the three same-pair scenarios then
+        // share canonically-equal decision subtrees, so the single
+        // union'd collect reuses their broadcast exchanges
+        val fp = JoinPlanner.loadTableProfile(s, s"$tmp/fact")
+        val profs = Map(
+          s"$tmp/dim" -> JoinPlanner.loadTableProfile(s, s"$tmp/dim"),
+          s"$tmp/rich" -> JoinPlanner.loadTableProfile(s, s"$tmp/rich"))
         def dcs(nm: String, dimPath: String, th: JoinPlanner.JoinThresholds) =
-          JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact", dimPath, th, t)
+          JoinPlanner.joinDecisionFromProfiles(fp, profs(dimPath), th, t)
             .withColumn("scenario", lit(nm))
         val out = dcs("pick_broadcast", s"$tmp/dim",
             JoinPlanner.JoinThresholds(broadcastMaxDimRows = 2000,
@@ -3417,13 +3459,14 @@ private[graft] object Queries {
           topK = 4096, kmvK = 256)
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Long)]
-        val q = mem.toDF().toDF("l_orderkey", "l_suppkey")
-          .writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-            JoinPlanner.appendTableProfile(batch, "l_suppkey", s"$tmp/fact", p,
-              sliceId = s"batch-$id")
-          }
-          .start()
+        val q = startSized(s, rows.length)(
+          mem.toDF().toDF("l_orderkey", "l_suppkey")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              JoinPlanner.appendTableProfile(batch, "l_suppkey", s"$tmp/fact", p,
+                sliceId = s"batch-$id")
+            }
+            .start())
         // batches sliced by l_orderkey % 8 (not positional halves): the
         // per-slice topk coverage bits feed top_share_exact, so the slice
         // partition must be SQL-expressible for the oracle to replay the
@@ -3432,14 +3475,22 @@ private[graft] object Queries {
         // parity split would leave batch 2 empty and the two-slice merge
         // law vacuous — %8 bisects the %4 residues into {0, 4}
         val (b1, b2) = rows.partition(_._1 % 8 == 0)
-        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
-        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
-        q.stop()
         val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
-        JoinPlanner.saveTableProfile(
-          dim.filter(col("s_suppkey") % 2 === 0), "s_suppkey", s"$tmp/dim", p)
-        JoinPlanner.appendTableProfile(
-          dim.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", s"$tmp/dim", p)
+        // the dim bundle build is independent of the streamed fact
+        // maintenance — overlap it with the micro-batch drains (guide
+        // §2.6); the decision reads both only after the join
+        Jobs.concurrently(
+          () => {
+            mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+            mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+            q.stop()
+          },
+          () => {
+            JoinPlanner.saveTableProfile(
+              dim.filter(col("s_suppkey") % 2 === 0), "s_suppkey", s"$tmp/dim", p)
+            JoinPlanner.appendTableProfile(
+              dim.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", s"$tmp/dim", p)
+          })
         val t = Capacity.SizingTargets(
           targetPartitionBytes = 64L << 10, targetFileBytes = 256L << 10,
           minPartitions = 1, maxPartitions = 4096)
@@ -3469,16 +3520,24 @@ private[graft] object Queries {
         val dim = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
           topK = 4096, kmvK = 256)
-        JoinPlanner.saveTableProfile(
-          fact.filter(col("l_suppkey") % 2 === 0), "l_suppkey", s"$tmp/fact", p)
-        JoinPlanner.appendTableProfile(
-          fact.filter(col("l_suppkey") % 2 =!= 0), "l_suppkey", s"$tmp/fact", p)
-        JoinPlanner.saveTableProfile(
-          dim.filter(col("s_suppkey") % 2 === 0), "s_suppkey", s"$tmp/dim", p)
-        JoinPlanner.appendTableProfile(
-          dim.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", s"$tmp/dim", p)
-        JoinPlanner.compactTableProfile(s, s"$tmp/fact", s"$tmp/fact2")
-        JoinPlanner.compactTableProfile(s, s"$tmp/dim", s"$tmp/dim2")
+        // fact and dim lifecycles are independent bundle chains over
+        // disjoint paths — fan each full save→append→compact chain out
+        // (guide §2.6); the decisions below read both only after the join
+        Jobs.concurrently(
+          () => {
+            JoinPlanner.saveTableProfile(
+              fact.filter(col("l_suppkey") % 2 === 0), "l_suppkey", s"$tmp/fact", p)
+            JoinPlanner.appendTableProfile(
+              fact.filter(col("l_suppkey") % 2 =!= 0), "l_suppkey", s"$tmp/fact", p)
+            JoinPlanner.compactTableProfile(s, s"$tmp/fact", s"$tmp/fact2")
+          },
+          () => {
+            JoinPlanner.saveTableProfile(
+              dim.filter(col("s_suppkey") % 2 === 0), "s_suppkey", s"$tmp/dim", p)
+            JoinPlanner.appendTableProfile(
+              dim.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", s"$tmp/dim", p)
+            JoinPlanner.compactTableProfile(s, s"$tmp/dim", s"$tmp/dim2")
+          })
         val th = JoinPlanner.JoinThresholds(broadcastMaxDimRows = 2000,
           skewShareMin = 0.9, bloomSelectivityMax = 0.001)
         val t = Capacity.SizingTargets(
@@ -3520,14 +3579,20 @@ private[graft] object Queries {
         val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
           topK = 4096, kmvK = 256)
-        JoinPlanner.saveTableProfile(
-          fact.filter(col("o_orderkey") % 2 === 0), "o_custkey", s"$tmp/fact", p)
-        JoinPlanner.appendTableProfile(
-          fact.filter(col("o_orderkey") % 2 =!= 0), "o_custkey", s"$tmp/fact", p)
-        JoinPlanner.saveTableProfile(
-          dim.filter(col("c_custkey") % 2 === 0), "c_custkey", s"$tmp/dim", p)
-        JoinPlanner.appendTableProfile(
-          dim.filter(col("c_custkey") % 2 =!= 0), "c_custkey", s"$tmp/dim", p)
+        // two independent bundle chains, fanned out (guide §2.6)
+        Jobs.concurrently(
+          () => {
+            JoinPlanner.saveTableProfile(
+              fact.filter(col("o_orderkey") % 2 === 0), "o_custkey", s"$tmp/fact", p)
+            JoinPlanner.appendTableProfile(
+              fact.filter(col("o_orderkey") % 2 =!= 0), "o_custkey", s"$tmp/fact", p)
+          },
+          () => {
+            JoinPlanner.saveTableProfile(
+              dim.filter(col("c_custkey") % 2 === 0), "c_custkey", s"$tmp/dim", p)
+            JoinPlanner.appendTableProfile(
+              dim.filter(col("c_custkey") % 2 =!= 0), "c_custkey", s"$tmp/dim", p)
+          })
         val out = JoinPlanner.profileOverlapAdvice(s, s"$tmp/fact", s"$tmp/dim")
         s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
       } finally Gates.deleteTree(tmp)
@@ -3581,13 +3646,16 @@ private[graft] object Queries {
         val p = JoinPlanner.ProfileParams(depth = 4, width = 4096,
           topK = 4096, kmvK = 256)
         val root = s"$tmp/factgen"
-        Generations.advance(s, root) { dst =>
-          JoinPlanner.saveTableProfile(
-            fact.filter(col("l_suppkey") % 2 === 0), "l_suppkey", dst, p)
-          JoinPlanner.appendTableProfile(
-            fact.filter(col("l_suppkey") % 2 =!= 0), "l_suppkey", dst, p)
-        }
-        JoinPlanner.saveTableProfile(dim, "s_suppkey", s"$tmp/dim", p)
+        // the gen-1 fact pile and the dim bundle are independent
+        // artifacts — fan the two builds out (guide §2.6)
+        Jobs.concurrently(
+          () => Generations.advance(s, root) { dst =>
+            JoinPlanner.saveTableProfile(
+              fact.filter(col("l_suppkey") % 2 === 0), "l_suppkey", dst, p)
+            JoinPlanner.appendTableProfile(
+              fact.filter(col("l_suppkey") % 2 =!= 0), "l_suppkey", dst, p)
+          },
+          () => JoinPlanner.saveTableProfile(dim, "s_suppkey", s"$tmp/dim", p))
         val th = JoinPlanner.JoinThresholds(broadcastMaxDimRows = 2000,
           skewShareMin = 0.9, bloomSelectivityMax = 0.001)
         val t = Capacity.SizingTargets(
@@ -3660,6 +3728,10 @@ private[graft] object Queries {
           .MemoryStream[(Long, Seq[String])]
         val epochs = scala.collection.mutable.ArrayBuffer
           .empty[Array[org.apache.spark.sql.Row]]
+        // NOT startSized: the per-epoch work is a scoring join against the
+        // postings index, not feed-sized state — sizing the stream's
+        // partitions by the 2-query feed serializes the index side
+        // (measured 1.17× on this entry)
         val q = graft.streaming.StreamingLexicalServing.serveBm25FromRoot(
           mem.toDF().toDF("query_id", "terms"), root, k = 10) { (ans, _) =>
           epochs += ans.collect()

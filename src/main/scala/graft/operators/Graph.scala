@@ -147,7 +147,7 @@ object Graph {
           .select(col(to).as("node"), round(col(scoreCol), 12).as("c"))
           .groupBy(col("node"))
           .agg(sum(col("c").cast(DecimalType(30, 12))).cast("double").as("raw"))
-      if (small) {
+      if (small) withNodeLoopConf(spark, n) {
         // NODE-SIZED-STATE path (the [[pageRank]] discipline, one step
         // further): the raw sums are node-sized, so the norm and the
         // normalized score table are DRIVER arithmetic on the collected
@@ -298,7 +298,7 @@ object Graph {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("lbl",
           org.apache.spark.sql.types.LongType)))
-      if (small) {
+      if (small) withNodeLoopConf(spark, n) {
         // node-sized-state path: the label table is driver-resident; each
         // round is ONE Spark job (cached edge scan + LocalTableScan
         // broadcast + two-stage agg + node-sized collect)
@@ -419,6 +419,32 @@ object Graph {
     } finally und.unpersist()
   }
 
+  /** Run a node-sized-state iteration loop under loop-tuned SQL conf
+    * (optimization guide §1.2 step 3): AQE off — each per-round collect
+    * is a tiny fixed-shape query whose broadcast inputs are
+    * LocalTableScans, so adaptive stage materialization only adds a
+    * scheduling round-trip per exchange per round — and shuffle
+    * partitions derived from the node count (map-side combine bounds
+    * every round's exchange at ≤ nodes rows per map task, so the reduce
+    * side needs `ceil(n / 64Ki)` partitions, not the session's
+    * batch-sized static count; the count stays volume-derived at any
+    * scale). The session conf is restored on exit; results are
+    * partition-count independent (exact decimal sums / deterministic
+    * argmax throughout — the property every graph oracle pins). */
+  private def withNodeLoopConf[A](spark: org.apache.spark.sql.SparkSession,
+                                  n: Long)(body: => A): A = {
+    val conf = spark.conf
+    val keyA = "spark.sql.adaptive.enabled"
+    val keyP = "spark.sql.shuffle.partitions"
+    val prevA = conf.get(keyA)
+    val prevP = conf.get(keyP)
+    conf.set(keyA, "false")
+    conf.set(keyP, math.max(1L,
+      math.min(prevP.toLong, (n + 65535) / 65536)).toString)
+    try body
+    finally { conf.set(keyA, prevA); conf.set(keyP, prevP) }
+  }
+
   private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
                            srcCol: String, dstCol: String, weightCol: Option[String],
                            edgesDistinct: Boolean,
@@ -475,7 +501,7 @@ object Graph {
         case Some(_) => round(col("rank") * (col("w").cast("double") / col("deg")), 12)
         case None    => round(col("rank") / col("deg"), 12)
       }
-      if (small) {
+      if (small) withNodeLoopConf(spark, n) {
         // NODE-SIZED-STATE path (the Lloyd-codebook shape: corpus-sized
         // work distributed, model-sized state through the driver — and the
         // [[hits]] discipline of ONE Spark job per iteration): the

@@ -178,15 +178,19 @@ object JoinPlanner {
    * artifact an ingest pipeline maintains per table so that every later
    * join decision costs zero corpus passes:
    *
-   *  - `cells/`  — the CMS cell table ([[Sketches.countMinCells]], string
-   *    keys xxhash64'd exactly as [[joinDecision]] does) feeding the
-   *    never-undercounting join-size bound;
-   *  - `topk/`   — this slice's `topK` hottest sketch-keys with EXACT
-   *    counts (TakeOrdered — per-partition heaps, no global sort),
-   *    feeding the salted-join trigger;
-   *  - `stats/`  — one row: exact row count + [[Capacity.rowBytes]]
-   *    total + the sketch shape, feeding sizing and load-time shape
-   *    validation.
+   *  - `cells` rows — the CMS cell table ([[Sketches.countMinCells]],
+   *    string keys xxhash64'd exactly as [[joinDecision]] does) feeding
+   *    the never-undercounting join-size bound;
+   *  - `topk` rows — this slice's `topK` hottest sketch-keys with EXACT
+   *    counts, feeding the salted-join trigger;
+   *  - `kmv` rows — the slice's KMV distinct sketch;
+   *  - `stats` row — exact row count + [[Capacity.rowBytes]] total + the
+   *    sketch shape, feeding sizing and load-time shape validation.
+   *
+   * The four components live as disjoint `component`-discriminated row
+   * groups of ONE unified parquet table per slice (`<slice>/data`) —
+   * one write job and one output commit per slice, one relation per
+   * bundle at load.
    *
    * Every component is MERGEABLE by construction: cells sum cell-wise
    * ([[Sketches.countMinMerge]] — CMS(A ⊎ B) is exactly the one-shot
@@ -211,10 +215,9 @@ object JoinPlanner {
    * Narrow map-side-combined passes over the ONE materialized slice
    * cache, each shuffling rows bounded by the sketch shape (depth·width
    * cells / topK keys / 1 stat row), never by the slice — and the four
-   * component writes run CONCURRENTLY ([[Jobs.concurrently]]): they are
-   * order-free (atomicity is the commit rename below), so the serial
-   * job-scheduling latency of four sketch-sized writes collapses to the
-   * slowest one. The stats row also records whether
+   * component derivations union into the single write, so their internal
+   * exchanges run as concurrent AQE stages of one action and the slice
+   * pays one commit instead of four. The stats row also records whether
    * the slice's topk component covers EVERY key of the slice
    * (`top_covered` — distinct sketch keys ≤ topK): the bundle-recorded
    * form of the [[joinDecisionFromProfiles]] exactness precondition,
@@ -263,9 +266,34 @@ object JoinPlanner {
       .map(_.getPath.toString).sorted
   }
 
-  /** One slice: four component writes under staging, one rename to
-    * commit. Returns false when the slice id was already committed (the
-    * idempotent-replay no-op). */
+  /** The unified slice schema: the four sketch-sized components as
+    * disjoint row groups of ONE parquet table, discriminated by
+    * `component` — `cells` rows carry (r, c, n), `topk` rows (k, cnt),
+    * `kmv` rows (h), `stats` rows the exact totals + sketch shape;
+    * columns not owned by a row's component are null. One table means
+    * ONE write job and ONE commit per slice where the previous layout
+    * paid four of each (guide §1.2/§2.4: the write latency of a
+    * KB-sized artifact is all job-scheduling + commit protocol, so
+    * jobs × latency is the whole cost), and the loader opens one
+    * relation per bundle instead of four. */
+  private val UnifiedTypes: Seq[(String, String)] = Seq(
+    "r" -> "int", "c" -> "long", "n" -> "long", "k" -> "long",
+    "cnt" -> "long", "h" -> "long", "rows" -> "long", "bytes" -> "long",
+    "depth" -> "int", "width" -> "int", "top_k" -> "int",
+    "kmv_k" -> "int", "top_covered" -> "boolean")
+
+  /** Project `df` onto the unified slice schema under component `tag`:
+    * owned columns cast to the unified type, the rest typed nulls. */
+  private def unifiedComponent(tag: String, df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    df.select(lit(tag).as("component") +: UnifiedTypes.map { case (c, t) =>
+      (if (present(c)) col(c).cast(t) else lit(null).cast(t)).as(c)
+    }: _*)
+  }
+
+  /** One slice: the four components as one unified write under staging,
+    * one rename to commit. Returns false when the slice id was already
+    * committed (the idempotent-replay no-op). */
   private def writeSlice(df: DataFrame, key: String, path: String,
                          p: ProfileParams, sliceId: String): Boolean = {
     // first char must be alphanumeric: a '.'-prefixed name would COMMIT but
@@ -283,43 +311,44 @@ object JoinPlanner {
     if (hfs.exists(target)) return false // committed by a previous attempt
     val stage = new org.apache.hadoop.fs.Path(path, s"_staging/$sliceId")
     if (hfs.exists(stage)) hfs.delete(stage, true) // torn previous attempt
-    // four bundle components, one slice scan: the cells/topk/kmv/stats
-    // derivations would each re-read the ingest batch otherwise
+    // four bundle components, one slice scan, ONE write job: the
+    // cells/topk/kmv/stats derivations union into the unified slice
+    // table (their internal exchanges run as concurrent AQE stages of
+    // the one action), so the slice pays a single output commit instead
+    // of four — the dominant term of a write whose data is KBs
     val slice = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val k = sketchKey(slice, key)
       // the grouped counts feed BOTH the topk component and the exact
       // per-slice coverage bit; distinct-key-sized, cached for the reuse
+      // (the single write action fills it once — block locks serialize
+      // concurrent stage fills)
       val grouped = slice.select(k.as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // ONE sequential pass materializes both caches (computing grouped
-        // scans the slice) and yields the coverage bit's input; the four
-        // component writes then fan out concurrently over the caches
-        // ([[Jobs.concurrently]]) — order-free by design, the slice's
-        // atomicity is the commitSlice rename, not any write order
-        val distinctKeys = grouped.count()
-        Jobs.concurrently(
-          () => Sketches.countMinCells(slice, k, p.depth, p.width)
-            .write.mode("overwrite").parquet(s"$stage/cells"),
-          () => grouped.orderBy(col("cnt").desc, col("k").asc).limit(p.topK)
-            .write.mode("overwrite").parquet(s"$stage/topk"),
-          // the 4th mergeable component: the slice's KMV distinct-count
-          // sketch over the SAME sketch key (k-min commutes with union, so
-          // the loader's kmvMerge over slices IS the one-shot sketch — the
-          // pinned SketchLawsSpec law; string keys ride the xxhash64 first,
-          // where a collision can only merge two keys = undercount by at
-          // most the 2^-64 collision mass)
-          () => Sketches.kmvSketch(slice.select(k.as("k")), col("k"), p.kmvK)
-            .write.mode("overwrite").parquet(s"$stage/kmv"),
-          () => slice.agg(count(lit(1)).as("rows"),
-              coalesce(sum(Capacity.rowBytes(slice)), lit(0L)).as("bytes"))
-            .select(col("rows"), col("bytes"), lit(p.depth).as("depth"),
-              lit(p.width).as("width"), lit(p.topK).as("top_k"),
-              lit(p.kmvK).as("kmv_k"),
-              lit(distinctKeys <= p.topK).as("top_covered"))
-            .write.mode("overwrite").parquet(s"$stage/stats"))
+        // the kmv branch: the slice's KMV distinct-count sketch over the
+        // SAME sketch key (k-min commutes with union, so the loader's
+        // kmvMerge over slices IS the one-shot sketch — the pinned
+        // SketchLawsSpec law; string keys ride the xxhash64 first, where
+        // a collision can only merge two keys = undercount by at most
+        // the 2^-64 collision mass). The coverage bit (distinct keys ≤
+        // topK) rides the stats row as a column — no driver-side count
+        unifiedComponent("cells",
+            Sketches.countMinCells(slice, k, p.depth, p.width))
+          .unionByName(unifiedComponent("topk",
+            grouped.orderBy(col("cnt").desc, col("k").asc).limit(p.topK)))
+          .unionByName(unifiedComponent("kmv",
+            Sketches.kmvSketch(slice.select(k.as("k")), col("k"), p.kmvK)))
+          .unionByName(unifiedComponent("stats",
+            slice.agg(count(lit(1)).as("rows"),
+                coalesce(sum(Capacity.rowBytes(slice)), lit(0L)).as("bytes"))
+              .crossJoin(grouped.agg(count(lit(1)).as("__dk")))
+              .select(col("rows"), col("bytes"), lit(p.depth).as("depth"),
+                lit(p.width).as("width"), lit(p.topK).as("top_k"),
+                lit(p.kmvK).as("kmv_k"),
+                (col("__dk") <= p.topK).as("top_covered"))))
+          .write.mode("overwrite").parquet(s"$stage/data")
       } finally grouped.unpersist()
     } finally slice.unpersist()
     commitSlice(hfs, path, stage, target)
@@ -364,8 +393,20 @@ object JoinPlanner {
     require(dirs.nonEmpty,
       s"no committed profile slices at $path — saveTableProfile first " +
         "(an interrupted write leaves only invisible staging)")
-    def component(sub: String): DataFrame =
-      spark.read.parquet(dirs.map(d => s"$d/$sub"): _*)
+    // ONE relation over every slice's unified table; each component is a
+    // discriminator filter + projection of it (one file listing + footer
+    // set per bundle instead of four)
+    val all = spark.read.parquet(dirs.map(d => s"$d/data"): _*)
+    def component(sub: String): DataFrame = {
+      val owned = sub match {
+        case "cells" => Seq("r", "c", "n")
+        case "topk"  => Seq("k", "cnt")
+        case "kmv"   => Seq("h")
+        case "stats" => Seq("rows", "bytes", "depth", "width", "top_k",
+          "kmv_k", "top_covered")
+      }
+      all.filter(col("component") === sub).select(owned.map(col): _*)
+    }
     val st = component("stats")
     // one bounded collect (a row per slice): shape validation + coverage
     val rows = st.select(col("depth"), col("width"), col("top_k"),
@@ -427,22 +468,22 @@ object JoinPlanner {
     val mergedTopk = prof.topk.groupBy(col("k")).agg(sum(col("cnt")).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // materialize the merged-topk cache (and the coverage re-check's
-      // input) sequentially, then fan the four fold writes out — same
-      // order-free discipline as [[writeSlice]]: the fold's atomicity is
-      // the commit rename, so the components need no write order
-      val mergedKeys = mergedTopk.count()
-      Jobs.concurrently(
-        () => prof.cells.write.mode("overwrite").parquet(s"$stage/cells"),
-        () => mergedTopk.orderBy(col("cnt").desc, col("k").asc).limit(prof.topK)
-          .write.mode("overwrite").parquet(s"$stage/topk"),
-        () => prof.kmv.write.mode("overwrite").parquet(s"$stage/kmv"),
-        () => prof.stats
+      // the four fold outputs as ONE unified write (the [[writeSlice]]
+      // discipline): one job, one commit; the merged-topk cache feeds
+      // both the truncated topk branch and the coverage re-check column,
+      // filled once inside the single action
+      unifiedComponent("cells", prof.cells)
+        .unionByName(unifiedComponent("topk",
+          mergedTopk.orderBy(col("cnt").desc, col("k").asc).limit(prof.topK)))
+        .unionByName(unifiedComponent("kmv", prof.kmv))
+        .unionByName(unifiedComponent("stats", prof.stats
+          .crossJoin(mergedTopk.agg(count(lit(1)).as("__dk")))
           .select(col("rows"), col("bytes"), lit(prof.depth).as("depth"),
             lit(prof.width).as("width"), lit(prof.topK).as("top_k"),
             lit(prof.kmvK).as("kmv_k"),
-            lit(prof.topCovered && mergedKeys <= prof.topK).as("top_covered"))
-          .write.mode("overwrite").parquet(s"$stage/stats"))
+            (lit(prof.topCovered) && col("__dk") <= prof.topK)
+              .as("top_covered"))))
+        .write.mode("overwrite").parquet(s"$stage/data")
     } finally mergedTopk.unpersist()
     commitSlice(hfs, dst, stage, target)
     val post = loadTableProfile(spark, dst).stats.collect()(0)
@@ -512,9 +553,21 @@ object JoinPlanner {
   def joinDecisionFromProfiles(spark: org.apache.spark.sql.SparkSession,
                                factPath: String, dimPath: String,
                                th: JoinThresholds,
-                               t: Capacity.SizingTargets = Capacity.SizingTargets()): DataFrame = {
-    val f = loadTableProfile(spark, factPath)
-    val d = loadTableProfile(spark, dimPath)
+                               t: Capacity.SizingTargets = Capacity.SizingTargets()): DataFrame =
+    joinDecisionFromProfiles(loadTableProfile(spark, factPath),
+      loadTableProfile(spark, dimPath), th, t)
+
+  /** [[joinDecisionFromProfiles]] over ALREADY-LOADED bundles — the form
+    * for a planner asking several questions of the same profiles (same
+    * join under different thresholds, one fact against many candidate
+    * dims): each [[loadTableProfile]] costs a slice listing plus a
+    * bounded stats read, so a loop that reloads per question pays that
+    * per question for artifacts that cannot have changed mid-plan.
+    * Decision semantics are identical by construction (the path form
+    * delegates here). */
+  def joinDecisionFromProfiles(f: TableProfile, d: TableProfile,
+                               th: JoinThresholds,
+                               t: Capacity.SizingTargets): DataFrame = {
     require(f.depth == d.depth && f.width == d.width,
       s"joinDecisionFromProfiles: sketch shapes differ (fact ${f.depth}x${f.width}, " +
         s"dim ${d.depth}x${d.width}) — the inner product needs one hash family")

@@ -167,9 +167,9 @@ class PlanServerSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_planserve5").toString
     try {
       java.nio.file.Files.createDirectories(
-        java.nio.file.Path.of(s"$root/bundle/slices/base/stats"))
+        java.nio.file.Path.of(s"$root/bundle/slices/base/data"))
       java.nio.file.Files.writeString(
-        java.nio.file.Path.of(s"$root/bundle/slices/base/stats/part-0.parquet"),
+        java.nio.file.Path.of(s"$root/bundle/slices/base/data/part-0.parquet"),
         "not parquet at all")
       val srv = new PlanServer(spark, Map("broken" -> s"$root/bundle"))
       val port = srv.start()
