@@ -176,12 +176,17 @@ private[graft] object Gates {
           Dedup.buildBandIndex(corpus.filter(col("doc_id") % 2 === 0)), s"$tmp/idx")
         Dedup.appendBandIndex(
           Dedup.buildBandIndex(corpus.filter(col("doc_id") % 2 === 1)), s"$tmp/idx")
-        Dedup.compactBandIndex(s, s"$tmp/idx", s"$tmp/gen2")
         def probe(path: String) = Dedup.nearDupsAgainstIndex(
             newBatch, Dedup.loadBandIndex(s, path), corpus, threshold = 0.95)
           .select(col("new_id"), col("corpus_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val pre = probe(s"$tmp/idx")
+        // the pile probe and the fold are independent READS of the same
+        // committed pile (compaction writes only gen2) — overlap them
+        // (guide §2.6); the gen2 probe needs the fold and runs after
+        var pre: Set[(Long, Long)] = null
+        Jobs.concurrently(
+          () => pre = probe(s"$tmp/idx"),
+          () => Dedup.compactBandIndex(s, s"$tmp/idx", s"$tmp/gen2"))
         val post = probe(s"$tmp/gen2")
         // found pairs are local (collected) — the temp index can vanish
         val found = post.toSeq.map { case (a, b) => (a, b, 1) }

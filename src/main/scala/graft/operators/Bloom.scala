@@ -240,17 +240,23 @@ object Bloom {
   def compactWords(spark: org.apache.spark.sql.SparkSession,
                    src: String, dst: String): Unit = {
     require(src != dst, "compactWords: dst must be a fresh path")
-    loadWords(spark, src)
-      .coalesce(1).sortWithinPartitions(col("w"))
-      .write.mode("overwrite").parquet(dst)
     def chk(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)).as("n"),
         coalesce(call_function("bit_xor", xxhash64(col("w"), col("bits"))),
           lit(0L)).as("x")).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    val pre = chk(loadWords(spark, src))
-    val post = chk(spark.read.parquet(dst))
+    loadWords(spark, src)
+      .coalesce(1).sortWithinPartitions(col("w"))
+      .write.mode("overwrite").parquet(dst)
+    // both audits AFTER the write (src re-read detects a mid-compaction
+    // append — the compactBandIndex contract), fanned out against each
+    // other (guide §2.6)
+    var pre: (Long, Long) = null
+    var post: (Long, Long) = null
+    Jobs.concurrently(
+      () => pre = chk(loadWords(spark, src)),
+      () => post = chk(spark.read.parquet(dst)))
     require(pre == post,
       s"compactWords: merged word set changed ($pre -> $post) — the source " +
         "changed mid-compaction; re-run")

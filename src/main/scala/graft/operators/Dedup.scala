@@ -249,9 +249,13 @@ object Dedup {
     // the source count is DELIBERATELY taken AFTER the dst write (not
     // reused from the rewrite): re-listing src here is what detects an
     // append landing mid-compaction — a pre-write count would compare
-    // the rewrite against its own input and always pass
-    val nSrc = pile.count()
-    val nDst = spark.read.parquet(dst).count()
+    // the rewrite against its own input and always pass. The two counts
+    // are independent of each other — fanned out (guide §2.6)
+    var nSrc = 0L
+    var nDst = 0L
+    Jobs.concurrently(
+      () => nSrc = pile.count(),
+      () => nDst = spark.read.parquet(dst).count())
     require(nSrc == nDst,
       s"compactBandIndex: layout-only rewrite changed row count " +
         s"($nSrc -> $nDst) — the source changed mid-compaction; re-run")
@@ -328,9 +332,78 @@ object Dedup {
    * Returns (id, cluster_rep = min id reachable). Singletons (ids not in any
    * pair) are absent — callers treat missing as self-cluster.
    */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+                  driverEdgeLimit: Int = 1 << 22): DataFrame = {
+    // DRIVER-SIDED SMALL PATH (optimization guide §1.2 step 1 — remove
+    // the rounds outright, the [[Graph.pageRank]] node-sized-state
+    // discipline): the pair list is DUP-RATE-proportional, not
+    // corpus-proportional, so in the common case it fits the driver and
+    // the whole fixpoint is a union-find over collected longs — zero
+    // Spark rounds instead of 2 jobs × O(log diameter) rounds. The
+    // bounded probe is `limit(driverEdgeLimit + 1)`: under the limit the
+    // pair subtree runs ONCE (same price the distributed path pays to
+    // checkpoint it); over it, the distributed loop below re-runs the
+    // subtree — the at-scale path, where that cost is the floor anyway.
+    // Result identity: union-find computes the COMPLETE closure with
+    // min-id representatives — exactly the fixpoint the rounds converge
+    // to (and the recursive-CTE oracles replay); `maxIter` only caps the
+    // distributed loop. Set `driverEdgeLimit = 0` to force the
+    // distributed path (specs pin both).
+    val p2 = pairs.select(col("a"), col("b"))
+    val longIds = p2.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && driverEdgeLimit > 0) {
+      val rows = p2.limit(driverEdgeLimit + 1).collect()
+      if (rows.length <= driverEdgeLimit) {
+        val idx = new java.util.HashMap[Long, Int]()
+        val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+        val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+        def ix(v: Long): Int = {
+          val got = idx.getOrDefault(v, -1)
+          if (got >= 0) got
+          else {
+            val i = ids.length
+            idx.put(v, i); ids += v; parent += i; i
+          }
+        }
+        def find(i0: Int): Int = {
+          var i = i0
+          while (parent(i) != i) {
+            parent(i) = parent(parent(i)) // path halving
+            i = parent(i)
+          }
+          i
+        }
+        rows.foreach { r =>
+          val ra = find(ix(r.getLong(0)))
+          val rb = find(ix(r.getLong(1)))
+          if (ra != rb) parent(ra) = rb
+        }
+        val minOfRoot = new java.util.HashMap[Int, Long]()
+        var i = 0
+        while (i < ids.length) {
+          val r = find(i)
+          val cur = minOfRoot.get(r)
+          if (!minOfRoot.containsKey(r) || ids(i) < cur)
+            minOfRoot.put(r, ids(i))
+          i += 1
+        }
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+        i = 0
+        while (i < ids.length) {
+          out.add(org.apache.spark.sql.Row(ids(i), minOfRoot.get(find(i))))
+          i += 1
+        }
+        return pairs.sparkSession.createDataFrame(out,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cluster_rep",
+              org.apache.spark.sql.types.LongType))))
+      }
+    }
+    val edges = p2
+      .union(p2.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     // round 0 fused into init: label = min(id, min neighbor) in one agg
     var labels = edges.groupBy(col("a"))

@@ -342,9 +342,6 @@ object Pca {
   def compactMoments(spark: org.apache.spark.sql.SparkSession,
                      src: String, dst: String): Unit = {
     require(src != dst, "compactMoments: dst must be a fresh path")
-    loadMoments(spark, src)
-      .coalesce(1).sortWithinPartitions(col("i"), col("j"))
-      .write.mode("overwrite").parquet(dst)
     def chk(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)).as("n"),
         coalesce(call_function("bit_xor",
@@ -352,8 +349,17 @@ object Pca {
         .collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    val pre = chk(loadMoments(spark, src))
-    val post = chk(spark.read.parquet(dst))
+    loadMoments(spark, src)
+      .coalesce(1).sortWithinPartitions(col("i"), col("j"))
+      .write.mode("overwrite").parquet(dst)
+    // both audits AFTER the write (src re-read detects a mid-compaction
+    // append — the compactBandIndex contract), fanned out against each
+    // other (guide §2.6)
+    var pre: (Long, Long) = null
+    var post: (Long, Long) = null
+    Jobs.concurrently(
+      () => pre = chk(loadMoments(spark, src)),
+      () => post = chk(spark.read.parquet(dst)))
     require(pre == post,
       s"compactMoments: merged cell set changed ($pre -> $post) — the " +
         "source changed mid-compaction; re-run")

@@ -169,8 +169,13 @@ object Retrieval {
       .repartitionByRange(partitions, col("gram"))
       .sortWithinPartitions(col("gram"))
       .write.mode("overwrite").parquet(dst)
-    val nSrc = spark.read.parquet(src).count()
-    val nDst = spark.read.parquet(dst).count()
+    // both counts AFTER the write (src re-list detects a mid-compaction
+    // append — the compactBandIndex contract), fanned out (guide §2.6)
+    var nSrc = 0L
+    var nDst = 0L
+    Jobs.concurrently(
+      () => nSrc = spark.read.parquet(src).count(),
+      () => nDst = spark.read.parquet(dst).count())
     require(nSrc == nDst,
       s"compactTrigramIndex: layout-only rewrite changed row count " +
         s"($nSrc -> $nDst) — the source changed mid-compaction; re-run")

@@ -149,8 +149,6 @@ object Sketches {
                          src: String, dst: String,
                          groupCols: Seq[String]): Unit = {
     require(src != dst, "compactSketchTable: dst must be a fresh path")
-    writeSketchTable(loadSketchTable(spark, src, groupCols), dst, groupCols,
-      "overwrite")
     def chk(df: DataFrame): (Long, Long) = {
       val cs = groupCols.map(c => col(c).cast("string")) :+
         col("estimate").cast("string")
@@ -159,8 +157,17 @@ object Sketches {
         .collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    val pre = chk(loadSketchTable(spark, src, groupCols))
-    val post = chk(loadSketchTable(spark, dst, groupCols))
+    writeSketchTable(loadSketchTable(spark, src, groupCols), dst,
+      groupCols, "overwrite")
+    // both audit reads run AFTER the write (the src re-list is what
+    // detects an append landing mid-compaction — the [[Dedup
+    // .compactBandIndex]] contract) but are independent of EACH OTHER:
+    // fan them out (guide §2.6)
+    var pre: (Long, Long) = null
+    var post: (Long, Long) = null
+    Jobs.concurrently(
+      () => pre = chk(loadSketchTable(spark, src, groupCols)),
+      () => post = chk(loadSketchTable(spark, dst, groupCols)))
     require(pre == post,
       s"compactSketchTable: merged estimates changed ($pre -> $post) — the " +
         "source changed mid-compaction; re-run")

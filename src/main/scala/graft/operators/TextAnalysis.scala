@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -630,12 +630,19 @@ object TextAnalysis {
     val stats = spark.read.parquet(s"$path/stats")
     auditabilityOf(stats, path).foreach(reason =>
       throw new IllegalStateException(s"validateLexicalIndex: $reason"))
-    val st = stats
-      .agg(count(lit(1)).as("n_segments"), sum(col("n_postings")).as("p_exp"),
-        sum(col("n_terms")).as("t_exp"))
-      .collect()(0)
-    val pAct = spark.read.parquet(s"$path/postings").count()
-    val tAct = spark.read.parquet(s"$path/termstats").count()
+    // three INDEPENDENT bounded reads (stats sums + two table counts) —
+    // fan them out (guide §2.6) instead of paying three serial job
+    // latencies per audit
+    var st: Row = null
+    var pAct = 0L
+    var tAct = 0L
+    Jobs.concurrently(
+      () => st = stats
+        .agg(count(lit(1)).as("n_segments"), sum(col("n_postings")).as("p_exp"),
+          sum(col("n_terms")).as("t_exp"))
+        .collect()(0),
+      () => pAct = spark.read.parquet(s"$path/postings").count(),
+      () => tAct = spark.read.parquet(s"$path/termstats").count())
     val (nSeg, pExp, tExp) = (st.getLong(0), st.getLong(1), st.getLong(2))
     Seq((nSeg, pExp, pAct, tExp, tAct, pExp == pAct, tExp == tAct))
       .toDF("n_segments", "n_postings_expected", "n_postings_actual",

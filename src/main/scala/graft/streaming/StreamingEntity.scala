@@ -98,10 +98,6 @@ object StreamingEntity {
         .groupBy(col("nm"), col("bk"), col("space"))
         .agg(sum(col("cnt")).as("cnt"), min(col("rep")).as("rep"))
         .select(col("nm"), col("cnt"), col("rep"), col("bk"), col("space"))
-    merged(src)
-      .repartitionByRange(col("space"), col("bk"))
-      .sortWithinPartitions(col("space"), col("bk"), col("nm"))
-      .write.mode("overwrite").parquet(dst)
     def chk(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)).as("n"),
         coalesce(call_function("bit_xor",
@@ -109,8 +105,18 @@ object StreamingEntity {
           lit(0L)).as("x")).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    val pre = chk(merged(src))
-    val post = chk(spark.read.parquet(dst))
+    merged(src)
+      .repartitionByRange(col("space"), col("bk"))
+      .sortWithinPartitions(col("space"), col("bk"), col("nm"))
+      .write.mode("overwrite").parquet(dst)
+    // both audits AFTER the write (src re-read detects a mid-compaction
+    // append — the compactBandIndex contract), fanned out against each
+    // other (guide §2.6)
+    var pre: (Long, Long) = null
+    var post: (Long, Long) = null
+    graft.operators.Jobs.concurrently(
+      () => pre = chk(merged(src)),
+      () => post = chk(spark.read.parquet(dst)))
     require(pre == post,
       s"compactDictionary: merged dictionary changed ($pre -> $post) — the " +
         "source changed mid-compaction; re-run")

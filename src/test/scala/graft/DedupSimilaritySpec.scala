@@ -265,12 +265,30 @@ class DedupSimilaritySpec extends SparkSpec {
   test("dupClusters: pointer doubling converges on a 64-node chain within maxIter") {
     import org.apache.spark.sql.functions.col
     // diameter 63 — plain min-label propagation needs 63 rounds and would
-    // blow the default maxIter = 20; shortcutting converges in O(log n)
+    // blow the default maxIter = 20; shortcutting converges in O(log n).
+    // driverEdgeLimit = 0 forces the DISTRIBUTED loop (the small path
+    // would short-circuit it and leave the doubling untested)
     val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
-    val out = graft.operators.Dedup.dupClusters(pairs)
+    val out = graft.operators.Dedup.dupClusters(pairs, driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.size == 64)
     assert(out.values.forall(_ == 1L), out.toString)
+  }
+
+  test("dupClusters: driver union-find small path ≡ distributed doubling") {
+    import org.apache.spark.sql.functions.col
+    // mixed shapes: long chain, star, triangle with a cross edge,
+    // self-pair, duplicate edges in both orientations
+    val pairs = ((1L until 64L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L),
+        (200L, 201L), (201L, 202L), (202L, 200L), (202L, 150L),
+        (300L, 300L), (101L, 100L)))
+      .toDF("a", "b")
+    val small = graft.operators.Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = graft.operators.Dedup.dupClusters(pairs, driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(small == dist, s"small=$small dist=$dist")
   }
 
   test("semanticDedup: planted dups found in-cluster; cap drops oversized clusters") {
