@@ -56,15 +56,20 @@ private[graft] object Gates {
    * restored as soon as `start` returns — the stream keeps the cloned
    * value; the gate's batch probes keep the session's.
    */
-  private[graft] def startSized[Q](s: SparkSession, feedRows: Long)(start: => Q): Q = {
-    val perPart = sys.env.get("SPARK_GRAFT_STATE_ROWS_PER_PARTITION")
-      .map(_.toLong).filter(_ > 0).getOrElse(65536L)
-    val n = math.max(1L, math.min(4096L, (feedRows + perPart - 1) / perPart))
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try start finally s.conf.set(key, prev)
-  }
+  private[graft] def startSized[Q](s: SparkSession, feedRows: Long)(start: => Q): Q =
+    // the set→start→restore runs under the Jobs conf-window guard: a
+    // Jobs.concurrently sibling planning a query while the temporary
+    // value is live would silently inherit it — the guard reports (and
+    // under strict scope, throws on) exactly that overlap
+    Jobs.confWindow("Gates.startSized") {
+      val perPart = sys.env.get("SPARK_GRAFT_STATE_ROWS_PER_PARTITION")
+        .map(_.toLong).filter(_ > 0).getOrElse(65536L)
+      val n = math.max(1L, math.min(4096L, (feedRows + perPart - 1) / perPart))
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, n.toString)
+      try start finally s.conf.set(key, prev)
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

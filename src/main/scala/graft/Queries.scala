@@ -2113,12 +2113,21 @@ private[graft] object Queries {
             epochs += ans.collect()
           })
         try {
-          mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
-          val g2 = Generations.advance(s, root) { dst =>
-            TextAnalysis.saveBenchmarkIndex(
+          // gen-2 (the new suite) BUILDS concurrently with epoch 0 (guide
+          // §2.6): the pointer names gen-1 until the explicit publish
+          // below and the stream re-resolves per micro-batch, so epoch 0
+          // cannot observe the half-built generation — only the PUBLISH
+          // (the flip this gate asserts around) is sequenced after the
+          // epoch. Build + publish ≡ the one-call Generations.advance,
+          // split at its own commit point.
+          val gen2 = Generations.nextGenerationName(s, root)
+          val g2 = new org.apache.hadoop.fs.Path(root, gen2).toString
+          Jobs.concurrently(
+            () => { mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable() },
+            () => TextAnalysis.saveBenchmarkIndex(
               docs.filter(col("doc_id") % 97 === 0 || col("doc_id") % 89 === 0),
-              shingleN = 5, dst)
-          }
+              shingleN = 5, g2))
+          Generations.publish(s, root, gen2)
           mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
           require(epochs.length == 2,
             s"streaming_decon_generation_flip: expected 2 epochs, got " +
@@ -2688,12 +2697,16 @@ private[graft] object Queries {
           TextAnalysis.winnowFingerprints(d)
             .select(col("doc_id").as("id"), col("fp"))
         val root = s"$tmp/wingen"
-        Generations.advance(s, root) { dst =>
-          graft.streaming.StreamingWinnow.saveFingerprints(
-            fps(docs.filter(col("doc_id") % 2 === 0)), dst)
-        }
-        val rows = Fixtures.nearDupCopies(docs.filter(col("doc_id") < 500))
-          .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+        // gen-1 publish and the probe-batch collect are independent —
+        // overlap them (guide §2.6); the stream below needs both
+        var rows: Array[(Long, String)] = null
+        Jobs.concurrently(
+          () => Generations.advance(s, root) { dst =>
+            graft.streaming.StreamingWinnow.saveFingerprints(
+              fps(docs.filter(col("doc_id") % 2 === 0)), dst)
+          },
+          () => rows = Fixtures.nearDupCopies(docs.filter(col("doc_id") < 500))
+            .select(col("doc_id"), col("text")).as[(Long, String)].collect())
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String)]
         val epochs = scala.collection.mutable.ArrayBuffer
@@ -2706,10 +2719,19 @@ private[graft] object Queries {
           epochs += ans.collect()
         }
         try {
-          mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
-          val g2 = Generations.advance(s, root) { dst =>
-            graft.streaming.StreamingWinnow.saveFingerprints(fps(docs), dst)
-          }
+          // gen-2 BUILDS concurrently with epoch 0 (guide §2.6): the
+          // pointer names gen-1 until the explicit publish below, and the
+          // stream resolves it per micro-batch, so epoch 0 cannot observe
+          // the half-built generation — only the PUBLISH (the flip this
+          // gate asserts around) is sequenced after the epoch. Build +
+          // publish ≡ the one-call Generations.advance, split at its own
+          // commit point.
+          val gen2 = Generations.nextGenerationName(s, root)
+          val g2 = new org.apache.hadoop.fs.Path(root, gen2).toString
+          Jobs.concurrently(
+            () => { mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable() },
+            () => graft.streaming.StreamingWinnow.saveFingerprints(fps(docs), g2))
+          Generations.publish(s, root, gen2)
           mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
           require(epochs.length == 2,
             s"streaming_winnow_generation_flip: expected 2 epochs, got " +
@@ -3737,11 +3759,20 @@ private[graft] object Queries {
           epochs += ans.collect()
         }
         try {
-          mem.addData(qs: _*); q.processAllAvailable()
-          val g2 = Generations.advance(s, root) { dst =>
-            TextAnalysis.saveLexicalIndex(docs.filter(col("doc_id") % 2 === 0),
-              dst, nBuckets = 8)
-          }
+          // gen-2 BUILDS concurrently with epoch 0 (guide §2.6): the
+          // pointer names gen-1 until the explicit publish below and the
+          // stream re-resolves per micro-batch, so epoch 0 cannot observe
+          // the half-built generation — only the PUBLISH (the flip this
+          // gate asserts around) is sequenced after the epoch. Build +
+          // publish ≡ the one-call Generations.advance, split at its own
+          // commit point.
+          val gen2 = Generations.nextGenerationName(s, root)
+          val g2 = new org.apache.hadoop.fs.Path(root, gen2).toString
+          Jobs.concurrently(
+            () => { mem.addData(qs: _*); q.processAllAvailable() },
+            () => TextAnalysis.saveLexicalIndex(
+              docs.filter(col("doc_id") % 2 === 0), g2, nBuckets = 8))
+          Generations.publish(s, root, gen2)
           mem.addData(qs: _*); q.processAllAvailable()
           require(epochs.length == 2,
             s"streaming_bm25_generation_flip: expected 2 served epochs, " +

@@ -353,8 +353,28 @@ object Dedup {
     val longIds = p2.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     if (longIds && driverEdgeLimit > 0) {
-      val rows = p2.limit(driverEdgeLimit + 1).collect()
-      if (rows.length <= driverEdgeLimit) {
+      // PRIMITIVE collect (guide §5 — the driver should hold as little as
+      // possible): a specialized (Long, Long) tuple is ~3× leaner than a
+      // generic Row of boxed longs, cutting the worst-case transient
+      // allocation at the probe limit. Encoding a NULL id into the
+      // primitive tuple fails loudly inside the probe job; current
+      // producers never emit null ids, but if one ever does, fall through
+      // to the distributed loop (whose groupBy semantics define the
+      // behavior) instead of crashing the small path.
+      val rows: Array[(Long, Long)] =
+        try p2.as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .limit(driverEdgeLimit + 1).collect()
+        catch {
+          case e: org.apache.spark.SparkException
+              if p2.schema.exists(_.nullable) =>
+            // null id mid-encode — the only expected failure here on a
+            // nullable schema; anything else re-surfaces from the
+            // distributed path's own execution
+            null
+        }
+      if (rows != null && rows.length <= driverEdgeLimit) {
         val idx = new java.util.HashMap[Long, Int]()
         val ids = new scala.collection.mutable.ArrayBuffer[Long]()
         val parent = new scala.collection.mutable.ArrayBuffer[Int]()
@@ -374,17 +394,18 @@ object Dedup {
           }
           i
         }
-        rows.foreach { r =>
-          val ra = find(ix(r.getLong(0)))
-          val rb = find(ix(r.getLong(1)))
+        rows.foreach { case (a, b) =>
+          val ra = find(ix(a))
+          val rb = find(ix(b))
           if (ra != rb) parent(ra) = rb
         }
         val minOfRoot = new java.util.HashMap[Int, Long]()
         var i = 0
         while (i < ids.length) {
           val r = find(i)
-          val cur = minOfRoot.get(r)
-          if (!minOfRoot.containsKey(r) || ids(i) < cur)
+          // getOrDefault(MaxValue): no reliance on null-unboxing for
+          // absent keys (ids are real ids, always < MaxValue)
+          if (ids(i) < minOfRoot.getOrDefault(r, Long.MaxValue))
             minOfRoot.put(r, ids(i))
           i += 1
         }
@@ -405,6 +426,12 @@ object Dedup {
     val edges = p2
       .union(p2.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
+    // distributed-loop partition sizing (guide §2.2, the
+    // [[Graph.withDistLoopConf]] discipline): the loop's per-round
+    // exchanges are edge-keyed — derive their width from the checkpointed
+    // edge volume (a cheap block count) instead of the static session
+    // value, which undersizes them at warehouse scale. AQE stays on.
+    Graph.withDistLoopConf(pairs.sparkSession, edges.count()) {
     // round 0 fused into init: label = min(id, min neighbor) in one agg
     var labels = edges.groupBy(col("a"))
       .agg(min(col("b")).as("_nb"))
@@ -445,6 +472,7 @@ object Dedup {
       i += 1
     }
     labels.withColumnRenamed("label", "cluster_rep")
+    } // withDistLoopConf
   }
 
   /**

@@ -186,9 +186,10 @@ object Graph {
             nodes.schema.fields.head.copy(name = "node"),
             org.apache.spark.sql.types.StructField("hub", org.apache.spark.sql.types.DoubleType),
             org.apache.spark.sql.types.StructField("auth", org.apache.spark.sql.types.DoubleType))))
-      } else {
+      } else withDistLoopConf(spark, e.count()) {
         // DISTRIBUTED path: norm via a 1-row aggregate, normalized scores
-        // re-joined against the node set, lineage cut per half-step
+        // re-joined against the node set, lineage cut per half-step;
+        // exchange width derived from the edge volume (cache read)
         val nodesM = nodes.select(col("node")).localCheckpoint()
         def step(scores: DataFrame, from: String, to: String, what: String): DataFrame = {
           val raw = rawSums(scores, "s", from, to)
@@ -325,9 +326,10 @@ object Graph {
           java.util.Arrays.asList(nodeList.map(v =>
             org.apache.spark.sql.Row(v, lblMap(v))): _*), lblSchema)
           .select(col("node"), col("lbl").as("label"))
-      } else {
+      } else withDistLoopConf(spark, e.count()) {
         // distributed path: label lineage cut per round; no-in-edge nodes
-        // keep their previous label via the left join
+        // keep their previous label via the left join; exchange width
+        // derived from the edge volume (cache read)
         var labels = nodes.select(col("node"), col("node").as("lbl"))
           .localCheckpoint()
         var k = 0
@@ -431,19 +433,46 @@ object Graph {
     * scale). The session conf is restored on exit; results are
     * partition-count independent (exact decimal sums / deterministic
     * argmax throughout — the property every graph oracle pins). */
+  /** Run a DISTRIBUTED iteration loop under a volume-derived shuffle
+    * partition budget (guide §2.2: size exchanges from the data moved,
+    * never a static session count — which undersizes the per-round
+    * edge-keyed join exchanges at warehouse scale): `ceil(rows / 64Ki)`
+    * clamped to [1, 65536], `rows` = the loop's per-round exchange volume
+    * (the EDGE count — every round joins edge-shaped data). AQE stays ON
+    * here, unlike [[withNodeLoopConf]]'s tiny fixed-shape rounds: the
+    * distributed rounds move real volume, and AQE's runtime re-planning
+    * (skew splits, local coalescing below the budget) is exactly right —
+    * only the partition BUDGET is derived. Conf restored on exit;
+    * results are partition-count independent (the property every graph
+    * oracle pins; the forced-distributed specs stay green). */
+  private[operators] def withDistLoopConf[A](
+      spark: org.apache.spark.sql.SparkSession, rows: Long)(body: => A): A =
+    Jobs.confWindow("Graph.withDistLoopConf") {
+      val conf = spark.conf
+      val key = "spark.sql.shuffle.partitions"
+      val prev = conf.get(key)
+      conf.set(key,
+        math.max(1L, math.min(65536L, (rows + 65535L) / 65536L)).toString)
+      try body finally conf.set(key, prev)
+    }
+
   private def withNodeLoopConf[A](spark: org.apache.spark.sql.SparkSession,
-                                  n: Long)(body: => A): A = {
-    val conf = spark.conf
-    val keyA = "spark.sql.adaptive.enabled"
-    val keyP = "spark.sql.shuffle.partitions"
-    val prevA = conf.get(keyA)
-    val prevP = conf.get(keyP)
-    conf.set(keyA, "false")
-    conf.set(keyP, math.max(1L,
-      math.min(prevP.toLong, (n + 65535) / 65536)).toString)
-    try body
-    finally { conf.set(keyA, prevA); conf.set(keyP, prevP) }
-  }
+                                  n: Long)(body: => A): A =
+    // guarded mutation window (see [[Jobs.confWindow]]): a concurrent
+    // fan-out sibling planning under the loop-tuned conf is reported
+    // loudly instead of silently inheriting it
+    Jobs.confWindow("Graph.withNodeLoopConf") {
+      val conf = spark.conf
+      val keyA = "spark.sql.adaptive.enabled"
+      val keyP = "spark.sql.shuffle.partitions"
+      val prevA = conf.get(keyA)
+      val prevP = conf.get(keyP)
+      conf.set(keyA, "false")
+      conf.set(keyP, math.max(1L,
+        math.min(prevP.toLong, (n + 65535) / 65536)).toString)
+      try body
+      finally { conf.set(keyA, prevA); conf.set(keyP, prevP) }
+    }
 
   private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
                            srcCol: String, dstCol: String, weightCol: Option[String],
@@ -576,10 +605,12 @@ object Graph {
           k += 1
         }
         rankTable(rankMap)
-      } else {
+      } else withDistLoopConf(spark, e.count()) {
         // DISTRIBUTED path (web-scale graphs): degree-annotated cached
         // edges, shuffle joins on the edge key, rank lineage cut per round
-        // ([[Dedup.dupClusters]] discipline)
+        // ([[Dedup.dupClusters]] discipline); exchange width derived from
+        // the edge volume (e is already materialized — the count is a
+        // cache read)
         val ed = e.join(outdeg, "src")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {

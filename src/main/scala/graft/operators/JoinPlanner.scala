@@ -393,6 +393,23 @@ object JoinPlanner {
     require(dirs.nonEmpty,
       s"no committed profile slices at $path — saveTableProfile first " +
         "(an interrupted write leaves only invisible staging)")
+    // LAYOUT-VERSION check: the unified single-table slice (`<slice>/data`)
+    // replaced the four component subdirs (cells/topk/kmv/stats) in the
+    // round-19 format break. A bundle written by a pre-break build — or a
+    // mixed pile from appending new-format slices onto an old-format base —
+    // must fail HERE with the migration instruction, not deep inside the
+    // parquet reader with an opaque path error. Bounded: one fs.exists per
+    // committed slice, driver-side metadata only.
+    val hfs = bundleFs(spark, path)
+    val legacy = dirs.filterNot(d =>
+      hfs.exists(new org.apache.hadoop.fs.Path(d, "data")))
+    require(legacy.isEmpty,
+      s"profile bundle at $path contains ${legacy.length} slice(s) in the " +
+        "legacy component-subdir layout (no data/ table): " +
+        legacy.map(_.split('/').last).sorted.mkString(", ") +
+        " — the on-disk format changed to one unified table per slice; " +
+        "rebuild the bundle (saveTableProfile/appendTableProfile) from the " +
+        "source data with this version")
     // ONE relation over every slice's unified table; each component is a
     // discriminator filter + projection of it (one file listing + footer
     // set per bundle instead of four)

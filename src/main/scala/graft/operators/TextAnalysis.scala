@@ -475,23 +475,43 @@ object TextAnalysis {
    * Layout under `path` — every table is APPEND-ONLY (the segment model;
    * [[appendLexicalIndex]] adds new documents without rewriting a byte of
    * existing data, mirroring the stored band-index contract of
-   * [[Dedup.buildBandIndex]]/[[Dedup.nearDupsAgainstIndex]]):
-   *  - `postings/` — (token, doc_id, tf, dl), parquet partitioned by
-   *    `bucket = pmod(xxhash64(token), nBuckets)`. `dl` is a per-doc
-   *    property, so appended docs never invalidate existing rows. Per-term
-   *    document frequency `dfq` deliberately does NOT live here (it changes
-   *    with every append) — it rides the sidecar below.
-   *  - `termstats/` — (token, dfq) DELTA rows, partitioned by the same
-   *    `bucket`; each save/append writes the batch's per-term doc counts,
-   *    and serving sums deltas per term (a ≤ |query|·segments-row aggregate
-   *    after pruning — broadcast-sized).
-   *  - `stats/` — (n_docs, sum_dl, n_postings, n_terms, n_buckets) DELTA
-   *    rows, one per segment; serving sums them. `sum_dl` is an exact
-   *    integer so avgdl = Σsum_dl / Σn_docs reproduces [[bm25TopK]]
-   *    bit-for-bit no matter how the corpus was split across appends. The
-   *    stats row doubles as the segment's COMMIT RECORD (written last,
-   *    carrying the row counts the segment's other writes produced —
-   *    [[validateLexicalIndex]] audits them).
+   * [[Dedup.buildBandIndex]]/[[Dedup.nearDupsAgainstIndex]]). Since the
+   * round-20 format revision the three logical tables live as disjoint
+   * row groups of ONE parquet table, `index/`, partitioned by
+   * (`component`, `bucket`) — the [[JoinPlanner]] unified-slice
+   * discipline: one write job and ONE output commit per segment where
+   * the previous layout paid three (optimization guide §1.2/§2.4 — the
+   * write latency of a KB-per-bucket artifact is job-scheduling + commit
+   * protocol, so jobs × latency is the whole cost), and a serve scan
+   * opens one relation per index. Columns not owned by a row's
+   * component are null. The components:
+   *  - `component=post` — (token, doc_id, tf, dl), bucket =
+   *    `pmod(xxhash64(token), nBuckets)`. `dl` is a per-doc property, so
+   *    appended docs never invalidate existing rows. Per-term document
+   *    frequency `dfq` deliberately does NOT live here (it changes with
+   *    every append) — it rides the `term` component.
+   *  - `component=term` — (token, dfq) DELTA rows, same bucketing; each
+   *    save/append writes the batch's per-term doc counts, and serving
+   *    sums deltas per term (a ≤ |query|·segments-row aggregate after
+   *    pruning — broadcast-sized).
+   *  - `component=stat` (bucket 0) — (n_docs, sum_dl, n_postings,
+   *    n_terms, n_buckets) DELTA rows, one per segment; serving sums
+   *    them. `sum_dl` is an exact integer so avgdl = Σsum_dl / Σn_docs
+   *    reproduces [[bm25TopK]] bit-for-bit no matter how the corpus was
+   *    split across appends. The stats row is the segment's COMMIT
+   *    RECORD: it lands in the SAME output commit as the segment's data
+   *    rows (the unified write), carrying the row counts that segment
+   *    produced — a crash that tears the commit leaves counts and rows
+   *    disagreeing in one direction or the other, which
+   *    [[validateLexicalIndex]] flags either way.
+   *
+   * READ COMPATIBILITY: every reader goes through layout-agnostic
+   * accessors that union the unified table with the legacy three-dir
+   * layout (`postings/`, `termstats/`, `stats/`) when present — an
+   * artifact written by a pre-revision build, or a mixed pile from
+   * appending onto one, still serves row-identically (spec-pinned); a
+   * fresh [[compactLexicalIndex]] fold migrates it to the unified
+   * layout.
    *
    * At 100 TB the build is two token-keyed shuffles (tf, dfq) plus one
    * doc-keyed one (dl) — each a plain partial/final hash aggregate; serving
@@ -500,6 +520,13 @@ object TextAnalysis {
   def saveLexicalIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
                        idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(nBuckets > 0, "saveLexicalIndex: nBuckets must be positive")
+    // a rebuild over a path holding a LEGACY-layout artifact must not
+    // leave its three dirs behind next to the fresh unified table — the
+    // layout-agnostic readers would union old and new rows (double
+    // counting); the unified write's own overwrite only clears index/
+    val hfs = lexFs(docs.sparkSession, path)
+    Seq("postings", "termstats", "stats").foreach(d =>
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
     writeLexicalSegment(docs, path, nBuckets, "overwrite", idCol, textCol)
   }
 
@@ -519,28 +546,103 @@ object TextAnalysis {
     // stats row would sit next to rows missing the audit columns, and the
     // mixed-schema sums would falsely flag the index as torn forever —
     // compaction migrates it first (one rewrite, serving unchanged)
-    val stats = docs.sparkSession.read.parquet(s"$path/stats")
+    val stats = statsOf(docs.sparkSession, path)
     auditabilityOf(stats, path).foreach(reason =>
       throw new IllegalStateException(s"appendLexicalIndex: $reason"))
     val nBuckets = stats.select(col("n_buckets")).head().getInt(0)
     writeLexicalSegment(docs, path, nBuckets, "append", idCol, textCol)
   }
 
+  /** The unified index-table schema: data columns of all three
+    * components; `component`/`bucket` ride as partition columns. */
+  private val UnifiedLexTypes: Seq[(String, String)] = Seq(
+    "token" -> "string", "doc_id" -> "long", "tf" -> "long", "dl" -> "long",
+    "dfq" -> "long", "n_docs" -> "long", "sum_dl" -> "long",
+    "n_postings" -> "long", "n_terms" -> "long", "n_buckets" -> "int")
+
+  /** Project `df` onto the unified schema under `component = tag`: owned
+    * columns cast to the unified type, the rest typed nulls; `bucketCol`
+    * becomes the bucket partition value. */
+  private def lexComponent(tag: String, bucketCol: Column,
+                           df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    df.select(UnifiedLexTypes.map { case (c, t) =>
+      (if (present(c)) col(c).cast(t) else lit(null).cast(t)).as(c)
+    } ++ Seq(lit(tag).as("component"), bucketCol.cast("int").as("bucket")): _*)
+  }
+
+  /** Columns owned by each component of the unified table. */
+  private def lexOwned(comp: String): Seq[String] = comp match {
+    case "post" => Seq("token", "doc_id", "tf", "dl", "bucket")
+    case "term" => Seq("token", "dfq", "bucket")
+    case "stat" => Seq("n_docs", "sum_dl", "n_postings", "n_terms", "n_buckets")
+  }
+
+  private def lexFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Layout-agnostic component reader: the unified `index/` slice when
+    * present, unioned with the legacy three-dir table when THAT is
+    * present (a pre-revision artifact, or a mixed pile from appending
+    * onto one). Column pruning and partition pruning work identically on
+    * both sides — predicates on `bucket`/`token` push through the union
+    * into each parquet relation. */
+  private def lexTable(spark: SparkSession, path: String, comp: String,
+                       legacyDir: String): DataFrame = {
+    val hfs = lexFs(spark, path)
+    val uni = new org.apache.hadoop.fs.Path(s"$path/index")
+    val leg = new org.apache.hadoop.fs.Path(s"$path/$legacyDir")
+    val owned = lexOwned(comp)
+    val u = if (hfs.exists(uni))
+      Some(spark.read.parquet(uni.toString)
+        .filter(col("component") === comp).select(owned.map(col): _*))
+    else None
+    val l = if (hfs.exists(leg))
+      // legacy stats may predate the audit schema — surface whatever
+      // columns the table has; auditabilityOf inspects them
+      Some(if (comp == "stat") spark.read.parquet(leg.toString)
+           else spark.read.parquet(leg.toString).select(owned.map(col): _*))
+    else None
+    (u, l) match {
+      case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None)       => throw new IllegalStateException(
+        s"no lexical index at $path — neither the unified index/ table " +
+          s"nor a legacy $legacyDir/ directory exists; saveLexicalIndex first")
+    }
+  }
+
+  private def postingsOf(spark: SparkSession, path: String): DataFrame =
+    lexTable(spark, path, "post", "postings")
+
+  private def termstatsOf(spark: SparkSession, path: String): DataFrame =
+    lexTable(spark, path, "term", "termstats")
+
+  private def statsOf(spark: SparkSession, path: String): DataFrame =
+    lexTable(spark, path, "stat", "stats")
+
   /** One index segment: the shared write path of save (overwrite) and
-    * append (append). All three tables are written with the same clustering
-    * discipline — repartition on the partition column first (else every
-    * task writes a file per bucket: tasks × nBuckets small files at scale),
-    * token-sorted within files for tight parquet row-group min/max stats.
+    * append (append). The three components union into ONE write of the
+    * unified table — one job, one output commit, where the previous
+    * layout paid a two-write fan-out plus an ordered stats commit
+    * (guide §1.2/§2.4). Clustering discipline unchanged: repartition on
+    * the partition columns first (else every task writes a file per
+    * bucket: tasks × nBuckets small files at scale), partition-col-then-
+    * token sort within tasks so the writer needs no extra sort and files
+    * stay token-sorted for tight parquet row-group min/max stats.
     *
-    * `tf`/`dl` are persisted across the three writes — without the cache
-    * each write re-ran the tokenize→aggregate pipeline, tripling the
-    * build's shuffle cost (same discipline as Dedup's `sigd`).
+    * `tf`/`dl` are persisted across the three component derivations —
+    * without the cache each subtree re-ran the tokenize→aggregate
+    * pipeline, tripling the build's shuffle cost (same discipline as
+    * Dedup's `sigd`).
     *
-    * The STATS row is the segment's COMMIT RECORD: it is written LAST and
-    * carries the segment's expected postings/termstats row counts, so a
-    * crash between the three writes leaves an artifact
-    * [[validateLexicalIndex]] flags (postings rows present whose stats
-    * delta never landed) instead of one that silently skews idf/avgdl. */
+    * Crash story: the stats COMMIT RECORD lands in the same output
+    * commit as the segment's data rows, carrying the row counts those
+    * rows must sum to — a torn commit (crash mid-job-commit) leaves
+    * counts and rows disagreeing in one direction or the other, and
+    * [[validateLexicalIndex]] checks equality in BOTH directions. */
   private def writeLexicalSegment(docs: DataFrame, path: String, nBuckets: Int,
                                   mode: String, idCol: String, textCol: String): Unit = {
     val toks = docs
@@ -556,29 +658,22 @@ object TextAnalysis {
         val bucket = pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int")
         val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfq"))
         // materialize BOTH caches in one sequential pass (computing dl
-        // scans tf) so the concurrent writers below are pure cache
-        // readers — racing first-actions would tokenize the corpus twice
+        // scans tf) so the unified write's concurrent AQE stages are pure
+        // cache readers — racing first-stages would tokenize twice
         dl.count()
-        // the two DATA writes are order-free (the stats commit record
-        // below is what makes a segment visible to the audit) — fan them
-        // out concurrently over the materialized tf/dl caches
-        Jobs.concurrently(
-          () => tf.join(dl.select(col("doc_id"), col("dl")), "doc_id")
-            .withColumn("bucket", bucket)
-            .repartition(col("bucket")).sortWithinPartitions(col("token"))
-            .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings"),
-          () => dfq.withColumn("bucket", bucket)
-            .repartition(col("bucket")).sortWithinPartitions(col("token"))
-            .write.mode(mode).partitionBy("bucket").parquet(s"$path/termstats"))
-        // commit record, written last (NOT in the fan-out — the write-order
-        // contract IS the crash story): corpus scalars + the row counts the
-        // two writes above must have produced (n_post per doc sums to the
-        // postings rows; dfq rows are the termstats rows)
-        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
-            sum(col("n_post")).as("n_postings"))
-          .crossJoin(broadcast(dfq.agg(count(lit(1)).as("n_terms"))))
-          .withColumn("n_buckets", lit(nBuckets))
-          .write.mode(mode).parquet(s"$path/stats")
+        lexComponent("post",
+            bucket,
+            tf.join(dl.select(col("doc_id"), col("dl")), "doc_id"))
+          .unionByName(lexComponent("term", bucket, dfq))
+          .unionByName(lexComponent("stat", lit(0),
+            dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+                sum(col("n_post")).as("n_postings"))
+              .crossJoin(broadcast(dfq.agg(count(lit(1)).as("n_terms"))))
+              .withColumn("n_buckets", lit(nBuckets))))
+          .repartition(col("component"), col("bucket"))
+          .sortWithinPartitions(col("component"), col("bucket"), col("token"))
+          .write.mode(mode).partitionBy("component", "bucket")
+          .parquet(s"$path/index")
       } finally dl.unpersist()
     } finally tf.unpersist()
   }
@@ -595,7 +690,7 @@ object TextAnalysis {
    * counts from the rewritten tables themselves).
    */
   def lexicalAuditability(spark: SparkSession, path: String): Option[String] =
-    auditabilityOf(spark.read.parquet(s"$path/stats"), path)
+    auditabilityOf(statsOf(spark, path), path)
 
   /** [[lexicalAuditability]] over an already-loaded stats frame — callers
     * that need the frame anyway (validate, append) avoid a second listing. */
@@ -612,14 +707,17 @@ object TextAnalysis {
   }
 
   /**
-   * Audit a lexical index for torn segments: every save/append writes its
-   * stats commit record LAST, carrying the postings/termstats row counts
-   * that segment produced — so actual table counts exceeding the committed
-   * sums mean a crash landed data rows whose stats delta (and therefore
-   * dfq/avgdl contribution) is missing. One row: expected vs actual counts
-   * plus the consistency booleans. Cost is a full count of both tables —
-   * a deployment check (stream construction, post-append audit), not a
-   * per-query path.
+   * Audit a lexical index for torn segments: every segment's stats commit
+   * record carries the postings/termstats row counts that segment
+   * produced (landing in the same output commit as its data rows in the
+   * unified layout; written last in the legacy layout) — so actual table
+   * counts disagreeing with the committed sums in EITHER direction mean
+   * a crash tore a segment (data rows whose stats delta — and therefore
+   * dfq/avgdl contribution — is missing, or vice versa). One row:
+   * expected vs actual counts plus the consistency booleans. Cost is one
+   * column-pruned scan of the unified table (legacy/mixed piles pay a
+   * three-read fan-out) — a deployment check (stream construction,
+   * post-append audit), not a per-query path.
    *
    * A pre-audit-schema artifact (see [[lexicalAuditability]]) throws with
    * the migration instruction rather than summing nulls and reporting a
@@ -627,23 +725,48 @@ object TextAnalysis {
    */
   def validateLexicalIndex(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = statsOf(spark, path)
     auditabilityOf(stats, path).foreach(reason =>
       throw new IllegalStateException(s"validateLexicalIndex: $reason"))
-    // three INDEPENDENT bounded reads (stats sums + two table counts) —
-    // fan them out (guide §2.6) instead of paying three serial job
-    // latencies per audit
-    var st: Row = null
-    var pAct = 0L
-    var tAct = 0L
-    Jobs.concurrently(
-      () => st = stats
-        .agg(count(lit(1)).as("n_segments"), sum(col("n_postings")).as("p_exp"),
-          sum(col("n_terms")).as("t_exp"))
-        .collect()(0),
-      () => pAct = spark.read.parquet(s"$path/postings").count(),
-      () => tAct = spark.read.parquet(s"$path/termstats").count())
-    val (nSeg, pExp, tExp) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val hfs = lexFs(spark, path)
+    val pureUnified = hfs.exists(new org.apache.hadoop.fs.Path(s"$path/index")) &&
+      !hfs.exists(new org.apache.hadoop.fs.Path(s"$path/stats"))
+    val (nSeg, pExp, tExp, pAct, tAct) =
+      if (pureUnified) {
+        // ONE column-pruned scan of the unified table answers all five
+        // audit numbers (guide §1.2 step 1 — one job instead of a
+        // three-read fan-out): component rows count themselves, the stat
+        // rows carry the committed sums
+        val isC = (c: String) => col("component") === c
+        // coalesce(…, 0): a torn-at-birth index (data rows, zero stat
+        // rows) must AUDIT as inconsistent, not NPE on a null sum
+        val r = spark.read.parquet(s"$path/index").agg(
+          coalesce(sum(when(isC("stat"), lit(1L)).otherwise(lit(0L))), lit(0L))
+            .as("n_segments"),
+          coalesce(sum(when(isC("stat"), col("n_postings"))), lit(0L)).as("p_exp"),
+          coalesce(sum(when(isC("stat"), col("n_terms"))), lit(0L)).as("t_exp"),
+          coalesce(sum(when(isC("post"), lit(1L)).otherwise(lit(0L))), lit(0L))
+            .as("p_act"),
+          coalesce(sum(when(isC("term"), lit(1L)).otherwise(lit(0L))), lit(0L))
+            .as("t_act"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      } else {
+        // legacy or mixed pile: three INDEPENDENT bounded reads (stats
+        // sums + two table counts) — fan them out (guide §2.6) instead of
+        // paying three serial job latencies per audit
+        var st: Row = null
+        var pA = 0L
+        var tA = 0L
+        Jobs.concurrently(
+          () => st = stats
+            .agg(count(lit(1)).as("n_segments"), sum(col("n_postings")).as("p_exp"),
+              sum(col("n_terms")).as("t_exp"))
+            .collect()(0),
+          () => pA = postingsOf(spark, path).count(),
+          () => tA = termstatsOf(spark, path).count())
+        (st.getLong(0), st.getLong(1), st.getLong(2), pA, tA)
+      }
     Seq((nSeg, pExp, pAct, tExp, tAct, pExp == pAct, tExp == tAct))
       .toDF("n_segments", "n_postings_expected", "n_postings_actual",
         "n_terms_expected", "n_terms_actual", "postings_consistent", "terms_consistent")
@@ -681,37 +804,34 @@ object TextAnalysis {
           "hide the tear; rebuild from the corpus or drop the orphan " +
           "segment files first")
     }
-    val nBuckets = spark.read.parquet(s"$src/stats")
-      .agg(max(col("n_buckets"))).head().getInt(0)
-    // the two table rewrites read disjoint source dirs and write disjoint
-    // destination dirs — order-free (the stats commit record below is
-    // written last, same contract as [[writeLexicalSegment]])
-    Jobs.concurrently(
-      () => spark.read.parquet(s"$src/postings")
-        .repartition(col("bucket")).sortWithinPartitions(col("token"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/postings"),
-      () => spark.read.parquet(s"$src/termstats")
-        .groupBy(col("bucket"), col("token")).agg(sum(col("dfq")).as("dfq"))
-        .select(col("token"), col("dfq"), col("bucket")) // canonical column order
-        .repartition(col("bucket")).sortWithinPartitions(col("token"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/termstats"))
-    // the compacted commit record: BOTH audit counts are taken from the
-    // rewritten tables themselves (postings rows are preserved verbatim,
-    // termstats rows merge per term), so the record matches what actually
-    // landed — and compaction doubles as the MIGRATION path for
-    // pre-audit-schema artifacts (see [[lexicalAuditability]]), whose stats
-    // carry no counts to sum
-    var nPostings = 0L
-    var nTerms = 0L // visibility: Jobs.concurrently awaits via Future.get
-    Jobs.concurrently(
-      () => nPostings = spark.read.parquet(s"$dst/postings").count(),
-      () => nTerms = spark.read.parquet(s"$dst/termstats").count())
-    spark.read.parquet(s"$src/stats")
+    val srcStats = statsOf(spark, src)
+    val nBuckets = srcStats.agg(max(col("n_buckets"))).head().getInt(0)
+    // the whole fold is ONE unified write — one job, one output commit,
+    // where the previous layout paid two fanned rewrites + two fanned
+    // counts + an ordered stats write (guide §1.2/§2.4). The compacted
+    // commit record's audit counts are computed IN-PLAN from the same
+    // expressions that produce the written rows (postings preserved
+    // verbatim — their count is the source's; termstats merge per term —
+    // their count is the merged group count), so the record matches what
+    // lands by construction — and compaction doubles as the MIGRATION
+    // path to the unified layout for legacy and pre-audit-schema
+    // artifacts (see [[lexicalAuditability]]), whose stats carry no
+    // counts to sum
+    val posts = postingsOf(spark, src)
+    val terms = termstatsOf(spark, src)
+      .groupBy(col("bucket"), col("token")).agg(sum(col("dfq")).as("dfq"))
+    val stat = srcStats
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .withColumn("n_postings", lit(nPostings))
-      .withColumn("n_terms", lit(nTerms))
+      .crossJoin(broadcast(posts.agg(count(lit(1)).as("n_postings"))))
+      .crossJoin(broadcast(terms.agg(count(lit(1)).as("n_terms"))))
       .withColumn("n_buckets", lit(nBuckets))
-      .write.mode("overwrite").parquet(s"$dst/stats")
+    lexComponent("post", col("bucket"), posts)
+      .unionByName(lexComponent("term", col("bucket"), terms))
+      .unionByName(lexComponent("stat", lit(0), stat))
+      .repartition(col("component"), col("bucket"))
+      .sortWithinPartitions(col("component"), col("bucket"), col("token"))
+      .write.mode("overwrite").partitionBy("component", "bucket")
+      .parquet(s"$dst/index")
   }
 
   /** Per-JVM memo of collected index scalars, keyed by index path and
@@ -725,22 +845,34 @@ object TextAnalysis {
     scala.collection.mutable.Map[String, (String, (Long, Double, Int))]()
   private final val StatsMemoCap = 256
 
-  /** Fingerprint of the stats directory's file listing (name, length,
-    * mtime per file) — one filesystem listing, no Spark job. Appends write
-    * new delta files and compaction rewrites the directory, so any index
+  /** Fingerprint of the stats COMMIT-RECORD files' listing (name, length,
+    * mtime per file) — driver filesystem listings, no Spark job. Covers
+    * both layouts: the unified table's `index/component=stat/bucket=0`
+    * dir and the legacy `stats/` dir. Every segment write lands a stat
+    * delta file and compaction rewrites the directory, so any index
     * mutation changes the fingerprint. */
   private def statsFingerprint(spark: SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/stats")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    try fs.listStatus(p)
-      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString("|")
-    catch {
+    val fs = lexFs(spark, path)
+    def listing(dir: String): Option[String] =
+      try Some(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("|"))
+      catch { case _: java.io.FileNotFoundException => None }
+    try {
+      val uni = listing(s"$path/index/component=stat/bucket=0")
+      val leg = listing(s"$path/stats")
+      if (uni.isEmpty && leg.isEmpty)
+        throw new java.io.FileNotFoundException(
+          s"no lexical index stats at $path (neither index/component=stat " +
+            "nor legacy stats/)")
+      s"u:${uni.getOrElse("")}#l:${leg.getOrElse("")}"
+    } catch {
       case e: java.io.IOException =>
         // a deleted/unreadable index must not leave a stale memo entry
         // behind (the cached scalars would outlive the artifact); evict,
         // then surface the real failure to the caller
         statsMemo.synchronized { statsMemo.remove(path) }
+        dfqMemo.synchronized { dfqMemo.clear() }
         throw e
     }
   }
@@ -756,12 +888,18 @@ object TextAnalysis {
     * file listing, so an [[appendLexicalIndex]] or [[compactLexicalIndex]]
     * invalidates on the very next call — the growing-index contract is
     * preserved (spec-pinned), only the redundant recomputation goes. */
-  private def lexicalStats(spark: SparkSession, path: String): (Long, Double, Int) = {
-    val fp = statsFingerprint(spark, path)
+  private def lexicalStats(spark: SparkSession, path: String): (Long, Double, Int) =
+    lexicalStatsWith(spark, path, statsFingerprint(spark, path))
+
+  /** [[lexicalStats]] against an already-computed listing fingerprint —
+    * the serve paths compute the fingerprint once per call and share it
+    * between this memo and [[memoDfq]]. */
+  private def lexicalStatsWith(spark: SparkSession, path: String,
+                               fp: String): (Long, Double, Int) =
     statsMemo.synchronized { statsMemo.get(path) } match {
       case Some((`fp`, v)) => v
       case _ =>
-        val st = spark.read.parquet(s"$path/stats")
+        val st = statsOf(spark, path)
           .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"),
             max(col("n_buckets")).as("n_buckets"))
           .collect()(0)
@@ -775,15 +913,47 @@ object TextAnalysis {
         }
         v
     }
-  }
 
   /** Pruned (token, dfq) for `terms`: termstats delta rows restricted to the
     * terms' buckets, summed per term — broadcast-sized by construction. */
   private def prunedDfq(spark: SparkSession, path: String, terms: Seq[String],
                         bucketIds: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$path/termstats")
+    termstatsOf(spark, path)
       .where(col("bucket").isin(bucketIds: _*) && col("token").isin(terms: _*))
       .groupBy(col("token")).agg(sum(col("dfq")).as("dfq"))
+
+  /** Per-JVM memo of the COLLECTED pruned-dfq slice, keyed by (path, term
+    * set) and invalidated by the same stats-listing fingerprint as
+    * [[lexicalStats]] — a serving loop re-asking the same terms (REST
+    * asks, per-epoch query batches) pays the termstats scan ONCE per
+    * index mutation instead of once per ask, while an append between asks
+    * still changes the answer on the very next call (the segment's stats
+    * delta file moves the fingerprint — the growing-index freshness
+    * contract, spec-pinned). Entries are query-term-sized; the map is
+    * cleared wholesale at [[StatsMemoCap]] like [[statsMemo]]. */
+  private val dfqMemo = scala.collection.mutable.Map[
+    (String, Seq[String]), (String, Array[(String, Long)])]()
+
+  /** The pruned-dfq side of a scoring join, memoized: a LocalRelation of
+    * the collected (token, dfq) rows — row-identical to [[prunedDfq]] by
+    * construction (same aggregation, collected once per fingerprint). */
+  private def memoDfq(spark: SparkSession, path: String, terms: Seq[String],
+                      bucketIds: Seq[Int], fp: String): DataFrame = {
+    import spark.implicits._
+    val key = (path, terms.sorted)
+    val hit = dfqMemo.synchronized { dfqMemo.get(key) }
+      .collect { case (`fp`, rows) => rows }
+    val rows = hit.getOrElse {
+      val got = prunedDfq(spark, path, terms, bucketIds)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      dfqMemo.synchronized {
+        if (dfqMemo.size >= StatsMemoCap) dfqMemo.clear()
+        dfqMemo(key) = (fp, got)
+      }
+      got
+    }
+    rows.toSeq.toDF("token", "dfq")
+  }
 
   /** Bucket ids for `terms`, computed DRIVER-SIDE: `pmod(xxhash64(term),
     * nBuckets)` of a literal string needs no Spark job — the same
@@ -816,14 +986,15 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "bm25QueryIndex: queryTerms must be non-empty")
     require(k > 0, "bm25QueryIndex: k must be positive")
     val terms = queryTerms.map(_.trim.toLowerCase).distinct
-    val (nDocs, avgdl, nBuckets) = lexicalStats(spark, path)
+    val fp = statsFingerprint(spark, path)
+    val (nDocs, avgdl, nBuckets) = lexicalStatsWith(spark, path, fp)
     val bucketIds = termBuckets(terms, nBuckets)
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = postingsOf(spark, path)
       .where(col("bucket").isin(bucketIds: _*) && col("token").isin(terms: _*))
     val num = col("tf") * lit(k1 + 1.0)
     val den = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
     val idf = log((lit(nDocs) - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5)) + lit(1.0))
-    postings.join(broadcast(prunedDfq(spark, path, terms, bucketIds)), "token")
+    postings.join(broadcast(memoDfq(spark, path, terms, bucketIds, fp)), "token")
       .select(col("doc_id"), (idf * num / den).as("s"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("s")), 6).as("score"))
@@ -898,16 +1069,17 @@ object TextAnalysis {
   private def scoreBatch(spark: SparkSession, path: String, qt: DataFrame,
                          terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
     require(terms.nonEmpty, "bm25QueryIndexBatch: no non-empty query terms")
-    val (nDocs, avgdl, nBuckets) = lexicalStats(spark, path)
+    val fp = statsFingerprint(spark, path)
+    val (nDocs, avgdl, nBuckets) = lexicalStatsWith(spark, path, fp)
     val bucketIds = termBuckets(terms, nBuckets)
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = postingsOf(spark, path)
       .where(col("bucket").isin(bucketIds: _*) && col("token").isin(terms: _*))
     val num = col("tf") * lit(k1 + 1.0)
     val den = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
     val idf = log((lit(nDocs) - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5)) + lit(1.0))
     val scored = postings
       .join(broadcast(qt), "token") // fan each posting out to its queries
-      .join(broadcast(prunedDfq(spark, path, terms, bucketIds)), "token")
+      .join(broadcast(memoDfq(spark, path, terms, bucketIds, fp)), "token")
       .select(col("query_id"), col("doc_id"), (idf * num / den).as("s"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("s")), 6).as("score"))

@@ -151,8 +151,9 @@ class StreamingLexicalSpec extends SparkSpec {
       assert(ok.getAs[Boolean]("postings_consistent") && ok.getAs[Boolean]("terms_consistent"))
 
       // simulate the crash window: an append's postings landed but its
-      // stats commit record did not — drop one stats part file
-      val statsDir = new java.io.File(s"$dir/stats")
+      // stats commit record did not — drop one stat part file from the
+      // unified table's commit-record partition
+      val statsDir = new java.io.File(s"$dir/index/component=stat/bucket=0")
       val part = statsDir.listFiles().filter(_.getName.endsWith(".parquet")).head
       assert(part.delete())
       val torn = TextAnalysis.validateLexicalIndex(spark, dir).collect()(0)
@@ -195,13 +196,24 @@ class StreamingLexicalSpec extends SparkSpec {
     val dst = java.nio.file.Files.createTempDirectory("graft_lex_migrated").toString + "/c"
     try {
       TextAnalysis.saveLexicalIndex(docs, dir, nBuckets = 8)
-      // rewrite the stats table in the ROUND-8 shape (no audit columns) —
-      // the artifact a deployment built before the schema change carries
-      val legacyRows = spark.read.parquet(s"$dir/stats")
+      // convert the artifact to the FULL round-8 shape a pre-revision
+      // deployment carries: the legacy three-dir layout with a pre-audit
+      // stats table (no audit columns) — this also exercises the
+      // layout-agnostic legacy read path end to end
+      val uni = spark.read.parquet(s"$dir/index")
+      uni.filter($"component" === "post")
+        .select($"token", $"doc_id", $"tf", $"dl", $"bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+      uni.filter($"component" === "term")
+        .select($"token", $"dfq", $"bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats")
+      val legacyRows = uni.filter($"component" === "stat")
         .select($"n_docs", $"sum_dl", $"n_buckets").collect().toSeq
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       legacyRows.toDF("n_docs", "sum_dl", "n_buckets")
         .write.mode("overwrite").parquet(s"$dir/stats")
+      import scala.reflect.io.Directory
+      assert(new Directory(new java.io.File(s"$dir/index")).deleteRecursively())
 
       // audit and append both refuse LOUDLY, naming the migration path
       val e1 = intercept[IllegalStateException] {
@@ -288,14 +300,100 @@ class StreamingLexicalSpec extends SparkSpec {
       val after = TextAnalysis.bm25QueryIndex(spark, dst, terms, k = 10).collect().toSeq
       assert(after == before && before.nonEmpty)
       // compaction really merged the termstats deltas: one row per term
-      val ts = spark.read.parquet(s"$dst/termstats")
+      val all = spark.read.parquet(s"$dst/index")
+      val ts = all.filter($"component" === "term")
       assert(ts.count() == ts.select("token").distinct().count())
-      // and the stats table is a single row
-      assert(spark.read.parquet(s"$dst/stats").count() == 1)
+      // and the commit record is a single stat row
+      assert(all.filter($"component" === "stat").count() == 1)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(src)).deleteRecursively()
       new Directory(new java.io.File(new java.io.File(dst).getParent)).deleteRecursively()
+    }
+  }
+
+  test("legacy three-dir layout serves row-identically; a unified append " +
+      "onto it (mixed pile) ≡ full rebuild; compaction migrates the pile") {
+    val base = Seq(
+      (1L, "spark scan spark merge"), (2L, "scan filter join"),
+      (3L, "merge merge merge scan")).toDF("doc_id", "text")
+    val extra = Seq((4L, "filter value row"), (5L, "zebra spark")).toDF("doc_id", "text")
+    val all = base.union(extra)
+    val legacy = java.nio.file.Files.createTempDirectory("graft_lex_leg").toString
+    val fresh = java.nio.file.Files.createTempDirectory("graft_lex_frs").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_lex_mig").toString + "/c"
+    try {
+      // build the legacy artifact by converting a unified build — WITH the
+      // audit columns (an auditable post-round-8, pre-unified-layout build)
+      TextAnalysis.saveLexicalIndex(base, legacy, nBuckets = 8)
+      val uni = spark.read.parquet(s"$legacy/index")
+      uni.filter($"component" === "post")
+        .select($"token", $"doc_id", $"tf", $"dl", $"bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$legacy/postings")
+      uni.filter($"component" === "term")
+        .select($"token", $"dfq", $"bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$legacy/termstats")
+      uni.filter($"component" === "stat")
+        .select($"n_docs", $"sum_dl", $"n_postings", $"n_terms", $"n_buckets")
+        .write.mode("overwrite").parquet(s"$legacy/stats")
+      import scala.reflect.io.Directory
+      assert(new Directory(new java.io.File(s"$legacy/index")).deleteRecursively())
+      val terms = Seq("spark", "merge", "filter", "zebra")
+      // legacy artifact: audit green, serves identically to a fresh build
+      val okL = TextAnalysis.validateLexicalIndex(spark, legacy).collect()(0)
+      assert(okL.getAs[Boolean]("postings_consistent") &&
+        okL.getAs[Boolean]("terms_consistent"))
+      TextAnalysis.saveLexicalIndex(base, fresh, nBuckets = 8)
+      assert(TextAnalysis.bm25QueryIndex(spark, legacy, terms, k = 10).collect().toSeq ==
+        TextAnalysis.bm25QueryIndex(spark, fresh, terms, k = 10).collect().toSeq)
+      // unified append ONTO the legacy artifact → mixed pile must serve
+      // exactly like a full rebuild over the union
+      TextAnalysis.appendLexicalIndex(extra, legacy)
+      TextAnalysis.saveLexicalIndex(all, fresh, nBuckets = 8)
+      val mixed = TextAnalysis.bm25QueryIndex(spark, legacy, terms, k = 10).collect().toSeq
+      val rebuilt = TextAnalysis.bm25QueryIndex(spark, fresh, terms, k = 10).collect().toSeq
+      assert(mixed == rebuilt && rebuilt.nonEmpty)
+      val okM = TextAnalysis.validateLexicalIndex(spark, legacy).collect()(0)
+      assert(okM.getAs[Long]("n_segments") == 2L &&
+        okM.getAs[Boolean]("postings_consistent") &&
+        okM.getAs[Boolean]("terms_consistent"))
+      // compaction folds the mixed pile into one unified generation
+      TextAnalysis.compactLexicalIndex(spark, legacy, dst)
+      assert(TextAnalysis.bm25QueryIndex(spark, dst, terms, k = 10)
+        .collect().toSeq == rebuilt)
+      assert(!new java.io.File(s"$dst/postings").exists() &&
+        new java.io.File(s"$dst/index").exists())
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(legacy)).deleteRecursively()
+      new Directory(new java.io.File(fresh)).deleteRecursively()
+      new Directory(new java.io.File(new java.io.File(dst).getParent)).deleteRecursively()
+    }
+  }
+
+  test("pruned-dfq memo stays fresh: the same ask re-served after an append " +
+      "reflects the appended segment (fingerprint invalidation)") {
+    val docs = Seq(
+      (1L, "spark scan spark merge"), (2L, "scan filter join"),
+      (3L, "merge merge merge scan")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_memo").toString
+    try {
+      TextAnalysis.saveLexicalIndex(docs, dir, nBuckets = 8)
+      val terms = Seq("spark", "merge")
+      val a0 = TextAnalysis.bm25QueryIndex(spark, dir, terms, k = 10).collect().toSeq
+      // repeat ask: memo hit must serve the identical answer
+      assert(TextAnalysis.bm25QueryIndex(spark, dir, terms, k = 10)
+        .collect().toSeq == a0)
+      // append docs that move idf/dfq for the SAME terms; the very next
+      // ask must reflect them — a stale memo would keep serving a0
+      TextAnalysis.appendLexicalIndex(
+        Seq((7L, "spark spark"), (8L, "merge row")).toDF("doc_id", "text"), dir)
+      val a1 = TextAnalysis.bm25QueryIndex(spark, dir, terms, k = 10).collect().toSeq
+      assert(a1 != a0, "append did not invalidate the pruned-dfq memo")
+      assert(a1.exists(_.getLong(0) == 7L))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
 }
