@@ -545,10 +545,13 @@ object TextAnalysis {
     // refuse to append onto a pre-audit-schema artifact: the new segment's
     // stats row would sit next to rows missing the audit columns, and the
     // mixed-schema sums would falsely flag the index as torn forever —
-    // compaction migrates it first (one rewrite, serving unchanged)
+    // compaction migrates it first (one rewrite, serving unchanged). A
+    // pure-unified pile is auditable by construction (see
+    // [[lexicalAuditability]]) — skip the null-probe job there.
     val stats = statsOf(docs.sparkSession, path)
-    auditabilityOf(stats, path).foreach(reason =>
-      throw new IllegalStateException(s"appendLexicalIndex: $reason"))
+    if (!isPureUnified(docs.sparkSession, path))
+      auditabilityOf(stats, path).foreach(reason =>
+        throw new IllegalStateException(s"appendLexicalIndex: $reason"))
     val nBuckets = stats.select(col("n_buckets")).head().getInt(0)
     writeLexicalSegment(docs, path, nBuckets, "append", idCol, textCol)
   }
@@ -690,7 +693,20 @@ object TextAnalysis {
    * counts from the rewritten tables themselves).
    */
   def lexicalAuditability(spark: SparkSession, path: String): Option[String] =
-    auditabilityOf(statsOf(spark, path), path)
+    // a PURE-unified index is auditable by construction — every unified
+    // stat row carries the audit counts (the write fills all columns) —
+    // so the answer needs two driver FS probes, no relation discovery and
+    // no null-probe job; only legacy/mixed piles read the stats frame
+    if (isPureUnified(spark, path)) None
+    else auditabilityOf(statsOf(spark, path), path)
+
+  /** Whether `path` holds ONLY the unified layout (index/ present, no
+    * legacy stats/ dir) — two driver-side FS probes. */
+  private def isPureUnified(spark: SparkSession, path: String): Boolean = {
+    val hfs = lexFs(spark, path)
+    hfs.exists(new org.apache.hadoop.fs.Path(s"$path/index")) &&
+      !hfs.exists(new org.apache.hadoop.fs.Path(s"$path/stats"))
+  }
 
   /** [[lexicalAuditability]] over an already-loaded stats frame — callers
     * that need the frame anyway (validate, append) avoid a second listing. */
@@ -725,14 +741,11 @@ object TextAnalysis {
    */
   def validateLexicalIndex(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val stats = statsOf(spark, path)
-    auditabilityOf(stats, path).foreach(reason =>
-      throw new IllegalStateException(s"validateLexicalIndex: $reason"))
-    val hfs = lexFs(spark, path)
-    val pureUnified = hfs.exists(new org.apache.hadoop.fs.Path(s"$path/index")) &&
-      !hfs.exists(new org.apache.hadoop.fs.Path(s"$path/stats"))
     val (nSeg, pExp, tExp, pAct, tAct) =
-      if (pureUnified) {
+      if (isPureUnified(spark, path)) {
+        // auditable by construction (see [[lexicalAuditability]]): no
+        // stats pre-read, no null-probe job — ONE relation discovery,
+        // ONE job
         // ONE column-pruned scan of the unified table answers all five
         // audit numbers (guide §1.2 step 1 — one job instead of a
         // three-read fan-out): component rows count themselves, the stat
@@ -752,9 +765,13 @@ object TextAnalysis {
           .collect()(0)
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       } else {
-        // legacy or mixed pile: three INDEPENDENT bounded reads (stats
-        // sums + two table counts) — fan them out (guide §2.6) instead of
-        // paying three serial job latencies per audit
+        // legacy or mixed pile: the pre-audit-schema refusal applies, then
+        // three INDEPENDENT bounded reads (stats sums + two table counts)
+        // — fanned out (guide §2.6) instead of paying three serial job
+        // latencies per audit
+        val stats = statsOf(spark, path)
+        auditabilityOf(stats, path).foreach(reason =>
+          throw new IllegalStateException(s"validateLexicalIndex: $reason"))
         var st: Row = null
         var pA = 0L
         var tA = 0L
