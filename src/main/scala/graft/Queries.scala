@@ -3424,8 +3424,14 @@ private[graft] object Queries {
             col("strategy"), col("fact_bytes"), col("dim_bytes"),
             col("advised_shuffle_partitions"), col("top_share_exact"))
           .orderBy(col("scenario"))
-        // materialize before the artifact dirs vanish (lifecycle rule)
-        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+        // materialize before the artifact dirs vanish (lifecycle rule);
+        // the 4-scenario collect's inputs are all sketch-bounded — run it
+        // under sketch-tuned conf (guide §1.2 step 3; main thread, after
+        // the fan-out settled)
+        val rows = JoinPlanner.withSketchConf(s,
+          JoinPlanner.sketchRowsOf(fp) +
+            profs.valuesIterator.map(JoinPlanner.sketchRowsOf).sum)(out.collect())
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally Gates.deleteTree(tmp)
     }),
 
@@ -3450,7 +3456,10 @@ private[graft] object Queries {
         JoinPlanner.appendTableProfile(
           dim.filter(col("s_suppkey") % 2 =!= 0), "s_suppkey", tmp, p)
         val out = JoinPlanner.profileDistinctAdvice(s, tmp)
-        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+        // sketch-bounded advice collect — sketch-tuned conf (main thread)
+        val rows = JoinPlanner.withSketchConf(s,
+          JoinPlanner.sketchRowsOf(p))(out.collect())
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally Gates.deleteTree(tmp)
     }),
 
@@ -3520,7 +3529,11 @@ private[graft] object Queries {
           s"$tmp/dim",
           JoinPlanner.JoinThresholds(broadcastMaxDimRows = 2000,
             skewShareMin = 0.9, bloomSelectivityMax = 0.001), t)
-        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+        // sketch-bounded decision collect — sketch-tuned conf (main
+        // thread, after the drain ∥ dim-chain fan-out settled)
+        val decRows = JoinPlanner.withSketchConf(s,
+          2L * JoinPlanner.sketchRowsOf(p))(out.collect())
+        s.createDataFrame(java.util.Arrays.asList(decRows: _*), out.schema)
       } finally Gates.deleteTree(tmp)
     }),
 
@@ -3565,11 +3578,18 @@ private[graft] object Queries {
         val t = Capacity.SizingTargets(
           targetPartitionBytes = 64L << 10, targetFileBytes = 256L << 10,
           minPartitions = 1, maxPartitions = 4096)
-        val pile = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact",
-          s"$tmp/dim", th, t).collect()
-        val out = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact2",
-          s"$tmp/dim2", th, t)
-        val post = out.collect()
+        // both decision collects read sketch-bounded inputs — sketch-tuned
+        // conf (main thread, after the compaction fan-out settled)
+        var pile: Array[org.apache.spark.sql.Row] = null
+        var post: Array[org.apache.spark.sql.Row] = null
+        val out = JoinPlanner.withSketchConf(s, 2L * JoinPlanner.sketchRowsOf(p)) {
+          pile = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact",
+            s"$tmp/dim", th, t).collect()
+          val o = JoinPlanner.joinDecisionFromProfiles(s, s"$tmp/fact2",
+            s"$tmp/dim2", th, t)
+          post = o.collect()
+          o
+        }
         // numbers fold-invariant; the coverage marker may only degrade
         // (compactTableProfile scaladoc) — one collect per side, the
         // marker column sliced out driver-side
@@ -3616,7 +3636,10 @@ private[graft] object Queries {
               dim.filter(col("c_custkey") % 2 =!= 0), "c_custkey", s"$tmp/dim", p)
           })
         val out = JoinPlanner.profileOverlapAdvice(s, s"$tmp/fact", s"$tmp/dim")
-        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+        // sketch-bounded advice collect — sketch-tuned conf (main thread)
+        val rows = JoinPlanner.withSketchConf(s,
+          2L * JoinPlanner.sketchRowsOf(p))(out.collect())
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally Gates.deleteTree(tmp)
     }),
 
@@ -3642,7 +3665,10 @@ private[graft] object Queries {
           targetPartitionBytes = 16L << 10, targetFileBytes = 64L << 10,
           minPartitions = 1, maxPartitions = 4096)
         val out = JoinPlanner.profileSizeAdvice(s, tmp, t)
-        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+        // sketch-bounded advice collect — sketch-tuned conf (main thread)
+        val rows = JoinPlanner.withSketchConf(s,
+          JoinPlanner.sketchRowsOf(p))(out.collect())
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally Gates.deleteTree(tmp)
     }),
 
@@ -3685,13 +3711,18 @@ private[graft] object Queries {
           minPartitions = 1, maxPartitions = 4096)
         def decide() = JoinPlanner.joinDecisionFromProfiles(s,
           Generations.resolve(s, root), s"$tmp/dim", th, t)
-        val pre = decide().collect()
+        // sketch-bounded decision collects — sketch-tuned conf (main
+        // thread; the compaction fold between them stays outside)
+        def collectDecision(df: org.apache.spark.sql.DataFrame) =
+          JoinPlanner.withSketchConf(s,
+            2L * JoinPlanner.sketchRowsOf(p))(df.collect())
+        val pre = collectDecision(decide())
         val g1 = Generations.resolve(s, root)
         val g2 = Generations.advance(s, root) { dst =>
           JoinPlanner.compactTableProfile(s, g1, dst)
         }
         val out = decide()
-        val post = out.collect()
+        val post = collectDecision(out)
         // every decision NUMBER is fold-invariant; the coverage marker may
         // only DEGRADE (a fold over more keys than topK cannot promise
         // exactness under future appends — compactTableProfile scaladoc).
